@@ -1,0 +1,193 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.operators.LatestPerKey
+
+/** Dual online/offline feature store (SURVEY.md §1.1).
+  *
+  * Layout under `root`:
+  * {{{
+  *   <root>/<group>/manifest.json        — schema + key/event-time + next batch id
+  *   <root>/<group>/offline/             — append-only history, parquet,
+  *                                         partitioned by _ingest_date
+  *                                         (reference: offline S3 parquet store,
+  *                                          setup.sh:86,139-141 — unpartitioned
+  *                                          there; we add date partitioning so
+  *                                          pruning actually prunes files)
+  *   <root>/<group>/online/v<N>/         — latest-per-key snapshot, parquet
+  *   <root>/<group>/online/LATEST        — pointer file: currently active N
+  *   <root>/<group>/models/              — model artifacts
+  * }}}
+  *
+  * Online-store semantics (reference: setup.sh:87 EnableOnlineStore, read path
+  * real_time_inference.py:16-19): exactly one current record per entity key;
+  * an ingest with a newer event_time replaces the visible record. We maintain
+  * it as a materialized latest-per-key snapshot, swapped atomically by writing
+  * v<N+1> and then flipping the LATEST pointer — a crash mid-swap leaves the
+  * old snapshot active (SURVEY.md §7 risk 5). Single-writer assumption (no
+  * Delta/Iceberg jars in this environment; documented substitution).
+  */
+final class FeatureStore(spark: SparkSession, root: String) {
+
+  private def groupDir(name: String): Path = Paths.get(root, name)
+  private def manifestPath(name: String): Path = groupDir(name).resolve("manifest.json")
+  private def offlineDir(name: String): String = groupDir(name).resolve("offline").toString
+  private def onlineDir(name: String): Path = groupDir(name).resolve("online")
+  def modelDir(name: String): String = groupDir(name).resolve("models").toString
+
+  // ---- catalog (reference: setup.sh feature-group / database / table DDL; cleanup.sh drops) ----
+
+  def groupExists(name: String): Boolean = Files.exists(manifestPath(name))
+
+  def createGroup(g: FeatureGroup): Unit = {
+    require(!groupExists(g.name), s"feature group ${g.name} already exists")
+    Files.createDirectories(groupDir(g.name))
+    writeManifest(g, nextSeq = 0L)
+  }
+
+  def describeGroup(name: String): FeatureGroup = readManifest(name)._1
+
+  def dropGroup(name: String): Unit = {
+    val dir = groupDir(name)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+    }
+  }
+
+  // ---- ingest (reference: update_feature_store.py — per-row put_record; ours is set-oriented) ----
+
+  /** Batch ingest: validates against the declared schema, appends full history
+    * to the offline store, and refreshes the online snapshot incrementally
+    * (only keys present in the batch are recomputed — old ∪ batch → argmax,
+    * SURVEY.md §4 "caching / incremental view maintenance").
+    */
+  def ingest(groupName: String, df: DataFrame): Long = {
+    val (g, seq) = readManifest(groupName)
+    val missing = g.featureNames.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"ingest batch missing declared features: $missing")
+
+    val typed = df.select(g.features.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
+      .withColumn(EngineColumns.IngestSeq, lit(seq))
+      .withColumn(EngineColumns.IngestDate, to_date(col(g.eventTimeCol)))
+
+    typed.write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+
+    refreshOnline(g, Some(typed))
+    writeManifest(g, seq + 1)
+    seq
+  }
+
+  /** Recompute the online snapshot. With `batch` given, only the union of the
+    * previous snapshot and the new batch is scanned (incremental maintenance);
+    * with None, rebuilt from full offline history. */
+  def refreshOnline(g: FeatureGroup, batch: Option[DataFrame]): Unit = {
+    val base = (currentSnapshot(g.name), batch) match {
+      case (Some(snap), Some(b)) => snap.unionByName(b.select(snap.columns.map(col): _*))
+      case (_, _)                => offline(g.name)
+    }
+    val latest = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
+      .drop(EngineColumns.IngestDate)
+    val next = currentVersion(g.name).getOrElse(0L) + 1
+    val dir = onlineDir(g.name).resolve(s"v$next")
+    latest.write.mode("overwrite").parquet(dir.toString)
+    val tmp = onlineDir(g.name).resolve("LATEST.tmp")
+    Files.createDirectories(onlineDir(g.name))
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, onlineDir(g.name).resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def currentVersion(name: String): Option[Long] = {
+    val p = onlineDir(name).resolve("LATEST")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong) else None
+  }
+
+  private def currentSnapshot(name: String): Option[DataFrame] =
+    currentVersion(name).map(v => spark.read.parquet(onlineDir(name).resolve(s"v$v").toString))
+
+  // ---- reads ----
+
+  /** Full offline history (reference: Athena external table over the offline
+    * S3 parquet, setup.sh:132-143). */
+  def offline(name: String): DataFrame = spark.read.parquet(offlineDir(name))
+
+  /** Online latest-per-key view (reference: get_record point lookups,
+    * real_time_inference.py:16-19). */
+  def online(name: String): DataFrame =
+    currentSnapshot(name).getOrElse {
+      val g = describeGroup(name)
+      LatestPerKey.viaMaxBy(offline(name), Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
+        .drop(EngineColumns.IngestDate)
+    }
+
+  /** Point lookup, stringly-typed API shim matching the reference's wire
+    * format (`ValueAsString`, update_feature_store.py:65-73): returns
+    * feature-name → string-value, None when the key is absent
+    * (real_time_inference.py:20-22). Event time formatted ISO-8601 Zulu
+    * (update_feature_store.py:36). */
+  def getRecord(groupName: String, key: Any): Option[Map[String, String]] = {
+    val g = describeGroup(groupName)
+    val row = online(groupName).filter(col(g.keyCol) === lit(key)).collect().headOption
+    row.map { r =>
+      g.features.map { f =>
+        val v = r.get(r.fieldIndex(f.name)) match {
+          case null                     => null
+          case t: java.sql.Timestamp    => java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+            .format(t.toInstant)
+          case other                    => other.toString
+        }
+        f.name -> v
+      }.toMap
+    }
+  }
+
+  /** Historical time-range retrieval — the reference's Athena query
+    * (historical_features.py:28-32): explicit projection + inclusive BETWEEN
+    * on event time. Projection and predicate reach the parquet scan via
+    * Catalyst (column pruning + predicate pushdown; the reference wrote both
+    * by hand into SQL text). */
+  def historicalQuery(groupName: String, columns: Seq[String], start: String, end: String): DataFrame = {
+    val g = describeGroup(groupName)
+    offline(groupName)
+      .filter(col(g.eventTimeCol).between(
+        lit(start).cast(TimestampType), lit(end).cast(TimestampType)))
+      .select(columns.map(col): _*)
+  }
+
+  // ---- manifest (hand-rolled flat JSON; no extra deps) ----
+
+  private def writeManifest(g: FeatureGroup, nextSeq: Long): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val feats = g.features
+      .map(f => s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}}""")
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"name":${q(g.name)},"keyCol":${q(g.keyCol)},"eventTimeCol":${q(g.eventTimeCol)},
+         |"nextSeq":$nextSeq,"features":$feats}""".stripMargin
+    val tmp = groupDir(g.name).resolve("manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(g.name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readManifest(name: String): (FeatureGroup, Long) = {
+    require(groupExists(name), s"no such feature group: $name")
+    val json = new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8)
+    def field(k: String): String = {
+      val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
+      m.map(_.group(1)).getOrElse(sys.error(s"manifest missing $k"))
+    }
+    val nextSeq = ("\"nextSeq\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).get.group(1).toLong
+    val featRe = "\\{\"name\":\"([^\"]*)\",\"type\":\"([^\"]*)\"\\}".r
+    val feats = featRe.findAllMatchIn(json).map(m => FeatureDef(m.group(1), FType.fromName(m.group(2)))).toSeq
+    (FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats), nextSeq)
+  }
+}

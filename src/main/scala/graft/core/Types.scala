@@ -1,0 +1,65 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Feature-store type system, mirroring the reference's 3-type system
+  * (reference: setup.sh:82-85 — Integral / Fractional / String) plus a
+  * native timestamp type (the reference stores event time as an ISO-8601
+  * STRING, setup.sh:135; we keep native TimestampType internally and
+  * format only at API edges — SURVEY.md §1.2).
+  */
+sealed trait FType { def spark: DataType }
+object FType {
+  /** 64-bit internally even though the reference declares INT — 100 TB-scale keys. */
+  case object Integral extends FType { val spark: DataType = LongType }
+  case object Fractional extends FType { val spark: DataType = DoubleType }
+  case object FString extends FType { val spark: DataType = StringType }
+  case object FTimestamp extends FType { val spark: DataType = TimestampType }
+
+  def fromName(s: String): FType = s match {
+    case "Integral"   => Integral
+    case "Fractional" => Fractional
+    case "String"     => FString
+    case "Timestamp"  => FTimestamp
+  }
+  def name(t: FType): String = t match {
+    case Integral   => "Integral"
+    case Fractional => "Fractional"
+    case FString    => "String"
+    case FTimestamp => "Timestamp"
+  }
+}
+
+final case class FeatureDef(name: String, ftype: FType)
+
+/** A named, schema-typed entity table with a declared record-identifier
+  * column and event-time column (reference: setup.sh:78-89,
+  * `create-feature-group --record-identifier-feature-name customer_id
+  * --event-time-feature-name event_time`).
+  */
+final case class FeatureGroup(
+    name: String,
+    keyCol: String,
+    eventTimeCol: String,
+    features: Seq[FeatureDef]) {
+
+  require(features.exists(_.name == keyCol), s"key column $keyCol must be a declared feature")
+  require(features.exists(_.name == eventTimeCol), s"event-time column $eventTimeCol must be a declared feature")
+
+  /** User-visible schema (no engine columns). */
+  def schema: StructType =
+    StructType(features.map(f => StructField(f.name, f.ftype.spark)))
+
+  def featureNames: Seq[String] = features.map(_.name)
+}
+
+object EngineColumns {
+  /** Monotone per-ingest batch id; tie-break for latest-per-key when two
+    * records share (key, event_time) — reference semantics are
+    * last-writer-wins in arrival order (update_feature_store.py:26-27);
+    * ours is deterministic: max(event_time, ingest_seq). SURVEY.md §2.5 A1. */
+  val IngestSeq = "_ingest_seq"
+  /** Partition column of the offline store — gives partition pruning the
+    * reference never had (its LOCATION is the bucket root, setup.sh:140). */
+  val IngestDate = "_ingest_date"
+}

@@ -1,0 +1,165 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.functions.CosineSimilarity
+
+/** Deduplication suite for LLM training-data pipelines (extension surface,
+  * BASELINE.json north star). Five methods, all shaped for 100 TB:
+  * candidate generation is always a hash-bucket equi-join (shuffle on a
+  * bucket key, never an O(n²) cross join); exact verification runs only on
+  * candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on content digest. One shuffle with map-side
+    * partial aggregation. Output: one row per distinct content with the
+    * canonical (min) id and the duplicate count. */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.groupBy(md5(col(text)).as("text_hash"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
+    *
+    * shingle → k-minhash signature → `bands` band keys → explode → self-join
+    * on band key (the only shuffle that matters; cost ∝ Σ bucket²) → distinct
+    * pairs → verify exact Jaccard on the shingle sets of candidates only.
+    *
+    * At 100 TB the band-bucket join co-partitions by (band, key); hot buckets
+    * (boilerplate shingles) are the skew risk — mitigated by dropping buckets
+    * larger than `maxBucket` (standard practice: such buckets are near-certain
+    * duplicates of templated content and are better handled by exact dedup).
+    */
+  def minhashLsh(
+      df: DataFrame,
+      id: String,
+      text: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+
+    val rows = numHashes / bands
+    val withSig = df.select(
+      col(id).as("doc_id"),
+      array_distinct(wordShingles(col(text), shingleK)).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("band_keys", lshBandKeys(col("sig"), bands, rows))
+
+    val buckets = withSig
+      .select(col("doc_id"), col("shingles"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
+      .filter(col("__bsz") <= maxBucket) // skew guard: templated content floods a bucket
+      .drop("__bsz")
+
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, banded into `bands` segments —
+    * any pair within hamming distance < `bands` shares at least one exact
+    * band (pigeonhole), so the bucket join finds all of them. */
+  def simhash(
+      df: DataFrame,
+      id: String,
+      text: String,
+      bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+
+    val withHash = df.select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("toks"))
+      .withColumn("sh", simhash64(col("toks")))
+    val buckets = withHash.select(col("doc_id"), col("sh"),
+      explode(simhashBands(col("sh"), bands)).as("b"))
+
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b, col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Character n-gram Jaccard near-dup pairs. Candidate generation via
+    * sampled-ngram inverted index (only every `sampleMod`-th ngram by hash —
+    * keeps the index linear in corpus size), verification on full ngram sets. */
+  def ngramJaccard(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 8,
+      threshold: Double = 0.5,
+      sampleMod: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+
+    val grams = df.select(col(id).as("doc_id"),
+      array_distinct(charNgrams(lower(col(text)), n)).as("grams"))
+    val index = grams
+      .select(col("doc_id"), col("grams"), explode(col("grams")).as("g"))
+      .withColumn("gh", xxhash64Seeded(17L, col("g")))
+      .filter(pmod(col("gh"), lit(sampleMod.toLong)) === 0)
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+      .filter(col("__bsz") <= maxBucket) // skew guard
+      .drop("__bsz")
+
+    val a = index.as("a"); val b = index.as("b")
+    val candidates = a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.grams").as("g_a"), col("b.grams").as("g_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first("g_a").as("g_a"), first("g_b").as("g_b"))
+
+    candidates
+      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
+    * cosine (native codegen [[CosineSimilarity]]) within buckets. */
+  def embeddingCosine(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      lshBits: Int = 12): DataFrame = {
+
+    val keyed = df.select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("bucket", hyperplaneLshKey(col("v"), dim, lshBits))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Collapse near-dup pairs to per-doc keep/drop marks: a doc is dropped if
+    * any pair links it to a smaller id (cheap one-pass approximation of
+    * connected components; exact CC would iterate this to fixpoint). */
+  def marksFromPairs(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    docs.select(col(id).as("doc_id"))
+      .join(pairs.select(col("id_b").as("doc_id")).distinct()
+        .withColumn("is_duplicate", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
+}

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge => ExpressionUtils}
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight, XxHash64}
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the text / dedup / similarity
+  * operators. Everything here composes built-in (codegen'd) expressions —
+  * no Scala UDFs — so operators stay inside whole-stage codegen.
+  *
+  * ANSI note: Spark 4 runs with spark.sql.ansi.enabled=true, where integer
+  * overflow THROWS. All hash mixing therefore chains seeded [[XxHash64]]
+  * (which wraps internally) instead of the classic `a*h+b` arithmetic.
+  */
+object GraftFunctions {
+
+  private def ex(c: Column) = ExpressionUtils.expression(c)
+  private def co(e: org.apache.spark.sql.catalyst.expressions.Expression) = ExpressionUtils.column(e)
+
+  /** xxhash64 with an explicit seed (the `functions.xxhash64` builtin pins seed=42). */
+  def xxhash64Seeded(seed: Long, cols: Column*): Column = co(XxHash64(cols.map(ex), seed))
+
+  /** Bit shifts with Column shift amounts (builtins only take Int literals). */
+  def shiftRightC(e: Column, n: Column): Column = co(ShiftRight(ex(e), ex(n)))
+  def shiftLeftC(e: Column, n: Column): Column = co(ShiftLeft(ex(e), ex(n)))
+
+  // ---------- tokenization ----------
+
+  /** Whitespace tokens; empty string → empty array. */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCountWs(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish subword count: letter runs capped at 4 chars, single digits,
+    * single non-alnum glyphs — a deterministic proxy for a trained BPE
+    * vocabulary (same regex is expressible in the DuckDB oracle). */
+  val BpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCountBpeish(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** Word k-shingles: ["a b c", "b c d", ...]; fewer than k tokens → 1 shingle of all. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = wsTokens(text)
+    when(size(toks) <= k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Character n-grams of the raw string. */
+  def charNgrams(text: Column, n: Int): Column =
+    when(length(text) <= n, array(text))
+      .otherwise(transform(
+        sequence(lit(0), length(text) - n),
+        i => text.substr(i + 1, lit(n))))
+
+  // ---------- MinHash / SimHash / fingerprinting ----------
+
+  /** MinHash signature (k independent seeded hashes) over a set column.
+    * One pass per seed; all inside codegen. */
+  def minhashSignature(set: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(set, x => xxhash64Seeded(i.toLong, x)))
+    }: _*)
+
+  /** LSH band keys for a minhash signature: `bands` hashes, each over
+    * `rowsPerBand` consecutive signature slots. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64Seeded(9000L + b,
+        (0 until rowsPerBand).map(j => element_at(sig, b * rowsPerBand + j + 1)): _*)
+    }: _*)
+
+  /** 64-bit SimHash over a token array: per-bit +1/-1 votes weighted by token
+    * occurrence, sign → bit. Single aggregate pass (zip_with over a 64-slot
+    * accumulator), entirely built-in expressions. */
+  def simhash64(tokens: Column): Column = {
+    val bitIdx = sequence(lit(0), lit(63))
+    aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64Seeded(7L, t)
+        zip_with(acc, bitIdx, (a, i) =>
+          a + when(shiftRightC(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      },
+      acc => aggregate(
+        zip_with(acc, bitIdx, (c, i) =>
+          when(c > 0L, shiftLeftC(lit(1L), i)).otherwise(lit(0L))),
+        lit(0L), (s, x) => s.bitwiseOR(x)))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Split a 64-bit simhash into `bands` equal bit-bands (LSH for hamming
+    * distance: near-dups within radius < bands share ≥1 exact band). */
+  def simhashBands(h: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = lit((1L << width) - 1)
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), shiftRightC(h, lit(b * width)).bitwiseAND(mask).as("key"))
+    }: _*)
+  }
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash char
+    * n-grams, take the min hash of each sliding window of `w` — the selected
+    * set is robust to local edits. Returns array<long> (sorted, distinct). */
+  def winnowingFingerprint(text: Column, n: Int, w: Int): Column = {
+    val hs = transform(charNgrams(lower(text), n), g => xxhash64Seeded(11L, g))
+    val mins = when(size(hs) <= w, array(array_min(hs)))
+      .otherwise(transform(sequence(lit(0), size(hs) - w), j => array_min(slice(hs, j + 1, lit(w)))))
+    array_sort(array_distinct(mins))
+  }
+
+  /** Order-sensitive whole-document fingerprint: left-fold hash chaining
+    * (ANSI-safe: xxhash64 of (acc, token-hash) instead of overflow arithmetic). */
+  def docFingerprint(tokens: Column): Column =
+    aggregate(tokens, lit(0L), (acc, t) => xxhash64Seeded(13L, acc, t))
+
+  // ---------- vectors ----------
+
+  /** Dot product via higher-order functions (codegen'd); see
+    * [[CosineSimilarity]] for the native-Expression fast path. */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v)
+
+  def l2Norm(a: Column): Column = sqrt(dotHof(a, a))
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b); val na = l2Norm(a); val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Random-hyperplane LSH signature for cosine similarity: `bits` sign bits
+    * of dot products with deterministic pseudo-random hyperplanes (hash-derived,
+    * seed-stable across executors — no RNG state to ship). */
+  def hyperplaneLshKey(vec: Column, dim: Int, bits: Int): Column = {
+    (0 until bits).map { b =>
+      // hyperplane component j = centered hash in [-0.5, 0.5)
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
+          x.cast("double") * (pmod(xxhash64Seeded(100L + b, j), lit(1000003L)).cast("double") / 1000003.0 - 0.5)),
+        lit(0.0), (s, v) => s + v)
+      when(dot >= 0.0, shiftLeftC(lit(1L), lit(b))).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+}

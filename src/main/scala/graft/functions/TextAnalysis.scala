@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import GraftFunctions._
+
+/** Text-quality / language heuristics for LLM training-data pipelines —
+  * extension surface (north star in BASELINE.json; not in the reference).
+  * All pure Column expressions (codegen'd, no UDFs), so they run inside the
+  * scan's WholeStageCodegen stage at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword seeds for the n-gram/stopword language heuristic.
+    * Deliberately tiny: language ID here is a cheap router, not a classifier. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "was", "for", "with", "he", "she", "this"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "se", "no", "por", "con", "para", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du", "que", "est", "pour", "qui", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "sich", "des", "auf", "ist", "im", "nicht"),
+    "it" -> Seq("il", "di", "che", "la", "e", "un", "per", "in", "una", "sono", "con", "del", "non", "le", "si"))
+
+  /** Language ID: argmax of stopword-hit ratio over [[Stopwords]], with a
+    * CJK-codepoint override; ties break alphabetically (struct array_max). */
+  def langId(text: Column): Column = {
+    val toks = transform(wsTokens(lower(text)), t => regexp_replace(t, "[^\\p{L}]", ""))
+    val nToks = greatest(size(toks), lit(1)).cast("double")
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+      struct((hits / nToks).as("score"), lit(lang).as("lang"))
+    }
+    val cjk = regexp_count(text, lit("[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]"))
+    when(cjk * 2 > length(text), lit("cjk"))
+      .otherwise(
+        when(array_max(array(scored: _*)).getField("score") === 0.0, lit("und"))
+          .otherwise(array_max(array(scored: _*)).getField("lang")))
+  }
+
+  /** Heuristic document-quality score in [0,1] — Gopher/C4-style cheap
+    * filters folded into one number: word count band, mean word length band,
+    * alpha ratio, punctuation density, repetition (distinct-token ratio). */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(text)
+    val n = size(toks).cast("double")
+    val chars = greatest(length(text), lit(1)).cast("double")
+    val meanLen = when(n === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double") / greatest(n, lit(1.0)))
+    val alphaRatio = regexp_count(text, lit("[A-Za-z]")).cast("double") / chars
+    val punctRatio = regexp_count(text, lit("[\\p{Punct}]")).cast("double") / chars
+    val distinctRatio = when(n === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / greatest(n, lit(1.0)))
+    val lenScore = when(n >= 50 && n <= 100000, 1.0)
+      .when(n >= 10, 0.6).when(n >= 3, 0.3).otherwise(0.0)
+    val wordLenScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.4)
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.3)
+    round(
+      lenScore * 0.3 + wordLenScore * 0.2 + alphaRatio * 0.2 +
+        punctScore * 0.1 + distinctRatio * 0.2,
+      6)
+  }
+
+  /** Full per-document stats row used by q16/q17. */
+  def stats(text: Column): Seq[Column] = Seq(
+    length(text).as("n_chars"),
+    tokenCountWs(text).as("n_tokens_ws"),
+    tokenCountBpeish(text).as("n_tokens_bpeish"))
+}

@@ -1,0 +1,50 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+
+/** Train/infer loop matching the reference's ML surface (SURVEY.md §2.9):
+  * single-feature RandomForest regression, 100 trees, seed 42, 80/20 split,
+  * MSE metric (historical_features.py:77-90). sklearn and MLlib RNGs differ,
+  * so outputs are smoke-tested (finite, bounded MSE), never golden-compared
+  * (SURVEY.md §7 risk 4).
+  */
+object FeatureML {
+
+  final case class TrainResult(model: RandomForestRegressionModel, mse: Double,
+      nTrain: Long, nTest: Long)
+
+  def trainRegressor(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      numTrees: Int = 100,
+      seed: Long = 42L): TrainResult = {
+
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df.na.drop(featureCols :+ labelCol))
+    val Array(train, test) = assembled.randomSplit(Array(0.8, 0.2), seed)
+
+    val model = new RandomForestRegressor()
+      .setNumTrees(numTrees).setSeed(seed)
+      .setFeaturesCol("features").setLabelCol(labelCol)
+      .fit(train)
+
+    val mse = new RegressionEvaluator()
+      .setLabelCol(labelCol).setPredictionCol("prediction").setMetricName("mse")
+      .evaluate(model.transform(test))
+    TrainResult(model, mse, train.count(), test.count())
+  }
+
+  /** Batch score (reference: real_time_inference.py:50-61 scores one row;
+    * `model.transform` is the set-oriented equivalent). */
+  def predict(model: RandomForestRegressionModel, df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    val assembled = new VectorAssembler()
+      .setInputCols(featureCols.toArray).setOutputCol("features")
+      .transform(df)
+    model.transform(assembled)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines (extension
+  * surface). Media payloads are opaque `binary` columns + typed metadata;
+  * the heavy decode step runs per-partition in batches (the Scala analogue of
+  * an Arrow-batched pandas UDF) so a real decoder drops in without changing
+  * the plan shape: the scan prunes to (id, bytes, meta), partitioning is
+  * preserved, and the decode stage pipelines with downstream filters.
+  *
+  * ==== STUB NOTICE ====
+  * No image/audio codec libraries exist in this environment, so
+  * [[decodeImageFeatures]] / [[sampleFrames]] produce DETERMINISTIC FAKE
+  * features derived from the payload hash. The Spark-side plumbing — schema,
+  * batch iteration, partition preservation — is real and tested; swap
+  * `fakeDecode` for a JNI/codec call to productionize.
+  */
+object Multimodal {
+
+  val AssetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))), nullable = true)))
+
+  /** Build a synthetic asset table from any keyed table (payload = utf8 bytes
+    * of a text column) — test fixture for the decode plumbing. */
+  def syntheticAssets(df: DataFrame, id: String, payload: String): DataFrame =
+    df.select(
+      col(id).cast(LongType).as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col(id).cast(LongType), lit(3L)) + 1).cast(IntegerType)).as("modality"),
+      encode(col(payload), "UTF-8").as("bytes"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        (pmod(xxhash64(col(id)), lit(1024L)) + 1).cast(IntegerType).as("width"),
+        (pmod(xxhash64(col(id), lit(1)), lit(1024L)) + 1).cast(IntegerType).as("height"),
+        pmod(xxhash64(col(id), lit(2)), lit(600000L)).as("duration_ms")).as("meta"))
+
+  /** STUB decoder: deterministic pseudo-features from the payload bytes.
+    * Stands in for e.g. a JPEG decode + CNN embed. */
+  private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
+    var h = 1125899906842597L // ??? real codec goes here — deterministic fake
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+    Array.tabulate(dim) { d =>
+      val x = h ^ (d * 0x9e3779b97f4a7c15L)
+      ((x % 1000003L).toFloat / 1000003.0f)
+    }
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("n_bytes", IntegerType),
+    StructField("features", ArrayType(FloatType))))
+
+  /** Batched per-partition decode — mapPartitions is deliberate here: decode
+    * is genuine per-record imperative work a Column expression can't express,
+    * and running it partition-at-a-time amortizes codec/model init exactly
+    * like mapInPandas batches would. */
+  def decodeImageFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val pruned = assets.select("asset_id", "modality", "bytes") // column-pruned scan
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    pruned.mapPartitions { it =>
+      // per-partition init lives here (codec handles, model weights, …)
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.emptyByteArray)
+        Row(r.getLong(0), r.getString(1), bytes.length, fakeDecode(bytes, dim))
+      }
+    }(enc)
+  }
+
+  /** STUB frame sampler: every `everyMs` ms of (fake) video duration emits a
+    * (asset_id, frame_idx, ts_ms) row — the explode-shaped plumbing a real
+    * sampler needs, without a codec. */
+  def sampleFrames(assets: DataFrame, everyMs: Long = 10000L): DataFrame =
+    assets.filter(col("modality") === "video")
+      .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), greatest(col("duration_ms") / everyMs, lit(0L)))))
+      .withColumn("ts_ms", col("frame_idx") * everyMs)
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Point-in-time ("as-of") join — the canonical feature-store retrieval the
+  * reference degenerates to a plain time-range filter because its query asks
+  * for ALL history in a window rather than per-entity as-of rows
+  * (reference: historical_features.py:28-32; SURVEY.md §2.6 J2).
+  *
+  * Semantics: for each left row (entity, t_left), attach the single right row
+  * with the same key and the greatest t_right <= t_left (backward as-of,
+  * inclusive). Ties on t_right break by the greatest `rightTiebreak`.
+  *
+  * Implementation — the union-then-window ("piecewise merge") form:
+  * tag both inputs, union, and run ONE window over (key, time) taking the
+  * last non-null right payload at or before each left row. Cost: a single
+  * hash shuffle on the key + one per-partition sort — the same shape as a
+  * sort-merge join, with no row explosion. A naive
+  * `left.join(right, key && t_r <= t_l)` + argmax produces |matches| =
+  * O(rows_left × rows_right / keys) intermediate rows; at 100 TB that join
+  * explodes while this form stays linear in |left| + |right|.
+  *
+  * Skew note: a hot key concentrates its partition; AQE's skew handling does
+  * not split windows, so for pathological keys pre-bucket by
+  * (key, coarse time bucket) — not needed at current scales.
+  */
+object AsOfJoin {
+
+  /** Backward (<=) as-of join.
+    *
+    * @param rightValueCols right columns to attach (each emitted as `asofPrefix + name`)
+    * @param rightTiebreak  right column breaking event-time ties (max wins)
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: String,
+      rightValueCols: Seq[String],
+      asofPrefix: String = "asof_"): DataFrame = {
+
+    val rightPayloadCols = (rightValueCols :+ rightTime).distinct
+    val rightStruct = StructType(rightPayloadCols.map(c => right.schema(c)))
+
+    val l = left.select(
+      col(leftKey).cast(right.schema(rightKey).dataType).as("__key"),
+      col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(rightTiebreak).dataType).as("__tb"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rightStruct).as("__r"))
+
+    val r = right.select(
+      col(rightKey).as("__key"),
+      col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      col(rightTiebreak).as("__tb"),
+      lit(null).cast(StructType(left.schema.fields)).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+
+    // Right rows sort BEFORE left rows at equal time (__side 0 < 1), making
+    // the join inclusive; among right rows at equal time the max tiebreak
+    // sorts last and wins `last(ignoreNulls)`.
+    val w = Window
+      .partitionBy("__key")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val leftCols = left.columns.map(c => col(s"__l.`$c`").as(c))
+    val asofCols = rightPayloadCols.map(c => col(s"__asof.`$c`").as(asofPrefix + c))
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols ++ asofCols: _*)
+  }
+}

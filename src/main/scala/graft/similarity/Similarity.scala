@@ -1,0 +1,78 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+import graft.functions.CosineSimilarity
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (extension surface, BASELINE.json north star).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact baseline. Queries are broadcast (they are the
+  *    small side by construction); the corpus streams through one
+  *    WholeStageCodegen stage scoring with the native [[CosineSimilarity]]
+  *    expression. Linear in |corpus| × |queries| — correct at any scale when
+  *    |queries| is bounded, and the oracle for the approximate path.
+  *  - [[ivfTopK]]: IVF (inverted-file) scale path. KMeans coarse quantizer;
+  *    corpus partitioned by nearest centroid; a query probes only `nProbe`
+  *    nearest cells, cutting scored candidates by ~nProbe/nCells. The
+  *    centroid table is tiny and broadcast everywhere.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query. `queries` must be small (broadcast). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+    val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** IVF approximate top-k: KMeans(nCells) coarse quantizer, probe nProbe cells. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+
+    val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+      .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select(col("nbr_id"), col("cv"), col("prediction").as("cell"))
+
+    // tiny centroid table — runs on the driver, broadcast into the probe join
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toSeq.toDF("cell", "centroid")
+
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", CosineSimilarity(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

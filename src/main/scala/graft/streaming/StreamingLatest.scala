@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.core.{FeatureGroup, FeatureStore}
+
+/** Streaming ingest — the reference simulates a stream by replaying a CSV
+  * row-at-a-time at 1 rec/s into put_record (update_feature_store.py:56-58).
+  * Here the same dataflow is a Structured Streaming query: micro-batches
+  * flow through `foreachBatch`, which appends offline history and refreshes
+  * the online snapshot — idempotent overwrite-snapshot gives effectively-once
+  * online semantics (SURVEY.md §2.8).
+  */
+object StreamingIngest {
+
+  /** Start a streaming ingest into `group`. Caller owns the query lifecycle. */
+  def start(fs: FeatureStore, group: String, stream: DataFrame, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) fs.ingest(group, batch): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
+
+/** Typed event for the stateful latest-per-key stream (mirrors the events
+  * table: key=user_id, event-time=ts). */
+case class KeyedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    event_type: String, value: Double)
+
+/** Stateful latest-per-key over an unbounded stream —
+  * `dropDuplicatesWithinWatermark` cannot express argmax, so this keeps the
+  * max-(event-time, event_id) record per key in [[GroupState]]
+  * (SURVEY.md §2.5 A1 form ③). Unlike the reference's dict (last-ARRIVAL
+  * wins, update_feature_store.py:26-27), this is correct under out-of-order
+  * arrival: max EVENT TIME wins — the latent reference bug fixed
+  * (SURVEY.md §2.8) and asserted by StreamingSpec.
+  */
+object StreamingLatest {
+
+  def latestPerKey(events: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[KeyedEvent, KeyedEvent](GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
+          val incoming = rows.reduceOption(max)
+          val best = (state.getOption.toSeq ++ incoming.toSeq).reduce(max)
+          state.update(best)
+          best
+      }
+  }
+
+  private def max(a: KeyedEvent, b: KeyedEvent): KeyedEvent = {
+    val c = a.ts.compareTo(b.ts)
+    if (c > 0 || (c == 0 && a.event_id >= b.event_id)) a else b
+  }
+}
