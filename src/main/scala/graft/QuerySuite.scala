@@ -1,0 +1,522 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
+import graft.dedup.Dedup
+import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.ml.FeatureML
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, LatestPerKey, Sessionize}
+import graft.similarity.Similarity
+import graft.streaming.{KeyedEvent, StreamingLatest}
+
+/** The correctness surface: one entry per implemented operator
+  * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
+  * SQL can express it — with a DuckDB oracle over the same parquet tables.
+  *
+  * Oracle discipline (the driver hash-compares values after sorting columns
+  * by name):
+  *  - every computed column is aliased identically on both sides;
+  *  - result types match DuckDB's (counts/ranks/lengths cast to BIGINT);
+  *  - double outputs are bit-exact by construction: either passed through
+  *    from storage, or produced by the same sequence of IEEE ops on both
+  *    sides (verified: DuckDB `list_cosine_similarity(a::DOUBLE[], ...)`
+  *    matches [[graft.functions.CosineSimilarity]] bit-for-bit). Aggregated
+  *    doubles are never emitted — money is summed in integer cents
+  *    (`round(x*100)::BIGINT`), because a distributed double sum is
+  *    order-dependent;
+  *  - every result carries a total ORDER BY on both sides;
+  *  - `events.ts` (parquet TIMESTAMP-NANOS) is floored to µs on both sides
+  *    (see [[Tables.events]]).
+  */
+object QuerySuite {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Latest-per-key output projection shared by q01/q02/q10/q11. */
+  private val latestCols = Seq("user_id", "event_id", "ts", "event_type", "value")
+
+  private val latestOracle =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A1: latest-per-key, the online-store semantic (SURVEY §2.5) ----
+    "q01_latest_maxby" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      LatestPerKey.viaMaxBy(e, Seq("user_id"), "ts", Seq("event_id"))
+        .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+    "q02_latest_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      LatestPerKey.viaWindow(e, Seq("user_id"), "ts", Seq("event_id"))
+        .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
+    // ---- P1+P2: projection + inclusive time-range (SURVEY §2.3) ----
+    "q03_time_range" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("ts").between(
+          lit("2024-01-10 00:00:00").cast(TimestampType),
+          lit("2024-01-20 23:59:59").cast(TimestampType)))
+        .select("event_id", "user_id", "ts", "value")
+        .orderBy("event_id")
+    }),
+
+    // ---- J2: point-in-time as-of join (SURVEY §2.6) ----
+    "q04_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.backward(views, purchases,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightTiebreak = "event_id",
+        rightValueCols = Seq("event_id", "value"))
+        .select("event_id", "user_id", "ts", "value", "asof_event_id", "asof_value", "asof_ts")
+        .orderBy("event_id")
+    }),
+
+    // ---- session windows (extension; SURVEY §2.8) ----
+    "q05_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Sessionize.byGap(e, "user_id", "ts", "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---- top-N per key (generalized A1) ----
+    "q06_topn_per_key" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      LatestPerKey.topNPerKey(e, Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3)
+        .select(col("user_id"), col("rn").cast("long").as("rn"), col("event_id"), col("value"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // ---- grouped aggregation (pricing summary; money in integer cents so the
+    //      sum is order-independent — a distributed double sum is not) ----
+    "q07_agg_pricing" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+          sum(round(col("l_discount") * 100).cast("long")).as("sum_disc_pct"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- multi-join + aggregation; nation is broadcast (tiny dim) ----
+    "q08_join_revenue" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    // ---- S4/J1: online point lookup (filter on the latest view) ----
+    "q09_point_lookup" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      LatestPerKey.viaMaxBy(e, Seq("user_id"), "ts", Seq("event_id"))
+        .filter(col("user_id") === 42)
+        .select(latestCols.map(col): _*)
+    }),
+
+    // ---- D1/K1/K2: full FeatureStore lifecycle — create, ingest, online view ----
+    "q10_feature_store_e2e" -> ((s, dir) => {
+      val fs = new FeatureStore(s, tmpDir("graft_fs_"))
+      val g = FeatureGroup("events_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional)))
+      fs.createGroup(g)
+      fs.ingest("events_fg", Tables.events(s, dir))
+      fs.online("events_fg")
+        .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
+    // ---- A1 form ③: stateful streaming latest-per-key (SURVEY §2.8) ----
+    "q11_streaming_latest" -> ((s, dir) => {
+      import s.implicits._
+      Tables.enableNanosAsLong(s)
+      // the file stream source requires a DIRECTORY; the corpus ships one
+      // parquet FILE per table — stage a link/copy into a temp dir
+      val srcDir = Files.createTempDirectory("q11_src_")
+      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      try Files.createSymbolicLink(srcDir.resolve("events.parquet"), target)
+      catch { case _: Exception => Files.copy(target, srcDir.resolve("events.parquet")) }
+      val stream = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(srcDir.toString)
+        .select(
+          col("user_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val q = StreamingLatest.latestPerKey(stream)
+        .writeStream.format("memory").queryName("q11_stream_out")
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q11_ckpt_"))
+        .start()
+      q.awaitTermination()
+      // one output row per key per micro-batch; collapse to the final state
+      LatestPerKey.viaMaxBy(s.table("q11_stream_out"), Seq("user_id"), "ts", Seq("event_id"))
+        .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
+    // ---- dedup: exact (hash-groupBy) ----
+    "q12_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("text_hash")
+    }),
+
+    // ---- dedup: MinHash+LSH → per-doc keep/drop marks ----
+    "q13_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // ---- dedup: SimHash ----
+    "q14_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simhash(docs, "doc_id", "text")
+      Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // ---- dedup: character n-gram Jaccard ----
+    "q15_dedup_ngram" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+      Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // ---- dedup: embedding cosine near-dup ----
+    "q16_dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold = 0.9)
+      Dedup.marksFromPairs(emb, "vec_id", pairs)
+        .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
+    }),
+
+    // ---- ANN: exact brute-force cosine top-k (oracle for the IVF path) ----
+    "q17_ann_brute" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, excludeSelf = true)
+        .orderBy("query_id", "nbr_rank")
+    }),
+
+    // ---- ANN: IVF (KMeans coarse quantizer, nProbe cells) ----
+    "q18_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, excludeSelf = true)
+        .orderBy("query_id", "nbr_rank")
+    }),
+
+    // ---- text: token counting (ws + BPE-ish) ----
+    "q19_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        GraftFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens_ws"),
+        GraftFunctions.tokenCountBpeish(col("text")).cast("long").as("n_tokens_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: language ID (stopword-ratio heuristic + CJK override) ----
+    "q20_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: quality score ----
+    "q21_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- text: document fingerprinting (rolling-hash winnowing + doc hash) ----
+    "q22_fingerprint" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        GraftFunctions.docFingerprint(GraftFunctions.wsTokens(lower(col("text")))).as("doc_hash"),
+        size(GraftFunctions.winnowingFingerprint(col("text"), n = 8, w = 4)).cast("long").as("n_winnow"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal: batched decode plumbing (STUB codec, real plan shape) ----
+    "q23_multimodal_decode" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.decodeImageFeatures(assets, dim = 16)
+        .select("asset_id", "modality", "n_bytes").orderBy("asset_id")
+    }),
+
+    // ---- multimodal: frame sampling (explode-shaped) ----
+    "q24_frame_sample" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.sampleFrames(assets, everyMs = 10000L)
+        .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
+    "q25_ml_train" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+      val r = FeatureML.trainRegressor(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+      Seq((r.nTrain, r.nTest, r.mse)).toDF("n_train", "n_test", "mse")
+    }),
+
+    // ---- the reference pipeline end-to-end on its own fixture:
+    //      CSV ingest → offline store → historicalQuery (P1+P2)
+    //      (reference: update_feature_store.py + historical_features.py) ----
+    "q26_reference_e2e" -> ((s, dir) => {
+      val raw = s.read.option("header", "true")
+        .schema("customer_id LONG, purchase_timestamp STRING, purchase_value DOUBLE, loyalty_score DOUBLE")
+        .csv("/root/reference/test_task_data.csv")
+        .select(
+          col("customer_id"),
+          to_timestamp(col("purchase_timestamp"), "yyyy-M-d H:m:s").as("event_time"),
+          col("purchase_value").as("latest_purchase_value"),
+          col("loyalty_score").as("latest_loyalty_score"))
+      val fs = new FeatureStore(s, tmpDir("graft_ref_"))
+      val g = FeatureGroup("CustomerTransactions", "customer_id", "event_time", Seq(
+        FeatureDef("customer_id", FType.Integral),
+        FeatureDef("event_time", FType.FTimestamp),
+        FeatureDef("latest_purchase_value", FType.Fractional),
+        FeatureDef("latest_loyalty_score", FType.Fractional)))
+      fs.createGroup(g)
+      fs.ingest("CustomerTransactions", raw)
+      fs.historicalQuery("CustomerTransactions",
+          Seq("customer_id", "event_time", "latest_purchase_value", "latest_loyalty_score"),
+          start = "2022-01-01 00:00:00", end = "2022-08-31 23:59:59")
+        .orderBy("event_time", "customer_id", "latest_purchase_value", "latest_loyalty_score")
+    }),
+
+    // ---- JSON scalar functions over the props column ----
+    "q27_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // ---- distinct aggregation ----
+    "q28_distinct_agg" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** q20's oracle, generated from [[TextAnalysis.Stopwords]] so the word
+    * lists can never drift apart. */
+  private val langIdOracle: String = {
+    val langs = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
+    val hits = langs.map { case (lang, words) =>
+      val inList = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($inList)))::DOUBLE / n AS s_$lang"
+    }.mkString(",\n    ")
+    val structs = langs.map { case (lang, _) => s"{'score': s_$lang, 'lang': '$lang'}" }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_transform(
+       |      CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+       |           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END,
+       |      x -> regexp_replace(x, '[^\\p{L}]', '', 'g')) AS toks,
+       |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}\\x{3040}-\\x{30ff}\\x{ac00}-\\x{d7af}]')) AS cjk
+       |  FROM documents
+       |), n0 AS (
+       |  SELECT doc_id, text, cjk, toks, greatest(len(toks), 1)::DOUBLE AS n FROM t
+       |), s AS (
+       |  SELECT doc_id, text, cjk,
+       |    $hits
+       |  FROM n0
+       |), m AS (
+       |  SELECT doc_id, text, cjk, list_aggregate([$structs], 'max') AS best FROM s
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN cjk * 2 > length(text) THEN 'cjk'
+       |       WHEN best.score = 0.0 THEN 'und'
+       |       ELSE best.lang END AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_latest_maxby" -> latestOracle,
+    "q02_latest_window" -> latestOracle,
+    "q10_feature_store_e2e" -> latestOracle,
+    "q11_streaming_latest" -> latestOracle,
+
+    "q03_time_range" ->
+      """SELECT event_id, user_id, ts, value FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 23:59:59'
+        |ORDER BY event_id""".stripMargin,
+
+    "q04_asof_join" ->
+      """WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT v.event_id, v.user_id, v.ts, v.value,
+        |         p.event_id AS asof_event_id, p.value AS asof_value, p.ts AS asof_ts,
+        |         row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.ts <= v.ts)
+        |SELECT event_id, user_id, ts, value, asof_event_id, asof_value, asof_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q05_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "q06_topn_per_key" ->
+      """SELECT user_id, rn, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q07_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_pct,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q08_join_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q09_point_lookup" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND user_id = 42""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q17_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id, list_cosine_similarity(qv, cv) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(qv, cv) DESC, nbr_id) AS nbr_rank
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    "q19_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_lang_id" -> langIdOracle,
+
+    "q21_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks)::DOUBLE AS n,
+        |    greatest(length(text), 1)::DOUBLE AS chars
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE list_aggregate(list_transform(toks, s -> length(s)), 'sum')::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS mean_len,
+        |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / chars AS alpha_ratio,
+        |    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / chars AS punct_ratio,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE len(list_distinct(toks))::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS distinct_ratio
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |  (CASE WHEN n >= 50 AND n <= 100000 THEN CAST(1.0 AS DOUBLE)
+        |        WHEN n >= 10 THEN CAST(0.6 AS DOUBLE)
+        |        WHEN n >= 3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |  + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |  + alpha_ratio * CAST(0.2 AS DOUBLE)
+        |  + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.1 AS DOUBLE)
+        |  + distinct_ratio * CAST(0.2 AS DOUBLE) AS quality
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q26_reference_e2e" ->
+      """WITH raw AS (
+        |  SELECT CAST(customer_id AS BIGINT) AS customer_id,
+        |         strptime(purchase_timestamp, '%Y-%m-%d %H:%M:%S') AS event_time,
+        |         CAST(purchase_value AS DOUBLE) AS latest_purchase_value,
+        |         CAST(loyalty_score AS DOUBLE) AS latest_loyalty_score
+        |  FROM read_csv('/root/reference/test_task_data.csv', header=true, all_varchar=true)
+        |)
+        |SELECT customer_id, event_time, latest_purchase_value, latest_loyalty_score FROM raw
+        |WHERE event_time BETWEEN TIMESTAMP '2022-01-01 00:00:00' AND TIMESTAMP '2022-08-31 23:59:59'
+        |ORDER BY event_time, customer_id, latest_purchase_value, latest_loyalty_score""".stripMargin,
+
+    "q27_json_extract" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q28_distinct_agg" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

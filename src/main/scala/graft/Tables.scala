@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated scale corpus (`TESTDATA.md`,
+  * `/root/testdata/sf*`). One quirk: `events.ts` is parquet
+  * TIMESTAMP(NANOS), which Spark 4 refuses outright
+  * ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the
+  * `nanosAsLong` legacy conf and floor-divide to microseconds —
+  * exactly what DuckDB's µs TIMESTAMP does on the same file, so
+  * oracle comparisons agree to the microsecond.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Raw events schema as stored (ts = int64 nanos) — needed for streaming
+    * reads, where the file source requires an explicit schema. */
+  val eventsNsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def enableNanosAsLong(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** events with `ts` as a proper TimestampType (µs, floored from nanos). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}

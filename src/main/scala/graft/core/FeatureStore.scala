@@ -52,7 +52,7 @@ final class FeatureStore(spark: SparkSession, root: String) {
     writeManifest(g, nextSeq = 0L)
   }
 
-  def describeGroup(name: String): FeatureGroup = readManifest(name)._1
+  def describeGroup(name: String): FeatureGroup = readManifest(name).group
 
   def dropGroup(name: String): Unit = {
     val dir = groupDir(name)
@@ -67,9 +67,21 @@ final class FeatureStore(spark: SparkSession, root: String) {
     * to the offline store, and refreshes the online snapshot incrementally
     * (only keys present in the batch are recomputed — old ∪ batch → argmax,
     * SURVEY.md §4 "caching / incremental view maintenance").
+    *
+    * Crash safety: the sequence is bumped and persisted BEFORE the data
+    * append, so a retried ingest after a crash never reuses an `_ingest_seq`
+    * (which would break the deterministic last-writer tie-break). A crash
+    * between the manifest bump and the append just skips a sequence number.
+    *
+    * @param batchId streaming replay guard: when given (foreachBatch batch id),
+    *                an id at or below the last recorded one is a replay and is
+    *                skipped (returns -1) — otherwise foreachBatch retries would
+    *                append duplicate rows to offline history.
     */
-  def ingest(groupName: String, df: DataFrame): Long = {
-    val (g, seq) = readManifest(groupName)
+  def ingest(groupName: String, df: DataFrame, batchId: Option[Long] = None): Long = {
+    val m = readManifest(groupName)
+    val (g, seq) = (m.group, m.nextSeq)
+    if (batchId.exists(_ <= m.lastBatchId)) return -1L
     val missing = g.featureNames.filterNot(df.columns.contains)
     require(missing.isEmpty, s"ingest batch missing declared features: $missing")
 
@@ -77,10 +89,10 @@ final class FeatureStore(spark: SparkSession, root: String) {
       .withColumn(EngineColumns.IngestSeq, lit(seq))
       .withColumn(EngineColumns.IngestDate, to_date(col(g.eventTimeCol)))
 
+    writeManifest(g, seq + 1, batchId.getOrElse(m.lastBatchId))
     typed.write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
 
     refreshOnline(g, Some(typed))
-    writeManifest(g, seq + 1)
     seq
   }
 
@@ -164,30 +176,36 @@ final class FeatureStore(spark: SparkSession, root: String) {
 
   // ---- manifest (hand-rolled flat JSON; no extra deps) ----
 
-  private def writeManifest(g: FeatureGroup, nextSeq: Long): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private final case class Manifest(group: FeatureGroup, nextSeq: Long, lastBatchId: Long)
+
+  // Flat JSON without an escape-aware parser — sound because FeatureGroup
+  // restricts every name to [A-Za-z0-9_]+ (no quotes/backslashes possible).
+  private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L): Unit = {
+    def q(s: String) = "\"" + s + "\""
     val feats = g.features
       .map(f => s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}}""")
       .mkString("[", ",", "]")
     val json =
       s"""{"name":${q(g.name)},"keyCol":${q(g.keyCol)},"eventTimeCol":${q(g.eventTimeCol)},
-         |"nextSeq":$nextSeq,"features":$feats}""".stripMargin
+         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId,"features":$feats}""".stripMargin
     val tmp = groupDir(g.name).resolve("manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(g.name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readManifest(name: String): (FeatureGroup, Long) = {
+  private def readManifest(name: String): Manifest = {
     require(groupExists(name), s"no such feature group: $name")
     val json = new String(Files.readAllBytes(manifestPath(name)), StandardCharsets.UTF_8)
     def field(k: String): String = {
       val m = ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json)
       m.map(_.group(1)).getOrElse(sys.error(s"manifest missing $k"))
     }
-    val nextSeq = ("\"nextSeq\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).get.group(1).toLong
+    def num(k: String, default: Long): Long =
+      ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(default)
     val featRe = "\\{\"name\":\"([^\"]*)\",\"type\":\"([^\"]*)\"\\}".r
     val feats = featRe.findAllMatchIn(json).map(m => FeatureDef(m.group(1), FType.fromName(m.group(2)))).toSeq
-    (FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats), nextSeq)
+    Manifest(FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats),
+      num("nextSeq", 0L), num("lastBatchId", -1L))
   }
 }

@@ -21,6 +21,8 @@ object FType {
     case "Fractional" => Fractional
     case "String"     => FString
     case "Timestamp"  => FTimestamp
+    case other        => throw new IllegalArgumentException(
+      s"unknown feature type '$other' (expected Integral|Fractional|String|Timestamp)")
   }
   def name(t: FType): String = t match {
     case Integral   => "Integral"
@@ -43,6 +45,11 @@ final case class FeatureGroup(
     eventTimeCol: String,
     features: Seq[FeatureDef]) {
 
+  // Names are restricted so the flat-JSON manifest round-trips without an
+  // escape-aware parser (quotes/backslashes in names would corrupt it).
+  require(FeatureGroup.isValidName(name), s"group name must match [A-Za-z0-9_]+: '$name'")
+  features.foreach(f => require(FeatureGroup.isValidName(f.name),
+    s"feature name must match [A-Za-z0-9_]+: '${f.name}'"))
   require(features.exists(_.name == keyCol), s"key column $keyCol must be a declared feature")
   require(features.exists(_.name == eventTimeCol), s"event-time column $eventTimeCol must be a declared feature")
 
@@ -51,6 +58,11 @@ final case class FeatureGroup(
     StructType(features.map(f => StructField(f.name, f.ftype.spark)))
 
   def featureNames: Seq[String] = features.map(_.name)
+}
+
+object FeatureGroup {
+  private val NameRe = "[A-Za-z0-9_]+".r
+  def isValidName(s: String): Boolean = NameRe.matches(s)
 }
 
 object EngineColumns {

@@ -136,17 +136,18 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
-    * cosine (native codegen [[CosineSimilarity]]) within buckets. */
+    * cosine (native codegen [[CosineSimilarity]]) within buckets.
+    * Null/empty vectors carry no cosine signal and are dropped up front. */
   def embeddingCosine(
       df: DataFrame,
       id: String,
       vec: String,
-      dim: Int,
       threshold: Double = 0.95,
       lshBits: Int = 12): DataFrame = {
 
-    val keyed = df.select(col(id).as("vec_id"), col(vec).as("v"))
-      .withColumn("bucket", hyperplaneLshKey(col("v"), dim, lshBits))
+    val keyed = df.filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("bucket", hyperplaneLshKey(col("v"), lshBits))
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

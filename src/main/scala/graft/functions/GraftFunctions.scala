@@ -135,12 +135,17 @@ object GraftFunctions {
 
   /** Random-hyperplane LSH signature for cosine similarity: `bits` sign bits
     * of dot products with deterministic pseudo-random hyperplanes (hash-derived,
-    * seed-stable across executors — no RNG state to ship). */
-  def hyperplaneLshKey(vec: Column, dim: Int, bits: Int): Column = {
+    * seed-stable across executors — no RNG state to ship). The hyperplane
+    * component is derived per element INDEX, so vectors of any length get a
+    * bucket (a fixed-dim sequence would zip nulls into short vectors and
+    * poison the dot product). Null/empty vectors are the caller's problem —
+    * filter them before bucketing. */
+  def hyperplaneLshKey(vec: Column, bits: Int): Column = {
+    val idx = sequence(lit(0), greatest(size(vec), lit(1)) - 1)
     (0 until bits).map { b =>
       // hyperplane component j = centered hash in [-0.5, 0.5)
       val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, j) =>
+        zip_with(vec, idx, (x, j) =>
           x.cast("double") * (pmod(xxhash64Seeded(100L + b, j), lit(1000003L)).cast("double") / 1000003.0 - 0.5)),
         lit(0.0), (s, v) => s + v)
       when(dot >= 0.0, shiftLeftC(lit(1L), lit(b))).otherwise(lit(0L))

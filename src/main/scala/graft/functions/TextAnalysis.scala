@@ -39,7 +39,10 @@ object TextAnalysis {
 
   /** Heuristic document-quality score in [0,1] — Gopher/C4-style cheap
     * filters folded into one number: word count band, mean word length band,
-    * alpha ratio, punctuation density, repetition (distinct-token ratio). */
+    * alpha ratio, punctuation density, repetition (distinct-token ratio).
+    * Emitted raw (no rounding): every term is deterministic double arithmetic
+    * in fixed order, so the score is bit-reproducible (and bit-comparable to a
+    * SQL oracle evaluating the same expression). */
   def qualityScore(text: Column): Column = {
     val toks = wsTokens(text)
     val n = size(toks).cast("double")
@@ -54,10 +57,8 @@ object TextAnalysis {
       .when(n >= 10, 0.6).when(n >= 3, 0.3).otherwise(0.0)
     val wordLenScore = when(meanLen >= 3 && meanLen <= 10, 1.0).otherwise(0.4)
     val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.3)
-    round(
-      lenScore * 0.3 + wordLenScore * 0.2 + alphaRatio * 0.2 +
-        punctScore * 0.1 + distinctRatio * 0.2,
-      6)
+    lenScore * 0.3 + wordLenScore * 0.2 + alphaRatio * 0.2 +
+      punctScore * 0.1 + distinctRatio * 0.2
   }
 
   /** Full per-document stats row used by q16/q17. */

@@ -84,7 +84,8 @@ object Multimodal {
   def sampleFrames(assets: DataFrame, everyMs: Long = 10000L): DataFrame =
     assets.filter(col("modality") === "video")
       .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"))
+      // integer division: sequence() requires integral bounds
       .withColumn("frame_idx",
-        explode(sequence(lit(0L), greatest(col("duration_ms") / everyMs, lit(0L)))))
+        explode(sequence(lit(0L), greatest(floor(col("duration_ms") / everyMs).cast("long"), lit(0L)))))
       .withColumn("ts_ms", col("frame_idx") * everyMs)
 }

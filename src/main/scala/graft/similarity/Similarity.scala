@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.functions.array_to_vector
 
 import graft.functions.CosineSimilarity
 
@@ -21,19 +21,35 @@ import graft.functions.CosineSimilarity
   *    corpus partitioned by nearest centroid; a query probes only `nProbe`
   *    nearest cells, cutting scored candidates by ~nProbe/nCells. The
   *    centroid table is tiny and broadcast everywhere.
+  *
+  * Self-matches: queries and corpus may be DISTINCT id spaces, in which case a
+  * coincidental id equality must NOT drop a legitimate neighbor — so excluding
+  * `query_id == nbr_id` is opt-in (`excludeSelf`), for the common
+  * corpus-searches-itself case.
+  *
+  * Cosine scores are emitted raw (no rounding): the scoring loop is plain
+  * sequential double accumulation, bit-identical to a DuckDB
+  * `list_cosine_similarity(a::DOUBLE[], b::DOUBLE[])` oracle.
   */
 object Similarity {
 
   /** Exact top-k neighbors per query. `queries` must be small (broadcast). */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, id: String, vec: String, k: Int): DataFrame = {
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
       .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+    scored.withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
   }
 
   /** IVF approximate top-k: KMeans(nCells) coarse quantizer, probe nProbe cells. */
@@ -45,7 +61,8 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      excludeSelf: Boolean = false): DataFrame = {
 
     val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
@@ -67,12 +84,13 @@ object Similarity {
       .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("qv"), col("cell"))
 
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
     val scored = assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("nbr_id"))
+      .filter(cond)
       .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), round(col("cosine"), 6).as("cosine"))
+    scored.withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
   }
 }

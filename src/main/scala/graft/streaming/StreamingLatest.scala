@@ -14,13 +14,17 @@ import graft.core.{FeatureGroup, FeatureStore}
   */
 object StreamingIngest {
 
-  /** Start a streaming ingest into `group`. Caller owns the query lifecycle. */
+  /** Start a streaming ingest into `group`. Caller owns the query lifecycle.
+    * The foreachBatch batch id is recorded in the group manifest so a replayed
+    * batch (checkpoint recovery re-delivers the last uncommitted batch) is
+    * skipped instead of appending duplicate offline rows — effectively-once
+    * for BOTH stores, not just the online snapshot. */
   def start(fs: FeatureStore, group: String, stream: DataFrame, checkpoint: String): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) fs.ingest(group, batch): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) fs.ingest(group, batch, Some(batchId)): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
