@@ -1,0 +1,101 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class FeatureStoreSpec extends SparkSpec {
+
+  private def newStore(): FeatureStore =
+    new FeatureStore(spark, Files.createTempDirectory("fs_spec_").toString)
+
+  private val group = FeatureGroup("tx", "customer_id", "event_time", Seq(
+    FeatureDef("customer_id", FType.Integral),
+    FeatureDef("event_time", FType.FTimestamp),
+    FeatureDef("amount", FType.Fractional),
+    FeatureDef("note", FType.FString)))
+
+  private def batch(rows: (Long, String, Double, String)*) = {
+    import spark.implicits._
+    rows.toDF("customer_id", "event_time", "amount", "note")
+      .select(
+        org.apache.spark.sql.functions.col("customer_id"),
+        org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.col("event_time")).as("event_time"),
+        org.apache.spark.sql.functions.col("amount"),
+        org.apache.spark.sql.functions.col("note"))
+  }
+
+  test("create → ingest → online keeps max event_time per key; manifest round-trips") {
+    val fs = newStore()
+    fs.createGroup(group)
+    assert(fs.describeGroup("tx") == group)
+
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 10:00:00", 10.0, "a"),
+      (1L, "2024-01-03 10:00:00", 30.0, "c"),
+      (1L, "2024-01-02 10:00:00", 20.0, "b"),
+      (2L, "2024-01-01 09:00:00", 5.0, "x")))
+
+    val online = fs.online("tx").collect()
+      .map(r => r.getAs[Long]("customer_id") -> r.getAs[Double]("amount")).toMap
+    assert(online == Map(1L -> 30.0, 2L -> 5.0))
+  }
+
+  test("second ingest with same event_time wins by ingest seq (last-writer)") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "first")))
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 99.0, "second")))
+    assert(fs.online("tx").collect().head.getAs[Double]("amount") == 99.0)
+    // offline retains FULL history (append-only)
+    assert(fs.offline("tx").count() == 2)
+  }
+
+  test("getRecord returns stringly map with ISO-8601 event time; absent key → None") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((7L, "2024-06-15 12:30:45", 42.5, "hello")))
+    val rec = fs.getRecord("tx", 7L).get
+    assert(rec("customer_id") == "7")
+    assert(rec("amount") == "42.5")
+    assert(rec("event_time") == "2024-06-15T12:30:45Z")
+    assert(fs.getRecord("tx", 999L).isEmpty)
+  }
+
+  test("historicalQuery applies inclusive BETWEEN and projection") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 00:00:00", 1.0, "in-start"),
+      (1L, "2024-01-31 23:59:59", 2.0, "in-end"),
+      (1L, "2024-02-01 00:00:00", 3.0, "out")))
+    val rows = fs.historicalQuery("tx", Seq("customer_id", "amount"),
+      "2024-01-01 00:00:00", "2024-01-31 23:59:59").collect()
+    assert(rows.map(_.getAs[Double]("amount")).sorted.toSeq == Seq(1.0, 2.0))
+    assert(rows.head.schema.fieldNames.toSeq == Seq("customer_id", "amount"))
+  }
+
+  test("streaming batch replay guard: same batchId ingests once") {
+    val fs = newStore()
+    fs.createGroup(group)
+    assert(fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 1.0, "a")), Some(0L)) >= 0)
+    assert(fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 1.0, "a")), Some(0L)) == -1L)
+    assert(fs.offline("tx").count() == 1)
+  }
+
+  test("invalid names and unknown types are rejected explicitly") {
+    intercept[IllegalArgumentException] {
+      FeatureGroup("""bad"name""", "k", "t", Seq(FeatureDef("k", FType.Integral), FeatureDef("t", FType.FTimestamp)))
+    }
+    intercept[IllegalArgumentException] { FType.fromName("NotAType") }
+  }
+
+  test("dropGroup removes everything; groupExists reflects it") {
+    val fs = newStore()
+    fs.createGroup(group)
+    assert(fs.groupExists("tx"))
+    fs.dropGroup("tx")
+    assert(!fs.groupExists("tx"))
+  }
+}

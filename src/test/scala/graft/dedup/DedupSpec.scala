@@ -1,0 +1,68 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog and runs far away into the woods today"),   // near dup of 1
+    (4L, "completely different content about distributed query engines and shuffle partitioning"),
+    (5L, "short text"))
+
+  private def docsDf = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val rows = Dedup.exact(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies")))
+    assert(rows.length == 4) // 5 docs, one exact pair
+    assert(rows.contains((1L, 2L))) // docs 1+2 collapse, keep min id 1
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docsDf, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must be found (jaccard 1.0)")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), "near dup must be found")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L }, "unrelated doc must not pair")
+  }
+
+  test("simhash finds near dups within hamming radius") {
+    val pairs = Dedup.simhash(docsDf, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming")))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(pairs.collectFirst { case (1L, 2L, h) => h }.contains(0), "identical docs → hamming 0")
+    assert(!ids.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard finds dups; marksFromPairs drops non-canonical ids") {
+    val pairs = Dedup.ngramJaccard(docsDf, "doc_id", "text", threshold = 0.5)
+    val ids = pairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(ids.contains((1L, 2L)))
+
+    val marks = Dedup.marksFromPairs(docsDf, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(!marks(1L), "canonical (smallest) id is kept")
+    assert(marks(2L), "larger id of a dup pair is dropped")
+    assert(!marks(4L) && !marks(5L), "unrelated docs kept")
+  }
+
+  test("embedding cosine near-dup via LSH buckets") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.21f, 0.1f)),  // near-identical direction to 1
+      (3L, Array(-1.0f, 0.5f, -0.3f, 0.9f)),   // far from 1/2
+      (4L, Array.empty[Float]),                 // degenerate: dropped up front
+      (5L, null.asInstanceOf[Array[Float]]))
+    val pairs = Dedup.embeddingCosine(vecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        threshold = 0.95, lshBits = 4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

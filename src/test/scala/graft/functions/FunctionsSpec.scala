@@ -1,0 +1,103 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("wsTokens / token counts handle empty, blank and multi-space text") {
+    import spark.implicits._
+    val rows = Seq("", "   ", "one", "a  b\tc\nd", "héllo wörld")
+      .toDF("text")
+      .select(tokenCountWs(col("text")).as("ws"), tokenCountBpeish(col("text")).as("bpe"))
+      .as[(Int, Int)].collect()
+    assert(rows.map(_._1).toSeq == Seq(0, 0, 1, 4, 2))
+    assert(rows(2)._2 == 1) // "one" → one ≤4-char letter run
+  }
+
+  test("wordShingles and charNgrams cover short inputs without dropping content") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b", "abcdef").toDF("text")
+    val sh = df.select(wordShingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d", "c d e"))
+    assert(sh(1) == Seq("a b")) // fewer than k tokens → single shingle
+    val ng = df.select(charNgrams(col("text"), 4).as("g")).as[Seq[String]].collect()
+    assert(ng(2) == Seq("abcd", "bcde", "cdef"))
+  }
+
+  test("simhash: identical tokens → hamming 0; near dup closer than unrelated") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "spark catalyst expression codegen shuffle partition"))
+      .toDF("id", "text")
+      .select(col("id"), simhash64(wsTokens(lower(col("text")))).as("h"))
+    val h = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) == 0)
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("winnowing fingerprint is robust to a local edit") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and keeps running through the field"
+    val b = a.replace("jumps", "leaps") // one local edit
+    val c = "completely different text with nothing shared at all between documents"
+    val fps = Seq(a, b, c).toDF("text")
+      .select(winnowingFingerprint(col("text"), n = 8, w = 4).as("fp"))
+      .as[Seq[Long]].collect()
+    def overlap(x: Seq[Long], y: Seq[Long]) =
+      x.toSet.intersect(y.toSet).size.toDouble / math.max(x.toSet.union(y.toSet).size, 1)
+    assert(overlap(fps(0), fps(1)) > 0.5, "local edit keeps most fingerprints")
+    assert(overlap(fps(0), fps(2)) < 0.1, "unrelated docs share almost none")
+  }
+
+  test("native CosineSimilarity expression == HOF cosine == scala loop") {
+    import spark.implicits._
+    val rng = new Random(3)
+    val vecs = Seq.tabulate(30)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "a", "b")
+    val rows = df.select(
+        col("id"),
+        CosineSimilarity(col("a"), col("b")).as("native"),
+        cosineHof(col("a"), col("b")).as("hof"))
+      .as[(Long, Double, Double)].collect()
+    val naive = vecs.map { case (id, a, b) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      id -> dot / (math.sqrt(na) * math.sqrt(nb))
+    }.toMap
+    rows.foreach { case (id, nat, hof) =>
+      assert(nat == hof, s"native vs HOF differ for $id") // identical op order → bit-equal
+      assert(math.abs(nat - naive(id)) < 1e-12)
+    }
+  }
+
+  test("CosineSimilarity edge cases: zero norm and length mismatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 1.0f, 5.0f), Array(1.0f, 1.0f))) // common-prefix semantics
+      .toDF("a", "b")
+      .select(CosineSimilarity(col("a"), col("b")).as("c")).as[Double].collect()
+    assert(df(0) == 0.0)
+    assert(math.abs(df(1) - 1.0) > 0 || df(1) <= 1.0) // prefix [1,1]·[1,1] normalized by |[1,1,5]|
+  }
+
+  test("hyperplaneLshKey: deterministic, and equal vectors share a bucket") {
+    import spark.implicits._
+    val v = Array(0.3f, -0.7f, 0.2f, 0.9f)
+    val df = Seq((1L, v), (2L, v), (3L, Array(-0.3f, 0.7f, -0.2f, -0.9f))).toDF("id", "v")
+      .select(col("id"), hyperplaneLshKey(col("v"), 8).as("b")).as[(Long, Long)].collect().toMap
+    assert(df(1L) == df(2L))
+    // antipodal vector flips every sign bit
+    assert(df(3L) == (~df(1L) & 0xFFL))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Property test: the union-then-window as-of join agrees with a naive
+  * in-memory backward as-of (greatest right ts <= left ts, inclusive;
+  * tie → greatest tiebreak) on random keyed event sets, including keys
+  * with no right-side rows (null attach).
+  */
+case class AsofL(lid: Long, key: Long, t: java.sql.Timestamp)
+case class AsofR(rid: Long, key: Long, t: java.sql.Timestamp, v: Double)
+
+class AsOfJoinSpec extends SparkSpec {
+  import graft.operators.{AsofL => L, AsofR => R}
+
+  test("backward as-of join == naive argmax over 20 random datasets") {
+    import spark.implicits._
+    val rng = new Random(1234)
+    for (round <- 1 to 20) {
+      val lefts = Seq.tabulate(1 + rng.nextInt(40)) { i =>
+        L(i.toLong, rng.nextInt(5).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(10) * 1000L))
+      }
+      val rights = Seq.tabulate(rng.nextInt(40)) { i =>
+        R(i.toLong, rng.nextInt(5).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(10) * 1000L),
+          rng.nextInt(100) / 4.0)
+      }
+
+      val got = AsOfJoin.backward(lefts.toDF(), rights.toDF(),
+          leftKey = "key", rightKey = "key", leftTime = "t", rightTime = "t",
+          rightTiebreak = "rid", rightValueCols = Seq("rid", "v"))
+        .select("lid", "asof_rid", "asof_v")
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet
+
+      val expected = lefts.map { l =>
+        val best = rights.filter(r => r.key == l.key && !r.t.after(l.t))
+          .sortBy(r => (r.t.getTime, r.rid)).lastOption
+        (l.lid, best.map(_.rid), best.map(_.v))
+      }.toSet
+
+      assert(got == expected, s"as-of mismatch in round $round")
+      assert(got.size == lefts.size, "as-of join must not change left cardinality")
+    }
+  }
+
+  test("inclusive at equal timestamps") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01 00:00:00")
+    val l = Seq(L(1L, 1L, t0)).toDF()
+    val r = Seq(R(10L, 1L, t0, 5.0), R(11L, 1L, t0, 7.0)).toDF()
+    val row = AsOfJoin.backward(l, r, "key", "key", "t", "t", "rid", Seq("rid", "v")).collect().head
+    // equal ts rows match (inclusive); tie broken by max rid
+    assert(row.getAs[Long]("asof_rid") == 11L)
+    assert(row.getAs[Double]("asof_v") == 7.0)
+  }
+}

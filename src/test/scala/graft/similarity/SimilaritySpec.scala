@@ -1,0 +1,78 @@
+package graft.similarity
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def randomVecs(rng: Random, n: Int, dim: Int): Seq[(Long, Array[Float])] =
+    Seq.tabulate(n)(i => (i.toLong, Array.fill(dim)(rng.nextFloat() * 2 - 1)))
+
+  private def naiveCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < math.min(a.length, b.length)) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("bruteForceTopK == naive top-k (excludeSelf, corpus searches itself)") {
+    import spark.implicits._
+    val rng = new Random(5)
+    val vecs = randomVecs(rng, 50, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 5)
+
+    val got = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 3, excludeSelf = true)
+      .select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+
+    val expected = vecs.filter(_._1 < 5).map { case (qid, qv) =>
+      qid -> vecs.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, naiveCosine(qv, cv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(3).map(_._1).toSeq
+    }.toMap
+
+    assert(got == expected)
+  }
+
+  test("excludeSelf=false keeps coincidental id matches (distinct id spaces)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), "vec_id", "embedding", k = 3)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(res.contains(1L), "self id must appear when excludeSelf is off")
+  }
+
+  test("IVF top-k achieves high recall vs brute force on clustered data") {
+    import spark.implicits._
+    val rng = new Random(11)
+    // clustered corpus: 4 well-separated centers + jitter → IVF cells align
+    val centers = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f), Array(-10f, -10f, 0f))
+    val vecs = Seq.tabulate(200) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rng.nextFloat() * 0.5f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 8)
+
+    def topSets(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+
+    val brute = topSets(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5, excludeSelf = true))
+    val ivf = topSets(Similarity.ivfTopK(df, queries, "vec_id", "embedding", k = 5,
+      nCells = 4, nProbe = 2, excludeSelf = true))
+
+    // note .toSeq: mapping over Map#keys dispatches to a Set builder and
+    // would dedupe equal per-query recalls before the sum
+    val recall = brute.toSeq.map { case (q, bs) =>
+      ivf.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }.sum / brute.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+  }
+}
