@@ -42,6 +42,16 @@ object QuerySuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** The file stream source requires a DIRECTORY; the corpus ships one
+    * parquet FILE per table — stage a link/copy into a temp dir. */
+  private def stageStreamDir(dir: String, table: String): String = {
+    val srcDir = Files.createTempDirectory(s"graft_stream_$table")
+    val target = java.nio.file.Paths.get(s"$dir/$table.parquet")
+    try Files.createSymbolicLink(srcDir.resolve(s"$table.parquet"), target)
+    catch { case _: Exception => Files.copy(target, srcDir.resolve(s"$table.parquet")) }
+    srcDir.toString
+  }
+
   /** Latest-per-key output projection shared by q01/q02/q10/q11. */
   private val latestCols = Seq("user_id", "event_id", "ts", "event_type", "value")
 
@@ -165,14 +175,8 @@ object QuerySuite {
     "q11_streaming_latest" -> ((s, dir) => {
       import s.implicits._
       Tables.enableNanosAsLong(s)
-      // the file stream source requires a DIRECTORY; the corpus ships one
-      // parquet FILE per table — stage a link/copy into a temp dir
-      val srcDir = Files.createTempDirectory("q11_src_")
-      val target = java.nio.file.Paths.get(s"$dir/events.parquet")
-      try Files.createSymbolicLink(srcDir.resolve("events.parquet"), target)
-      catch { case _: Exception => Files.copy(target, srcDir.resolve("events.parquet")) }
       val stream = s.readStream.schema(Tables.eventsNsSchema)
-        .parquet(srcDir.toString)
+        .parquet(stageStreamDir(dir, "events"))
         .select(
           col("user_id"),
           expr("timestamp_micros(ts div 1000)").as("ts"),
@@ -334,6 +338,148 @@ object QuerySuite {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- general window functions: lag/lead per key ----
+    "q29_window_lag" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("value") - lag("value", 1).over(w)).as("delta"),
+          lead("event_id", 1).over(w).as("next_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // ---- rollup aggregation with grouping id ----
+    "q30_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid").cast("long").as("gid"),
+          col("sum_qty"), col("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
+    // ---- left-semi join: customers with >=1 order in a year ----
+    "q31_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+      val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1995)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ---- left-anti join: customers with no orders at all ----
+    "q32_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // ---- range (interval) join: clicks within the hour before each purchase ----
+    "q33_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      // range predicate lives in the ON clause so purchases with zero
+      // in-window clicks still survive the left join (count = 0)
+      p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+          "left")
+        .groupBy("p_id")
+        .agg(count(col("c_id")).as("n_clicks_1h"))
+        .orderBy("p_id")
+    }),
+
+    // ---- streaming tumbling-window aggregation (watermark + window) ----
+    "q34_stream_window" -> ((s, dir) => {
+      val stream = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select(expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val qname = s"q34_out_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q34_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("w.start").as("day_start"), col("event_type"), col("n"))
+        .orderBy("day_start", "event_type")
+    }),
+
+    // ---- exact percentiles (interpolated) per group ----
+    "q35_percentile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- TPC-H Q3-shaped: 3-way join, filters, top-10 by revenue ----
+    "q36_tpch_q3" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01").cast(TimestampType))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- K3: CSV sink + source roundtrip (quoted, explicit schema) ----
+    "q37_csv_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("q37_csv_")
+      val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").option("timestampFormat", tsFmt)
+        .csv(out)
+      s.read
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+        .option("header", "true").option("timestampFormat", tsFmt)
+        .csv(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("event_type")
+    }),
+
+    // ---- pivot (wide conditional aggregation) ----
+    "q38_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, dir)
+        .groupBy("user_id").pivot("event_type", types).count()
+      pivoted.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    }),
+
+    // ---- HLL sketch: approximate distinct (rows-only check; the estimate is
+    //      engine-specific — asserted against exact counts in QuerySuiteSpec) ----
+    "q39_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")
     })
   )
@@ -517,6 +663,86 @@ object QuerySuite {
       """SELECT event_type,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q23_multimodal_decode" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q29_window_lag" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER w AS delta,
+        |  lead(event_id) OVER w AS next_event_id
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q30_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q31_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE c_mktsegment = 'MACHINERY'
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q32_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q33_range_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+        |SELECT p_id, CAST(count(c_id) AS BIGINT) AS n_clicks_1h
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |GROUP BY p_id ORDER BY p_id""".stripMargin,
+
+    "q34_stream_window" ->
+      """SELECT date_trunc('day', ts) AS day_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
+
+    "q35_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5)  AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q36_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q37_csv_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q38_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
