@@ -481,6 +481,22 @@ object QuerySuite {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy("event_type")
+    }),
+
+    // ---- exact connected components (multi-hop, oracle-able): CHAIN edges
+    //      link consecutive doc_ids within a (source, id-bucket) group, so a
+    //      component is discovered only by propagating labels hop-by-hop, yet
+    //      equals the SQL-expressible min-over-group ----
+    "q40_dedup_cc" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source", "bucket").orderBy("doc_id")
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), (col("doc_id") / 10).cast("long").as("bucket"))
+        .withColumn("prev_id", lag("doc_id", 1).over(w))
+        .filter(col("prev_id").isNotNull)
+        .select(col("prev_id").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("node"), col("component")).orderBy("node")
     })
   )
 
@@ -743,6 +759,14 @@ object QuerySuite {
         |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q40_dedup_cc" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         min(doc_id) OVER (PARTITION BY source, doc_id // 10) AS component,
+        |         count(*)    OVER (PARTITION BY source, doc_id // 10) AS n
+        |  FROM documents)
+        |SELECT doc_id AS node, component FROM g WHERE n > 1 ORDER BY node""".stripMargin
   )
 }

@@ -1,0 +1,45 @@
+package graft.dedup
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Property test: distributed min-label CC equals a naive union-find on
+  * random sparse graphs (incl. chains, which need >1 propagation round). */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private final class UnionFind(n: Int) {
+    private val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    def union(a: Int, b: Int): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+  }
+
+  test("connectedComponents == union-find over 10 random graphs") {
+    import spark.implicits._
+    val rng = new Random(77)
+    for (round <- 1 to 10) {
+      val n = 30 + rng.nextInt(40)
+      val edges = Seq.fill(n / 2)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val uf = new UnionFind(n)
+        edges.foreach { case (a, b) => uf.union(a.toInt, b.toInt) }
+        val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val expected = nodes.map(v => v -> uf.find(v.toInt).toLong).toMap
+
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"CC mismatch in round $round")
+      }
+    }
+  }
+
+  test("a long chain converges to a single component") {
+    import spark.implicits._
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Dedup.connectedComponents(chain.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L until 12L).toSet)
+  }
+}
