@@ -235,7 +235,9 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
-    // ---- ANN: IVF (KMeans coarse quantizer, nProbe cells) ----
+    // ---- ANN: IVF (KMeans coarse quantizer, nProbe cells). Full-corpus fit
+    //      here (500–50k vectors); at scale pass fitSampleFraction < 1 so the
+    //      quantizer trains on a sample while assignment stays one full pass ----
     "q18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
@@ -497,6 +499,13 @@ object QuerySuite {
         .select(col("prev_id").as("id_a"), col("doc_id").as("id_b"))
       Dedup.connectedComponents(pairs)
         .select(col("node"), col("component")).orderBy("node")
+    }),
+
+    // ---- A1 skew-guarded: salted two-stage argmax (same result as q01) ----
+    "q41_latest_salted" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      LatestPerKey.viaMaxBySalted(e, Seq("user_id"), "ts", Seq("event_id"))
+        .select(latestCols.map(col): _*).orderBy("user_id")
     })
   )
 
@@ -538,6 +547,7 @@ object QuerySuite {
   val oracleSql: Map[String, String] = Map(
     "q01_latest_maxby" -> latestOracle,
     "q02_latest_window" -> latestOracle,
+    "q41_latest_salted" -> latestOracle,
     "q10_feature_store_e2e" -> latestOracle,
     "q11_streaming_latest" -> latestOracle,
 

@@ -51,4 +51,39 @@ object LatestPerKey {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
+
+  /** Skew-guarded form of [[viaMaxBy]]: two-stage salted argmax for corpora
+    * where a handful of hot keys dominate (at 100 TB a single celebrity key
+    * can exceed one executor's partition). Stage 1 spreads each key over
+    * `saltBuckets` sub-partitions (salt = hash of the ordering columns, so
+    * it is deterministic and needs no RNG state on executors) and takes a
+    * per-bucket argmax; stage 2 reduces the ≤`saltBuckets` survivors per key.
+    * Both stages keep map-side combine; result is identical to [[viaMaxBy]]
+    * (argmax is associative), property-tested in LatestPerKeySpec.
+    *
+    * Note: max_by's partial aggregation already collapses each MAP partition
+    * to one row per key, so plain [[viaMaxBy]] survives skew in the common
+    * case; salting additionally protects the REDUCE side when even the
+    * post-combine per-key traffic (one row × n_map_partitions) concentrates —
+    * the regime with hundreds of thousands of map tasks. */
+  def viaMaxBySalted(
+      df: DataFrame,
+      keys: Seq[String],
+      time: String,
+      tiebreaks: Seq[String],
+      saltBuckets: Int = 32): DataFrame = {
+    val ord = struct((time +: tiebreaks).map(col): _*)
+    val payload = struct(df.columns.map(col): _*)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64((time +: tiebreaks).map(col): _*), lit(saltBuckets.toLong)))
+    val partial = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(max_by(payload, ord).as("__latest"))
+      .select(keys.map(col) :+ col("__latest"): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(col("__latest"),
+        struct((time +: tiebreaks).map(c => col(s"__latest.`$c`")): _*)).as("__latest"))
+      .select(df.columns.map(c => col(s"__latest.`$c`").as(c)): _*)
+  }
 }

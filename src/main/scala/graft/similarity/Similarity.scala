@@ -52,7 +52,15 @@ object Similarity {
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
   }
 
-  /** IVF approximate top-k: KMeans(nCells) coarse quantizer, probe nProbe cells. */
+  /** IVF approximate top-k: KMeans(nCells) coarse quantizer, probe nProbe cells.
+    *
+    * @param fitSampleFraction fraction of the corpus the quantizer trains on.
+    *   At 100 TB fitting KMeans on the full corpus is the bottleneck (each
+    *   iteration is a full scan); a coarse quantizer only needs enough points
+    *   per centroid to place cells, so training on a sample (the standard
+    *   IVF practice) keeps fit cost constant while assignment stays a single
+    *   full-corpus pass.
+    */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -62,12 +70,16 @@ object Similarity {
       nCells: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      fitSampleFraction: Double = 1.0,
+      fitMaxIter: Int = 20): DataFrame = {
 
     val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
-    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
-    val model = km.fit(c)
+    val fitSet = if (fitSampleFraction < 1.0) c.sample(fitSampleFraction, seed) else c
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(fitMaxIter)
+      .setFeaturesCol("features")
+    val model = km.fit(fitSet)
     val assigned = model.transform(c).select(col("nbr_id"), col("cv"), col("prediction").as("cell"))
 
     // tiny centroid table — runs on the driver, broadcast into the probe join

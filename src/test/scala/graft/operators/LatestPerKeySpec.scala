@@ -42,9 +42,12 @@ class LatestPerKeySpec extends SparkSpec {
         .as[Rec].collect().map(r => (r.key, r.ts, r.seq, r.value)).toSet
       val got2 = LatestPerKey.viaWindow(df, Seq("key"), "ts", Seq("seq"))
         .as[Rec].collect().map(r => (r.key, r.ts, r.seq, r.value)).toSet
+      val got3 = LatestPerKey.viaMaxBySalted(df, Seq("key"), "ts", Seq("seq"), saltBuckets = 4)
+        .as[Rec].collect().map(r => (r.key, r.ts, r.seq, r.value)).toSet
 
       assert(got1 == expected, s"viaMaxBy mismatch in round $round")
       assert(got2 == expected, s"viaWindow mismatch in round $round")
+      assert(got3 == expected, s"viaMaxBySalted mismatch in round $round")
     }
   }
 

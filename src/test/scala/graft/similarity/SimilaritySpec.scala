@@ -65,8 +65,9 @@ class SimilaritySpec extends SparkSpec {
         .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
 
     val brute = topSets(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5, excludeSelf = true))
+    // sample-fit quantizer (the 100 TB path): cells stay well-placed on a half sample
     val ivf = topSets(Similarity.ivfTopK(df, queries, "vec_id", "embedding", k = 5,
-      nCells = 4, nProbe = 2, excludeSelf = true))
+      nCells = 4, nProbe = 2, excludeSelf = true, fitSampleFraction = 0.5))
 
     // note .toSeq: mapping over Map#keys dispatches to a Set builder and
     // would dedupe equal per-query recalls before the sum
