@@ -506,6 +506,44 @@ object QuerySuite {
       val e = Tables.events(s, dir)
       LatestPerKey.viaMaxBySalted(e, Seq("user_id"), "ts", Seq("event_id"))
         .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
+    // ---- built-in session_window (same gap semantics as q05's Sessionize;
+    //      unlike the window+cumsum form this one also runs under Structured
+    //      Streaming with state merge). Boundary note: session_window starts
+    //      a new session at diff == gap while Sessionize.byGap keeps it —
+    //      indistinguishable on this corpus (no exact-gap pairs at any sf,
+    //      checked), flagged here for future corpora ----
+    "q42_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // ---- mergeable HLL sketches (Datasketches): build per-group sketches,
+    //      union across groups — the scale path for distinct counting over
+    //      re-aggregable slices (no oracle: estimates are engine-specific;
+    //      rsd-bounded in QuerySuiteSpec) ----
+    "q43_hll_sketch" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val perType = e.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+          countDistinct(col("user_id")).as("exact_users"))
+      perType.select(
+          col("event_type"),
+          hll_sketch_estimate(col("sketch")).as("approx_users"),
+          col("exact_users"))
+        .unionByName(
+          perType.agg(
+            hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
+            first(lit(0L)).as("exact_users")) // filled from exact below
+            .join(e.agg(countDistinct(col("user_id")).as("exact_all")), lit(true))
+            .select(lit("__all__").as("event_type"), col("approx_users"),
+              col("exact_all").as("exact_users")))
+        .orderBy("event_type")
     })
   )
 
@@ -777,6 +815,22 @@ object QuerySuite {
         |         min(doc_id) OVER (PARTITION BY source, doc_id // 10) AS component,
         |         count(*)    OVER (PARTITION BY source, doc_id // 10) AS n
         |  FROM documents)
-        |SELECT doc_id AS node, component FROM g WHERE n > 1 ORDER BY node""".stripMargin
+        |SELECT doc_id AS node, component FROM g WHERE n > 1 ORDER BY node""".stripMargin,
+
+    "q42_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
   )
 }

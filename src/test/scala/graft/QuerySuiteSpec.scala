@@ -17,6 +17,17 @@ class QuerySuiteSpec extends SparkSpec {
     }
   }
 
+  test("q43: HLL sketch estimates (per-group and merged) within rsd bound") {
+    val rows = SparkEntry.queries("q43_hll_sketch")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("event_type")).contains("__all__"))
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.1,
+        s"sketch $approx vs exact $exact for ${r.getAs[String]("event_type")}")
+    }
+  }
+
   test("q18: IVF recall vs q17 brute force on the real embeddings") {
     def sets(name: String) =
       SparkEntry.queries(name)(spark, sf).collect()
