@@ -544,6 +544,24 @@ object QuerySuite {
             .select(lit("__all__").as("event_type"), col("approx_users"),
               col("exact_all").as("exact_users")))
         .orderBy("event_type")
+    }),
+
+    // ---- J2 full form through the store: point-in-time training-set
+    //      construction (purchases enriched with the latest prior view) ----
+    "q44_point_in_time" -> ((s, dir) => {
+      val fs = new FeatureStore(s, tmpDir("graft_pit_"))
+      val g = FeatureGroup("views_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("value", FType.Fractional)))
+      fs.createGroup(g)
+      fs.ingest("views_fg", Tables.events(s, dir).filter(col("event_type") === "view"))
+      val entities = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("label_ts"))
+      fs.pointInTime("views_fg", entities, "label_ts", featureCols = Seq("event_id", "value"))
+        .select("p_id", "user_id", "label_ts", "asof_event_id", "asof_value", "asof_ts")
+        .orderBy("p_id")
     })
   )
 
@@ -831,6 +849,17 @@ object QuerySuite {
         |)
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin
+        |FROM y GROUP BY user_id, session_id ORDER BY user_id, session_start""".stripMargin,
+
+    "q44_point_in_time" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS label_ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.p_id, p.user_id, p.label_ts,
+        |         v.event_id AS asof_event_id, v.value AS asof_value, v.ts AS asof_ts,
+        |         row_number() OVER (PARTITION BY p.p_id ORDER BY v.ts DESC) AS rn
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.label_ts)
+        |SELECT p_id, user_id, label_ts, asof_event_id, asof_value, asof_ts
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
   )
 }

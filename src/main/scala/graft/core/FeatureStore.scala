@@ -161,6 +161,35 @@ final class FeatureStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Point-in-time training-set construction — the full form of the
+    * feature-store "as-of join" the reference degenerates to a time-range
+    * filter (SURVEY.md §2.6 J2, historical_features.py:28-32): for each
+    * entity row (key, asOfTsCol) attach the latest feature record with
+    * event_time <= asOfTs (ties → max ingest seq), optionally bounded by
+    * `tolerance` staleness. One shuffle on the key (union-then-window), no
+    * row explosion — the shape that survives 100 TB of history.
+    *
+    * @param entityDf  rows to enrich; must contain the group's key column and `asOfTsCol`
+    * @param featureCols feature columns to attach (default: all non-key, non-time)
+    */
+  def pointInTime(
+      groupName: String,
+      entityDf: DataFrame,
+      asOfTsCol: String,
+      featureCols: Seq[String] = Nil,
+      tolerance: Option[String] = None): DataFrame = {
+    val g = describeGroup(groupName)
+    val attach = if (featureCols.nonEmpty) featureCols
+      else g.featureNames.filterNot(n => n == g.keyCol || n == g.eventTimeCol)
+    graft.operators.AsOfJoin.backward(
+      entityDf, offline(groupName),
+      leftKey = g.keyCol, rightKey = g.keyCol,
+      leftTime = asOfTsCol, rightTime = g.eventTimeCol,
+      rightTiebreak = EngineColumns.IngestSeq,
+      rightValueCols = attach,
+      tolerance = tolerance)
+  }
+
   /** Historical time-range retrieval — the reference's Athena query
     * (historical_features.py:28-32): explicit projection + inclusive BETWEEN
     * on event time. Projection and predicate reach the parquet scan via

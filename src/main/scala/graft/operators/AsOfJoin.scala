@@ -33,8 +33,76 @@ object AsOfJoin {
     *
     * @param rightValueCols right columns to attach (each emitted as `asofPrefix + name`)
     * @param rightTiebreak  right column breaking event-time ties (max wins)
+    * @param tolerance      max staleness: a right row older than
+    *                       `leftTime - tolerance` does not match (feature
+    *                       stores bound how stale an attached feature may be).
+    *                       SQL interval string, e.g. "7 days"; None = unbounded.
     */
   def backward(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: String,
+      rightValueCols: Seq[String],
+      asofPrefix: String = "asof_",
+      tolerance: Option[String] = None): DataFrame = {
+
+    val rightPayloadCols = (rightValueCols :+ rightTime).distinct
+    val rightStruct = StructType(rightPayloadCols.map(c => right.schema(c)))
+
+    val l = left.select(
+      col(leftKey).cast(right.schema(rightKey).dataType).as("__key"),
+      col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(rightTiebreak).dataType).as("__tb"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rightStruct).as("__r"))
+
+    val r = right.select(
+      col(rightKey).as("__key"),
+      col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      col(rightTiebreak).as("__tb"),
+      lit(null).cast(StructType(left.schema.fields)).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+
+    // Right rows sort BEFORE left rows at equal time (__side 0 < 1), making
+    // the join inclusive; among right rows at equal time the max tiebreak
+    // sorts last and wins `last(ignoreNulls)`.
+    val w = Window
+      .partitionBy("__key")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val leftCols = left.columns.map(c => col(s"__l.`$c`").as(c))
+    // tolerance: null out a match that is staler than allowed (applied after
+    // the window pass — the windowed form can't skip stale-but-newer-than-
+    // nothing rows without a second pass, and nulling matches the feature-
+    // store semantic "no feature available within the window")
+    val asofStruct = tolerance match {
+      case None => col("__asof")
+      case Some(t) => when(
+        col(s"__asof.`$rightTime`") >= col("__t") - expr(s"INTERVAL $t"),
+        col("__asof"))
+    }
+    val asofCols = rightPayloadCols.map(c => col(s"__asof_t.`$c`").as(asofPrefix + c))
+
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__asof_t", asofStruct)
+      .filter(col("__side") === 1)
+      .select(leftCols ++ asofCols: _*)
+  }
+
+  /** Forward (>=) as-of join: attach the EARLIEST right row at or after each
+    * left row ("next event after"). Same single-shuffle union-then-window
+    * shape as [[backward]], with time order reversed; ties on t_right break
+    * by the SMALLEST tiebreak.
+    */
+  def forward(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
@@ -64,12 +132,12 @@ object AsOfJoin {
       lit(null).cast(StructType(left.schema.fields)).as("__l"),
       struct(rightPayloadCols.map(col): _*).as("__r"))
 
-    // Right rows sort BEFORE left rows at equal time (__side 0 < 1), making
-    // the join inclusive; among right rows at equal time the max tiebreak
-    // sorts last and wins `last(ignoreNulls)`.
+    // Descending time: right rows still sort before left at equal time
+    // (inclusive >=); among equal-time right rows the MIN tiebreak sorts
+    // last (desc) and wins last(ignoreNulls).
     val w = Window
       .partitionBy("__key")
-      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .orderBy(col("__t").desc, col("__side").asc, col("__tb").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val leftCols = left.columns.map(c => col(s"__l.`$c`").as(c))

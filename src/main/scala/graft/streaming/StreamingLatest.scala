@@ -19,14 +19,18 @@ object StreamingIngest {
     * batch (checkpoint recovery re-delivers the last uncommitted batch) is
     * skipped instead of appending duplicate offline rows — effectively-once
     * for BOTH stores, not just the online snapshot. */
-  def start(fs: FeatureStore, group: String, stream: DataFrame, checkpoint: String): StreamingQuery =
+  /** @param trigger AvailableNow (default) drains a bounded backlog then
+    *                 stops; pass a ProcessingTime/default trigger for a
+    *                 long-lived ingest that follows the source. */
+  def start(fs: FeatureStore, group: String, stream: DataFrame, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) fs.ingest(group, batch, Some(batchId)): Unit
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }
 

@@ -76,6 +76,40 @@ class FeatureStoreSpec extends SparkSpec {
     assert(rows.head.schema.fieldNames.toSeq == Seq("customer_id", "amount"))
   }
 
+  test("pointInTime attaches latest feature at or before each entity timestamp") {
+    import spark.implicits._
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 00:00:00", 10.0, "v1"),
+      (1L, "2024-01-05 00:00:00", 50.0, "v2"),
+      (1L, "2024-01-09 00:00:00", 90.0, "v3")))
+
+    val entities = Seq(
+      (1L, ts("2024-01-04 12:00:00")), // between v1 and v2 → v1
+      (1L, ts("2024-01-05 00:00:00")), // exactly v2 (inclusive) → v2
+      (1L, ts("2024-02-01 00:00:00")), // after all → v3
+      (2L, ts("2024-01-06 00:00:00"))) // unknown entity → null
+      .toDF("customer_id", "label_ts")
+
+    val got = fs.pointInTime("tx", entities, "label_ts")
+      .select("customer_id", "label_ts", "asof_amount").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("label_ts"), r.getAs[Long]("customer_id")) ->
+        Option(r.get(r.fieldIndex("asof_amount"))).map(_.asInstanceOf[Double])).toMap
+    assert(got((ts("2024-01-04 12:00:00"), 1L)).contains(10.0))
+    assert(got((ts("2024-01-05 00:00:00"), 1L)).contains(50.0))
+    assert(got((ts("2024-02-01 00:00:00"), 1L)).contains(90.0))
+    assert(got((ts("2024-01-06 00:00:00"), 2L)).isEmpty)
+
+    // bounded staleness: 1 day tolerance nulls the month-later lookup
+    val bounded = fs.pointInTime("tx", entities, "label_ts", tolerance = Some("1 DAY"))
+      .select("customer_id", "label_ts", "asof_amount").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("label_ts"), r.getAs[Long]("customer_id")) ->
+        Option(r.get(r.fieldIndex("asof_amount")))).toMap
+    assert(bounded((ts("2024-02-01 00:00:00"), 1L)).isEmpty)
+    assert(bounded((ts("2024-01-05 00:00:00"), 1L)).isDefined)
+  }
+
   test("streaming batch replay guard: same batchId ingests once") {
     val fs = newStore()
     fs.createGroup(group)

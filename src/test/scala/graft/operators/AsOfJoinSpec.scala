@@ -47,6 +47,47 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of join == naive argmin over 20 random datasets") {
+    import spark.implicits._
+    val rng = new Random(5678)
+    for (round <- 1 to 20) {
+      val lefts = Seq.tabulate(1 + rng.nextInt(40)) { i =>
+        L(i.toLong, rng.nextInt(5).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(10) * 1000L))
+      }
+      val rights = Seq.tabulate(rng.nextInt(40)) { i =>
+        R(i.toLong, rng.nextInt(5).toLong, new java.sql.Timestamp(1700000000000L + rng.nextInt(10) * 1000L),
+          rng.nextInt(100) / 4.0)
+      }
+      val got = AsOfJoin.forward(lefts.toDF(), rights.toDF(),
+          "key", "key", "t", "t", "rid", Seq("rid", "v"))
+        .select("lid", "asof_rid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      val expected = lefts.map { l =>
+        val best = rights.filter(r => r.key == l.key && !r.t.before(l.t))
+          .sortBy(r => (r.t.getTime, r.rid)).headOption // min time, tie → min rid
+        (l.lid, best.map(_.rid))
+      }.toSet
+      assert(got == expected, s"forward as-of mismatch in round $round")
+    }
+  }
+
+  test("tolerance nulls out matches staler than the window") {
+    import spark.implicits._
+    val l = Seq(
+      L(1L, 1L, ts("2024-01-10 00:00:00")),
+      L(2L, 2L, ts("2024-01-10 00:00:00"))).toDF()
+    val r = Seq(
+      R(10L, 1L, ts("2024-01-09 23:00:00"), 1.0),  // 1h old — inside 1 day
+      R(20L, 2L, ts("2024-01-05 00:00:00"), 2.0)). // 5 days old — outside
+      toDF()
+    val rows = AsOfJoin.backward(l, r, "key", "key", "t", "t", "rid", Seq("rid", "v"),
+        tolerance = Some("1 DAY"))
+      .select("lid", "asof_rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(rows(1L).contains(10L))
+    assert(rows(2L).isEmpty, "stale match must be nulled by tolerance")
+  }
+
   test("inclusive at equal timestamps") {
     import spark.implicits._
     val t0 = ts("2024-01-01 00:00:00")
