@@ -78,6 +78,28 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: transforms each image's payload and metadata to the target
+    * dimensions. A real codec would decode→scale→re-encode in the partition
+    * loop; the stub derives deterministic bytes (hash-chained) and rewrites
+    * width/height, so downstream schema/partitioning behavior is real.
+    * Non-image modalities pass through untouched. */
+  def resizeImages(assets: DataFrame, width: Int, height: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(AssetSchema)
+    val isImage = org.apache.spark.sql.functions.col("modality") === "image"
+    val images = assets.filter(isImage).mapPartitions { it =>
+      // per-partition init: codec/scaler handles live here
+      it.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.emptyByteArray)
+        val resized = fakeDecode(bytes, math.max(1, width * height / 64))
+          .flatMap(f => Array((f * 255).toByte)) // ??? real scaler goes here
+        val meta = r.getAs[Row]("meta")
+        Row(r.getLong(0), r.getString(1), resized,
+          Row(meta.get(0), width, height, meta.get(3)))
+      }
+    }(enc)
+    images.unionByName(assets.filter(!isImage))
+  }
+
   /** STUB frame sampler: every `everyMs` ms of (fake) video duration emits a
     * (asset_id, frame_idx, ts_ms) row — the explode-shaped plumbing a real
     * sampler needs, without a codec. */
