@@ -562,6 +562,24 @@ object QuerySuite {
       fs.pointInTime("views_fg", entities, "label_ts", featureCols = Seq("event_id", "value"))
         .select("p_id", "user_id", "label_ts", "asof_event_id", "asof_value", "asof_ts")
         .orderBy("p_id")
+    }),
+
+    // ---- text cleaning: PII scrub + whitespace normalization ----
+    "q45_text_clean" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.normalizeWs(GraftFunctions.scrubPii(col("text"))).as("cleaned"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- vocabulary build: corpus-wide token frequencies, top 100 ----
+    "q46_vocab" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(GraftFunctions.wsTokens(lower(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(100)
     })
   )
 
@@ -860,6 +878,24 @@ object QuerySuite {
         |         row_number() OVER (PARTITION BY p.p_id ORDER BY v.ts DESC) AS rn
         |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.label_ts)
         |SELECT p_id, user_id, label_ts, asof_event_id, asof_value, asof_ts
-        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin
+        |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "q45_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\s+', ' ', 'g')) AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_vocab" ->
+      """WITH toks AS (
+        |  SELECT unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |                     ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS token
+        |  FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM toks WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
   )
 }

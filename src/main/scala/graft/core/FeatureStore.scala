@@ -198,6 +198,12 @@ final class FeatureStore(spark: SparkSession, root: String) {
   def historicalQuery(groupName: String, columns: Seq[String], start: String, end: String): DataFrame = {
     val g = describeGroup(groupName)
     offline(groupName)
+      // derived PARTITION filter: _ingest_date = to_date(event_time), so the
+      // event-time range implies a date range — this is what actually prunes
+      // offline files (the row filter below only prunes row groups within
+      // the files that survive). Shows up as PartitionFilters in the scan.
+      .filter(col(EngineColumns.IngestDate).between(
+        to_date(lit(start).cast(TimestampType)), to_date(lit(end).cast(TimestampType))))
       .filter(col(g.eventTimeCol).between(
         lit(start).cast(TimestampType), lit(end).cast(TimestampType)))
       .select(columns.map(col): _*)

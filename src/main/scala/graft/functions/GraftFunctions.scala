@@ -55,6 +55,18 @@ object GraftFunctions {
         sequence(lit(0), length(text) - n),
         i => text.substr(i + 1, lit(n))))
 
+  /** Training-data cleaning: mask emails and URLs (the cheap PII pass every
+    * LLM pipeline runs before tokenization). Patterns stay in the common
+    * subset of Java regex and RE2 so the DuckDB oracle evaluates identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, lit(EmailPattern), lit("<EMAIL>")),
+      lit(UrlPattern), lit("<URL>"))
+
+  /** Collapse runs of whitespace to single spaces and trim. */
+  def normalizeWs(text: Column): Column = trim(regexp_replace(text, lit("\\s+"), lit(" ")))
+
   // ---------- MinHash / SimHash / fingerprinting ----------
 
   /** MinHash signature (k independent seeded hashes) over a set column.

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers: pre-shuffle a table ONCE at write time so every
+  * later equi-join/aggregation on the bucket key is exchange-free.
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table on
+  * every query and never shuffling it again: two tables bucketed by the same
+  * key into the same bucket count join with zero Exchange (verified in
+  * BucketingSpec), and sort-bucketed files make the join a streaming merge
+  * within each bucket. The reference's offline store is unpartitioned AND
+  * unbucketed (setup.sh:140) — this is the scale substitute.
+  */
+object Bucketing {
+
+  /** Write `df` as a parquet table bucketed (and optionally sorted) by `keys`. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      buckets: Int,
+      keys: Seq[String],
+      sortKeys: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    val sorted = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
+  /** Equi-join two same-bucketed tables on `keys` — exchange-free by design. */
+  def colocatedJoin(spark: SparkSession, left: String, right: String, keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+}

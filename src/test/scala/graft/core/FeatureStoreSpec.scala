@@ -110,6 +110,21 @@ class FeatureStoreSpec extends SparkSpec {
     assert(bounded((ts("2024-01-05 00:00:00"), 1L)).isDefined)
   }
 
+  test("historicalQuery prunes offline partitions via derived _ingest_date filter") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 10:00:00", 1.0, "jan"),
+      (1L, "2024-02-01 10:00:00", 2.0, "feb"),
+      (1L, "2024-03-01 10:00:00", 3.0, "mar")))
+    val q = fs.historicalQuery("tx", Seq("customer_id", "amount"),
+      "2024-02-01 00:00:00", "2024-02-28 23:59:59")
+    assert(q.collect().map(_.getAs[Double]("amount")).toSeq == Seq(2.0))
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("_ingest_date"),
+      s"expected partition pruning on _ingest_date in:\n$physical")
+  }
+
   test("streaming batch replay guard: same batchId ingests once") {
     val fs = newStore()
     fs.createGroup(group)
