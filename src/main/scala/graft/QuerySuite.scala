@@ -572,6 +572,15 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- ANN: LSH-bucketed top-k (training-free scale path; recall
+    //      asserted vs brute force in SimilaritySpec — rows-only here) ----
+    "q47_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, bits = 8, tables = 4, excludeSelf = true)
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- vocabulary build: corpus-wide token frequencies, top 100 ----
     "q46_vocab" -> ((s, dir) => {
       Tables.documents(s, dir)

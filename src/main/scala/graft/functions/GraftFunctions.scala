@@ -152,13 +152,13 @@ object GraftFunctions {
     * bucket (a fixed-dim sequence would zip nulls into short vectors and
     * poison the dot product). Null/empty vectors are the caller's problem —
     * filter them before bucketing. */
-  def hyperplaneLshKey(vec: Column, bits: Int): Column = {
+  def hyperplaneLshKey(vec: Column, bits: Int, seedBase: Long = 100L): Column = {
     val idx = sequence(lit(0), greatest(size(vec), lit(1)) - 1)
     (0 until bits).map { b =>
       // hyperplane component j = centered hash in [-0.5, 0.5)
       val dot = aggregate(
         zip_with(vec, idx, (x, j) =>
-          x.cast("double") * (pmod(xxhash64Seeded(100L + b, j), lit(1000003L)).cast("double") / 1000003.0 - 0.5)),
+          x.cast("double") * (pmod(xxhash64Seeded(seedBase + b, j), lit(1000003L)).cast("double") / 1000003.0 - 0.5)),
         lit(0.0), (s, v) => s + v)
       when(dot >= 0.0, shiftLeftC(lit(1L), lit(b))).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))

@@ -105,4 +105,44 @@ object Similarity {
       .filter(col("nbr_rank") <= k)
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
   }
+
+  /** LSH-bucketed approximate top-k — the training-free scale path (no
+    * quantizer fit at all): `tables` independent random-hyperplane hash
+    * tables; a query only scores corpus vectors sharing a bucket in at least
+    * one table. Candidate volume ∝ tables / 2^bits of the corpus per query;
+    * recall grows with `tables` (union of independent buckets). All bucketing
+    * is seed-derived (no state to ship); the per-table candidate join is an
+    * equi-join on the 64-bit bucket key.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      bits: Int = 8,
+      tables: Int = 4,
+      excludeSelf: Boolean = false): DataFrame = {
+
+    import graft.functions.GraftFunctions.hyperplaneLshKey
+    val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+
+    val candidates = (0 until tables).map { t =>
+      val seed = 1000L * (t + 1)
+      val cb = c.withColumn("b", hyperplaneLshKey(col("cv"), bits, seed))
+      val qb = q.withColumn("b", hyperplaneLshKey(col("qv"), bits, seed))
+      cb.join(broadcast(qb), Seq("b")).drop("b")
+    }.reduce(_ unionByName _)
+      .filter(cond)
+      .dropDuplicates("query_id", "nbr_id")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    candidates
+      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
+      .withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+  }
 }

@@ -75,5 +75,14 @@ class SimilaritySpec extends SparkSpec {
       ivf.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
     }.sum / brute.size
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+
+    // LSH-bucketed path on the same clustered data: same-direction vectors
+    // share sign buckets, so multi-table union recovers in-cluster neighbors
+    val lsh = topSets(Similarity.lshTopK(df, queries, "vec_id", "embedding", k = 5,
+      bits = 6, tables = 4, excludeSelf = true))
+    val lshRecall = brute.toSeq.map { case (q, bs) =>
+      lsh.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }.sum / brute.size
+    assert(lshRecall >= 0.9, s"LSH recall $lshRecall below 0.9")
   }
 }
