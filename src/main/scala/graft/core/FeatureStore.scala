@@ -161,6 +161,32 @@ final class FeatureStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Compact the offline store: rewrite each `_ingest_date` partition's
+    * accumulated small files (one set per ingest batch — a file per
+    * micro-batch per date under streaming ingest) into one file per date.
+    * Scan parallelism and footer overhead degrade until compaction (README
+    * "Running at cluster scale"; at 100 TB run this per-partition on recent
+    * dates only). Rewrite goes to a temp dir, then the directories are
+    * swapped — crash between the two moves requires re-running compaction
+    * (single-writer assumption, SURVEY.md §7 risk 6; Delta/Iceberg would
+    * make this transactional, jars not available in this environment).
+    *
+    * @return number of parquet data files after compaction
+    */
+  def compactOffline(groupName: String): Long = {
+    require(groupExists(groupName), s"no such feature group: $groupName")
+    val dir = Paths.get(offlineDir(groupName))
+    val tmp = Paths.get(offlineDir(groupName) + ".tmp")
+    val old = Paths.get(offlineDir(groupName) + ".old")
+    spark.read.parquet(dir.toString)
+      .repartition(col(EngineColumns.IngestDate))
+      .write.partitionBy(EngineColumns.IngestDate).parquet(tmp.toString)
+    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    Files.walk(old).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+    Files.walk(dir).filter(p => p.toString.endsWith(".parquet")).count()
+  }
+
   /** Point-in-time training-set construction — the full form of the
     * feature-store "as-of join" the reference degenerates to a time-range
     * filter (SURVEY.md §2.6 J2, historical_features.py:28-32): for each

@@ -164,6 +164,17 @@ object Dedup {
         .withColumn("is_duplicate", lit(true)), Seq("doc_id"), "left")
       .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
 
+  /** End-to-end near-dup removal: collapse `pairs` to exact connected
+    * components and keep one canonical doc (min id) per component; docs in no
+    * component pass through. The full dedup pipeline is
+    * `dedupCorpus(docs, id, minhashLsh(docs, id, text))`. */
+  def dedupCorpus(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    docs.join(comps, docs(id) === comps("node"), "left")
+      .filter(col("component").isNull || col("component") === docs(id))
+      .drop("node", "component")
+  }
+
   /** Exact connected components over near-dup pairs, by distributed min-label
     * propagation: every node starts labeled with its own id; each round
     * propagates labels across edges and keeps the per-node minimum; fixpoint

@@ -133,6 +133,22 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.offline("tx").count() == 1)
   }
 
+  test("compactOffline collapses per-batch files to one per date, data intact") {
+    val fs = newStore()
+    fs.createGroup(group)
+    // three ingests on the same event date → three file sets in one partition
+    for (i <- 1 to 3)
+      fs.ingest("tx", batch((i.toLong, "2024-05-01 10:00:00", i * 1.0, s"b$i")))
+    val before = fs.offline("tx").collect().map(r =>
+      (r.getAs[Long]("customer_id"), r.getAs[Double]("amount"), r.getAs[Long]("_ingest_seq"))).toSet
+    val nFiles = fs.compactOffline("tx")
+    assert(nFiles == 1, s"expected 1 file per date, got $nFiles")
+    val after = fs.offline("tx").collect().map(r =>
+      (r.getAs[Long]("customer_id"), r.getAs[Double]("amount"), r.getAs[Long]("_ingest_seq"))).toSet
+    assert(after == before, "compaction must not change data (incl. ingest seq)")
+    assert(fs.online("tx").count() == 3)
+  }
+
   test("invalid names and unknown types are rejected explicitly") {
     intercept[IllegalArgumentException] {
       FeatureGroup("""bad"name""", "k", "t", Seq(FeatureDef("k", FType.Integral), FeatureDef("t", FType.FTimestamp)))

@@ -52,6 +52,14 @@ class DedupSpec extends SparkSpec {
     assert(!marks(4L) && !marks(5L), "unrelated docs kept")
   }
 
+  test("dedupCorpus keeps one canonical doc per near-dup component") {
+    val pairs = Dedup.minhashLsh(docsDf, "doc_id", "text", threshold = 0.5)
+    val kept = Dedup.dedupCorpus(docsDf, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // docs 1,2,3 form one component (keep 1); 4 and 5 are unique
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("embedding cosine near-dup via LSH buckets") {
     import spark.implicits._
     val vecs = Seq(
