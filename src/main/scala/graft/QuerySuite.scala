@@ -589,6 +589,43 @@ object QuerySuite {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(100)
+    }),
+
+    // ---- SQL-text entry path: the same engine surface through spark.sql
+    //      (the reference's queries are SQL strings, historical_features.py:28-32) ----
+    "q48_sql_text" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderpriority,
+          |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // ---- set operations: INTERSECT / EXCEPT, tagged into one result ----
+    "q49_set_ops" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) = e.filter(col("event_type") === t).select("user_id").distinct()
+      val both = users("purchase").intersect(users("click"))
+        .select(lit("both").as("op"), col("user_id"))
+      val purchaseOnly = users("purchase").except(users("click"))
+        .select(lit("purchase_only").as("op"), col("user_id"))
+      both.unionByName(purchaseOnly).orderBy("op", "user_id")
+    }),
+
+    // ---- correlated scalar subquery (Catalyst decorrelates to a join):
+    //      orders that are their customer's most expensive order ----
+    "q50_correlated_max" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM orders_v o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
     })
   )
 
@@ -905,6 +942,29 @@ object QuerySuite {
         |  FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS n
         |FROM toks WHERE length(token) > 0
-        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q48_sql_text" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q49_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |SELECT 'both' AS op, user_id FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM c)
+        |UNION ALL
+        |SELECT 'purchase_only' AS op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
+        |ORDER BY op, user_id""".stripMargin,
+
+    "q50_correlated_max" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }
