@@ -161,6 +161,32 @@ final class FeatureStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Row-level stringly-typed upsert mirroring the reference's wire API
+    * (`put_record` with `ValueAsString` fields, update_feature_store.py:39-50):
+    * values are cast from strings to the declared types (timestamps accept
+    * ISO-8601 Zulu or `yyyy-MM-dd HH:mm:ss`). Set-oriented [[ingest]] is the
+    * right call for anything bigger than one record — this shim exists for
+    * API parity and pays a full ingest per row. */
+  def putRecord(groupName: String, record: Map[String, String]): Long = {
+    val g = describeGroup(groupName)
+    val missing = g.featureNames.filterNot(record.contains)
+    require(missing.isEmpty, s"putRecord missing declared features: $missing")
+    import scala.jdk.CollectionConverters._
+    val strSchema = org.apache.spark.sql.types.StructType(
+      g.features.map(f => org.apache.spark.sql.types.StructField(f.name, org.apache.spark.sql.types.StringType)))
+    val row = Row.fromSeq(g.features.map(f => record(f.name)))
+    val df = spark.createDataFrame(Seq(row).asJava, strSchema)
+      .select(g.features.map { f =>
+        val c = col(f.name)
+        (f.ftype match {
+          case FType.FTimestamp => // try_*: ANSI to_timestamp throws on pattern mismatch
+            coalesce(try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")), try_to_timestamp(c))
+          case other => c.cast(other.spark)
+        }).as(f.name)
+      }: _*)
+    ingest(groupName, df)
+  }
+
   /** Compact the offline store: rewrite each `_ingest_date` partition's
     * accumulated small files (one set per ingest batch — a file per
     * micro-batch per date under streaming ingest) into one file per date.

@@ -47,4 +47,22 @@ object FeatureML {
       .transform(df)
     model.transform(assembled)
   }
+
+  /** Serve-time inference for one entity key, mirroring the reference's full
+    * path (real_time_inference.py:42-61): online point lookup → stringly
+    * features → missing/unparseable features DEFAULT TO 0.0 (`:47
+    * float(features.get(..., 0.0))`) → driver-side single-vector predict (no
+    * Spark job at serve time). None when the key has no online record
+    * (`:20-22`). */
+  def inferForKey(
+      fs: graft.core.FeatureStore,
+      groupName: String,
+      model: RandomForestRegressionModel,
+      key: Any,
+      featureCols: Seq[String]): Option[Double] =
+    fs.getRecord(groupName, key).map { rec =>
+      val vec = org.apache.spark.ml.linalg.Vectors.dense(
+        featureCols.map(c => rec.get(c).flatMap(_.toDoubleOption).getOrElse(0.0)).toArray)
+      model.predict(vec)
+    }
 }

@@ -156,6 +156,24 @@ class FeatureStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { FType.fromName("NotAType") }
   }
 
+  test("putRecord stringly upsert round-trips through getRecord (ISO and plain ts)") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.putRecord("tx", Map(
+      "customer_id" -> "29", "event_time" -> "2022-06-01T08:30:00Z",
+      "amount" -> "12.5", "note" -> "wire"))
+    fs.putRecord("tx", Map(
+      "customer_id" -> "29", "event_time" -> "2022-07-01 09:00:00",
+      "amount" -> "99.9", "note" -> "newer"))
+    val rec = fs.getRecord("tx", 29L).get
+    assert(rec("amount") == "99.9")
+    assert(rec("event_time") == "2022-07-01T09:00:00Z")
+    assert(fs.offline("tx").count() == 2)
+    intercept[IllegalArgumentException] {
+      fs.putRecord("tx", Map("customer_id" -> "1"))
+    }
+  }
+
   test("dropGroup removes everything; groupExists reflects it") {
     val fs = newStore()
     fs.createGroup(group)

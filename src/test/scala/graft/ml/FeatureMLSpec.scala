@@ -33,4 +33,30 @@ class FeatureMLSpec extends SparkSpec {
       assert(math.abs(p - expected) < 2.0, s"prediction $p far from $expected")
     }
   }
+
+  test("inferForKey: online lookup -> 0.0-defaulted features -> driver predict") {
+    import spark.implicits._
+    import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
+    val rng = new scala.util.Random(7)
+    val train = Seq.tabulate(300) { _ =>
+      val x = rng.nextDouble() * 10; (x, 3 * x + rng.nextGaussian() * 0.1)
+    }.toDF("latest_purchase_value", "latest_loyalty_score")
+    val r = FeatureML.trainRegressor(train, Seq("latest_purchase_value"), "latest_loyalty_score", numTrees = 20)
+
+    val fs = new FeatureStore(spark, java.nio.file.Files.createTempDirectory("infer_spec_").toString)
+    fs.createGroup(FeatureGroup("cust", "customer_id", "event_time", Seq(
+      FeatureDef("customer_id", FType.Integral),
+      FeatureDef("event_time", FType.FTimestamp),
+      FeatureDef("latest_purchase_value", FType.Fractional))))
+    fs.putRecord("cust", Map("customer_id" -> "86",
+      "event_time" -> "2022-06-01T00:00:00Z", "latest_purchase_value" -> "5.0"))
+
+    val p = FeatureML.inferForKey(fs, "cust", r.model, 86L, Seq("latest_purchase_value"))
+    assert(p.isDefined && math.abs(p.get - 15.0) < 3.0, s"prediction $p far from 15")
+    assert(FeatureML.inferForKey(fs, "cust", r.model, 999L, Seq("latest_purchase_value")).isEmpty)
+
+    // missing feature name defaults to 0.0 (reference real_time_inference.py:47)
+    val pDefault = FeatureML.inferForKey(fs, "cust", r.model, 86L, Seq("no_such_feature"))
+    assert(pDefault.isDefined)
+  }
 }
