@@ -616,6 +616,20 @@ object QuerySuite {
       both.unionByName(purchaseOnly).orderBy("op", "user_id")
     }),
 
+    // ---- curation capstone: the LLM training-data filter in ONE pass —
+    //      quality floor + exact-dedup keep-mark + language tag, all pure
+    //      Column expressions over a single documents scan ----
+    "q51_curation" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      Tables.documents(s, dir)
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("keep_id", min("doc_id").over(w))
+        .filter(col("quality") >= 0.5 && col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+        .orderBy("doc_id")
+    }),
+
     // ---- correlated scalar subquery (Catalyst decorrelates to a join):
     //      orders that are their customer's most expensive order ----
     "q50_correlated_max" -> ((s, dir) => {
@@ -663,6 +677,38 @@ object QuerySuite {
        |       ELSE best.lang END AS lang_pred
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** q21's oracle, shared verbatim by the q51 curation composition. */
+  private val qualityOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, text, toks,
+      |    len(toks)::DOUBLE AS n,
+      |    greatest(length(text), 1)::DOUBLE AS chars
+      |  FROM t
+      |), x AS (
+      |  SELECT doc_id, n,
+      |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE list_aggregate(list_transform(toks, s -> length(s)), 'sum')::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS mean_len,
+      |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / chars AS alpha_ratio,
+      |    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / chars AS punct_ratio,
+      |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE len(list_distinct(toks))::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS distinct_ratio
+      |  FROM m
+      |)
+      |SELECT doc_id,
+      |  (CASE WHEN n >= 50 AND n <= 100000 THEN CAST(1.0 AS DOUBLE)
+      |        WHEN n >= 10 THEN CAST(0.6 AS DOUBLE)
+      |        WHEN n >= 3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+      |  + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+      |  + alpha_ratio * CAST(0.2 AS DOUBLE)
+      |  + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.1 AS DOUBLE)
+      |  + distinct_ratio * CAST(0.2 AS DOUBLE) AS quality
+      |FROM x ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q01_latest_maxby" -> latestOracle,
@@ -758,36 +804,19 @@ object QuerySuite {
 
     "q20_lang_id" -> langIdOracle,
 
-    "q21_quality_score" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id, text, toks,
-        |    len(toks)::DOUBLE AS n,
-        |    greatest(length(text), 1)::DOUBLE AS chars
-        |  FROM t
-        |), x AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE list_aggregate(list_transform(toks, s -> length(s)), 'sum')::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS mean_len,
-        |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / chars AS alpha_ratio,
-        |    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / chars AS punct_ratio,
-        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE len(list_distinct(toks))::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS distinct_ratio
-        |  FROM m
-        |)
-        |SELECT doc_id,
-        |  (CASE WHEN n >= 50 AND n <= 100000 THEN CAST(1.0 AS DOUBLE)
-        |        WHEN n >= 10 THEN CAST(0.6 AS DOUBLE)
-        |        WHEN n >= 3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
-        |  + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
-        |  + alpha_ratio * CAST(0.2 AS DOUBLE)
-        |  + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.1 AS DOUBLE)
-        |  + distinct_ratio * CAST(0.2 AS DOUBLE) AS quality
-        |FROM x ORDER BY doc_id""".stripMargin,
+    "q21_quality_score" -> qualityOracle,
+
+    "q51_curation" ->
+      s"""WITH lang AS (${langIdOracle.stripSuffix(" ORDER BY doc_id")}),
+         |qual AS (${qualityOracle.stripSuffix(" ORDER BY doc_id")}),
+         |k AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents)
+         |SELECT d.doc_id, lang.lang_pred, qual.quality
+         |FROM documents d
+         |JOIN lang ON lang.doc_id = d.doc_id
+         |JOIN qual ON qual.doc_id = d.doc_id
+         |JOIN k ON k.doc_id = d.doc_id
+         |WHERE qual.quality >= 0.5 AND d.doc_id = k.keep_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q26_reference_e2e" ->
       """WITH raw AS (
