@@ -616,6 +616,18 @@ object QuerySuite {
       both.unionByName(purchaseOnly).orderBy("op", "user_id")
     }),
 
+    // ---- reproducible train/test split: content-addressed hash bucketing
+    //      (portable across engines — the oracle derives the SAME split) ----
+    "q52_hash_split" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
     // ---- curation capstone: the LLM training-data filter in ONE pass —
     //      quality floor + exact-dedup keep-mark + language tag, all pure
     //      Column expressions over a single documents scan ----
@@ -817,6 +829,15 @@ object QuerySuite {
          |JOIN k ON k.doc_id = d.doc_id
          |WHERE qual.quality >= 0.5 AND d.doc_id = k.keep_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q52_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "q26_reference_e2e" ->
       """WITH raw AS (

@@ -67,6 +67,16 @@ object GraftFunctions {
   /** Collapse runs of whitespace to single spaces and trim. */
   def normalizeWs(text: Column): Column = trim(regexp_replace(text, lit("\\s+"), lit(" ")))
 
+  /** Deterministic, ENGINE-PORTABLE bucket assignment for reproducible
+    * train/test/holdout splits: bucket = first 8 hex chars of md5(key) mod n.
+    * md5 (not xxhash64) on purpose — any system (DuckDB, Python, SQL) can
+    * re-derive the exact same split, which is what makes a training-data
+    * split auditable. A row's bucket never changes as the corpus grows
+    * (content-addressed, not positional like randomSplit). */
+  def hashSplitBucket(key: Column, nBuckets: Int): Column =
+    (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+      % nBuckets).cast("long")
+
   // ---------- MinHash / SimHash / fingerprinting ----------
 
   /** MinHash signature (k independent seeded hashes) over a set column.
