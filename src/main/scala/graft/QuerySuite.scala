@@ -616,6 +616,22 @@ object QuerySuite {
       both.unionByName(purchaseOnly).orderBy("op", "user_id")
     }),
 
+    // ---- forward as-of join: next view at-or-after each purchase ----
+    "q53_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.forward(purchases, views,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightTiebreak = "event_id",
+        rightValueCols = Seq("event_id", "value"))
+        .select("event_id", "user_id", "ts", "value", "asof_event_id", "asof_value", "asof_ts")
+        .orderBy("event_id")
+    }),
+
     // ---- reproducible train/test split: content-addressed hash bucketing
     //      (portable across engines — the oracle derives the SAME split) ----
     "q52_hash_split" -> ((s, dir) => {
@@ -829,6 +845,17 @@ object QuerySuite {
          |JOIN k ON k.doc_id = d.doc_id
          |WHERE qual.quality >= 0.5 AND d.doc_id = k.keep_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q53_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value,
+        |         v.event_id AS asof_event_id, v.value AS asof_value, v.ts AS asof_ts,
+        |         row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts)
+        |SELECT event_id, user_id, ts, value, asof_event_id, asof_value, asof_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q52_hash_split" ->
       """WITH b AS (
