@@ -616,6 +616,20 @@ object QuerySuite {
       both.unionByName(purchaseOnly).orderBy("op", "user_id")
     }),
 
+    // ---- rolling interval window: per-event trailing-1h count and sum
+    //      (RANGE frame over unix_micros — µs-exact, matches an INTERVAL
+    //      frame; the standard sliding feature for event enrichment) ----
+    "q54_rolling_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L) // trailing 1 hour in microseconds
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum(round(col("value") * 100).cast("long")).over(w).as("sum_cents_1h"))
+        .orderBy("event_id")
+    }),
+
     // ---- forward as-of join: next view at-or-after each purchase ----
     "q53_asof_forward" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -845,6 +859,15 @@ object QuerySuite {
          |JOIN k ON k.doc_id = d.doc_id
          |WHERE qual.quality >= 0.5 AND d.doc_id = k.keep_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q54_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q53_asof_forward" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
