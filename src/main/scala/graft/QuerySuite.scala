@@ -212,10 +212,14 @@ object QuerySuite {
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
-    // ---- dedup: character n-gram Jaccard ----
+    // ---- dedup: character n-gram Jaccard. sampleMod=1 → the inverted index
+    //      is EXHAUSTIVE (no candidate false negatives), which makes the
+    //      marks deterministic and fully oracle-able; at 100 TB pass
+    //      sampleMod>1 to sample the index (candidate recall traded for
+    //      index size, verification stays exact) ----
     "q15_dedup_ngram" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5, sampleMod = 1)
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
@@ -825,6 +829,33 @@ object QuerySuite {
     "q12_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    "q15_dedup_ngram" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |           ELSE list_transform(range(length(lower(text)) - 7),
+        |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END) AS grams
+        |  FROM documents
+        |), inv AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+        |          len(list_distinct(list_concat(ga.grams, gb.grams)))::DOUBLE, 6) AS jaccard
+        |  FROM cand
+        |  JOIN g ga ON ga.doc_id = cand.id_a
+        |  JOIN g gb ON gb.doc_id = cand.id_b
+        |)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE jaccard >= 0.5) dup
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q17_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
