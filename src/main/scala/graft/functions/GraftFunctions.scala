@@ -126,15 +126,28 @@ object GraftFunctions {
     }: _*)
   }
 
-  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): hash char
-    * n-grams, take the min hash of each sliding window of `w` — the selected
-    * set is robust to local edits. Returns array<long> (sorted, distinct). */
-  def winnowingFingerprint(text: Column, n: Int, w: Int): Column = {
-    val hs = transform(charNgrams(lower(text), n), g => xxhash64Seeded(11L, g))
+  /** N-gram hash array for winnowing — materialize this as its own column
+    * BEFORE calling [[winnowingFromHashes]]: Catalyst does no common-subexpr
+    * elimination across an expression tree, so referencing this HOF result k
+    * times would recompute the whole n-gram hashing k times (O(n²·w) per doc
+    * — observed minutes per 500 docs). */
+  def winnowingHashes(text: Column, n: Int): Column =
+    transform(charNgrams(lower(text), n), g => xxhash64Seeded(11L, g))
+
+  /** Sliding-window min over a MATERIALIZED hash-array column (`least` over w
+    * O(1) element_at lookups), sorted distinct — the winnowing fingerprint
+    * selection (Schleimer et al., SIGMOD'03), robust to local edits. */
+  def winnowingFromHashes(hs: Column, w: Int): Column = {
     val mins = when(size(hs) <= w, array(array_min(hs)))
-      .otherwise(transform(sequence(lit(0), size(hs) - w), j => array_min(slice(hs, j + 1, lit(w)))))
+      .otherwise(transform(sequence(lit(0), size(hs) - w),
+        j => least((1 to w).map(k => element_at(hs, j + k)): _*)))
     array_sort(array_distinct(mins))
   }
+
+  /** One-shot convenience for SHORT texts; for real corpora materialize
+    * [[winnowingHashes]] first (see its scaladoc). */
+  def winnowingFingerprint(text: Column, n: Int, w: Int): Column =
+    winnowingFromHashes(winnowingHashes(text, n), w)
 
   /** Order-sensitive whole-document fingerprint: left-fold hash chaining
     * (ANSI-safe: xxhash64 of (acc, token-hash) instead of overflow arithmetic). */
