@@ -262,10 +262,13 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
-    // ---- text: language ID (stopword-ratio heuristic + CJK override) ----
+    // ---- text: language ID (stopword-ratio heuristic + CJK override);
+    //      cleaned tokens materialized first — see langTokens ----
     "q20_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .withColumn("__lt", TextAnalysis.langTokens(col("text")))
+        .select(col("doc_id"),
+          TextAnalysis.langIdFromTokens(col("__lt"), col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 
@@ -675,7 +678,8 @@ object QuerySuite {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
       Tables.documents(s, dir)
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+        .withColumn("__lt", TextAnalysis.langTokens(col("text")))
+        .withColumn("lang_pred", TextAnalysis.langIdFromTokens(col("__lt"), col("text")))
         .withColumn("keep_id", min("doc_id").over(w))
         .filter(col("quality") >= 0.5 && col("doc_id") === col("keep_id"))
         .select(col("doc_id"), col("lang_pred"), col("quality"))

@@ -96,8 +96,11 @@ object Dedup {
       bands: Int = 4,
       maxHamming: Int = 3): DataFrame = {
 
+    // token hashes materialized first — inside simhash's per-bit vote lambda
+    // the string hash would otherwise be recomputed once per bit (64×)
     val withHash = df.select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("toks"))
-      .withColumn("sh", simhash64(col("toks")))
+      .withColumn("th", simhashTokenHashes(col("toks")))
+      .withColumn("sh", simhash64FromHashes(col("th")))
     val buckets = withHash.select(col("doc_id"), col("sh"),
       explode(simhashBands(col("sh"), bands)).as("b"))
 

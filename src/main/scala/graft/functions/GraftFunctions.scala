@@ -94,24 +94,33 @@ object GraftFunctions {
         (0 until rowsPerBand).map(j => element_at(sig, b * rowsPerBand + j + 1)): _*)
     }: _*)
 
-  /** 64-bit SimHash over a token array: per-bit +1/-1 votes weighted by token
-    * occurrence, sign → bit. Single aggregate pass (zip_with over a 64-slot
+  /** Token hashes for simhash — materialize as a column before
+    * [[simhash64FromHashes]] (same no-CSE rationale as [[winnowingHashes]]:
+    * referencing the hash inside the 64-slot vote lambda recomputes the
+    * string hash once PER BIT). */
+  def simhashTokenHashes(tokens: Column): Column =
+    transform(tokens, t => xxhash64Seeded(7L, t))
+
+  /** 64-bit SimHash from MATERIALIZED token hashes: per-bit +1/-1 votes,
+    * sign → bit. Single aggregate pass (zip_with over a 64-slot
     * accumulator), entirely built-in expressions. */
-  def simhash64(tokens: Column): Column = {
+  def simhash64FromHashes(hashes: Column): Column = {
     val bitIdx = sequence(lit(0), lit(63))
     aggregate(
-      tokens,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64Seeded(7L, t)
+      (acc, h) =>
         zip_with(acc, bitIdx, (a, i) =>
-          a + when(shiftRightC(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      },
+          a + when(shiftRightC(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
       acc => aggregate(
         zip_with(acc, bitIdx, (c, i) =>
           when(c > 0L, shiftLeftC(lit(1L), i)).otherwise(lit(0L))),
         lit(0L), (s, x) => s.bitwiseOR(x)))
   }
+
+  /** One-shot convenience for short inputs; for corpora materialize
+    * [[simhashTokenHashes]] first. */
+  def simhash64(tokens: Column): Column = simhash64FromHashes(simhashTokenHashes(tokens))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -21,10 +21,17 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "sich", "des", "auf", "ist", "im", "nicht"),
     "it" -> Seq("il", "di", "che", "la", "e", "un", "per", "in", "una", "sono", "con", "del", "non", "le", "si"))
 
-  /** Language ID: argmax of stopword-hit ratio over [[Stopwords]], with a
-    * CJK-codepoint override; ties break alphabetically (struct array_max). */
-  def langId(text: Column): Column = {
-    val toks = transform(wsTokens(lower(text)), t => regexp_replace(t, "[^\\p{L}]", ""))
+  /** Cleaned token array for [[langIdFromTokens]] — materialize as a column
+    * first on corpora (Catalyst does no CSE across expression trees, so the
+    * tokenize+clean pipeline would otherwise be recomputed once per language
+    * plus once for the length guard). */
+  def langTokens(text: Column): Column =
+    transform(wsTokens(lower(text)), t => regexp_replace(t, "[^\\p{L}]", ""))
+
+  /** Language ID from MATERIALIZED cleaned tokens: argmax of stopword-hit
+    * ratio over [[Stopwords]], with a CJK-codepoint override on the raw text;
+    * ties break alphabetically (struct array_max). */
+  def langIdFromTokens(toks: Column, text: Column): Column = {
     val nToks = greatest(size(toks), lit(1)).cast("double")
     val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
@@ -36,6 +43,10 @@ object TextAnalysis {
         when(array_max(array(scored: _*)).getField("score") === 0.0, lit("und"))
           .otherwise(array_max(array(scored: _*)).getField("lang")))
   }
+
+  /** One-shot convenience for short inputs; for corpora materialize
+    * [[langTokens]] first. */
+  def langId(text: Column): Column = langIdFromTokens(langTokens(text), text)
 
   /** Heuristic document-quality score in [0,1] — Gopher/C4-style cheap
     * filters folded into one number: word count band, mean word length band,
