@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -8,9 +8,17 @@ import graft.functions.CosineSimilarity
 
 /** Deduplication suite for LLM training-data pipelines (extension surface,
   * BASELINE.json north star). Five methods, all shaped for 100 TB:
-  * candidate generation is always a hash-bucket equi-join (shuffle on a
+  * candidate generation is always bucket-hashing (one groupBy shuffle on a
   * bucket key, never an O(n²) cross join); exact verification runs only on
   * candidate pairs.
+  *
+  * Session hygiene: every method materializes its staging index eagerly,
+  * computes the verified pairs, then RELEASES the staging blocks before
+  * returning — a long-lived session running many queries (Verify/Bench run
+  * 50+ on one SparkSession) must not accumulate staged indexes in the block
+  * manager (round-2 lesson: leaked checkpoints degraded later queries ~9×).
+  * The returned pairs frame stays materialized (it is small — verified
+  * near-dup pairs only) and composes freely downstream.
   */
 object Dedup {
 
@@ -21,16 +29,64 @@ object Dedup {
     df.groupBy(md5(col(text)).as("text_hash"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Expand each capped bucket's sorted id list into ordered candidate pairs
+    * IN PLACE (per-bucket pair-array explode) instead of the classic bucket
+    * self-join: the self-join shuffles the whole index twice and joins on the
+    * bucket key; this form is ONE groupBy shuffle followed by pure map-side
+    * expansion, output bounded by Σ min(|bucket|, cap)² under the skew cap.
+    * The list is sorted so pairs come out ordered (id_a < id_b) for free.
+    * `s` is projected to its own attribute first — Catalyst does no CSE, so
+    * referencing `array_sort(ids)` inside the lambda would re-sort per
+    * element. */
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .select(array_sort(col("ids")).as("s"))
+      .select(explode(flatten(transform(col("s"), (a, i) =>
+        transform(slice(col("s"), i + lit(2), size(col("s"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+  /** Oracle fixture hook: when `sink` is set, the candidate pairs are dumped
+    * to parquet and read BACK from the dump, so the exact candidate set the
+    * external oracle verifies is byte-identical to the one this pipeline
+    * continues with. */
+  private def sinkCandidates(cand: DataFrame, sink: Option[String]): DataFrame =
+    sink match {
+      case Some(path) =>
+        cand.coalesce(1).write.mode("overwrite").parquet(path)
+        cand.sparkSession.read.parquet(path)
+      case None => cand
+    }
+
+  /** Materialize `out`, then release the staging blocks backing it. */
+  private def eager(out: DataFrame, release: () => Unit): DataFrame = {
+    val p = out.persist()
+    p.count(): Unit
+    release()
+    p
+  }
+
   /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
     *
-    * shingle → k-minhash signature → `bands` band keys → explode → self-join
-    * on band key (the only shuffle that matters; cost ∝ Σ bucket²) → distinct
-    * pairs → verify exact Jaccard on the shingle sets of candidates only.
+    * shingle → k-minhash signature → `bands` band keys → bucket groupBy →
+    * in-place pair expansion (cost ∝ Σ min(bucket, cap)²) → verify exact
+    * Jaccard on the shingle sets of candidates only.
     *
-    * At 100 TB the band-bucket join co-partitions by (band, key); hot buckets
-    * (boilerplate shingles) are the skew risk — mitigated by dropping buckets
-    * larger than `maxBucket` (standard practice: such buckets are near-certain
-    * duplicates of templated content and are better handled by exact dedup).
+    * Hot buckets (boilerplate shingles) are the skew risk at 100 TB —
+    * mitigated by dropping buckets larger than `maxBucket` (standard
+    * practice: such buckets are near-certain duplicates of templated content
+    * and are better handled by exact dedup). Buckets above the cap never
+    * expand; the residual risk is the collect_list buffer of a mega-hot
+    * bucket before the size filter — at extreme skew pre-filter the index
+    * with a count aggregation first.
+    *
+    * @param indexPath when set, the signature index is persisted as a parquet
+    *   table and scanned back (FileScan) instead of living in the block
+    *   manager — the 100 TB mode: every production LSH pipeline materializes
+    *   signatures once and reuses them across runs.
+    * @param candidateSink oracle fixture: dump candidate pairs (pre-
+    *   verification) to this path; see [[sinkCandidates]].
     */
   def minhashLsh(
       df: DataFrame,
@@ -40,43 +96,45 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      indexPath: Option[String] = None,
+      candidateSink: Option[String] = None): DataFrame = {
 
+    val spark = df.sparkSession
     val rows = numHashes / bands
-    // the signature index is MATERIALIZED (localCheckpoint) before the
-    // self-join fan-out: the k-hash signature expression tree is enormous,
-    // and duplicating it across four join branches made Catalyst re-optimize
-    // and re-codegen it repeatedly (planning dominated execution ~50:1 —
-    // measured). At 100 TB persist this index to a table instead; every
-    // production LSH pipeline materializes signatures once.
-    val withSig = df.select(
+    // the signature index is MATERIALIZED before the bucket fan-out: the
+    // k-hash signature expression tree is enormous, and duplicating it across
+    // plan branches made Catalyst re-optimize and re-codegen it repeatedly
+    // (planning dominated execution ~50:1 — measured round 2)
+    val sig0 = df.select(
       col(id).as("doc_id"),
       array_distinct(wordShingles(col(text), shingleK)).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("band_keys", lshBandKeys(col("sig"), bands, rows))
-      .localCheckpoint(true)
+    val (withSig, release) = indexPath match {
+      case Some(p) =>
+        sig0.write.mode("overwrite").parquet(p)
+        (spark.read.parquet(p), () => ())
+      case None =>
+        val ps = sig0.persist()
+        ps.count(): Unit
+        (ps, () => { ps.unpersist(false): Unit })
+    }
 
-    // candidate pairs carry ONLY ids through the bucket join + dedup shuffle;
-    // shingle sets are joined back afterwards (shuffling the sets through the
-    // pair-dedup would move |pairs| × |set| data — the verify join moves
-    // |docs| × |set| instead, orders of magnitude less at scale)
+    // candidate pairs carry ONLY ids through expansion + dedup; shingle sets
+    // are joined back afterwards (shuffling the sets through the pair-dedup
+    // would move |pairs| × |set| data — the verify join moves |docs| × |set|
+    // instead, orders of magnitude less at scale)
     val buckets = withSig
       .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))))
-      .filter(col("__bsz") <= maxBucket) // skew guard: templated content floods a bucket
-      .drop("__bsz")
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
 
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val candidates = sinkCandidates(pairsFromBuckets(buckets), candidateSink)
 
     val sets = withSig.select(col("doc_id"), col("shingles"))
-    candidates
+    val out = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -84,32 +142,47 @@ object Dedup {
       .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    eager(out, release)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into `bands` segments —
     * any pair within hamming distance < `bands` shares at least one exact
-    * band (pigeonhole), so the bucket join finds all of them. */
+    * band (pigeonhole), so the bucket expansion finds all of them.
+    *
+    * @param candidateSink oracle fixture: dump candidates WITH both simhash
+    *   values (pre-hamming-filter), so the oracle re-derives the hamming
+    *   distance, the filter, and the marks independently. */
   def simhash(
       df: DataFrame,
       id: String,
       text: String,
       bands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      candidateSink: Option[String] = None): DataFrame = {
 
     // token hashes materialized first — inside simhash's per-bit vote lambda
     // the string hash would otherwise be recomputed once per bit (64×)
     val withHash = df.select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("toks"))
       .withColumn("th", simhashTokenHashes(col("toks")))
-      .withColumn("sh", simhash64FromHashes(col("th")))
-    val buckets = withHash.select(col("doc_id"), col("sh"),
-      explode(simhashBands(col("sh"), bands)).as("b"))
+      .select(col("doc_id"), simhash64FromHashes(col("th")).as("sh"))
+      .persist()
+    withHash.count(): Unit
 
-    val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b, col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+    val buckets = withHash
+      .select(col("doc_id"), explode(simhashBands(col("sh"), bands)).as("b"))
+      .groupBy(col("b")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+
+    val cand0 = pairsFromBuckets(buckets)
+      .join(withHash.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withHash.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+
+    val out = candidates
+      .select(col("id_a"), col("id_b"), hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    eager(out, () => { withHash.unpersist(false): Unit })
   }
 
   /** Character n-gram Jaccard near-dup pairs. Candidate generation via
@@ -124,27 +197,24 @@ object Dedup {
       sampleMod: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
 
-    // ids-only through the index join + dedup; gram sets joined back for
-    // verification, and the gram index materialized before the fan-out
+    // ids-only through the bucket expansion + dedup; gram sets joined back
+    // for verification, and the gram index materialized before the fan-out
     // (same two rationales as minhashLsh)
     val grams = df.select(col(id).as("doc_id"),
       array_distinct(charNgrams(lower(col(text)), n)).as("grams"))
-      .localCheckpoint(true)
-    val index = grams
+      .persist()
+    grams.count(): Unit
+
+    val buckets = grams
       .select(col("doc_id"), explode(col("grams")).as("g"))
       .withColumn("gh", xxhash64Seeded(17L, col("g")))
       .filter(pmod(col("gh"), lit(sampleMod.toLong)) === 0)
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
-      .filter(col("__bsz") <= maxBucket) // skew guard
-      .drop("__bsz")
+      .groupBy(col("gh")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // document-frequency cap / skew guard
 
-    val a = index.as("a"); val b = index.as("b")
-    val candidates = a.join(b, col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val candidates = pairsFromBuckets(buckets)
 
-    candidates
+    val out = candidates
       .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
       .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
@@ -152,26 +222,43 @@ object Dedup {
       .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    eager(out, () => { grams.unpersist(false): Unit })
   }
 
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine (native codegen [[CosineSimilarity]]) within buckets.
-    * Null/empty vectors carry no cosine signal and are dropped up front. */
+    * Null/empty vectors carry no cosine signal and are dropped up front.
+    *
+    * @param candidateSink oracle fixture: dump candidate id pairs (pre-cosine
+    *   filter); the oracle recomputes the cosine from the stored vectors. */
   def embeddingCosine(
       df: DataFrame,
       id: String,
       vec: String,
       threshold: Double = 0.95,
-      lshBits: Int = 12): DataFrame = {
+      lshBits: Int = 12,
+      maxBucket: Int = 1000,
+      candidateSink: Option[String] = None): DataFrame = {
 
     val keyed = df.filter(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("bucket", hyperplaneLshKey(col("v"), lshBits))
-    val a = keyed.as("a"); val b = keyed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        round(CosineSimilarity(col("a.v"), col("b.v")), 6).as("cosine"))
+      .persist()
+    keyed.count(): Unit
+
+    val buckets = keyed.select(col("vec_id").as("doc_id"), col("bucket"))
+      .groupBy(col("bucket")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+
+    val candidates = sinkCandidates(pairsFromBuckets(buckets), candidateSink)
+
+    val out = candidates
+      .join(keyed.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(keyed.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(CosineSimilarity(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
+    eager(out, () => { keyed.unpersist(false): Unit })
   }
 
   /** Collapse near-dup pairs to per-doc keep/drop marks: a doc is dropped if
@@ -202,7 +289,9 @@ object Dedup {
     * 100 TB. Rounds ∝ component diameter — dedup graphs are cliques and short
     * chains (diameter ≲ 3), where this beats star-contraction's constant
     * factors; for adversarial long-path graphs switch to large-star/small-star.
-    * `localCheckpoint` per round truncates the exponentially growing lineage.
+    * `localCheckpoint` per round truncates the exponentially growing lineage;
+    * each round RELEASES the previous round's checkpoint blocks (and the edge
+    * list at the end) so iteration leaves nothing behind in the block manager.
     *
     * @param pairs edge list with columns `id_a`, `id_b`
     * @return (node BIGINT, component BIGINT), component = min reachable node id
@@ -231,9 +320,11 @@ object Dedup {
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") < col("o.comp"))
         .isEmpty
+      GraftBridge.releaseCheckpoint(labels) // prior round no longer referenced
       labels = next
       round += 1
     }
+    GraftBridge.releaseCheckpoint(edges)
     labels.select(col("node"), col("comp").as("component"))
   }
 }

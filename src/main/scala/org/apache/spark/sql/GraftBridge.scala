@@ -10,4 +10,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` only covers `cache()`/`persist()`; a local checkpoint
+    * pins its materialized RDD until the session dies — in a long session
+    * running many queries (Verify/Bench run 50+) those blocks accumulate.
+    * Digs the checkpointed RDD out of the LogicalRDD leaf and unpersists it;
+    * a no-op for frames that are not checkpoint leaves. */
+  def releaseCheckpoint(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
+    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
+    case _ => ()
+  }
 }
