@@ -52,6 +52,16 @@ object QuerySuite {
     srcDir.toString
   }
 
+  /** Root for oracle side-tables. Queries whose candidate GENERATION is not
+    * ANSI-expressible (xxhash64 buckets, KMeans cells) dump their candidate
+    * pairs here; the oracle reads them back (`{AUX}` in the SQL — Verify
+    * substitutes the sf-specific subdir) and re-derives the VERIFICATION and
+    * the marks independently. Per-sf subdirs so a Bench run at another scale
+    * factor cannot clobber the tables the correctness oracle reads. */
+  val auxRoot = "/root/repo/target/oracle_aux"
+  private def aux(dir: String, name: String): String =
+    s"$auxRoot/${new java.io.File(dir).getName}/$name"
+
   /** Latest-per-key output projection shared by q01/q02/q10/q11. */
   private val latestCols = Seq("user_id", "event_id", "ts", "event_type", "value")
 
@@ -199,17 +209,24 @@ object QuerySuite {
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("text_hash")
     }),
 
-    // ---- dedup: MinHash+LSH → per-doc keep/drop marks ----
+    // ---- dedup: MinHash+LSH → per-doc keep/drop marks. The signature index
+    //      is a persisted parquet table (FileScan, the 100 TB mode) and the
+    //      candidate pairs are dumped for the oracle, which re-derives the
+    //      exact-Jaccard verification + marks independently ----
     "q13_dedup_minhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
+        indexPath = Some(aux(dir, "q13_sigindex")),
+        candidateSink = Some(aux(dir, "q13_candidates")))
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
-    // ---- dedup: SimHash ----
+    // ---- dedup: SimHash. Candidates (with both simhash values) dumped; the
+    //      oracle recomputes hamming, the radius filter and the marks ----
     "q14_dedup_simhash" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.simhash(docs, "doc_id", "text")
+      val pairs = Dedup.simhash(docs, "doc_id", "text",
+        candidateSink = Some(aux(dir, "q14_candidates")))
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
@@ -226,10 +243,12 @@ object QuerySuite {
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
-    // ---- dedup: embedding cosine near-dup ----
+    // ---- dedup: embedding cosine near-dup. Candidate id pairs dumped; the
+    //      oracle recomputes the cosine from the stored vectors + marks ----
     "q16_dedup_embedding" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val pairs = Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold = 0.9)
+      val pairs = Dedup.embeddingCosine(emb, "vec_id", "embedding", threshold = 0.9,
+        candidateSink = Some(aux(dir, "q16_candidates")))
       Dedup.marksFromPairs(emb, "vec_id", pairs)
         .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
     }),
@@ -840,6 +859,62 @@ object QuerySuite {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
 
+    // candidate generation (xxhash64 minhash bands) is not ANSI-expressible;
+    // the dumped candidate pairs are, and everything AFTER generation —
+    // word-5-shingling, exact Jaccard, threshold, marks — is re-derived here
+    // from scratch (same shingle rule as GraftFunctions.wordShingles)
+    "q13_dedup_minhash" ->
+      """WITH cand AS (
+        |  SELECT id_a, id_b FROM read_parquet('{AUX}/q13_candidates/*.parquet')
+        |), t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+        |  FROM t
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |          len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+        |)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE jaccard >= 0.5) dup
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // simhash values come from the dump (xxhash64-derived), but the hamming
+    // distance, the radius filter and the marks are re-derived
+    "q14_dedup_simhash" ->
+      """WITH cand AS (SELECT * FROM read_parquet('{AUX}/q14_candidates/*.parquet')),
+        |h AS (SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming FROM cand)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM h WHERE hamming <= 3) dup
+        |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // candidate ids from the dump; the cosine verification is recomputed
+    // from the STORED vectors (list_cosine_similarity bit-matches the native
+    // CosineSimilarity expression — established by q17), plus the marks
+    "q16_dedup_embedding" ->
+      """WITH cand AS (SELECT id_a, id_b FROM read_parquet('{AUX}/q16_candidates/*.parquet')),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+        |            JOIN embeddings b ON b.vec_id = cand.id_b)
+        |SELECT e.vec_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM embeddings e
+        |LEFT JOIN (SELECT DISTINCT id_b AS vec_id, true AS is_dup FROM c WHERE cosine >= 0.9) dup
+        |  USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
     "q15_dedup_ngram" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -962,6 +1037,16 @@ object QuerySuite {
         |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the synthetic duration is md5-derived (engine-portable), so the frame
+    // count is fully re-derivable: floor(duration/10s) + 1 frames per video
+    "q24_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':d'), 1, 8))::BIGINT % 600000 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT asset_id, CAST(duration_ms // 10000 + 1 AS BIGINT) AS n_frames
+        |FROM v ORDER BY asset_id""".stripMargin,
 
     "q29_window_lag" ->
       """SELECT event_id, user_id,

@@ -36,9 +36,13 @@ object Verify {
     } + "\""
     // written BEFORE the query loop: if an external timeout kills the dump
     // midway, the oracle file + partial results still yield a partial
-    // correctness score instead of zero
+    // correctness score instead of zero.
+    // {AUX} → the sf-specific oracle side-table dir (QuerySuite.aux): queries
+    // whose candidate generation is hash-based dump candidates there, and the
+    // oracle re-derives verification + marks from the dump.
+    val auxSub = s"${QuerySuite.auxRoot}/${new java.io.File(sfDir).getName}"
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxSub))}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Queries run CONCURRENTLY on the shared session (Spark schedules
     // concurrent jobs fine; FIFO within the pool): wall time ≈ the few heavy

@@ -179,18 +179,30 @@ object GraftFunctions {
 
   /** Random-hyperplane LSH signature for cosine similarity: `bits` sign bits
     * of dot products with deterministic pseudo-random hyperplanes (hash-derived,
-    * seed-stable across executors — no RNG state to ship). The hyperplane
-    * component is derived per element INDEX, so vectors of any length get a
-    * bucket (a fixed-dim sequence would zip nulls into short vectors and
-    * poison the dot product). Null/empty vectors are the caller's problem —
-    * filter them before bucketing. */
-  def hyperplaneLshKey(vec: Column, bits: Int, seedBase: Long = 100L): Column = {
-    val idx = sequence(lit(0), greatest(size(vec), lit(1)) - 1)
+    * seed-stable across executors — no RNG state to ship).
+    *
+    * The hyperplane matrix (`bits × maxDim` doubles) is precomputed ONCE on
+    * the driver and embedded as array literals — component j is the same
+    * centered hash in [-0.5, 0.5) as the per-row form round 2 shipped, but
+    * evaluated `bits × maxDim` times total instead of per row × bit × element
+    * (measured at sf0.1: the per-row hashing dwarfed the dot products ~4:1).
+    * Bucket values are bit-identical to the old form for vectors up to
+    * `maxDim`; longer vectors are truncated to the first `maxDim` components
+    * (sign bits from 1024 coordinates are already far past diminishing
+    * returns for bucketing). Vectors SHORTER than maxDim contribute only
+    * their own elements: zip_with pads the short side with nulls and the
+    * lambda maps a null product to 0. Null/empty vectors are the caller's
+    * problem — filter them before bucketing. */
+  def hyperplaneLshKey(vec: Column, bits: Int, seedBase: Long = 100L, maxDim: Int = 1024): Column = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.IntegerType
     (0 until bits).map { b =>
-      // hyperplane component j = centered hash in [-0.5, 0.5)
+      val plane: Seq[Double] = (0 until maxDim).map { j =>
+        val h = XxHash64Function.hash(j, IntegerType, seedBase + b)
+        (((h % 1000003L) + 1000003L) % 1000003L).toDouble / 1000003.0 - 0.5
+      }
       val dot = aggregate(
-        zip_with(vec, idx, (x, j) =>
-          x.cast("double") * (pmod(xxhash64Seeded(seedBase + b, j), lit(1000003L)).cast("double") / 1000003.0 - 0.5)),
+        zip_with(vec, typedlit(plane), (x, h) => coalesce(x.cast("double") * h, lit(0.0))),
         lit(0.0), (s, v) => s + v)
       when(dot >= 0.0, shiftLeftC(lit(1L), lit(b))).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))

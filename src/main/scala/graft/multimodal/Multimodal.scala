@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,8 +31,14 @@ object Multimodal {
       StructField("duration_ms", LongType))), nullable = true)))
 
   /** Build a synthetic asset table from any keyed table (payload = utf8 bytes
-    * of a text column) — test fixture for the decode plumbing. */
-  def syntheticAssets(df: DataFrame, id: String, payload: String): DataFrame =
+    * of a text column) — test fixture for the decode plumbing. The synthetic
+    * meta is md5-derived (first 8 hex chars → int, the [[graft.functions
+    * .GraftFunctions.hashSplitBucket]] pattern) rather than xxhash64 so ANY
+    * engine — the DuckDB oracle included — can re-derive it exactly. */
+  def syntheticAssets(df: DataFrame, id: String, payload: String): DataFrame = {
+    def metaHash(salt: String, m: Long): Column =
+      conv(substring(md5(concat(col(id).cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+        .cast(LongType) % m
     df.select(
       col(id).cast(LongType).as("asset_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -40,9 +46,10 @@ object Multimodal {
       encode(col(payload), "UTF-8").as("bytes"),
       struct(
         lit("application/octet-stream").as("mime"),
-        (pmod(xxhash64(col(id)), lit(1024L)) + 1).cast(IntegerType).as("width"),
-        (pmod(xxhash64(col(id), lit(1)), lit(1024L)) + 1).cast(IntegerType).as("height"),
-        pmod(xxhash64(col(id), lit(2)), lit(600000L)).as("duration_ms")).as("meta"))
+        (metaHash("w", 1024L) + 1).cast(IntegerType).as("width"),
+        (metaHash("h", 1024L) + 1).cast(IntegerType).as("height"),
+        metaHash("d", 600000L).as("duration_ms")).as("meta"))
+  }
 
   /** STUB decoder: deterministic pseudo-features from the payload bytes.
     * Stands in for e.g. a JPEG decode + CNN embed. */
