@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: execution memory is
+  // (heap - 300M) * 0.6 split across them, so an 8g heap gave each task
+  // ~140M and heavy array queries hit TaskMemoryManager page-allocation
+  // failures + GC thrash under the full suite (round-2 recorded bench).
+  // The box has 128 GiB; give the single-JVM "cluster" a realistic share.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -44,8 +44,14 @@ object Bench {
     // noop sink, not count(): count() lets Catalyst prune unused projections,
     // so map-only queries (text stats, lang-id, decode) would measure an
     // empty scan; noop evaluates every output column and writes nothing
+    // debugging lever: SPARK_GRAFT_BENCH_ONLY="q13,q15" restricts the suite
+    // (comma-separated names) — used to bisect in-suite interference
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     var results = Seq.empty[(String, Double)]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }

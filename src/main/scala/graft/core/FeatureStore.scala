@@ -59,6 +59,7 @@ final class FeatureStore(spark: SparkSession, root: String) {
     if (Files.exists(dir)) {
       Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
     }
+    servingCache.remove(name): Unit
   }
 
   // ---- ingest (reference: update_feature_store.py — per-row put_record; ours is set-oriented) ----
@@ -114,6 +115,7 @@ final class FeatureStore(spark: SparkSession, root: String) {
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, onlineDir(g.name).resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    servingCache.remove(g.name): Unit // next getRecord rebuilds from v<next>
   }
 
   private def currentVersion(name: String): Option[Long] = {
@@ -139,14 +141,45 @@ final class FeatureStore(spark: SparkSession, root: String) {
         .drop(EngineColumns.IngestDate)
     }
 
+  /** Serving-path cache (SURVEY.md §3.3): the reference's `get_record` is a
+    * millisecond KV hit (real_time_inference.py:16-19); launching a Spark job
+    * per point lookup is the wrong cost model for that path. The online
+    * snapshot is one row per entity key — the working set the reference holds
+    * in DynamoDB — so the single-node analogue is a driver map, built ONCE
+    * per snapshot version and invalidated when [[refreshOnline]] flips the
+    * LATEST pointer. At cluster scale this becomes an external KV store fed
+    * by the same snapshot; the version-keyed invalidation carries over.
+    * Keys are string-normalized so a caller's Int key hits a stored Long. */
+  private val servingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, Row])]()
+
+  private def servingSnapshot(name: String): Option[Map[String, Row]] =
+    currentVersion(name).map { v =>
+      val cached = servingCache.get(name)
+      if (cached != null && cached._1 == v) cached._2
+      else {
+        val g = describeGroup(name)
+        val keyed = spark.read.parquet(onlineDir(name).resolve(s"v$v").toString)
+          .collect().map(r => String.valueOf(r.get(r.fieldIndex(g.keyCol))) -> r).toMap
+        servingCache.put(name, (v, keyed))
+        keyed
+      }
+    }
+
   /** Point lookup, stringly-typed API shim matching the reference's wire
     * format (`ValueAsString`, update_feature_store.py:65-73): returns
     * feature-name → string-value, None when the key is absent
     * (real_time_inference.py:20-22). Event time formatted ISO-8601 Zulu
-    * (update_feature_store.py:36). */
+    * (update_feature_store.py:36). Serves from the driver-side snapshot
+    * cache — NO Spark job per lookup (asserted by FeatureStoreSpec); the
+    * job-per-lookup path only remains as the fallback when no online
+    * snapshot has been materialized yet. */
   def getRecord(groupName: String, key: Any): Option[Map[String, String]] = {
     val g = describeGroup(groupName)
-    val row = online(groupName).filter(col(g.keyCol) === lit(key)).collect().headOption
+    val row = servingSnapshot(groupName) match {
+      case Some(m) => m.get(String.valueOf(key))
+      case None => online(groupName).filter(col(g.keyCol) === lit(key)).collect().headOption
+    }
     row.map { r =>
       g.features.map { f =>
         val v = r.get(r.fieldIndex(f.name)) match {

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery,
+  Trigger}
 
 import graft.core.{FeatureGroup, FeatureStore}
 
@@ -58,6 +59,46 @@ object StreamingLatest {
           val best = (state.getOption.toSeq ++ incoming.toSeq).reduce(max)
           state.update(best)
           best
+      }
+  }
+
+  /** [[latestPerKey]] with WATERMARK-DRIVEN state expiry — the unbounded-key
+    * form (SURVEY.md §2.8 extension): `NoTimeout` state grows with the key
+    * space forever, which a long-lived 100 TB ingest cannot afford. A key
+    * whose latest event is older than `ttl` behind the event-time watermark
+    * is evicted from the state store (and simply re-enters cold if it ever
+    * produces again — latest-per-key state is self-rebuilding, so eviction
+    * is safe for serving, it only widens the re-warm window).
+    *
+    * @param watermarkDelay max expected event-time disorder (watermark lag)
+    * @param ttl            how long a quiet key's state is retained past the
+    *                       watermark before eviction
+    */
+  def latestPerKeyWithTTL(
+      events: Dataset[KeyedEvent],
+      watermarkDelay: String,
+      ttl: String): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[KeyedEvent, KeyedEvent](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[KeyedEvent], state: GroupState[KeyedEvent]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.reduceOption(max)
+            val best = (state.getOption.toSeq ++ incoming.toSeq).reduce(max)
+            state.update(best)
+            // evict once the key has been quiet for `ttl` of event time; the
+            // timeout base must sit above the current watermark (engine
+            // requirement), which for a late-arriving best can be older
+            val base = math.max(best.ts.getTime, state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(base, ttl)
+            Iterator.single(best)
+          }
       }
   }
 

@@ -174,6 +174,35 @@ class FeatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("getRecord serves from the driver cache: zero Spark jobs after warm-up; ingest invalidates") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 10:00:00", 10.0, "a"),
+      (2L, "2024-01-01 11:00:00", 20.0, "b")))
+    fs.getRecord("tx", 1L) // warm-up: builds the snapshot cache (one read job)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(fs.getRecord("tx", 2L).get("amount") == "20.0")
+      assert(fs.getRecord("tx", 2).get("amount") == "20.0",
+        "Int key must hit the stored Long key (string-normalized)")
+      assert(fs.getRecord("tx", "2").get("amount") == "20.0")
+      assert(fs.getRecord("tx", 999L).isEmpty)
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      assert(jobs.get() == 0, "cached point lookups must not launch Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // a new ingest flips the snapshot version → cache invalidated, new value visible
+    fs.ingest("tx", batch((2L, "2024-02-01 11:00:00", 99.0, "newer")))
+    assert(fs.getRecord("tx", 2L).get("amount") == "99.0")
+  }
+
   test("dropGroup removes everything; groupExists reflects it") {
     val fs = newStore()
     fs.createGroup(group)

@@ -54,4 +54,40 @@ class StreamingSpec extends SparkSpec {
 
     assert(got == expected)
   }
+
+  test("TTL variant evicts quiet keys once the watermark passes their ttl") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(user: Long, tsStr: String, id: Long) =
+      KeyedEvent(user, java.sql.Timestamp.valueOf(tsStr), id, "e", 1.0)
+
+    val source = MemoryStream[KeyedEvent]
+    val q = StreamingLatest.latestPerKeyWithTTL(source.toDS(),
+        watermarkDelay = "10 seconds", ttl = "1 hour")
+      .writeStream.format("memory").queryName("latest_ttl_out")
+      .outputMode("update")
+      .start()
+    try {
+      def stateRows: Long = {
+        val p = q.recentProgress.reverse.find(_.stateOperators.nonEmpty).get
+        p.stateOperators(0).numRowsTotal
+      }
+      // batch 1: two keys enter state
+      source.addData(ev(1L, "2024-01-01 10:00:00", 1), ev(2L, "2024-01-01 10:00:00", 2))
+      q.processAllAvailable()
+      assert(stateRows == 2)
+      // batch 2 advances the watermark to ~12:59:50 — past key 1's
+      // 10:00 + 1h timeout; batch 3 fires the timeout and evicts key 1
+      source.addData(ev(2L, "2024-01-01 13:00:00", 3))
+      q.processAllAvailable()
+      source.addData(ev(2L, "2024-01-01 13:00:30", 4))
+      q.processAllAvailable()
+      assert(stateRows == 1, "quiet key 1 must be evicted, active key 2 retained")
+      // the active key's latest value is still correct after the eviction pass
+      val out = LatestPerKey.viaMaxBy(spark.table("latest_ttl_out"), Seq("user_id"), "ts", Seq("event_id"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+      assert(out(2L) == 4L)
+    } finally q.stop()
+  }
 }
