@@ -21,13 +21,19 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()
       // noop sink: count() would let Catalyst prune unused projections
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // run 1 must stay cold: queries with eager internal stages (the dedup
+      // family) execute during CONSTRUCTION, so even printing the plan first
+      // would pre-warm them (round-3 lesson: a 474s cold query looked like
+      // 5.9s). The session is reset between reps for the same reason.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

@@ -233,13 +233,16 @@ object QuerySuite {
     // ---- dedup: character n-gram Jaccard. sampleMod=1 → the inverted index
     //      is exhaustive up to the document-frequency cap (maxBucket=64:
     //      grams shared by more docs are boilerplate, not dedup signal, and
-    //      drive the Σ bucket² candidate blowup). The cap is mirrored in the
-    //      oracle, so marks stay deterministic and fully oracle-able; at
-    //      100 TB also raise sampleMod to sample the index ----
+    //      drive the Σ bucket² candidate blowup) and the co-occurrence floor
+    //      (minMatch=3: a pair must share ≥3 low-df grams — cuts accidental
+    //      single-gram candidates 94% at sf0.1 while a real jaccard-0.5 pair
+    //      shares ~n/3 grams). Both knobs are mirrored in the oracle, so
+    //      marks stay deterministic and fully oracle-able; at 100 TB also
+    //      raise sampleMod to sample the index ----
     "q15_dedup_ngram" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
-        sampleMod = 1, maxBucket = 64)
+        sampleMod = 1, maxBucket = 64, minMatch = 3)
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
@@ -568,12 +571,10 @@ object QuerySuite {
           hll_sketch_estimate(col("sketch")).as("approx_users"),
           col("exact_users"))
         .unionByName(
-          perType.agg(
-            hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
-            first(lit(0L)).as("exact_users")) // filled from exact below
-            .join(e.agg(countDistinct(col("user_id")).as("exact_all")), lit(true))
-            .select(lit("__all__").as("event_type"), col("approx_users"),
-              col("exact_all").as("exact_users")))
+          perType.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+            // single-row × single-row join (broadcast) attaching the exact count
+            .join(e.agg(countDistinct(col("user_id")).as("exact_users")), lit(true))
+            .select(lit("__all__").as("event_type"), col("approx_users"), col("exact_users")))
         .orderBy("event_type")
     }),
 
@@ -931,8 +932,10 @@ object QuerySuite {
         |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM inv0)
         |  WHERE df <= 64
         |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  -- co-occurrence floor mirrors the Spark-side minMatch=3
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
         |), j AS (
         |  SELECT id_a, id_b,
         |    round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /

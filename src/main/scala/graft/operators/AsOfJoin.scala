@@ -97,6 +97,113 @@ object AsOfJoin {
       .select(leftCols ++ asofCols: _*)
   }
 
+  /** [[backward]] with (key, coarse time-bucket) pre-partitioning — the
+    * hot-key form. The plain union-then-window concentrates each key on one
+    * task; a pathological key (one user producing 1% of 100 TB) becomes a
+    * straggler that AQE cannot split, because skew handling does not split
+    * windows. Here the window runs per (key, bucket), so a hot key's
+    * timeline is processed by as many tasks as it spans buckets.
+    *
+    * The boundary stitch: a left row early in bucket B may need a right row
+    * from an earlier bucket. Right rows are first reduced to one argmax row
+    * per (key, bucket) — `max_by` over (time, tiebreak), one small shuffle —
+    * and a per-key running window over those PER-BUCKET AGGREGATES (rows ∝
+    * active buckets, not events — this window is what stays tiny for hot
+    * keys) computes each bucket's carry-in: the latest right row from any
+    * strictly earlier bucket. The carry-in is injected into each bucket as
+    * one extra right row; within-bucket ordering then resolves exactly as in
+    * [[backward]] (carry time < bucket start ≤ in-bucket times, so the carry
+    * only wins when the bucket has no earlier in-bucket right row).
+    *
+    * Cost: two extra small shuffles vs [[backward]] — worth it only when a
+    * key's per-partition row count is the bottleneck. Equivalence with
+    * [[backward]] is property-tested (AsOfJoinSpec).
+    *
+    * @param bucketSeconds coarse bucket width; pick so a hot key's densest
+    *                      bucket fits a task comfortably (e.g. 1 day)
+    */
+  def backwardBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightTiebreak: String,
+      rightValueCols: Seq[String],
+      asofPrefix: String = "asof_",
+      tolerance: Option[String] = None,
+      bucketSeconds: Long = 86400L): DataFrame = {
+
+    val rightPayloadCols = (rightValueCols :+ rightTime).distinct
+    val rightStruct = StructType(rightPayloadCols.map(c => right.schema(c)))
+    val tbType = right.schema(rightTiebreak).dataType
+    def bucketOf(t: org.apache.spark.sql.Column) =
+      floor(unix_micros(t) / lit(bucketSeconds * 1000000L)).as("__b")
+
+    val l = left.select(
+      col(leftKey).cast(right.schema(rightKey).dataType).as("__key"),
+      col(leftTime).as("__t"),
+      bucketOf(col(leftTime)),
+      lit(1).as("__side"),
+      lit(null).cast(tbType).as("__tb"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rightStruct).as("__r"))
+
+    val r = right.select(
+      col(rightKey).as("__key"),
+      col(rightTime).as("__t"),
+      bucketOf(col(rightTime)),
+      lit(0).as("__side"),
+      col(rightTiebreak).as("__tb"),
+      lit(null).cast(StructType(left.schema.fields)).as("__l"),
+      struct(rightPayloadCols.map(col): _*).as("__r"))
+
+    // one argmax right row per (key, bucket) — map-side combining shuffle
+    val perBucket = r.groupBy(col("__key"), col("__b"))
+      .agg(max_by(struct(col("__t"), col("__tb"), col("__r")), struct(col("__t"), col("__tb")))
+        .as("__best"))
+
+    // per-key running carry over bucket aggregates: latest right row from any
+    // STRICTLY earlier bucket, for every bucket either side touches
+    val allBuckets = l.select(col("__key"), col("__b"))
+      .unionByName(r.select(col("__key"), col("__b"))).distinct()
+    val carryW = Window.partitionBy("__key").orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = allBuckets
+      .join(perBucket, Seq("__key", "__b"), "left")
+      .withColumn("__carry", last(col("__best"), ignoreNulls = true).over(carryW))
+      .filter(col("__carry").isNotNull)
+      .select(
+        col("__key"), col("__b"),
+        col("__carry.__t").as("__t"),
+        lit(0).as("__side"),
+        col("__carry.__tb").as("__tb"),
+        lit(null).cast(StructType(left.schema.fields)).as("__l"),
+        col("__carry.__r").as("__r"))
+
+    // within-bucket resolution — identical ordering semantics to [[backward]]
+    val w = Window
+      .partitionBy("__key", "__b")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val leftCols = left.columns.map(c => col(s"__l.`$c`").as(c))
+    val asofStruct = tolerance match {
+      case None => col("__asof")
+      case Some(t) => when(
+        col(s"__asof.`$rightTime`") >= col("__t") - expr(s"INTERVAL $t"),
+        col("__asof"))
+    }
+    val asofCols = rightPayloadCols.map(c => col(s"__asof_t.`$c`").as(asofPrefix + c))
+
+    l.unionByName(r).unionByName(carries)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__asof_t", asofStruct)
+      .filter(col("__side") === 1)
+      .select(leftCols ++ asofCols: _*)
+  }
+
   /** Forward (>=) as-of join: attach the EARLIEST right row at or after each
     * left row ("next event after"). Same single-shuffle union-then-window
     * shape as [[backward]], with time order reversed; ties on t_right break

@@ -71,6 +71,38 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketed form == plain form across widths, hot keys and tolerance") {
+    import spark.implicits._
+    val rng = new Random(9012)
+    // hot key 0 gets ~10× the rows of the others; timestamps span several
+    // buckets at the small widths so the boundary stitch is exercised
+    for ((bucketSeconds, round) <- Seq(2L, 5L, 3600L, 86400L).zipWithIndex) {
+      val lefts = Seq.tabulate(120) { i =>
+        val key = if (i % 2 == 0) 0L else rng.nextInt(5).toLong
+        L(i.toLong, key, new java.sql.Timestamp(1700000000000L + rng.nextInt(30) * 1000L))
+      }
+      val rights = Seq.tabulate(120) { i =>
+        val key = if (i % 2 == 0) 0L else rng.nextInt(5).toLong
+        R(i.toLong, key, new java.sql.Timestamp(1700000000000L + rng.nextInt(30) * 1000L),
+          rng.nextInt(100) / 4.0)
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("lid", "asof_rid", "asof_v", "asof_t").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            Option(r.get(3)).map(_.toString))).toSet
+      for (tol <- Seq(None, Some("10 SECONDS"))) {
+        val plain = canon(AsOfJoin.backward(lefts.toDF(), rights.toDF(),
+          "key", "key", "t", "t", "rid", Seq("rid", "v"), tolerance = tol))
+        val bucketed = canon(AsOfJoin.backwardBucketed(lefts.toDF(), rights.toDF(),
+          "key", "key", "t", "t", "rid", Seq("rid", "v"), tolerance = tol,
+          bucketSeconds = bucketSeconds))
+        assert(bucketed == plain,
+          s"bucketed(width=${bucketSeconds}s, tol=$tol) diverges in round $round")
+      }
+    }
+  }
+
   test("tolerance nulls out matches staler than the window") {
     import spark.implicits._
     val l = Seq(
