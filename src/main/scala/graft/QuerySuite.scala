@@ -331,7 +331,10 @@ object QuerySuite {
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
+      // training input repartitioned: lineitem ships as one unsplittable row
+      // group, and tree building parallelizes over input partitions
       val li = Tables.lineitem(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .repartition(s.sparkContext.defaultParallelism)
       val r = FeatureML.trainRegressor(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
       Seq((r.nTrain, r.nTest, r.mse)).toDF("n_train", "n_test", "mse")
     }),

@@ -44,6 +44,16 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+  /** documents/embeddings feed per-row CPU-BOUND work (shingling, hashing,
+    * lang-id, cosine scoring), and the corpus ships each as ONE parquet file
+    * with ONE row group — unsplittable, so without intervention every text/
+    * vector pipeline runs its scan+map phase on a single core. The explicit
+    * round-robin repartition costs one tiny shuffle (the tables are MBs) and
+    * spreads the expensive map work across the executor. At production scale
+    * the store has many files/row groups and the scan parallelizes by
+    * itself — this is corpus-loader tuning, not an operator requirement. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
 }
