@@ -266,11 +266,13 @@ object QuerySuite {
 
     // ---- ANN: IVF (KMeans coarse quantizer, nProbe cells). Full-corpus fit
     //      here (500–50k vectors); at scale pass fitSampleFraction < 1 so the
-    //      quantizer trains on a sample while assignment stays one full pass ----
+    //      quantizer trains on a sample while assignment stays one full pass.
+    //      Probe candidates dumped; the oracle re-scores and re-ranks them ----
     "q18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, excludeSelf = true)
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, excludeSelf = true,
+          candidateSink = Some(aux(dir, "q18_candidates")))
         .orderBy("query_id", "nbr_rank")
     }),
 
@@ -301,14 +303,19 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
-    // ---- text: document fingerprinting (rolling-hash winnowing + doc hash).
-    //      hash array materialized as a column first — see winnowingHashes ----
+    // ---- text: document fingerprinting (winnowing + whole-doc hash), in the
+    //      ENGINE-PORTABLE md5-derived form so the fingerprints are auditable
+    //      across systems and the query fully oracle-able (the xxhash64 forms
+    //      winnowingHashes/docFingerprint remain the cheap Spark-only path,
+    //      spec-covered). Hash array materialized first — no-CSE ----
     "q22_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
-        .withColumn("__hs", GraftFunctions.winnowingHashes(col("text"), n = 8))
+        .withColumn("__lt", lower(col("text")))
+        .withColumn("__toks", GraftFunctions.wsTokens(col("__lt")))
+        .withColumn("__hs", GraftFunctions.winnowingHashesPortable(col("__lt"), n = 8))
         .select(
           col("doc_id"),
-          GraftFunctions.docFingerprint(GraftFunctions.wsTokens(lower(col("text")))).as("doc_hash"),
+          md5(concat_ws(" ", col("__toks"))).as("doc_hash"),
           size(GraftFunctions.winnowingFromHashes(col("__hs"), w = 4)).cast("long").as("n_winnow"))
         .orderBy("doc_id")
     }),
@@ -607,12 +614,14 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
-    // ---- ANN: LSH-bucketed top-k (training-free scale path; recall
-    //      asserted vs brute force in SimilaritySpec — rows-only here) ----
+    // ---- ANN: LSH-bucketed top-k (training-free scale path; recall asserted
+    //      vs brute force in SimilaritySpec). Bucket-collision candidates
+    //      dumped; the oracle re-scores and re-ranks them exactly ----
     "q47_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, bits = 8, tables = 4, excludeSelf = true)
+          "vec_id", "embedding", k = 5, bits = 8, tables = 4, excludeSelf = true,
+          candidateSink = Some(aux(dir, "q47_candidates")))
         .orderBy("query_id", "nbr_rank")
     }),
 
@@ -963,6 +972,63 @@ object QuerySuite {
         |  FROM q JOIN c ON query_id <> nbr_id)
         |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
         |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // candidate generation (KMeans cells / hyperplane buckets) is engine-
+    // specific; given the dumped candidate pairs, the cosine scoring and the
+    // (cosine DESC, nbr_id) ranking are re-derived exactly (list_cosine_
+    // similarity bit-matches the native expression — q17)
+    "q18_ann_ivf" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q18_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    "q47_ann_lsh" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q47_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // md5-derived winnowing: the full fingerprint selection (8-gram 60-bit
+    // hashes, window-4 minima, distinct count) re-derived from scratch
+    "q22_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS lt FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lt,
+        |    CASE WHEN length(trim(lt)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lt), '\s+') END AS toks
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(
+        |      CASE WHEN length(lt) <= 8 THEN [lt]
+        |           ELSE list_transform(range(length(lt) - 7), i -> substr(lt, CAST(i + 1 AS INTEGER), 8)) END,
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+        |  FROM tok
+        |), w AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+        |         ELSE list_transform(range(len(hs) - 3), j -> list_min(hs[j+1:j+4])) END AS mins
+        |  FROM g
+        |)
+        |SELECT doc_id, md5(array_to_string(toks, ' ')) AS doc_hash,
+        |  CAST(len(list_distinct(mins)) AS BIGINT) AS n_winnow
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q19_text_stats" ->
       """SELECT doc_id,

@@ -178,6 +178,17 @@ object GraftFunctions {
   def winnowingFingerprint(text: Column, n: Int, w: Int): Column =
     winnowingFromHashes(winnowingHashes(text, n), w)
 
+  /** ENGINE-PORTABLE variant of [[winnowingHashes]]: 60-bit ints from the
+    * first 15 hex chars of md5 (same idea as [[hashSplitBucket]]) instead of
+    * xxhash64, so any engine — the DuckDB oracle included — re-derives the
+    * exact same fingerprint. Portability is what makes a corpus fingerprint
+    * auditable across systems; xxhash64 stays the cheap default when the
+    * fingerprint never leaves Spark. Materialize before
+    * [[winnowingFromHashes]] (same no-CSE rationale). */
+  def winnowingHashesPortable(text: Column, n: Int): Column =
+    transform(charNgrams(text, n),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+
   /** Order-sensitive whole-document fingerprint: left-fold hash chaining
     * (ANSI-safe: xxhash64 of (acc, token-hash) instead of overflow arithmetic). */
   def docFingerprint(tokens: Column): Column =

@@ -33,6 +33,36 @@ import graft.functions.CosineSimilarity
   */
 object Similarity {
 
+  /** Oracle fixture hook (same pattern as `Dedup.sinkCandidates`): dump the
+    * candidate id pairs and read them BACK, so the set the external oracle
+    * re-scores is byte-identical to the one this pipeline ranks. */
+  private def sinkCandidates(cand: DataFrame, sink: Option[String]): DataFrame =
+    sink match {
+      case Some(path) =>
+        cand.coalesce(1).write.mode("overwrite").parquet(path)
+        cand.sparkSession.read.parquet(path)
+      case None => cand
+    }
+
+  /** Shared rerank tail: join the vectors back onto ids-only candidate pairs
+    * (candidates never shuffle vectors through dedup — the verify/rerank join
+    * moves |candidates| rows of ids plus one vector fetch per side), score
+    * with the native codegen [[CosineSimilarity]], rank, cut at k. */
+  private def rankCandidates(
+      candidates: DataFrame,
+      corpusVecs: DataFrame, // (nbr_id, cv)
+      queryVecs: DataFrame,  // (query_id, qv)
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    candidates
+      .join(corpusVecs, Seq("nbr_id"))
+      .join(broadcast(queryVecs), Seq("query_id"))
+      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
+      .withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+  }
+
   /** Exact top-k neighbors per query. `queries` must be small (broadcast). */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -72,7 +102,8 @@ object Similarity {
       seed: Long = 42L,
       excludeSelf: Boolean = false,
       fitSampleFraction: Double = 1.0,
-      fitMaxIter: Int = 20): DataFrame = {
+      fitMaxIter: Int = 20,
+      candidateSink: Option[String] = None): DataFrame = {
 
     val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
       .withColumn("features", array_to_vector(col("cv").cast("array<double>")))
@@ -80,7 +111,7 @@ object Similarity {
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(fitMaxIter)
       .setFeaturesCol("features")
     val model = km.fit(fitSet)
-    val assigned = model.transform(c).select(col("nbr_id"), col("cv"), col("prediction").as("cell"))
+    val assigned = model.transform(c).select(col("nbr_id"), col("prediction").as("cell"))
 
     // tiny centroid table — runs on the driver, broadcast into the probe join
     val spark = corpus.sparkSession
@@ -94,16 +125,14 @@ object Similarity {
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
       .filter(col("crank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+      .select(col("query_id"), col("cell"))
 
     val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val cand0 = assigned.join(broadcast(probes), Seq("cell"))
       .filter(cond)
-      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
-    scored.withColumn("nbr_rank", row_number().over(w).cast("long"))
-      .filter(col("nbr_rank") <= k)
-      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+      .select(col("query_id"), col("nbr_id")) // a corpus vector lives in ONE cell → pairs unique
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, c.select(col("nbr_id"), col("cv")), q, k)
   }
 
   /** LSH-bucketed approximate top-k — the training-free scale path (no
@@ -122,27 +151,27 @@ object Similarity {
       k: Int,
       bits: Int = 8,
       tables: Int = 4,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      candidateSink: Option[String] = None): DataFrame = {
 
     import graft.functions.GraftFunctions.hyperplaneLshKey
     val c = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
 
-    val candidates = (0 until tables).map { t =>
-      val seed = 1000L * (t + 1)
-      val cb = c.withColumn("b", hyperplaneLshKey(col("cv"), bits, seed))
-      val qb = q.withColumn("b", hyperplaneLshKey(col("qv"), bits, seed))
-      cb.join(broadcast(qb), Seq("b")).drop("b")
-    }.reduce(_ unionByName _)
+    // ALL tables' bucket keys in one pass per side (round 2 re-scanned the
+    // corpus once per table), exploded to (table, bucket) and equi-joined;
+    // ids-only through the union + dedup, vectors joined back once for
+    // scoring (rankCandidates)
+    def keyed(df: DataFrame, vcol: String, idc: String) = df.select(col(idc),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneLshKey(col(vcol), bits, 1000L * (t + 1))): _*)).as(Seq("t", "b")))
+    val cand0 = keyed(c, "cv", "nbr_id")
+      .join(broadcast(keyed(q, "qv", "query_id")), Seq("t", "b"))
       .filter(cond)
+      .select(col("query_id"), col("nbr_id"))
       .dropDuplicates("query_id", "nbr_id")
-
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
-    candidates
-      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
-      .withColumn("nbr_rank", row_number().over(w).cast("long"))
-      .filter(col("nbr_rank") <= k)
-      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, c, q, k)
   }
 }
