@@ -44,16 +44,20 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  /** documents/embeddings feed per-row CPU-BOUND work (shingling, hashing,
-    * lang-id, cosine scoring), and the corpus ships each as ONE parquet file
-    * with ONE row group — unsplittable, so without intervention every text/
-    * vector pipeline runs its scan+map phase on a single core. The explicit
-    * round-robin repartition costs one tiny shuffle (the tables are MBs) and
-    * spreads the expensive map work across the executor. At production scale
-    * the store has many files/row groups and the scan parallelizes by
-    * itself — this is corpus-loader tuning, not an operator requirement. */
+  /** documents feeds per-row CPU-BOUND work (shingling, hashing, lang-id,
+    * winnowing), and the corpus ships it as ONE parquet file with ONE row
+    * group — unsplittable, so without intervention every text pipeline runs
+    * its scan+map phase on a single core. The explicit round-robin
+    * repartition costs one tiny shuffle (the table is MBs) and spreads the
+    * expensive map work across the executor. At production scale the store
+    * has many files/row groups and the scan parallelizes by itself — this is
+    * corpus-loader tuning, not an operator requirement.
+    *
+    * embeddings deliberately stays un-repartitioned: its per-row work is a
+    * 64-dim dot product (trivial), while KMeans/IVF training pays per-task
+    * overhead × iterations — fanning 2000 rows across 32 partitions made
+    * the quantizer fit 3× slower (measured). */
   def documents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
