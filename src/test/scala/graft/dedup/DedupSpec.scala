@@ -52,6 +52,41 @@ class DedupSpec extends SparkSpec {
     assert(!marks(4L) && !marks(5L), "unrelated docs kept")
   }
 
+  test("incremental minhash dedups a new batch against and into the index") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup_incr_").toString + "/sig"
+    // batch 1 (the indexed corpus): docs 1 and 4
+    Dedup.minhashLsh(docsDf.filter("doc_id IN (1, 4)"), "doc_id", "text",
+      threshold = 0.5, indexPath = Some(idx))
+    // batch 2: 0 is a NEW exact dup of indexed 1 (smaller id than the indexed
+    // doc — the index must still win the keep), 7+8 are new exact dups of
+    // each other, 9 is unique
+    val batch2 = Seq(
+      (0L, docs.head._2),
+      (7L, "brand new content that appears twice inside this very batch today"),
+      (8L, "brand new content that appears twice inside this very batch today"),
+      (9L, "a wholly unique new document about watermarks and state stores"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx, threshold = 0.5)
+    val got = pairs.collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+    assert(got.contains((1L, 0L)), "indexed doc is canonical even against a smaller new id")
+    assert(got.contains((7L, 8L)), "within-batch dup drops the larger id")
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L), "unique new doc pairs with nothing")
+
+    val marks = Dedup.incrementalMarks(batch2, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(marks == Map(0L -> true, 7L -> false, 8L -> true, 9L -> false))
+
+    // the batch was folded into the index: a THIRD batch duplicating doc 7
+    // now dedups against batch 2's entry
+    val batch3 = Seq((12L, "brand new content that appears twice inside this very batch today"))
+      .toDF("doc_id", "text")
+    val pairs3 = Dedup.minhashLshIncremental(batch3, "doc_id", "text", idx, threshold = 0.5)
+    val got3 = pairs3.collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+    assert(got3.contains((7L, 12L)) && got3.contains((8L, 12L)),
+      "index now contains batch 2 — cross-batch dup found")
+  }
+
   test("dedupCorpus keeps one canonical doc per near-dup component") {
     val pairs = Dedup.minhashLsh(docsDf, "doc_id", "text", threshold = 0.5)
     val kept = Dedup.dedupCorpus(docsDf, "doc_id", pairs)
