@@ -275,6 +275,26 @@ object QuerySuite {
         .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
     }),
 
+    // ---- decontamination: train/test n-gram overlap over the q52 content-
+    //      addressed split — per test doc, how many train docs share ≥3
+    //      distinct df-capped 8-grams with it, and the worst overlap ----
+    "q56_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val train = docs.filter(col("bucket") < 80)
+      val test = docs.filter(col("bucket") >= 90)
+      val overlaps = Dedup.ngramCrossOverlap(train, test, "doc_id", "text",
+        n = 8, minShared = 3, maxBucket = 64)
+      test.select(col("doc_id"))
+        .join(overlaps.groupBy(col("test_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_contaminating"), max("n_shared").as("max_shared")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"),
+          coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+        .orderBy("doc_id")
+    }),
+
     // ---- ANN: exact brute-force cosine top-k (oracle for the IVF path) ----
     "q17_ann_brute" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1009,6 +1029,42 @@ object QuerySuite {
         |FROM documents d
         |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE jaccard >= 0.5) dup
         |  USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // fully re-derived: the md5 split, the capped inverted index over BOTH
+    // sides, the cross-side shared-gram counts, and the per-test-doc rollup
+    "q56_decontaminate" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |), lab AS (
+        |  SELECT doc_id, text, CASE WHEN bucket < 80 THEN 0 ELSE 1 END AS side
+        |  FROM b WHERE bucket < 80 OR bucket >= 90
+        |), g AS (
+        |  SELECT doc_id, side,
+        |    unnest(list_distinct(
+        |      CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |           ELSE list_transform(range(length(lower(text)) - 7),
+        |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END)) AS gram
+        |  FROM lab
+        |), inv AS (
+        |  SELECT doc_id, side, gram FROM (
+        |    SELECT doc_id, side, gram, count(*) OVER (PARTITION BY gram) AS df FROM g)
+        |  WHERE df <= 64
+        |), p AS (
+        |  SELECT a.doc_id AS train_id, bb.doc_id AS test_id, count(*) AS n_shared
+        |  FROM inv a JOIN inv bb ON a.gram = bb.gram AND a.side = 0 AND bb.side = 1
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |), agg AS (
+        |  SELECT test_id AS doc_id, CAST(count(*) AS BIGINT) AS n_contaminating,
+        |         CAST(max(n_shared) AS BIGINT) AS max_shared
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(agg.n_contaminating, 0) AS n_contaminating,
+        |       coalesce(agg.max_shared, 0) AS max_shared
+        |FROM (SELECT doc_id FROM b WHERE bucket >= 90) d
+        |LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q17_ann_brute" ->

@@ -393,6 +393,61 @@ object Dedup {
     eager(out, () => { keyed.unpersist(false): Unit })
   }
 
+  /** Cross-corpus n-gram overlap — DECONTAMINATION: which `right` (test/eval)
+    * docs share at least `minShared` distinct df-capped character n-grams
+    * with some `left` (train) doc. The standard pre-training hygiene pass:
+    * eval sets must not leak into training data, and near-verbatim leaks
+    * surface as runs of shared rare n-grams. Same bucket machinery as
+    * [[ngramJaccard]], but candidates are only generated ACROSS the two
+    * sides (never within one — a train×train pair is dedup's business, not
+    * contamination's), and the df cap is computed over the UNION of both
+    * sides' grams (a gram common across the whole corpus is boilerplate,
+    * not leak signal).
+    *
+    * @return (train_id, test_id, n_shared) — one row per contaminated pair,
+    *         n_shared = number of distinct shared capped grams
+    */
+  def ngramCrossOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 8,
+      minShared: Int = 3,
+      sampleMod: Int = 1,
+      maxBucket: Int = 1000): DataFrame = {
+
+    def grams(df: DataFrame, side: Int) =
+      df.select(col(id).as("doc_id"), lit(side).as("side"), lower(col(text)).as("__lt"))
+        .select(col("doc_id"), col("side"),
+          array_distinct(transform(charNgrams(col("__lt"), n),
+            g => xxhash64Seeded(17L, g))).as("hs"))
+    val tagged = grams(left, 0).unionByName(grams(right, 1)).persist()
+    tagged.count(): Unit
+
+    val buckets = tagged
+      .select(struct(col("doc_id"), col("side")).as("m"), explode(col("hs")).as("gh"))
+      .filter(pmod(col("gh"), lit(sampleMod.toLong)) === 0)
+      .groupBy(col("gh")).agg(collect_list(col("m")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // df cap over BOTH sides
+
+    val out = buckets
+      .select(array_sort(col("ids")).as("s"))
+      .select(explode(flatten(transform(col("s"), (a, i) =>
+        transform(slice(col("s"), i + lit(2), size(col("s"))),
+          b => struct(
+            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+            a.getField("side").as("side_a"), b.getField("side").as("side_b")))))).as("p"))
+      .filter(col("p.side_a") =!= col("p.side_b"))
+      .select(
+        when(col("p.side_a") === 0, col("p.id_a")).otherwise(col("p.id_b")).as("train_id"),
+        when(col("p.side_a") === 0, col("p.id_b")).otherwise(col("p.id_a")).as("test_id"))
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared")) // one bucket == one shared distinct gram
+      .filter(col("n_shared") >= minShared)
+    eager(out, () => { tagged.unpersist(false): Unit })
+  }
+
   /** Collapse near-dup pairs to per-doc keep/drop marks: a doc is dropped if
     * any pair links it to a smaller id (cheap one-pass approximation of
     * connected components; [[connectedComponents]] is the exact fixpoint). */

@@ -87,6 +87,30 @@ class DedupSpec extends SparkSpec {
       "index now contains batch 2 — cross-batch dup found")
   }
 
+  test("ngramCrossOverlap flags cross-side leaks only, with shared-gram counts") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the secret benchmark answer key sentence that must never leak into training data"),
+      (2L, "an ordinary training document about gradient descent and learning rate schedules"),
+      (3L, "another ordinary training document about tokenizers and byte pair encoding merges"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "the secret benchmark answer key sentence that must never leak into training data"), // verbatim leak of 1
+      // vocabulary fully disjoint from every train doc: with a 5-doc corpus
+      // the df cap prunes nothing, so ANY shared English word would
+      // legitimately contribute shared 8-grams
+      (11L, "zebras quietly munch violet cabbages beneath shimmering auroras"))
+      .toDF("doc_id", "text")
+    val overlaps = Dedup.ngramCrossOverlap(train, test, "doc_id", "text", n = 8, minShared = 3)
+    val got = overlaps.collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("test_id"), r.getAs[Long]("n_shared")))
+    assert(got.exists(o => o._1 == 1L && o._2 == 10L && o._3 > 50),
+      s"verbatim leak must be flagged with a high shared-gram count, got ${got.toSeq}")
+    assert(!got.exists(_._2 == 11L), "clean test doc must not be flagged")
+    assert(got.forall(o => Set(1L, 2L, 3L)(o._1) && Set(10L, 11L)(o._2)),
+      "pairs must always be train×test")
+  }
+
   test("dedupCorpus keeps one canonical doc per near-dup component") {
     val pairs = Dedup.minhashLsh(docsDf, "doc_id", "text", threshold = 0.5)
     val kept = Dedup.dedupCorpus(docsDf, "doc_id", pairs)
