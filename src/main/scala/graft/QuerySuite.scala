@@ -503,6 +503,27 @@ object QuerySuite {
         .orderBy("day_start", "event_type")
     }),
 
+    // ---- streaming exact dedup: first-arrival-wins key dedup over the
+    //      event stream (ingestion-time dedup — the streaming sibling of
+    //      q12). Bounded AvailableNow input → full-state dropDuplicates;
+    //      for unbounded streams use dropDuplicatesWithinWatermark so state
+    //      expires with the watermark (same TTL reasoning as
+    //      StreamingLatest.latestPerKeyWithTTL). Output is the key SET,
+    //      which is deterministic and exactly batch DISTINCT ----
+    "q57_stream_dedup" -> ((s, dir) => {
+      val stream = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      val qname = s"q57_out_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q57_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname).select("user_id", "event_type").orderBy("user_id", "event_type")
+    }),
+
     // ---- exact percentiles (interpolated) per group ----
     "q35_percentile" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -1264,6 +1285,10 @@ object QuerySuite {
       """SELECT date_trunc('day', ts) AS day_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
+
+    "q57_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q35_percentile" ->
       """SELECT l_returnflag,
