@@ -232,6 +232,11 @@ object GraftFunctions {
         val h = XxHash64Function.hash(j, IntegerType, seedBase + b)
         (((h % 1000003L) + 1000003L) % 1000003L).toDouble / 1000003.0 - 0.5
       }
+      // zip_with extends to the longer side, so a 64-dim vector zipped with
+      // the 1024-slot literal iterates the padded tail too — but the pad is
+      // MEASURED faster than slicing the literal to size(vec) first (the
+      // per-row slice more than doubled q16/q47; the padded zip stays in
+      // one tight codegen loop over constant-length data). Keep the pad.
       val dot = aggregate(
         zip_with(vec, typedlit(plane), (x, h) => coalesce(x.cast("double") * h, lit(0.0))),
         lit(0.0), (s, v) => s + v)
