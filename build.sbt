@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forked run output passes through UNPREFIXED: sbt's default logger wraps
+// every stdout line in "[info] ", which breaks any machine parser reading
+// Bench/Verify JSON from stdout (the bench artifact is also written to
+// bench_out.json, but a clean stdout keeps the simple path working)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
