@@ -224,7 +224,7 @@ object GraftFunctions {
     * their own elements: zip_with pads the short side with nulls and the
     * lambda maps a null product to 0. Null/empty vectors are the caller's
     * problem — filter them before bucketing. */
-  def hyperplaneLshKey(vec: Column, bits: Int, seedBase: Long = 100L, maxDim: Int = 1024): Column = {
+  def hyperplaneLshKey(vec: Column, bits: Int, seedBase: Long = 100L, maxDim: Int = 256): Column = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64Function
     import org.apache.spark.sql.types.IntegerType
     (0 until bits).map { b =>
