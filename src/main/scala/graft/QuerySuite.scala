@@ -778,6 +778,28 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus report: the per-split statistics rollup every training-
+    //      data pipeline publishes (doc/token/char counts, quality mass,
+    //      quality-gate pass counts). Quality mass is summed in integer
+    //      MICROS — a distributed double sum is order-dependent, the
+    //      integer sum is exact and engine-portable (same rule as money
+    //      cents) ----
+    "q58_corpus_report" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .withColumn("split", when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(GraftFunctions.tokenCountWs(col("text")).cast("long")).as("sum_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum(round(col("quality") * 1000000).cast("long")).as("sum_quality_micros"),
+          count(when(col("quality") >= 0.5, 1)).as("n_quality_pass"))
+        .orderBy("split")
+    }),
+
     // ---- correlated scalar subquery (Catalyst decorrelates to a join):
     //      orders that are their customer's most expensive order ----
     "q50_correlated_max" -> ((s, dir) => {
@@ -1392,6 +1414,25 @@ object QuerySuite {
         |UNION ALL
         |SELECT 'purchase_only' AS op, user_id FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c)
         |ORDER BY op, user_id""".stripMargin,
+
+    "q58_corpus_report" ->
+      s"""WITH qual AS (${qualityOracle.stripSuffix(" ORDER BY doc_id")}),
+         |b AS (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+         |  FROM documents
+         |), s AS (
+         |  SELECT b.doc_id, b.text, qual.quality,
+         |    CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM b JOIN qual ON qual.doc_id = b.doc_id
+         |)
+         |SELECT split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_micros,
+         |  CAST(count(*) FILTER (quality >= 0.5) AS BIGINT) AS n_quality_pass
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "q50_correlated_max" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

@@ -52,6 +52,27 @@ class DedupSpec extends SparkSpec {
     assert(!marks(4L) && !marks(5L), "unrelated docs kept")
   }
 
+  test("minhash finds every planted near-dup and nothing else (randomized corpus)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(2468)
+    val vocab = Vector.tabulate(200)(i => s"w$i")
+    // 40 random 60-token docs; every third gets a 1-token-edit near-dup
+    // (shingle jaccard ≈ 0.92 — well above threshold; unrelated random docs
+    // share essentially no 5-shingles, so expected = planted exactly)
+    val base = Seq.tabulate(40) { i =>
+      (i.toLong, Seq.fill(60)(vocab(rng.nextInt(200))).mkString(" "))
+    }
+    val dups = base.collect { case (id, text) if id % 3 == 0 =>
+      val toks = text.split(" ").toVector
+      (100L + id, toks.updated(rng.nextInt(toks.size), vocab(rng.nextInt(200))).mkString(" "))
+    }
+    val df = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expected = base.collect { case (id, _) if id % 3 == 0 => (id, 100L + id) }.toSet
+    assert(pairs == expected, s"minhash pairs $pairs != planted $expected")
+  }
+
   test("incremental minhash dedups a new batch against and into the index") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("dedup_incr_").toString + "/sig"
