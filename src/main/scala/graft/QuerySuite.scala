@@ -88,9 +88,17 @@ object QuerySuite {
         .select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
-    // ---- P1+P2: projection + inclusive time-range (SURVEY §2.3) ----
+    // ---- P1+P2: projection + inclusive time-range (SURVEY §2.3). The
+    //      redundant raw-nanos bound is what actually reaches the parquet
+    //      scan (PushedFilters → row-group skipping); the `ts` BETWEEN is
+    //      the exact semantic filter. Asserted by PlanPropertiesSpec ----
     "q03_time_range" -> ((s, dir) => {
-      Tables.events(s, dir)
+      val loMicros = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+      val hiMicros = java.time.LocalDateTime.parse("2024-01-20T23:59:59")
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
+      Tables.eventsWithRawTs(s, dir)
+        .filter(col("ts_ns").between(loMicros * 1000L, hiMicros * 1000L + 999L))
         .filter(col("ts").between(
           lit("2024-01-10 00:00:00").cast(TimestampType),
           lit("2024-01-20 23:59:59").cast(TimestampType)))

@@ -37,6 +37,21 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** [[events]] plus the RAW nanos column (`ts_ns`). A predicate on the
+    * DERIVED `ts` cannot reach the parquet scan (only `IsNotNull` pushes
+    * through `timestamp_micros(... div ...)`), which forfeits row-group
+    * stats skipping — the thing that makes a time-range scan cheap at
+    * 100 TB. Range queries add a redundant bound on `ts_ns` (a plain long
+    * column, fully pushable) alongside the exact semantic filter on `ts`:
+    * for a µs bound [lo, hi] the equivalent nanos bound is
+    * [lo·1000, hi·1000 + 999] (µs values are floored nanos). */
+  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    table(spark, dir, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")

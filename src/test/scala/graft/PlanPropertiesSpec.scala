@@ -1,0 +1,62 @@
+package graft
+
+import graft.SparkSpec
+
+/** Plan-shape regression gate: locks in the physical-plan properties that
+  * matter at 100 TB, so an innocent-looking rewrite that reintroduces a
+  * cartesian product, drops a pushed filter, or turns a broadcast join into
+  * a shuffle join fails CI instead of surfacing as a cluster bill.
+  * Queries run against sf0.001 (plan SHAPE is scale-independent here: the
+  * broadcast sides are hinted, not statistics-derived). */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // batch queries with no external writes / streaming / ML fits — cheap to
+  // construct, and jointly cover every operator family's plan shape
+  private val audited = Seq(
+    "q01_latest_maxby", "q02_latest_window", "q03_time_range", "q04_asof_join",
+    "q05_sessionize", "q06_topn_per_key", "q07_agg_pricing", "q08_join_revenue",
+    "q09_point_lookup", "q12_dedup_exact", "q19_text_stats", "q20_lang_id",
+    "q21_quality_score", "q22_fingerprint", "q27_json_extract", "q28_distinct_agg",
+    "q29_window_lag", "q30_rollup", "q31_semi_join", "q32_anti_join",
+    "q33_range_join", "q35_percentile", "q36_tpch_q3", "q38_pivot",
+    "q39_approx_distinct", "q41_latest_salted", "q42_session_window",
+    "q45_text_clean", "q46_vocab", "q48_sql_text", "q49_set_ops",
+    "q50_correlated_max", "q51_curation", "q52_hash_split", "q53_asof_forward",
+    "q54_rolling_window", "q58_corpus_report")
+
+  test("no audited query plans a cartesian product or an unexpected nested-loop join") {
+    val offenders = audited.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+      val bad = Seq(
+        "CartesianProduct" -> plan.contains("CartesianProduct"),
+        "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
+      bad.collect { case (what, true) => s"$name: $what" }
+    }
+    assert(offenders.isEmpty, s"scale-killing join shapes found:\n${offenders.mkString("\n")}")
+  }
+
+  test("q36 pushes all three filters to the scans and joins without a shuffle join") {
+    val plan = SparkEntry.queries("q36_tpch_q3")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      plan.contains("GreaterThan(l_shipdate"), s"lineitem ship-date filter not pushed:\n$plan")
+    assert(plan.contains("GreaterThan(l_shipdate") && plan.contains("LessThan(o_orderdate") &&
+      plan.contains("EqualTo(c_mktsegment"), "all three predicates must reach their scans")
+    assert(plan.contains("BroadcastHashJoin"), "joins must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "no shuffle join in the q36 plan")
+  }
+
+  test("q01 aggregates with a map-side partial before its single exchange") {
+    val plan = SparkEntry.queries("q01_latest_maxby")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by"),
+      s"latest-per-key must combine map-side:\n$plan")
+  }
+
+  test("q03 pushes the raw-nanos time-range bound into the parquet scan") {
+    val plan = SparkEntry.queries("q03_time_range")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThanOrEqual(ts,"),
+      s"raw-nanos range must reach the scan (PushedFilters):\n$plan")
+  }
+}
