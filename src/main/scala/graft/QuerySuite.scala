@@ -674,6 +674,32 @@ object QuerySuite {
         .orderBy("p_id")
     }),
 
+    // ---- J2 multi-group: one entity frame enriched from TWO feature groups
+    //      in a single pointInTimeMulti call (views + clicks as-of each
+    //      purchase) — the canonical training-set construction ----
+    "q59_pit_multi" -> ((s, dir) => {
+      val fs = new FeatureStore(s, tmpDir("graft_pitm_"))
+      def mkGroup(name: String, tpe: String): Unit = {
+        fs.createGroup(FeatureGroup(name, "user_id", "ts", Seq(
+          FeatureDef("user_id", FType.Integral),
+          FeatureDef("event_id", FType.Integral),
+          FeatureDef("ts", FType.FTimestamp),
+          FeatureDef("value", FType.Fractional))))
+        fs.ingest(name, Tables.events(s, dir).filter(col("event_type") === tpe))
+      }
+      mkGroup("views_fg", "view")
+      mkGroup("clicks_fg", "click")
+      val entities = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("label_ts"))
+      fs.pointInTimeMulti(
+          Seq("views_fg" -> Seq("event_id", "value"), "clicks_fg" -> Seq("event_id", "value")),
+          entities, "label_ts")
+        .select("p_id", "user_id", "label_ts",
+          "views_fg_asof_event_id", "views_fg_asof_value",
+          "clicks_fg_asof_event_id", "clicks_fg_asof_value")
+        .orderBy("p_id")
+    }),
+
     // ---- text cleaning: PII scrub + whitespace normalization ----
     "q45_text_clean" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -1388,6 +1414,26 @@ object QuerySuite {
         |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.label_ts)
         |SELECT p_id, user_id, label_ts, asof_event_id, asof_value, asof_ts
         |FROM j WHERE rn = 1 ORDER BY p_id""".stripMargin,
+
+    "q59_pit_multi" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS label_ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+        |c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |jv AS (
+        |  SELECT p.p_id, v.event_id AS views_fg_asof_event_id, v.value AS views_fg_asof_value,
+        |         row_number() OVER (PARTITION BY p.p_id ORDER BY v.ts DESC) AS rn
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts <= p.label_ts),
+        |jc AS (
+        |  SELECT p.p_id, c.event_id AS clicks_fg_asof_event_id, c.value AS clicks_fg_asof_value,
+        |         row_number() OVER (PARTITION BY p.p_id ORDER BY c.ts DESC) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.label_ts)
+        |SELECT p.p_id, p.user_id, p.label_ts,
+        |       jv.views_fg_asof_event_id, jv.views_fg_asof_value,
+        |       jc.clicks_fg_asof_event_id, jc.clicks_fg_asof_value
+        |FROM p
+        |LEFT JOIN jv ON jv.p_id = p.p_id AND jv.rn = 1
+        |LEFT JOIN jc ON jc.p_id = p.p_id AND jc.rn = 1
+        |ORDER BY p.p_id""".stripMargin,
 
     "q45_text_clean" ->
       """SELECT doc_id,

@@ -275,6 +275,36 @@ final class FeatureStore(spark: SparkSession, root: String) {
       tolerance = tolerance)
   }
 
+  /** Multi-group point-in-time enrichment — the canonical training-set
+    * construction: attach the as-of-latest features from SEVERAL groups to
+    * one entity frame in a single call. Each group contributes one
+    * union-then-window pass (one shuffle per group on its key); columns are
+    * prefixed `<group>_asof_…` so same-named features never collide. The
+    * reference's single-group demo generalizes here the way real feature
+    * stores do (a training set joins user, item, context groups at once).
+    *
+    * @param groups (groupName, featureCols) — Nil attaches all non-key,
+    *               non-time features of that group
+    */
+  def pointInTimeMulti(
+      groups: Seq[(String, Seq[String])],
+      entityDf: DataFrame,
+      asOfTsCol: String,
+      tolerance: Option[String] = None): DataFrame =
+    groups.foldLeft(entityDf) { case (acc, (groupName, featureCols)) =>
+      val g = describeGroup(groupName)
+      val attach = if (featureCols.nonEmpty) featureCols
+        else g.featureNames.filterNot(n => n == g.keyCol || n == g.eventTimeCol)
+      graft.operators.AsOfJoin.backward(
+        acc, offline(groupName),
+        leftKey = g.keyCol, rightKey = g.keyCol,
+        leftTime = asOfTsCol, rightTime = g.eventTimeCol,
+        rightTiebreak = EngineColumns.IngestSeq,
+        rightValueCols = attach,
+        asofPrefix = s"${groupName}_asof_",
+        tolerance = tolerance)
+    }
+
   /** Historical time-range retrieval — the reference's Athena query
     * (historical_features.py:28-32): explicit projection + inclusive BETWEEN
     * on event time. Projection and predicate reach the parquet scan via
