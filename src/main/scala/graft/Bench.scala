@@ -34,11 +34,16 @@ object Bench {
     catch { case _: Throwable => () }
     resetSession()
 
+    var failed = Seq.empty[String]
     def render(results: Seq[(String, Double)]): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      // failed queries stay listed with their elapsed-to-failure time, but
+      // the artifact names them — a run with failures must not read as a
+      // faster suite
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
 
     // noop sink, not count(): count() lets Catalyst prune unused projections,
@@ -54,7 +59,10 @@ object Bench {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed :+= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name ${sec}%.1f s")
       results :+= (name -> sec)

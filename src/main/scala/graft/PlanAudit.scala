@@ -22,7 +22,10 @@ object PlanAudit {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         val cartesian = plan.contains("CartesianProduct")
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-        val exchanges = "Exchange (?!hashpartitioning\\(.*REPARTITION)".r.findAllIn(plan).size
+        // deliberate corpus-loader / explicit repartitions are not shuffle
+        // smells — exclude both hash- and round-robin REPARTITION exchanges
+        val exchanges = "Exchange (?!(hashpartitioning|roundrobinpartitioning)\\(.*REPARTITION)"
+          .r.findAllIn(plan).size
         val flags = (if (cartesian) " CARTESIAN!" else "") + (if (bnlj > 0) s" bnlj=$bnlj" else "")
         println(f"[audit] $name%-24s exchanges=$exchanges%-3d$flags")
       } catch { case e: Throwable => println(s"[audit] $name ERROR ${e.getMessage}") }

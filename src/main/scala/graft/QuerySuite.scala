@@ -241,8 +241,7 @@ object QuerySuite {
       val batch1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val batch2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       val idx = aux(dir, "q55_sigindex")
-      Dedup.minhashLsh(batch1, "doc_id", "text", threshold = 0.5,
-        indexPath = Some(idx)) // side effect: (over)writes the signature index
+      Dedup.buildMinhashIndex(batch1, "doc_id", "text", idx) // overwrite: deterministic per run
       val pairs = Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx,
         threshold = 0.5, candidateSink = Some(aux(dir, "q55_candidates")))
       Dedup.incrementalMarks(batch2, "doc_id", pairs).orderBy("doc_id")

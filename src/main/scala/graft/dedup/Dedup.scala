@@ -61,8 +61,8 @@ object Dedup {
   /** Oracle fixture hook: when `sink` is set, the candidate pairs are dumped
     * to parquet and read BACK from the dump, so the exact candidate set the
     * external oracle verifies is byte-identical to the one this pipeline
-    * continues with. */
-  private def sinkCandidates(cand: DataFrame, sink: Option[String]): DataFrame =
+    * continues with. Shared with [[graft.similarity.Similarity]]. */
+  private[graft] def sinkCandidates(cand: DataFrame, sink: Option[String]): DataFrame =
     sink match {
       case Some(path) =>
         cand.coalesce(1).write.mode("overwrite").parquet(path)
@@ -206,6 +206,22 @@ object Dedup {
     eager(out, release)
   }
 
+  /** Build (overwrite) a minhash signature index WITHOUT running any dedup —
+    * the bootstrap for [[minhashLshIncremental]] when the existing corpus is
+    * already clean (running full [[minhashLsh]] just for its index side
+    * effect would pay candidate generation + verification for a discarded
+    * result). */
+  def buildMinhashIndex(
+      df: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      shingleK: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit =
+    minhashSignatures(df, id, text, shingleK, numHashes, bands)
+      .write.mode("overwrite").parquet(indexPath)
+
   /** Incremental MinHash dedup — the production daily-batch flow: dedup a
     * NEW batch against (and into) a persisted signature index. Candidates
     * come from bucket collisions within the new batch and between new and
@@ -256,6 +272,13 @@ object Dedup {
             a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.new_a"), col("p.new_b"))
       .filter(col("new_a") || col("new_b"))
+      // self-pair guard: if a RETRIED batch was already appended to the
+      // index, each doc collides with its own index entry (id_a == id_b at
+      // jaccard 1) and the whole batch would be marked duplicate. The append
+      // is NOT idempotent (re-running an already-folded batch double-writes
+      // its signatures — rebuild the index or use fresh batch ids); this
+      // filter at least keeps a replay from discarding the batch outright.
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
     val candidates = sinkCandidates(cand0, candidateSink)
 
@@ -281,7 +304,12 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into `bands` segments —
     * any pair within hamming distance < `bands` shares at least one exact
-    * band (pigeonhole), so the bucket expansion finds all of them.
+    * band (pigeonhole), so the bucket expansion finds all of them PROVIDED
+    * that shared band's bucket is within `maxBucket`. The cap is the skew
+    * guard every banded-LSH pass needs at scale: a >maxBucket bucket means
+    * thousands of near-identical banded values (templated content), which
+    * exact dedup should collapse FIRST — pairs inside dropped buckets are
+    * not emitted, the trade documented rather than hidden.
     *
     * @param candidateSink oracle fixture: dump candidates WITH both simhash
     *   values (pre-hamming-filter), so the oracle re-derives the hamming
@@ -360,6 +388,9 @@ object Dedup {
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine (native codegen [[CosineSimilarity]]) within buckets.
     * Null/empty vectors carry no cosine signal and are dropped up front.
+    * `maxBucket` drops oversized buckets (same documented recall/skew trade
+    * as [[simhash]]: a flooded bucket is near-identical content better
+    * collapsed by exact dedup first).
     *
     * @param candidateSink oracle fixture: dump candidate id pairs (pre-cosine
     *   filter); the oracle recomputes the cosine from the stored vectors. */

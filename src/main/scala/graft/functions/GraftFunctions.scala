@@ -218,9 +218,11 @@ object GraftFunctions {
     * evaluated `bits × maxDim` times total instead of per row × bit × element
     * (measured at sf0.1: the per-row hashing dwarfed the dot products ~4:1).
     * Bucket values are bit-identical to the old form for vectors up to
-    * `maxDim`; longer vectors are truncated to the first `maxDim` components
-    * (sign bits from 1024 coordinates are already far past diminishing
-    * returns for bucketing). Vectors SHORTER than maxDim contribute only
+    * `maxDim`; longer vectors are truncated to their first `maxDim`
+    * components (sign bits from 256 coordinates are already past diminishing
+    * returns for bucketing — raise `maxDim` for very-high-dim corpora; the
+    * generated-code size, and with it fixed JIT cost, grows with it).
+    * Vectors SHORTER than maxDim contribute only
     * their own elements: zip_with pads the short side with nulls and the
     * lambda maps a null product to 0. Null/empty vectors are the caller's
     * problem — filter them before bucketing. */
@@ -233,8 +235,8 @@ object GraftFunctions {
         (((h % 1000003L) + 1000003L) % 1000003L).toDouble / 1000003.0 - 0.5
       }
       // zip_with extends to the longer side, so a 64-dim vector zipped with
-      // the 1024-slot literal iterates the padded tail too — but the pad is
-      // MEASURED faster than slicing the literal to size(vec) first (the
+      // the maxDim-slot literal iterates the padded tail too — but the pad
+      // is MEASURED faster than slicing the literal to size(vec) first (the
       // per-row slice more than doubled q16/q47; the padded zip stays in
       // one tight codegen loop over constant-length data). Keep the pad.
       val dot = aggregate(

@@ -33,16 +33,11 @@ import graft.functions.CosineSimilarity
   */
 object Similarity {
 
-  /** Oracle fixture hook (same pattern as `Dedup.sinkCandidates`): dump the
-    * candidate id pairs and read them BACK, so the set the external oracle
-    * re-scores is byte-identical to the one this pipeline ranks. */
+  /** Oracle fixture hook — dump the candidate id pairs and read them BACK,
+    * so the set the external oracle re-scores is byte-identical to the one
+    * this pipeline ranks. One implementation, shared with the dedup suite. */
   private def sinkCandidates(cand: DataFrame, sink: Option[String]): DataFrame =
-    sink match {
-      case Some(path) =>
-        cand.coalesce(1).write.mode("overwrite").parquet(path)
-        cand.sparkSession.read.parquet(path)
-      case None => cand
-    }
+    graft.dedup.Dedup.sinkCandidates(cand, sink)
 
   /** Shared rerank tail: join the vectors back onto ids-only candidate pairs
     * (candidates never shuffle vectors through dedup — the verify/rerank join
