@@ -464,10 +464,13 @@ object QuerySuite {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
 
-    // ---- left-anti join: customers with no orders at all ----
+    // ---- left-anti join: customers with no 1998 orders (the year filter
+    //      keeps the result NON-EMPTY at every sf — every customer in this
+    //      corpus has some order, so the unfiltered anti-join verified
+    //      nothing: 0 rows vs 0 rows) ----
     "q32_anti_join" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir)
+      val o = Tables.orders(s, dir).filter(year(col("o_orderdate")) === 1998)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     }),
@@ -599,12 +602,17 @@ object QuerySuite {
     // ---- exact connected components (multi-hop, oracle-able): CHAIN edges
     //      link consecutive doc_ids within a (source, id-bucket) group, so a
     //      component is discovered only by propagating labels hop-by-hop, yet
-    //      equals the SQL-expressible min-over-group ----
+    //      equals the SQL-expressible min-over-group. Bucket width 500 makes
+    //      every (source, bucket) group hold ~25 docs at each shipped sf —
+    //      chains of ~25 links, non-empty everywhere (the round-3 /10 bucket
+    //      produced ZERO edges at every sf: a vacuous 0-row-vs-0-row oracle).
+    //      Long chains are exactly what the pointer-jumping CC converges on
+    //      in O(log d) rounds ----
     "q40_dedup_cc" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("source", "bucket").orderBy("doc_id")
       val pairs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), (col("doc_id") / 10).cast("long").as("bucket"))
+        .select(col("doc_id"), col("source"), (col("doc_id") / 500).cast("long").as("bucket"))
         .withColumn("prev_id", lag("doc_id", 1).over(w))
         .filter(col("prev_id").isNotNull)
         .select(col("prev_id").as("id_a"), col("doc_id").as("id_b"))
@@ -1325,7 +1333,8 @@ object QuerySuite {
 
     "q32_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
         |ORDER BY c_custkey""".stripMargin,
 
     "q33_range_join" ->
@@ -1382,8 +1391,8 @@ object QuerySuite {
     "q40_dedup_cc" ->
       """WITH g AS (
         |  SELECT doc_id,
-        |         min(doc_id) OVER (PARTITION BY source, doc_id // 10) AS component,
-        |         count(*)    OVER (PARTITION BY source, doc_id // 10) AS n
+        |         min(doc_id) OVER (PARTITION BY source, doc_id // 500) AS component,
+        |         count(*)    OVER (PARTITION BY source, doc_id // 500) AS n
         |  FROM documents)
         |SELECT doc_id AS node, component FROM g WHERE n > 1 ORDER BY node""".stripMargin,
 

@@ -42,4 +42,18 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.values.toSet == Set(0L))
     assert(got.keySet == (0L until 12L).toSet)
   }
+
+  test("adversarial 300-node path converges in O(log n) rounds (pointer jumping)") {
+    import spark.implicits._
+    // a 300-edge path is the worst case for hop-only min-label propagation
+    // (299 rounds); with per-round path halving the label reaches the far end
+    // in ~log2(300) rounds. maxRounds = 12 would FAIL hop-only propagation —
+    // this is the regression gate on the pointer-jump step.
+    val n = 300L
+    val path = (0L until n).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Dedup.connectedComponents(path.toDF("id_a", "id_b"), maxRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L until n).toSet)
+    assert(got.values.toSet == Set(0L), "every node must carry the path-min label")
+  }
 }
