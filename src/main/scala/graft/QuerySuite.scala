@@ -222,7 +222,7 @@ object QuerySuite {
     //      candidate pairs are dumped for the oracle, which re-derives the
     //      exact-Jaccard verification + marks independently ----
     "q13_dedup_minhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
         indexPath = Some(aux(dir, "q13_sigindex")),
         candidateSink = Some(aux(dir, "q13_candidates")))
@@ -237,7 +237,7 @@ object QuerySuite {
     //      new-batch tags; the oracle re-derives verification, the
     //      incremental keep/drop orientation, and the marks ----
     "q55_dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
       val batch1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val batch2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
       val idx = aux(dir, "q55_sigindex")
@@ -250,7 +250,7 @@ object QuerySuite {
     // ---- dedup: SimHash. Candidates (with both simhash values) dumped; the
     //      oracle recomputes hamming, the radius filter and the marks ----
     "q14_dedup_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
       val pairs = Dedup.simhash(docs, "doc_id", "text",
         candidateSink = Some(aux(dir, "q14_candidates")))
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
@@ -266,7 +266,7 @@ object QuerySuite {
     //      marks stay deterministic and fully oracle-able; at 100 TB also
     //      raise sampleMod to sample the index ----
     "q15_dedup_ngram" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
       val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.5,
         sampleMod = 1, maxBucket = 64, minMatch = 3)
       Dedup.marksFromPairs(docs, "doc_id", pairs).orderBy("doc_id")
@@ -286,7 +286,7 @@ object QuerySuite {
     //      addressed split — per test doc, how many train docs share ≥3
     //      distinct df-capped 8-grams with it, and the worst overlap ----
     "q56_decontaminate" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documentsFanned(s, dir)
         .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
       val train = docs.filter(col("bucket") < 80)
       val test = docs.filter(col("bucket") >= 90)
@@ -344,7 +344,7 @@ object QuerySuite {
 
     // ---- text: quality score ----
     "q21_quality_score" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),
@@ -355,7 +355,7 @@ object QuerySuite {
     //      winnowingHashes/docFingerprint remain the cheap Spark-only path,
     //      spec-covered). Hash array materialized first — no-CSE ----
     "q22_fingerprint" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .withColumn("__lt", lower(col("text")))
         .withColumn("__toks", GraftFunctions.wsTokens(col("__lt")))
         .withColumn("__hs", GraftFunctions.winnowingHashesPortable(col("__lt"), n = 8))
@@ -709,7 +709,7 @@ object QuerySuite {
 
     // ---- text cleaning: PII scrub + whitespace normalization ----
     "q45_text_clean" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .select(col("doc_id"),
           GraftFunctions.normalizeWs(GraftFunctions.scrubPii(col("text"))).as("cleaned"))
         .orderBy("doc_id")
@@ -809,7 +809,7 @@ object QuerySuite {
     //      Column expressions over a single documents scan ----
     "q51_curation" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("__lt", TextAnalysis.langTokens(col("text")))
         .withColumn("lang_pred", TextAnalysis.langIdFromTokens(col("__lt"), col("text")))
@@ -826,7 +826,7 @@ object QuerySuite {
     //      integer sum is exact and engine-portable (same rule as money
     //      cents) ----
     "q58_corpus_report" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      Tables.documentsFanned(s, dir)
         .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
         .withColumn("split", when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test"))

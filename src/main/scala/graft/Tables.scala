@@ -59,20 +59,30 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
-  /** documents feeds per-row CPU-BOUND work (shingling, hashing, lang-id,
-    * winnowing), and the corpus ships it as ONE parquet file with ONE row
-    * group — unsplittable, so without intervention every text pipeline runs
-    * its scan+map phase on a single core. The explicit round-robin
-    * repartition costs one tiny shuffle (the table is MBs) and spreads the
-    * expensive map work across the executor. At production scale the store
-    * has many files/row groups and the scan parallelizes by itself — this is
-    * corpus-loader tuning, not an operator requirement.
+  /** Plain documents load — the default for map-only / cheap-per-row
+    * queries, where the round-robin shuffle of [[documentsFanned]] costs
+    * more than the single-core scan it parallelizes (measured round 3:
+    * repartitioning in the shared loader regressed the cheap text queries
+    * ~2–2.7× while helping only the CPU-dense pipelines). */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+
+  /** documents fanned out for per-row CPU-BOUND pipelines (shingling,
+    * minhashing, winnowing, n-gram inverted indexes): the corpus ships ONE
+    * parquet file with ONE row group — unsplittable, so without intervention
+    * those pipelines run their scan+map phase on a single core. The explicit
+    * round-robin repartition costs one tiny shuffle (the table is MBs) and
+    * spreads the expensive map work across the executor. At production scale
+    * the store has many files/row groups and the scan parallelizes by
+    * itself — this is corpus-loader tuning, not an operator requirement.
+    * Only the heavy dedup/fingerprint pipelines opt in; everything else uses
+    * [[documents]].
     *
     * embeddings deliberately stays un-repartitioned: its per-row work is a
     * 64-dim dot product (trivial), while KMeans/IVF training pays per-task
     * overhead × iterations — fanning 2000 rows across 32 partitions made
     * the quantizer fit 3× slower (measured). */
-  def documents(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+  def documentsFanned(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).repartition(spark.sparkContext.defaultParallelism)
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
