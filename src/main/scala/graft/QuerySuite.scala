@@ -243,7 +243,8 @@ object QuerySuite {
       val idx = aux(dir, "q55_sigindex")
       Dedup.buildMinhashIndex(batch1, "doc_id", "text", idx) // overwrite: deterministic per run
       val pairs = Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx,
-        threshold = 0.5, candidateSink = Some(aux(dir, "q55_candidates")))
+        batchId = "day2", threshold = 0.5,
+        candidateSink = Some(aux(dir, "q55_candidates")))
       Dedup.incrementalMarks(batch2, "doc_id", pairs).orderBy("doc_id")
     }),
 

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -182,8 +182,8 @@ object Dedup {
     val sig0 = minhashSignatures(df, id, text, shingleK, numHashes, bands)
     val (withSig, release) = indexPath match {
       case Some(p) =>
-        sig0.write.mode("overwrite").parquet(p)
-        (spark.read.parquet(p), () => ())
+        writeIndexBatch(sig0, p, "full", wholeIndex = true)
+        (readIndex(spark, p), () => ())
       case None =>
         val ps = sig0.persist()
         ps.count(): Unit
@@ -206,6 +206,36 @@ object Dedup {
     eager(out, release)
   }
 
+  /** The signature index is a parquet table PARTITIONED BY the batch that
+    * wrote each row (`batch=<id>/` subdirs). Each writer overwrites ONLY its
+    * own partition (dynamic partition overwrite), so re-running a batch —
+    * crash-retry, replayed orchestration — rewrites the same bytes instead
+    * of double-folding signatures, mirroring `FeatureStore.ingest`'s batchId
+    * guard. Readers prune the partition column away (and, in the
+    * incremental path, prune OUT the running batch's own partition, so a
+    * replay sees exactly the pre-batch index). */
+  private def writeIndexBatch(sig: DataFrame, indexPath: String, batchId: String,
+      wholeIndex: Boolean = false): Unit = {
+    require(batchId.matches("[A-Za-z0-9_.-]+"),
+      s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
+    sig.withColumn("batch", lit(batchId))
+      .write
+      .partitionBy("batch")
+      // whole-index rebuild clears every partition; per-batch append clears
+      // only batch=<id> (replay-idempotent)
+      .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(indexPath)
+  }
+
+  /** Read the signature index without the layout's partition column. */
+  private def readIndex(spark: SparkSession, indexPath: String,
+      excludeBatch: Option[String] = None): DataFrame = {
+    val raw = spark.read.parquet(indexPath)
+    val pruned = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
+    pruned.select(col("doc_id"), col("hs"), col("band_keys"))
+  }
+
   /** Build (overwrite) a minhash signature index WITHOUT running any dedup —
     * the bootstrap for [[minhashLshIncremental]] when the existing corpus is
     * already clean (running full [[minhashLsh]] just for its index side
@@ -218,9 +248,10 @@ object Dedup {
       indexPath: String,
       shingleK: Int = 5,
       numHashes: Int = 64,
-      bands: Int = 16): Unit =
-    minhashSignatures(df, id, text, shingleK, numHashes, bands)
-      .write.mode("overwrite").parquet(indexPath)
+      bands: Int = 16,
+      batchId: String = "base"): Unit =
+    writeIndexBatch(minhashSignatures(df, id, text, shingleK, numHashes, bands),
+      indexPath, batchId, wholeIndex = true)
 
   /** Incremental MinHash dedup — the production daily-batch flow: dedup a
     * NEW batch against (and into) a persisted signature index. Candidates
@@ -231,7 +262,15 @@ object Dedup {
     * duplicating an indexed doc is always the `drop_id` (the index is
     * canonical regardless of id order); among two new docs the larger id
     * drops. After the pairs are materialized, the new signatures are
-    * APPENDED to the index, so the next batch dedups against this one too.
+    * folded into the index (partition `batch=<batchId>`), so the next batch
+    * dedups against this one too.
+    *
+    * REPLAY-SAFE: `batchId` names the index partition this batch owns. The
+    * index read excludes that partition (a replayed batch must not see its
+    * own prior signatures — they would flip within-batch keep/drop
+    * orientation) and the fold-in overwrites only that partition, so running
+    * the same batch twice produces identical pairs, marks, and index
+    * contents.
     *
     * @return (keep_id, drop_id, jaccard)
     */
@@ -240,6 +279,7 @@ object Dedup {
       id: String,
       text: String,
       indexPath: String,
+      batchId: String,
       shingleK: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
@@ -248,7 +288,7 @@ object Dedup {
       candidateSink: Option[String] = None): DataFrame = {
 
     val spark = newDf.sparkSession
-    val oldSig = spark.read.parquet(indexPath)
+    val oldSig = readIndex(spark, indexPath, excludeBatch = Some(batchId))
     val newSig = minhashSignatures(newDf, id, text, shingleK, numHashes, bands).persist()
     newSig.count(): Unit
 
@@ -272,12 +312,11 @@ object Dedup {
             a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.new_a"), col("p.new_b"))
       .filter(col("new_a") || col("new_b"))
-      // self-pair guard: if a RETRIED batch was already appended to the
-      // index, each doc collides with its own index entry (id_a == id_b at
-      // jaccard 1) and the whole batch would be marked duplicate. The append
-      // is NOT idempotent (re-running an already-folded batch double-writes
-      // its signatures — rebuild the index or use fresh batch ids); this
-      // filter at least keeps a replay from discarding the batch outright.
+      // self-pair guard: defense in depth. The partition-exclusion read
+      // already hides a replayed batch's own prior signatures, but if an
+      // operator folds the same DOCS under a fresh batchId each doc would
+      // collide with its own index entry (id_a == id_b at jaccard 1) and the
+      // whole batch would be marked duplicate — drop those outright.
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
     val candidates = sinkCandidates(cand0, candidateSink)
@@ -287,10 +326,10 @@ object Dedup {
         when(col("new_a") && !col("new_b"), col("id_b")).otherwise(col("id_a")).as("keep_id"),
         when(col("new_a") && !col("new_b"), col("id_a")).otherwise(col("id_b")).as("drop_id"),
         col("jaccard"))
-    // lineage cut BEFORE the append: a re-executable plan would re-read the
+    // lineage cut BEFORE the fold-in: a re-executable plan would re-read the
     // index after this batch is folded in and see its own docs as "indexed"
     val p = out.localCheckpoint(eager = true)
-    newSig.write.mode("append").parquet(indexPath)
+    writeIndexBatch(newSig, indexPath, batchId)
     newSig.unpersist(false): Unit
     p
   }

@@ -88,7 +88,8 @@ class DedupSpec extends SparkSpec {
       (8L, "brand new content that appears twice inside this very batch today"),
       (9L, "a wholly unique new document about watermarks and state stores"))
       .toDF("doc_id", "text")
-    val pairs = Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx, threshold = 0.5)
+    val pairs = Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx,
+      batchId = "b2", threshold = 0.5)
     val got = pairs.collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
     assert(got.contains((1L, 0L)), "indexed doc is canonical even against a smaller new id")
     assert(got.contains((7L, 8L)), "within-batch dup drops the larger id")
@@ -102,10 +103,38 @@ class DedupSpec extends SparkSpec {
     // now dedups against batch 2's entry
     val batch3 = Seq((12L, "brand new content that appears twice inside this very batch today"))
       .toDF("doc_id", "text")
-    val pairs3 = Dedup.minhashLshIncremental(batch3, "doc_id", "text", idx, threshold = 0.5)
+    val pairs3 = Dedup.minhashLshIncremental(batch3, "doc_id", "text", idx,
+      batchId = "b3", threshold = 0.5)
     val got3 = pairs3.collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
     assert(got3.contains((7L, 12L)) && got3.contains((8L, 12L)),
       "index now contains batch 2 — cross-batch dup found")
+  }
+
+  test("incremental minhash replay of the same batchId is idempotent") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("dedup_replay_").toString + "/sig"
+    Dedup.buildMinhashIndex(docsDf.filter("doc_id IN (1, 4)"), "doc_id", "text", idx)
+    val batch = Seq(
+      (0L, docs.head._2), // dup of indexed 1
+      (7L, "brand new content that appears twice inside this very batch today"),
+      (8L, "brand new content that appears twice inside this very batch today"),
+      (9L, "a wholly unique new document about watermarks and state stores"))
+      .toDF("doc_id", "text")
+
+    def run(): (Map[Long, Boolean], Long) = {
+      val pairs = Dedup.minhashLshIncremental(batch, "doc_id", "text", idx,
+        batchId = "day1", threshold = 0.5)
+      val marks = Dedup.incrementalMarks(batch, "doc_id", pairs)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+      (marks, spark.read.parquet(idx).count())
+    }
+
+    val (marks1, rows1) = run()
+    // crash-retry / orchestrator replay: same docs, same batchId
+    val (marks2, rows2) = run()
+    assert(marks2 == marks1, s"replayed marks $marks2 != first-run marks $marks1")
+    assert(rows2 == rows1, s"replayed index row count $rows2 != $rows1 (double-fold)")
+    assert(marks1 == Map(0L -> true, 7L -> false, 8L -> true, 9L -> false))
   }
 
   test("ngramCrossOverlap flags cross-side leaks only, with shared-gram counts") {
