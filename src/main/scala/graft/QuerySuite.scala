@@ -14,6 +14,7 @@ import graft.ml.FeatureML
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, LatestPerKey, Sessionize}
 import graft.similarity.Similarity
+import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingLatest}
 
 /** The correctness surface: one entry per implemented operator
@@ -61,6 +62,19 @@ object QuerySuite {
   val auxRoot = "/root/repo/target/oracle_aux"
   private def aux(dir: String, name: String): String =
     s"$auxRoot/${new java.io.File(dir).getName}/$name"
+
+  /** As-of oracle shared by q04 (plain form) and q60 (bucketed form) —
+    * identical semantics by construction, so the SQL is shared verbatim. */
+  private val asofOracle =
+    """WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+      |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT v.event_id, v.user_id, v.ts, v.value,
+      |         p.event_id AS asof_event_id, p.value AS asof_value, p.ts AS asof_ts,
+      |         row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
+      |  FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.ts <= v.ts)
+      |SELECT event_id, user_id, ts, value, asof_event_id, asof_value, asof_ts
+      |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin
 
   /** Latest-per-key output projection shared by q01/q02/q10/q11. */
   private val latestCols = Seq("user_id", "event_id", "ts", "event_type", "value")
@@ -708,6 +722,51 @@ object QuerySuite {
         .orderBy("p_id")
     }),
 
+    // ---- J2 hot-key form: bucketed as-of join under the oracle. Same
+    //      semantics as q04 (oracle SQL is shared verbatim); the bucketed
+    //      plan replaces the single per-key window with per-bucket argmax +
+    //      a tiny carry-in window over bucket aggregates, so one mega-hot
+    //      key can never pin an executor (SURVEY §2.6 scale note) ----
+    "q60_asof_bucketed" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.backwardBucketed(views, purchases,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "ts", rightTime = "ts",
+        rightTiebreak = "event_id",
+        rightValueCols = Seq("event_id", "value"),
+        bucketSeconds = 86400L)
+        .select("event_id", "user_id", "ts", "value", "asof_event_id", "asof_value", "asof_ts")
+        .orderBy("event_id")
+    }),
+
+    // ---- bucketed co-located join: orders⋈customer with ZERO exchange on
+    //      the join (both sides written bucket-by-custkey once; the MERGE
+    //      hint keeps the bucket-local sort-merge path instead of a
+    //      broadcast so the layout is actually exercised). 8 buckets fits
+    //      the test corpus; at 100 TB the bucket count scales with the
+    //      cluster and the write-once shuffle amortizes across every later
+    //      query on the key. Plan gate: BucketingSpec asserts no Exchange ----
+    "q61_bucketed_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      Bucketing.writeBucketed(orders, "g61_orders", buckets = 8,
+        keys = Seq("custkey"), sortKeys = Seq("custkey"))
+      Bucketing.writeBucketed(cust, "g61_customer", buckets = 8,
+        keys = Seq("custkey"), sortKeys = Seq("custkey"))
+      Bucketing.colocatedJoin(s, "g61_orders", "g61_customer", Seq("custkey"),
+          forceSortMerge = true)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- text cleaning: PII scrub + whitespace normalization ----
     "q45_text_clean" -> ((s, dir) => {
       Tables.documentsFanned(s, dir)
@@ -934,16 +993,16 @@ object QuerySuite {
         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 23:59:59'
         |ORDER BY event_id""".stripMargin,
 
-    "q04_asof_join" ->
-      """WITH v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
-        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |j AS (
-        |  SELECT v.event_id, v.user_id, v.ts, v.value,
-        |         p.event_id AS asof_event_id, p.value AS asof_value, p.ts AS asof_ts,
-        |         row_number() OVER (PARTITION BY v.event_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
-        |  FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.ts <= v.ts)
-        |SELECT event_id, user_id, ts, value, asof_event_id, asof_value, asof_ts
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q04_asof_join" -> asofOracle,
+    // identical semantics, bucketed physical plan — shares q04's oracle
+    "q60_asof_bucketed" -> asofOracle,
+
+    "q61_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q05_sessionize" ->
       """WITH x AS (

@@ -27,7 +27,17 @@ object Bucketing {
     sorted.saveAsTable(table)
   }
 
-  /** Equi-join two same-bucketed tables on `keys` — exchange-free by design. */
-  def colocatedJoin(spark: SparkSession, left: String, right: String, keys: Seq[String]): DataFrame =
-    spark.table(left).join(spark.table(right), keys)
+  /** Equi-join two same-bucketed tables on `keys` — exchange-free by design.
+    *
+    * @param forceSortMerge apply the MERGE join hint so the bucket-local
+    *   sort-merge path runs even when one side is small enough to broadcast
+    *   (a broadcast would also be exchange-free but would leave the bucketed
+    *   layout unexercised — used by the q61 correctness entry; production
+    *   callers normally let Catalyst pick)
+    */
+  def colocatedJoin(spark: SparkSession, left: String, right: String, keys: Seq[String],
+      forceSortMerge: Boolean = false): DataFrame = {
+    val l = if (forceSortMerge) spark.table(left).hint("merge") else spark.table(left)
+    l.join(spark.table(right), keys)
+  }
 }
