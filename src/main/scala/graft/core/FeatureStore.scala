@@ -34,7 +34,14 @@ import graft.operators.LatestPerKey
   * old snapshot active (SURVEY.md §7 risk 5). Single-writer assumption (no
   * Delta/Iceberg jars in this environment; documented substitution).
   */
-final class FeatureStore(spark: SparkSession, root: String) {
+/** @param maxServingCacheRows upper bound on the DRIVER-side serving cache:
+  *   a snapshot with more entity keys than this is never collected — lookups
+  *   fall through to a key-bucket-pruned parquet read instead (one partition
+  *   directory, not a snapshot scan). This is the driver-memory guard rail;
+  *   at cluster scale the cache seam is an external KV store fed by the same
+  *   versioned snapshot, with the same version-keyed invalidation. */
+final class FeatureStore(spark: SparkSession, root: String,
+    maxServingCacheRows: Int = 1 << 20) {
 
   private def groupDir(name: String): Path = Paths.get(root, name)
   private def manifestPath(name: String): Path = groupDir(name).resolve("manifest.json")
@@ -109,7 +116,13 @@ final class FeatureStore(spark: SparkSession, root: String) {
       .drop(EngineColumns.IngestDate)
     val next = currentVersion(g.name).getOrElse(0L) + 1
     val dir = onlineDir(g.name).resolve(s"v$next")
-    latest.write.mode("overwrite").parquet(dir.toString)
+    // key-bucket partitioning so an uncached point lookup prunes to ONE
+    // bucket directory (getRecord fall-through when the snapshot exceeds
+    // maxServingCacheRows) instead of scanning every key
+    latest
+      .withColumn(EngineColumns.KeyBucket,
+        pmod(crc32(col(g.keyCol).cast("string")), lit(FeatureStore.OnlineKeyBuckets)))
+      .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
     val tmp = onlineDir(g.name).resolve("LATEST.tmp")
     Files.createDirectories(onlineDir(g.name))
     Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
@@ -123,8 +136,11 @@ final class FeatureStore(spark: SparkSession, root: String) {
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong) else None
   }
 
-  private def currentSnapshot(name: String): Option[DataFrame] =
+  private def currentSnapshotRaw(name: String): Option[DataFrame] =
     currentVersion(name).map(v => spark.read.parquet(onlineDir(name).resolve(s"v$v").toString))
+
+  private def currentSnapshot(name: String): Option[DataFrame] =
+    currentSnapshotRaw(name).map(_.drop(EngineColumns.KeyBucket))
 
   // ---- reads ----
 
@@ -151,18 +167,25 @@ final class FeatureStore(spark: SparkSession, root: String) {
     * by the same snapshot; the version-keyed invalidation carries over.
     * Keys are string-normalized so a caller's Int key hits a stored Long. */
   private val servingCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Map[String, Row])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Map[String, Row]])]()
 
+  /** None when no snapshot exists OR the snapshot exceeds
+    * `maxServingCacheRows` (the over-cap verdict is cached per version too,
+    * so it is decided by ONE bounded job, not re-probed per lookup). */
   private def servingSnapshot(name: String): Option[Map[String, Row]] =
-    currentVersion(name).map { v =>
+    currentVersion(name).flatMap { v =>
       val cached = servingCache.get(name)
       if (cached != null && cached._1 == v) cached._2
       else {
         val g = describeGroup(name)
-        val keyed = spark.read.parquet(onlineDir(name).resolve(s"v$v").toString)
-          .collect().map(r => String.valueOf(r.get(r.fieldIndex(g.keyCol))) -> r).toMap
-        servingCache.put(name, (v, keyed))
-        keyed
+        // limit(cap+1): never collects more than cap+1 rows even when the
+        // snapshot holds billions — the cap probe is itself bounded
+        val rows = currentSnapshot(name).get.limit(maxServingCacheRows + 1).collect()
+        val entry =
+          if (rows.length > maxServingCacheRows) None
+          else Some(rows.map(r => String.valueOf(r.get(r.fieldIndex(g.keyCol))) -> r).toMap)
+        servingCache.put(name, (v, entry))
+        entry
       }
     }
 
@@ -172,13 +195,25 @@ final class FeatureStore(spark: SparkSession, root: String) {
     * (real_time_inference.py:20-22). Event time formatted ISO-8601 Zulu
     * (update_feature_store.py:36). Serves from the driver-side snapshot
     * cache — NO Spark job per lookup (asserted by FeatureStoreSpec); the
-    * job-per-lookup path only remains as the fallback when no online
-    * snapshot has been materialized yet. */
+    * job-per-lookup path remains as the fallback when no online snapshot is
+    * materialized yet, or when the snapshot exceeds `maxServingCacheRows` —
+    * in the latter case the lookup prunes to the key's bucket partition
+    * (`_key_bucket=<crc32(key) mod N>`) so it reads one directory, not the
+    * whole snapshot. */
   def getRecord(groupName: String, key: Any): Option[Map[String, String]] = {
     val g = describeGroup(groupName)
+    val skey = String.valueOf(key)
     val row = servingSnapshot(groupName) match {
-      case Some(m) => m.get(String.valueOf(key))
-      case None => online(groupName).filter(col(g.keyCol) === lit(key)).collect().headOption
+      case Some(m) => m.get(skey)
+      case None => currentSnapshotRaw(groupName) match {
+        case Some(snap) => // over-cap snapshot: bucket-pruned point read
+          snap.filter(col(EngineColumns.KeyBucket) === lit(FeatureStore.keyBucketOf(skey)))
+            .filter(col(g.keyCol).cast("string") === lit(skey))
+            .drop(EngineColumns.KeyBucket)
+            .collect().headOption
+        case None => // no snapshot yet: derive latest-per-key from history
+          online(groupName).filter(col(g.keyCol).cast("string") === lit(skey)).collect().headOption
+      }
     }
     row.map { r =>
       g.features.map { f =>
@@ -357,5 +392,22 @@ final class FeatureStore(spark: SparkSession, root: String) {
     val feats = featRe.findAllMatchIn(json).map(m => FeatureDef(m.group(1), FType.fromName(m.group(2)))).toSeq
     Manifest(FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats),
       num("nextSeq", 0L), num("lastBatchId", -1L))
+  }
+}
+
+object FeatureStore {
+  /** Bucket count of the online snapshot's key-hash partitioning. Fixed so
+    * the read side can compute a key's bucket driver-side (CRC32 is
+    * bit-identical between java.util.zip.CRC32 and Spark's `crc32`). 64
+    * directories keeps per-bucket file counts sane on the test corpus; at
+    * 100 TB scale with the bucket count so each bucket holds O(100 MB). */
+  val OnlineKeyBuckets = 64L
+
+  /** Driver-side mirror of the snapshot writer's bucket expression
+    * `pmod(crc32(key_as_string), OnlineKeyBuckets)`. */
+  private[core] def keyBucketOf(key: String): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, OnlineKeyBuckets)
   }
 }

@@ -203,6 +203,58 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.getRecord("tx", 2L).get("amount") == "99.0")
   }
 
+  test("over-cap snapshot is never collected: lookups fall through to bucket-pruned reads") {
+    import org.apache.spark.sql.functions.{col, crc32, lit, pmod}
+    val root = Files.createTempDirectory("fs_cap_").toString
+    val fs = new FeatureStore(spark, root, maxServingCacheRows = 3)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L to 10L).map(i =>
+      (i, f"2024-01-01 10:00:$i%02d", i * 1.0, s"n$i")): _*))
+
+    // every key resolves correctly through the fall-through path
+    assert(fs.getRecord("tx", 1L).get("amount") == "1.0")
+    assert(fs.getRecord("tx", 10L).get("amount") == "10.0")
+    assert(fs.getRecord("tx", "7").get("amount") == "7.0")
+    assert(fs.getRecord("tx", 999L).isEmpty)
+
+    // over-cap lookups keep launching jobs (no billion-row driver map built)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(fs.getRecord("tx", 5L).get("amount") == "5.0")
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      assert(jobs.get() > 0, "over-cap lookups must use the pruned read path, not a driver map")
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // the snapshot is key-bucket partitioned and a bucket filter PRUNES:
+    // the scan over one bucket reads strictly fewer files than the snapshot
+    import scala.jdk.CollectionConverters._
+    val vdir = java.nio.file.Paths.get(root, "tx", "online", "v1")
+    val bucketDirs = Files.list(vdir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(EngineColumns.KeyBucket + "=")).toSeq
+    assert(bucketDirs.size > 1, s"snapshot must be key-bucket partitioned, saw $bucketDirs")
+    val snap = spark.read.parquet(vdir.toString)
+    val pruned = snap.filter(
+      col(EngineColumns.KeyBucket) === lit(FeatureStore.keyBucketOf("7")))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains(s"PartitionFilters: [isnotnull(${EngineColumns.KeyBucket}") ||
+        (plan.contains("PartitionFilters") && plan.contains(EngineColumns.KeyBucket)),
+      s"bucket filter must reach the scan as a partition filter:\n$plan")
+    assert(pruned.collect().map(_.getAs[Long]("customer_id")).contains(7L))
+
+    // driver-side CRC32 bucket mirrors Spark's crc32 expression bit-for-bit
+    spark.range(1, 11)
+      .select(col("id"), pmod(crc32(col("id").cast("string")),
+        lit(FeatureStore.OnlineKeyBuckets)).as("b"))
+      .collect()
+      .foreach(r => assert(r.getAs[Long]("b") ==
+        FeatureStore.keyBucketOf(r.getAs[Long]("id").toString)))
+  }
+
   test("dropGroup removes everything; groupExists reflects it") {
     val fs = newStore()
     fs.createGroup(group)
