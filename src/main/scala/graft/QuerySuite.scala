@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.TimestampType
 import org.apache.spark.sql.streaming.Trigger
@@ -604,13 +604,19 @@ object QuerySuite {
         .orderBy("user_id")
     }),
 
-    // ---- HLL sketch: approximate distinct (rows-only check; the estimate is
-    //      engine-specific — asserted against exact counts in QuerySuiteSpec) ----
+    // ---- HLL++: approximate distinct. The estimate itself is
+    //      engine-specific, so the oracled result carries the EXACT count
+    //      plus `approx_ok` — the 3σ bound claim as a boolean. DuckDB
+    //      asserts TRUE, so an out-of-bound estimate flips the row red in
+    //      CORRECTNESS (plus the rsd assertion in QuerySuiteSpec) ----
     "q39_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("__approx"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            greatest(lit(1.0), col("exact_users") * 0.06)).as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -659,22 +665,25 @@ object QuerySuite {
 
     // ---- mergeable HLL sketches (Datasketches): build per-group sketches,
     //      union across groups — the scale path for distinct counting over
-    //      re-aggregable slices (no oracle: estimates are engine-specific;
-    //      rsd-bounded in QuerySuiteSpec) ----
+    //      re-aggregable slices. Same oracle scheme as q39: exact counts are
+    //      oracled outright; each estimate (per-group AND the merged union)
+    //      is oracled as its 3σ bound claim `approx_ok` ----
     "q43_hll_sketch" -> ((s, dir) => {
+      def ok(approx: Column, exact: Column): Column =
+        (abs(approx - exact) <= greatest(lit(1.0), exact * 0.06)).as("approx_ok")
       val e = Tables.events(s, dir)
       val perType = e.groupBy("event_type")
         .agg(hll_sketch_agg(col("user_id")).as("sketch"),
           countDistinct(col("user_id")).as("exact_users"))
       perType.select(
-          col("event_type"),
-          hll_sketch_estimate(col("sketch")).as("approx_users"),
-          col("exact_users"))
+          col("event_type"), col("exact_users"),
+          ok(hll_sketch_estimate(col("sketch")), col("exact_users")))
         .unionByName(
-          perType.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+          perType.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("__approx"))
             // single-row × single-row join (broadcast) attaching the exact count
             .join(e.agg(countDistinct(col("user_id")).as("exact_users")), lit(true))
-            .select(lit("__all__").as("event_type"), col("approx_users"), col("exact_users")))
+            .select(lit("__all__").as("event_type"), col("exact_users"),
+              ok(col("__approx"), col("exact_users"))))
         .orderBy("event_type")
     }),
 
@@ -1447,6 +1456,24 @@ object QuerySuite {
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the approx estimates are engine-specific; what IS oracled: the exact
+    // distinct counts, and the 3σ bound claim as a boolean the oracle pins
+    // to TRUE (an out-of-bound estimate flips the hash red)
+    "q39_approx_distinct" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q43_hll_sketch" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS approx_ok
+        |FROM events GROUP BY event_type
+        |UNION ALL
+        |SELECT '__all__', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+        |ORDER BY event_type""".stripMargin,
 
     "q40_dedup_cc" ->
       """WITH g AS (
