@@ -396,6 +396,21 @@ object QuerySuite {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: resize (STUB scaler, real schema/partition plumbing).
+    //      The resized payload bytes are stub-derived so not oracled; what
+    //      IS oracled: images get the target dimensions and the stub's
+    //      deterministic output length, non-images pass through with their
+    //      md5-derived meta and original byte length ----
+    "q62_image_resize" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.resizeImages(assets, width = 64, height = 48)
+        .select(col("asset_id"), col("modality"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          length(col("bytes")).cast("long").as("n_bytes"))
+        .orderBy("asset_id")
+    }),
+
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
@@ -1366,6 +1381,23 @@ object QuerySuite {
       """SELECT doc_id AS asset_id,
         |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // the stub resize rewrites image dims to the 64×48 target and emits
+    // max(1, 64*48/64) = 48 payload bytes (one per fake feature); non-images
+    // pass through with md5-derived meta and original UTF-8 byte length —
+    // all engine-portable, so every column is re-derivable
+    "q62_image_resize" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+        |  CASE WHEN doc_id % 3 = 0 THEN 64
+        |       ELSE CAST(('0x' || substr(md5(doc_id::VARCHAR || ':w'), 1, 8))::BIGINT % 1024 + 1 AS INTEGER)
+        |  END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 48
+        |       ELSE CAST(('0x' || substr(md5(doc_id::VARCHAR || ':h'), 1, 8))::BIGINT % 1024 + 1 AS INTEGER)
+        |  END AS height,
+        |  ('0x' || substr(md5(doc_id::VARCHAR || ':d'), 1, 8))::BIGINT % 600000 AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 48 ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
 
     // the synthetic duration is md5-derived (engine-portable), so the frame
