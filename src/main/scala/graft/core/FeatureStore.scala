@@ -15,12 +15,15 @@ import graft.operators.LatestPerKey
   * Layout under `root`:
   * {{{
   *   <root>/<group>/manifest.json        — schema + key/event-time + next batch id
-  *   <root>/<group>/offline/             — append-only history, parquet,
+  *   <root>/<group>/offline/v<N>/        — append-only history, parquet,
   *                                         partitioned by _ingest_date
   *                                         (reference: offline S3 parquet store,
   *                                          setup.sh:86,139-141 — unpartitioned
   *                                          there; we add date partitioning so
   *                                          pruning actually prunes files)
+  *   <root>/<group>/offline/CURRENT      — pointer file: active offline version
+  *                                         (absent ⇒ v1; flipped atomically by
+  *                                          compaction)
   *   <root>/<group>/online/v<N>/         — latest-per-key snapshot, parquet
   *   <root>/<group>/online/LATEST        — pointer file: currently active N
   *   <root>/<group>/models/              — model artifacts
@@ -45,7 +48,18 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   private def groupDir(name: String): Path = Paths.get(root, name)
   private def manifestPath(name: String): Path = groupDir(name).resolve("manifest.json")
-  private def offlineDir(name: String): String = groupDir(name).resolve("offline").toString
+  /** The offline store is VERSIONED (`offline/v<N>/` + `CURRENT` pointer),
+    * so compaction can commit by one atomic pointer move instead of the
+    * round-3 two-move directory swap whose crash window lost the store until
+    * a re-run. No CURRENT file means v1 (the pointer is only ever written by
+    * [[compactOffline]]'s commit). */
+  private def offlineRoot(name: String): Path = groupDir(name).resolve("offline")
+  private def offlineVersion(name: String): Long = {
+    val p = offlineRoot(name).resolve("CURRENT")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong else 1L
+  }
+  private def offlineDir(name: String): String =
+    offlineRoot(name).resolve(s"v${offlineVersion(name)}").toString
   private def onlineDir(name: String): Path = groupDir(name).resolve("online")
   def modelDir(name: String): String = groupDir(name).resolve("models").toString
 
@@ -260,25 +274,42 @@ final class FeatureStore(spark: SparkSession, root: String,
     * micro-batch per date under streaming ingest) into one file per date.
     * Scan parallelism and footer overhead degrade until compaction (README
     * "Running at cluster scale"; at 100 TB run this per-partition on recent
-    * dates only). Rewrite goes to a temp dir, then the directories are
-    * swapped — crash between the two moves requires re-running compaction
-    * (single-writer assumption, SURVEY.md §7 risk 6; Delta/Iceberg would
-    * make this transactional, jars not available in this environment).
+    * dates only).
+    *
+    * CRASH-SAFE: the rewrite lands in `offline/v<N+1>/`; the ONLY commit
+    * point is the atomic move of the CURRENT pointer file (the same pattern
+    * that versions the online snapshot). A crash before the flip leaves the
+    * old version intact and a partial v<N+1> that the retry overwrites; a
+    * crash after the flip leaves superseded version dirs that the next
+    * compaction garbage-collects. Single-writer assumption still applies
+    * (SURVEY.md §7 risk 6 — Delta/Iceberg would arbitrate writers; jars not
+    * available in this environment).
     *
     * @return number of parquet data files after compaction
     */
   def compactOffline(groupName: String): Long = {
     require(groupExists(groupName), s"no such feature group: $groupName")
-    val dir = Paths.get(offlineDir(groupName))
-    val tmp = Paths.get(offlineDir(groupName) + ".tmp")
-    val old = Paths.get(offlineDir(groupName) + ".old")
-    spark.read.parquet(dir.toString)
+    val cur = offlineVersion(groupName)
+    val nextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
+    spark.read.parquet(offlineDir(groupName))
       .repartition(col(EngineColumns.IngestDate))
-      .write.partitionBy(EngineColumns.IngestDate).parquet(tmp.toString)
-    Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-    Files.walk(old).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
-    Files.walk(dir).filter(p => p.toString.endsWith(".parquet")).count()
+      .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
+      .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
+    // commit: one atomic pointer move
+    val tmp = offlineRoot(groupName).resolve("CURRENT.tmp")
+    Files.write(tmp, (cur + 1).toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, offlineRoot(groupName).resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // GC superseded versions (best-effort: a crash here just leaves orphans
+    // for the next compaction to collect)
+    import scala.jdk.CollectionConverters._
+    Files.list(offlineRoot(groupName)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= cur
+      }
+      .foreach(v => Files.walk(v).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p)))
+    Files.walk(nextDir).filter(p => p.toString.endsWith(".parquet")).count()
   }
 
   /** Point-in-time training-set construction — the full form of the

@@ -14,13 +14,26 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a parquet table bucketed (and optionally sorted) by `keys`. */
+  /** Write `df` as a parquet table bucketed (and optionally sorted) by `keys`.
+    *
+    * Overwrite-safe across process crashes: a killed prior run can leave the
+    * table's warehouse directory on disk with no catalog entry (the in-memory
+    * catalog dies with the JVM), and `SaveMode.Overwrite` refuses to adopt an
+    * unregistered location — so drop any stale registration AND delete an
+    * orphaned location before writing.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       buckets: Int,
       keys: Seq[String],
       sortKeys: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(warehouse, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     val sorted = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w

@@ -147,6 +147,31 @@ class FeatureStoreSpec extends SparkSpec {
       (r.getAs[Long]("customer_id"), r.getAs[Double]("amount"), r.getAs[Long]("_ingest_seq"))).toSet
     assert(after == before, "compaction must not change data (incl. ingest seq)")
     assert(fs.online("tx").count() == 3)
+
+    // versioned commit: ingest-after-compact lands in the new version;
+    // a second compaction GCs the superseded dir and data stays intact
+    fs.ingest("tx", batch((9L, "2024-05-02 10:00:00", 9.0, "late")))
+    assert(fs.compactOffline("tx") == 2, "one file per date after recompaction")
+    assert(fs.offline("tx").count() == 4)
+    assert(fs.online("tx").count() == 4)
+  }
+
+  test("a crashed compaction attempt (partial next version) is safely retried") {
+    val root = Files.createTempDirectory("fs_crash_").toString
+    val fs = new FeatureStore(spark, root)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-05-01 10:00:00", 1.0, "a")))
+    fs.ingest("tx", batch((2L, "2024-05-01 11:00:00", 2.0, "b")))
+    // simulate a crash mid-rewrite: partial v2 exists, CURRENT never flipped
+    val partial = java.nio.file.Paths.get(root, "tx", "offline", "v2")
+    Files.createDirectories(partial)
+    Files.write(partial.resolve("_garbage"), "partial".getBytes)
+    // the store still serves the committed version
+    assert(fs.offline("tx").count() == 2)
+    // the retry overwrites the partial dir and commits atomically
+    fs.compactOffline("tx")
+    assert(fs.offline("tx").count() == 2)
+    assert(!Files.exists(partial.resolve("_garbage")), "retry must overwrite the partial attempt")
   }
 
   test("invalid names and unknown types are rejected explicitly") {
