@@ -411,6 +411,15 @@ object QuerySuite {
         .orderBy("asset_id")
     }),
 
+    // ---- text: Gopher-style repetition filter (dup-line fraction +
+    //      top-bigram token coverage; MassiveText A1.1). The bigram mode is
+    //      computed distributed (explode → two combinable aggs → narrow
+    //      join), never per-row quadratic — see TextAnalysis.repetitionStats ----
+    "q63_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documentsFanned(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
@@ -1399,6 +1408,41 @@ object QuerySuite {
         |  ('0x' || substr(md5(doc_id::VARCHAR || ':d'), 1, 8))::BIGINT % 600000 AS duration_ms,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 48 ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // mirrors repetitionStats exactly: same trim/lower/'\s+' tokenization as
+    // the other text oracles, bigrams re-derived via 1-based list indexing,
+    // small-integer double arithmetic in the same order → bit-equal fracs
+    "q63_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> length(l) > 0) AS lines
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1
+        |), r AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CASE WHEN len(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE (len(lines)::DOUBLE - len(list_distinct(lines))::DOUBLE) / len(lines)::DOUBLE
+        |    END AS dup_line_frac,
+        |    CAST(coalesce(m.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+        |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE CAST(2.0 AS DOUBLE) * coalesce(m.top_cnt, 0)::DOUBLE / len(toks)::DOUBLE
+        |    END AS top_bigram_frac
+        |  FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+        |)
+        |SELECT doc_id, n_lines, dup_line_frac, top_bigram_cnt, top_bigram_frac,
+        |  (dup_line_frac <= CAST(0.30 AS DOUBLE) AND top_bigram_frac <= CAST(0.20 AS DOUBLE)) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the synthetic duration is md5-derived (engine-portable), so the frame
     // count is fully re-derivable: floor(duration/10s) + 1 frames per video

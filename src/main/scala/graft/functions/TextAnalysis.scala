@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import GraftFunctions._
@@ -70,6 +70,66 @@ object TextAnalysis {
     val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.3)
     lenScore * 0.3 + wordLenScore * 0.2 + alphaRatio * 0.2 +
       punctScore * 0.1 + distinctRatio * 0.2
+  }
+
+  /** Fraction of non-empty (after trim) lines that are exact repeats of
+    * another line in the same document — the first of the MassiveText
+    * repetition filters (Gopher, Rae et al. 2021 appendix A1.1; boilerplate
+    * and spam pages are line-repetition-heavy). Pure codegen Column:
+    * split/trim/filter/distinct run inside the scan's WholeStageCodegen. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val n = size(lines).cast("double")
+    when(n === 0.0, lit(0.0))
+      .otherwise((n - size(array_distinct(lines)).cast("double")) / n)
+  }
+
+  /** Per-document repetition signals + keep/drop verdict (Gopher-style):
+    * `dup_line_frac` (see [[dupLineFraction]]) and `top_bigram_frac` — the
+    * fraction of tokens covered by the single most frequent word bigram.
+    * Documents failing either threshold are boilerplate/spam candidates.
+    *
+    * The per-doc bigram MODE can't be a per-row scalar without O(n·d) array
+    * scans per document, so it's computed in the distributed shape that
+    * survives 100 TB: explode to `(doc, bigram)` pairs, two map-side-
+    * combinable aggregations (count per bigram, max per doc), then one
+    * narrow-row join back to the per-doc scalars — token arrays never cross
+    * a shuffle. Docs with <2 tokens have no bigrams and keep coverage 0.
+    *
+    * @return (doc_id, n_lines, dup_line_frac, top_bigram_cnt,
+    *         top_bigram_frac, keep)
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      maxDupLineFrac: Double = 0.30,
+      maxTopBigramFrac: Double = 0.20): DataFrame = {
+    val lines = filter(transform(split(col(text), "\n"), l => trim(l)), l => length(l) > 0)
+    val base = docs.select(
+      col(id).as("doc_id"),
+      wsTokens(lower(col(text))).as("__toks"),
+      size(lines).cast("long").as("n_lines"),
+      dupLineFraction(col(text)).as("dup_line_frac"))
+    // narrow per-doc scalars only — the token arrays stay map-side
+    val scalars = base.select(
+      col("doc_id"), col("n_lines"), col("dup_line_frac"),
+      size(col("__toks")).cast("long").as("__n_toks"))
+    val top = base
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("__toks")) - 2),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(2))))).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("doc_id")).agg(max(col("__cnt")).as("top_bigram_cnt"))
+    scalars.join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
+      .withColumn("top_bigram_frac",
+        when(col("__n_toks") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("top_bigram_cnt").cast("double") / col("__n_toks").cast("double")))
+      .withColumn("keep",
+        col("dup_line_frac") <= maxDupLineFrac && col("top_bigram_frac") <= maxTopBigramFrac)
+      .select("doc_id", "n_lines", "dup_line_frac", "top_bigram_cnt", "top_bigram_frac", "keep")
   }
 
   /** Full per-document stats row used by q16/q17. */

@@ -37,4 +37,27 @@ class TextAnalysisSpec extends SparkSpec {
     rows.values.foreach(q => assert(q >= 0.0 && q <= 1.0))
     assert(rows(1L) > rows(2L))
   }
+
+  test("repetitionStats flags planted line- and bigram-repetition, keeps prose") {
+    import spark.implicits._
+    // 1: 4 lines, 2 identical after trim → dup_line_frac = 0.5 → drop
+    // 2: "buy now" ×12 = 24 tokens, top bigram covers 12/24·2… count("buy now")=12 → frac=1.0 → drop
+    // 3: prose, no repetition → keep; 4: one token → no bigrams, frac 0
+    // 5: empty → all zeros, keep (length filters are qualityScore's job)
+    val docs = Seq(
+      (1L, "alpha beta\n  spam line  \nspam line\ngamma delta"),
+      (2L, Seq.fill(12)("buy now").mkString(" ")),
+      (3L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (4L, "single"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4 && got(1L)._3 == 0.25, "4 lines, one repeat → 1/4")
+    assert(got(1L)._4 == 2 && !got(1L)._6, "'spam line' ×2 of 8 tokens → frac 0.5 → drop")
+    assert(got(2L)._4 == 12 && got(2L)._5 == 1.0 && !got(2L)._6, "wall-to-wall bigram → drop")
+    assert(got(3L)._6, "prose passes both thresholds")
+    assert(got(4L)._4 == 0 && got(4L)._5 == 0.0 && got(4L)._6)
+    assert(got(5L)._2 == 0 && got(5L)._3 == 0.0 && got(5L)._6)
+  }
 }
