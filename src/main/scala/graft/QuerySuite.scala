@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, LatestPerKey, Sessionize}
+import graft.operators.{AsOfJoin, LatestPerKey, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingLatest}
@@ -417,6 +417,17 @@ object QuerySuite {
     //      join), never per-row quadratic — see TextAnalysis.repetitionStats ----
     "q63_repetition" -> ((s, dir) => {
       TextAnalysis.repetitionStats(Tables.documentsFanned(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- training-sequence packing: greedy first-fit per content-hash
+    //      shard, the fold runs as ONE aggregate HOF inside each shard —
+    //      one shuffle, sequential work bounded by shard size (see
+    //      SequencePacking). Oracle replays the identical recurrence with a
+    //      recursive CTE (one row per shard per step) ----
+    "q64_seq_packing" -> ((s, dir) => {
+      SequencePacking.packSequences(Tables.documents(s, dir), "doc_id", "text",
+          budget = 512L, nShards = 16)
         .orderBy("doc_id")
     }),
 
@@ -1443,6 +1454,32 @@ object QuerySuite {
         |SELECT doc_id, n_lines, dup_line_frac, top_bigram_cnt, top_bigram_frac,
         |  (dup_line_frac <= CAST(0.30 AS DOUBLE) AND top_bigram_frac <= CAST(0.20 AS DOUBLE)) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // replays packSequences' recurrence exactly: same md5 shard as q52, same
+    // '\s+' token count as q19, greedy fold as a recursive CTE stepping one
+    // doc per shard per iteration (anchor = each shard's first doc)
+    "q64_seq_packing" ->
+      """WITH RECURSIVE o AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tok,
+        |    row_number() OVER (PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, shard, n_tok, rn,
+        |         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset, n_tok AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.doc_id, o.shard, o.n_tok, o.rn,
+        |    CASE WHEN p.fill + o.n_tok > 512 AND p.fill > 0 THEN p.seq_id + 1 ELSE p.seq_id END,
+        |    CASE WHEN p.fill + o.n_tok > 512 AND p.fill > 0 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+        |    CASE WHEN p.fill + o.n_tok > 512 AND p.fill > 0 THEN o.n_tok ELSE p.fill + o.n_tok END
+        |  FROM o JOIN p ON o.shard = p.shard AND o.rn = p.rn + 1
+        |)
+        |SELECT doc_id, shard, seq_id, seq_offset, n_tok AS n_tokens
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // the synthetic duration is md5-derived (engine-portable), so the frame
     // count is fully re-derivable: floor(duration/10s) + 1 frames per video
