@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, LatestPerKey, SequencePacking, Sessionize}
+import graft.operators.{AsOfJoin, DomainMix, LatestPerKey, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingLatest}
@@ -429,6 +429,23 @@ object QuerySuite {
       SequencePacking.packSequences(Tables.documents(s, dir), "doc_id", "text",
           budget = 512L, nShards = 16)
         .orderBy("doc_id")
+    }),
+
+    // ---- deterministic domain-mix sampling: per-source keep rates via the
+    //      salted content-addressed bucket (map-only codegen predicate, no
+    //      RNG — see DomainMix). Report aggregates totals vs kept per source ----
+    "q65_domain_mix" -> ((s, dir) => {
+      val rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+      val keep = DomainMix.keepFlag(col("doc_id"), col("source"), rates, defaultRate = 0.1)
+      Tables.documents(s, dir)
+        .withColumn("__keep", keep)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("__keep"), 1)).as("n_kept"),
+          min(when(col("__keep"), col("doc_id"))).as("min_kept_id"),
+          max(when(col("__keep"), col("doc_id"))).as("max_kept_id"))
+        .orderBy("source")
     }),
 
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
@@ -1480,6 +1497,22 @@ object QuerySuite {
         |)
         |SELECT doc_id, shard, seq_id, seq_offset, n_tok AS n_tokens
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // re-derives the salted md5 keep-decision row-for-row, then the same
+    // per-source report — exact integer ppm thresholds in both engines
+    "q65_domain_mix" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS b,
+        |    CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+        |                WHEN 'src2' THEN 250000 ELSE 100000 END AS ppm
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(coalesce(count(*) FILTER (WHERE b < ppm), 0) AS BIGINT) AS n_kept,
+        |  min(doc_id) FILTER (WHERE b < ppm) AS min_kept_id,
+        |  max(doc_id) FILTER (WHERE b < ppm) AS max_kept_id
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     // the synthetic duration is md5-derived (engine-portable), so the frame
     // count is fully re-derivable: floor(duration/10s) + 1 frames per video

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deterministic per-domain downsampling — how a training mix is actually
+  * rebalanced (CommonCrawl at 10%, books at 100%, …). Extension surface
+  * (north star in BASELINE.json; not in the reference).
+  *
+  * Each row's fate is a pure function of its id: keep iff the content-
+  * addressed md5 bucket (the engine-portable [[GraftFunctions.hashSplitBucket]]
+  * form, salted with "mix:" so it is INDEPENDENT of the q52 train/val/test
+  * split buckets) falls under the domain's rate. No RNG, no `sample()` —
+  * reruns, engines, and partition layouts agree row-for-row, the realized
+  * rate concentrates at the target (binomial over distinct hashes), and the
+  * decision is auditable after the fact. Pure codegen Column predicate: at
+  * 100 TB this is a map-only filter inside the scan stage, no shuffle.
+  *
+  * Rates are fixed to parts-per-million on the Scala side so the threshold
+  * comparison is exact integer arithmetic in every engine.
+  */
+object DomainMix {
+
+  /** Keep-predicate: md5("mix:" + id) bucket (of 1e6) < rate[domain] ppm. */
+  def keepFlag(id: Column, domain: Column, rates: Map[String, Double],
+      defaultRate: Double): Column = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0,1]")
+    val ppm = rates.view.mapValues(r => math.round(r * 1000000).toDouble).toMap
+    val ppmCol = coalesce(
+      element_at(typedlit(ppm), domain),
+      lit(math.round(defaultRate * 1000000).toDouble)).cast("long")
+    GraftFunctions.hashSplitBucket(concat(lit("mix:"), id.cast("string")), 1000000) < ppmCol
+  }
+
+  /** The pipeline op: docs filtered to the target mix. */
+  def sampleByDomain(docs: DataFrame, id: String, domain: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
+    docs.filter(keepFlag(col(id), col(domain), rates, defaultRate))
+}
