@@ -24,7 +24,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q39_approx_distinct", "q41_latest_salted", "q42_session_window",
     "q45_text_clean", "q46_vocab", "q48_sql_text", "q49_set_ops",
     "q50_correlated_max", "q51_curation", "q52_hash_split", "q53_asof_forward",
-    "q54_rolling_window", "q58_corpus_report")
+    "q54_rolling_window", "q58_corpus_report", "q63_repetition", "q64_seq_packing",
+    "q65_domain_mix")
 
   test("no audited query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = audited.flatMap { name =>
@@ -58,5 +59,33 @@ class PlanPropertiesSpec extends SparkSpec {
     val plan = SparkEntry.queries("q03_time_range")(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThanOrEqual(ts,"),
       s"raw-nanos range must reach the scan (PushedFilters):\n$plan")
+  }
+
+  test("q63 aggregates bigram counts with map-side partials; token arrays never shuffle") {
+    val plan = SparkEntry.queries("q63_repetition")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"bigram counting must combine map-side:\n$plan")
+    // the join back to per-doc scalars carries only narrow columns — no
+    // Exchange in the plan may ship the __toks array
+    val shufflesTokens = plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("__toks"))
+    assert(!shufflesTokens, s"token arrays must stay map-side:\n$plan")
+  }
+
+  test("q64 packs with exactly one data exchange (the shard groupBy)") {
+    val plan = SparkEntry.queries("q64_seq_packing")(spark, sfDir).queryExecution.executedPlan
+    val exchanges = plan.toString.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    // one hash exchange for groupBy(shard) + the final presentation orderBy's
+    // range exchange — anything more means the fold stopped being one-pass
+    assert(exchanges <= 2, s"expected ≤2 exchanges (shard agg + output sort):\n$plan")
+  }
+
+  test("sampleByDomain is a map-only filter: zero exchanges in the operator plan") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val plan = graft.operators.DomainMix
+      .sampleByDomain(docs, "doc_id", "source", Map("src0" -> 0.5), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), s"keep-flag filter missing:\n$plan")
+    assert(!plan.contains("Exchange"), s"domain-mix sampling must not shuffle:\n$plan")
   }
 }
