@@ -133,9 +133,14 @@ final class FeatureStore(spark: SparkSession, root: String,
     // key-bucket partitioning so an uncached point lookup prunes to ONE
     // bucket directory (getRecord fall-through when the snapshot exceeds
     // maxServingCacheRows) instead of scanning every key
+    // repartition ON the bucket before partitionBy: without it every task
+    // writes into every bucket dir (tasks × buckets tiny files per snapshot
+    // — measured 1.7× on the ingest e2e queries); clustered, the write is
+    // one file per bucket, which is also what the pruned point-read wants
     latest
       .withColumn(EngineColumns.KeyBucket,
         pmod(crc32(col(g.keyCol).cast("string")), lit(FeatureStore.OnlineKeyBuckets)))
+      .repartition(FeatureStore.OnlineKeyBuckets.toInt, col(EngineColumns.KeyBucket))
       .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
     val tmp = onlineDir(g.name).resolve("LATEST.tmp")
     Files.createDirectories(onlineDir(g.name))
