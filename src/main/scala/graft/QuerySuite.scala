@@ -448,6 +448,17 @@ object QuerySuite {
         .orderBy("source")
     }),
 
+    // ---- per-domain frequency cap: keep each source's 15 best docs by
+    //      quality. Rank runs over narrow (id, domain, rank) tuples only;
+    //      survivors come back as a BROADCAST semi join, so text never
+    //      shuffles and domain skew hits 16-byte rows (see capPerDomain) ----
+    "q66_domain_cap" -> ((s, dir) => {
+      DomainMix.capPerDomain(Tables.documents(s, dir), "doc_id", "source",
+          TextAnalysis.qualityScore(col("text")), n = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
@@ -1513,6 +1524,18 @@ object QuerySuite {
         |  min(doc_id) FILTER (WHERE b < ppm) AS min_kept_id,
         |  max(doc_id) FILTER (WHERE b < ppm) AS max_kept_id
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    // re-ranks with the shared bit-reproducible quality fragment (q21): the
+    // double scores compare exactly, so rank order — and the kept set — is
+    // engine-independent (ties broken by doc_id in both engines)
+    "q66_domain_cap" ->
+      s"""WITH qual AS (${qualityOracle.stripSuffix(" ORDER BY doc_id")}),
+         |r AS (
+         |  SELECT d.doc_id, d.source,
+         |         row_number() OVER (PARTITION BY d.source
+         |                            ORDER BY qual.quality DESC, d.doc_id ASC) AS rn
+         |  FROM documents d JOIN qual ON qual.doc_id = d.doc_id)
+         |SELECT doc_id, source FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     // the synthetic duration is md5-derived (engine-portable), so the frame
     // count is fully re-derivable: floor(duration/10s) + 1 frames per video

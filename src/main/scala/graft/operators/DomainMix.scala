@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -39,4 +40,28 @@ object DomainMix {
   def sampleByDomain(docs: DataFrame, id: String, domain: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
     docs.filter(keepFlag(col(id), col(domain), rates, defaultRate))
+
+  /** Cap each domain at its `n` best rows by `rank` (ties broken by
+    * ascending id — fully deterministic given a deterministic rank).
+    *
+    * The 100 TB shape matters here: ranking windows over the full rows would
+    * shuffle document text partitioned BY DOMAIN — and domains are the
+    * canonical skewed key (one crawl domain can be a double-digit fraction
+    * of the corpus, so one window partition would swallow it). Instead the
+    * window runs over a three-narrow-column projection (id, domain, rank
+    * value), and the surviving ids — at most `n × |domains|` rows — come
+    * back as a BROADCAST left-semi join: the wide rows never enter any
+    * shuffle, skew hits only 16-byte tuples, and the docs side stays a
+    * map-only scan (plan-gated in PlanPropertiesSpec). */
+  def capPerDomain(docs: DataFrame, id: String, domain: String,
+      rank: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("__cap_dom"))
+      .orderBy(col("__cap_rank").desc, col("__cap_id").asc)
+    val keep = docs
+      .select(col(id).as("__cap_id"), col(domain).as("__cap_dom"), rank.as("__cap_rank"))
+      .withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= n)
+      .select(col("__cap_id"))
+    docs.join(broadcast(keep), docs(id) === keep("__cap_id"), "left_semi")
+  }
 }

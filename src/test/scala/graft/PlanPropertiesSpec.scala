@@ -25,7 +25,7 @@ class PlanPropertiesSpec extends SparkSpec {
     "q45_text_clean", "q46_vocab", "q48_sql_text", "q49_set_ops",
     "q50_correlated_max", "q51_curation", "q52_hash_split", "q53_asof_forward",
     "q54_rolling_window", "q58_corpus_report", "q63_repetition", "q64_seq_packing",
-    "q65_domain_mix")
+    "q65_domain_mix", "q66_domain_cap")
 
   test("no audited query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = audited.flatMap { name =>
@@ -78,6 +78,16 @@ class PlanPropertiesSpec extends SparkSpec {
     // one hash exchange for groupBy(shard) + the final presentation orderBy's
     // range exchange — anything more means the fold stopped being one-pass
     assert(exchanges <= 2, s"expected ≤2 exchanges (shard agg + output sort):\n$plan")
+  }
+
+  test("q66 caps via broadcast semi join: document text never enters a shuffle") {
+    val plan = SparkEntry.queries("q66_domain_cap")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"survivor ids must broadcast back:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"no shuffle join in the cap plan:\n$plan")
+    val shufflesText = plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))
+    assert(!shufflesText, s"text must not cross an Exchange:\n$plan")
   }
 
   test("sampleByDomain is a map-only filter: zero exchanges in the operator plan") {
