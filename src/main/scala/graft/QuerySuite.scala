@@ -297,6 +297,17 @@ object QuerySuite {
         .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
     }),
 
+    // ---- semantic dedup (SemDeDup): sample-fit KMeans cells as candidate
+    //      buckets, exact-cosine verification, min-id keep marks. Candidate
+    //      pairs dumped; the oracle re-derives cosine + marks (q16 contract) ----
+    "q67_dedup_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding", threshold = 0.9,
+        nClusters = 16, candidateSink = Some(aux(dir, "q67_candidates")))
+      Dedup.marksFromPairs(emb, "vec_id", pairs)
+        .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
+    }),
+
     // ---- decontamination: train/test n-gram overlap over the q52 content-
     //      addressed split — per test doc, how many train docs share ≥3
     //      distinct df-capped 8-grams with it, and the worst overlap ----
@@ -1202,6 +1213,22 @@ object QuerySuite {
     // CosineSimilarity expression — established by q17), plus the marks
     "q16_dedup_embedding" ->
       """WITH cand AS (SELECT id_a, id_b FROM read_parquet('{AUX}/q16_candidates/*.parquet')),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+        |            JOIN embeddings b ON b.vec_id = cand.id_b)
+        |SELECT e.vec_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM embeddings e
+        |LEFT JOIN (SELECT DISTINCT id_b AS vec_id, true AS is_dup FROM c WHERE cosine >= 0.9) dup
+        |  USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // same re-derivation as q16, over the KMeans-cell candidates: the oracle
+    // is agnostic to HOW candidates were generated — it independently
+    // verifies every claimed pair and reconstructs the marks
+    "q67_dedup_semantic" ->
+      """WITH cand AS (SELECT id_a, id_b FROM read_parquet('{AUX}/q67_candidates/*.parquet')),
         |c AS (
         |  SELECT id_a, id_b,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

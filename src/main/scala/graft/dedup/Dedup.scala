@@ -463,6 +463,62 @@ object Dedup {
     eager(out, () => { keyed.unpersist(false): Unit })
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540 —
+    * public method): cluster the embedding space with a sample-fit KMeans
+    * coarse quantizer, generate candidate pairs WITHIN clusters only, then
+    * verify with exact cosine (native codegen [[CosineSimilarity]]) and mark
+    * non-canonical members. Versus [[embeddingCosine]]'s random-hyperplane
+    * buckets, clusters follow the data distribution — semantic near-dups
+    * that straddle a hyperplane still share a cell — at the price of the
+    * quantizer fit, which samples like `Similarity.ivfTopK` so fit cost
+    * stays constant as the corpus grows; assignment is one broadcast-model
+    * pass. Candidates ∝ Σ min(cellSize, maxCluster)² with `maxCluster` the
+    * skew guard (an over-dense cell is boilerplate better collapsed by
+    * exact dedup first — same documented trade as [[simhash]]).
+    *
+    * KMeans assignment is engine-specific, so the oracle contract is the
+    * q16/q18 one: candidate id pairs dump to a side table and DuckDB
+    * re-derives the cosine verification + marks from the stored vectors. */
+  def semanticDedup(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double = 0.9,
+      nClusters: Int = 16,
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0,
+      fitMaxIter: Int = 20,
+      maxCluster: Int = 10000,
+      candidateSink: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val keyed = df.filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id).as("vec_id"), col(vec).as("v"))
+      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+      .persist()
+    keyed.count(): Unit
+
+    val fitSet = if (fitSampleFraction < 1.0) keyed.sample(fitSampleFraction, seed) else keyed
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(fitMaxIter)
+      .setFeaturesCol("features").fit(fitSet)
+
+    val buckets = model.transform(keyed)
+      .select(col("vec_id").as("doc_id"), col("prediction").as("cell"))
+      .groupBy(col("cell")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxCluster)) // skew guard
+
+    val candidates = sinkCandidates(pairsFromBuckets(buckets), candidateSink)
+
+    val out = candidates
+      .join(keyed.select(col("vec_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(keyed.select(col("vec_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(CosineSimilarity(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    eager(out, () => { keyed.unpersist(false): Unit })
+  }
+
   /** Cross-corpus n-gram overlap — DECONTAMINATION: which `right` (test/eval)
     * docs share at least `minShared` distinct df-capped character n-grams
     * with some `left` (train) doc. The standard pre-training hygiene pass:

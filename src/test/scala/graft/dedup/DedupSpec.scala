@@ -182,4 +182,26 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("semantic dedup: KMeans cells surface planted near-dups, cosine gate rejects far pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // two well-separated gaussian blobs; ids 100/101 and 200/201 are planted
+    // near-identical pairs inside their blobs, the rest are blob noise (same
+    // cell, but cosine < threshold against everything)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val blobA = Array(10f, 0f, 0f, 5f); val blobB = Array(-10f, 8f, 0f, -5f)
+    val planted = Seq(
+      100L -> blobA, 101L -> jitter(blobA, 0.01f),
+      200L -> blobB, 201L -> jitter(blobB, 0.01f))
+    val noise = (0L until 40L).map(i =>
+      (300L + i) -> jitter(if (i % 2 == 0) blobA else blobB, 12f))
+    val vecs = (planted ++ noise).map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.9999, nClusters = 2, fitMaxIter = 20)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((100L, 101L), (200L, 201L)), s"got $pairs")
+  }
 }
