@@ -602,6 +602,40 @@ object QuerySuite {
         .orderBy("day_start", "event_type")
     }),
 
+    // ---- stream-stream interval join: clicks attributed to purchases
+    //      within a 1-hour lookback, per user — the streaming sibling of the
+    //      q33 batch range join. Both sides carry watermarks so the join
+    //      STATE is bounded (an unmatched click is dropped once the
+    //      purchase-side watermark passes its interval; at 100 TB this is
+    //      the difference between O(window) and O(stream) state). Inner
+    //      join → matched pairs append as soon as both sides arrive ----
+    "q68_stream_join" -> ((s, dir) => {
+      val src = stageStreamDir(dir, "events")
+      def side(tpe: String) = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(src)
+        .filter(col("event_type") === tpe)
+      val p = side("purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          expr("timestamp_micros(ts div 1000)").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = side("click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          expr("timestamp_micros(ts div 1000)").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("p_id"), col("c_id"))
+      val qname = s"q68_out_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q68_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy("p_id", "c_id")
+    }),
+
     // ---- streaming exact dedup: first-arrival-wins key dedup over the
     //      event stream (ingestion-time dedup — the streaming sibling of
     //      q12). Bounded AvailableNow input → full-state dropDuplicates;
@@ -1614,6 +1648,17 @@ object QuerySuite {
       """SELECT date_trunc('day', ts) AS day_start, event_type,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin,
+
+    // the streaming interval join must emit exactly the batch join's pairs
+    // (AvailableNow drains the bounded source, inner join, so watermarks
+    // only bound state — they cannot drop matches)
+    "q68_stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+        |SELECT p.p_id, c.c_id
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "q57_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events
