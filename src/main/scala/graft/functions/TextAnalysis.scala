@@ -105,12 +105,24 @@ object TextAnalysis {
       text: String,
       maxDupLineFrac: Double = 0.30,
       maxTopBigramFrac: Double = 0.20): DataFrame = {
-    val lines = filter(transform(split(col(text), "\n"), l => trim(l)), l => length(l) > 0)
-    val base = docs.select(
-      col(id).as("doc_id"),
-      wsTokens(lower(col(text))).as("__toks"),
-      size(lines).cast("long").as("n_lines"),
-      dupLineFraction(col(text)).as("dup_line_frac"))
+    // __lines materialized FIRST: Catalyst does no CSE across an expression
+    // tree, so inlining the split/trim/filter chain into n_lines +
+    // dup_line_frac would recompute it 5× per row (observed in the q63
+    // physical plan before this column existed; CollapseProject keeps the
+    // split since the chain is non-cheap)
+    val base = docs
+      .select(col(id).as("doc_id"), col(text).as("__text"))
+      .withColumn("__lines",
+        filter(transform(split(col("__text"), "\n"), l => trim(l)), l => length(l) > 0))
+      .select(
+        col("doc_id"),
+        wsTokens(lower(col("__text"))).as("__toks"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        when(size(col("__lines")) === 0, lit(0.0))
+          .otherwise((size(col("__lines")).cast("double") -
+            size(array_distinct(col("__lines"))).cast("double")) /
+            size(col("__lines")).cast("double"))
+          .as("dup_line_frac"))
     // narrow per-doc scalars only — the token arrays stay map-side
     val scalars = base.select(
       col("doc_id"), col("n_lines"), col("dup_line_frac"),
