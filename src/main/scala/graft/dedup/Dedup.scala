@@ -576,11 +576,14 @@ object Dedup {
 
   /** Collapse near-dup pairs to per-doc keep/drop marks: a doc is dropped if
     * any pair links it to a smaller id (cheap one-pass approximation of
-    * connected components; [[connectedComponents]] is the exact fixpoint). */
+    * connected components; [[connectedComponents]] is the exact fixpoint).
+    * The dup-id set (verified pairs only) is orders of magnitude smaller
+    * than the corpus — broadcast it, so marking is a map-only pass over the
+    * docs instead of shuffling the corpus by id. */
   def marksFromPairs(docs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     docs.select(col(id).as("doc_id"))
-      .join(pairs.select(col("id_b").as("doc_id")).distinct()
-        .withColumn("is_duplicate", lit(true)), Seq("doc_id"), "left")
+      .join(broadcast(pairs.select(col("id_b").as("doc_id")).distinct()
+        .withColumn("is_duplicate", lit(true))), Seq("doc_id"), "left")
       .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
 
   /** End-to-end near-dup removal: collapse `pairs` to exact connected
