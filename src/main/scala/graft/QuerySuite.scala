@@ -470,6 +470,31 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- training-data pipeline capstone: repetition gate + quality floor
+    //      + deterministic domain mix, survivors packed into 512-token
+    //      sequences — filter → curate → pack, the end-to-end shape a
+    //      pretraining data build runs. Quality/mix are map-side predicates;
+    //      the repetition gate's keep-ids come back as a semi join; packing
+    //      adds its single shard shuffle ----
+    "q69_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+      // one narrow verdict frame per text pass: the quality+mix flags reduce
+      // a scan to (doc_id) survivors map-side; repetitionStats reduces its
+      // scans to (doc_id, n_tokens, keep). Everything after is id+count
+      // rows — the text itself never crosses a shuffle and is never
+      // re-tokenized for packing
+      val rep = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .filter(col("keep")).select(col("doc_id"), col("n_tokens"))
+      val flagged = docs
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .filter(DomainMix.keepFlag(col("doc_id"), col("source"),
+          Map("src0" -> 0.5, "src1" -> 0.5), defaultRate = 1.0))
+        .select(col("doc_id"))
+      SequencePacking.packFromCounts(rep.join(flagged, Seq("doc_id")),
+          "doc_id", "n_tokens", budget = 512L, nShards = 16)
+        .orderBy("doc_id")
+    }),
+
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
@@ -1067,6 +1092,41 @@ object QuerySuite {
   }
 
   /** q21's oracle, shared verbatim by the q51 curation composition. */
+  /** q63's full oracle; q69 embeds it as a CTE with the ORDER BY stripped
+    * (same reuse pattern as qualityOracle in q51). */
+  private val repetitionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |                l -> length(l) > 0) AS lines
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
+      |  FROM t WHERE len(toks) >= 2
+      |), c AS (
+      |  SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2
+      |), m AS (
+      |  SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1
+      |), r AS (
+      |  SELECT t.doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CASE WHEN len(lines) = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE (len(lines)::DOUBLE - len(list_distinct(lines))::DOUBLE) / len(lines)::DOUBLE
+      |    END AS dup_line_frac,
+      |    CAST(coalesce(m.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
+      |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+      |         ELSE CAST(2.0 AS DOUBLE) * coalesce(m.top_cnt, 0)::DOUBLE / len(toks)::DOUBLE
+      |    END AS top_bigram_frac
+      |  FROM t LEFT JOIN m ON m.doc_id = t.doc_id
+      |)
+      |SELECT doc_id, n_lines, n_tokens, dup_line_frac, top_bigram_cnt, top_bigram_frac,
+      |  (dup_line_frac <= CAST(0.30 AS DOUBLE) AND top_bigram_frac <= CAST(0.20 AS DOUBLE)) AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   private val qualityOracle: String =
     """WITH t AS (
       |  SELECT doc_id, text,
@@ -1512,37 +1572,43 @@ object QuerySuite {
     // mirrors repetitionStats exactly: same trim/lower/'\s+' tokenization as
     // the other text oracles, bigrams re-derived via 1-based list indexing,
     // small-integer double arithmetic in the same order → bit-equal fracs
-    "q63_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
-        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
-        |                l -> length(l) > 0) AS lines
-        |  FROM documents
-        |), b AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(len(toks) - 1), i -> toks[i + 1] || ' ' || toks[i + 2])) AS bigram
-        |  FROM t WHERE len(toks) >= 2
-        |), c AS (
-        |  SELECT doc_id, bigram, count(*) AS cnt FROM b GROUP BY 1, 2
-        |), m AS (
-        |  SELECT doc_id, max(cnt) AS top_cnt FROM c GROUP BY 1
-        |), r AS (
-        |  SELECT t.doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CASE WHEN len(lines) = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE (len(lines)::DOUBLE - len(list_distinct(lines))::DOUBLE) / len(lines)::DOUBLE
-        |    END AS dup_line_frac,
-        |    CAST(coalesce(m.top_cnt, 0) AS BIGINT) AS top_bigram_cnt,
-        |    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
-        |         ELSE CAST(2.0 AS DOUBLE) * coalesce(m.top_cnt, 0)::DOUBLE / len(toks)::DOUBLE
-        |    END AS top_bigram_frac
-        |  FROM t LEFT JOIN m ON m.doc_id = t.doc_id
-        |)
-        |SELECT doc_id, n_lines, dup_line_frac, top_bigram_cnt, top_bigram_frac,
-        |  (dup_line_frac <= CAST(0.30 AS DOUBLE) AND top_bigram_frac <= CAST(0.20 AS DOUBLE)) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin,
+    "q63_repetition" -> repetitionOracle,
+
+    // every stage reuses an already-proven portable fragment: the q63
+    // repetition verdict, the q21 quality score, the q65 salted mix hash,
+    // and the q64 packing recurrence — composed, they must reproduce the
+    // capstone's exact (shard, seq, offset) assignment for the survivor set
+    "q69_pipeline_e2e" ->
+      s"""WITH RECURSIVE rep AS (${repetitionOracle.stripSuffix(" ORDER BY doc_id")}),
+         |qual AS (${qualityOracle.stripSuffix(" ORDER BY doc_id")}),
+         |surv AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN rep ON rep.doc_id = d.doc_id
+         |  JOIN qual ON qual.doc_id = d.doc_id
+         |  WHERE rep.keep AND qual.quality >= CAST(0.5 AS DOUBLE)
+         |    AND ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 <
+         |        CASE d.source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 500000 ELSE 1000000 END
+         |), o AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16 AS shard,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+         |    row_number() OVER (PARTITION BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+         |                       ORDER BY doc_id) AS rn
+         |  FROM surv
+         |), p AS (
+         |  SELECT doc_id, shard, n_tok, rn,
+         |         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset, n_tok AS fill
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.doc_id, o.shard, o.n_tok, o.rn,
+         |    CASE WHEN p.fill + o.n_tok > 512 AND p.fill > 0 THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.fill + o.n_tok > 512 AND p.fill > 0 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+         |    CASE WHEN p.fill + o.n_tok > 512 AND p.fill > 0 THEN o.n_tok ELSE p.fill + o.n_tok END
+         |  FROM o JOIN p ON o.shard = p.shard AND o.rn = p.rn + 1
+         |)
+         |SELECT doc_id, shard, seq_id, seq_offset, n_tok AS n_tokens
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     // replays packSequences' recurrence exactly: same md5 shard as q52, same
     // '\s+' token count as q19, greedy fold as a recursive CTE stepping one

@@ -96,8 +96,10 @@ object TextAnalysis {
     * narrow-row join back to the per-doc scalars — token arrays never cross
     * a shuffle. Docs with <2 tokens have no bigrams and keep coverage 0.
     *
-    * @return (doc_id, n_lines, dup_line_frac, top_bigram_cnt,
-    *         top_bigram_frac, keep)
+    * @return (doc_id, n_lines, n_tokens, dup_line_frac, top_bigram_cnt,
+    *         top_bigram_frac, keep) — n_tokens rides along so downstream
+    *         stages (e.g. sequence packing) can stay narrow instead of
+    *         re-tokenizing the text
     */
   def repetitionStats(
       docs: DataFrame,
@@ -126,7 +128,7 @@ object TextAnalysis {
     // narrow per-doc scalars only — the token arrays stay map-side
     val scalars = base.select(
       col("doc_id"), col("n_lines"), col("dup_line_frac"),
-      size(col("__toks")).cast("long").as("__n_toks"))
+      size(col("__toks")).cast("long").as("n_tokens"))
     val top = base
       .filter(size(col("__toks")) >= 2)
       .select(col("doc_id"),
@@ -137,11 +139,12 @@ object TextAnalysis {
     scalars.join(top, Seq("doc_id"), "left")
       .withColumn("top_bigram_cnt", coalesce(col("top_bigram_cnt"), lit(0L)))
       .withColumn("top_bigram_frac",
-        when(col("__n_toks") === 0, lit(0.0))
-          .otherwise(lit(2.0) * col("top_bigram_cnt").cast("double") / col("__n_toks").cast("double")))
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(lit(2.0) * col("top_bigram_cnt").cast("double") / col("n_tokens").cast("double")))
       .withColumn("keep",
         col("dup_line_frac") <= maxDupLineFrac && col("top_bigram_frac") <= maxTopBigramFrac)
-      .select("doc_id", "n_lines", "dup_line_frac", "top_bigram_cnt", "top_bigram_frac", "keep")
+      .select("doc_id", "n_lines", "n_tokens", "dup_line_frac",
+        "top_bigram_cnt", "top_bigram_frac", "keep")
   }
 
   /** Full per-document stats row used by q16/q17. */

@@ -44,11 +44,26 @@ object SequencePacking {
       id: String,
       text: String,
       budget: Long,
+      nShards: Int = 32): DataFrame =
+    packFromCounts(
+      docs.select(col(id).as("__pid"),
+        GraftFunctions.tokenCountWs(col(text)).cast("long").as("__ptok")),
+      "__pid", "__ptok", budget, nShards)
+
+  /** Packing over PRE-COMPUTED token counts — the narrow entry point for
+    * pipelines that already carry a count (e.g. repetitionStats' n_tokens):
+    * only (id, count) rows enter the shard shuffle, the text is never
+    * re-tokenized or moved. */
+  def packFromCounts(
+      counts: DataFrame,
+      id: String,
+      nTok: String,
+      budget: Long,
       nShards: Int = 32): DataFrame = {
     val outT = "array<struct<doc_id:bigint,n_tok:bigint,seq_id:bigint,seq_offset:bigint>>"
-    val base = docs.select(
+    val base = counts.select(
       col(id).cast("long").as("doc_id"),
-      GraftFunctions.tokenCountWs(col(text)).cast("long").as("n_tok"),
+      col(nTok).cast("long").as("n_tok"),
       GraftFunctions.hashSplitBucket(col(id), nShards).as("shard"))
     base
       .groupBy("shard")

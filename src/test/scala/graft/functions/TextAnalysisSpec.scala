@@ -51,13 +51,15 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, "single"),
       (5L, "")).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
-      .as[(Long, Long, Double, Long, Double, Boolean)].collect()
+      .as[(Long, Long, Long, Double, Long, Double, Boolean)].collect()
       .map(r => r._1 -> r).toMap
-    assert(got(1L)._2 == 4 && got(1L)._3 == 0.25, "4 lines, one repeat → 1/4")
-    assert(got(1L)._4 == 2 && !got(1L)._6, "'spam line' ×2 of 8 tokens → frac 0.5 → drop")
-    assert(got(2L)._4 == 12 && got(2L)._5 == 1.0 && !got(2L)._6, "wall-to-wall bigram → drop")
-    assert(got(3L)._6, "prose passes both thresholds")
-    assert(got(4L)._4 == 0 && got(4L)._5 == 0.0 && got(4L)._6)
-    assert(got(5L)._2 == 0 && got(5L)._3 == 0.0 && got(5L)._6)
+    assert(got(1L)._2 == 4 && got(1L)._4 == 0.25, "4 lines, one repeat → 1/4")
+    assert(got(1L)._3 == 8, "newlines separate tokens")
+    assert(got(1L)._5 == 2 && !got(1L)._7, "'spam line' ×2 of 8 tokens → frac 0.5 → drop")
+    assert(got(2L)._3 == 24 && got(2L)._5 == 12 && got(2L)._6 == 1.0 && !got(2L)._7,
+      "wall-to-wall bigram → drop")
+    assert(got(3L)._7, "prose passes both thresholds")
+    assert(got(4L)._3 == 1 && got(4L)._5 == 0 && got(4L)._6 == 0.0 && got(4L)._7)
+    assert(got(5L)._2 == 0 && got(5L)._3 == 0 && got(5L)._4 == 0.0 && got(5L)._7)
   }
 }
