@@ -262,6 +262,24 @@ object QuerySuite {
       Dedup.incrementalMarks(batch2, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // ---- incremental SEMANTIC dedup: even vec_ids bootstrap the persisted
+    //      centroid+vector index; odd vec_ids arrive as the new batch,
+    //      assign against the frozen centroids, and dedup against (and
+    //      into) the index. Tagged candidates dumped; the oracle re-derives
+    //      cosine verification, orientation, and marks (q55 contract) ----
+    "q70_semantic_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      val idx = aux(dir, "q70_vecindex")
+      Dedup.buildSemanticIndex(base, "vec_id", "embedding", idx) // overwrite: deterministic per run
+      val pairs = Dedup.semanticDedupIncremental(batch, "vec_id", "embedding", idx,
+        batchId = "day2", threshold = 0.9,
+        candidateSink = Some(aux(dir, "q70_candidates")))
+      Dedup.incrementalMarks(batch, "vec_id", pairs)
+        .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
+    }),
+
     // ---- dedup: SimHash. Candidates (with both simhash values) dumped; the
     //      oracle recomputes hamming, the radius filter and the marks ----
     "q14_dedup_simhash" -> ((s, dir) => {
@@ -1332,6 +1350,25 @@ object QuerySuite {
         |FROM embeddings e
         |LEFT JOIN (SELECT DISTINCT id_b AS vec_id, true AS is_dup FROM c WHERE cosine >= 0.9) dup
         |  USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // incremental semantic: cosine verification, index-canonical keep/drop
+    // orientation, and the new-batch marks re-derived from the tagged dump
+    "q70_semantic_incremental" ->
+      """WITH cand AS (
+        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/q70_candidates/*.parquet')
+        |), c AS (
+        |  SELECT id_a, id_b, new_a, new_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+        |            JOIN embeddings b ON b.vec_id = cand.id_b
+        |), drops AS (
+        |  SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS vec_id
+        |  FROM c WHERE cosine >= CAST(0.9 AS DOUBLE)
+        |)
+        |SELECT e.vec_id, coalesce(d.is_dup, false) AS is_duplicate
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) e
+        |LEFT JOIN (SELECT vec_id, true AS is_dup FROM drops) d USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
     "q15_dedup_ngram" ->

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -301,25 +302,7 @@ object Dedup {
       .agg(collect_list(col("m")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket)) // skew guard
 
-    // tagged pair expansion: structs sort by (doc_id, is_new) so pairs come
-    // out id-ordered; pairs with no new member are dropped before the dedup
-    val cand0 = buckets
-      .select(array_sort(col("ids")).as("s"))
-      .select(explode(flatten(transform(col("s"), (a, i) =>
-        transform(slice(col("s"), i + lit(2), size(col("s"))),
-          b => struct(
-            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
-            a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.new_a"), col("p.new_b"))
-      .filter(col("new_a") || col("new_b"))
-      // self-pair guard: defense in depth. The partition-exclusion read
-      // already hides a replayed batch's own prior signatures, but if an
-      // operator folds the same DOCS under a fresh batchId each doc would
-      // collide with its own index entry (id_a == id_b at jaccard 1) and the
-      // whole batch would be marked duplicate — drop those outright.
-      .filter(col("id_a") =!= col("id_b"))
-      .distinct()
-    val candidates = sinkCandidates(cand0, candidateSink)
+    val candidates = sinkCandidates(taggedPairsFromBuckets(buckets), candidateSink)
 
     val out = verifyJaccard(candidates, all.select(col("doc_id"), col("hs")), threshold)
       .select(
@@ -333,6 +316,28 @@ object Dedup {
     newSig.unpersist(false): Unit
     p
   }
+
+  /** Tagged pair expansion for the incremental flows: `buckets.ids` holds
+    * struct(doc_id, is_new) members; structs sort by (doc_id, is_new) so
+    * pairs come out id-ordered. Pairs with no new member are dropped (the
+    * indexed corpus is already settled — never index×index), and id_a==id_b
+    * self-pairs are dropped as defense in depth: the partition-exclusion
+    * read already hides a replayed batch's own prior index rows, but an
+    * operator folding the same DOCS under a fresh batchId would otherwise
+    * collide every doc with its own entry and mark the whole batch
+    * duplicate. */
+  private def taggedPairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets
+      .select(array_sort(col("ids")).as("s"))
+      .select(explode(flatten(transform(col("s"), (a, i) =>
+        transform(slice(col("s"), i + lit(2), size(col("s"))),
+          b => struct(
+            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+            a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.new_a"), col("p.new_b"))
+      .filter(col("new_a") || col("new_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
 
   /** Per-new-doc keep/drop marks from [[minhashLshIncremental]] pairs. */
   def incrementalMarks(newDocs: DataFrame, id: String, pairs: DataFrame): DataFrame =
@@ -517,6 +522,125 @@ object Dedup {
         round(CosineSimilarity(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
     eager(out, () => { keyed.unpersist(false): Unit })
+  }
+
+  /** Bootstrap a persisted semantic (embedding) index WITHOUT running dedup:
+    * fit the coarse quantizer, store `<indexPath>/centroids` (tiny — the
+    * frozen cell geometry every later batch assigns against) and
+    * `<indexPath>/vectors` = (doc_id, cell, v) partitioned by batch (same
+    * replay-idempotent layout as the minhash index). */
+  def buildSemanticIndex(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      nClusters: Int = 16,
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0,
+      fitMaxIter: Int = 20,
+      batchId: String = "base"): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val keyed = df.filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id).as("doc_id"), col(vec).as("v"))
+      .withColumn("features", array_to_vector(col("v").cast("array<double>")))
+    val fitSet = if (fitSampleFraction < 1.0) keyed.sample(fitSampleFraction, seed) else keyed
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(fitMaxIter)
+      .setFeaturesCol("features").fit(fitSet)
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexPath/centroids")
+    writeIndexBatch(
+      model.transform(keyed).select(col("doc_id"), col("prediction").as("cell"), col("v")),
+      s"$indexPath/vectors", batchId, wholeIndex = true)
+  }
+
+  /** Assign vectors to their nearest stored centroid (squared-Euclidean
+    * argmin — the same geometry KMeans assigned the base corpus with; ties
+    * break on the lower cell id). Broadcast cross join against the tiny
+    * centroid table, then a batch-sized argmin — no model object needed, so
+    * the serving path has no MLlib dependency. */
+  private def assignCells(keyed: DataFrame, centroids: DataFrame): DataFrame = {
+    val d2 = aggregate(
+      zip_with(col("v"), col("centroid"),
+        (a, b) => { val d = a.cast("double") - b; d * d }),
+      lit(0.0), (s, x) => s + x)
+    keyed.join(broadcast(centroids), lit(true))
+      .withColumn("__d2", d2)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("__d2").asc, col("cell").asc)))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cell"), col("v"))
+  }
+
+  /** Incremental SEMANTIC dedup — [[semanticDedup]]'s daily-batch form,
+    * mirroring [[minhashLshIncremental]] exactly: assign the new batch to
+    * the FROZEN centroids (no refit — cell geometry must stay stable or
+    * old assignments go stale), candidates are new×new and new×index cell
+    * collisions (never index×index), exact-cosine verification, pairs
+    * oriented index-canonical, and the new batch's (doc_id, cell, v) rows
+    * fold into `vectors/batch=<batchId>` — replay-safe via the same
+    * partition-exclusion read + dynamic partition overwrite.
+    *
+    * Quantizer drift is the documented operational caveat: after enough
+    * distribution shift, rebuild with [[buildSemanticIndex]] (a new base
+    * batch) rather than refitting in place.
+    *
+    * @return (keep_id, drop_id, cosine)
+    */
+  def semanticDedupIncremental(
+      newDf: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      batchId: String,
+      threshold: Double = 0.9,
+      maxCluster: Int = 10000,
+      candidateSink: Option[String] = None): DataFrame = {
+    val spark = newDf.sparkSession
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val oldVecs = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("batch") =!= lit(batchId))
+      .select(col("doc_id"), col("cell"), col("v"))
+
+    val newAssigned = assignCells(
+      newDf.filter(col(vec).isNotNull && size(col(vec)) > 0)
+        .select(col(id).as("doc_id"), col(vec).as("v")),
+      centroids).persist()
+    newAssigned.count(): Unit
+
+    val all = oldVecs.withColumn("is_new", lit(false))
+      .unionByName(newAssigned.withColumn("is_new", lit(true)))
+    val buckets = all
+      .select(struct(col("doc_id"), col("is_new")).as("m"), col("cell"))
+      .groupBy(col("cell")).agg(collect_list(col("m")).as("ids"))
+      .filter(size(col("ids")).between(2, maxCluster)) // skew guard
+
+    val candidates = sinkCandidates(taggedPairsFromBuckets(buckets), candidateSink)
+
+    val vecsById = all.select(col("doc_id"), col("v"))
+    val out = candidates
+      .join(vecsById.select(col("doc_id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecsById.select(col("doc_id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("new_a"), col("new_b"),
+        round(CosineSimilarity(col("v_a"), col("v_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(
+        when(col("new_a") && !col("new_b"), col("id_b")).otherwise(col("id_a")).as("keep_id"),
+        when(col("new_a") && !col("new_b"), col("id_a")).otherwise(col("id_b")).as("drop_id"),
+        col("cosine"))
+    // lineage cut BEFORE the fold-in (same hazard as the minhash flow: a
+    // re-executable plan would re-read the index post-fold and see the
+    // batch's own vectors as indexed)
+    val p = out.localCheckpoint(eager = true)
+    writeIndexBatch(newAssigned.select(col("doc_id"), col("cell"), col("v")),
+      s"$indexPath/vectors", batchId)
+    newAssigned.unpersist(false): Unit
+    p
   }
 
   /** Cross-corpus n-gram overlap — DECONTAMINATION: which `right` (test/eval)

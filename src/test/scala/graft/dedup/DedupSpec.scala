@@ -137,6 +137,41 @@ class DedupSpec extends SparkSpec {
     assert(marks1 == Map(0L -> true, 7L -> false, 8L -> true, 9L -> false))
   }
 
+  test("incremental semantic dedup replays idempotently against the frozen index") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("semdedup_replay_").toString + "/vec"
+    val rng = new scala.util.Random(9)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val blobA = Array(10f, 0f, 0f, 5f); val blobB = Array(-10f, 8f, 0f, -5f)
+    // base corpus: two blobs (ids 1-20)
+    val baseVecs = (1L to 20L).map(i =>
+      (i, jitter(if (i % 2 == 0) blobA else blobB, 8f))) :+ (21L, blobA)
+    Dedup.buildSemanticIndex(baseVecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, nClusters = 2)
+    // new batch: 100 dups indexed 21; 102 dups 101 within the batch; 103 unique
+    val batch = Seq(
+      (100L, jitter(blobA, 0.001f)),
+      (101L, blobB), (102L, jitter(blobB, 0.001f)),
+      (103L, Array(0f, 0f, 20f, 0f)))
+      .toDF("vec_id", "embedding")
+
+    def run(): (Map[Long, Boolean], Long) = {
+      val pairs = Dedup.semanticDedupIncremental(batch, "vec_id", "embedding", idx,
+        batchId = "day1", threshold = 0.9999)
+      val marks = Dedup.incrementalMarks(batch, "vec_id", pairs)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+      (marks, spark.read.parquet(s"$idx/vectors").count())
+    }
+
+    val (marks1, rows1) = run()
+    val (marks2, rows2) = run()
+    assert(marks2 == marks1, s"replayed marks $marks2 != $marks1")
+    assert(rows2 == rows1, s"replayed index rows $rows2 != $rows1 (double-fold)")
+    assert(marks1 == Map(100L -> true, 101L -> false, 102L -> true, 103L -> false),
+      s"got $marks1")
+  }
+
   test("ngramCrossOverlap flags cross-side leaks only, with shared-gram counts") {
     import spark.implicits._
     val train = Seq(
