@@ -90,6 +90,14 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!shufflesText, s"text must not cross an Exchange:\n$plan")
   }
 
+  test("q69 pipeline: document text never crosses an Exchange") {
+    val plan = SparkEntry.queries("q69_pipeline_e2e")(spark, sfDir).queryExecution.executedPlan.toString
+    val shufflesText = plan.linesIterator.exists(l =>
+      l.contains("Exchange") && (l.contains("text#") || l.contains("__toks")))
+    assert(!shufflesText, s"capstone must shuffle only narrow verdict rows:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("sampleByDomain is a map-only filter: zero exchanges in the operator plan") {
     val docs = graft.Tables.documents(spark, sfDir)
     val plan = graft.operators.DomainMix
