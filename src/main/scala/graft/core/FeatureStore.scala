@@ -78,7 +78,9 @@ final class FeatureStore(spark: SparkSession, root: String,
   def dropGroup(name: String): Unit = {
     val dir = groupDir(name)
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      finally walk.close()
     }
     servingCache.remove(name): Unit
   }
@@ -308,13 +310,21 @@ final class FeatureStore(spark: SparkSession, root: String,
     // GC superseded versions (best-effort: a crash here just leaves orphans
     // for the next compaction to collect)
     import scala.jdk.CollectionConverters._
-    Files.list(offlineRoot(groupName)).iterator().asScala
-      .filter { p =>
+    val versions = Files.list(offlineRoot(groupName))
+    val superseded =
+      try versions.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toLong <= cur
-      }
-      .foreach(v => Files.walk(v).sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p)))
-    Files.walk(nextDir).filter(p => p.toString.endsWith(".parquet")).count()
+      }.toList
+      finally versions.close() // Files.list holds the directory handle open
+    superseded.foreach { v =>
+      val walk = Files.walk(v)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    val files = Files.walk(nextDir)
+    try files.filter(p => p.toString.endsWith(".parquet")).count()
+    finally files.close()
   }
 
   /** Point-in-time training-set construction — the full form of the
