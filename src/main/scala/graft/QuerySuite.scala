@@ -513,6 +513,28 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- per-language adaptive quality floor: a fixed global threshold
+    //      over-prunes low-resource languages (their score distribution
+    //      sits lower), so the floor is each language's own P25. ONE text
+    //      pass reduces to narrow (lang, quality) rows; the per-language
+    //      floors (a handful of rows) broadcast back; exact percentile
+    //      bit-matches DuckDB quantile_cont ----
+    "q71_lang_quality_floor" -> ((s, dir) => {
+      val narrow = Tables.documentsFanned(s, dir)
+        .withColumn("__lt", TextAnalysis.langTokens(col("text")))
+        .select(
+          TextAnalysis.langIdFromTokens(col("__lt"), col("text")).as("lang_pred"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      val floors = narrow.groupBy("lang_pred")
+        .agg(percentile(col("quality"), lit(0.25)).as("q25"),
+          count(lit(1)).as("n_docs"))
+      narrow.join(broadcast(floors), Seq("lang_pred"))
+        .groupBy("lang_pred", "n_docs", "q25")
+        .agg(count(when(col("quality") >= col("q25"), 1)).as("n_kept"))
+        .select("lang_pred", "n_docs", "q25", "n_kept")
+        .orderBy("lang_pred")
+    }),
+
     // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
@@ -1610,6 +1632,25 @@ object QuerySuite {
     // the other text oracles, bigrams re-derived via 1-based list indexing,
     // small-integer double arithmetic in the same order → bit-equal fracs
     "q63_repetition" -> repetitionOracle,
+
+    // shared lang-id + quality fragments; floors re-derived with
+    // quantile_cont (bit-matches Spark's exact percentile), then the same
+    // keep-count per language
+    "q71_lang_quality_floor" ->
+      s"""WITH lang AS (${langIdOracle.stripSuffix(" ORDER BY doc_id")}),
+         |qual AS (${qualityOracle.stripSuffix(" ORDER BY doc_id")}),
+         |j AS (
+         |  SELECT l.doc_id, l.lang_pred, q.quality
+         |  FROM lang l JOIN qual q ON q.doc_id = l.doc_id
+         |), f AS (
+         |  SELECT lang_pred, quantile_cont(quality, 0.25) AS q25,
+         |         CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM j GROUP BY 1
+         |)
+         |SELECT f.lang_pred, f.n_docs, f.q25,
+         |  CAST(count(*) FILTER (WHERE j.quality >= f.q25) AS BIGINT) AS n_kept
+         |FROM j JOIN f ON f.lang_pred = j.lang_pred
+         |GROUP BY f.lang_pred, f.n_docs, f.q25 ORDER BY f.lang_pred""".stripMargin,
 
     // every stage reuses an already-proven portable fragment: the q63
     // repetition verdict, the q21 quality score, the q65 salted mix hash,
