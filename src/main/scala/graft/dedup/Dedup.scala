@@ -339,11 +339,12 @@ object Dedup {
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
 
-  /** Per-new-doc keep/drop marks from [[minhashLshIncremental]] pairs. */
+  /** Per-new-doc keep/drop marks from [[minhashLshIncremental]] pairs.
+    * Drop-id set broadcast for the same reason as [[marksFromPairs]]. */
   def incrementalMarks(newDocs: DataFrame, id: String, pairs: DataFrame): DataFrame =
     newDocs.select(col(id).as("doc_id"))
-      .join(pairs.select(col("drop_id").as("doc_id")).distinct()
-        .withColumn("is_duplicate", lit(true)), Seq("doc_id"), "left")
+      .join(broadcast(pairs.select(col("drop_id").as("doc_id")).distinct()
+        .withColumn("is_duplicate", lit(true))), Seq("doc_id"), "left")
       .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into `bands` segments —
