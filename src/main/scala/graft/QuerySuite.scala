@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, DomainMix, LatestPerKey, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingLatest}
+import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -260,6 +260,35 @@ object QuerySuite {
         batchId = "day2", threshold = 0.5,
         candidateSink = Some(aux(dir, "q55_candidates")))
       Dedup.incrementalMarks(batch2, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // ---- STREAMING near-dup ingest: q55's flow driven through
+    //      foreachBatch — even doc_ids seed the index, odd doc_ids arrive
+    //      as the stream (one AvailableNow micro-batch from the staged
+    //      file), dedup against the index, kept docs land in per-batch
+    //      partitions. Output == q55's marks by construction, so the two
+    //      paths share oracle semantics (cross-micro-batch behavior is
+    //      spec'd in StreamingDedupSpec) ----
+    "q72_stream_dedup_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = aux(dir, "q72_sigindex")
+      Dedup.buildMinhashIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", idx)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+      val kept = aux(dir, "q72_kept")
+      val q = StreamingDedup.start(stream, "doc_id", "text", idx, kept,
+        tmpDir("q72_ckpt_"), threshold = 0.5,
+        candidateSink = Some(aux(dir, "q72_candidates")))
+      q.awaitTermination()
+      val keptIds = s.read.parquet(kept).select(col("doc_id"))
+        .withColumn("__kept", lit(true))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1).select(col("doc_id"))
+        .join(keptIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__kept") === false, lit(true)).as("is_duplicate"))
+        .orderBy("doc_id")
     }),
 
     // ---- incremental SEMANTIC dedup: even vec_ids bootstrap the persisted
@@ -1132,6 +1161,36 @@ object QuerySuite {
   }
 
   /** q21's oracle, shared verbatim by the q51 curation composition. */
+  /** Incremental-minhash marks re-derivation (q55 and its streaming twin
+    * q72): candidates + new-batch tags from the dump, shingle-Jaccard
+    * verification, index-canonical orientation, and the odd-doc marks. */
+  private def incrementalMinhashOracle(candDump: String): String =
+    s"""WITH cand AS (
+       |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/$candDump/*.parquet')
+       |), t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+       |  FROM t
+       |), j AS (
+       |  SELECT id_a, id_b, new_a, new_b,
+       |    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+       |          len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+       |  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+       |), drops AS (
+       |  SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
+       |  FROM j WHERE jaccard >= 0.5
+       |)
+       |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) dup USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** q63's full oracle; q69 embeds it as a CTE with the ORDER BY stripped
     * (same reuse pattern as qualityOracle in q51). */
   private val repetitionOracle: String =
@@ -1304,32 +1363,12 @@ object QuerySuite {
     // incremental minhash: candidates + new-batch tags from the dump; the
     // shingle-Jaccard verification, the incremental keep/drop orientation
     // (index-canonical), and the marks re-derived from scratch
-    "q55_dedup_incremental" ->
-      """WITH cand AS (
-        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/q55_candidates/*.parquet')
-        |), t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
-        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
-        |  FROM t
-        |), j AS (
-        |  SELECT id_a, id_b, new_a, new_b,
-        |    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
-        |          len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
-        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
-        |), drops AS (
-        |  SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
-        |  FROM j WHERE jaccard >= 0.5
-        |)
-        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
-        |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) dup USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+    "q55_dedup_incremental" -> incrementalMinhashOracle("q55_candidates"),
+
+    // identical semantics to q55 by construction — the same incremental
+    // index flow driven through foreachBatch; only the candidate dump
+    // differs (its own run's candidates)
+    "q72_stream_dedup_index" -> incrementalMinhashOracle("q72_candidates"),
 
     // simhash values come from the dump (xxhash64-derived), but the hamming
     // distance, the radius filter and the marks are re-derived

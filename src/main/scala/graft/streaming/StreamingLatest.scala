@@ -35,6 +35,58 @@ object StreamingIngest {
       .start()
 }
 
+/** Streaming NEAR-DUP ingest — the streaming face of the incremental dedup
+  * flow: every micro-batch dedups against (and folds into) the persisted
+  * minhash signature index via [[graft.dedup.Dedup.minhashLshIncremental]],
+  * so a duplicate arriving hours after its original — in a different
+  * micro-batch — is still caught, which per-batch `dropDuplicates` state
+  * cannot do once state is evicted. The index partition for micro-batch N
+  * is `batch=b<N>`: checkpoint recovery re-delivers the last uncommitted
+  * batch into the SAME partition (overwrite, not double-fold), and the
+  * kept-docs output uses the identical per-batch layout — effectively-once
+  * end to end, the same contract as [[StreamingIngest]].
+  *
+  * Bootstrap the index first with `Dedup.buildMinhashIndex` (seed corpus or
+  * an empty frame with the right schema).
+  */
+object StreamingDedup {
+
+  /** @param candidateSink oracle fixture passthrough (one dump per batch —
+    *   meaningful under AvailableNow single-batch runs) */
+  def start(
+      stream: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      keptPath: String,
+      checkpoint: String,
+      threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import graft.dedup.Dedup
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pairs = Dedup.minhashLshIncremental(batch, id, text, indexPath,
+            batchId = s"b$batchId", threshold = threshold,
+            candidateSink = candidateSink)
+          val kept = Dedup.incrementalMarks(batch, id, pairs)
+            .filter(not(col("is_duplicate"))).select(col("doc_id"))
+          batch.join(kept, batch(id) === kept("doc_id"), "left_semi")
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(keptPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Typed event for the stateful latest-per-key stream (mirrors the events
   * table: key=user_id, event-time=ts). */
 case class KeyedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,

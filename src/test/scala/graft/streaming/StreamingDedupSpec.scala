@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** Cross-micro-batch near-dup ingest: a duplicate of a SEED doc and a
+  * duplicate of an EARLIER MICRO-BATCH's doc must both be dropped — the
+  * latter is exactly what per-batch dropDuplicates cannot catch — and the
+  * index must grow by every streamed doc's signatures. */
+class StreamingDedupSpec extends SparkSpec {
+
+  test("streamed batches dedup against the seed index and each other") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("sd_spec_").toString
+    val idx = s"$root/sig"
+    val kept = s"$root/kept"
+    val seedText = "the quick brown fox jumps over the lazy dog every single morning again"
+    Dedup.buildMinhashIndex(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text", idx)
+
+    val fresh1 = "completely novel first document about streaming watermark state eviction semantics"
+    val fresh2 = "another unrelated piece regarding broadcast joins and adaptive query execution"
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, kept, s"$root/ckpt",
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      source.addData((100L, seedText), (101L, fresh1))
+      q.processAllAvailable()
+      // 102 duplicates 101 — which arrived in the PREVIOUS micro-batch and
+      // lives only in the index now
+      source.addData((102L, fresh1), (103L, fresh2))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val keptIds = spark.read.parquet(kept).select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(101L, 103L),
+      s"kept $keptIds: 100 dups the seed, 102 dups batch-0's 101")
+    // index holds signatures for the seed + all four streamed docs
+    assert(spark.read.parquet(idx).count() == 5)
+  }
+}
