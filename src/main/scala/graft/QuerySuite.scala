@@ -776,6 +776,43 @@ object QuerySuite {
         .limit(10)
     }),
 
+    // ---- TPC-H Q5-shaped: 6-way join (2 facts + 4 dims), region filter,
+    //      revenue per nation. Dims broadcast (nation/region/supplier);
+    //      customer and the fact-fact join shuffle on their keys — the
+    //      join-graph shape AQE + Catalyst must get right at 100 TB ----
+    "q73_tpch_q5" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+          .as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    }),
+
+    // ---- CUBE aggregation with grouping id (generalizes q30's rollup) ----
+    "q74_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid").cast("long").as("gid"),
+          col("sum_qty"), col("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
     // ---- K3: CSV sink + source roundtrip (quoted, explicit schema) ----
     "q37_csv_roundtrip" -> ((s, dir) => {
       val out = tmpDir("q37_csv_")
@@ -1865,6 +1902,28 @@ object QuerySuite {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q73_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q74_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q37_csv_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -25,7 +25,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q45_text_clean", "q46_vocab", "q48_sql_text", "q49_set_ops",
     "q50_correlated_max", "q51_curation", "q52_hash_split", "q53_asof_forward",
     "q54_rolling_window", "q58_corpus_report", "q63_repetition", "q64_seq_packing",
-    "q65_domain_mix", "q66_domain_cap")
+    "q65_domain_mix", "q66_domain_cap", "q71_lang_quality_floor", "q73_tpch_q5",
+    "q74_cube")
 
   test("no audited query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = audited.flatMap { name =>
