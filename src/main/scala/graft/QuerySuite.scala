@@ -813,6 +813,29 @@ object QuerySuite {
         .orderBy("gid", "l_returnflag", "l_linestatus")
     }),
 
+    // ---- time-series resample + forward fill: every user's purchase
+    //      series regularized onto an hourly grid, each slot carrying the
+    //      last observation at-or-before it — the classic feature-store
+    //      "materialize features on a training clock" op, composed from
+    //      sequence/explode + the existing as-of join (grid rows are
+    //      narrow; the as-of is the single-shuffle union-then-window) ----
+    "q75_resample_ffill" -> ((s, dir) => {
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val grid = p.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      AsOfJoin.backward(grid, p,
+        leftKey = "user_id", rightKey = "user_id",
+        leftTime = "hour_ts", rightTime = "ts",
+        rightTiebreak = "event_id", rightValueCols = Seq("value"))
+        .select(col("user_id"), col("hour_ts"),
+          col("asof_value").as("last_value"), col("asof_ts"))
+        .orderBy("user_id", "hour_ts")
+    }),
+
     // ---- K3: CSV sink + source roundtrip (quoted, explicit schema) ----
     "q37_csv_roundtrip" -> ((s, dir) => {
       val out = tmpDir("q37_csv_")
@@ -1902,6 +1925,25 @@ object QuerySuite {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // hourly grid re-derived with generate_series; forward fill emulated
+    // with the same backward-as-of convention as q04 (latest ts ≤ slot,
+    // ties by event_id DESC)
+    "q75_resample_ffill" ->
+      """WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+        |g AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(date_trunc('hour', min(ts)),
+        |                           date_trunc('hour', max(ts)), INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM p GROUP BY user_id
+        |), j AS (
+        |  SELECT g.user_id, g.hour_ts, p.value, p.ts,
+        |    row_number() OVER (PARTITION BY g.user_id, g.hour_ts
+        |                       ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM g LEFT JOIN p ON p.user_id = g.user_id AND p.ts <= g.hour_ts
+        |)
+        |SELECT user_id, hour_ts, value AS last_value, ts AS asof_ts
+        |FROM j WHERE rn = 1 ORDER BY user_id, hour_ts""".stripMargin,
 
     "q73_tpch_q5" ->
       """SELECT n_name,
