@@ -836,6 +836,31 @@ object QuerySuite {
         .orderBy("user_id", "hour_ts")
     }),
 
+    // ---- TF-IDF keyword salience: per-doc top-5 terms (corpus triage;
+    //      raw-ratio idf for cross-engine bit-reproducibility — see
+    //      TextAnalysis.tfIdfTopK scaladoc) ----
+    "q76_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // ---- duplicate-span detection: exact repeated 8-token windows across
+    //      docs (Lee et al. 2022 re-shaped: hashed sliding windows + one
+    //      aggregation shuffle instead of a single-machine suffix array) ----
+    "q77_dup_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables.documentsFanned(s, dir), "doc_id", "text",
+        k = 8, minDocs = 2)
+        .orderBy(col("n_occ").desc, col("span_hash").asc)
+    }),
+
+    // ---- char-bigram LM-coverage quality proxy (the CCNet-perplexity
+    //      seam: swap the top-N table for scored LM n-grams) ----
+    "q78_bigram_coverage" -> ((s, dir) => {
+      TextAnalysis.charBigramCoverage(Tables.documents(s, dir), "doc_id", "text",
+        topN = 500)
+        .orderBy("doc_id")
+    }),
+
     // ---- K3: CSV sink + source roundtrip (quoted, explicit schema) ----
     "q37_csv_roundtrip" -> ((s, dir) => {
       val out = tmpDir("q37_csv_")
@@ -1966,6 +1991,64 @@ object QuerySuite {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q76_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |                ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE length(token) > 0 GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs + 1 AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "q77_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(toks) - 7),
+        |                          i -> array_to_string(toks[i:i+7], ' '))) AS span
+        |  FROM t WHERE len(toks) >= 8),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_hash FROM s),
+        |g AS (SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |             min(doc_id) AS first_doc
+        |      FROM h GROUP BY span_hash)
+        |SELECT span_hash, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occ AS BIGINT) AS n_occ,
+        |  CAST(first_doc AS BIGINT) AS first_doc
+        |FROM g WHERE n_docs >= 2 ORDER BY n_occ DESC, span_hash""".stripMargin,
+
+    "q78_bigram_coverage" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(lower(text)) <= 2 THEN [lower(text)]
+        |         ELSE list_transform(generate_series(1, length(lower(text)) - 1),
+        |                             i -> substr(lower(text), i, 2)) END AS bis
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(bis) AS bg FROM b),
+        |top AS (SELECT bg FROM (SELECT bg, count(*) AS n FROM p GROUP BY bg
+        |                        ORDER BY n DESC, bg LIMIT 500)),
+        |it AS (SELECT doc_id, count(*) AS n_in_top FROM p
+        |       WHERE bg IN (SELECT bg FROM top) GROUP BY doc_id),
+        |d AS (SELECT b.doc_id, len(bis) AS n_bigrams, coalesce(it.n_in_top, 0) AS n_in_top
+        |      FROM b LEFT JOIN it ON it.doc_id = b.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(n_in_top AS BIGINT) AS n_in_top,
+        |  CASE WHEN n_bigrams = 0 THEN 0.0 ELSE CAST(n_in_top AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS coverage
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q37_csv_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

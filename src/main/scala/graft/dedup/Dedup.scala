@@ -786,4 +786,43 @@ object Dedup {
     GraftBridge.releaseCheckpoint(edges)
     labels.select(col("node"), col("comp").as("component"))
   }
+
+  /** Duplicate SPAN detection — exact repeated k-token windows across
+    * documents (the substring-level view of "Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022: a corpus's worst memor-
+    * ization risk is repeated passages inside otherwise-unique documents,
+    * which document-level dedup never sees). The paper's suffix array is a
+    * single-machine structure; the 100 TB-shaped equivalent is hashed
+    * sliding windows: every k-token span → one 60-bit portable hash, ONE
+    * groupBy shuffle of narrow (hash, doc_id) rows with map-side partial
+    * aggregation, keep spans seen in ≥ minDocs distinct documents. No pair
+    * expansion anywhere — a boilerplate span hitting a million documents is
+    * one hot AGGREGATION key (partials absorb it), never a million² join.
+    *
+    * The hash is the same md5-prefix integer as [[graft.functions.GraftFunctions.hashSplitBucket]]
+    * so an ANSI oracle re-derives it bit-for-bit; spans are lowercased
+    * whitespace tokens re-joined by single spaces (whitespace-normal form).
+    *
+    * @return (span_hash, n_docs, n_occ, first_doc) — occurrences count
+    *         repeats WITHIN a doc too; first_doc = min doc id carrying it
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      k: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    val spans = docs
+      .select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("__toks"))
+      .filter(size(col("__toks")) >= k)
+      .select(col("doc_id"),
+        explode(wordShinglesFromTokens(col("__toks"), k)).as("span"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("span_hash"))
+    spans.groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

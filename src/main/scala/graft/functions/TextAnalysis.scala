@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import GraftFunctions._
@@ -152,4 +153,81 @@ object TextAnalysis {
     length(text).as("n_chars"),
     tokenCountWs(text).as("n_tokens_ws"),
     tokenCountBpeish(text).as("n_tokens_bpeish"))
+
+  /** Per-document top-k salient terms by TF-IDF — the classic keyword /
+    * topic-salience signal (corpus triage, near-dup explanation, quality
+    * audits). Distributed shape for 100 TB: explode to narrow
+    * `(doc_id, token)` pairs, two map-side-combinable aggregations (term
+    * frequency per doc, document frequency over the already-distinct tf
+    * rows), a vocabulary-keyed shuffle join of two NARROW frames (text never
+    * crosses an Exchange), and a per-doc window for the top-k. The corpus
+    * size joins in as a broadcast one-row frame — no driver-side action.
+    *
+    * idf here is the RAW ratio (N+1)/(df+1), not its logarithm: `ln` is not
+    * guaranteed correctly-rounded and differs in the last ulp across engines
+    * (libm vs Java Math.log), which would break bit-level score
+    * reproducibility; +, /, × are IEEE correctly-rounded everywhere, so this
+    * variant is bit-identical in any engine evaluating the same expression
+    * shape. The ranking it induces differs from log-idf (it weights rarity
+    * more aggressively) — swap in `log` for production ranking quality; the
+    * plan shape is unchanged.
+    *
+    * @return (doc_id, rank, token, tf, df, score), rank 1..k per doc,
+    *         ties broken by token ascending
+    */
+  def tfIdfTopK(docs: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
+    val toks = docs.select(col(id).as("doc_id"),
+      explode(filter(wsTokens(lower(col(text))), t => length(t) > 0)).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs)) // one broadcast row — a constant, not a data join
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n_docs") + 1).cast("double") / (col("df") + 1).cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "score")
+  }
+
+  /** Per-document character-bigram coverage against the corpus's `topN` most
+    * frequent bigrams — a cheap LM-style fluency proxy (CCNet filters on
+    * KenLM perplexity; this is the same shape with a degenerate unigram-of-
+    * bigrams "model", and the seam where a real LM table would plug in:
+    * replace `top` with scored n-grams). Gibberish, wrong-charset and
+    * boilerplate-symbol documents score low; fluent prose in the corpus's
+    * dominant languages scores near 1.
+    *
+    * Why coverage and not perplexity: perplexity sums `ln p` terms —
+    * transcendentals plus order-dependent float summation, neither
+    * bit-reproducible across engines. An in-top-N count ratio is integer
+    * algebra plus ONE correctly-rounded division.
+    *
+    * Shape: one explode to narrow `(doc_id, bigram)` pairs (chars never
+    * shuffle as documents), one partial-agg shuffle for the corpus counts,
+    * top-N via ordered take, broadcast semi-join back (the model table is
+    * vocabulary-sized — broadcast by construction), one per-doc count. The
+    * pair frame is evaluated twice (model fit + scoring) — at corpus scale
+    * persist it or fit the model on a sample.
+    *
+    * @return (doc_id, n_bigrams, n_in_top, coverage) sorted by doc_id
+    */
+  def charBigramCoverage(docs: DataFrame, id: String, text: String, topN: Int = 500): DataFrame = {
+    val base = docs.select(col(id).as("doc_id"),
+      charNgrams(lower(col(text)), 2).as("__bis"))
+    val pairs = base.select(col("doc_id"), explode(col("__bis")).as("bg"))
+    val top = pairs.groupBy("bg").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg").asc).limit(topN).select("bg")
+    val inTop = pairs.join(broadcast(top), Seq("bg"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_in_top"))
+    base.select(col("doc_id"), size(col("__bis")).cast("long").as("n_bigrams"))
+      .join(inTop, Seq("doc_id"), "left")
+      .withColumn("n_in_top", coalesce(col("n_in_top"), lit(0L)))
+      .withColumn("coverage",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(col("n_in_top").cast("double") / col("n_bigrams").cast("double")))
+      .select("doc_id", "n_bigrams", "n_in_top", "coverage")
+  }
 }

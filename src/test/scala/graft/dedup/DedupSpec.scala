@@ -239,4 +239,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((100L, 101L), (200L, 201L)), s"got $pairs")
   }
+
+  test("duplicateSpans finds a shared 8-token passage, ignores unique text") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val passage = "one two three four five six seven eight" // exactly 8 tokens
+    val spanDocs = Seq(
+      (10L, s"unique prefix alpha beta $passage gamma delta suffix here"),
+      (20L, s"$passage totally different continuation words in this document body"),
+      (30L, "no shared content at all nine distinct words everywhere around"),
+      (40L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(spanDocs, "doc_id", "text", k = 8, minDocs = 2)
+      .collect()
+    // exactly the planted passage window is cross-doc; every other window
+    // includes doc-unique context tokens
+    assert(got.length == 1, s"got ${got.length} rows")
+    assert(got.head.getAs[Long]("n_docs") == 2L)
+    assert(got.head.getAs[Long]("n_occ") == 2L)
+    assert(got.head.getAs[Long]("first_doc") == 10L)
+  }
+
+  test("duplicateSpans counts WITHIN-doc repeats in n_occ but needs minDocs docs") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val spanDocs = Seq(
+      (1L, s"$p filler filler filler filler filler filler filler filler $p"),
+      (2L, s"other words entirely $p closing remarks go right here now")).toDF("doc_id", "text")
+    val rows = Dedup.duplicateSpans(spanDocs, "doc_id", "text", k = 8, minDocs = 2)
+      .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ")))
+    assert(rows.contains((2L, 3L)), s"passage occurs twice in doc 1 + once in doc 2: $rows")
+  }
 }

@@ -62,4 +62,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._3 == 1 && got(4L)._5 == 0 && got(4L)._6 == 0.0 && got(4L)._7)
     assert(got(5L)._2 == 0 && got(5L)._3 == 0 && got(5L)._4 == 0.0 && got(5L)._7)
   }
+
+  test("tfIdfTopK ranks a document's rare term above corpus-wide terms") {
+    import spark.implicits._
+    // "zebra" appears only in doc 1 (df=1); "common" in all 4 (df=4).
+    // Both appear once in doc 1: score(zebra)=1·(5/2)=2.5 > score(common)=1·(5/5)=1.
+    val docs = Seq(
+      (1L, "common zebra words here"),
+      (2L, "common words here again"),
+      (3L, "common words here again"),
+      (4L, "common words here again")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token", "score").as[(String, Double)].collect()
+    assert(top.head._1 == "zebra" && top.head._2 == 2.5)
+    assert(top.forall(_._2 >= top.last._2), "ranks descend by score")
+  }
+
+  test("tfIdfTopK weights repeated terms by tf and caps output at k per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple apple apple banana cherry"),
+      (2L, "banana cherry date elderberry fig")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 3).collect()
+    assert(out.count(_.getAs[Long]("doc_id") == 1L) == 3)
+    val d1top = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 1L).select("token").as[String].collect()
+    assert(d1top.sameElements(Array("apple")), "tf=3 on an equally-rare term wins")
+  }
+
+  test("charBigramCoverage scores in-distribution prose 1.0 and gibberish lower") {
+    import spark.implicits._
+    // 8 copies of one prose line (each of its ≤42 distinct bigrams has corpus
+    // count 8) + one gibberish doc of 95 DISTINCT count-1 bigrams. topN=60:
+    // every prose bigram outranks every count-1 gibberish bigram → prose
+    // coverage is exactly 1.0; gibberish gets at most the leftover slots
+    // (60 − prose distinct ≤ 25 of 95) → coverage well under 0.5.
+    val prose = (1L to 8L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val gibberish = (0x2200 until 0x2260).map(_.toChar).mkString
+    val docs = (prose :+ ((9L, gibberish))).toDF("doc_id", "text")
+    val got = TextAnalysis.charBigramCoverage(docs, "doc_id", "text", topN = 60)
+      .select("doc_id", "coverage").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0, "every prose bigram is in the top table")
+    assert(got(9L) < 0.5, "symbol soup falls outside the corpus model")
+  }
+
+  test("charBigramCoverage: short and empty docs take the whole-text bigram path") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.charBigramCoverage(docs, "doc_id", "text", topN = 10)
+      .select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
+      "length<=2 contributes the whole text as its single 'bigram'")
+  }
 }
