@@ -26,7 +26,10 @@ class PlanPropertiesSpec extends SparkSpec {
     "q50_correlated_max", "q51_curation", "q52_hash_split", "q53_asof_forward",
     "q54_rolling_window", "q58_corpus_report", "q63_repetition", "q64_seq_packing",
     "q65_domain_mix", "q66_domain_cap", "q71_lang_quality_floor", "q73_tpch_q5",
-    "q74_cube")
+    "q74_cube", "q77_dup_spans", "q78_bigram_coverage")
+  // q76_tfidf is audited separately: its corpus-size constant joins in as a
+  // DELIBERATE one-broadcast-row nested-loop join, which the generic
+  // no-BNLJ assertion would (correctly) reject for data-bearing joins
 
   test("no audited query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = audited.flatMap { name =>
@@ -97,6 +100,34 @@ class PlanPropertiesSpec extends SparkSpec {
       l.contains("Exchange") && (l.contains("text#") || l.contains("__toks")))
     assert(!shufflesText, s"capstone must shuffle only narrow verdict rows:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q77 shuffles only hashed spans — never text, token arrays, or span strings") {
+    val plan = SparkEntry.queries("q77_dup_spans")(spark, sfDir).queryExecution.executedPlan.toString
+    val bad = plan.linesIterator.filter(_.contains("hashpartitioning")).exists(l =>
+      l.contains("text#") || l.contains("__toks") || l.contains("span#"))
+    assert(!bad, s"span aggregation must shuffle narrow (span_hash, doc_id) rows:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"span counts must combine map-side before the shuffle:\n$plan")
+  }
+
+  test("q78 broadcasts the bigram model back; text never enters an exchange") {
+    val plan = SparkEntry.queries("q78_bigram_coverage")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"top-N membership must be a broadcast semi join:\n$plan")
+    val shufflesText = plan.linesIterator.exists(l =>
+      l.contains("Exchange") && (l.contains("text#") || l.contains("__bis")))
+    assert(!shufflesText, s"only narrow (doc_id, bg) rows may shuffle:\n$plan")
+  }
+
+  test("q76 joins only narrow tf/df frames; the sole nested loop is the one-row count") {
+    val plan = SparkEntry.queries("q76_tfidf")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in the tf-idf plan:\n$plan")
+    val shufflesText = plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#"))
+    assert(!shufflesText, s"document text must not cross an Exchange:\n$plan")
+    // the corpus-size constant is the ONLY nested-loop join, and it broadcasts
+    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"exactly the one-row count join may nest:\n$plan")
   }
 
   test("sampleByDomain is a map-only filter: zero exchanges in the operator plan") {
