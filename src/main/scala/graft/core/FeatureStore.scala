@@ -6,7 +6,7 @@ import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DateType, LongType, StructField, StructType, TimestampType}
 
 import graft.operators.LatestPerKey
 
@@ -75,6 +75,23 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   def describeGroup(name: String): FeatureGroup = readManifest(name).group
 
+  /** Schema EVOLUTION: declare a new feature on an existing group. A
+    * metadata-only commit — one atomic manifest swap, no data rewritten
+    * (the Delta/Iceberg `ADD COLUMN` semantic; at 100 TB rewriting history
+    * for a new column is not an option). History written before the change
+    * reads as NULL for the new feature ([[offline]] reads with the DECLARED
+    * schema, so parquet fills absent columns); the online snapshot grows the
+    * column at the next [[refreshOnline]] (it conforms every frame to the
+    * declared schema); [[getRecord]] serves null until then — the caller's
+    * default applies, the reference's missing-feature semantic (P4). */
+  def addFeature(groupName: String, f: FeatureDef): Unit = {
+    val m = readManifest(groupName)
+    require(!m.group.features.exists(_.name == f.name),
+      s"feature ${f.name} already declared on $groupName")
+    // FeatureGroup's constructor re-validates the name charset
+    writeManifest(m.group.copy(features = m.group.features :+ f), m.nextSeq, m.lastBatchId)
+  }
+
   def dropGroup(name: String): Unit = {
     val dir = groupDir(name)
     if (Files.exists(dir)) {
@@ -124,9 +141,16 @@ final class FeatureStore(spark: SparkSession, root: String,
     * previous snapshot and the new batch is scanned (incremental maintenance);
     * with None, rebuilt from full offline history. */
   def refreshOnline(g: FeatureGroup, batch: Option[DataFrame]): Unit = {
+    // conform both sides to the DECLARED schema (absent columns → typed
+    // null): after addFeature the previous snapshot lacks the new column
+    // and must not silently drop it from the incoming batch
+    def conform(df: DataFrame): DataFrame = df.select(g.features.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.ftype.spark)
+       else lit(null).cast(f.ftype.spark)).as(f.name)
+    } :+ col(EngineColumns.IngestSeq): _*)
     val base = (currentSnapshot(g.name), batch) match {
-      case (Some(snap), Some(b)) => snap.unionByName(b.select(snap.columns.map(col): _*))
-      case (_, _)                => offline(g.name)
+      case (Some(snap), Some(b)) => conform(snap).unionByName(conform(b))
+      case (_, _)                => conform(offline(g.name))
     }
     val latest = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
       .drop(EngineColumns.IngestDate)
@@ -166,8 +190,18 @@ final class FeatureStore(spark: SparkSession, root: String,
   // ---- reads ----
 
   /** Full offline history (reference: Athena external table over the offline
-    * S3 parquet, setup.sh:132-143). */
-  def offline(name: String): DataFrame = spark.read.parquet(offlineDir(name))
+    * S3 parquet, setup.sh:132-143). Read with the DECLARED schema, not the
+    * files': after [[addFeature]] the older files lack the new column and
+    * parquet fills it with nulls — the evolution read path, and also what
+    * pins column order/types against file-level drift. */
+  def offline(name: String): DataFrame = {
+    val g = describeGroup(name)
+    val st = StructType(
+      g.features.map(f => StructField(f.name, f.ftype.spark)) :+
+        StructField(EngineColumns.IngestSeq, LongType) :+
+        StructField(EngineColumns.IngestDate, DateType))
+    spark.read.schema(st).parquet(offlineDir(name))
+  }
 
   /** Online latest-per-key view (reference: get_record point lookups,
     * real_time_inference.py:16-19). */
@@ -177,6 +211,40 @@ final class FeatureStore(spark: SparkSession, root: String,
       LatestPerKey.viaMaxBy(offline(name), Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
         .drop(EngineColumns.IngestDate)
     }
+
+  /** TIME TRAVEL over serving states: every [[refreshOnline]] writes a new
+    * immutable `online/v<N>/` and flips the LATEST pointer, so each previous
+    * snapshot remains readable exactly as it was served — audits ("what did
+    * the model see at version N?"), A/B rollbacks, and training-serving skew
+    * forensics. Superseded versions persist until [[gcOnline]]. */
+  def onlineVersions(name: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.exists(onlineDir(name))) return Seq.empty
+    val ls = Files.list(onlineDir(name))
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).nonEmpty && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toSeq.sorted
+    finally ls.close()
+  }
+
+  /** The online snapshot EXACTLY as served at `version` (see [[onlineVersions]]). */
+  def onlineAt(name: String, version: Long): DataFrame = {
+    val dir = onlineDir(name).resolve(s"v$version")
+    require(Files.exists(dir), s"no online snapshot v$version for $name")
+    spark.read.parquet(dir.toString).drop(EngineColumns.KeyBucket)
+  }
+
+  /** Drop superseded online snapshots, keeping the newest `keep` versions
+    * (the retention knob for [[onlineAt]] time travel). Never drops LATEST. */
+  def gcOnline(name: String, keep: Int = 2): Unit = {
+    val vs = onlineVersions(name)
+    val cur = currentVersion(name).getOrElse(return)
+    vs.filter(v => v != cur && v <= cur - keep).foreach { v =>
+      val walk = Files.walk(onlineDir(name).resolve(s"v$v"))
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+  }
 
   /** Serving-path cache (SURVEY.md §3.3): the reference's `get_record` is a
     * millisecond KV hit (real_time_inference.py:16-19); launching a Spark job
@@ -238,7 +306,11 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     row.map { r =>
       g.features.map { f =>
-        val v = r.get(r.fieldIndex(f.name)) match {
+        // a snapshot written before addFeature has no field for the new
+        // column yet — serve null (the caller's default applies, P4)
+        val raw = if (r.schema != null && r.schema.fieldNames.contains(f.name))
+          r.get(r.fieldIndex(f.name)) else null
+        val v = raw match {
           case null                     => null
           case t: java.sql.Timestamp    => java.time.format.DateTimeFormatter
             .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
@@ -298,7 +370,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     require(groupExists(groupName), s"no such feature group: $groupName")
     val cur = offlineVersion(groupName)
     val nextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
-    spark.read.parquet(offlineDir(groupName))
+    offline(groupName) // declared-schema read: compaction also materializes post-evolution columns
       .repartition(col(EngineColumns.IngestDate))
       .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
       .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)

@@ -287,4 +287,61 @@ class FeatureStoreSpec extends SparkSpec {
     fs.dropGroup("tx")
     assert(!fs.groupExists("tx"))
   }
+
+  test("addFeature: old history reads NULL, new batches carry the column, serving defaults") {
+    import org.apache.spark.sql.functions.col
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "a"),
+                          (2L, "2024-01-01 11:00:00", 20.0, "b")))
+
+    fs.addFeature("tx", FeatureDef("score", FType.Fractional))
+    assert(fs.describeGroup("tx").featureNames.contains("score"))
+    intercept[IllegalArgumentException](fs.addFeature("tx", FeatureDef("score", FType.Fractional)))
+
+    // declared-schema read: pre-evolution files surface a NULL score column
+    val hist = fs.offline("tx")
+    assert(hist.columns.contains("score"))
+    assert(hist.filter(col("score").isNotNull).count() == 0)
+
+    // pre-refresh serving: the old snapshot has no score field → null value
+    assert(fs.getRecord("tx", 1L).get("score") == null)
+
+    // post-evolution ingest carries the new column; old key keeps null
+    import spark.implicits._
+    val b2 = Seq((2L, "2024-01-02 11:00:00", 21.0, "b2", 0.9))
+      .toDF("customer_id", "event_time", "amount", "note", "score")
+      .select(col("customer_id"), org.apache.spark.sql.functions.to_timestamp(
+        col("event_time")).as("event_time"), col("amount"), col("note"), col("score"))
+    fs.ingest("tx", b2)
+    val online = fs.online("tx").collect()
+      .map(r => r.getAs[Long]("customer_id") -> Option(r.getAs[java.lang.Double]("score"))).toMap
+    assert(online(2L).contains(0.9), "updated key serves the new feature")
+    assert(online(1L).isEmpty, "stale key serves a typed null, not a dropped column")
+    assert(fs.getRecord("tx", 1L).get("score") == null)
+    assert(fs.getRecord("tx", 2L).get("score") == "0.9")
+
+    // compaction materializes the evolved schema into the rewritten files
+    fs.compactOffline("tx")
+    assert(fs.offline("tx").columns.contains("score") && fs.offline("tx").count() == 3)
+  }
+
+  test("onlineAt time travel: every refresh is an immutable readable version; gc keeps newest") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "v1")))
+    fs.ingest("tx", batch((1L, "2024-01-02 10:00:00", 20.0, "v2")))
+    fs.ingest("tx", batch((1L, "2024-01-03 10:00:00", 30.0, "v3")))
+    assert(fs.onlineVersions("tx") == Seq(1L, 2L, 3L))
+
+    def amountAt(v: Long): Double =
+      fs.onlineAt("tx", v).collect().head.getAs[Double]("amount")
+    assert(amountAt(1L) == 10.0 && amountAt(2L) == 20.0 && amountAt(3L) == 30.0)
+    assert(fs.online("tx").collect().head.getAs[Double]("amount") == 30.0)
+
+    fs.gcOnline("tx", keep = 2)
+    assert(fs.onlineVersions("tx") == Seq(2L, 3L), "v1 collected, serving versions kept")
+    assert(amountAt(2L) == 20.0, "retained versions still read intact")
+    intercept[IllegalArgumentException](fs.onlineAt("tx", 1L))
+  }
 }
