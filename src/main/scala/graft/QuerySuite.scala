@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, DomainMix, LatestPerKey, SequencePacking, Sessionize}
+import graft.operators.{AsOfJoin, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest}
@@ -856,9 +856,37 @@ object QuerySuite {
     // ---- char-bigram LM-coverage quality proxy (the CCNet-perplexity
     //      seam: swap the top-N table for scored LM n-grams) ----
     "q78_bigram_coverage" -> ((s, dir) => {
-      TextAnalysis.charBigramCoverage(Tables.documents(s, dir), "doc_id", "text",
+      // fanned loader: the char explode is per-row CPU-dense (see Tables)
+      TextAnalysis.charBigramCoverage(Tables.documentsFanned(s, dir), "doc_id", "text",
         topN = 500)
         .orderBy("doc_id")
+    }),
+
+    // ---- skew-guarded salted join: identical results to the plain join
+    //      (the oracle IS the unsalted SQL), with the hot key spread over
+    //      (key, salt) reduce tasks — the manual remedy for probe-side
+    //      skew AQE cannot split (see SaltedJoin scaladoc) ----
+    "q79_salted_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      SaltedJoin.inner(o, c, Seq("o_custkey"), saltBuckets = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .orderBy("c_nationkey")
+    }),
+
+    // ---- GROUPING SETS: the general form q30/q74's rollup/cube special-case ----
+    "q80_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v80")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM lineitem_v80
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
     }),
 
     // ---- K3: CSV sink + source roundtrip (quoted, explicit schema) ----
@@ -2049,6 +2077,21 @@ object QuerySuite {
         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, CAST(n_in_top AS BIGINT) AS n_in_top,
         |  CASE WHEN n_bigrams = 0 THEN 0.0 ELSE CAST(n_in_top AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END AS coverage
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q79_salted_join" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q80_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     "q37_csv_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

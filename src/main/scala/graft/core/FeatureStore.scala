@@ -234,6 +234,40 @@ final class FeatureStore(spark: SparkSession, root: String,
     spark.read.parquet(dir.toString).drop(EngineColumns.KeyBucket)
   }
 
+  /** CHANGE DATA FEED between two served snapshot versions (see
+    * [[onlineAt]]): which entity keys were added, removed, or changed — the
+    * Delta CDF / Iceberg changelog semantic, derived from the immutable
+    * version directories instead of a transaction log. One key-equi shuffle
+    * join of two snapshots (each one row per key); change detection is
+    * null-safe column-wise comparison over the DECLARED features (schema
+    * evolution between the versions reads as null vs value = changed).
+    *
+    * @return (keyCol, change_type ∈ added|removed|changed, <features of the
+    *         `toV` side, null for removed>)
+    */
+  def onlineDiff(name: String, fromV: Long, toV: Long): DataFrame = {
+    val g = describeGroup(name)
+    def conformed(df: DataFrame): DataFrame = df.select(g.features.map { f =>
+      (if (df.columns.contains(f.name)) col(f.name).cast(f.ftype.spark)
+       else lit(null).cast(f.ftype.spark)).as(f.name)
+    }: _*)
+    val a = conformed(onlineAt(name, fromV)).alias("a")
+    val b = conformed(onlineAt(name, toV)).alias("b")
+    val k = g.keyCol
+    val sameRow = g.featureNames
+      .map(f => col(s"a.$f") <=> col(s"b.$f"))
+      .reduce(_ && _)
+    a.join(b, col(s"a.$k") === col(s"b.$k"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"a.$k").isNull, lit("added"))
+          .when(col(s"b.$k").isNull, lit("removed"))
+          .when(!sameRow, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col(s"b.$k"), col(s"a.$k")).as(k) +:
+        col("change_type") +:
+        g.featureNames.filterNot(_ == k).map(f => col(s"b.$f").as(f)): _*)
+  }
+
   /** Drop superseded online snapshots, keeping the newest `keep` versions
     * (the retention knob for [[onlineAt]] time travel). Never drops LATEST. */
   def gcOnline(name: String, keep: Int = 2): Unit = {

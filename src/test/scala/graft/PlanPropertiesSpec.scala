@@ -111,13 +111,19 @@ class PlanPropertiesSpec extends SparkSpec {
       s"span counts must combine map-side before the shuffle:\n$plan")
   }
 
-  test("q78 broadcasts the bigram model back; text never enters an exchange") {
-    val plan = SparkEntry.queries("q78_bigram_coverage")(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      s"top-N membership must be a broadcast semi join:\n$plan")
-    val shufflesText = plan.linesIterator.exists(l =>
-      l.contains("Exchange") && (l.contains("text#") || l.contains("__bis")))
-    assert(!shufflesText, s"only narrow (doc_id, bg) rows may shuffle:\n$plan")
+  test("q78 broadcasts the bigram model back; hash exchanges carry no text") {
+    // audit the STAGED plan — the public method checkpoints, which collapses
+    // the executed plan to an RDD scan
+    val (out, release) = graft.functions.TextAnalysis.charBigramCoverageStaged(
+      graft.Tables.documentsFanned(spark, sfDir), "doc_id", "text", 500)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"top-N membership must be a broadcast semi join:\n$plan")
+      val bad = plan.linesIterator.filter(_.contains("hashpartitioning")).exists(l =>
+        l.contains("text#") || l.contains("__bis"))
+      assert(!bad, s"only narrow (doc_id, bg, cnt) rows may hash-shuffle:\n$plan")
+    } finally release()
   }
 
   test("q76 joins only narrow tf/df frames; the sole nested loop is the one-row count") {

@@ -344,4 +344,19 @@ class FeatureStoreSpec extends SparkSpec {
     assert(amountAt(2L) == 20.0, "retained versions still read intact")
     intercept[IllegalArgumentException](fs.onlineAt("tx", 1L))
   }
+
+  test("onlineDiff: change data feed between snapshot versions (added/changed, stable keys silent)") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "stable"),
+                          (2L, "2024-01-01 10:00:00", 5.0, "will-change")))
+    fs.ingest("tx", batch((2L, "2024-01-02 10:00:00", 6.5, "changed"),
+                          (3L, "2024-01-02 10:00:00", 7.0, "new-key")))
+    val diff = fs.onlineDiff("tx", 1L, 2L).collect()
+      .map(r => r.getAs[Long]("customer_id") ->
+        (r.getAs[String]("change_type"), r.getAs[String]("note"))).toMap
+    assert(diff.keySet == Set(2L, 3L), s"key 1 is unchanged and must be silent: $diff")
+    assert(diff(2L) == ("changed", "changed"))
+    assert(diff(3L) == ("added", "new-key"))
+  }
 }
