@@ -889,6 +889,41 @@ object QuerySuite {
           |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
     }),
 
+    // ---- sessionized funnel: view → click-after-view → purchase-after-
+    //      click within a session. ONE branch, no self-joins: the three
+    //      stage timestamps are chained conditional window-mins over the
+    //      same (user, session) partitioning (they share one exchange),
+    //      then a per-session rollup and a global count ----
+    "q81_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Sessionize.byGap(Tables.events(s, dir), "user_id", "ts", "event_id", 1800)
+        .select(col("user_id"), col("session_id"), col("event_type"), col("ts"))
+      val w = Window.partitionBy("user_id", "session_id")
+      val staged = e
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      staged.groupBy("user_id", "session_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_click_after_view"),
+          count(col("t3")).as("n_full_funnel"))
+    }),
+
+    // ---- z-order clustering value (Delta OPTIMIZE ZORDER semantic as a
+    //      Column): Morton interleave of (user_id, value_cents); locality
+    //      under range partitioning is spec-asserted, the VALUE is oracled ----
+    "q82_zorder" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          GraftFunctions.zOrder2(col("user_id"),
+            round(col("value") * 100).cast("long"), bits = 16).as("zv"))
+        .orderBy("event_id")
+    }),
+
     // ---- K3: CSV sink + source roundtrip (quoted, explicit schema) ----
     "q37_csv_roundtrip" -> ((s, dir) => {
       val out = tmpDir("q37_csv_")
@@ -2092,6 +2127,44 @@ object QuerySuite {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q81_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, event_type, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x
+        |), f1 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |              OVER (PARTITION BY user_id, session_id) AS t1 FROM y
+        |), f2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |              OVER (PARTITION BY user_id, session_id) AS t2 FROM f1
+        |), f3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |              OVER (PARTITION BY user_id, session_id) AS t3 FROM f2
+        |), per AS (
+        |  SELECT user_id, session_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+        |  FROM f3 GROUP BY user_id, session_id
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(count(t1) AS BIGINT) AS n_view,
+        |  CAST(count(t2) AS BIGINT) AS n_click_after_view,
+        |  CAST(count(t3) AS BIGINT) AS n_full_funnel
+        |FROM per""".stripMargin,
+
+    "q82_zorder" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((u >> $i) & 1) << ${2 * i}) | (((v >> $i) & 1) << ${2 * i + 1}))").mkString(" | ")
+      s"""WITH b AS (SELECT event_id, user_id & 65535 AS u,
+         |  CAST(round(value * 100) AS BIGINT) & 65535 AS v FROM events)
+         |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
+    },
 
     "q37_csv_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -63,6 +63,29 @@ object GraftFunctions {
         sequence(lit(0), length(text) - n),
         i => text.substr(i + 1, lit(n))))
 
+  /** Z-ORDER (Morton) interleave of the low `bits` bits of two integer
+    * columns — multi-dimensional file clustering for the offline store (the
+    * Delta OPTIMIZE ZORDER BY semantic, as a pure Column expression): range-
+    * partitioning and sorting by the z-value groups rows that are close in
+    * BOTH dimensions into the same files, so min/max row-group stats prune
+    * 2-dim predicates that a single-column sort can only prune on its
+    * leading column. Pure bit algebra (shift/and/or), so it runs inside
+    * whole-stage codegen AND an ANSI oracle evaluates it bit-for-bit.
+    * Locality property (bounding-box shrink under range partitioning) is
+    * asserted in FunctionsSpec. Quantize inputs to `bits` (e.g. by ranking
+    * or fixed-width bucketing) before interleaving — values above the mask
+    * wrap, which destroys locality but not correctness. */
+  def zOrder2(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = (1L << bits) - 1
+    val am = a.cast("long").bitwiseAND(lit(mask))
+    val bm = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftLeftC(shiftright(am, i).bitwiseAND(lit(1L)), lit(2 * i))
+        .bitwiseOR(shiftLeftC(shiftright(bm, i).bitwiseAND(lit(1L)), lit(2 * i + 1)))
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** Training-data cleaning: mask emails and URLs (the cheap PII pass every
     * LLM pipeline runs before tokenization). Patterns stay in the common
     * subset of Java regex and RE2 so the DuckDB oracle evaluates identically. */

@@ -100,4 +100,38 @@ class FunctionsSpec extends SparkSpec {
     // antipodal vector flips every sign bit
     assert(df(3L) == (~df(1L) & 0xFFL))
   }
+
+  test("zOrder2 matches the reference Morton interleave on exhaustive small inputs") {
+    import spark.implicits._
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val pairs = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), zOrder2(col("a"), col("b"), bits = 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) => assert(z == morton(a, b, 4), s"($a,$b)") }
+    assert(got.map(_._3).distinct.length == 256, "Morton code is a bijection on the grid")
+  }
+
+  test("zOrder2 range partitioning clusters BOTH dimensions (bounding boxes shrink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.spark_partition_id
+    // 64×64 grid, 16 range partitions on the z-value: the z-curve visits the
+    // grid in 16×16 blocks, so each partition's bounding box covers ~1/16 of
+    // the area; partitioning on a single column can only shrink ONE side
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toDF("a", "b")
+    val parts = grid
+      .withColumn("z", zOrder2(col("a"), col("b"), bits = 6))
+      .repartitionByRange(16, col("z"))
+      .groupBy(spark_partition_id().as("pid"))
+      .agg((org.apache.spark.sql.functions.max("a") - org.apache.spark.sql.functions.min("a"))
+          .as("da"),
+        (org.apache.spark.sql.functions.max("b") - org.apache.spark.sql.functions.min("b"))
+          .as("db"))
+      .as[(Int, Long, Long)].collect()
+    val avgArea = parts.map(p => (p._2 + 1.0) * (p._3 + 1.0)).sum / parts.length
+    assert(avgArea <= 64 * 64 / 8.0,
+      s"z-partitions must bound small 2-d boxes, got avg area $avgArea of ${64 * 64}")
+  }
 }
