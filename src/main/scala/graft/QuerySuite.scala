@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest}
+import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -694,6 +694,63 @@ object QuerySuite {
       s.table(qname)
         .select(col("w.start").as("day_start"), col("event_type"), col("n"))
         .orderBy("day_start", "event_type")
+    }),
+
+    // ---- stream-STATIC enrichment: a click stream joined per micro-batch
+    //      against a broadcast slowly-changing dimension (latest purchase
+    //      value per user, computed batch-side) — the canonical serving-
+    //      adjacent streaming enrichment; no state, no watermark needed
+    //      (the static side re-broadcasts per batch, so a dim refresh is
+    //      picked up at the next trigger at 100 TB too) ----
+    "q83_stream_static" -> ((s, dir) => {
+      val dim = LatestPerKey.viaMaxBy(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("value").as("last_purchase_value"))
+      val stream = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"))
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy("user_id", "last_purchase_value")
+        .agg(count(lit(1)).as("n_clicks"))
+      val qname = s"q83_out_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q83_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname).select("user_id", "last_purchase_value", "n_clicks").orderBy("user_id")
+    }),
+
+    // ---- streaming sessionize (custom state): closed sessions emit exactly
+    //      once. Under AvailableNow the whole table is ONE micro-batch, so
+    //      the in-batch gap-split closes every session EXCEPT each user's
+    //      last (still open, no later watermark advance) — which is exactly
+    //      what the oracle expresses: batch sessions minus the final one
+    //      per user. The watermark delay is set beyond the corpus's time
+    //      span so no TIMEOUT closure fires during the drain (whether the
+    //      final watermark passes a given session's gap is an engine
+    //      scheduling detail — StreamingSpec covers timeout closure
+    //      deterministically with controlled batches) ----
+    "q84_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val stream = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val qname = s"q84_out_${System.nanoTime()}"
+      val q = StreamingSessionize.byGap(stream, watermarkDelay = "3650 days", gapSeconds = 1800)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q84_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events").cast("long").as("n_events"))
+        .orderBy("user_id", "session_start")
     }),
 
     // ---- stream-stream interval join: clicks attributed to purchases
@@ -1990,6 +2047,37 @@ object QuerySuite {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
         |ORDER BY p_id, c_id""".stripMargin,
+
+    "q84_stream_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x
+        |), g AS (
+        |  SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM y GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM g WHERE session_id < (SELECT max(g2.session_id) FROM g g2 WHERE g2.user_id = g.user_id)
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q83_stream_static" ->
+      """WITH dim AS (
+        |  SELECT user_id, value AS last_purchase_value FROM (
+        |    SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+        |c AS (SELECT user_id, event_id FROM events WHERE event_type = 'click')
+        |SELECT c.user_id, dim.last_purchase_value, CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM c JOIN dim ON dim.user_id = c.user_id
+        |GROUP BY c.user_id, dim.last_purchase_value ORDER BY c.user_id""".stripMargin,
 
     "q57_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events

@@ -55,6 +55,46 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("streaming sessionize: interior sessions emit immediately, open ones close by watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def ev(user: Long, tsStr: String, id: Long) =
+      KeyedEvent(user, java.sql.Timestamp.valueOf(tsStr), id, "e", 1.0)
+
+    val source = MemoryStream[KeyedEvent]
+    val q = StreamingSessionize.byGap(source.toDS(),
+        watermarkDelay = "10 seconds", gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sess_stream_out")
+      .outputMode("append")
+      .start()
+    try {
+      // batch 1: one user, two sessions inside the batch (2h apart, shuffled
+      // order) — the interior session closes IMMEDIATELY on gap-split
+      source.addData(Seq(
+        ev(1L, "2024-01-01 10:31:00", 2), ev(1L, "2024-01-01 10:01:00", 1),
+        ev(1L, "2024-01-01 13:00:00", 3)))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_stream_out").as[ClosedSession].collect()
+      assert(afterB1.map(s => (s.user_id, s.session_start.toString, s.n_events)).toSet ==
+        Set((1L, "2024-01-01 10:01:00.0", 2L)),
+        s"interior session must close on the in-batch gap split: ${afterB1.toSeq}")
+
+      // batch 2: an event far in the future pushes the watermark past the
+      // 13:00 session's end + gap → the open session times out and emits
+      source.addData(Seq(ev(2L, "2024-01-02 09:00:00", 10)))
+      q.processAllAvailable()
+      // timeout processing happens on the batch AFTER the watermark advance
+      source.addData(Seq(ev(2L, "2024-01-02 09:00:30", 11)))
+      q.processAllAvailable()
+      val closed = spark.table("sess_stream_out").as[ClosedSession].collect()
+      assert(closed.exists(s => s.user_id == 1L && s.session_start.toString == "2024-01-01 13:00:00.0"
+        && s.n_events == 1L), s"watermark must close the stale open session: ${closed.toSeq}")
+      // user 2's session is still open (watermark has not passed its gap)
+      assert(!closed.exists(_.user_id == 2L))
+    } finally q.stop()
+  }
+
   test("TTL variant evicts quiet keys once the watermark passes their ttl") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
