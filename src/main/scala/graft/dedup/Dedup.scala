@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedIntersectSize}
 
 /** Deduplication suite for LLM training-data pipelines (extension surface,
   * BASELINE.json north star). Five methods, all shaped for 100 TB:
@@ -120,7 +120,10 @@ object Dedup {
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
       .select(Seq(col("id_a"), col("id_b")) ++ extra ++ Seq(
-        size(array_intersect(col("h_a"), col("h_b"))).cast("double").as("inter"),
+        // native merge walk (SortedIntersectSize): sets are sorted once at
+        // BUILD time, so the per-PAIR cost is O(n+m) with no hash set and
+        // no intersection array — this expression runs once per candidate
+        SortedIntersectSize(col("h_a"), col("h_b")).cast("double").as("inter"),
         (size(col("h_a")) + size(col("h_b"))).cast("double").as("tot")): _*)
       .filter(col("inter") * (1.0 + threshold) >= lit(threshold) * col("tot"))
       .select(Seq(col("id_a"), col("id_b")) ++ extra :+
@@ -136,8 +139,10 @@ object Dedup {
       shingleK: Int, numHashes: Int, bands: Int): DataFrame =
     df.select(col(id).as("doc_id"), wsTokens(col(text)).as("__toks"))
       .select(col("doc_id"),
-        array_distinct(transform(wordShinglesFromTokens(col("__toks"), shingleK),
-          s => xxhash64Seeded(31L, s))).as("hs"))
+        // sorted+distinct: the contract SortedIntersectSize needs; sorting
+        // is paid once per document, the merge walk saves once per pair
+        array_sort(array_distinct(transform(wordShinglesFromTokens(col("__toks"), shingleK),
+          s => xxhash64Seeded(31L, s)))).as("hs"))
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
       .select(col("doc_id"), col("hs"),
         lshBandKeys(col("sig"), bands, numHashes / bands).as("band_keys"))
@@ -413,8 +418,9 @@ object Dedup {
       // __lt materialized first: charNgrams substrings its input once per
       // gram, and no-CSE would re-lowercase the whole document per gram
       .select(col("doc_id"),
-        array_distinct(transform(charNgrams(col("__lt"), n),
-          g => xxhash64Seeded(17L, g))).as("hs"))
+        // sorted+distinct: SortedIntersectSize contract (see minhash build)
+        array_sort(array_distinct(transform(charNgrams(col("__lt"), n),
+          g => xxhash64Seeded(17L, g)))).as("hs"))
       .persist()
     grams.count(): Unit
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedIntersectSize}
 
 /** Session extensions exposing graft's native expressions to SQL text, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the Column API.
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
   }
 }
 
@@ -37,10 +38,18 @@ object GraftExtensions {
       CosineSimilarity(args(0), args(1))
     })
 
+  private[plans] val sortedIntersectDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_size"),
+    new ExpressionInfo(classOf[SortedIntersectSize].getName, null, "sorted_intersect_size"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, s"sorted_intersect_size expects 2 arguments, got ${args.length}")
+      SortedIntersectSize(args(0), args(1))
+    })
+
   /** Programmatic alternative when the session already exists (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = cosineSimDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(cosineSimDescriptor, sortedIntersectDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -101,6 +101,27 @@ class FunctionsSpec extends SparkSpec {
     assert(df(3L) == (~df(1L) & 0xFFL))
   }
 
+  test("SortedIntersectSize == size(array_intersect) on random sorted-distinct sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      def set() = Seq.fill(rng.nextInt(40))(rng.nextInt(60).toLong).distinct.sorted
+      (i.toLong, set(), set())
+    }
+    val got = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        SortedIntersectSize(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Long, Int, Int)].collect()
+    got.foreach { case (id, fast, ref) => assert(fast == ref, s"row $id") }
+    // edges: empty vs non-empty, disjoint, identical
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 3L), Seq(2L, 4L)), (Seq(5L, 6L), Seq(5L, 6L)))
+      .toDF("a", "b")
+      .select(SortedIntersectSize(col("a"), col("b"))).as[Int].collect()
+    assert(edge.sameElements(Array(0, 0, 2)))
+  }
+
   test("zOrder2 matches the reference Morton interleave on exhaustive small inputs") {
     import spark.implicits._
     def morton(a: Long, b: Long, bits: Int): Long =
