@@ -395,6 +395,18 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- IVF against the PERSISTED index (the fit-free serving shape;
+    //      q18 is the exploration mode that re-fits per call) ----
+    "q86_ann_ivf_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q86_vecindex")
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, nClusters = 16)
+      Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 4, excludeSelf = true,
+          candidateSink = Some(aux(dir, "q86_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- text: token counting (ws + BPE-ish) ----
     "q19_text_stats" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -856,6 +868,26 @@ object QuerySuite {
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
           .as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("n_name").asc)
+    }),
+
+    // ---- TPC-H Q18 shape: large-volume customers — aggregate a fact,
+    //      HAVING-filter the aggregate, semi-join the survivors back to
+    //      the enriched join. The having-set is tiny → broadcast semi;
+    //      the big lineitem aggregation combines map-side ----
+    "q85_tpch_q18" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+        .select(col("l_orderkey"), col("sum_qty"))
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice") * 100).cast("long").as("price_cents"),
+          col("sum_qty"))
+        .orderBy(col("price_cents").desc, col("o_orderkey").asc)
     }),
 
     // ---- CUBE aggregation with grouping id (generalizes q30's rollup) ----
@@ -1735,6 +1767,19 @@ object QuerySuite {
         |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
         |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
 
+    "q86_ann_ivf_index" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q86_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
     "q47_ann_lsh" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q47_candidates/*.parquet')),
         |scored AS (
@@ -2134,6 +2179,16 @@ object QuerySuite {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+
+    "q85_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, sum_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY price_cents DESC, o_orderkey""".stripMargin,
 
     "q74_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -130,6 +130,45 @@ object Similarity {
     rankCandidates(candidates, c.select(col("nbr_id"), col("cv")), q, k)
   }
 
+  /** IVF top-k against a PERSISTED index — the SERVING shape at 100 TB:
+    * [[ivfTopK]] re-fits the quantizer per call, which is the exploration
+    * mode; production builds the index ONCE
+    * ([[graft.dedup.Dedup.buildSemanticIndex]]: `<indexPath>/centroids` +
+    * cell-assigned `<indexPath>/vectors`, replay-safe per-batch partitions)
+    * and every query batch afterwards runs fit-free: probing broadcasts the
+    * tiny centroid FileScan, candidate generation is one equi-join on cell,
+    * rerank joins vectors back by id. New corpus batches fold in through
+    * the same frozen-centroid assignment the incremental dedup flow uses —
+    * no MLlib on this path at all. */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nProbe: Int = 4,
+      excludeSelf: Boolean = false,
+      candidateSink: Option[String] = None): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell").cast("int").as("cell"), col("centroid"))
+    val assigned = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("doc_id").as("nbr_id"), col("cell").cast("int").as("cell"), col("v").as("cv"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val probes = q.join(broadcast(centroids), lit(true))
+      .withColumn("cdist", CosineSimilarity(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell").asc)))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val cand0 = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(cond)
+      .select(col("query_id"), col("nbr_id"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, assigned.select(col("nbr_id"), col("cv")), q, k)
+  }
+
   /** LSH-bucketed approximate top-k — the training-free scale path (no
     * quantizer fit at all): `tables` independent random-hyperplane hash
     * tables; a query only scores corpus vectors sharing a bucket in at least

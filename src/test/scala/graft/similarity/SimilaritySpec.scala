@@ -85,4 +85,24 @@ class SimilaritySpec extends SparkSpec {
     }.sum / brute.size
     assert(lshRecall >= 0.9, s"LSH recall $lshRecall below 0.9")
   }
+
+  test("ivfTopKIndexed (persisted index, fit-free) == ivfTopK with the same quantizer") {
+    import spark.implicits._
+    val rng = new Random(23)
+    val vecs = randomVecs(rng, 120, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_idx_").toString
+
+    graft.dedup.Dedup.buildSemanticIndex(df, "vec_id", "embedding", idx,
+      nClusters = 8, seed = 42L, fitMaxIter = 20)
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val refit = rows(Similarity.ivfTopK(df, queries, "vec_id", "embedding", k = 4,
+      nCells = 8, nProbe = 3, seed = 42L, excludeSelf = true))
+    val indexed = rows(Similarity.ivfTopKIndexed(spark, idx, queries, "vec_id", "embedding",
+      k = 4, nProbe = 3, excludeSelf = true))
+    assert(indexed == refit, "the persisted index must reproduce the refit path exactly")
+  }
 }
