@@ -26,7 +26,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q50_correlated_max", "q51_curation", "q52_hash_split", "q53_asof_forward",
     "q54_rolling_window", "q58_corpus_report", "q63_repetition", "q64_seq_packing",
     "q65_domain_mix", "q66_domain_cap", "q71_lang_quality_floor", "q73_tpch_q5",
-    "q74_cube", "q77_dup_spans", "q78_bigram_coverage")
+    "q74_cube", "q77_dup_spans", "q78_bigram_coverage", "q79_salted_join",
+    "q80_grouping_sets", "q81_funnel", "q82_zorder", "q85_tpch_q18")
   // q76_tfidf is audited separately: its corpus-size constant joins in as a
   // DELIBERATE one-broadcast-row nested-loop join, which the generic
   // no-BNLJ assertion would (correctly) reject for data-bearing joins
@@ -134,6 +135,13 @@ class PlanPropertiesSpec extends SparkSpec {
     // the corpus-size constant is the ONLY nested-loop join, and it broadcasts
     assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
       s"exactly the one-row count join may nest:\n$plan")
+  }
+
+  test("q85 broadcasts the having-set back; the fact aggregation combines map-side") {
+    val plan = SparkEntry.queries("q85_tpch_q18")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"having-set must broadcast:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum"),
+      s"lineitem aggregation must combine map-side:\n$plan")
   }
 
   test("sampleByDomain is a map-only filter: zero exchanges in the operator plan") {
