@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
+import graft.operators.{AsOfJoin, Chunking, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize}
@@ -1359,6 +1359,123 @@ object QuerySuite {
           |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders_v50 o2
           |                      WHERE o2.o_custkey = o.o_custkey)
           |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- JSON-lines sink + scan (source-format coverage, the log-
+    //      interchange format): write events as JSONL — including the
+    //      nested props object re-parsed from its stored JSON string —
+    //      read it back with an explicit schema, aggregate. Doubles
+    //      survive the text roundtrip exactly (Spark emits
+    //      shortest-roundtrip decimals). At scale a JSONL corpus splits
+    //      by line, so the scan parallelizes like CSV ----
+    "q87_json_lines" -> ((s, dir) => {
+      val out = tmpDir("q87_json_")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).as("props"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRUCT<k: LONG>")
+        .json(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+          sum(col("props.k")).as("sum_k"),
+          max(col("user_id")).as("max_user"))
+        .orderBy("event_type")
+    }),
+
+    // ---- ORC sink + scan (columnar source-format coverage beside
+    //      parquet): same roundtrip contract as q37's CSV — write, read
+    //      back, aggregate; ORC carries the µs timestamp natively ----
+    "q88_orc_roundtrip" -> ((s, dir) => {
+      val out = tmpDir("q88_orc_")
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents"),
+          max(col("ts")).as("max_ts"))
+        .orderBy("event_type")
+    }),
+
+    // ---- context-window chunking: split each document into fixed-size
+    //      character chunks with overlap (size 256, stride 192) — the
+    //      step that turns a curated corpus into trainable sequences.
+    //      Map-only (sequence + posexplode + substring inside one codegen
+    //      stage, zero exchanges before the presentation sort); chunk
+    //      content is verified by md5 digest so no text leaves the scan ----
+    "q89_doc_chunks" -> ((s, dir) => {
+      Chunking.chunkByChars(Tables.documents(s, dir), "doc_id", "text",
+          size = 256, stride = 192)
+        .select(col("doc_id"), col("chunk_id"),
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // ---- int8 scalar quantization of the embedding column: the
+    //      storage/serving compression a 100 TB vector corpus wants
+    //      (4 bytes → 1 byte per dim before ANN serving). Symmetric
+    //      per-vector scale 127/max|x|; the oracle re-derives the
+    //      quantized vector with the same IEEE double ops, so the
+    //      emitted extremes/L1 (and the scale itself) match exactly.
+    //      Map-only: zero exchanges before the presentation sort ----
+    "q90_vec_quantize" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("scale", Similarity.int8Scale(col("embedding")))
+        .withColumn("__q", Similarity.int8Quantize(col("embedding"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          array_min(col("__q")).as("q_min"),
+          array_max(col("__q")).as("q_max"),
+          expr("aggregate(__q, 0L, (acc, v) -> acc + abs(v))").as("q_l1"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- winsorization (robust outlier clamping) per event type: exact
+    //      P01/P99 bounds (percentile ≡ quantile_cont, the q71 contract),
+    //      broadcast back, values clamped into [p01, p99]. Reports clamp
+    //      counts and the clamped sum in integer cents. Two shuffles total
+    //      (bounds agg + final agg); the bounds frame is broadcast ----
+    "q91_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bounds = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.01)).as("p01"),
+          percentile(col("value"), lit(0.99)).as("p99"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type", "p01", "p99")
+        .agg(count(when(col("value") < col("p01"), 1)).as("n_low"),
+          count(when(col("value") > col("p99"), 1)).as("n_high"),
+          sum(round(greatest(col("p01"), least(col("p99"), col("value"))) * 100)
+            .cast("long")).as("sum_winsorized_cents"))
+        .select("event_type", "p01", "p99", "n_low", "n_high", "sum_winsorized_cents")
+        .orderBy("event_type")
+    }),
+
+    // ---- TPC-H Q20 shape (dominant-supplier detection): two partial
+    //      aggregates of the same fact at different granularities —
+    //      (supplier, part) quantity vs per-part total — joined on the
+    //      narrow part key, fraction predicate in exact integer algebra
+    //      (quantities are whole-valued), survivors semi-join back to the
+    //      dimension. The fact is aggregated BEFORE any join, so only
+    //      narrow keyed rows shuffle ----
+    "q92_dominant_supplier" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perSuppPart = li.groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("qty")).as("supp_qty"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum(col("qty")).as("part_qty"))
+      val dominant = perSuppPart.join(perPart, Seq("l_partkey"))
+        .where(col("supp_qty") * 10 > col("part_qty") * 3)
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
     })
   )
 
@@ -2455,6 +2572,80 @@ object QuerySuite {
         |FROM orders o
         |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the JSONL roundtrip is lossless, so the oracle recomputes straight
+    // from the stored table (props.k re-derived from the JSON string)
+    "q87_json_lines" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(user_id) AS max_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q88_orc_roundtrip" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents,
+        |  max(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q89_doc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, greatest(length(text), 1) AS len FROM documents
+        |), e AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, len, 192)) AS s FROM d
+        |), c AS (
+        |  SELECT doc_id, CAST((s - 1) // 192 AS BIGINT) AS chunk_id,
+        |         substring(text, CAST(s AS INTEGER), 256) AS chunk
+        |  FROM e
+        |)
+        |SELECT doc_id, chunk_id,
+        |  CAST(length(chunk) AS BIGINT) AS chunk_len, md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q90_vec_quantize" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS ma
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END AS scale,
+        |    list_transform(v, x -> CAST(round(x * (CASE WHEN ma > 0 THEN 127.0 / ma ELSE 0.0 END)) AS INTEGER)) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, scale,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q91_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS p01,
+        |         quantile_cont(value, 0.99) AS p99
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type, b.p01, b.p99,
+        |  CAST(count(*) FILTER (e.value < b.p01) AS BIGINT) AS n_low,
+        |  CAST(count(*) FILTER (e.value > b.p99) AS BIGINT) AS n_high,
+        |  CAST(sum(CAST(round(greatest(b.p01, least(b.p99, e.value)) * 100) AS BIGINT)) AS BIGINT) AS sum_winsorized_cents
+        |FROM events e JOIN b ON b.event_type = e.event_type
+        |GROUP BY e.event_type, b.p01, b.p99 ORDER BY e.event_type""".stripMargin,
+
+    "q92_dominant_supplier" ->
+      """WITH li AS (
+        |  SELECT l_suppkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+        |), sp AS (
+        |  SELECT l_suppkey, l_partkey, sum(qty) AS supp_qty FROM li GROUP BY 1, 2
+        |), pt AS (
+        |  SELECT l_partkey, sum(qty) AS part_qty FROM li GROUP BY 1
+        |), dom AS (
+        |  SELECT DISTINCT sp.l_suppkey
+        |  FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
+        |  WHERE sp.supp_qty * 10 > pt.part_qty * 3
+        |)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+        |ORDER BY s_suppkey""".stripMargin
   )
 }

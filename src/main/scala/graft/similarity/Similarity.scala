@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.ml.clustering.KMeans
@@ -208,4 +208,23 @@ object Similarity {
     val candidates = sinkCandidates(cand0, candidateSink)
     rankCandidates(candidates, c, q, k)
   }
+
+  // ------------------------------------------------------------ compression
+
+  /** Symmetric per-vector int8 scale: 127 / max|x|, or 0.0 for an all-zero
+    * vector (quantizing the zero vector must yield zeros, not NaNs from a
+    * division by zero). Computed in doubles so an external oracle applying
+    * the same IEEE ops reproduces it bit-for-bit. */
+  def int8Scale(vec: Column): Column = {
+    val ma = array_max(transform(vec, x => abs(x.cast("double"))))
+    when(ma > 0, lit(127.0) / ma).otherwise(lit(0.0))
+  }
+
+  /** int8 scalar quantization of a float-vector column — the storage/serving
+    * compression step a 100 TB vector corpus wants (4 bytes → 1 per dim)
+    * before ANN serving; recall loss is negligible for cosine top-k at 64+
+    * dims. Map-only codegen (transform + round), zero exchanges. Dequantize
+    * with x ≈ q / scale. */
+  def int8Quantize(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("int"))
 }

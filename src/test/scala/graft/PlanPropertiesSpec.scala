@@ -27,7 +27,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q54_rolling_window", "q58_corpus_report", "q63_repetition", "q64_seq_packing",
     "q65_domain_mix", "q66_domain_cap", "q71_lang_quality_floor", "q73_tpch_q5",
     "q74_cube", "q77_dup_spans", "q78_bigram_coverage", "q79_salted_join",
-    "q80_grouping_sets", "q81_funnel", "q82_zorder", "q85_tpch_q18")
+    "q80_grouping_sets", "q81_funnel", "q82_zorder", "q85_tpch_q18",
+    "q89_doc_chunks", "q90_vec_quantize", "q91_winsorize", "q92_dominant_supplier")
   // q76_tfidf is audited separately: its corpus-size constant joins in as a
   // DELIBERATE one-broadcast-row nested-loop join, which the generic
   // no-BNLJ assertion would (correctly) reject for data-bearing joins
@@ -151,5 +152,21 @@ class PlanPropertiesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Filter"), s"keep-flag filter missing:\n$plan")
     assert(!plan.contains("Exchange"), s"domain-mix sampling must not shuffle:\n$plan")
+  }
+
+  test("chunking and quantization are map-only: no exchange except the result sort") {
+    Seq(
+      graft.operators.Chunking.chunkByChars(
+        graft.Tables.documents(spark, sfDir), "doc_id", "text", 256, 192),
+      graft.Tables.embeddings(spark, sfDir)
+        .withColumn("q", graft.similarity.Similarity.int8Quantize(
+          org.apache.spark.sql.functions.col("embedding"),
+          graft.similarity.Similarity.int8Scale(
+            org.apache.spark.sql.functions.col("embedding"))))
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"operator must not shuffle (chunk/quantize is scan-throughput work):\n$plan")
+    }
   }
 }

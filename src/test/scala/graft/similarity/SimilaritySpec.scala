@@ -105,4 +105,30 @@ class SimilaritySpec extends SparkSpec {
       k = 4, nProbe = 3, excludeSelf = true))
     assert(indexed == refit, "the persisted index must reproduce the refit path exactly")
   }
+
+  test("int8 quantization: max|x| maps to ±127, zero vector stays zero, error ≤ 0.5/scale") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),       // zero vector: scale 0, q all 0
+      (3L, Seq(3.0f, -2.0f, 1.5f, 0.001f))
+    ).toDF("vec_id", "embedding")
+      .withColumn("scale", Similarity.int8Scale(col("embedding")))
+      .withColumn("q", Similarity.int8Quantize(col("embedding"), col("scale")))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("scale"), r.getSeq[Int](r.fieldIndex("q")).toList)))
+      .toMap
+    val (s1, q1) = rows(1L)
+    assert(q1 == Seq(64, -127, 32, 0), "0.5·127 = 63.5 rounds away from zero")
+    val (s2, q2) = rows(2L)
+    assert(s2 == 0.0 && q2.forall(_ == 0), "zero vector must quantize to zeros, not NaN")
+    val (s3, q3) = rows(3L)
+    assert(q3.head == 127 && s3 > 0, "the max-magnitude element maps to full scale")
+    // dequantization error bound: |x - q/scale| <= 0.5/scale
+    Seq(0.5f, -1.0f, 0.25f, 0.0f).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(x - q / s1) <= 0.5 / s1 + 1e-12)
+    }
+  }
 }
