@@ -1476,6 +1476,45 @@ object QuerySuite {
         .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
+    }),
+
+    // ---- mergeable quantile sketch (percentile_approx): the one-pass
+    //      alternative to exact percentiles at 100 TB — the exact form
+    //      sorts every group; the sketch combines map-side and merges.
+    //      Oracled under the q39 contract: the EXACT median is emitted
+    //      (percentile ≡ quantile_cont, bit-exact), the sketch only has to
+    //      land inside the exact [P49, P51] rank window — claimed as a
+    //      boolean DuckDB asserts TRUE, so a drifting sketch flips the row
+    //      red. Groups here are thousands of rows, so the window is ~40
+    //      ranks wide vs a sketch rank error of n/10000 ----
+    "q93_approx_quantile" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
+          percentile(col("l_extendedprice"), lit(0.49)).as("__lo"),
+          percentile(col("l_extendedprice"), lit(0.51)).as("__hi"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (col("__approx") >= col("__lo") && col("__approx") <= col("__hi")).as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- ranking-window statistics (ntile / percent_rank / cume_dist):
+    //      per-customer order-size quartiles and distribution positions —
+    //      feature-engineering staples. All three share ONE window
+    //      (partition + order), so the plan pays a single hash exchange and
+    //      one sort; the tie-break on o_orderkey makes every rank — and the
+    //      percent_rank/cume_dist divisions — deterministic and bit-exact
+    //      cross-engine ----
+    "q94_window_rank_stats" -> ((s, dir) => {
+      val over = "OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"
+      Tables.orders(s, dir).selectExpr(
+          "o_orderkey", "o_custkey", "o_totalprice",
+          s"CAST(ntile(4) $over AS BIGINT) AS quartile",
+          s"percent_rank() $over AS pct_rank",
+          s"cume_dist() $over AS cume")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2646,6 +2685,20 @@ object QuerySuite {
         |)
         |SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q93_approx_quantile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |  TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q94_window_rank_stats" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

@@ -131,11 +131,30 @@ final class FeatureStore(spark: SparkSession, root: String,
       .withColumn(EngineColumns.IngestDate, to_date(col(g.eventTimeCol)))
 
     writeManifest(g, seq + 1, batchId.getOrElse(m.lastBatchId))
-    typed.write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+    // integrity metrics ride the append job (Dataset.observe — zero extra
+    // scans, exactly what a 100 TB ingest wants); the UN-observed `typed`
+    // goes to refreshOnline because an Observation binds to one action
+    val obs = org.apache.spark.sql.Observation(s"ingest_${groupName}_$seq")
+    typed.observe(obs,
+        count(lit(1)).as("rows"),
+        count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
+        count(when(col(g.eventTimeCol).isNull, 1)).as("null_event_times"))
+      .write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+    val o = obs.get
+    metrics.put(groupName, IngestMetrics(o("rows").asInstanceOf[Long],
+      o("null_keys").asInstanceOf[Long], o("null_event_times").asInstanceOf[Long]))
 
     refreshOnline(g, Some(typed))
     seq
   }
+
+  private val metrics = new java.util.concurrent.ConcurrentHashMap[String, IngestMetrics]()
+
+  /** Metrics observed during the MOST RECENT [[ingest]] for the group (this
+    * store instance). None before any ingest; a replayed/skipped batch does
+    * not overwrite them. */
+  def lastIngestMetrics(groupName: String): Option[IngestMetrics] =
+    Option(metrics.get(groupName))
 
   /** Recompute the online snapshot. With `batch` given, only the union of the
     * previous snapshot and the new batch is scanned (incremental maintenance);

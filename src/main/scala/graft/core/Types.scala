@@ -34,6 +34,14 @@ object FType {
 
 final case class FeatureDef(name: String, ftype: FType)
 
+/** Per-batch ingest observability (collected via `Dataset.observe` — the
+  * metrics ride the offline-append job itself, no extra scan): row count
+  * plus the two integrity counters that matter for a feature store. A null
+  * key would silently pool into one argmax group in the online snapshot; a
+  * null event time can never win a latest-per-key race. Production
+  * monitoring alerts on either being nonzero. */
+final case class IngestMetrics(rows: Long, nullKeys: Long, nullEventTimes: Long)
+
 /** A named, schema-typed entity table with a declared record-identifier
   * column and event-time column (reference: setup.sh:78-89,
   * `create-feature-group --record-identifier-feature-name customer_id

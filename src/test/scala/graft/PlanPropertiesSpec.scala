@@ -28,7 +28,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q65_domain_mix", "q66_domain_cap", "q71_lang_quality_floor", "q73_tpch_q5",
     "q74_cube", "q77_dup_spans", "q78_bigram_coverage", "q79_salted_join",
     "q80_grouping_sets", "q81_funnel", "q82_zorder", "q85_tpch_q18",
-    "q89_doc_chunks", "q90_vec_quantize", "q91_winsorize", "q92_dominant_supplier")
+    "q89_doc_chunks", "q90_vec_quantize", "q91_winsorize", "q92_dominant_supplier",
+    "q93_approx_quantile", "q94_window_rank_stats")
   // q76_tfidf is audited separately: its corpus-size constant joins in as a
   // DELIBERATE one-broadcast-row nested-loop join, which the generic
   // no-BNLJ assertion would (correctly) reject for data-bearing joins
@@ -152,6 +153,37 @@ class PlanPropertiesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Filter"), s"keep-flag filter missing:\n$plan")
     assert(!plan.contains("Exchange"), s"domain-mix sampling must not shuffle:\n$plan")
+  }
+
+  test("runtime bloom filter injects at the fact scan for a selective dim shuffle join") {
+    // the 100 TB shape: fact ⋈ selectively-filtered dim as a shuffle join —
+    // Spark's InjectRuntimeFilter should plant a bloom_filter_might_contain
+    // on the fact side so pruning happens at the scan, before the exchange.
+    // Size thresholds exist for exactly the situation this corpus is in
+    // (tiny tables), so the test lowers them to expose the production plan;
+    // broadcast is disabled because the rule only fires for shuffle joins
+    // (a broadcast join already prunes on the small side).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.Tables.lineitem(spark, sfDir)
+      val dim = graft.Tables.part(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("p_brand") === "Brand#11")
+      val plan = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+        .groupBy("p_brand").count()
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 
   test("chunking and quantization are map-only: no exchange except the result sort") {

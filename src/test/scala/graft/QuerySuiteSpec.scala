@@ -26,6 +26,15 @@ class QuerySuiteSpec extends SparkSpec {
     }
   }
 
+  test("q93: the quantile sketch lands inside the exact [P49, P51] window") {
+    val rows = SparkEntry.queries("q93_approx_quantile")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"sketch median out of rank window for ${r.getAs[String]("l_returnflag")}")
+    }
+  }
+
   test("q18: IVF recall vs q17 brute force on the real embeddings") {
     def sets(name: String) =
       SparkEntry.queries(name)(spark, sf).collect()

@@ -359,4 +359,29 @@ class FeatureStoreSpec extends SparkSpec {
     assert(diff(2L) == ("changed", "changed"))
     assert(diff(3L) == ("added", "new-key"))
   }
+
+  test("ingest observes rows / null keys / null event times on the append job") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val fs = newStore()
+    fs.createGroup(group)
+    assert(fs.lastIngestMetrics("tx").isEmpty, "no metrics before the first ingest")
+
+    val dirty = batch(
+        (1L, "2024-01-01 10:00:00", 10.0, "ok"),
+        (2L, "2024-01-02 10:00:00", 20.0, "null-key"),
+        (3L, "2024-01-03 10:00:00", 30.0, "null-ts"),
+        (4L, "2024-01-04 10:00:00", 40.0, "ok"))
+      .withColumn("customer_id",
+        when(col("note") === "null-key", lit(null)).otherwise(col("customer_id")))
+      .withColumn("event_time",
+        when(col("note") === "null-ts", lit(null)).otherwise(col("event_time")))
+    fs.ingest("tx", dirty)
+    assert(fs.lastIngestMetrics("tx").contains(IngestMetrics(4L, 1L, 1L)))
+
+    // a clean batch overwrites; a replayed (skipped) batch does not
+    fs.ingest("tx", batch((5L, "2024-01-05 10:00:00", 50.0, "ok")), batchId = Some(7L))
+    assert(fs.lastIngestMetrics("tx").contains(IngestMetrics(1L, 0L, 0L)))
+    fs.ingest("tx", dirty, batchId = Some(7L)) // replay — skipped
+    assert(fs.lastIngestMetrics("tx").contains(IngestMetrics(1L, 0L, 0L)))
+  }
 }
