@@ -155,6 +155,18 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"domain-mix sampling must not shuffle:\n$plan")
   }
 
+  test("q06 top-N pushes a map-side WindowGroupLimit below the exchange") {
+    // rank<=N must not sort whole partitions at 100 TB: Spark 4's
+    // WindowGroupLimit keeps each input partition's local top-N BEFORE the
+    // shuffle (Partial) and re-trims after (Final) — the window then ranks
+    // only ≤N rows per key. Losing this (e.g. by filtering on a non-rank
+    // predicate or a non-row_number function) reverts to full per-key sorts.
+    val plan = graft.QuerySuite.queries("q06_topn_per_key")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+      s"expected partial+final WindowGroupLimit around the exchange:\n$plan")
+  }
+
   test("runtime bloom filter injects at the fact scan for a selective dim shuffle join") {
     // the 100 TB shape: fact ⋈ selectively-filtered dim as a shuffle join —
     // Spark's InjectRuntimeFilter should plant a bloom_filter_might_contain
