@@ -1,5 +1,7 @@
 package graft.dedup
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -231,15 +233,88 @@ object Dedup {
       // only batch=<id> (replay-idempotent)
       .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
       .mode("overwrite")
-      .parquet(indexPath)
+      .parquet(resolveIndexDir(indexPath))
   }
 
   /** Read the signature index without the layout's partition column. */
   private def readIndex(spark: SparkSession, indexPath: String,
       excludeBatch: Option[String] = None): DataFrame = {
-    val raw = spark.read.parquet(indexPath)
+    val raw = spark.read.parquet(resolveIndexDir(indexPath))
     val pruned = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
     pruned.select(col("doc_id"), col("hs"), col("band_keys"))
+  }
+
+  /** Physical dir of a (possibly compacted) signature index: a compacted
+    * index lives in `<path>/v<N>` named by the `<path>/CURRENT` pointer; an
+    * uncompacted one is the flat path itself (backward compatible — every
+    * pre-compaction index keeps working unchanged). */
+  private[graft] def resolveIndexDir(indexPath: String): String = {
+    val cur = java.nio.file.Paths.get(indexPath, "CURRENT")
+    if (java.nio.file.Files.exists(cur))
+      java.nio.file.Paths.get(indexPath,
+        new String(java.nio.file.Files.readAllBytes(cur),
+          java.nio.charset.StandardCharsets.UTF_8).trim).toString
+    else indexPath
+  }
+
+  /** Compact a batch-partitioned index: fold every `batch=<id>` partition
+    * into ONE `batch=base` partition under a NEW version dir, then
+    * atomically swap the `CURRENT` pointer — the [[graft.core.FeatureStore]]
+    * `compactOffline` pattern. A year of daily batches is 365 partition
+    * dirs of small files; candidate generation reads them all every run, so
+    * at production scale the index wants periodic compaction exactly like
+    * the offline store. [[compactMinhashIndex]] compacts the signature
+    * index; [[compactSemanticIndex]] the vector index ([[buildSemanticIndex]]
+    * layout — centroids are a single overwrite-in-place table and need none).
+    *
+    * Crash-safe: a failure before the pointer swap leaves CURRENT (and
+    * every reader/writer) on the old layout; a retry starts over on a fresh
+    * version dir. Like any compaction, it is single-writer maintenance: run
+    * it when no batch is mid-flight, and note it ENDS the replay window for
+    * the folded batches (their rows now live in `base`, so a very late
+    * replay of an old batchId would re-add rows — the same contract as
+    * compacting the offline store away from its per-batch files). */
+  def compactMinhashIndex(spark: SparkSession, indexPath: String): Unit =
+    compactBatchedDir(spark, indexPath)
+
+  /** See [[compactMinhashIndex]] — same fold for the semantic index's
+    * per-batch vector partitions. */
+  def compactSemanticIndex(spark: SparkSession, indexPath: String): Unit =
+    compactBatchedDir(spark, s"$indexPath/vectors")
+
+  private def compactBatchedDir(spark: SparkSession, indexPath: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(indexPath)
+    val oldDir = resolveIndexDir(indexPath)
+    val oldVersion =
+      if (oldDir == indexPath) 0L
+      else Paths.get(oldDir).getFileName.toString.stripPrefix("v").toLong
+    val next = oldVersion + 1
+    // one shuffle-free rewrite: rows are read and rewritten as-is (schema-
+    // generic — whatever the index stores besides the partition column)
+    spark.read.parquet(oldDir)
+      .drop("batch")
+      .withColumn("batch", lit("base"))
+      .write.partitionBy("batch").mode("overwrite")
+      .parquet(root.resolve(s"v$next").toString)
+    val tmp = root.resolve("CURRENT.tmp")
+    Files.write(tmp, s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // release the superseded layout: the old version dir, or (first
+    // compaction) the flat batch=* dirs at the root
+    val stale: Seq[java.nio.file.Path] =
+      if (oldDir == indexPath) {
+        val ls = Files.list(root)
+        try ls.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("batch="))
+        finally ls.close()
+      } else Seq(Paths.get(oldDir))
+    stale.foreach { p =>
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
   }
 
   /** Build (overwrite) a minhash signature index WITHOUT running any dedup —
@@ -610,7 +685,7 @@ object Dedup {
       candidateSink: Option[String] = None): DataFrame = {
     val spark = newDf.sparkSession
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    val oldVecs = spark.read.parquet(s"$indexPath/vectors")
+    val oldVecs = spark.read.parquet(resolveIndexDir(s"$indexPath/vectors"))
       .filter(col("batch") =!= lit(batchId))
       .select(col("doc_id"), col("cell"), col("v"))
 

@@ -152,7 +152,7 @@ object Similarity {
       candidateSink: Option[String] = None): DataFrame = {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
       .select(col("cell").cast("int").as("cell"), col("centroid"))
-    val assigned = spark.read.parquet(s"$indexPath/vectors")
+    val assigned = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
       .select(col("doc_id").as("nbr_id"), col("cell").cast("int").as("cell"), col("v").as("cv"))
     val q = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val probes = q.join(broadcast(centroids), lit(true))

@@ -137,6 +137,51 @@ class DedupSpec extends SparkSpec {
     assert(marks1 == Map(0L -> true, 7L -> false, 8L -> true, 9L -> false))
   }
 
+  test("compactMinhashIndex folds batch partitions into one; dedup behavior unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dedup_compact_").toString
+    val idx = root + "/sig"
+    Dedup.buildMinhashIndex(docsDf.filter("doc_id IN (1, 4)"), "doc_id", "text", idx)
+    val batch2 = Seq(
+      (7L, "brand new content that appears twice inside this very batch today"),
+      (8L, "brand new content that appears twice inside this very batch today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashLshIncremental(batch2, "doc_id", "text", idx,
+      batchId = "b2", threshold = 0.5).collect()
+    val before = spark.read.parquet(idx).count()
+
+    Dedup.compactMinhashIndex(spark, idx)
+    // layout: versioned dir + pointer, old flat batch dirs gone
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally files.close()
+    assert(names.contains("CURRENT") && names.contains("v1"), s"layout after compaction: $names")
+    assert(!names.exists(_.startsWith("batch=")), s"stale flat partitions survive: $names")
+    // row count preserved; reads resolve through the pointer
+    assert(spark.read.parquet(idx + "/v1").count() == before)
+
+    // a post-compaction batch still dedups against everything folded in
+    val batch3 = Seq((12L, "brand new content that appears twice inside this very batch today"))
+      .toDF("doc_id", "text")
+    val got3 = Dedup.minhashLshIncremental(batch3, "doc_id", "text", idx,
+        batchId = "b3", threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+    assert(got3.contains((7L, 12L)) && got3.contains((8L, 12L)),
+      "compacted index lost batch-2 signatures")
+
+    // second compaction bumps the version and removes the superseded dir
+    Dedup.compactMinhashIndex(spark, idx)
+    val files2 = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+    val names2 = try {
+      import scala.jdk.CollectionConverters._
+      files2.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally files2.close()
+    assert(names2.contains("v2") && !names2.contains("v1"), s"second compaction layout: $names2")
+    assert(spark.read.parquet(idx + "/v2").count() == before + 1) // + doc 12
+  }
+
   test("incremental semantic dedup replays idempotently against the frozen index") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("semdedup_replay_").toString + "/vec"
@@ -170,6 +215,24 @@ class DedupSpec extends SparkSpec {
     assert(rows2 == rows1, s"replayed index rows $rows2 != $rows1 (double-fold)")
     assert(marks1 == Map(100L -> true, 101L -> false, 102L -> true, 103L -> false),
       s"got $marks1")
+
+    // semantic-index compaction: vector batches fold to one partition;
+    // serving (ivfTopKIndexed) and a later incremental batch still see
+    // everything through the version pointer
+    Dedup.compactSemanticIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/vectors/v1").count() == rows1)
+    val served = graft.similarity.Similarity.ivfTopKIndexed(spark, idx,
+        Seq((200L, blobA)).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 3, nProbe = 1)
+      .collect().map(_.getAs[Long]("nbr_id")).toSet
+    assert(served.nonEmpty && served.forall(i => i == 21L || i == 100L || i % 2 == 0),
+      s"post-compaction serving must return blobA-side neighbors, got $served")
+    val pairs3 = Dedup.semanticDedupIncremental(
+        Seq((300L, jitter(blobB, 0.001f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", idx, batchId = "day2", threshold = 0.9999)
+      .collect().map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("drop_id"))).toSet
+    assert(pairs3.contains((101L, 300L)),
+      s"compacted vector index lost the day-1 fold, got $pairs3")
   }
 
   test("ngramCrossOverlap flags cross-side leaks only, with shared-gram counts") {

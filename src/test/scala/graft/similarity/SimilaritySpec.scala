@@ -106,6 +106,39 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed == refit, "the persisted index must reproduce the refit path exactly")
   }
 
+  test("int8-quantized vectors preserve brute-force top-k recall (the serving claim)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rng = new Random(7)
+    // jitter 3.0 (not the IVF test's 0.5): with near-identical in-cluster
+    // vectors the top-5 ranking is a tie-break on margins far below int8
+    // noise — realistic embeddings have neighbor margins, so give the
+    // fixture some. The serving claim is "preserves real neighbors", not
+    // "preserves the order of ties".
+    val centers = Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f), Array(-10f, -10f, 0f))
+    val df = Seq.tabulate(200) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rng.nextFloat() * 3f))
+    }.toDF("vec_id", "embedding")
+    // quantize → dequantize: what a serving tier scoring int8 storage sees
+    val dq = df
+      .withColumn("__s", Similarity.int8Scale(col("embedding")))
+      .withColumn("embedding",
+        transform(Similarity.int8Quantize(col("embedding"), col("__s")),
+          v => (v.cast("double") / col("__s")).cast("float")))
+      .drop("__s")
+    val queries = df.filter($"vec_id" < 8)
+    def topSets(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5, excludeSelf = true))
+    val quant = topSets(Similarity.bruteForceTopK(dq, queries, "vec_id", "embedding", k = 5, excludeSelf = true))
+    val recall = exact.toSeq.map { case (q, bs) =>
+      quant.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall below 0.9 — quantization too lossy to serve")
+  }
+
   test("int8 quantization: max|x| maps to ±127, zero vector stays zero, error ≤ 0.5/scale") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
