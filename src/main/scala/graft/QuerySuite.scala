@@ -810,6 +810,55 @@ object QuerySuite {
       s.table(qname).orderBy("p_id", "c_id")
     }),
 
+    // ---- stream-stream LEFT OUTER interval join: q68's attribution with
+    //      the un-attributed purchases KEPT — the semantics corner inner
+    //      joins never exercise: a null-padded row may only emit once the
+    //      watermark proves no matching click can still arrive (emitting
+    //      earlier would be wrong, never emitting would drop data). Matched
+    //      pairs append immediately; unmatched purchases emit when the
+    //      global watermark passes their interval. The result claims null
+    //      rows only up to (final watermark − 1 s guard): rows AT the
+    //      boundary are engine-timing-dependent, rows below it are
+    //      watermark-guaranteed — the oracle applies the identical cut ----
+    "q95_stream_outer_join" -> ((s, dir) => {
+      val src = stageStreamDir(dir, "events")
+      def side(tpe: String) = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(src)
+        .filter(col("event_type") === tpe)
+      val p = side("purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          expr("timestamp_micros(ts div 1000)").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val c = side("click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          expr("timestamp_micros(ts div 1000)").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+        .select(col("p_id"), col("c_id"), col("p_ts"))
+      val qname = s"q95_out_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q95_ckpt_"))
+        .start()
+      q.awaitTermination()
+      // final global watermark = min(max p_ts, max c_ts) − 1 h; guard 1 s
+      val ev = Tables.events(s, dir)
+      def maxTs(tpe: String) = ev.filter(col("event_type") === tpe)
+        .agg(max(col("ts"))).head.getTimestamp(0)
+      val wmGuard = java.sql.Timestamp.from(
+        Seq(maxTs("purchase"), maxTs("click"))
+          .min(Ordering.by((t: java.sql.Timestamp) => t.toInstant))
+          .toInstant.minusSeconds(3601))
+      s.table(qname)
+        .filter(col("c_id").isNotNull || col("p_ts") <= lit(wmGuard))
+        .select("p_id", "c_id")
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
     // ---- streaming exact dedup: first-arrival-wins key dedup over the
     //      event stream (ingestion-time dedup — the streaming sibling of
     //      q12). Bounded AvailableNow input → full-state dropDuplicates;
@@ -2258,6 +2307,22 @@ object QuerySuite {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
         |ORDER BY p_id, c_id""".stripMargin,
+
+    // the same cut the Spark side applies: every matched pair, plus null
+    // rows only for purchases finalized ≥1 s below the final watermark
+    // (min of the two sides' max event times, minus the 1 h delay)
+    "q95_stream_outer_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |w AS (SELECT least((SELECT max(p_ts) FROM p), (SELECT max(c_ts) FROM c))
+        |             - INTERVAL 1 HOUR - INTERVAL 1 SECOND AS wm),
+        |j AS (
+        |  SELECT p.p_id, c.c_id, p.p_ts
+        |  FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR)
+        |SELECT p_id, c_id FROM j, w
+        |WHERE c_id IS NOT NULL OR p_ts <= w.wm
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
     "q84_stream_sessionize" ->
       """WITH x AS (

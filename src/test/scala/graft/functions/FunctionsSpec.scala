@@ -155,4 +155,42 @@ class FunctionsSpec extends SparkSpec {
     assert(avgArea <= 64 * 64 / 8.0,
       s"z-partitions must bound small 2-d boxes, got avg area $avgArea of ${64 * 64}")
   }
+
+  test("z-order layout prunes parquet row groups on a 2-d box; round-robin cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the payoff the bounding boxes buy: each z-clustered FILE carries tight
+    // (a, b) min/max footer stats, so a 2-d box predicate skips most row
+    // groups at scan time — a round-robin layout holds matching rows in
+    // EVERY file, so its stats prune nothing. This is the OPTIMIZE ZORDER
+    // read path at 100 TB: the same filter, orders less IO.
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b)).toDF("a", "b")
+    val zDir = java.nio.file.Files.createTempDirectory("zorder_files_").toString
+    val rDir = java.nio.file.Files.createTempDirectory("rrobin_files_").toString
+    grid.withColumn("z", zOrder2(col("a"), col("b"), bits = 6))
+      .repartitionByRange(16, col("z")).drop("z")
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartition(16).write.mode("overwrite").parquet(rDir)
+
+    def scanned(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(col("a") < 8 && col("b") < 8)
+      // drive THIS queryExecution (count() would plan a separate one whose
+      // metrics never land on the plan object inspected below)
+      val n = df.collect().length.toLong
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = finalPlan.collect { case s: FileSourceScanExec => s }.head
+      (n, scan.metrics("numOutputRows").value)
+    }
+    val (nZ, rowsZ) = scanned(zDir)
+    val (nR, rowsR) = scanned(rDir)
+    assert(nZ == 64 && nR == 64, "same answer from both layouts")
+    assert(rowsZ <= 64 * 64 / 8,
+      s"z layout must skip most row groups (scan emitted $rowsZ of ${64 * 64})")
+    assert(rowsR == 64 * 64,
+      s"control: round-robin stats cover the whole grid, nothing skips ($rowsR)")
+  }
 }
