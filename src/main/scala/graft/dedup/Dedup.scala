@@ -245,9 +245,13 @@ object Dedup {
   }
 
   /** Physical dir of a (possibly compacted) signature index: a compacted
-    * index lives in `<path>/v<N>` named by the `<path>/CURRENT` pointer; an
+    * index lives in `<path>/_v<N>` named by the `<path>/CURRENT` pointer; an
     * uncompacted one is the flat path itself (backward compatible — every
-    * pre-compaction index keeps working unchanged). */
+    * pre-compaction index keeps working unchanged). The underscore prefix is
+    * load-bearing: Spark's hidden-path filter makes flat-layout readers skip
+    * `_v*` dirs, so a compaction that crashed between writing the version
+    * dir and swapping the pointer leaves readers completely unaffected (a
+    * bare `v1` among the `batch=*` dirs would corrupt partition discovery). */
   private[graft] def resolveIndexDir(indexPath: String): String = {
     val cur = java.nio.file.Paths.get(indexPath, "CURRENT")
     if (java.nio.file.Files.exists(cur))
@@ -288,17 +292,19 @@ object Dedup {
     val oldDir = resolveIndexDir(indexPath)
     val oldVersion =
       if (oldDir == indexPath) 0L
-      else Paths.get(oldDir).getFileName.toString.stripPrefix("v").toLong
+      else Paths.get(oldDir).getFileName.toString.stripPrefix("_v").toLong
     val next = oldVersion + 1
     // one shuffle-free rewrite: rows are read and rewritten as-is (schema-
-    // generic — whatever the index stores besides the partition column)
+    // generic — whatever the index stores besides the partition column).
+    // A retry after a pre-swap crash lands on the same _v<next> and the
+    // overwrite clears the orphan.
     spark.read.parquet(oldDir)
       .drop("batch")
       .withColumn("batch", lit("base"))
       .write.partitionBy("batch").mode("overwrite")
-      .parquet(root.resolve(s"v$next").toString)
+      .parquet(root.resolve(s"_v$next").toString)
     val tmp = root.resolve("CURRENT.tmp")
-    Files.write(tmp, s"v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(tmp, s"_v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     // release the superseded layout: the old version dir, or (first

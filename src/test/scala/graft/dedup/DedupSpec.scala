@@ -150,17 +150,25 @@ class DedupSpec extends SparkSpec {
       batchId = "b2", threshold = 0.5).collect()
     val before = spark.read.parquet(idx).count()
 
-    Dedup.compactMinhashIndex(spark, idx)
+    // crashed-compaction window: an orphan version dir (written, pointer
+    // never swapped) must be INVISIBLE to flat-layout readers — the
+    // underscore prefix keeps it out of partition discovery
+    val orphan = java.nio.file.Paths.get(idx, "_v1", "batch=junk")
+    java.nio.file.Files.createDirectories(orphan)
+    assert(spark.read.parquet(idx).count() == before,
+      "orphan _v dir from a crashed compaction must not corrupt flat reads")
+
+    Dedup.compactMinhashIndex(spark, idx) // retry: overwrites the orphan
     // layout: versioned dir + pointer, old flat batch dirs gone
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
     val names = try {
       import scala.jdk.CollectionConverters._
       files.iterator().asScala.map(_.getFileName.toString).toSet
     } finally files.close()
-    assert(names.contains("CURRENT") && names.contains("v1"), s"layout after compaction: $names")
+    assert(names.contains("CURRENT") && names.contains("_v1"), s"layout after compaction: $names")
     assert(!names.exists(_.startsWith("batch=")), s"stale flat partitions survive: $names")
     // row count preserved; reads resolve through the pointer
-    assert(spark.read.parquet(idx + "/v1").count() == before)
+    assert(spark.read.parquet(idx + "/_v1").count() == before)
 
     // a post-compaction batch still dedups against everything folded in
     val batch3 = Seq((12L, "brand new content that appears twice inside this very batch today"))
@@ -178,8 +186,8 @@ class DedupSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       files2.iterator().asScala.map(_.getFileName.toString).toSet
     } finally files2.close()
-    assert(names2.contains("v2") && !names2.contains("v1"), s"second compaction layout: $names2")
-    assert(spark.read.parquet(idx + "/v2").count() == before + 1) // + doc 12
+    assert(names2.contains("_v2") && !names2.contains("_v1"), s"second compaction layout: $names2")
+    assert(spark.read.parquet(idx + "/_v2").count() == before + 1) // + doc 12
   }
 
   test("incremental semantic dedup replays idempotently against the frozen index") {
@@ -220,7 +228,7 @@ class DedupSpec extends SparkSpec {
     // serving (ivfTopKIndexed) and a later incremental batch still see
     // everything through the version pointer
     Dedup.compactSemanticIndex(spark, idx)
-    assert(spark.read.parquet(s"$idx/vectors/v1").count() == rows1)
+    assert(spark.read.parquet(s"$idx/vectors/_v1").count() == rows1)
     val served = graft.similarity.Similarity.ivfTopKIndexed(spark, idx,
         Seq((200L, blobA)).toDF("vec_id", "embedding"), "vec_id", "embedding",
         k = 3, nProbe = 1)
