@@ -466,6 +466,15 @@ object QuerySuite {
         .orderBy("asset_id")
     }),
 
+    // ---- multimodal: audio segmentation (explode-shaped, per-window
+    //      md5-derived pseudo-energy — fully oracled incl. the feature) ----
+    "q96_audio_segments" -> ((s, dir) => {
+      val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
+      Multimodal.segmentAudio(assets, windowMs = 30000L)
+        .select("asset_id", "seg_idx", "seg_start_ms", "seg_ms", "energy_ppm")
+        .orderBy("asset_id", "seg_idx")
+    }),
+
     // ---- multimodal: resize (STUB scaler, real schema/partition plumbing).
     //      The resized payload bytes are stub-derived so not oracled; what
     //      IS oracled: images get the target dimensions and the stub's
@@ -2255,6 +2264,21 @@ object QuerySuite {
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT asset_id, CAST(duration_ms // 10000 + 1 AS BIGINT) AS n_frames
         |FROM v ORDER BY asset_id""".stripMargin,
+
+    "q96_audio_segments" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':d'), 1, 8))::BIGINT % 600000 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT asset_id, duration_ms,
+        |    unnest(generate_series(0, greatest((duration_ms + 29999) // 30000 - 1, 0))) AS seg_idx
+        |  FROM a)
+        |SELECT asset_id, seg_idx,
+        |  seg_idx * 30000 AS seg_start_ms,
+        |  least(30000, duration_ms - seg_idx * 30000) AS seg_ms,
+        |  ('0x' || substr(md5(asset_id::VARCHAR || ':seg:' || seg_idx::VARCHAR), 1, 8))::BIGINT % 1000000 AS energy_ppm
+        |FROM s ORDER BY asset_id, seg_idx""".stripMargin,
 
     "q29_window_lag" ->
       """SELECT event_id, user_id,

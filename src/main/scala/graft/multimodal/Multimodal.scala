@@ -117,4 +117,25 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0L), greatest(floor(col("duration_ms") / everyMs).cast("long"), lit(0L)))))
       .withColumn("ts_ms", col("frame_idx") * everyMs)
+
+  /** STUB audio segmenter: fixed `windowMs` windows over the (fake)
+    * duration, each carrying an md5-derived deterministic pseudo-ENERGY —
+    * the explode-shaped plumbing plus the per-window feature a real RMS/VAD
+    * pass produces, without a codec (??? real decode+RMS goes in place of
+    * the md5). md5, not xxhash64, so any engine — the DuckDB oracle
+    * included — re-derives the energy exactly. A zero-length asset still
+    * yields one (empty) window, so no asset silently disappears. Map-only:
+    * the explode never shuffles. */
+  def segmentAudio(assets: DataFrame, windowMs: Long = 30000L): DataFrame =
+    assets.filter(col("modality") === "audio")
+      .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"))
+      .withColumn("seg_idx", explode(sequence(lit(0L),
+        greatest(expr(s"(duration_ms + ${windowMs - 1}) div $windowMs") - 1, lit(0L)))))
+      .withColumn("seg_start_ms", col("seg_idx") * windowMs)
+      .withColumn("seg_ms",
+        least(lit(windowMs), col("duration_ms") - col("seg_start_ms")))
+      .withColumn("energy_ppm",
+        conv(substring(md5(concat(col("asset_id").cast(StringType), lit(":seg:"),
+          col("seg_idx").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType) % 1000000L)
 }

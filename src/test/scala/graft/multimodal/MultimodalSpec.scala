@@ -61,4 +61,21 @@ class MultimodalSpec extends SparkSpec {
       assert(counts(id) == (dur / 10000L).toInt + 1, s"asset $id frame count")
     }
   }
+
+  test("segmentAudio tiles the duration exactly (audio only); windows sum to duration") {
+    val segs = Multimodal.segmentAudio(assets, windowMs = 30000L).collect()
+    assert(segs.nonEmpty)
+    assert(segs.forall(_.getAs[Long]("seg_start_ms") % 30000L == 0))
+    assert(segs.forall(r => r.getAs[Long]("energy_ppm") >= 0 && r.getAs[Long]("energy_ppm") < 1000000L))
+    val durations = assets.filter(org.apache.spark.sql.functions.col("modality") === "audio")
+      .select("asset_id", "meta.duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byAsset = segs.groupBy(_.getAs[Long]("asset_id"))
+    assert(byAsset.keySet == durations.keySet, "every audio asset segments; nothing else does")
+    durations.foreach { case (id, dur) =>
+      val ws = byAsset(id).map(_.getAs[Long]("seg_ms"))
+      assert(ws.sum == dur, s"asset $id windows must tile the duration exactly")
+      assert(ws.init.forall(_ == 30000L), s"asset $id non-final windows are full-size")
+    }
+  }
 }
