@@ -176,13 +176,27 @@ object TextAnalysis {
     *         ties broken by token ascending
     */
   def tfIdfTopK(docs: DataFrame, id: String, text: String, k: Int = 5): DataFrame = {
+    val (out, release) = tfIdfTopKStaged(docs, id, text, k)
+    val result = out.localCheckpoint(eager = true)
+    release()
+    result
+  }
+
+  /** The staged plan behind [[tfIdfTopK]], exposed for plan-shape auditing
+    * (the public method checkpoints, which collapses the physical plan).
+    * The tf frame feeds BOTH the df aggregate and the scoring join — staged
+    * (persist + count) or the tokenize+explode text pass runs once per
+    * consumer (no CSE across DataFrame reuse; the q78/q71 contract). */
+  private[graft] def tfIdfTopKStaged(
+      docs: DataFrame, id: String, text: String, k: Int): (DataFrame, () => Unit) = {
     val toks = docs.select(col(id).as("doc_id"),
       explode(filter(wsTokens(lower(col(text))), t => length(t) > 0)).as("token"))
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")).persist()
+    tf.count(): Unit // materialize: exactly one pass over the text
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
-    tf.join(dfreq, Seq("token"))
+    val out = tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(nDocs)) // one broadcast row — a constant, not a data join
       .withColumn("score",
         col("tf").cast("double") *
@@ -190,6 +204,7 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("doc_id", "rank", "token", "tf", "df", "score")
+    (out, () => { tf.unpersist(false): Unit })
   }
 
   /** Per-document character-bigram coverage against the corpus's `topN` most

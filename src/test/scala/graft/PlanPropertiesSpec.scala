@@ -130,13 +130,22 @@ class PlanPropertiesSpec extends SparkSpec {
   }
 
   test("q76 joins only narrow tf/df frames; the sole nested loop is the one-row count") {
-    val plan = SparkEntry.queries("q76_tfidf")(spark, sfDir).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), s"no cartesian in the tf-idf plan:\n$plan")
-    val shufflesText = plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#"))
-    assert(!shufflesText, s"document text must not cross an Exchange:\n$plan")
-    // the corpus-size constant is the ONLY nested-loop join, and it broadcasts
-    assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
-      s"exactly the one-row count join may nest:\n$plan")
+    // audit the STAGED plan — the public method checkpoints, which collapses
+    // the executed plan to an RDD scan (same contract as the q78 gate)
+    val (out, release) = graft.functions.TextAnalysis.tfIdfTopKStaged(
+      graft.Tables.documentsFanned(spark, sfDir), "doc_id", "text", 5)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"no cartesian in the tf-idf plan:\n$plan")
+      val shufflesText = plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#"))
+      assert(!shufflesText, s"document text must not cross an Exchange:\n$plan")
+      // the corpus-size constant is the ONLY nested-loop join, and it broadcasts
+      assert(plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+        s"exactly the one-row count join may nest:\n$plan")
+      // both consumers read the STAGED tf frame, not a re-tokenized corpus
+      assert(plan.contains("InMemoryTableScan"),
+        s"tf must come from the persisted stage on both branches:\n$plan")
+    } finally release()
   }
 
   test("q85 broadcasts the having-set back; the fact aggregation combines map-side") {
