@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Remainder, ShiftLeft, ShiftRight, Substring}
+import org.apache.spark.sql.types.{LongType, StringType}
 
-import graft.functions.{CosineSimilarity, SortedIntersectSize}
+import graft.functions.{CosineSimilarity, GraftFunctions, SortedIntersectSize}
 
 /** Session extensions exposing graft's native expressions to SQL text, so
   * `spark.sql("SELECT cosine_sim(a, b) ...")` works alongside the Column API.
@@ -21,10 +22,8 @@ import graft.functions.{CosineSimilarity, SortedIntersectSize}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.cosineSimDescriptor)
-    ext.injectFunction(GraftExtensions.sortedIntersectDescriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -47,9 +46,61 @@ object GraftExtensions {
       SortedIntersectSize(args(0), args(1))
     })
 
+  /** Column-COMPOSITION functions (zOrder2, hashSplitBucket build expression
+    * trees rather than being single Expressions): the SQL registration
+    * builds the SAME tree from catalyst nodes directly — a Column built tree
+    * carries unresolved function nodes that a registry builder may not hand
+    * back into analysis. GraftExtensionsSpec asserts SQL ≡ Column API, so
+    * the two constructions cannot drift. Tuning args must be literals,
+    * exactly like Spark's own `round(x, 2)`. */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
+  }
+
+  private def zOrder2Expr(a: Expression, b: Expression, bits: Int): Expression = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val mask = Literal((1L << bits) - 1)
+    val am = BitwiseAnd(Cast(a, LongType), mask)
+    val bm = BitwiseAnd(Cast(b, LongType), mask)
+    (0 until bits).map { i =>
+      BitwiseOr(
+        ShiftLeft(BitwiseAnd(ShiftRight(am, Literal(i)), Literal(1L)), Literal(2 * i)),
+        ShiftLeft(BitwiseAnd(ShiftRight(bm, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
+    }.reduce(BitwiseOr(_, _))
+  }
+
+  private[plans] val zOrderDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder2"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, "zorder2"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        s"zorder2 expects (a, b[, bits]), got ${args.length} arguments")
+      zOrder2Expr(args(0), args(1),
+        if (args.length == 3) litInt(args(2), "zorder2 bits") else 16)
+    })
+
+  private[plans] val hashSplitDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hash_split_bucket"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, "hash_split_bucket"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"hash_split_bucket expects (key, n_buckets), got ${args.length} arguments")
+      val n = litInt(args(1), "hash_split_bucket n_buckets")
+      Cast(Remainder(
+        Cast(Conv(Substring(Md5(Cast(args(0), StringType)), Literal(1), Literal(8)),
+          Literal(16), Literal(10)), LongType),
+        Literal(n.toLong)), LongType)
+    })
+
+  private[plans] val all = Seq(
+    cosineSimDescriptor, sortedIntersectDescriptor, zOrderDescriptor, hashSplitDescriptor)
+
   /** Programmatic alternative when the session already exists (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(cosineSimDescriptor, sortedIntersectDescriptor).foreach { case (id, info, builder) =>
+    all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
