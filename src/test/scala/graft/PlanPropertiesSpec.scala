@@ -207,6 +207,44 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition (the skew remedy JOINs get)") {
+    // SaltedJoin exists because AQE cannot split a hot GROUP BY key; for
+    // plain shuffle JOINs, AQE's skew handling is the first-line remedy at
+    // 100 TB — this gate proves the path engages. Thresholds are lowered to
+    // make a test-sized hot key (one key = ~90% of rows) register as skew.
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = Seq.tabulate(60000)(i => (if (i % 10 == 0) i.toLong else 7L, s"payload-$i"))
+        .toDF("k", "v")
+      val dim = Seq.tabulate(2000)(i => (i.toLong, s"dim-$i")).toDF("k", "d")
+      val joined = hot.join(dim, Seq("k"))
+      // drive THIS queryExecution (a write plans a separate one; skew marks
+      // only appear on the plan that actually executed)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"),
+        s"AQE must mark and split the hot-key join partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("chunking and quantization are map-only: no exchange except the result sort") {
     Seq(
       graft.operators.Chunking.chunkByChars(
