@@ -1112,6 +1112,19 @@ object QuerySuite {
         .orderBy("user_id")
     }),
 
+    // ---- UNPIVOT (melt): the wide→long inverse of q38 — a feature MATRIX
+    //      back to (entity, feature, value) rows. Verified as the
+    //      round-trip: pivot → unpivot → non-zero rows must equal the
+    //      direct per-(user, type) aggregation ----
+    "q97_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir)
+        .groupBy("user_id").pivot("event_type", types).count()
+        .unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .filter(col("n").isNotNull && col("n") > 0)
+        .orderBy("user_id", "event_type")
+    }),
+
     // ---- HLL++: approximate distinct. The estimate itself is
     //      engine-specific, so the oracled result carries the EXACT count
     //      plus `approx_ok` — the 3σ bound claim as a boolean. DuckDB
@@ -2264,6 +2277,12 @@ object QuerySuite {
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT asset_id, CAST(duration_ms // 10000 + 1 AS BIGINT) AS n_frames
         |FROM v ORDER BY asset_id""".stripMargin,
+
+    // the round-trip collapses back to the direct aggregation
+    "q97_unpivot" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q96_audio_segments" ->
       """WITH a AS (
