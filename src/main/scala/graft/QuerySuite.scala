@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
 import graft.dedup.Dedup
-import graft.functions.{GraftFunctions, TextAnalysis}
+import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Chunking, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
@@ -1811,7 +1811,23 @@ object QuerySuite {
             col(s"${c}__nd").as("n_distinct"))): _*)).as("m"))
         .select("m.*")
         .orderBy("column_name")
-    })
+    }),
+
+    // ---- BPE tokenizer: learn a merge table from the corpus word counts
+    //      (graft.functions.Bpe — distributed count pass, driver loop on
+    //      the capped Zipf-small vocab, exactly how production tokenizer
+    //      trainers work), then tokenize the corpus by encoding each
+    //      DISTINCT word once and joining counts back. The learned merge
+    //      table is dumped under the candidate-dump contract; DuckDB
+    //      REPLAYS merge application from it (recursive CTE, rank-ordered
+    //      left-to-right list folds) over the same vocabulary and
+    //      re-derives every document's word + BPE-token counts ----
+    "q108_bpe_tokenize" -> ((s, dir) =>
+      // fanned loader: the word explode is per-row CPU-dense (see Tables)
+      Bpe.tokenizeCorpus(Tables.documentsFanned(s, dir), "doc_id", "text",
+          numMerges = 30, maxVocab = 50000,
+          mergeSink = Some(aux(dir, "q108_merges")))
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3169,6 +3185,40 @@ object QuerySuite {
         |  SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
         |         CAST(count(DISTINCT value) AS BIGINT) FROM events
         |)
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    // merge LEARNING is engine-specific (dumped); APPLICATION is replayed
+    // in full: a recursive CTE walks the merge table in rank order, each
+    // step folding every word's symbol list left-to-right (list slices are
+    // end-INCLUSIVE in DuckDB, hence acc[:-2] to drop the merged-away last
+    // element), then the doc rollup re-derives word + token counts
+    "q108_bpe_tokenize" ->
+      """WITH RECURSIVE merges AS (
+        |  SELECT rank, l, r FROM read_parquet('{AUX}/q108_merges/*.parquet')
+        |), vocab AS (
+        |  SELECT DISTINCT word FROM (
+        |    SELECT unnest(string_split_regex(regexp_replace(lower(text), '[^a-z]+', ' '), ' ')) AS word
+        |    FROM documents) WHERE length(word) > 0
+        |), enc(word, syms, step) AS (
+        |  SELECT word, regexp_extract_all(word, '.'), 0 FROM vocab
+        |  UNION ALL
+        |  SELECT e.word,
+        |    list_reduce(list_transform(e.syms, c -> [c]),
+        |      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l AND x[1] = m.r
+        |                       THEN list_append(acc[:-2], m.l || m.r)
+        |                       ELSE list_append(acc, x[1]) END),
+        |    e.step + 1
+        |  FROM enc e JOIN merges m ON m.rank = e.step + 1
+        |), final AS (
+        |  SELECT word, len(syms) AS wt FROM enc
+        |  WHERE step = (SELECT max(rank) FROM merges)
+        |), dw AS (
+        |  SELECT doc_id, unnest(string_split_regex(regexp_replace(lower(text), '[^a-z]+', ' '), ' ')) AS word
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(f.wt) AS BIGINT) AS n_bpe_tokens
+        |FROM dw JOIN final f USING (word)
+        |WHERE length(word) > 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
