@@ -1827,7 +1827,49 @@ object QuerySuite {
       Bpe.tokenizeCorpus(Tables.documentsFanned(s, dir), "doc_id", "text",
           numMerges = 30, maxVocab = 50000,
           mergeSink = Some(aux(dir, "q108_merges")))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- multi-touch attribution: every click in the hour before a
+    //      purchase shares the credit — linear split in EXACT ppm integer
+    //      algebra, the remainder going to the last touch so each
+    //      purchase's credits sum to exactly 1,000,000 (floats would
+    //      leak). q68's interval-join convention; both windows share the
+    //      p_id partition so the plan pays one exchange, and the
+    //      lookback bound keeps per-purchase fan-out O(clicks per hour),
+    //      never a user's full history ----
+    "q109_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      p.join(c, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .selectExpr("p_id", "c_id", "c_ts",
+          "CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touch",
+          "row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) AS rn")
+        .selectExpr("p_id", "c_id", "n_touch",
+          "CAST(CASE WHEN rn = 1 THEN 1000000 - (n_touch - 1) * (1000000 div n_touch) " +
+            "ELSE 1000000 div n_touch END AS BIGINT) AS credit_ppm")
+        .orderBy("p_id", "c_id")
+    }),
+
+    // ---- moving median (robust rolling smoother): exact percentile over
+    //      a 5-row window per user — the outlier-resistant rolling feature
+    //      (a rolling MEAN drags on every spike; the median ignores it).
+    //      Unit-doubled cents keep the even-count interpolation integral,
+    //      so the result is exact integers cross-engine; one exchange +
+    //      one sort, frame work is O(frame) per row ----
+    "q110_moving_median" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .selectExpr("event_id", "user_id", "ts",
+          "CAST(round(value * 100) AS BIGINT) * 2 AS vc2")
+        .selectExpr("event_id", "user_id",
+          "CAST(percentile(vc2, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med5_hc")
+        .orderBy("event_id")
+    })
   )
 
   // ------------------------------------------------------------ oracle SQL
@@ -3219,6 +3261,32 @@ object QuerySuite {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(f.wt) AS BIGINT) AS n_bpe_tokens
         |FROM dw JOIN final f USING (word)
         |WHERE length(word) > 0
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q109_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.p_id, c.c_id, c.c_ts
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |), w AS (
+        |  SELECT p_id, c_id,
+        |    CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_touch,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC) AS rn
+        |  FROM j
+        |)
+        |SELECT p_id, c_id, n_touch,
+        |  CAST(CASE WHEN rn = 1 THEN 1000000 - (n_touch - 1) * (1000000 // n_touch)
+        |       ELSE 1000000 // n_touch END AS BIGINT) AS credit_ppm
+        |FROM w ORDER BY p_id, c_id""".stripMargin,
+
+    "q110_moving_median" ->
+      """SELECT event_id, user_id,
+        |  CAST(quantile_cont(vc2, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med5_hc
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(round(value * 100) AS BIGINT) * 2 AS vc2 FROM events)
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -32,7 +32,7 @@ class PlanPropertiesSpec extends SparkSpec {
     "q93_approx_quantile", "q94_window_rank_stats", "q97_unpivot",
     "q98_interval_frame", "q99_scd2_intervals", "q100_fuzzy_linkage",
     "q101_mad_outliers", "q103_cohort_retention", "q104_basket_pairs",
-    "q105_markov_transitions")
+    "q105_markov_transitions", "q109_attribution", "q110_moving_median")
   // q76_tfidf is audited separately: its corpus-size constant joins in as a
   // DELIBERATE one-broadcast-row nested-loop join, which the generic
   // no-BNLJ assertion would (correctly) reject for data-bearing joins
