@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Chunking, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
+import graft.operators.{AsOfJoin, CdcMerge, Chunking, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize}
@@ -1880,6 +1880,202 @@ object QuerySuite {
           "CAST(percentile(vc2, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med5_hc")
         .orderBy("event_id")
+    }),
+
+    // ---- CDC MERGE apply (Delta MERGE INTO semantics on the parquet
+    //      store): base snapshot = latest per user before the cutoff; the
+    //      second half of the month is a change batch where 'error' events
+    //      are tombstones (DELETE) and everything else upserts. The batch
+    //      collapses to one NET change per key (one max_by shuffle, map-side
+    //      combine) before a single full-outer key join — sequential-apply
+    //      semantics without sequential execution ----
+    "q111_cdc_merge" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .selectExpr("user_id", "event_id", "ts", "event_type",
+          "CAST(round(value * 100) AS BIGINT) AS vc")
+      val cut = lit("2024-01-16").cast(TimestampType)
+      val base = LatestPerKey.viaMaxBy(
+        ev.filter(col("ts") < cut).drop("event_type"),
+        Seq("user_id"), "ts", Seq("event_id"))
+      val changes = ev.filter(col("ts") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .drop("event_type")
+      CdcMerge.applyChanges(base, changes, "user_id", Seq("ts", "event_id"), "op")
+        .orderBy("user_id")
+    }),
+
+    // ---- gaps-and-islands: per-user consecutive-day activity streaks via
+    //      the date-minus-row_number trick (an island's members share one
+    //      anchor date). The distinct projection collapses the event volume
+    //      to ≤ keys×days BEFORE the window, so the sorted partition is tiny
+    //      regardless of event skew; all outputs are exact integers ----
+    "q112_streaks" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .selectExpr("user_id", "CAST(ts AS DATE) AS d").distinct()
+        .selectExpr("user_id", "d",
+          "date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)) AS grp")
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_streaks"),
+          max("len").cast("long").as("longest_streak"),
+          sum("len").cast("long").as("active_days"))
+        .orderBy("user_id")
+    }),
+
+    // ---- corpus-mix drift: per-source unigram diversity (Simpson index)
+    //      and divergence from the corpus distribution (total-variation
+    //      distance), both in EXACT integer ppm algebra — entropy/KL need
+    //      ln() whose last ulp differs across engines, while Simpson
+    //      (1 − Σp²) and TV (½Σ|p−q|) are rational in the counts. Text is
+    //      tokenized ONCE; everything downstream is narrow (token, count)
+    //      frames: one (source,token) agg, a token-keyed re-agg for the
+    //      corpus marginal, broadcast per-source totals. The absent-token
+    //      mass Σ_{i∉src} d_i·N folds in algebraically as M·N − Σ_{i∈src}
+    //      d_i·N, so the join stays |source's tokens|, never |vocab| ----
+    "q113_domain_divergence" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(GraftFunctions.wsTokens(lower(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+      val c = toks.groupBy("source", "token").agg(count(lit(1)).as("c"))
+      val d = c.groupBy("token").agg(sum("c").as("d"))
+      val n = c.groupBy("source").agg(sum("c").as("n"))
+      val m = d.agg(sum("d").as("m"))
+      c.join(d, "token")
+        .join(broadcast(n), "source")
+        .crossJoin(broadcast(m))
+        .groupBy("source")
+        .agg(max("n").as("n_tok"), max("m").as("m_tot"),
+          sum(abs(col("c") * col("m") - col("d") * col("n"))).as("sum_abs"),
+          sum(col("d") * col("n")).as("sum_dn"),
+          sum(col("c") * col("c")).as("sum_c2"))
+        .selectExpr("source", "CAST(n_tok AS BIGINT) AS n_tokens",
+          "CAST((n_tok * n_tok - sum_c2) * 1000000 div (n_tok * n_tok) AS BIGINT) AS simpson_ppm",
+          "CAST((sum_abs + m_tot * n_tok - sum_dn) * 500000 div (n_tok * m_tot) AS BIGINT) AS tv_ppm")
+        .orderBy("source")
+    }),
+
+    // ---- equi-width histogram (the profiling primitive): global bounds
+    //      from one tiny aggregate broadcast back onto the scan, bucket
+    //      assignment is pure integer algebra inside codegen, then one
+    //      groupBy over ≤20 keys. At 100 TB this is two passes over a
+    //      single column with nothing wide in between ----
+    "q114_histogram" -> ((s, dir) => {
+      val o = Tables.table(s, dir, "orders")
+        .selectExpr("CAST(round(o_totalprice * 100) AS BIGINT) AS cents")
+      val bounds = o.agg(min("cents").as("lo"), max("cents").as("hi"))
+      o.crossJoin(broadcast(bounds))
+        .selectExpr("least((cents - lo) * 20 div (hi - lo + 1), 19) AS bucket", "cents")
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"),
+          sum("cents").as("sum_cents"))
+        .orderBy("bucket")
+    }),
+
+    // ---- robust scaler ((x − median) / IQR, the outlier-immune cousin of
+    //      the z-score): quartiles per event_type on ×4 cents so the 0.25/
+    //      0.75 interpolation lands on exact integers, broadcast back, and
+    //      the scaled value is an integer-ppm division — no sqrt, no
+    //      stddev, nothing float-order-dependent. Both engines truncate
+    //      integer division identically (verified: DuckDB // truncates) ----
+    "q115_robust_scale" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .selectExpr("event_id", "event_type",
+          "CAST(round(value * 100) AS BIGINT) * 4 AS vc4")
+      val q = ev.groupBy("event_type").agg(
+        percentile(col("vc4"), lit(0.25)).cast("long").as("q1"),
+        percentile(col("vc4"), lit(0.5)).cast("long").as("med"),
+        percentile(col("vc4"), lit(0.75)).cast("long").as("q3"))
+      ev.join(broadcast(q), "event_type")
+        .selectExpr("event_id", "event_type",
+          "CASE WHEN q3 > q1 THEN (vc4 - med) * 1000000 div (q3 - q1) END AS z_ppm")
+        .orderBy("event_id")
+    }),
+
+    // ---- deterministic stratified sample: within each stratum rank by a
+    //      content hash (md5 — portable, seedless, replayable) and keep the
+    //      top ⌈20%⌉. Exactly proportional allocation per stratum, unlike
+    //      Bernoulli sampling whose per-stratum counts are random; both
+    //      windows share the one stratum exchange ----
+    "q116_stratified_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .selectExpr("source", "doc_id",
+          "md5(concat(CAST(doc_id AS STRING), ':', source)) AS h")
+        .selectExpr("source", "doc_id",
+          "row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn",
+          "count(*) OVER (PARTITION BY source) AS cnt")
+        .filter(expr("rn <= (cnt + 4) div 5"))
+        .selectExpr("source", "doc_id", "CAST(rn AS BIGINT) AS rank_in_stratum")
+        .orderBy("source", "doc_id")
+    }),
+
+    // ---- snapshot CHANGE DATA FEED: two real ingests into the store
+    //      (first half of the month, then the rest), then onlineDiff
+    //      between the two served versions — the Delta CDF semantic derived
+    //      from immutable version dirs. No 'removed' rows by construction
+    //      (ingest is upsert-only); 'changed' is null-safe column-wise
+    //      comparison over the declared features ----
+    "q117_snapshot_diff" -> ((s, dir) => {
+      val fs = new FeatureStore(s, tmpDir("graft_diff_"))
+      fs.createGroup(FeatureGroup("events_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional))))
+      val ev = Tables.events(s, dir).select(latestCols.map(col): _*)
+      val cut = lit("2024-01-16").cast(TimestampType)
+      fs.ingest("events_fg", ev.filter(col("ts") < cut))
+      fs.ingest("events_fg", ev.filter(col("ts") >= cut))
+      val vs = fs.onlineVersions("events_fg").takeRight(2)
+      fs.onlineDiff("events_fg", vs(0), vs(1)).orderBy("user_id")
+    }),
+
+    // ---- rolling distinct-kind count (behavioral diversity feature): how
+    //      many distinct event types in the user's last 10 events. Spark
+    //      lacks DISTINCT window aggregates, so the frame collects and
+    //      dedups in-expression — O(frame) per row, frame is 10; the oracle
+    //      uses DuckDB's native count(DISTINCT) OVER ----
+    "q118_rolling_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .selectExpr("event_id", "user_id", "ts", "event_type")
+        .selectExpr("event_id", "user_id",
+          "CAST(size(array_distinct(collect_list(event_type) OVER (" +
+            "PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT) AS k10")
+        .orderBy("event_id")
+    }),
+
+    // ---- interval overlap aggregation: peak concurrent sessions per day
+    //      via the ±1 sweep. Sessions are clipped to day boundaries first
+    //      (bounded fan-out: a session spans few days), so the running sum
+    //      partitions BY DAY — no global single-partition window, the
+    //      classic scale trap for sweeps. Ends sort after starts at the
+    //      same instant (delta DESC), so touching sessions count as
+    //      concurrent — identically in both engines ----
+    "q119_max_concurrency" -> ((s, dir) => {
+      val sess = Sessionize
+        .byGap(Tables.events(s, dir), "user_id", "ts", "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("s_start"), max("ts").as("s_end"))
+      val clipped = sess
+        .selectExpr("s_start", "s_end",
+          "explode(sequence(CAST(s_start AS DATE), CAST(s_end AS DATE))) AS day")
+        .selectExpr("day",
+          "greatest(s_start, CAST(day AS TIMESTAMP)) AS t_lo",
+          "least(s_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS t_hi")
+      clipped.selectExpr("day", "t_lo AS t", "1 AS delta")
+        .union(clipped.selectExpr("day", "t_hi AS t", "-1 AS delta"))
+        .selectExpr("day",
+          "sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running")
+        .groupBy("day").agg(max("running").cast("long").as("max_concurrent"))
+        // date32 vs DuckDB's timestamp-backed DATE confuses the pandas
+        // compare; a midnight timestamp is unambiguous in both engines
+        .selectExpr("CAST(day AS TIMESTAMP) AS day", "max_concurrent")
+        .orderBy("day")
     })
   )
 
@@ -3298,6 +3494,145 @@ object QuerySuite {
         |       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS med5_hc
         |FROM (SELECT event_id, user_id, ts,
         |        CAST(round(value * 100) AS BIGINT) * 2 AS vc2 FROM events)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q111_cdc_merge" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT user_id, event_id, ts, vc FROM (
+        |    SELECT user_id, event_id, ts, vc,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |n AS (SELECT user_id, event_id, ts, vc,
+        |             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
+        |    SELECT user_id, event_id, ts, vc, event_type,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
+        |SELECT coalesce(n.user_id, b.user_id) AS user_id,
+        |       CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE b.event_id END AS event_id,
+        |       CASE WHEN n.user_id IS NOT NULL THEN n.ts ELSE b.ts END AS ts,
+        |       CASE WHEN n.user_id IS NOT NULL THEN n.vc ELSE b.vc END AS vc
+        |FROM b FULL JOIN n ON b.user_id = n.user_id
+        |WHERE n.op IS NULL OR n.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    "q112_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (SELECT user_id,
+        |               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        |        FROM days),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+        |       CAST(max(len) AS BIGINT) AS longest_streak,
+        |       CAST(sum(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q113_domain_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |                ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+        |d AS (SELECT token, sum(c) AS d FROM c GROUP BY 1),
+        |n AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+        |m AS (SELECT sum(d) AS m FROM d),
+        |a AS (SELECT c.source, max(n.n) AS n_tok, max(m.m) AS m_tot,
+        |             sum(abs(c.c * m.m - d.d * n.n)) AS sum_abs,
+        |             sum(d.d * n.n) AS sum_dn,
+        |             sum(c.c * c.c) AS sum_c2
+        |      FROM c JOIN d USING (token) JOIN n USING (source) CROSS JOIN m
+        |      GROUP BY c.source)
+        |SELECT source, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST((n_tok * n_tok - sum_c2) * 1000000 // (n_tok * n_tok) AS BIGINT) AS simpson_ppm,
+        |  CAST((sum_abs + m_tot * n_tok - sum_dn) * 500000 // (n_tok * m_tot) AS BIGINT) AS tv_ppm
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q114_histogram" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o)
+        |SELECT CAST(least((cents - lo) * 20 // (hi - lo + 1), 19) AS BIGINT) AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       min(cents) AS min_cents, max(cents) AS max_cents,
+        |       CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o CROSS JOIN b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q115_robust_scale" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) * 4 AS vc4 FROM events),
+        |q AS (SELECT event_type,
+        |             CAST(quantile_cont(vc4, 0.25) AS BIGINT) AS q1,
+        |             CAST(quantile_cont(vc4, 0.5)  AS BIGINT) AS med,
+        |             CAST(quantile_cont(vc4, 0.75) AS BIGINT) AS q3
+        |      FROM ev GROUP BY event_type)
+        |SELECT event_id, ev.event_type,
+        |       CASE WHEN q3 > q1 THEN CAST((vc4 - med) * 1000000 // (q3 - q1) AS BIGINT) END AS z_ppm
+        |FROM ev JOIN q ON ev.event_type = q.event_type
+        |ORDER BY event_id""".stripMargin,
+
+    "q116_stratified_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |                  md5(CAST(doc_id AS VARCHAR) || ':' || source) AS h FROM documents),
+        |r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY source) AS cnt
+        |      FROM d)
+        |SELECT source, doc_id, CAST(rn AS BIGINT) AS rank_in_stratum
+        |FROM r WHERE rn <= (cnt + 4) // 5 ORDER BY source, doc_id""".stripMargin,
+
+    "q117_snapshot_diff" ->
+      """WITH base AS (SELECT user_id, event_id FROM (
+        |    SELECT user_id, event_id,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |cur AS (SELECT user_id, event_id, ts, event_type, value FROM (
+        |    SELECT user_id, event_id, ts, event_type, value,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT cur.user_id,
+        |       CASE WHEN base.user_id IS NULL THEN 'added' ELSE 'changed' END AS change_type,
+        |       cur.event_id, cur.ts, cur.event_type, cur.value
+        |FROM cur LEFT JOIN base ON cur.user_id = base.user_id
+        |WHERE base.user_id IS NULL OR base.event_id <> cur.event_id
+        |ORDER BY cur.user_id""".stripMargin,
+
+    "q118_rolling_distinct" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS k10
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q119_max_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x
+        |), sess AS (
+        |  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM y GROUP BY user_id, session_id
+        |), clipped AS (
+        |  SELECT CAST(day AS DATE) AS day,
+        |         greatest(s_start, CAST(day AS TIMESTAMP)) AS t_lo,
+        |         least(s_end, CAST(day AS TIMESTAMP) + INTERVAL 1 DAY) AS t_hi
+        |  FROM (SELECT s_start, s_end,
+        |          unnest(generate_series(CAST(s_start AS DATE), CAST(s_end AS DATE), INTERVAL 1 DAY)) AS day
+        |        FROM sess)
+        |), pts AS (
+        |  SELECT day, t_lo AS t, 1 AS delta FROM clipped
+        |  UNION ALL
+        |  SELECT day, t_hi AS t, -1 AS delta FROM clipped
+        |), run AS (
+        |  SELECT day, sum(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |                               ROWS UNBOUNDED PRECEDING) AS running
+        |  FROM pts
+        |)
+        |SELECT CAST(day AS TIMESTAMP) AS day, CAST(max(running) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY day ORDER BY day""".stripMargin
   )
 }
