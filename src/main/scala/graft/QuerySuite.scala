@@ -2016,7 +2016,10 @@ object QuerySuite {
     //      between the two served versions — the Delta CDF semantic derived
     //      from immutable version dirs. No 'removed' rows by construction
     //      (ingest is upsert-only); 'changed' is null-safe column-wise
-    //      comparison over the declared features ----
+    //      comparison over the declared features. The user_id % 10 slice
+    //      exercises the CDF machinery identically at a tenth of the store
+    //      write volume — the ingest is the whole cost and it's fixed
+    //      overhead, not the thing under test ----
     "q117_snapshot_diff" -> ((s, dir) => {
       val fs = new FeatureStore(s, tmpDir("graft_diff_"))
       fs.createGroup(FeatureGroup("events_fg", "user_id", "ts", Seq(
@@ -2026,6 +2029,7 @@ object QuerySuite {
         FeatureDef("event_type", FType.FString),
         FeatureDef("value", FType.Fractional))))
       val ev = Tables.events(s, dir).select(latestCols.map(col): _*)
+        .filter(col("user_id") % 10 === 0)
       val cut = lit("2024-01-16").cast(TimestampType)
       fs.ingest("events_fg", ev.filter(col("ts") < cut))
       fs.ingest("events_fg", ev.filter(col("ts") >= cut))
@@ -3581,14 +3585,15 @@ object QuerySuite {
         |FROM r WHERE rn <= (cnt + 4) // 5 ORDER BY source, doc_id""".stripMargin,
 
     "q117_snapshot_diff" ->
-      """WITH base AS (SELECT user_id, event_id FROM (
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 10 = 0),
+        |base AS (SELECT user_id, event_id FROM (
         |    SELECT user_id, event_id,
         |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |    FROM ev WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
         |cur AS (SELECT user_id, event_id, ts, event_type, value FROM (
         |    SELECT user_id, event_id, ts, event_type, value,
         |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events) WHERE rn = 1)
+        |    FROM ev) WHERE rn = 1)
         |SELECT cur.user_id,
         |       CASE WHEN base.user_id IS NULL THEN 'added' ELSE 'changed' END AS change_type,
         |       cur.event_id, cur.ts, cur.event_type, cur.value
