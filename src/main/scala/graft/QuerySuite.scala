@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcMerge, Chunking, DomainMix, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
+import graft.operators.{AsOfJoin, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize}
@@ -2080,6 +2080,70 @@ object QuerySuite {
         // compare; a midnight timestamp is unambiguous in both engines
         .selectExpr("CAST(day AS TIMESTAMP) AS day", "max_concurrent")
         .orderBy("day")
+    }),
+
+    // ---- triangle counting on the co-purchase graph (degree orientation —
+    //      Graph.scala): per-part triangle participation, the clustering
+    //      primitive for template-farm / community detection on
+    //      co-occurrence graphs. The edge list is built basket-local (the
+    //      q104 in-place expansion, no self-join); the counter orients by
+    //      degree so one hub part cannot blow up the wedge space. The
+    //      oracle re-derives the full count from the classic 3-way join —
+    //      two completely different plans, identical counts at every sf
+    //      (126k/414k/1.9M triangles — non-vacuous everywhere) ----
+    "q120_triangles" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      Graph.triangleCounts(edges)
+        .select(col("node").cast("long").as("node"), col("n_tri").cast("long").as("n_tri"))
+        .orderBy("node")
+    }),
+
+    // ---- data-quality constraint gate (DataQuality.scala): five checks —
+    //      completeness, key uniqueness, domain membership, value bound,
+    //      referential integrity — where the four single-table checks share
+    //      ONE orders scan (one agg row, unpivoted) and only the FK check
+    //      pays a second (left-anti against broadcast-small parent keys).
+    //      The domain and bound checks genuinely FIRE on this corpus
+    //      ('P'-status and ≥300k-price orders exist at every sf), so pass
+    //      AND fail verdicts are both exercised; metrics are exact integer
+    //      ppm ----
+    "q121_quality_checks" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val checks = Seq(
+        DataQuality.notNull("o_custkey"),
+        DataQuality.unique("o_orderkey"),
+        DataQuality.inSet("o_orderstatus", Seq("O", "F")),
+        DataQuality.bound("o_totalprice", _ < 300000))
+      val ri = DataQuality.referentialViolations(
+        o, "o_custkey", Tables.customer(s, dir), "c_custkey")
+      DataQuality.run(s, o, checks, Seq("fk_o_custkey" -> ri))
+        .orderBy("check_name")
+    }),
+
+    // ---- count-min sketch (CountMin.scala): the d×w grid is a plain
+    //      (row, bucket) groupBy — 4×1024 cells regardless of input size,
+    //      map-side combinable, mergeable across batches by construction.
+    //      md5-derived buckets make the grid ENGINE-PORTABLE, so the oracle
+    //      rebuilds the identical grid and the estimates compare EXACTLY —
+    //      not merely as bound claims; never_under states the CMS
+    //      one-sided-error invariant on top ----
+    "q122_count_min" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val grid = CountMin.sketch(ev, "user_id", depth = 4, width = 1024)
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+        .orderBy(desc("exact_n"), col("user_id")).limit(20)
+      CountMin.estimate(grid, top, "user_id", depth = 4, width = 1024)
+        .join(top, "user_id")
+        .select(col("user_id"), col("exact_n").cast("long").as("exact_n"),
+          col("cms_est").cast("long").as("cms_est"),
+          (col("cms_est") >= col("exact_n")).as("never_under"))
+        .orderBy(desc("exact_n"), col("user_id"))
     })
   )
 
@@ -3638,6 +3702,58 @@ object QuerySuite {
         |  FROM pts
         |)
         |SELECT CAST(day AS TIMESTAMP) AS day, CAST(max(running) AS BIGINT) AS max_concurrent
-        |FROM run GROUP BY day ORDER BY day""".stripMargin
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
+
+    // independent derivation: the classic ordered 3-way edge join (a<b<c),
+    // not the degree-oriented wedge plan — agreement is a real cross-check
+    "q120_triangles" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |      FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_tri
+        |FROM (SELECT unnest([x, y, z]) AS node FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
+
+    "q121_quality_checks" ->
+      """WITH n AS (SELECT count(*) AS n FROM orders),
+        |checks AS (
+        |  SELECT 'complete_o_custkey' AS check_name,
+        |         (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS v
+        |  UNION ALL SELECT 'unique_o_orderkey',
+        |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'domain_o_orderstatus',
+        |         (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F'))
+        |  UNION ALL SELECT 'bound_o_totalprice',
+        |         (SELECT count(*) FROM orders WHERE NOT (o_totalprice < 300000))
+        |  UNION ALL SELECT 'fk_o_custkey',
+        |         (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+        |          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |)
+        |SELECT check_name, CAST(v AS BIGINT) AS n_violations, CAST(n AS BIGINT) AS n_rows,
+        |       CAST(v * 1000000 // n AS BIGINT) AS violation_ppm, v = 0 AS pass
+        |FROM checks CROSS JOIN n ORDER BY check_name""".stripMargin,
+
+    // the grid is rebuilt from the same md5 bucket function, so estimates
+    // compare exactly — the sketch itself is engine-portable
+    "q122_count_min" ->
+      """WITH i AS (SELECT unnest([0, 1, 2, 3]) AS row),
+        |g AS (SELECT row,
+        |             ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS bucket,
+        |             count(*) AS c
+        |      FROM events CROSS JOIN i GROUP BY 1, 2),
+        |top AS (SELECT user_id, count(*) AS exact_n FROM events
+        |        GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20),
+        |est AS (SELECT t.user_id, min(coalesce(g.c, 0)) AS cms_est
+        |        FROM (SELECT user_id, row,
+        |                ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS bucket
+        |              FROM top CROSS JOIN i) t
+        |        LEFT JOIN g USING (row, bucket) GROUP BY 1)
+        |SELECT top.user_id, CAST(exact_n AS BIGINT) AS exact_n,
+        |       CAST(cms_est AS BIGINT) AS cms_est, cms_est >= exact_n AS never_under
+        |FROM top JOIN est USING (user_id)
+        |ORDER BY exact_n DESC, top.user_id""".stripMargin
   )
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking (the Deequ/Great-
+  * Expectations capability, re-expressed as plain aggregates): a pipeline
+  * gate that every production ingest runs BEFORE publishing a table. Each
+  * check is one aggregate expression; all checks on a table evaluate in a
+  * SINGLE scan (one agg row, unpivoted to one row per check) — at 100 TB
+  * the scan is the cost and N checks must not mean N scans. Referential
+  * integrity is the one check that genuinely needs a second table: a
+  * left-anti count against the (usually broadcast-small) parent keys.
+  *
+  * Metrics are exact integer counts or ppm ratios — no doubles, so the
+  * verdict is bit-identical on any engine and safe to alert on.
+  */
+object DataQuality {
+
+  /** One single-table constraint: `violations` must evaluate to the COUNT
+    * of violating rows (0 = clean) under a plain `agg`. */
+  final case class Check(name: String, violations: Column)
+
+  /** Count of rows in `child` whose `childKey` has no match in `parent` —
+    * orphaned foreign keys. Null child keys are not orphans (SQL FK
+    * semantics); catch those with a separate completeness check. */
+  def referentialViolations(
+      child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+
+  /** Run all `checks` against `df` in one scan; append any pre-computed
+    * single-row (name, violations) frames (e.g. referential checks).
+    * Output: (check_name, n_violations, n_rows, violation_ppm, pass). */
+  def run(spark: SparkSession, df: DataFrame, checks: Seq[Check],
+      extra: Seq[(String, DataFrame)] = Nil): DataFrame = {
+    require(checks.nonEmpty || extra.nonEmpty, "no checks given")
+    val aggs = count(lit(1)).as("__n") +:
+      checks.map(c => c.violations.cast("long").as(c.name))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = if (checks.isEmpty) Nil else Seq(
+      one.select(col("__n"), expr(
+        checks.map(c => s"'${c.name}', `${c.name}`")
+          .mkString(s"stack(${checks.size}, ", ", ", ") AS (check_name, n_violations)")))
+        .select("__n", "check_name", "n_violations"))
+    val extras = extra.map { case (name, v) =>
+      v.crossJoin(df.agg(count(lit(1)).as("__n")))
+        .select(col("__n"), lit(name).as("check_name"),
+          col("violations").cast("long").as("n_violations"))
+    }
+    (stacked ++ extras).reduce(_ unionByName _)
+      .select(col("check_name"),
+        col("n_violations"),
+        col("__n").as("n_rows"),
+        (col("n_violations") * 1000000L / col("__n")).cast("long").as("violation_ppm"),
+        (col("n_violations") === 0).as("pass"))
+  }
+
+  /** Violation-count builders (each is a single agg expression). */
+  def notNull(c: String): Check =
+    Check(s"complete_$c", count(when(col(c).isNull, 1)))
+  /** count(*) − countDistinct counts every duplicate occurrence beyond the
+    * first AND every null row (countDistinct skips nulls) — i.e. the
+    * violation count of "non-null unique key". */
+  def unique(c: String): Check =
+    Check(s"unique_$c", count(lit(1)) - countDistinct(col(c)))
+  def inSet(c: String, allowed: Seq[String]): Check =
+    Check(s"domain_$c", count(when(!col(c).isin(allowed: _*), 1)))
+  def bound(c: String, pred: Column => Column): Check =
+    Check(s"bound_$c", count(when(!pred(col(c)), 1)))
+}

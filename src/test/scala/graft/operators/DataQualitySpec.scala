@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (Some(1L), "a", 10.0),
+    (Some(2L), "a", -5.0),   // bound violation
+    (Some(2L), "b", 20.0),   // duplicate id
+    (None, "zz", 30.0)       // null id + domain violation
+  ).toDF("id", "cat", "v")
+
+  test("single-table checks evaluate in one scan with exact counts") {
+    val out = DataQuality.run(spark, df, Seq(
+      DataQuality.notNull("id"),
+      DataQuality.unique("id"),
+      DataQuality.inSet("cat", Seq("a", "b")),
+      DataQuality.bound("v", _ > 0))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out("complete_id") == ((1L, 250000L, false)))
+    // 4 rows − 2 distinct non-null ids = 2 (the dup occurrence + the null row)
+    assert(out("unique_id") == ((2L, 500000L, false)))
+    assert(out("domain_cat") == ((1L, 250000L, false)))
+    assert(out("bound_v") == ((1L, 250000L, false)))
+  }
+
+  test("referential violations count orphans, not nulls, and a clean parent passes") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val ri = DataQuality.referentialViolations(df, "id", parent, "pk")
+    val out = DataQuality.run(spark, df, Seq(DataQuality.notNull("id")),
+      Seq("fk_id" -> ri)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("fk_id") == 0L) // null id is NOT an orphan
+    val ri2 = DataQuality.referentialViolations(df, "id", Seq(1L).toDF("pk"), "pk")
+    val out2 = DataQuality.run(spark, df, Nil, Seq("fk_id" -> ri2)).collect()
+    assert(out2.head.getLong(1) == 2L) // both id=2 rows orphaned
+    assert(!out2.head.getBoolean(4))
+  }
+}

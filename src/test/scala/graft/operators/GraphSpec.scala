@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference: brute-force triangle enumeration over the canonical edge set. */
+  private def bruteNodeCounts(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts matches brute force on random graphs") {
+    val rnd = new Random(42)
+    for (trial <- 1 to 5) {
+      val n = 12 + trial * 3
+      val edges = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)) ++ Seq((3L, 3L)) // self-loop must be dropped
+      val got = Graph.triangleCounts(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == bruteNodeCounts(edges), s"trial $trial")
+    }
+  }
+
+  test("triangleCounts: triangle-free graph returns no rows; duplicate and reversed input edges collapse") {
+    // a path plus duplicates/reversals — no triangles anywhere
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L), (3L, 2L))
+    assert(Graph.triangleCounts(edges.toDF("x", "y")).count() == 0)
+    // one triangle listed twice in both orientations still counts once
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 1L), (2L, 1L))
+    val got = Graph.triangleCounts(tri.toDF("x", "y")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts: hub star plus one cross edge — orientation caps the hub's wedge work") {
+    // star center 0 with 50 leaves, plus edge (1,2): exactly one triangle
+    val edges = (1L to 50L).map(i => (0L, i)) :+ (1L, 2L)
+    val got = Graph.triangleCounts(edges.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+}
