@@ -12,10 +12,10 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, LatestPerKey, SaltedJoin, SequencePacking, Sessionize}
+import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize}
+import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize, StreamingSketch}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -62,6 +62,41 @@ object QuerySuite {
   val auxRoot = "/root/repo/target/oracle_aux"
   private def aux(dir: String, name: String): String =
     s"$auxRoot/${new java.io.File(dir).getName}/$name"
+
+  /** Top-20 exact counts + CMS estimates — the q122/q123 output shape.
+    * Shared so the streaming-merged grid (q123) runs under the IDENTICAL
+    * projection as the batch grid (q122): same oracle, so a green pair
+    * proves merge(partial grids) == one-shot grid exactly. */
+  private def cmsTopEstimates(ev: DataFrame, grid: DataFrame): DataFrame = {
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(desc("exact_n"), col("user_id")).limit(20)
+    CountMin.estimate(grid, top, "user_id", depth = 4, width = 1024)
+      .join(top, "user_id")
+      .select(col("user_id"), col("exact_n").cast("long").as("exact_n"),
+        col("cms_est").cast("long").as("cms_est"),
+        (col("cms_est") >= col("exact_n")).as("never_under"))
+      .orderBy(desc("exact_n"), col("user_id"))
+  }
+
+  /** CMS grid + top-20 estimate oracle shared by q122 (batch) and q123
+    * (stream-merged) — the grid is md5-derived, hence engine-portable. */
+  private val cmsOracle =
+    """WITH i AS (SELECT unnest([0, 1, 2, 3]) AS row),
+      |g AS (SELECT row,
+      |             ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS bucket,
+      |             count(*) AS c
+      |      FROM events CROSS JOIN i GROUP BY 1, 2),
+      |top AS (SELECT user_id, count(*) AS exact_n FROM events
+      |        GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20),
+      |est AS (SELECT t.user_id, min(coalesce(g.c, 0)) AS cms_est
+      |        FROM (SELECT user_id, row,
+      |                ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS bucket
+      |              FROM top CROSS JOIN i) t
+      |        LEFT JOIN g USING (row, bucket) GROUP BY 1)
+      |SELECT top.user_id, CAST(exact_n AS BIGINT) AS exact_n,
+      |       CAST(cms_est AS BIGINT) AS cms_est, cms_est >= exact_n AS never_under
+      |FROM top JOIN est USING (user_id)
+      |ORDER BY exact_n DESC, top.user_id""".stripMargin
 
   /** As-of oracle shared by q04 (plain form) and q60 (bucketed form) —
     * identical semantics by construction, so the SQL is shared verbatim. */
@@ -2135,15 +2170,102 @@ object QuerySuite {
     //      one-sided-error invariant on top ----
     "q122_count_min" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
-      val grid = CountMin.sketch(ev, "user_id", depth = 4, width = 1024)
-      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
-        .orderBy(desc("exact_n"), col("user_id")).limit(20)
-      CountMin.estimate(grid, top, "user_id", depth = 4, width = 1024)
-        .join(top, "user_id")
-        .select(col("user_id"), col("exact_n").cast("long").as("exact_n"),
-          col("cms_est").cast("long").as("cms_est"),
-          (col("cms_est") >= col("exact_n")).as("never_under"))
-        .orderBy(desc("exact_n"), col("user_id"))
+      cmsTopEstimates(ev, CountMin.sketch(ev, "user_id", depth = 4, width = 1024))
+    }),
+
+    // ---- streaming count-min (StreamingSketch.scala): the same sketch fed
+    //      4 micro-batches at a time — each batch folds a d×w PARTIAL grid
+    //      into a persisted parquet dir (batch=<id> subdir, overwrite →
+    //      replay-idempotent), and the per-cell SUM of the parts equals the
+    //      one-shot batch grid EXACTLY (linear summary: merge is addition).
+    //      Same oracle as q122 — agreement proves stream-merged == batch,
+    //      the property that lets 1000 executors sketch 100 TB shard-local
+    //      and add the grids ----
+    "q123_stream_cms" -> ((s, dir) => {
+      val src = tmpDir("q123_src_")
+      Tables.table(s, dir, "events").select("user_id")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val grid = tmpDir("q123_grid_")
+      val stream = s.readStream.schema("user_id LONG")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = StreamingSketch.start(stream, "user_id", depth = 4, width = 1024,
+        grid, tmpDir("q123_ckpt_"))
+      q.awaitTermination()
+      cmsTopEstimates(Tables.events(s, dir), StreamingSketch.mergedGrid(s, grid))
+    }),
+
+    // ---- portable Bloom-filter semi-join pruning (Bloom.scala): the filter
+    //      is a ≤m-row table of SET bit positions (md5-derived), so the
+    //      oracle rebuilds the identical bitmap and the comparison checks
+    //      the exact FALSE-POSITIVE SET, not just a rate bound. Members
+    //      always pass (one-sided), shown by n_actual == n_both ----
+    "q124_bloom_prune" -> ((s, dir) => {
+      val members = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      // size the bitmap from the build-side cardinality (known at build
+      // time — one map-side-combinable count): 8 bits/key with k=2 holds
+      // the fp rate ~5% at EVERY sf, so both verdict paths (true member,
+      // false positive) fire deterministically at every shipped scale
+      val m = 8 * members.count().toInt
+      val bits = Bloom.build(members, "c_custkey", k = 2, m = m)
+      val o = Tables.orders(s, dir)
+      val verdicts = Bloom.mightContain(
+        o.select(col("o_custkey").as("c_custkey")), "c_custkey", bits, k = 2, m = m)
+      val truth = members.withColumn("__member", lit(true))
+      o.join(verdicts, o("o_custkey") === verdicts("c_custkey"))
+        .join(truth, o("o_custkey") === truth("c_custkey"), "left")
+        .groupBy("o_orderstatus").agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("__member").isNotNull, 1L).otherwise(0L)).as("n_actual"),
+          sum(when(col("might_contain") && col("__member").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("might_contain") && col("__member").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // ---- 2-D skyline / Pareto frontier (Skyline.scala): parts where no
+    //      other part is both cheaper and smaller. The bucketed sort-sweep
+    //      runs the classic O(n log n) skyline WITHOUT a single-partition
+    //      global window (per-bucket min-y + carry-in stitch); the oracle
+    //      is the quadratic NOT EXISTS dominance definition — two different
+    //      algorithms, identical frontier ----
+    "q125_skyline" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+          col("p_size").cast("long").as("p_size"))
+      Skyline.skyline2d(p, "price_cents", "p_size", bucketWidth = 1000L)
+        .select("p_partkey", "price_cents", "p_size").orderBy("p_partkey")
+    }),
+
+    // ---- time-weighted average (TWAP): each purchase's value holds until
+    //      the user's next purchase; the average weights by holding
+    //      duration, not event count — the step-function integral every
+    //      pricing/telemetry pipeline needs. One shuffle (window by user);
+    //      exact integer algebra end-to-end: cents × whole seconds summed
+    //      as BIGINT (≤1e16 at any sf — no overflow, no fp drift) ----
+    "q126_twap" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val seg = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withColumn("next_ts", lead("ts", 1).over(w))
+        .filter(col("next_ts").isNotNull)
+        .withColumn("dur_s",
+          expr("(unix_micros(next_ts) - unix_micros(ts)) div 1000000"))
+      seg.groupBy("user_id").agg(
+          sum(expr("cents * dur_s")).as("sum_weighted"),
+          sum("dur_s").as("sum_dur_s"))
+        .filter(col("sum_dur_s") > 0)
+        .select(col("user_id"),
+          col("sum_weighted").cast("long").as("sum_weighted"),
+          col("sum_dur_s").cast("long").as("sum_dur_s"),
+          expr("sum_weighted div sum_dur_s").cast("long").as("twap_cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -3738,22 +3860,60 @@ object QuerySuite {
 
     // the grid is rebuilt from the same md5 bucket function, so estimates
     // compare exactly — the sketch itself is engine-portable
-    "q122_count_min" ->
-      """WITH i AS (SELECT unnest([0, 1, 2, 3]) AS row),
-        |g AS (SELECT row,
-        |             ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS bucket,
-        |             count(*) AS c
-        |      FROM events CROSS JOIN i GROUP BY 1, 2),
-        |top AS (SELECT user_id, count(*) AS exact_n FROM events
-        |        GROUP BY user_id ORDER BY exact_n DESC, user_id LIMIT 20),
-        |est AS (SELECT t.user_id, min(coalesce(g.c, 0)) AS cms_est
-        |        FROM (SELECT user_id, row,
-        |                ('0x' || substr(md5(row::VARCHAR || ':' || user_id::VARCHAR), 1, 8))::BIGINT % 1024 AS bucket
-        |              FROM top CROSS JOIN i) t
-        |        LEFT JOIN g USING (row, bucket) GROUP BY 1)
-        |SELECT top.user_id, CAST(exact_n AS BIGINT) AS exact_n,
-        |       CAST(cms_est AS BIGINT) AS cms_est, cms_est >= exact_n AS never_under
-        |FROM top JOIN est USING (user_id)
-        |ORDER BY exact_n DESC, top.user_id""".stripMargin
+    "q122_count_min" -> cmsOracle,
+
+    // stream-merged grid == batch grid exactly (linear sketch), so q123
+    // shares q122's oracle verbatim — agreement IS the mergeability proof
+    "q123_stream_cms" -> cmsOracle,
+
+    // the bitmap is rebuilt bit-for-bit (md5 positions), so the exact
+    // false-positive SET is compared, not a rate bound
+    "q124_bloom_prune" ->
+      """WITH m AS (SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |mm AS (SELECT 8 * count(*) AS nbits FROM m),
+        |i AS (SELECT unnest([0, 1]) AS i),
+        |bits AS (SELECT DISTINCT ('0x' || substr(md5(i::VARCHAR || ':' || key::VARCHAR), 1, 8))::BIGINT % (SELECT nbits FROM mm) AS bit
+        |         FROM m CROSS JOIN i),
+        |probe AS (SELECT DISTINCT o_custkey AS key FROM orders WHERE o_custkey IS NOT NULL),
+        |pv AS (SELECT key,
+        |              count(*) FILTER (WHERE bit IN (SELECT bit FROM bits)) = 2 AS might_contain
+        |       FROM (SELECT key, ('0x' || substr(md5(i::VARCHAR || ':' || key::VARCHAR), 1, 8))::BIGINT % (SELECT nbits FROM mm) AS bit
+        |             FROM probe CROSS JOIN i) GROUP BY key)
+        |SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN pv.might_contain THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |       CAST(sum(CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+        |       CAST(sum(CASE WHEN pv.might_contain AND m.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |       CAST(sum(CASE WHEN pv.might_contain AND m.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+        |FROM orders o
+        |JOIN pv ON pv.key = o.o_custkey
+        |LEFT JOIN m ON m.key = o.o_custkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // quadratic dominance definition — independent of the sweep algorithm
+    "q125_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |                  CAST(p_size AS BIGINT) AS p_size FROM part)
+        |SELECT p_partkey, price_cents, p_size FROM p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p o
+        |  WHERE o.price_cents <= p.price_cents AND o.p_size <= p.p_size
+        |    AND (o.price_cents < p.price_cents OR o.p_size < p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q126_twap" ->
+      """WITH seg AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         (epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000 AS dur_s
+        |  FROM events WHERE event_type = 'purchase'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), agg AS (
+        |  SELECT user_id, sum(cents * dur_s) AS sum_weighted, sum(dur_s) AS sum_dur_s
+        |  FROM seg WHERE dur_s IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(sum_weighted AS BIGINT) AS sum_weighted,
+        |       CAST(sum_dur_s AS BIGINT) AS sum_dur_s,
+        |       CAST(sum_weighted // sum_dur_s AS BIGINT) AS twap_cents
+        |FROM agg WHERE sum_dur_s > 0 ORDER BY user_id""".stripMargin
   )
 }
