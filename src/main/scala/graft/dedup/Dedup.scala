@@ -517,6 +517,115 @@ object Dedup {
     eager(out, () => { grams.unpersist(false): Unit })
   }
 
+  /** Set-similarity join by PREFIX FILTERING (AllPairs/PPJoin — Bayardo
+    * et al. WWW'07, Xiao et al. WWW'08): the LOSSLESS alternative to the
+    * sampled inverted index in [[ngramJaccard]]. Order every doc's gram
+    * set by a global total order (document frequency ascending, gram
+    * ascending — rarest first) and index only the first
+    * p = |x| − ceil(t·|x|) + 1 grams: any pair with Jaccard ≥ t must
+    * share its MINIMAL common gram, which pigeonhole forces into both
+    * prefixes — so the prefix-only inverted index finds every qualifying
+    * pair, no sampling recall risk. Two further lossless prunes run
+    * before verification:
+    *   - length filter: J ≥ t ⇒ td·min(|a|,|b|) ≥ tn·max(|a|,|b|);
+    *   - PPJoin position filter: all common grams sort after the minimal
+    *     one, so overlap ≤ 1 + min(|a|−i, |b|−j) at the first collision
+    *     positions (i, j) — require that to reach the needed overlap
+    *     ceil(tn·(|a|+|b|)/(tn+td)).
+    * The threshold is a RATIONAL tn/td so every prune is integer algebra,
+    * mirrored exactly by the oracle.
+    *
+    * At scale: rarest-first ordering makes prefix buckets intrinsically
+    * small (the df-hot grams sit outside every prefix), `maxBucket` still
+    * guards adversarial floods, and candidates are ids+positions only.
+    * Grams travel as strings here so an external engine can replay the
+    * (df, gram) order bit-for-bit; swap the order key to
+    * `xxhash64Seeded(df, gram)` in production to shuffle 8-byte longs
+    * instead — any total order preserves the guarantee.
+    *
+    * @return verified pairs (id_a, id_b, jaccard ≥ tn/td)
+    */
+  def prefixFilterJaccard(
+      df: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 8,
+      thresholdNum: Int = 4,
+      thresholdDen: Int = 5,
+      maxBucket: Int = 200): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
+    val (tn, td) = (lit(thresholdNum.toLong), lit(thresholdDen.toLong))
+
+    // token = 32-bit md5 prefix of the gram: ENGINE-PORTABLE (an external
+    // oracle replays the identical ids), and 8-byte longs — not gram
+    // strings — are what every downstream shuffle moves. The ~n²/2³³
+    // hash-merges are mirrored identically by any engine and only ever ADD
+    // candidates; the 64-bit verification sets are computed separately.
+    val gr = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
+      .select(col("doc_id"), charNgrams(col("__lt"), n).as("g"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("g"),
+          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))).as("toks"),
+        array_sort(array_distinct(transform(col("g"),
+          g => xxhash64Seeded(17L, g)))).as("hs"))
+      .persist()
+    gr.count(): Unit
+    val sets = gr.select(col("doc_id"), col("hs"))
+
+    val toks = gr.select(col("doc_id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
+    // document frequency per token: the global order key. No broadcast
+    // hint — AQE broadcasts while the vocab fits and falls back to a
+    // shuffle join when it doesn't (the 100 TB case).
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc (df, tok)-sorted prefix, sliced IN PLACE (one doc-keyed
+    // shuffle; no row_number window pass), then positions via posexplode
+    val prefix = toks.join(dfs, "tok")
+      .groupBy("doc_id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      // prefix length p = sz − ceil(tn·sz/td) + 1, integer ceil
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(transform(col("ord"), s => s.getField("tok")), lit(1),
+          (col("sz") - (tn * col("sz") + td - 1).divide(td).cast("long") + 1)
+            .cast("int"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("rn"), col("tok"))
+
+    val buckets = prefix
+      .groupBy("tok")
+      .agg(collect_list(struct(col("doc_id"), col("sz"), col("rn"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+
+    // pair expansion in place (structs sort by doc_id first); BOTH lossless
+    // prunes run per collision BEFORE the pair distinct, so the heavy
+    // distinct only sees survivors. Per-collision position pruning is
+    // lossless because a qualifying pair's minimal common token collides
+    // at the pair's smallest (rn_a, rn_b) — the row with the LARGEST
+    // position bound — and that bound must clear the required overlap.
+    val candidates = buckets
+      .select(array_sort(col("ids")).as("s"))
+      .select(explode(flatten(transform(col("s"), (a, i) =>
+        transform(slice(col("s"), i + lit(2), size(col("s"))),
+          b => struct(
+            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+            a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b"),
+            a.getField("rn").as("rn_a"), b.getField("rn").as("rn_b")))))).as("p"))
+      .select(col("p.*"))
+      // length filter: J ≥ tn/td ⇒ td·min ≥ tn·max
+      .filter(td * least(col("sz_a"), col("sz_b")) >=
+        tn * greatest(col("sz_a"), col("sz_b")))
+      // position filter: overlap ≤ 1 + min(sz_a − rn_a, sz_b − rn_b) must
+      // reach ceil(tn·(sz_a+sz_b)/(tn+td))
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+        (tn * (col("sz_a") + col("sz_b")) + tn + td - 1)
+          .divide(tn + td).cast("long"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val out = verifyJaccard(candidates, sets,
+      thresholdNum.toDouble / thresholdDen)
+    eager(out, () => { gr.unpersist(false): Unit })
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine (native codegen [[CosineSimilarity]]) within buckets.
     * Null/empty vectors carry no cosine signal and are dropped up front.
