@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
+import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize, StreamingSketch}
@@ -2281,6 +2281,33 @@ object QuerySuite {
       val pairs = Dedup.prefixFilterJaccard(docs, "doc_id", "text")
       Dedup.marksFromPairs(docs, "doc_id", pairs)
         .select(col("doc_id"), col("is_duplicate")).orderBy("doc_id")
+    }),
+
+    // ---- interval-overlap join (IntervalJoin.scala): user sessions ×
+    //      the 50 globally busiest hours. A keyless range join is a
+    //      BroadcastNestedLoop in Spark; the operator rewrites it as a
+    //      GRID-BUCKETED equi-join (explode to hour cells, hash join,
+    //      exact re-check) with a first-shared-cell predicate instead of
+    //      a pair distinct — the standard temporal/spatial join shape at
+    //      scale. Overlap durations in exact whole microseconds ----
+    "q128_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sess = Sessionize.byGap(e, "user_id", "ts", "event_id", gapSeconds = 1800)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("s_lo"), max("ts").as("s_hi"))
+      val busy = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), col("h")).limit(50)
+        .select(col("h"), expr("h + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND").as("h_hi"))
+      IntervalJoin.overlapJoin(sess, "s_lo", "s_hi", busy, "h", "h_hi",
+          cellSeconds = 3600)
+        .select(col("user_id"),
+          (expr("unix_micros(least(s_hi, h_hi))") -
+            expr("unix_micros(greatest(s_lo, h))")).as("ov"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_windows"),
+          sum("ov").cast("long").as("sum_overlap_us"))
+        .orderBy("user_id")
     })
   )
 
@@ -3962,6 +3989,34 @@ object QuerySuite {
         |FROM documents d
         |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE 9 * inter >= 4 * tot) dup
         |  USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // direct quadratic overlap join — independent of the grid rewrite
+    "q128_interval_join" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x
+        |), sess AS (
+        |  SELECT user_id, session_id, min(ts) AS s_lo, max(ts) AS s_hi
+        |  FROM y GROUP BY 1, 2
+        |), busy AS (
+        |  SELECT h, h + INTERVAL 1 HOUR - INTERVAL 1 MICROSECOND AS h_hi FROM (
+        |    SELECT date_trunc('hour', ts) AS h, count(*) AS c FROM events GROUP BY 1)
+        |  ORDER BY c DESC, h LIMIT 50
+        |), p AS (
+        |  SELECT s.user_id,
+        |         epoch_us(least(s.s_hi, b.h_hi)) - epoch_us(greatest(s.s_lo, b.h)) AS ov
+        |  FROM sess s JOIN busy b ON s.s_lo <= b.h_hi AND b.h <= s.s_hi
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |       CAST(sum(ov) AS BIGINT) AS sum_overlap_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }
