@@ -2308,6 +2308,53 @@ object QuerySuite {
         .agg(count(lit(1)).cast("long").as("n_windows"),
           sum("ov").cast("long").as("sum_overlap_us"))
         .orderBy("user_id")
+    }),
+
+    // ---- PageRank in exact integer arithmetic (Graph.pagerankInt): 3
+    //      power iterations over the co-purchase graph, damping 17/20,
+    //      fixed-point micros with floor at every step — bit-reproducible
+    //      on any engine (fp PageRank differs by summation order), so the
+    //      oracle replays the identical iterations as chained CTEs and the
+    //      scores compare EXACTLY, not within tolerance ----
+    "q129_pagerank" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      Graph.pagerankInt(edges, iters = 3)
+        .orderBy(desc("x"), col("node")).limit(100)
+        .select(col("node").cast("long").as("node"), col("x").cast("long").as("score"))
+    }),
+
+    // ---- largest-remainder quota allocation (Hamilton's method): split a
+    //      global sample budget across strata proportionally with exact
+    //      integer remainder ranking — the deterministic way to size
+    //      per-domain subsamples so they sum EXACTLY to the budget. One
+    //      narrow aggregation shuffle; the allocation itself runs on the
+    //      |strata|-row frame ----
+    "q130_quota_alloc" -> ((s, dir) => {
+      val budget = 100000L
+      val counts = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_orders"))
+      val total = counts.agg(sum("n_orders")).first().getLong(0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("rem"), col("n_name"))
+      val base = counts
+        .withColumn("floor_alloc", expr(s"($budget * n_orders) div $total"))
+        .withColumn("rem", expr(s"($budget * n_orders) % $total"))
+      val short = budget - base.agg(sum("floor_alloc")).first().getLong(0)
+      base
+        .withColumn("rk", row_number().over(w))
+        .select(col("n_name"), col("n_orders").cast("long").as("n_orders"),
+          (col("floor_alloc") + when(col("rk") <= short, 1L).otherwise(0L))
+            .cast("long").as("alloc"))
+        .orderBy("n_name")
     })
   )
 
@@ -4017,6 +4064,39 @@ object QuerySuite {
         |)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_windows,
         |       CAST(sum(ov) AS BIGINT) AS sum_overlap_us
-        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // identical floor-semantics iterations as chained CTEs — exact score
+    // equality, no tolerance band
+    "q129_pagerank" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |x0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS x FROM deg),
+        |i1 AS (SELECT e.dst AS node, 150000 + (17 * sum(x.x // g.deg)) // 20 AS x
+        |       FROM e JOIN x0 x ON x.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |i2 AS (SELECT e.dst AS node, 150000 + (17 * sum(x.x // g.deg)) // 20 AS x
+        |       FROM e JOIN i1 x ON x.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |i3 AS (SELECT e.dst AS node, 150000 + (17 * sum(x.x // g.deg)) // 20 AS x
+        |       FROM e JOIN i2 x ON x.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(x AS BIGINT) AS score
+        |FROM i3 ORDER BY x DESC, node LIMIT 100""".stripMargin,
+
+    "q130_quota_alloc" ->
+      """WITH c AS (SELECT n_name, count(*) AS n_orders
+        |           FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |                         JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |           GROUP BY 1),
+        |t AS (SELECT sum(n_orders) AS total FROM c),
+        |b AS (SELECT n_name, n_orders, (100000 * n_orders) // total AS fl,
+        |             (100000 * n_orders) % total AS rem
+        |      FROM c CROSS JOIN t),
+        |s AS (SELECT 100000 - sum(fl) AS short FROM b),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk FROM b)
+        |SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
+        |       CAST(fl + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY n_name""".stripMargin
   )
 }

@@ -98,4 +98,58 @@ object Graph {
     Seq(oriented, adj, perEdge).foreach(GraftBridge.releaseCheckpoint)
     out
   }
+
+  /** PageRank power iteration in EXACT integer arithmetic (Brin–Page '98).
+    * Scores live in fixed-point micro-units; every step floors:
+    *
+    *   x⁰ = scale;   xᵏ⁺¹(v) = (1−d)·scale + ⌊d · Σ_{u→v} ⌊xᵏ(u) / outdeg(u)⌋⌋
+    *
+    * with d = dampNum/dampDen rational. Floating-point PageRank differs
+    * across engines by summation order; this one is bit-reproducible
+    * anywhere (the floor semantics ARE the spec), which also makes scores
+    * stable across reruns/cluster layouts — the property a production
+    * ranking feature needs.
+    *
+    * Scale shape per iteration: one join of the static degree-annotated
+    * edge list with the |V|-row score frame (score side broadcast while it
+    * fits, shuffle join beyond) + one map-side-combinable sum — the
+    * textbook distributed PR step. The edge list is hash-partitioned once
+    * and reused across iterations; iteration count is a fixed small k
+    * (ranking plateaus fast on power-law graphs), so lineage stays
+    * bounded without checkpointing.
+    *
+    * @param edges undirected edges (two integral columns); each is
+    *              expanded to both directions
+    * @return (node, score) — exact fixed-point integers */
+  def pagerankInt(edges: DataFrame, iters: Int = 3,
+      dampNum: Long = 17L, dampDen: Long = 20L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
+      "need iters >= 1 and 0 < dampNum/dampDen < 1")
+    val Array(ca, cb) = edges.columns
+    val und = edges
+      .select(least(col(ca), col(cb)).cast("long").as("a"),
+        greatest(col(ca), col(cb)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
+    // static across iterations: stage once, reuse k times
+    val edgesDeg = dir.join(deg, "src").localCheckpoint(true)
+
+    var x = deg.select(col("src").as("node"), lit(scale).as("x"))
+    for (_ <- 1 to iters) {
+      x = edgesDeg
+        .join(x.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("x div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("s"))
+        .select(col("dst").as("node"),
+          (lit(scale - scale * dampNum / dampDen) +
+            expr(s"($dampNum * s) div $dampDen")).as("x"))
+    }
+    val out = x.localCheckpoint(true)
+    GraftBridge.releaseCheckpoint(edgesDeg)
+    out
+  }
 }

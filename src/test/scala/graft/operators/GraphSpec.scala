@@ -50,4 +50,21 @@ class GraphSpec extends SparkSpec {
     val got = Graph.triangleCounts(edges.toDF("a", "b")).as[(Long, Long)].collect().toMap
     assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("pagerankInt: a regular graph is a fixed point — every score stays at scale") {
+    // cycle of 12: deg = 2 everywhere; 17/20 damping returns exactly scale
+    val cyc = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val got = Graph.pagerankInt(cyc.toDF("a", "b"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 12 && got.values.forall(_ == 1000000L))
+  }
+
+  test("pagerankInt: star center outranks leaves; scores are rerun-deterministic") {
+    val star = (1L to 20L).map(i => (0L, i))
+    val r1 = Graph.pagerankInt(star.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    val r2 = Graph.pagerankInt(star.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    assert(r1 == r2, "integer PR must be bit-deterministic")
+    assert(r1(0L) > r1(1L), "hub must outrank a leaf")
+    assert((1L to 20L).map(r1).toSet.size == 1, "symmetric leaves tie exactly")
+  }
 }
