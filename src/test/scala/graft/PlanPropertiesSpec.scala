@@ -32,7 +32,12 @@ class PlanPropertiesSpec extends SparkSpec {
     "q93_approx_quantile", "q94_window_rank_stats", "q97_unpivot",
     "q98_interval_frame", "q99_scd2_intervals", "q100_fuzzy_linkage",
     "q101_mad_outliers", "q103_cohort_retention", "q104_basket_pairs",
-    "q105_markov_transitions", "q109_attribution", "q110_moving_median")
+    "q105_markov_transitions", "q109_attribution", "q110_moving_median",
+    "q122_count_min", "q125_skyline", "q126_twap",
+    "q128_interval_join", "q130_quota_alloc")
+  // q121_quality_checks is audited separately (q76 rationale): attaching the
+  // one-row table count to the one-row referential check is a deliberate
+  // single-scalar nested-loop join
   // q76_tfidf is audited separately: its corpus-size constant joins in as a
   // DELIBERATE one-broadcast-row nested-loop join, which the generic
   // no-BNLJ assertion would (correctly) reject for data-bearing joins
@@ -281,5 +286,48 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"operator must not shuffle (chunk/quantize is scan-throughput work):\n$plan")
     }
+  }
+
+  test("q121 quality gate: the only nested loops attach scalar aggregate rows") {
+    // audit the LOGICAL plan (the AQE wrapper hides physical children until
+    // execution): every join with no condition must have two single-row
+    // aggregate inputs — the deliberate scalar-attach shape, never data×data
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val qe = SparkEntry.queries("q121_quality_checks")(spark, sfDir).queryExecution
+    def isScalarAgg(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate if a.groupingExpressions.isEmpty => a }.isDefined
+    val unconditioned = qe.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j }
+    assert(unconditioned.nonEmpty, "expected the deliberate scalar-attach join")
+    unconditioned.foreach { j =>
+      assert(isScalarAgg(j.left) && isScalarAgg(j.right),
+        s"condition-less join has a data-bearing side:\n$j")
+    }
+  }
+
+  test("q125 skyline: exactly one window runs unpartitioned, and only over the bucket frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val qe = SparkEntry.queries("q125_skyline")(spark, sfDir).queryExecution
+    val windows = qe.optimizedPlan.collect { case w: LWindow => w }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(windows.size >= 3, s"expected the carry + two sweep windows, saw ${windows.size}")
+    // the single global window is the per-BUCKET running min — its input is
+    // one row per bucket, bounded by x-range/bucketWidth, never by |rows|
+    assert(unpartitioned.size == 1,
+      s"only the bucket-carry window may be unpartitioned, saw ${unpartitioned.size}")
+    assert(unpartitioned.head.expressions.exists(_.references.exists(_.name == "__bmin")),
+      "the unpartitioned window must be the bucket-min carry, not a data window")
+  }
+
+  test("q127 prefix join: no exchange ever carries a string — grams shuffle as hashed longs") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val qe = SparkEntry.queries("q127_prefix_join")(spark, sfDir).queryExecution
+    val offenders = qe.executedPlan.collect {
+      case e: ShuffleExchangeExec if e.output.exists(_.dataType == StringType) =>
+        e.output.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", ")
+    }
+    assert(offenders.isEmpty,
+      s"string columns found in shuffle exchanges:\n${offenders.mkString("\n")}")
   }
 }
