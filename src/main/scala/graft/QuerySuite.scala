@@ -2355,6 +2355,20 @@ object QuerySuite {
           (col("floor_alloc") + when(col("rk") <= short, 1L).otherwise(0L))
             .cast("long").as("alloc"))
         .orderBy("n_name")
+    }),
+
+    // ---- deterministic weighted sampling (GraftFunctions.weightedKeep):
+    //      keep each document with probability n_chars/max — importance
+    //      sampling that prefers long documents, decided by the row's own
+    //      content hash: reproducible row-for-row cross-engine, map-only
+    //      after one tiny max broadcast, exact integer compare at the
+    //      boundary (u·max < w·2³², no fp) ----
+    "q131_weighted_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      val m = d.agg(max("n_chars")).first().getLong(0)
+      d.filter(GraftFunctions.weightedKeep(col("doc_id"), col("n_chars"), lit(m)))
+        .orderBy("doc_id")
     })
   )
 
@@ -4097,6 +4111,13 @@ object QuerySuite {
         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk FROM b)
         |SELECT n_name, CAST(n_orders AS BIGINT) AS n_orders,
         |       CAST(fl + CASE WHEN rk <= (SELECT short FROM s) THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM r ORDER BY n_name""".stripMargin
+        |FROM r ORDER BY n_name""".stripMargin,
+
+    "q131_weighted_sample" ->
+      """WITH m AS (SELECT max(n_chars)::BIGINT AS m FROM documents)
+        |SELECT doc_id, n_chars::BIGINT AS n_chars
+        |FROM documents CROSS JOIN m
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * m < n_chars::BIGINT * 4294967296
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -108,6 +108,18 @@ object GraftFunctions {
     (conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
       % nBuckets).cast("long")
 
+  /** Deterministic weighted Bernoulli keep-predicate: row kept with
+    * probability weight/maxWeight, decided by the row's own content hash —
+    * importance sampling for corpus selection (sample long/high-quality
+    * documents preferentially) that is reproducible row-for-row on any
+    * engine, map-only, and join-free. The u32 draw u = md5₃₂(key) is
+    * compared as `u · maxWeight < weight · 2³²` in exact integer algebra
+    * (no fp rounding at the boundary). Requires 0 ≤ weight ≤ maxWeight and
+    * maxWeight · 2³² within long range (maxWeight < 2³¹). */
+  def weightedKeep(key: Column, weight: Column, maxWeight: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") * maxWeight <
+      weight.cast("long") * lit(4294967296L)
+
   // ---------- MinHash / SimHash / fingerprinting ----------
 
   /** MinHash signature (k independent seeded hashes) over a set column.

@@ -193,4 +193,16 @@ class FunctionsSpec extends SparkSpec {
     assert(rowsR == 64 * 64,
       s"control: round-robin stats cover the whole grid, nothing skips ($rowsR)")
   }
+
+  test("weightedKeep: weight 0 never keeps, weight max always keeps, rate tracks w/max") {
+    import spark.implicits._
+    val ids = (1L to 4000L).toSeq.toDF("id")
+    assert(ids.filter(GraftFunctions.weightedKeep(col("id"), lit(0L), lit(100L))).count() == 0)
+    assert(ids.filter(GraftFunctions.weightedKeep(col("id"), lit(100L), lit(100L))).count() == 4000)
+    val kept = ids.filter(GraftFunctions.weightedKeep(col("id"), lit(25L), lit(100L))).count()
+    assert(kept > 800 && kept < 1200, s"~25% expected, got $kept/4000")
+    // deterministic: same draw on a rerun
+    val again = ids.filter(GraftFunctions.weightedKeep(col("id"), lit(25L), lit(100L))).count()
+    assert(kept == again)
+  }
 }
