@@ -63,6 +63,35 @@ object QuerySuite {
   private def aux(dir: String, name: String): String =
     s"$auxRoot/${new java.io.File(dir).getName}/$name"
 
+  /** Orders tagged with their customer's nation — the q130/q132 stratum frame. */
+  private def ordersByNation(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("n_name"))
+
+  /** Largest-remainder (Hamilton) allocation of `budgetOf(total)` across the
+    * strata of `rows` (column n_name): allocations sum EXACTLY to the
+    * budget. The two driver-side scalars are the totals the method
+    * inherently needs; everything else is one aggregation shuffle plus a
+    * window over the |strata|-row frame. */
+  private def quotaAlloc(rows: DataFrame, budgetOf: Long => Long): DataFrame = {
+    val counts = rows.groupBy(col("n_name")).agg(count(lit(1)).as("n_orders"))
+    val total = counts.agg(sum("n_orders")).first().getLong(0)
+    val budget = budgetOf(total)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("rem"), col("n_name"))
+    val base = counts
+      .withColumn("floor_alloc", expr(s"($budget * n_orders) div $total"))
+      .withColumn("rem", expr(s"($budget * n_orders) % $total"))
+    val short = budget - base.agg(sum("floor_alloc")).first().getLong(0)
+    base
+      .withColumn("rk", row_number().over(w))
+      .select(col("n_name"), col("n_orders").cast("long").as("n_orders"),
+        (col("floor_alloc") + when(col("rk") <= short, 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
+
   /** Top-20 exact counts + CMS estimates — the q122/q123 output shape.
     * Shared so the streaming-merged grid (q123) runs under the IDENTICAL
     * projection as the batch grid (q122): same oracle, so a green pair
@@ -2335,27 +2364,8 @@ object QuerySuite {
     //      per-domain subsamples so they sum EXACTLY to the budget. One
     //      narrow aggregation shuffle; the allocation itself runs on the
     //      |strata|-row frame ----
-    "q130_quota_alloc" -> ((s, dir) => {
-      val budget = 100000L
-      val counts = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir),
-          col("o_custkey") === col("c_custkey"))
-        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name")).agg(count(lit(1)).as("n_orders"))
-      val total = counts.agg(sum("n_orders")).first().getLong(0)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(desc("rem"), col("n_name"))
-      val base = counts
-        .withColumn("floor_alloc", expr(s"($budget * n_orders) div $total"))
-        .withColumn("rem", expr(s"($budget * n_orders) % $total"))
-      val short = budget - base.agg(sum("floor_alloc")).first().getLong(0)
-      base
-        .withColumn("rk", row_number().over(w))
-        .select(col("n_name"), col("n_orders").cast("long").as("n_orders"),
-          (col("floor_alloc") + when(col("rk") <= short, 1L).otherwise(0L))
-            .cast("long").as("alloc"))
-        .orderBy("n_name")
-    }),
+    "q130_quota_alloc" -> ((s, dir) =>
+      quotaAlloc(ordersByNation(s, dir), _ => 100000L).orderBy("n_name")),
 
     // ---- deterministic weighted sampling (GraftFunctions.weightedKeep):
     //      keep each document with probability n_chars/max — importance
@@ -2369,6 +2379,28 @@ object QuerySuite {
       val m = d.agg(max("n_chars")).first().getLong(0)
       d.filter(GraftFunctions.weightedKeep(col("doc_id"), col("n_chars"), lit(m)))
         .orderBy("doc_id")
+    }),
+
+    // ---- exact stratified subsample (q130 ∘ content-hash ranking): take
+    //      EXACTLY alloc_i rows per stratum, alloc from the largest-
+    //      remainder split of a 10% budget — so the sample size is exactly
+    //      total div 10 BY CONSTRUCTION, not in expectation (the q131/q116
+    //      hash-threshold forms are exact-probability, not exact-count).
+    //      Row selection ranks by the row's own md5 within each stratum:
+    //      deterministic, engine-portable, and uniform within strata; one
+    //      window by stratum + a broadcast of the 25-row allocation ----
+    "q132_quota_sample" -> ((s, dir) => {
+      val o = ordersByNation(s, dir)
+      val alloc = quotaAlloc(o, total => total / 10)
+        .select(col("n_name"), col("alloc"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("n_name")
+        .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+      o.withColumn("rk", row_number().over(w))
+        .join(broadcast(alloc), "n_name")
+        .filter(col("rk") <= col("alloc"))
+        .select(col("o_orderkey"), col("n_name"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -4118,6 +4150,28 @@ object QuerySuite {
         |SELECT doc_id, n_chars::BIGINT AS n_chars
         |FROM documents CROSS JOIN m
         |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * m < n_chars::BIGINT * 4294967296
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q132_quota_sample" ->
+      """WITH j AS (SELECT o_orderkey, n_name
+        |           FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |                         JOIN nation n ON cu.c_nationkey = n.n_nationkey),
+        |c AS (SELECT n_name, count(*) AS n_orders FROM j GROUP BY 1),
+        |t AS (SELECT sum(n_orders) AS total, sum(n_orders) // 10 AS budget FROM c),
+        |b AS (SELECT n_name, n_orders, (budget * n_orders) // total AS fl,
+        |             (budget * n_orders) % total AS rem
+        |      FROM c CROSS JOIN t),
+        |s AS (SELECT (SELECT budget FROM t) - sum(fl) AS short FROM b),
+        |r AS (SELECT n_name,
+        |             fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, n_name)
+        |                            <= (SELECT short FROM s) THEN 1 ELSE 0 END AS alloc
+        |      FROM b),
+        |rk AS (SELECT o_orderkey, n_name,
+        |              row_number() OVER (PARTITION BY n_name
+        |                                 ORDER BY md5(o_orderkey::VARCHAR), o_orderkey) AS rk
+        |       FROM j)
+        |SELECT rk.o_orderkey, rk.n_name
+        |FROM rk JOIN r USING (n_name) WHERE rk.rk <= r.alloc
+        |ORDER BY rk.o_orderkey""".stripMargin
   )
 }
