@@ -2,6 +2,28 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Host-throttle probe (BASELINE.md's adjudication protocol): a fixed
+    * 20M-iteration CPython sum loop measures raw single-core speed,
+    * independent of JVM state — ~2.0–2.1 s on a clean host, 3.5–5.4 s
+    * during the documented episodic-throttle windows. Run before AND after
+    * the suite and emitted into the artifact, so a weather-inflated run is
+    * machine-identifiable from the JSON alone (round-4's recorded 946 s —
+    * ~90 % throttle — carried no such marker and failed the gate at face
+    * value). -1.0 = python3 unavailable or probe failed; the suite numbers
+    * then stand unadjudicated. */
+  private def cpythonProbe(): Double = {
+    try {
+      val t0 = System.nanoTime()
+      val p = new ProcessBuilder("python3", "-c",
+        "s=0\nfor i in range(20000000): s+=i").inheritIO().start()
+      if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); -1.0
+      } else if (p.exitValue() != 0) -1.0
+      else (System.nanoTime() - t0) / 1e9
+    } catch { case _: Exception => -1.0 }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -34,8 +56,11 @@ object Bench {
     catch { case _: Throwable => () }
     resetSession()
 
+    val probeBefore = cpythonProbe()
+    System.err.println(f"[bench] cpython probe (before): $probeBefore%.2f s (~2.0-2.1 = clean host)")
+
     var failed = Seq.empty[String]
-    def render(results: Seq[(String, Double)]): String = {
+    def render(results: Seq[(String, Double)], probeAfter: Double = -1.0): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
@@ -43,7 +68,10 @@ object Bench {
       // the artifact names them — a run with failures must not read as a
       // faster suite
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      // probe_before/probe_after: CPython host-speed probe (see cpythonProbe)
+      // — clean ≈ 2.0-2.1; a pair well above that marks the whole run as
+      // throttle-inflated, a clean pair certifies the totals
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter,"artifact":"$outFile"}"""
     }
 
     // noop sink, not count(): count() lets Catalyst prune unused projections,
@@ -70,7 +98,11 @@ object Bench {
       Files.writeString(Paths.get(outFile), render(results))
       resetSession()
     }
-    println(render(results))
+    val probeAfter = cpythonProbe()
+    System.err.println(f"[bench] cpython probe (after): $probeAfter%.2f s")
+    val finalJson = render(results, probeAfter)
+    Files.writeString(Paths.get(outFile), finalJson)
+    println(finalJson)
     spark.stop()
   }
 }

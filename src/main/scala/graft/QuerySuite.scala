@@ -43,6 +43,44 @@ object QuerySuite {
   private def tmpDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Conf scope for the streaming queries — two levers, applied to a child
+    * session so batch queries keep the shared session's settings:
+    *
+    *  1. `spark.sql.shuffle.partitions` → 4. A stateful operator opens one
+    *     state store PER shuffle partition (a stream-stream join opens
+    *     FOUR per partition); the partition count is recorded in the
+    *     checkpoint at first `start()`, so it must be set before then.
+    *     State partitioning exists to spread state VOLUME, not to use
+    *     cores — at this suite's volume (one staged file per micro-batch)
+    *     32 partitions just multiplies fixed per-store open/commit/snapshot
+    *     cost 8× with no parallelism gain (measured: q68 30–36 s at 32
+    *     partitions vs single-digit at 4). At 100 TB the knob goes back up
+    *     with state volume; the point is it sizes to state, not to CPUs.
+    *  2. RocksDB state store provider. The default HDFS-backed provider
+    *     keeps EVERY state row in executor heap — watermarks bound the row
+    *     count but not the heap cliff at 100 TB. RocksDB keeps state on
+    *     local disk with an in-memory working set + changelog into the
+    *     checkpoint: the bounded-memory state path, exercised here so it
+    *     is oracled (every streaming row in CORRECTNESS runs on it), not
+    *     just available. `SPARK_GRAFT_STREAM_STATE_PROVIDER=hdfs` restores
+    *     the default provider for A/B measurement.
+    *
+    * Implemented as a CHILD SESSION (`newSession()`: own SQLConf, shared
+    * SparkContext + catalog-free temp state) rather than set/restore on the
+    * caller's session: Verify runs queries concurrently on one session, and
+    * a temporary session-conf mutation would race other queries' planning.
+    * The body receives the child session (call sites shadow `s`), so the
+    * shared session's conf is never touched. */
+  private[graft] def withStreamingConf[T](outer: SparkSession)(body: SparkSession => T): T = {
+    val s = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    if (!sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").contains("hdfs"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    body(s)
+  }
+
   /** The file stream source requires a DIRECTORY; the corpus ships one
     * parquet FILE per table — stage a link/copy into a temp dir. */
   private def stageStreamDir(dir: String, table: String): String = {
@@ -268,7 +306,7 @@ object QuerySuite {
     }),
 
     // ---- A1 form ③: stateful streaming latest-per-key (SURVEY §2.8) ----
-    "q11_streaming_latest" -> ((s, dir) => {
+    "q11_streaming_latest" -> ((s, dir) => withStreamingConf(s) { s =>
       import s.implicits._
       Tables.enableNanosAsLong(s)
       val stream = s.readStream.schema(Tables.eventsNsSchema)
@@ -333,7 +371,7 @@ object QuerySuite {
     //      partitions. Output == q55's marks by construction, so the two
     //      paths share oracle semantics (cross-micro-batch behavior is
     //      spec'd in StreamingDedupSpec) ----
-    "q72_stream_dedup_index" -> ((s, dir) => {
+    "q72_stream_dedup_index" -> ((s, dir) => withStreamingConf(s) { s =>
       val docs = Tables.documents(s, dir)
       val idx = aux(dir, "q72_sigindex")
       Dedup.buildMinhashIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
@@ -774,7 +812,7 @@ object QuerySuite {
     }),
 
     // ---- streaming tumbling-window aggregation (watermark + window) ----
-    "q34_stream_window" -> ((s, dir) => {
+    "q34_stream_window" -> ((s, dir) => withStreamingConf(s) { s =>
       val stream = s.readStream.schema(Tables.eventsNsSchema)
         .parquet(stageStreamDir(dir, "events"))
         .select(expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
@@ -798,7 +836,7 @@ object QuerySuite {
     //      adjacent streaming enrichment; no state, no watermark needed
     //      (the static side re-broadcasts per batch, so a dim refresh is
     //      picked up at the next trigger at 100 TB too) ----
-    "q83_stream_static" -> ((s, dir) => {
+    "q83_stream_static" -> ((s, dir) => withStreamingConf(s) { s =>
       val dim = LatestPerKey.viaMaxBy(
           Tables.events(s, dir).filter(col("event_type") === "purchase"),
           Seq("user_id"), "ts", Seq("event_id"))
@@ -829,7 +867,7 @@ object QuerySuite {
     //      final watermark passes a given session's gap is an engine
     //      scheduling detail — StreamingSpec covers timeout closure
     //      deterministically with controlled batches) ----
-    "q84_stream_sessionize" -> ((s, dir) => {
+    "q84_stream_sessionize" -> ((s, dir) => withStreamingConf(s) { s =>
       import s.implicits._
       val stream = s.readStream.schema(Tables.eventsNsSchema)
         .parquet(stageStreamDir(dir, "events"))
@@ -856,7 +894,7 @@ object QuerySuite {
     //      purchase-side watermark passes its interval; at 100 TB this is
     //      the difference between O(window) and O(stream) state). Inner
     //      join → matched pairs append as soon as both sides arrive ----
-    "q68_stream_join" -> ((s, dir) => {
+    "q68_stream_join" -> ((s, dir) => withStreamingConf(s) { s =>
       val src = stageStreamDir(dir, "events")
       def side(tpe: String) = s.readStream.schema(Tables.eventsNsSchema)
         .parquet(src)
@@ -893,7 +931,7 @@ object QuerySuite {
     //      rows only up to (final watermark − 1 s guard): rows AT the
     //      boundary are engine-timing-dependent, rows below it are
     //      watermark-guaranteed — the oracle applies the identical cut ----
-    "q95_stream_outer_join" -> ((s, dir) => {
+    "q95_stream_outer_join" -> ((s, dir) => withStreamingConf(s) { s =>
       val src = stageStreamDir(dir, "events")
       def side(tpe: String) = s.readStream.schema(Tables.eventsNsSchema)
         .parquet(src)
@@ -918,12 +956,14 @@ object QuerySuite {
         .option("checkpointLocation", tmpDir("q95_ckpt_"))
         .start()
       q.awaitTermination()
-      // final global watermark = min(max p_ts, max c_ts) − 1 h; guard 1 s
-      val ev = Tables.events(s, dir)
-      def maxTs(tpe: String) = ev.filter(col("event_type") === tpe)
-        .agg(max(col("ts"))).head.getTimestamp(0)
+      // final global watermark = min(max p_ts, max c_ts) − 1 h; guard 1 s.
+      // Both side maxima in ONE scan+aggregate (conditional max), one
+      // driver action instead of two
+      val mx = Tables.events(s, dir).agg(
+        max(when(col("event_type") === "purchase", col("ts"))).as("p_max"),
+        max(when(col("event_type") === "click", col("ts"))).as("c_max")).head()
       val wmGuard = java.sql.Timestamp.from(
-        Seq(maxTs("purchase"), maxTs("click"))
+        Seq(mx.getTimestamp(0), mx.getTimestamp(1))
           .min(Ordering.by((t: java.sql.Timestamp) => t.toInstant))
           .toInstant.minusSeconds(3601))
       s.table(qname)
@@ -939,7 +979,7 @@ object QuerySuite {
     //      expires with the watermark (same TTL reasoning as
     //      StreamingLatest.latestPerKeyWithTTL). Output is the key SET,
     //      which is deterministic and exactly batch DISTINCT ----
-    "q57_stream_dedup" -> ((s, dir) => {
+    "q57_stream_dedup" -> ((s, dir) => withStreamingConf(s) { s =>
       val stream = s.readStream.schema(Tables.eventsNsSchema)
         .parquet(stageStreamDir(dir, "events"))
         .select(col("user_id"), col("event_type"))
@@ -1607,7 +1647,13 @@ object QuerySuite {
     //      reuses the already-narrow (supp, part, qty) rows (a join back
     //      to a second scan-and-aggregate would read lineitem twice).
     //      Fraction predicate in exact integer algebra (quantities are
-    //      whole-valued); survivors semi-join back to the dimension ----
+    //      whole-valued); survivors semi-join back to the dimension.
+    //      Threshold 20%: share concentration FALLS with sf (more lineitems
+    //      per part → shares even out; measured max share 0.37/0.245/0.258
+    //      at sf0.001/0.01/0.1), and the r4 audit showed >30% matched
+    //      nobody at sf0.01 — a vacuous 0=0 oracle row. >20% leaves 10/7/6
+    //      dominant suppliers at the three shipped sfs, so both the
+    //      predicate and the semi-join are exercised everywhere ----
     "q92_dominant_supplier" -> ((s, dir) => {
       val dominant = Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_partkey"),
@@ -1615,7 +1661,7 @@ object QuerySuite {
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("qty")).as("supp_qty"))
         .withColumn("part_qty", expr("sum(supp_qty) OVER (PARTITION BY l_partkey)"))
-        .where(col("supp_qty") * 10 > col("part_qty") * 3)
+        .where(col("supp_qty") * 5 > col("part_qty"))
         .select(col("l_suppkey")).distinct()
       Tables.supplier(s, dir)
         .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -1779,22 +1825,28 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
-    // ---- cohort retention: users bucketed by first-activity month, counted
-    //      per months-since-cohort — the product-analytics staple. Months as
-    //      INTEGER indexes (year·12+month) so every value is exact algebra;
-    //      the distinct (user, month) reduction is one shuffle with map-side
+    // ---- cohort retention: users bucketed by first-activity DAY, counted
+    //      per days-since-cohort — the product-analytics staple. Daily, not
+    //      monthly: the events corpus spans exactly 30 days, so a month
+    //      bucket collapsed the whole cohort×offset matrix to ONE cell (r4
+    //      audit: operator unexercised) and even weeks give ≤5 cells; day
+    //      granularity yields a real matrix (30/59/111 cells at
+    //      sf0.001/0.01/0.1). Day index is absolute integer algebra — epoch
+    //      days — identical on both engines, no calendar-bucket ambiguity.
+    //      The distinct (user, day) reduction is one shuffle with map-side
     //      combine, the cohort is an UNORDERED window min (whole-partition
-    //      frame — no ORDER BY, so no per-row sort rank work), and the final
-    //      rollup groups tiny (cohort, offset) keys that partial aggregation
-    //      collapses before the exchange ----
+    //      frame — no per-row sort rank work), and the final rollup groups
+    //      tiny (cohort, offset) keys that partial aggregation collapses
+    //      before the exchange ----
     "q103_cohort_retention" -> ((s, dir) => {
-      val um = Tables.events(s, dir)
-        .select(col("user_id"), (year(col("ts")) * 12 + month(col("ts"))).cast("long").as("um"))
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("datediff(ts, DATE'1970-01-01')").cast("long").as("d"))
         .distinct()
-      um.selectExpr("user_id", "um", "min(um) OVER (PARTITION BY user_id) AS cohort")
-        .groupBy(col("cohort"), (col("um") - col("cohort")).as("month_offset"))
+      ud.selectExpr("user_id", "d", "min(d) OVER (PARTITION BY user_id) AS cohort")
+        .groupBy(col("cohort").as("cohort_day"), (col("d") - col("cohort")).as("day_offset"))
         .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort", "month_offset")
+        .orderBy("cohort_day", "day_offset")
     }),
 
     // ---- market-basket pair mining: co-purchased part pairs with min
@@ -1848,7 +1900,7 @@ object QuerySuite {
     //      within the watermark of its first occurrence (single
     //      AvailableNow batch); late-beyond-watermark duplicates would
     //      legitimately re-emit — that is the documented trade ----
-    "q106_stream_dedup_wm" -> ((s, dir) => {
+    "q106_stream_dedup_wm" -> ((s, dir) => withStreamingConf(s) { s =>
       val stream = s.readStream.schema(Tables.eventsNsSchema)
         .parquet(stageStreamDir(dir, "events"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -2210,7 +2262,7 @@ object QuerySuite {
     //      Same oracle as q122 — agreement proves stream-merged == batch,
     //      the property that lets 1000 executors sketch 100 TB shard-local
     //      and add the grids ----
-    "q123_stream_cms" -> ((s, dir) => {
+    "q123_stream_cms" -> ((s, dir) => withStreamingConf(s) { s =>
       val src = tmpDir("q123_src_")
       Tables.table(s, dir, "events").select("user_id")
         .repartition(4).write.mode("overwrite").parquet(src)
@@ -3604,7 +3656,7 @@ object QuerySuite {
         |), dom AS (
         |  SELECT DISTINCT sp.l_suppkey
         |  FROM sp JOIN pt ON pt.l_partkey = sp.l_partkey
-        |  WHERE sp.supp_qty * 10 > pt.part_qty * 3
+        |  WHERE sp.supp_qty * 5 > pt.part_qty
         |)
         |SELECT s_suppkey, s_name, s_acctbal
         |FROM supplier WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
@@ -3700,14 +3752,14 @@ object QuerySuite {
         |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
 
     "q103_cohort_retention" ->
-      """WITH um AS (
-        |  SELECT DISTINCT user_id, CAST(year(ts) * 12 + month(ts) AS BIGINT) AS um FROM events
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS d FROM events
         |), c AS (
-        |  SELECT user_id, um, min(um) OVER (PARTITION BY user_id) AS cohort FROM um
+        |  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort FROM ud
         |)
-        |SELECT cohort, um - cohort AS month_offset, CAST(count(*) AS BIGINT) AS n_users
-        |FROM c GROUP BY cohort, month_offset
-        |ORDER BY cohort, month_offset""".stripMargin,
+        |SELECT cohort AS cohort_day, d - cohort AS day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY cohort, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
 
     "q104_basket_pairs" ->
       """WITH d AS (

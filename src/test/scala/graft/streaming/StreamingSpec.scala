@@ -95,6 +95,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("withStreamingConf: RocksDB provider really backs the state store; parent session untouched") {
+    import scala.jdk.CollectionConverters._
+    val parentPart = spark.conf.get("spark.sql.shuffle.partitions")
+    graft.QuerySuite.withStreamingConf(spark) { s =>
+      // the child session carries the streaming conf...
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "4")
+      assert(s.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .endsWith("RocksDBStateStoreProvider"))
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val source = MemoryStream[KeyedEvent]
+      val q = StreamingLatest.latestPerKey(source.toDS())
+        .writeStream.format("memory").queryName("rocksdb_spec_out")
+        .outputMode("update")
+        .start()
+      try {
+        source.addData(
+          KeyedEvent(1L, new java.sql.Timestamp(2000L), 2L, "e", 2.0),
+          KeyedEvent(1L, new java.sql.Timestamp(1000L), 1L, "e", 1.0))
+        q.processAllAvailable()
+        // ...and the running query's state operator reports RocksDB-specific
+        // metrics — proof the provider is engaged, not merely configured
+        val prog = q.recentProgress.reverse.find(_.stateOperators.nonEmpty).get
+        val metricKeys = prog.stateOperators(0).customMetrics.keySet().asScala
+        assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+          s"state operator must expose RocksDB metrics, got: $metricKeys")
+        // correctness unchanged under the provider swap: out-of-order input,
+        // event-time argmax wins
+        val out = LatestPerKey.viaMaxBy(s.table("rocksdb_spec_out"),
+            Seq("user_id"), "ts", Seq("event_id"))
+          .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+        assert(out == Map(1L -> 2L))
+      } finally q.stop()
+    }
+    // the shared session never saw the streaming conf
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parentPart)
+    // (getOption surfaces the conf's DEFAULT — HDFSBacked — when unset)
+    assert(!spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDB"))
+  }
+
   test("TTL variant evicts quiet keys once the watermark passes their ttl") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
