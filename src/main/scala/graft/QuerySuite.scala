@@ -33,8 +33,8 @@ import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSe
   *    (`round(x*100)::BIGINT`), because a distributed double sum is
   *    order-dependent;
   *  - every result carries a total ORDER BY on both sides;
-  *  - `events.ts` (parquet TIMESTAMP-NANOS) is floored to µs on both sides
-  *    (see [[Tables.events]]).
+  *  - timestamps are naive-µs parquet read as UTC instants on both sides
+  *    (see [[Tables]] class doc).
   */
 object QuerySuite {
 
@@ -73,6 +73,15 @@ object QuerySuite {
     * shared session's conf is never touched. */
   private[graft] def withStreamingConf[T](outer: SparkSession)(body: SparkSession => T): T = {
     val s = outer.newSession()
+    // `newSession()` starts from the GLOBAL SQLConf defaults, not from the
+    // caller's runtime conf — copy the caller's effective SQL settings
+    // (session timezone, parquet timestamp handling, ...) so a streaming
+    // query's batch-side reads see the same world as everyone else's.
+    // Static/core entries refuse runtime set — skip them.
+    outer.conf.getAll.foreach { case (k, v) =>
+      try s.conf.set(k, v) catch { case _: Exception => () }
+    }
+    Tables.configureTimestamps(s)
     s.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
     if (!sys.env.get("SPARK_GRAFT_STREAM_STATE_PROVIDER").contains("hdfs"))
@@ -204,17 +213,13 @@ object QuerySuite {
         .select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
-    // ---- P1+P2: projection + inclusive time-range (SURVEY §2.3). The
-    //      redundant raw-nanos bound is what actually reaches the parquet
-    //      scan (PushedFilters → row-group skipping); the `ts` BETWEEN is
-    //      the exact semantic filter. Asserted by PlanPropertiesSpec ----
+    // ---- P1+P2: projection + inclusive time-range (SURVEY §2.3). `ts` is
+    //      a plain parquet timestamp column now, so the BETWEEN bound
+    //      itself reaches the scan (PushedFilters → row-group stats
+    //      skipping — the thing that makes a time-range scan cheap at
+    //      100 TB). Asserted by PlanPropertiesSpec ----
     "q03_time_range" -> ((s, dir) => {
-      val loMicros = java.time.LocalDateTime.parse("2024-01-10T00:00:00")
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
-      val hiMicros = java.time.LocalDateTime.parse("2024-01-20T23:59:59")
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L
-      Tables.eventsWithRawTs(s, dir)
-        .filter(col("ts_ns").between(loMicros * 1000L, hiMicros * 1000L + 999L))
+      Tables.events(s, dir)
         .filter(col("ts").between(
           lit("2024-01-10 00:00:00").cast(TimestampType),
           lit("2024-01-20 23:59:59").cast(TimestampType)))
@@ -308,12 +313,11 @@ object QuerySuite {
     // ---- A1 form ③: stateful streaming latest-per-key (SURVEY §2.8) ----
     "q11_streaming_latest" -> ((s, dir) => withStreamingConf(s) { s =>
       import s.implicits._
-      Tables.enableNanosAsLong(s)
-      val stream = s.readStream.schema(Tables.eventsNsSchema)
+      val stream = s.readStream.schema(Tables.eventsSchema)
         .parquet(stageStreamDir(dir, "events"))
         .select(
           col("user_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts"),
           col("event_id"), col("event_type"), col("value"))
         .as[KeyedEvent]
       val qname = s"q11_out_${System.nanoTime()}" // unique: Verify runs queries concurrently
@@ -813,9 +817,9 @@ object QuerySuite {
 
     // ---- streaming tumbling-window aggregation (watermark + window) ----
     "q34_stream_window" -> ((s, dir) => withStreamingConf(s) { s =>
-      val stream = s.readStream.schema(Tables.eventsNsSchema)
+      val stream = s.readStream.schema(Tables.eventsSchema)
         .parquet(stageStreamDir(dir, "events"))
-        .select(expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"))
+        .select(col("ts"), col("event_type"))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -841,7 +845,7 @@ object QuerySuite {
           Tables.events(s, dir).filter(col("event_type") === "purchase"),
           Seq("user_id"), "ts", Seq("event_id"))
         .select(col("user_id"), col("value").as("last_purchase_value"))
-      val stream = s.readStream.schema(Tables.eventsNsSchema)
+      val stream = s.readStream.schema(Tables.eventsSchema)
         .parquet(stageStreamDir(dir, "events"))
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"))
@@ -869,9 +873,9 @@ object QuerySuite {
     //      deterministically with controlled batches) ----
     "q84_stream_sessionize" -> ((s, dir) => withStreamingConf(s) { s =>
       import s.implicits._
-      val stream = s.readStream.schema(Tables.eventsNsSchema)
+      val stream = s.readStream.schema(Tables.eventsSchema)
         .parquet(stageStreamDir(dir, "events"))
-        .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        .select(col("user_id"), col("ts"),
           col("event_id"), col("event_type"), col("value"))
         .as[KeyedEvent]
       val qname = s"q84_out_${System.nanoTime()}"
@@ -896,16 +900,16 @@ object QuerySuite {
     //      join → matched pairs append as soon as both sides arrive ----
     "q68_stream_join" -> ((s, dir) => withStreamingConf(s) { s =>
       val src = stageStreamDir(dir, "events")
-      def side(tpe: String) = s.readStream.schema(Tables.eventsNsSchema)
+      def side(tpe: String) = s.readStream.schema(Tables.eventsSchema)
         .parquet(src)
         .filter(col("event_type") === tpe)
       val p = side("purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          expr("timestamp_micros(ts div 1000)").as("p_ts"))
+          col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
       val c = side("click")
         .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          expr("timestamp_micros(ts div 1000)").as("c_ts"))
+          col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
       val joined = p.join(c,
         col("p_user") === col("c_user") &&
@@ -933,16 +937,16 @@ object QuerySuite {
     //      watermark-guaranteed — the oracle applies the identical cut ----
     "q95_stream_outer_join" -> ((s, dir) => withStreamingConf(s) { s =>
       val src = stageStreamDir(dir, "events")
-      def side(tpe: String) = s.readStream.schema(Tables.eventsNsSchema)
+      def side(tpe: String) = s.readStream.schema(Tables.eventsSchema)
         .parquet(src)
         .filter(col("event_type") === tpe)
       val p = side("purchase")
         .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-          expr("timestamp_micros(ts div 1000)").as("p_ts"))
+          col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 hour")
       val c = side("click")
         .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          expr("timestamp_micros(ts div 1000)").as("c_ts"))
+          col("ts").as("c_ts"))
         .withWatermark("c_ts", "1 hour")
       val joined = p.join(c,
         col("p_user") === col("c_user") &&
@@ -980,7 +984,7 @@ object QuerySuite {
     //      StreamingLatest.latestPerKeyWithTTL). Output is the key SET,
     //      which is deterministic and exactly batch DISTINCT ----
     "q57_stream_dedup" -> ((s, dir) => withStreamingConf(s) { s =>
-      val stream = s.readStream.schema(Tables.eventsNsSchema)
+      val stream = s.readStream.schema(Tables.eventsSchema)
         .parquet(stageStreamDir(dir, "events"))
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
@@ -1901,10 +1905,9 @@ object QuerySuite {
     //      AvailableNow batch); late-beyond-watermark duplicates would
     //      legitimately re-emit — that is the documented trade ----
     "q106_stream_dedup_wm" -> ((s, dir) => withStreamingConf(s) { s =>
-      val stream = s.readStream.schema(Tables.eventsNsSchema)
+      val stream = s.readStream.schema(Tables.eventsSchema)
         .parquet(stageStreamDir(dir, "events"))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .withWatermark("ts", "1 hour")
+                .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
       val qname = s"q106_out_${System.nanoTime()}"
@@ -2058,17 +2061,26 @@ object QuerySuite {
       val d = c.groupBy("token").agg(sum("c").as("d"))
       val n = c.groupBy("source").agg(sum("c").as("n"))
       val m = d.agg(sum("d").as("m"))
+      // the per-term products scale as (corpus token count)² — c·m is
+      // ~10²⁷ already at trillion-token corpora, and their SUM leaves Long
+      // range long before 100 TB. DuckDB silently promotes to HUGEINT;
+      // Spark (non-ANSI) would silently wrap. DECIMAL(38,0) intermediates
+      // keep the algebra exact on both engines to ~10³⁸ — far past any
+      // real corpus — and the final ppm values still fit BIGINT
       c.join(d, "token")
         .join(broadcast(n), "source")
         .crossJoin(broadcast(m))
         .groupBy("source")
         .agg(max("n").as("n_tok"), max("m").as("m_tot"),
-          sum(abs(col("c") * col("m") - col("d") * col("n"))).as("sum_abs"),
-          sum(col("d") * col("n")).as("sum_dn"),
-          sum(col("c") * col("c")).as("sum_c2"))
+          sum(abs(col("c").cast("decimal(38,0)") * col("m") -
+            col("d").cast("decimal(38,0)") * col("n"))).as("sum_abs"),
+          sum(col("d").cast("decimal(38,0)") * col("n")).as("sum_dn"),
+          sum(col("c").cast("decimal(38,0)") * col("c")).as("sum_c2"))
         .selectExpr("source", "CAST(n_tok AS BIGINT) AS n_tokens",
-          "CAST((n_tok * n_tok - sum_c2) * 1000000 div (n_tok * n_tok) AS BIGINT) AS simpson_ppm",
-          "CAST((sum_abs + m_tot * n_tok - sum_dn) * 500000 div (n_tok * m_tot) AS BIGINT) AS tv_ppm")
+          "CAST((CAST(n_tok AS DECIMAL(38,0)) * n_tok - sum_c2) * 1000000" +
+            " div (CAST(n_tok AS DECIMAL(38,0)) * n_tok) AS BIGINT) AS simpson_ppm",
+          "CAST((sum_abs + CAST(m_tot AS DECIMAL(38,0)) * n_tok - sum_dn) * 500000" +
+            " div (CAST(n_tok AS DECIMAL(38,0)) * m_tot) AS BIGINT) AS tv_ppm")
         .orderBy("source")
     }),
 
@@ -2286,8 +2298,10 @@ object QuerySuite {
       // size the bitmap from the build-side cardinality (known at build
       // time — one map-side-combinable count): 8 bits/key with k=2 holds
       // the fp rate ~5% at EVERY sf, so both verdict paths (true member,
-      // false positive) fire deterministically at every shipped scale
-      val m = 8 * members.count().toInt
+      // false positive) fire deterministically at every shipped scale.
+      // Long arithmetic — 8 × count wraps Int past ~2.7×10⁸ members —
+      // and Bloom.build itself guards m ∈ (0, 2³¹]
+      val m = 8L * members.count()
       val bits = Bloom.build(members, "c_custkey", k = 2, m = m)
       val o = Tables.orders(s, dir)
       val verdicts = Bloom.mightContain(
@@ -4112,7 +4126,7 @@ object QuerySuite {
         |                                 i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END) AS gtoks
         |           FROM documents),
         |h AS (SELECT doc_id, list_distinct(list_transform(gtoks,
-        |        g -> ('0x' || substr(md5(g), 1, 8))::BIGINT)) AS toks FROM l),
+        |        g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS toks FROM l),
         |toks AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM h),
         |dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
         |ranked AS (

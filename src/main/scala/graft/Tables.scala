@@ -5,52 +5,50 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated scale corpus (`TESTDATA.md`,
-  * `/root/testdata/sf*`). One quirk: `events.ts` is parquet
-  * TIMESTAMP(NANOS), which Spark 4 refuses outright
-  * ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos via the
-  * `nanosAsLong` legacy conf and floor-divide to microseconds —
-  * exactly what DuckDB's µs TIMESTAMP does on the same file, so
-  * oracle comparisons agree to the microsecond.
+  * `/root/testdata/sf*`). One quirk: timestamp columns are parquet
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) — "naive" local timestamps,
+  * which Spark 4 infers as TIMESTAMP_NTZ by default. The whole engine
+  * (and the DuckDB oracle, whose TIMESTAMP is naive µs) treats them as
+  * UTC instants, so every session sets
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false` (the pre-3.4
+  * behavior): the columns read as plain TimestampType µs, values
+  * identical to the oracle's under the UTC session timezone, and range
+  * predicates on `ts` push straight into the parquet scan (row-group
+  * stats skipping — asserted by PlanPropertiesSpec).
+  *
+  * (Earlier corpus drops shipped events.ts as TIMESTAMP(NANOS), which
+  * needed a raw-long read + floor-divide workaround; the current drop is
+  * already µs, so the loaders are plain reads.)
   */
 object Tables {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read naive-µs parquet timestamps as TimestampType (see class doc).
+    * Runtime conf — safe to set per session, inherited by child sessions
+    * only via [[QuerySuite.withStreamingConf]]'s conf copy. */
+  def configureTimestamps(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
-  /** Raw events schema as stored (ts = int64 nanos) — needed for streaming
-    * reads, where the file source requires an explicit schema. */
-  val eventsNsSchema: StructType = StructType(Seq(
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configureTimestamps(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events schema as stored — needed for streaming reads, where the file
+    * source requires an explicit schema. `ts` is requested as
+    * TimestampType directly (µs in parquet; UTC-instant semantics per the
+    * class doc). */
+  val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def enableNanosAsLong(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-  /** events with `ts` as a proper TimestampType (µs, floored from nanos). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    enableNanosAsLong(spark)
+  /** events with `ts` as TimestampType (µs) — a plain read now; kept as
+    * the single loader seam so a future corpus type change is one edit. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
-
-  /** [[events]] plus the RAW nanos column (`ts_ns`). A predicate on the
-    * DERIVED `ts` cannot reach the parquet scan (only `IsNotNull` pushes
-    * through `timestamp_micros(... div ...)`), which forfeits row-group
-    * stats skipping — the thing that makes a time-range scan cheap at
-    * 100 TB. Range queries add a redundant bound on `ts_ns` (a plain long
-    * column, fully pushable) alongside the exact semantic filter on `ts`:
-    * for a µs bound [lo, hi] the equivalent nanos bound is
-    * [lo·1000, hi·1000 + 999] (µs values are floored nanos). */
-  def eventsWithRawTs(spark: SparkSession, dir: String): DataFrame = {
-    enableNanosAsLong(spark)
-    table(spark, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")

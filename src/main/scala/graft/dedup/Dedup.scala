@@ -115,21 +115,35 @@ object Dedup {
   private def verifyJaccard(
       candidates: DataFrame,
       sets: DataFrame, // (doc_id, hs: array<long>)
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      rational: Option[(Int, Int)] = None): DataFrame = {
     // extra candidate columns (e.g. incremental's new-batch tags) pass through
     val extra = candidates.columns.filterNot(Set("id_a", "id_b")).toSeq.map(col)
-    candidates
+    val scored = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
       .select(Seq(col("id_a"), col("id_b")) ++ extra ++ Seq(
         // native merge walk (SortedIntersectSize): sets are sorted once at
         // BUILD time, so the per-PAIR cost is O(n+m) with no hash set and
         // no intersection array — this expression runs once per candidate
-        SortedIntersectSize(col("h_a"), col("h_b")).cast("double").as("inter"),
-        (size(col("h_a")) + size(col("h_b"))).cast("double").as("tot")): _*)
-      .filter(col("inter") * (1.0 + threshold) >= lit(threshold) * col("tot"))
-      .select(Seq(col("id_a"), col("id_b")) ++ extra :+
-        round(col("inter") / (col("tot") - col("inter")), 6).as("jaccard"): _*)
+        SortedIntersectSize(col("h_a"), col("h_b")).cast("long").as("inter"),
+        (size(col("h_a")) + size(col("h_b"))).cast("long").as("tot")): _*)
+    // callers with an exact RATIONAL threshold tn/td (prefixFilterJaccard)
+    // filter in pure long algebra — J = i/(tot−i) ≥ tn/td ⟺ (tn+td)·i ≥
+    // tn·tot — so an exact-boundary pair (td·i == tn·(tot−i)) can never be
+    // dropped by a ~0.25-ulp double rounding that an integer-exact oracle
+    // would keep. Double-threshold callers keep the double form (their
+    // thresholds aren't rationals of the set sizes, so no boundary exists)
+    val kept = rational match {
+      case Some((tn, td)) =>
+        scored.filter(col("inter") * (tn.toLong + td.toLong) >= col("tot") * tn.toLong)
+      case None =>
+        scored.filter(col("inter").cast("double") * (1.0 + threshold) >=
+          lit(threshold) * col("tot").cast("double"))
+    }
+    kept.select(Seq(col("id_a"), col("id_b")) ++ extra :+
+      round(col("inter").cast("double") /
+        (col("tot") - col("inter")).cast("double"), 6).as("jaccard"): _*)
   }
 
   /** The minhash signature frame (doc_id, hs, band_keys): shingles are
@@ -532,8 +546,12 @@ object Dedup {
     *     one, so overlap ≤ 1 + min(|a|−i, |b|−j) at the first collision
     *     positions (i, j) — require that to reach the needed overlap
     *     ceil(tn·(|a|+|b|)/(tn+td)).
-    * The threshold is a RATIONAL tn/td so every prune is integer algebra,
-    * mirrored exactly by the oracle.
+    * The threshold is a RATIONAL tn/td so every prune AND the final
+    * verification compare in exact integer algebra, mirrored exactly by
+    * the oracle (boundary pairs with td·inter == tn·(tot−inter) are kept
+    * identically on both engines — no fp rounding in the decision).
+    * "Lossless" is exact up to token-hash merges: see the 60-bit token
+    * note below (~n²/2⁶¹ residual recall risk, oracle-mirrored).
     *
     * At scale: rarest-first ordering makes prefix buckets intrinsically
     * small (the df-hot grams sit outside every prefix), `maxBucket` still
@@ -556,16 +574,22 @@ object Dedup {
     require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
     val (tn, td) = (lit(thresholdNum.toLong), lit(thresholdDen.toLong))
 
-    // token = 32-bit md5 prefix of the gram: ENGINE-PORTABLE (an external
-    // oracle replays the identical ids), and 8-byte longs — not gram
-    // strings — are what every downstream shuffle moves. The ~n²/2³³
-    // hash-merges are mirrored identically by any engine and only ever ADD
-    // candidates; the 64-bit verification sets are computed separately.
+    // token = 60-bit md5 prefix of the gram (15 hex chars — the widest
+    // md5 prefix that still fits a signed BIGINT on every engine):
+    // ENGINE-PORTABLE (an external oracle replays the identical ids), and
+    // 8-byte longs — not gram strings — are what every downstream shuffle
+    // moves. A hash-merge of two grams is NOT recall-neutral: merging two
+    // grams common to both docs shrinks the hashed intersection relative
+    // to the hashed union, so a pair at true J ≥ t can in principle be
+    // pruned before the 64-bit verification ever sees it. At 60 bits that
+    // residual recall risk is ~n²/2⁶¹ per corpus — below any realistic
+    // noise floor (and mirrored identically by the oracle, which replays
+    // the same 60-bit ids).
     val gr = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
       .select(col("doc_id"), charNgrams(col("__lt"), n).as("g"))
       .select(col("doc_id"),
         array_distinct(transform(col("g"),
-          g => conv(substring(md5(g), 1, 8), 16, 10).cast("long"))).as("toks"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("toks"),
         array_sort(array_distinct(transform(col("g"),
           g => xxhash64Seeded(17L, g)))).as("hs"))
       .persist()
@@ -583,11 +607,13 @@ object Dedup {
     val prefix = toks.join(dfs, "tok")
       .groupBy("doc_id", "sz")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      // prefix length p = sz − ceil(tn·sz/td) + 1, integer ceil
+      // prefix length p = sz − ceil(tn·sz/td) + 1; integer `div`, not
+      // double `/`: the double quotient's truncation is only exact to 2⁵³
+      // and this ceil must match the oracle's integer `//` bit-for-bit
       .select(col("doc_id"), col("sz"),
         posexplode(slice(transform(col("ord"), s => s.getField("tok")), lit(1),
-          (col("sz") - (tn * col("sz") + td - 1).divide(td).cast("long") + 1)
-            .cast("int"))).as(Seq("pos", "tok")))
+          expr(s"CAST(sz - ($thresholdNum * sz + $thresholdDen - 1)" +
+            s" div $thresholdDen + 1 AS INT)"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("rn"), col("tok"))
 
     val buckets = prefix
@@ -614,15 +640,17 @@ object Dedup {
       .filter(td * least(col("sz_a"), col("sz_b")) >=
         tn * greatest(col("sz_a"), col("sz_b")))
       // position filter: overlap ≤ 1 + min(sz_a − rn_a, sz_b − rn_b) must
-      // reach ceil(tn·(sz_a+sz_b)/(tn+td))
+      // reach ceil(tn·(sz_a+sz_b)/(tn+td)) — integer `div` for the same
+      // exact-ceil reason as the prefix slice
       .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
-        (tn * (col("sz_a") + col("sz_b")) + tn + td - 1)
-          .divide(tn + td).cast("long"))
+        expr(s"($thresholdNum * (sz_a + sz_b) + ${thresholdNum + thresholdDen} - 1)" +
+          s" div ${thresholdNum + thresholdDen}"))
       .select(col("id_a"), col("id_b"))
       .distinct()
 
     val out = verifyJaccard(candidates, sets,
-      thresholdNum.toDouble / thresholdDen)
+      thresholdNum.toDouble / thresholdDen,
+      rational = Some((thresholdNum, thresholdDen)))
     eager(out, () => { gr.unpersist(false): Unit })
   }
 

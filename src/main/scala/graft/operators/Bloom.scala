@@ -26,20 +26,35 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
+  /** Guard shared by build/mightContain: m must be a usable modulus. The
+    * upper bound keeps the "bitmap" honest — the filter IS a ≤ m-row
+    * broadcast table, so m beyond ~2³¹ set positions stops being a
+    * broadcastable sketch and the caller should shard or sample instead.
+    * Long, not Int: sizing from a build-side `count()` (a Long) must not
+    * silently wrap (8 × count overflows Int already at ~2.7×10⁸ keys,
+    * turning `% m` into negative garbage positions). */
+  private val maxReasonableBits = 1L << 31
+  private def checkM(m: Long): Unit =
+    require(m > 0 && m <= maxReasonableBits,
+      s"bloom bitmap size m=$m out of range (0, $maxReasonableBits]")
+
   /** Bit position of `key` under hash row `i`, in [0, m). */
-  def bitPos(key: Column, i: Int, m: Int): Column =
+  def bitPos(key: Column, i: Int, m: Long): Column =
     (conv(substring(md5(concat_ws(":", lit(i), key.cast("string"))), 1, 8),
       16, 10).cast("long") % m).cast("long")
 
   /** The filter: distinct set-bit positions — at most m rows. */
-  def build(df: DataFrame, key: String, k: Int, m: Int): DataFrame =
+  def build(df: DataFrame, key: String, k: Int, m: Long): DataFrame = {
+    checkM(m)
     (0 until k).map(i => df.select(bitPos(col(key), i, m).as("bit")))
       .reduce(_ unionAll _).distinct()
+  }
 
   /** Per distinct probe key: `might_contain` = all k bits set. `bits` is
     * broadcast (≤ m rows by construction). */
   def mightContain(probes: DataFrame, key: String, bits: DataFrame,
-      k: Int, m: Int): DataFrame = {
+      k: Int, m: Long): DataFrame = {
+    checkM(m)
     val exploded = probes.select(col(key)).where(col(key).isNotNull).distinct()
       .select(col(key),
         explode(array((0 until k).map(i => bitPos(col(key), i, m)): _*)).as("bit"))

@@ -54,7 +54,11 @@ object DataQuality {
       .select(col("check_name"),
         col("n_violations"),
         col("__n").as("n_rows"),
-        (col("n_violations") * 1000000L / col("__n")).cast("long").as("violation_ppm"),
+        // integer `div`, not `/`: Column `/` is double division, and a
+        // truncated double quotient can be 1 ppm off the exact integer
+        // result once n_violations·10⁶ exceeds 2⁵³ — `div` keeps the
+        // "bit-identical on any engine" contract exact at every scale
+        expr("n_violations * 1000000 div __n").as("violation_ppm"),
         (col("n_violations") === 0).as("pass"))
   }
 

@@ -70,10 +70,10 @@ class PlanPropertiesSpec extends SparkSpec {
       s"latest-per-key must combine map-side:\n$plan")
   }
 
-  test("q03 pushes the raw-nanos time-range bound into the parquet scan") {
+  test("q03 pushes the ts time-range bound into the parquet scan") {
     val plan = SparkEntry.queries("q03_time_range")(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThanOrEqual(ts,"),
-      s"raw-nanos range must reach the scan (PushedFilters):\n$plan")
+      s"ts range must reach the scan (PushedFilters):\n$plan")
   }
 
   test("q63 aggregates bigram counts with map-side partials; token arrays never shuffle") {
