@@ -35,6 +35,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // corpus timestamps are naive-µs parquet — see Tables class doc
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -2467,6 +2467,26 @@ object QuerySuite {
         .filter(col("rk") <= col("alloc"))
         .select(col("o_orderkey"), col("n_name"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
+    //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
+    //      and rewritten by the injected analyzer rule into the identical
+    //      union-then-window plan — proving J2 is reachable from
+    //      spark.sql(), not only the library API. Shares q04's oracle
+    //      verbatim (same semantics by construction) ----
+    "q133_asof_sql" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("q133_events")
+      s.sql("""
+        WITH v AS (SELECT event_id, user_id, ts, value FROM q133_events
+                   WHERE event_type = 'view'),
+             p AS (SELECT event_id, user_id, ts, value FROM q133_events
+                   WHERE event_type = 'purchase')
+        SELECT v.event_id, v.user_id, v.ts, v.value,
+               asof_event_id, asof_value, asof_ts
+        FROM v LEFT JOIN p
+          ON asof_on(v.user_id, p.user_id, v.ts, p.ts, p.event_id)
+        ORDER BY v.event_id""")
     })
   )
 
@@ -4238,6 +4258,10 @@ object QuerySuite {
         |       FROM j)
         |SELECT rk.o_orderkey, rk.n_name
         |FROM rk JOIN r USING (n_name) WHERE rk.rk <= r.alloc
-        |ORDER BY rk.o_orderkey""".stripMargin
+        |ORDER BY rk.o_orderkey""".stripMargin,
+
+    // identical semantics to q04 by construction (the analyzer rewrite
+    // builds the same plan the q04 library call builds) — oracle shared
+    "q133_asof_sql" -> asofOracle
   )
 }

@@ -17,13 +17,16 @@ import graft.functions.{CosineSimilarity, GraftFunctions, SortedIntersectSize}
   *
   * Scope note (SURVEY.md §7 "Custom Catalyst work: none required"): every
   * reference operator maps to Spark built-ins, so this deliberately stops at
-  * function injection — no custom Rule/Strategy is planned unless an operator
-  * shows up that composition can't express.
+  * function injection plus ONE analyzer rule — [[AsOfSqlRule]], which makes
+  * the as-of join (the one whole-operator semantic a single expression can't
+  * carry) reachable from SQL text via the `asof_on` marker; see [[AsOfSql]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    ext.injectResolutionRule(AsOfSqlRule)
+  }
 }
 
 object GraftExtensions {
@@ -95,8 +98,15 @@ object GraftExtensions {
         Literal(n.toLong)), LongType)
     })
 
+  private[plans] val asofOnDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("asof_on"),
+    new ExpressionInfo(classOf[AsOfSql.AsOfOn].getName, null, "asof_on"),
+    (args: Seq[Expression]) => AsOfSql.AsOfOn(args))
+
   private[plans] val all = Seq(
-    cosineSimDescriptor, sortedIntersectDescriptor, zOrderDescriptor, hashSplitDescriptor)
+    cosineSimDescriptor, sortedIntersectDescriptor, zOrderDescriptor,
+    hashSplitDescriptor, asofOnDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

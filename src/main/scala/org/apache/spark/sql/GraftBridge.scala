@@ -11,6 +11,13 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap an analyzed LogicalPlan as a DataFrame (private[sql]
+    * `classic.Dataset.ofRows`) — lets an analyzer Rule hand a plan subtree
+    * to graft's DataFrame-level operators and splice the result back. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Release the block-manager storage behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only covers `cache()`/`persist()`; a local checkpoint
     * pins its materialized RDD until the session dies — in a long session

@@ -43,4 +43,77 @@ class GraftExtensionsSpec extends SparkSpec {
       spark.sql("SELECT zorder2(1, 2, CAST(rand()*4 AS INT))").collect()
     }
   }
+
+  // ---- asof_on SQL surface (AsOfSql.scala). The session is built with
+  //      spark.sql.extensions=GraftExtensions (SparkSpec), so the analyzer
+  //      rule is active; GraftExtensions.register alone cannot add rules.
+
+  private def asofFixture(): Unit = {
+    import spark.implicits._
+    // left: probes at t=5,15,25 for two keys; right: updates at t=10,20
+    Seq((1L, 5L), (1L, 15L), (1L, 25L), (2L, 15L))
+      .toDF("k", "t").selectExpr("k", "timestamp_micros(t * 1000000) AS t")
+      .createOrReplaceTempView("asof_l")
+    Seq((1L, 10L, "a", 1), (1L, 20L, "b", 2), (1L, 10L, "c", 3), (9L, 1L, "z", 9))
+      .toDF("k", "t", "v", "tb")
+      .selectExpr("k", "timestamp_micros(t * 1000000) AS t", "v", "tb")
+      .createOrReplaceTempView("asof_r")
+  }
+
+  test("asof_on rewrites a marked LEFT JOIN to the library as-of plan (SQL ≡ Column API)") {
+    asofFixture()
+    val sql = spark.sql("""
+      SELECT l.k, l.t, asof_v, asof_tb, asof_t
+      FROM asof_l l LEFT JOIN asof_r r ON asof_on(l.k, r.k, l.t, r.t, r.tb)
+      ORDER BY l.k, l.t""")
+    val lib = graft.operators.AsOfJoin.backward(
+        spark.table("asof_l"), spark.table("asof_r"),
+        leftKey = "k", rightKey = "k", leftTime = "t", rightTime = "t",
+        rightTiebreak = "tb", rightValueCols = Seq("v", "tb"))
+      .select("k", "t", "asof_v", "asof_tb", "asof_t")
+      .orderBy("k", "t")
+    assert(sql.collect().toSeq == lib.collect().toSeq)
+    // semantics spot-check: t=15 → the t=10 row with max tiebreak (c,3);
+    // key 2 never matches; the marker is gone from the analyzed plan
+    val rows = sql.collect()
+    assert(rows.map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+      Option(r.getString(2)))).toSeq == Seq(
+      (1L, 5L, None), (1L, 15L, Some("c")), (1L, 25L, Some("b")),
+      (2L, 15L, None)))
+    assert(!sql.queryExecution.analyzed.toString.contains("asof_on"))
+  }
+
+  test("asof_on inlines WITH-defined join inputs, including one CTE used by both sides") {
+    asofFixture()
+    val sql = spark.sql("""
+      WITH base AS (SELECT k, t, CAST(NULL AS STRING) AS v, 0 AS tb FROM asof_l
+                    UNION ALL SELECT k, t, v, tb FROM asof_r),
+           l AS (SELECT k, t FROM base WHERE v IS NULL),
+           r AS (SELECT k, t, v, tb FROM base WHERE v IS NOT NULL)
+      SELECT l.k, l.t, asof_v
+      FROM l LEFT JOIN r ON asof_on(l.k, r.k, l.t, r.t, r.tb)
+      ORDER BY l.k, l.t""")
+    assert(sql.collect().map(r => Option(r.getString(2))).toSeq ==
+      Seq(None, Some("c"), Some("b"), None))
+  }
+
+  test("asof_on honors a tolerance literal and rejects non-LEFT joins") {
+    asofFixture()
+    // 6s tolerance: t=15 still matches t=10 (5s stale); t=25 loses t=20? no —
+    // 5s stale too, but t=25 vs t=10 would be 15s: only the argmax row counts
+    val tol = spark.sql("""
+      SELECT l.k, l.t, asof_v
+      FROM asof_l l LEFT JOIN asof_r r ON asof_on(l.k, r.k, l.t, r.t, r.tb, '6 seconds')
+      ORDER BY l.k, l.t""").collect().map(r => Option(r.getString(2))).toSeq
+    assert(tol == Seq(None, Some("c"), Some("b"), None))
+    val tight = spark.sql("""
+      SELECT l.k, l.t, asof_v
+      FROM asof_l l LEFT JOIN asof_r r ON asof_on(l.k, r.k, l.t, r.t, r.tb, '3 seconds')
+      ORDER BY l.k, l.t""").collect().map(r => Option(r.getString(2))).toSeq
+    assert(tight == Seq(None, None, None, None)) // every match >3s stale → nulled
+    intercept[Exception] {
+      spark.sql("""SELECT l.k FROM asof_l l JOIN asof_r r
+        ON asof_on(l.k, r.k, l.t, r.t, r.tb)""").collect()
+    }
+  }
 }
