@@ -493,10 +493,17 @@ object QuerySuite {
     //      here (500–50k vectors); at scale pass fitSampleFraction < 1 so the
     //      quantizer trains on a sample while assignment stays one full pass.
     //      Probe candidates dumped; the oracle re-scores and re-ranks them ----
+    //      nProbe=8 of nCells=16: the shipped embeddings corpus is
+    //      near-uniform on the cosine sphere (SimilaritySpec's corpus
+    //      recall gate measured recall ≈ fraction-of-cells-probed: 0.58 at
+    //      4/16, 0.84 at 8/16, 0.96 at 12/16), so the economical 4/16
+    //      default for clustered real-world embeddings under-recalls here.
+    //      On clusterable data the dial goes back down — that trade, not a
+    //      fixed setting, is the operator ----
     "q18_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4, excludeSelf = true,
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 8, excludeSelf = true,
           candidateSink = Some(aux(dir, "q18_candidates")))
         .orderBy("query_id", "nbr_rank")
     }),
