@@ -2476,6 +2476,30 @@ object QuerySuite {
         .orderBy("o_orderkey")
     }),
 
+    // ---- A1 form ④: latest-per-key on transformWithState (Spark 4's
+    //      arbitrary-state API — typed named state handles, declarative
+    //      TTL, RocksDB-only). Same argmax semantics and collapse
+    //      convention as q11, same oracle; the runtime difference is WHERE
+    //      state lives (disk-backed + changelog vs heap) and that TTL is a
+    //      config, not hand-rolled timer bookkeeping ----
+    "q134_latest_tws" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val qname = s"q134_out_${System.nanoTime()}"
+      val q = StreamingLatest.latestPerKeyTWS(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q134_ckpt_"))
+        .start()
+      q.awaitTermination()
+      LatestPerKey.viaMaxBy(s.table(qname), Seq("user_id"), "ts", Seq("event_id"))
+        .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
     // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
     //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
     //      and rewritten by the injected analyzer rule into the identical
@@ -2635,6 +2659,7 @@ object QuerySuite {
     "q41_latest_salted" -> latestOracle,
     "q10_feature_store_e2e" -> latestOracle,
     "q11_streaming_latest" -> latestOracle,
+    "q134_latest_tws" -> latestOracle,
 
     "q03_time_range" ->
       """SELECT event_id, user_id, ts, value FROM events

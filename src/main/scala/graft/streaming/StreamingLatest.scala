@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery,
-  Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor,
+  StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.core.{FeatureGroup, FeatureStore}
 
@@ -157,5 +157,71 @@ object StreamingLatest {
   private def max(a: KeyedEvent, b: KeyedEvent): KeyedEvent = {
     val c = a.ts.compareTo(b.ts)
     if (c > 0 || (c == 0 && a.event_id >= b.event_id)) a else b
+  }
+
+  /** [[latestPerKey]] on `transformWithState` (Spark 4's arbitrary-state
+    * API, the successor to `mapGroupsWithState`): identical argmax
+    * semantics, with the differences that matter at 100 TB —
+    *   - state lives in named, TYPED handles ([[org.apache.spark.sql
+    *     .streaming.ValueState]]) on the RocksDB provider (the API refuses
+    *     the HDFS heap provider outright), so per-key state is
+    *     disk-backed + changelogged instead of executor heap;
+    *   - state TTL is declarative ([[org.apache.spark.sql.streaming
+    *     .TTLConfig]]) — the runtime expires quiet keys, replacing
+    *     [[latestPerKeyWithTTL]]'s hand-rolled timeout bookkeeping;
+    *   - state schema is registered and evolvable (add a field to the
+    *     state type without discarding the checkpoint).
+    * Output mode Update: one row per key per micro-batch it appears in,
+    * exactly like [[latestPerKey]] — the two forms share q11's collapse
+    * convention and oracle.
+    *
+    * @param ttl expire a key's state this long after its last WRITE
+    *            (processing time — TWS TTL is wall-clock, unlike the
+    *            event-time eviction in [[latestPerKeyWithTTL]]); None =
+    *            keep forever (the q11 bounded-drain mode).
+    *            CAVEAT: TTL forces TimeMode.ProcessingTime, in which
+    *            Spark's `shouldRunAnotherBatch` returns true after EVERY
+    *            batch (the operator always wants another chance to advance
+    *            its clock) — so a TTL query never drains under
+    *            `Trigger.AvailableNow` and busy-loops under the default
+    *            0-interval trigger. Run TTL queries with an interval
+    *            `ProcessingTime` trigger and stop them explicitly; the
+    *            no-TTL form drains normally.
+    */
+  def latestPerKeyTWS(events: Dataset[KeyedEvent],
+      ttl: Option[java.time.Duration] = None): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    // encoder materialized ONCE here on the driver and captured by the
+    // processor: deriving it inside init() would run Scala runtime
+    // reflection on every executor task thread, which serializes on a
+    // global TypeTag lock (measured: all tasks blocked for minutes under
+    // a REPL/test classloader)
+    val enc = implicitly[org.apache.spark.sql.Encoder[KeyedEvent]]
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestProcessor(ttl, enc),
+        // TTL is wall-clock, so the engine requires ProcessingTime mode to
+        // stamp state writes; without TTL, no clock is needed at all
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** The [[latestPerKeyTWS]] state machine: one ValueState holding the
+    * current argmax record per key. */
+  private class LatestProcessor(ttl: Option[java.time.Duration],
+      enc: org.apache.spark.sql.Encoder[KeyedEvent])
+      extends StatefulProcessor[Long, KeyedEvent, KeyedEvent] {
+    @transient private var best: ValueState[KeyedEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      best = getHandle.getValueState[KeyedEvent]("best", enc,
+        ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[KeyedEvent] = {
+      val incoming = rows.reduceOption(max)
+      val winner = (Option(best.get()).toSeq ++ incoming.toSeq).reduce(max)
+      best.update(winner)
+      Iterator.single(winner)
+    }
   }
 }

@@ -95,6 +95,75 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState latest-per-key == batch argmax; declarative TTL forgets quiet keys") {
+    import scala.jdk.CollectionConverters._
+    graft.QuerySuite.withStreamingConf(spark) { s =>  // TWS requires RocksDB
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rng = new Random(7)
+      val events = Seq.tabulate(90) { i =>
+        KeyedEvent(rng.nextInt(8).toLong,
+          new java.sql.Timestamp(1700000000000L + rng.nextInt(20) * 1000L),
+          i.toLong, "e", rng.nextDouble())
+      }
+      val source = MemoryStream[KeyedEvent]
+      val q = StreamingLatest.latestPerKeyTWS(source.toDS())
+        .writeStream.format("memory").queryName("tws_spec_out")
+        .outputMode("update")
+        .start()
+      try {
+        rng.shuffle(events).grouped(30).foreach { b =>
+          source.addData(b); q.processAllAvailable()
+        }
+        val got = LatestPerKey.viaMaxBy(s.table("tws_spec_out"),
+            Seq("user_id"), "ts", Seq("event_id"))
+          .as[KeyedEvent].collect().map(e => (e.user_id, e.ts, e.event_id)).toSet
+        val expected = events.groupBy(_.user_id).map { case (k, es) =>
+          val best = es.maxBy(e => (e.ts.getTime, e.event_id))
+          (k, best.ts, best.event_id)
+        }.toSet
+        assert(got == expected)
+        // the modern API's state operator is live (TWS metrics present)
+        val prog = q.recentProgress.reverse.find(_.stateOperators.nonEmpty).get
+        assert(prog.stateOperators(0).operatorName.toLowerCase.contains("transformwithstate"),
+          s"expected a transformWithState operator, got ${prog.stateOperators(0).operatorName}")
+      } finally q.stop()
+
+      // TTL: with a 1 ms wall-clock TTL, state written for key 1 is expired
+      // by the time an event-time-OLDER record arrives — the older record
+      // must WIN, proving the state was expired, not consulted ("the key
+      // re-enters cold"; latest-per-key state is self-rebuilding, eviction
+      // only widens the re-warm window). The TTL form runs under an
+      // INTERVAL ProcessingTime trigger with sink-polling, never
+      // AvailableNow/processAllAvailable: in ProcessingTime mode the
+      // operator requests a follow-up batch after every batch (see the
+      // latestPerKeyTWS caveat), so drain-style waits never return
+      val src2 = MemoryStream[KeyedEvent]
+      val q2 = StreamingLatest.latestPerKeyTWS(src2.toDS(),
+          ttl = Some(java.time.Duration.ofMillis(1)))
+        .writeStream.format("memory").queryName("tws_ttl_out")
+        .outputMode("update")
+        .trigger(Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      try {
+        def waitForRows(n: Int): Set[(Long, Long)] = {
+          val deadline = System.currentTimeMillis + 60000
+          while (s.table("tws_ttl_out").count() < n &&
+            System.currentTimeMillis < deadline) Thread.sleep(100)
+          s.table("tws_ttl_out").as[KeyedEvent].collect()
+            .map(e => (e.ts.getTime, e.event_id)).toSet
+        }
+        src2.addData(KeyedEvent(1L, new java.sql.Timestamp(2000L), 10L, "e", 1.0))
+        assert(waitForRows(1) == Set((2000L, 10L)))
+        Thread.sleep(150) // TTL is 1 ms — state is stale well before this
+        src2.addData(KeyedEvent(1L, new java.sql.Timestamp(1000L), 5L, "e", 1.0))
+        val rows = waitForRows(2)
+        assert(rows == Set((2000L, 10L), (1000L, 5L)),
+          s"expired state must not suppress the older event: $rows")
+      } finally q2.stop()
+    }
+  }
+
   test("withStreamingConf: RocksDB provider really backs the state store; parent session untouched") {
     import scala.jdk.CollectionConverters._
     val parentPart = spark.conf.get("spark.sql.shuffle.partitions")
