@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingSessionize, StreamingSketch}
+import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingProfile, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -2500,6 +2500,105 @@ object QuerySuite {
         .select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
+    // ---- streaming per-key top-k on transformWithState ListState
+    //      (StreamingTopK.scala): best-3 purchase values per user kept
+    //      incrementally current; ≤ k rows of state per key BY CONSTRUCTION
+    //      (no TTL needed for boundedness). Emitted snapshots collapse by
+    //      re-ranking (every true top-k row is emitted at its arrival
+    //      batch — rank at arrival ≤ final rank); oracle is the plain
+    //      batch window row_number ≤ 3 ----
+    "q135_stream_topk" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val qname = s"q135_out_${System.nanoTime()}"
+      val q = StreamingTopK.topKPerKey(stream, k = 3)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q135_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname).distinct()
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("value").desc, col("event_id").desc)))
+        .filter(col("rank") <= 3)
+        .select(col("user_id"), col("rank").cast("long").as("rank"),
+          col("value"), col("event_id"))
+        .orderBy("user_id", "rank")
+    }),
+
+    // ---- semi-structured props via the VARIANT type (Spark 4): decode the
+    //      JSON ONCE into a variant column, then extract typed paths — the
+    //      decode-once/extract-many pattern that replaces N get_json_object
+    //      re-parses with one binary-encoded decode at scale. Aggregates in
+    //      exact integers; oracle re-derives via DuckDB JSON operators ----
+    "q136_variant_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("v", expr("parse_json(props)"))
+        .select(col("event_type"), expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          countDistinct(col("k")).as("n_k"))
+        .orderBy("event_type")
+    }),
+
+    // ---- streaming per-key profile on transformWithState MapState
+    //      (StreamingProfile): per-user event_type → count map updated in
+    //      place (point writes, not whole-blob rewrites). Counts only
+    //      grow, so max per (user, type) over the emitted updates IS the
+    //      final profile; oracle is the batch groupBy count ----
+    "q137_stream_profile" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val qname = s"q137_out_${System.nanoTime()}"
+      val q = StreamingProfile.profilePerKey(stream)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q137_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .groupBy("user_id", "event_type")
+        .agg(max(col("n")).as("n"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // ---- hierarchical ROLLUP (region → nation → grand total) in exact
+    //      cents with grouping_id: ONE aggregation pass serves all three
+    //      levels (partial aggregation collapses before the exchange at
+    //      every level) — the reporting shape that otherwise triples the
+    //      scan. NULLS FIRST pinned on both engines (default null order
+    //      differs between Spark and DuckDB) ----
+    "q138_rollup_revenue" -> ((s, dir) => {
+      // SQL text, not the .rollup() Dataset API: sorting a rollup's output
+      // by its grouping columns trips DetectAmbiguousSelfJoin (the grouping
+      // outputs carry the join inputs' dataset lineage); SQL-resolved plans
+      // carry no dataset-id metadata, and the plan is identical
+      Tables.orders(s, dir).createOrReplaceTempView("q138_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("q138_customer")
+      Tables.nation(s, dir).createOrReplaceTempView("q138_nation")
+      Tables.region(s, dir).createOrReplaceTempView("q138_region")
+      s.sql("""
+        SELECT r_name, n_name, CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n_orders, sum(cents) AS revenue_cents
+        FROM (SELECT r_name, n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM q138_orders o JOIN q138_customer cu ON o.o_custkey = cu.c_custkey
+                   JOIN q138_nation n ON cu.c_nationkey = n.n_nationkey
+                   JOIN q138_region r ON n.n_regionkey = r.r_regionkey) t
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+
     // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
     //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
     //      and rewritten by the injected analyzer rule into the identical
@@ -2660,6 +2759,40 @@ object QuerySuite {
     "q10_feature_store_e2e" -> latestOracle,
     "q11_streaming_latest" -> latestOracle,
     "q134_latest_tws" -> latestOracle,
+
+    "q135_stream_topk" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rank, value, event_id FROM (
+        |  SELECT user_id, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q136_variant_json" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |       CAST(count(DISTINCT k) AS BIGINT) AS n_k
+        |FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q137_stream_profile" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q138_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |       CAST(CASE WHEN GROUPING(r_name) = 1 THEN 3
+        |                 WHEN GROUPING(n_name) = 1 THEN 1 ELSE 0 END AS BIGINT) AS gid,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM (SELECT r_name, n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |      FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |                    JOIN nation n ON cu.c_nationkey = n.n_nationkey
+        |                    JOIN region r ON n.n_regionkey = r.r_regionkey) t
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
 
     "q03_time_range" ->
       """SELECT event_id, user_id, ts, value FROM events

@@ -319,6 +319,24 @@ class PlanPropertiesSpec extends SparkSpec {
       "the unpartitioned window must be the bucket-min carry, not a data window")
   }
 
+  test("q138 rollup: all three levels in ONE aggregation pass (Expand + single hash exchange)") {
+    val plan = SparkEntry.queries("q138_rollup_revenue")(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"rollup must plan as Expand, not a union of scans:\n$plan")
+    // one hash exchange for the grouped agg + the presentation sort's range
+    // exchange; the base joins broadcast (dims are tiny at every sf)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 1, s"rollup must aggregate in one shuffle:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"rollup must combine map-side before the exchange:\n$plan")
+  }
+
+  test("q136 variant: parquet scan reads only the two needed columns") {
+    val plan = SparkEntry.queries("q136_variant_json")(spark, sfDir).queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_type") && read.contains("props") && !read.contains("user_id"),
+      s"variant extraction must prune the scan to (event_type, props):\n$read")
+  }
+
   test("q127 prefix join: no exchange ever carries a string — grams shuffle as hashed longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType

@@ -52,6 +52,25 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got.head._3 == 1.0)
   }
 
+  test("a pair at EXACTLY the rational threshold J = 4/5 is kept (integer-exact verification)") {
+    // A and B are 16 chars differing only in the last: their 8-gram sets
+    // share positions 1..8 (chars 1..15 identical) and differ at position 9
+    // → |A| = |B| = 9, inter = 8, union = 10, J = 8/10 = 4/5 EXACTLY.
+    // The old double-arithmetic filter (inter·(1+t) >= t·tot) sat ~0.25 ulp
+    // from the boundary here; the rational long compare (9·inter >= 4·tot)
+    // keeps the pair unconditionally — mirroring the oracle's integer `//`
+    val docs = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnoq"))
+    val got = Dedup.prefixFilterJaccard(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq.map(p => (p._1, p._2)) == Seq((1L, 2L)),
+      s"exact-boundary pair must be kept: ${got.toSeq}")
+    assert(got.head._3 == 0.8)
+    // one gram further apart (15 shared chars → inter 7, union 11) is below
+    // threshold and must be dropped: the boundary is sharp on both sides
+    val below = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnqr"))
+    assert(Dedup.prefixFilterJaccard(below.toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+  }
+
   test("maxBucket cap drops flooded buckets (documented recall trade), never crashes") {
     // 30 identical docs: every prefix bucket holds all 30 — cap 5 drops them
     val docs = (1L to 30L).map(i => (i, "aaaabbbbccccddddeeee"))

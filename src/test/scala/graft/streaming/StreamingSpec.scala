@@ -164,6 +164,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming top-k (TWS ListState) over shuffled batches == batch window top-k") {
+    graft.QuerySuite.withStreamingConf(spark) { s =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val rng = new Random(99)
+      val events = Seq.tabulate(100) { i =>
+        KeyedEvent(rng.nextInt(6).toLong,
+          new java.sql.Timestamp(1700000000000L + i * 1000L),
+          i.toLong, "e", (rng.nextInt(50) / 10.0))  // coarse values force ties
+      }
+      val source = MemoryStream[KeyedEvent]
+      val q = StreamingTopK.topKPerKey(source.toDS(), k = 3)
+        .writeStream.format("memory").queryName("topk_spec_out")
+        .outputMode("update")
+        .start()
+      try {
+        rng.shuffle(events).grouped(25).foreach { b =>
+          source.addData(b); q.processAllAvailable()
+        }
+      } finally q.stop()
+      // collapse: re-rank the union of emitted snapshots
+      val got = s.table("topk_spec_out").distinct()
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy($"value".desc, $"event_id".desc)))
+        .filter($"rn" <= 3)
+        .select("user_id", "value", "event_id").as[(Long, Double, Long)]
+        .collect().toSet
+      val expected = events.groupBy(_.user_id).flatMap { case (k, es) =>
+        es.sortBy(e => (-e.value, -e.event_id)).take(3)
+          .map(e => (k, e.value, e.event_id))
+      }.toSet
+      assert(got == expected)
+    }
+  }
+
   test("withStreamingConf: RocksDB provider really backs the state store; parent session untouched") {
     import scala.jdk.CollectionConverters._
     val parentPart = spark.conf.get("spark.sql.shuffle.partitions")
