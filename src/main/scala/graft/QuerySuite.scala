@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingDedup, StreamingLatest, StreamingProfile, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -2599,6 +2599,30 @@ object QuerySuite {
         ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
     }),
 
+    // ---- streaming inactivity detection on TWS EVENT-TIME TIMERS
+    //      (StreamingInactivity): users quiet for 1 h of event time past
+    //      their last event emit once when the watermark proves it — the
+    //      churn/SLA primitive, via the engine's timer index instead of a
+    //      periodic full state scan. Exact integer-ms boundary algebra on
+    //      both engines (timers fire on timer_ms <= watermark_ms) ----
+    "q139_stream_inactive" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .withWatermark("ts", "600 seconds")
+        .select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val qname = s"q139_out_${System.nanoTime()}"
+      val q = StreamingInactivity.inactiveKeys(stream, gapMs = 3600000L)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q139_ckpt_"))
+        .start()
+      q.awaitTermination()
+      s.table(qname).select("user_id", "last_ts").orderBy("user_id")
+    }),
+
     // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
     //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
     //      and rewritten by the injected analyzer rule into the identical
@@ -2780,6 +2804,16 @@ object QuerySuite {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // integer-ms replay of the timer boundary: watermark_ms = floor_ms(max
+    // event ts) - 600000; a user fires iff floor_ms(last_ts) + 3600000 <=
+    // watermark_ms (Spark fires timers on timer_ms <= watermark_ms)
+    "q139_stream_inactive" ->
+      """WITH mx AS (SELECT epoch_us(max(ts)) // 1000 AS max_ms FROM events),
+        |l AS (SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id)
+        |SELECT user_id, last_ts FROM l CROSS JOIN mx
+        |WHERE epoch_us(last_ts) // 1000 + 3600000 <= max_ms - 600000
+        |ORDER BY user_id""".stripMargin,
 
     "q138_rollup_revenue" ->
       """SELECT r_name, n_name,

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder}
-import org.apache.spark.sql.streaming.{ListState, MapState, OutputMode, StatefulProcessor,
-  TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Streaming per-key top-k maintenance on `transformWithState` ListState —
   * the serving-side "best k per entity" view (top purchases per user, best
@@ -94,6 +94,73 @@ object StreamingProfile {
         counts.updateValue(tpe, n)
         TypeCount(key, tpe, n)
       }.iterator
+    }
+  }
+}
+
+/** Streaming INACTIVITY detection on `transformWithState` EVENT-TIME
+  * TIMERS — the TWS feature the other three operators don't touch: a key
+  * that stays quiet for `gapMs` of event time past its last event emits a
+  * (key, last_ts) record exactly once, when the watermark proves no
+  * earlier event can still arrive. This is the churn/session-expiry/
+  * SLA-alert primitive; timers move the "has anyone gone quiet?" question
+  * from a periodic full state scan to an engine-maintained expiry index.
+  *
+  * Exact semantics (mirrored by q139's oracle in integer millisecond
+  * algebra): a key fires iff
+  *   floor_ms(last_event_ts) + gapMs <= watermark_ms
+  * where watermark_ms = floor_ms(max event ts) − delay — Spark registers
+  * and fires timers in whole milliseconds (`registerTimer`,
+  * `getExpiredTimers` uses `timerTs <= watermark`), so the boundary is an
+  * integer compare on both engines, no fp anywhere.
+  *
+  * Caller must put a `.withWatermark` on the input (event-time mode
+  * requires it); out-of-order input is handled by keeping the ARGMAX
+  * event time per key (a late older event must not re-arm the timer
+  * later than the true last event... nor earlier: argmax, not
+  * last-arrival).
+  */
+object StreamingInactivity {
+
+  case class Inactive(user_id: Long, last_ts: java.sql.Timestamp)
+
+  def inactiveKeys(events: Dataset[KeyedEvent], gapMs: Long): Dataset[Inactive] = {
+    require(gapMs > 0, "gapMs must be positive")
+    import events.sparkSession.implicits._
+    val enc = implicitly[Encoder[Inactive]]
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapMs, enc),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
+  private class InactivityProcessor(gapMs: Long, enc: Encoder[Inactive])
+      extends StatefulProcessor[Long, KeyedEvent, Inactive] {
+    @transient private var last: ValueState[Inactive] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Inactive]("last", enc, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[Inactive] = {
+      val incomingMax = rows.map(_.ts).maxBy(_.getTime)
+      val prev = Option(last.get())
+      val best = prev match {
+        case Some(p) if p.last_ts.getTime >= incomingMax.getTime => p.last_ts
+        case _ => incomingMax
+      }
+      // re-arm: one live timer per key (the previous one, if any, is
+      // deleted — otherwise a stale earlier timer would fire a false alarm)
+      prev.foreach(p => getHandle.deleteTimer(p.last_ts.getTime + gapMs))
+      getHandle.registerTimer(best.getTime + gapMs)
+      last.update(Inactive(key, best))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Inactive] = {
+      val out = Option(last.get()).iterator
+      last.clear() // emit once; a later event would re-arm from cold
+      out
     }
   }
 }

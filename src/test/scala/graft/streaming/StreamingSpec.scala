@@ -200,6 +200,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("inactivity timers (TWS event-time): quiet keys emit exactly once when the watermark proves it") {
+    graft.QuerySuite.withStreamingConf(spark) { s =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def ev(user: Long, sec: Long, id: Long) =
+        KeyedEvent(user, new java.sql.Timestamp(sec * 1000L), id, "e", 1.0)
+      val source = MemoryStream[KeyedEvent]
+      val q = StreamingInactivity.inactiveKeys(
+          source.toDS().withWatermark("ts", "10 seconds"), gapMs = 100000L)
+        .writeStream.format("memory").queryName("inactive_spec_out")
+        .outputMode("update")
+        .start()
+      try {
+        def emitted() = s.table("inactive_spec_out")
+          .as[StreamingInactivity.Inactive].collect()
+          .map(i => (i.user_id, i.last_ts.getTime / 1000)).toSet
+
+        // batch 1: two users at t=1000 → timers armed at 1100; wm → 990
+        source.addData(Seq(ev(1L, 1000L, 1), ev(2L, 1000L, 2)))
+        q.processAllAvailable()
+        assert(emitted() == Set.empty, "nothing may fire before the watermark reaches a timer")
+
+        // batch 2: u2 re-arms at 2100; a LATE u1 row (t=500 < wm 990) must
+        // be dropped by the watermark, not re-arm u1; wm → 1990 ≥ 1100 →
+        // u1's timer fires on the follow-up batch
+        source.addData(Seq(ev(2L, 2000L, 3), ev(1L, 500L, 4)))
+        q.processAllAvailable()
+        assert(emitted() == Set((1L, 1000L)), s"u1 (quiet since 1000) must fire once: ${emitted()}")
+
+        // batch 3: u3 arrives at t=5000 → wm 4990 ≥ 2100 → u2 fires; u3 armed
+        source.addData(Seq(ev(3L, 5000L, 5)))
+        q.processAllAvailable()
+        assert(emitted() == Set((1L, 1000L), (2L, 2000L)),
+          s"u2 fires with its true last event time; u3 stays armed: ${emitted()}")
+      } finally q.stop()
+    }
+  }
+
   test("withStreamingConf: RocksDB provider really backs the state store; parent session untouched") {
     import scala.jdk.CollectionConverters._
     val parentPart = spark.conf.get("spark.sql.shuffle.partitions")
