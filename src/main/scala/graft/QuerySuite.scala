@@ -2623,6 +2623,40 @@ object QuerySuite {
       s.table(qname).select("user_id", "last_ts").orderBy("user_id")
     }),
 
+    // ---- ONLINE-STORE BOOTSTRAP: latest-per-key warm-started from a batch
+    //      snapshot via TWS INITIAL STATE (StreamingLatest.
+    //      latestPerKeyBootstrapped). History before the cutover loads as
+    //      initial state (one batch argmax — the offline store's snapshot);
+    //      only post-cutover events stream. Union(bootstrap, emitted)
+    //      re-collapsed == latest over ALL events — q01/q11's oracle
+    //      verbatim, proving the handoff loses nothing ----
+    "q140_latest_bootstrap" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val cutover = lit("2024-01-15 00:00:00").cast(TimestampType)
+      val bootstrap = LatestPerKey.viaMaxBy(
+          Tables.events(s, dir).filter(col("ts") < cutover),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .filter(col("ts") >= cutover)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"))
+        .as[KeyedEvent]
+      val qname = s"q140_out_${System.nanoTime()}"
+      val q = StreamingLatest.latestPerKeyBootstrapped(stream, bootstrap)
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmpDir("q140_ckpt_"))
+        .start()
+      q.awaitTermination()
+      // keys quiet since the cutover never emit — the full snapshot is the
+      // bootstrap frame overlaid with the emitted updates
+      LatestPerKey.viaMaxBy(s.table(qname).unionByName(bootstrap.toDF()),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
     // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
     //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
     //      and rewritten by the injected analyzer rule into the identical
@@ -2783,6 +2817,7 @@ object QuerySuite {
     "q10_feature_store_e2e" -> latestOracle,
     "q11_streaming_latest" -> latestOracle,
     "q134_latest_tws" -> latestOracle,
+    "q140_latest_bootstrap" -> latestOracle,
 
     "q135_stream_topk" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS rank, value, event_id FROM (

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor,
-  StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+  StatefulProcessorWithInitialState, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig,
+  ValueState}
 
 import graft.core.{FeatureGroup, FeatureStore}
 
@@ -215,6 +216,56 @@ object StreamingLatest {
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       best = getHandle.getValueState[KeyedEvent]("best", enc,
         ttl.map(TTLConfig.apply).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
+        timerValues: TimerValues): Iterator[KeyedEvent] = {
+      val incoming = rows.reduceOption(max)
+      val winner = (Option(best.get()).toSeq ++ incoming.toSeq).reduce(max)
+      best.update(winner)
+      Iterator.single(winner)
+    }
+  }
+
+  /** [[latestPerKeyTWS]] WARM-STARTED from a batch frame — the online-store
+    * BOOTSTRAP path: at 100 TB you do not replay months of history through
+    * the stream to rebuild serving state; you load the offline store's
+    * latest-per-key snapshot as the stream job's INITIAL STATE (the
+    * `StatefulProcessorWithInitialState` overload, first run only) and
+    * stream forward from the cutover point. Argmax semantics make the
+    * handoff safe even if the bootstrap frame and the stream overlap: a
+    * record seen on both sides resolves to the same winner.
+    *
+    * @param init one row per key (e.g. `LatestPerKey.viaMaxBy` over the
+    *             offline store); keys absent from the stream keep their
+    *             bootstrap value in state but never emit — union the
+    *             bootstrap frame with the emitted rows and re-collapse for
+    *             a full snapshot (q140's convention).
+    */
+  def latestPerKeyBootstrapped(
+      events: Dataset[KeyedEvent],
+      init: Dataset[KeyedEvent]): Dataset[KeyedEvent] = {
+    import events.sparkSession.implicits._
+    val enc = implicitly[org.apache.spark.sql.Encoder[KeyedEvent]]
+    events.groupByKey(_.user_id)
+      .transformWithState(new LatestInitProcessor(enc),
+        TimeMode.None(), OutputMode.Update(),
+        init.groupByKey(_.user_id), enc, enc)
+  }
+
+  private class LatestInitProcessor(enc: org.apache.spark.sql.Encoder[KeyedEvent])
+      extends StatefulProcessorWithInitialState[Long, KeyedEvent, KeyedEvent, KeyedEvent] {
+    @transient private var best: ValueState[KeyedEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      best = getHandle.getValueState[KeyedEvent]("best", enc, TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initialState: KeyedEvent,
+        timerValues: TimerValues): Unit = {
+      // argmax against anything already present: initial-state rows carry
+      // no ordering guarantee relative to each other or the first batch
+      val winner = (Option(best.get()).toSeq :+ initialState).reduce(max)
+      best.update(winner)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[KeyedEvent],
         timerValues: TimerValues): Iterator[KeyedEvent] = {

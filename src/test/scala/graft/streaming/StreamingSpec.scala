@@ -238,6 +238,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapped latest-per-key: initial state participates in the argmax; overlap is safe") {
+    graft.QuerySuite.withStreamingConf(spark) { s =>
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      def ev(user: Long, t: Long, id: Long) =
+        KeyedEvent(user, new java.sql.Timestamp(t), id, "e", 1.0)
+      // bootstrap snapshot: u1@t100, u2@t200 (u2 never streams)
+      val bootstrap = Seq(ev(1L, 100L, 1), ev(2L, 200L, 2)).toDS()
+      val source = MemoryStream[KeyedEvent]
+      val q = StreamingLatest.latestPerKeyBootstrapped(source.toDS(), bootstrap)
+        .writeStream.format("memory").queryName("boot_spec_out")
+        .outputMode("update")
+        .start()
+      try {
+        // u1 streams an OLDER event (t50 < bootstrap t100): bootstrap wins;
+        // u3 is stream-only; the bootstrap u1@t100 record also re-arrives in
+        // the stream (overlap) — argmax makes the duplicate harmless
+        source.addData(Seq(ev(1L, 50L, 3), ev(3L, 300L, 4), ev(1L, 100L, 1)))
+        q.processAllAvailable()
+        val got = s.table("boot_spec_out").as[KeyedEvent].collect()
+          .map(e => e.user_id -> (e.ts.getTime, e.event_id)).toMap
+        assert(got(1L) == (100L, 1L), s"bootstrap state must win the argmax: $got")
+        assert(got(3L) == (300L, 4L))
+        assert(!got.contains(2L), "keys quiet since cutover never emit (overlay convention)")
+        // a NEWER stream event then overrides the bootstrap
+        source.addData(Seq(ev(1L, 500L, 9)))
+        q.processAllAvailable()
+        val last = s.table("boot_spec_out").as[KeyedEvent].collect()
+          .filter(_.user_id == 1L).maxBy(_.ts.getTime)
+        assert((last.ts.getTime, last.event_id) == (500L, 9L))
+      } finally q.stop()
+    }
+  }
+
   test("withStreamingConf: RocksDB provider really backs the state store; parent session untouched") {
     import scala.jdk.CollectionConverters._
     val parentPart = spark.conf.get("spark.sql.shuffle.partitions")
