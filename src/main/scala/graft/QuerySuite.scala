@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
+import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSessionize, StreamingSketch, StreamingTopK}
@@ -2657,6 +2657,19 @@ object QuerySuite {
         .select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
+    // ---- fuzzy key self-join within edit distance 1 (FuzzyJoin.scala):
+    //      deletion-neighborhood blocking (lossless for ED ≤ 1) + exact
+    //      levenshtein verification on candidates only — the entity-
+    //      resolution primitive without an all-pairs scan. The oracle
+    //      brute-forces ALL pairs of the capped dictionary, so candidate
+    //      COMPLETENESS is oracle-checked, not taken on faith ----
+    "q141_fuzzy_join" -> ((s, dir) => {
+      val nm = Tables.customer(s, dir).select(col("c_name")).distinct()
+        .orderBy("c_name").limit(2000)
+      FuzzyJoin.edit1SelfJoin(nm, "c_name")
+        .orderBy("name_a", "name_b")
+    }),
+
     // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
     //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
     //      and rewritten by the injected analyzer rule into the identical
@@ -2818,6 +2831,15 @@ object QuerySuite {
     "q11_streaming_latest" -> latestOracle,
     "q134_latest_tws" -> latestOracle,
     "q140_latest_bootstrap" -> latestOracle,
+
+    // full brute force over the capped dictionary — candidate completeness
+    // of the deletion-neighborhood blocking is verified, not sampled
+    "q141_fuzzy_join" ->
+      """WITH nm AS (SELECT DISTINCT c_name FROM customer ORDER BY c_name LIMIT 2000)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM nm a JOIN nm b ON a.c_name < b.c_name
+        |                   AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "q135_stream_topk" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS rank, value, event_id FROM (
