@@ -2670,6 +2670,18 @@ object QuerySuite {
         .orderBy("name_a", "name_b")
     }),
 
+    // ---- one-scan all-columns exact profile (DataQuality.profile): the
+    //      data-catalog primitive — per column: rows, nulls, EXACT distinct
+    //      count, min/max in canonical cross-engine representations (cents
+    //      for money, fixed datetime format). Six columns, ONE scan (the
+    //      multi-distinct plans as a single Expand pass) ----
+    "q142_column_profile" -> ((s, dir) => {
+      DataQuality.profile(Tables.orders(s, dir), repr = Map(
+        "o_totalprice" -> ((v: Column) => round(v * 100).cast("long").cast("string")),
+        "o_orderdate" -> ((v: Column) => date_format(v, "yyyy-MM-dd HH:mm:ss"))))
+        .orderBy("column")
+    }),
+
     // ---- as-of join from SQL TEXT (AsOfSql.scala): the same point-in-time
     //      semantics as q04, but written as `LEFT JOIN ... ON asof_on(...)`
     //      and rewritten by the injected analyzer rule into the identical
@@ -2831,6 +2843,26 @@ object QuerySuite {
     "q11_streaming_latest" -> latestOracle,
     "q134_latest_tws" -> latestOracle,
     "q140_latest_bootstrap" -> latestOracle,
+
+    // per-column UNION ALL re-derivation; reprs mirrored exactly (cents,
+    // fixed datetime format, plain casts)
+    "q142_column_profile" -> {
+      val profCols = Seq(
+        ("o_orderkey", "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+        ("o_custkey", "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+        ("o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"),
+        ("o_totalprice", "CAST(CAST(round(min(o_totalprice) * 100) AS BIGINT) AS VARCHAR)",
+          "CAST(CAST(round(max(o_totalprice) * 100) AS BIGINT) AS VARCHAR)"),
+        ("o_orderdate", "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+        ("o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"))
+      profCols.map { case (c, mn, mx) =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mn AS min_repr, $mx AS max_repr FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     // full brute force over the capped dictionary — candidate completeness
     // of the deletion-neighborhood blocking is verified, not sampled

@@ -74,4 +74,39 @@ object DataQuality {
     Check(s"domain_$c", count(when(!col(c).isin(allowed: _*), 1)))
   def bound(c: String, pred: Column => Column): Check =
     Check(s"bound_$c", count(when(!pred(col(c)), 1)))
+
+  /** One-scan all-columns EXACT profile (the data-catalog primitive):
+    * per column — row count, null count, exact distinct count, min and max
+    * rendered through `repr`. Everything evaluates in a SINGLE `agg`
+    * (Catalyst plans the multi-column distinct as one Expand pass —
+    * N columns must not mean N scans at 100 TB); the one agg row unpivots
+    * via `stack` to a row per column.
+    *
+    * `repr` maps a VALUE column to its canonical cross-engine string form
+    * (applied AFTER min/max — repr(min(x)), never min(repr(x)): string
+    * order would put "10" before "9"). Default: plain string cast — exact
+    * for integers/strings; give doubles and timestamps an explicit repr
+    * (integer cents, a fixed datetime format) when the profile must be
+    * engine-portable. */
+  def profile(df: DataFrame,
+      repr: Map[String, Column => Column] = Map.empty): DataFrame = {
+    val cols = df.columns.toSeq
+    def rep(c: String)(v: Column): Column =
+      repr.getOrElse(c, (x: Column) => x.cast("string"))(v)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        rep(c)(min(col(c))).as(s"__mn_$c"),
+        rep(c)(max(col(c))).as(s"__mx_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_repr, max_repr)"))
+      .select(col("column"), col("__n").as("n_rows"),
+        col("n_nulls").cast("long").as("n_nulls"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        col("min_repr"), col("max_repr"))
+  }
 }

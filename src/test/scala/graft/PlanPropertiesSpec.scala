@@ -337,6 +337,13 @@ class PlanPropertiesSpec extends SparkSpec {
       s"variant extraction must prune the scan to (event_type, props):\n$read")
   }
 
+  test("q142 profile: six columns of stats read the table ONCE") {
+    val plan = SparkEntry.queries("q142_column_profile")(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"profile must not scan per column ($scans scans):\n$plan")
+    assert(plan.contains("Expand"), s"multi-column distinct must plan as one Expand pass:\n$plan")
+  }
+
   test("q127 prefix join: no exchange ever carries a string — grams shuffle as hashed longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType

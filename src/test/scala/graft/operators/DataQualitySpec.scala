@@ -39,4 +39,15 @@ class DataQualitySpec extends SparkSpec {
     assert(out2.head.getLong(1) == 2L) // both id=2 rows orphaned
     assert(!out2.head.getBoolean(4))
   }
+
+  test("profile: exact distincts, null accounting, and repr(min) — never min(repr)") {
+    val pdf = Seq((Some(9L), Some("b")), (Some(10L), None), (None, Some("a")))
+      .toDF("k", "s")
+    val rows = DataQuality.profile(pdf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(rows("k") == ((3L, 1L, 2L, "9", "10")),
+      s"min over the VALUE then repr: lexical min('10','9') would be '10': ${rows("k")}")
+    assert(rows("s") == ((3L, 1L, 2L, "a", "b")))
+  }
 }
