@@ -709,14 +709,17 @@ object QuerySuite {
       out
     }),
 
-    // ---- M1–M4: train/eval loop (smoke — sklearn↔MLlib RNGs differ, SURVEY §7) ----
+    // ---- M1–M4: train/eval loop. The SPLIT is content-addressed (q143
+    //      oracles the exact frames); fit/MSE stay smoke-only — sklearn↔MLlib
+    //      RNGs differ, SURVEY §7 ----
     "q25_ml_train" -> ((s, dir) => {
       import s.implicits._
       // training input repartitioned: lineitem ships as one unsplittable row
       // group, and tree building parallelizes over input partitions
       val li = Tables.lineitem(s, dir).filter(pmod(col("l_orderkey"), lit(10)) === 0)
         .repartition(s.sparkContext.defaultParallelism)
-      val r = FeatureML.trainRegressor(li, Seq("l_quantity", "l_discount"), "l_extendedprice")
+      val r = FeatureML.trainRegressor(li, Seq("l_quantity", "l_discount"), "l_extendedprice",
+        splitKeyCols = Seq("l_orderkey", "l_linenumber"))
       Seq((r.nTrain, r.nTest, r.mse)).toDF("n_train", "n_test", "mse")
     }),
 
@@ -2700,6 +2703,25 @@ object QuerySuite {
         FROM v LEFT JOIN p
           ON asof_on(v.user_id, p.user_id, v.ts, p.ts, p.event_id)
         ORDER BY v.event_id""")
+    }),
+
+    // ---- the EXACT train/test frames the q25 ML loop fits on, row for row:
+    //      same input filter, same na.drop, same content-addressed
+    //      hashSplitBucket(concat(l_orderkey,'/',l_linenumber)) < 80 rule
+    //      FeatureML applies. An auditable split beats a seed-matched one —
+    //      the frames re-derive on any engine, forever, independent of RNG
+    //      implementations (reference: historical_features.py:81 seed-42
+    //      train_test_split, which only replays inside sklearn) ----
+    "q143_ml_frames" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(10)) === 0)
+        .na.drop(Seq("l_quantity", "l_discount", "l_extendedprice"))
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(
+          concat_ws("/", col("l_orderkey"), col("l_linenumber")), 100))
+        .withColumn("split", when(col("bucket") < 80, "train").otherwise("test"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("split"),
+          col("l_quantity"), col("l_discount"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -4550,6 +4572,20 @@ object QuerySuite {
 
     // identical semantics to q04 by construction (the analyzer rewrite
     // builds the same plan the q04 library call builds) — oracle shared
-    "q133_asof_sql" -> asofOracle
+    "q133_asof_sql" -> asofOracle,
+
+    // the md5 bucket re-derivation is the same formula as q52's oracle;
+    // the frame contents are compared row-for-row, so the ML loop's split
+    // is now a green oracle row (fit/MSE remain spec-bounded by design)
+    "q143_ml_frames" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN ('0x' || substr(md5(l_orderkey::VARCHAR || '/' || l_linenumber::VARCHAR), 1, 8))::BIGINT % 100 < 80
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  l_quantity, l_discount, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 0
+        |  AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |  AND l_extendedprice IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -34,6 +34,31 @@ class FeatureMLSpec extends SparkSpec {
     }
   }
 
+  test("hash split: deterministic, disjoint, ~80/20, and content-addressed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val rng = new scala.util.Random(11)
+    val df = Seq.tabulate(2000) { i =>
+      val x = rng.nextDouble() * 10
+      (i.toLong, x, 2 * x + rng.nextGaussian() * 0.1)
+    }.toDF("id", "x", "y")
+
+    val r1 = FeatureML.trainRegressor(df, Seq("x"), "y", numTrees = 5,
+      splitKeyCols = Seq("id"))
+    val r2 = FeatureML.trainRegressor(df, Seq("x"), "y", numTrees = 5,
+      splitKeyCols = Seq("id"))
+    // the frames are content-addressed: identical counts on re-run, exact
+    // partition of the input, and the ratio lands near 80/20
+    assert(r1.nTrain == r2.nTrain && r1.nTest == r2.nTest)
+    assert(r1.nTrain + r1.nTest == 2000)
+    assert(r1.nTrain > 1500 && r1.nTrain < 1700, s"train ${r1.nTrain} not ~80%")
+    // and the assignment matches the library-level bucket rule row-for-row
+    val nTrainDirect = df.filter(
+      graft.functions.GraftFunctions.hashSplitBucket(concat_ws("/", col("id")), 100) < 80)
+      .count()
+    assert(nTrainDirect == r1.nTrain)
+  }
+
   test("inferForKey: online lookup -> 0.0-defaulted features -> driver predict") {
     import spark.implicits._
     import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
