@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
 object FuzzyJoin {
 
   /** Pairs (name_a < name_b) of distinct `key` values within edit
-    * distance 1. Input should be pre-projected to the key column. */
+    * distance 1. Input should be pre-projected to the key column.
+    *
+    * Both exchanges are NARROW-keyed: the variant bucket key is the
+    * variant's 8-byte xxhash64 (a 64-bit collision merely merges two
+    * buckets — extra candidates that exact verification removes, so the
+    * hashing stays lossless), and the cross-variant pair dedup is keyed on
+    * (md5(a), md5(b)) with the strings riding as aggregated payload — long
+    * keys never serve as a shuffle sort/partition key. */
   def edit1SelfJoin(df: DataFrame, key: String, maxBucket: Int = 1000): DataFrame = {
     val vs = df.select(col(key).as("s")).where(col("s").isNotNull).distinct()
       // self + all single-char deletions; array_distinct because deleting
@@ -36,12 +43,15 @@ object FuzzyJoin {
         "array_distinct(array_union(array(s), " +
           "transform(sequence(1, length(s)), i -> concat(substr(s, 1, i-1), substr(s, i+1)))))"))
         .as("v"))
+      // Σ|s| variant strings of ~|s| chars each collapse to 8-byte keys
+      // before they reach the exchange
+      .select(xxhash64(col("v")).as("vh"), col("s"))
 
-    val buckets = vs.groupBy("v").agg(collect_list(col("s")).as("ids"))
+    val buckets = vs.groupBy("vh").agg(collect_list(col("s")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket)) // skew guard
 
-    // in-place pair expansion (sorted, a < b), dedup across shared variants,
-    // then exact verification — only on candidates
+    // in-place pair expansion (sorted, a < b), hash-keyed dedup across
+    // shared variants, then exact verification — only on surviving pairs
     buckets
       .select(array_sort(col("ids")).as("ss"))
       .select(explode(flatten(transform(col("ss"), (a, i) =>
@@ -49,7 +59,9 @@ object FuzzyJoin {
           b => struct(a.as("name_a"), b.as("name_b")))))).as("p"))
       .select(col("p.name_a"), col("p.name_b"))
       .filter(col("name_a") =!= col("name_b"))
-      .distinct()
+      .groupBy(md5(col("name_a")).as("__ha"), md5(col("name_b")).as("__hb"))
+      .agg(first(col("name_a")).as("name_a"), first(col("name_b")).as("name_b"))
+      .select("name_a", "name_b")
       .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
   }
 }
