@@ -26,17 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** Guard shared by build/mightContain: m must be a usable modulus. The
-    * upper bound keeps the "bitmap" honest — the filter IS a ≤ m-row
-    * broadcast table, so m beyond ~2³¹ set positions stops being a
-    * broadcastable sketch and the caller should shard or sample instead.
+  /** Guard shared by build/mightContain: m must be a usable modulus AND a
+    * genuinely broadcastable table. The filter IS a ≤ m-row broadcast of
+    * long positions, so the bound is set where the worst-case materialized
+    * size (~8–16 B/row) stays safely inside Spark's 8 GB broadcast ceiling:
+    * 2²⁸ ≈ 2.7×10⁸ positions ≈ 2–4 GB. (A 2³¹ bound would pass the require
+    * and then OOM inside the broadcast exchange — the guard must fail
+    * BEFORE the cluster does.) Need more bits? Shard: build one filter per
+    * key-hash shard and union the verdicts — each shard stays broadcastable.
     * Long, not Int: sizing from a build-side `count()` (a Long) must not
     * silently wrap (8 × count overflows Int already at ~2.7×10⁸ keys,
     * turning `% m` into negative garbage positions). */
-  private val maxReasonableBits = 1L << 31
+  private val maxReasonableBits = 1L << 28
   private def checkM(m: Long): Unit =
     require(m > 0 && m <= maxReasonableBits,
-      s"bloom bitmap size m=$m out of range (0, $maxReasonableBits]")
+      s"bloom bitmap size m=$m out of range (0, $maxReasonableBits] — " +
+        "shard the filter (one per key-hash shard) instead of growing m")
 
   /** Bit position of `key` under hash row `i`, in [0, m). */
   def bitPos(key: Column, i: Int, m: Long): Column =

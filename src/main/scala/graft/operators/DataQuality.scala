@@ -91,22 +91,30 @@ object DataQuality {
   def profile(df: DataFrame,
       repr: Map[String, Column => Column] = Map.empty): DataFrame = {
     val cols = df.columns.toSeq
+    // source refs are backtick-escaped; internal agg aliases are keyed by
+    // POSITION and the visible label rides as a lit() — a user column name
+    // (quotes, backticks, dots) never enters a parsed SQL fragment
+    def src(c: String): Column = col(s"`${c.replace("`", "``")}`")
     def rep(c: String)(v: Column): Column =
       repr.getOrElse(c, (x: Column) => x.cast("string"))(v)
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
-      Seq(count(when(col(c).isNull, 1)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        rep(c)(min(col(c))).as(s"__mn_$c"),
-        rep(c)(max(col(c))).as(s"__mx_$c"))
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(when(src(c).isNull, 1)).as(s"__nn_$i"),
+        countDistinct(src(c)).as(s"__nd_$i"),
+        rep(c)(min(src(c))).as(s"__mn_$i"),
+        rep(c)(max(src(c))).as(s"__mx_$i"))
     }
-    val stackArgs = cols.map(c =>
-      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    // unpivot: explode over an array of per-column structs — the same
+    // single Generate the stack() string built, minus the string
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"),
+        col(s"__nn_$i").cast("long").as("n_nulls"),
+        col(s"__nd_$i").cast("long").as("n_distinct"),
+        col(s"__mn_$i").as("min_repr"), col(s"__mx_$i").as("max_repr"))
+    }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(col("__n"), expr(
-        s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_repr, max_repr)"))
-      .select(col("column"), col("__n").as("n_rows"),
-        col("n_nulls").cast("long").as("n_nulls"),
-        col("n_distinct").cast("long").as("n_distinct"),
-        col("min_repr"), col("max_repr"))
+      .select(col("__n"), explode(array(entries: _*)).as("__p"))
+      .select(col("__p.column").as("column"), col("__n").as("n_rows"),
+        col("__p.n_nulls").as("n_nulls"), col("__p.n_distinct").as("n_distinct"),
+        col("__p.min_repr").as("min_repr"), col("__p.max_repr").as("max_repr"))
   }
 }

@@ -148,6 +148,19 @@ case class AsOfSqlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         throw new IllegalArgumentException(
           s"asof_on: only LEFT (outer) join is supported (as-of attach preserves " +
             s"every left row); got join type $jt")
+      // asof_on buried inside a larger condition (e.g. `ON asof_on(...) AND
+      // x = y`) matches neither branch above; without this catch-all the
+      // Unevaluable marker survives analysis and dies later with an opaque
+      // planning error — fail HERE with the actual contract instead
+      case j: Join
+          if j.childrenResolved && j.condition.exists(c =>
+            !c.isInstanceOf[AsOfSql.AsOfOn] &&
+              c.exists(_.isInstanceOf[AsOfSql.AsOfOn])) =>
+        throw new IllegalArgumentException(
+          "asof_on must be the ENTIRE ON clause of a LEFT JOIN (it already " +
+            "carries the key equality and the time ordering); fold extra " +
+            "predicates into the join inputs or a WHERE on the result instead " +
+            s"of combining them with asof_on: ${j.condition.get.sql}")
     }
   }
 }

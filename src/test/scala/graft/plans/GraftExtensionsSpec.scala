@@ -116,4 +116,14 @@ class GraftExtensionsSpec extends SparkSpec {
         ON asof_on(l.k, r.k, l.t, r.t, r.tb)""").collect()
     }
   }
+
+  test("asof_on combined with extra ON predicates fails with the contract, not a planner error") {
+    asofFixture()
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("""SELECT l.k FROM asof_l l LEFT JOIN asof_r r
+        ON asof_on(l.k, r.k, l.t, r.t, r.tb) AND l.k = 'a'""").collect()
+    }
+    assert(e.getMessage.contains("ENTIRE ON clause"),
+      s"expected the contract message, got: ${e.getMessage}")
+  }
 }
