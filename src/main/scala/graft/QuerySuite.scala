@@ -2310,7 +2310,7 @@ object QuerySuite {
       // the fp rate ~5% at EVERY sf, so both verdict paths (true member,
       // false positive) fire deterministically at every shipped scale.
       // Long arithmetic — 8 × count wraps Int past ~2.7×10⁸ members —
-      // and Bloom.build itself guards m ∈ (0, 2³¹]
+      // and Bloom.build itself guards m ∈ (0, 2²⁸] (broadcastable sizes)
       val m = 8L * members.count()
       val bits = Bloom.build(members, "c_custkey", k = 2, m = m)
       val o = Tables.orders(s, dir)
@@ -2623,7 +2623,12 @@ object QuerySuite {
         .option("checkpointLocation", tmpDir("q139_ckpt_"))
         .start()
       q.awaitTermination()
-      s.table(qname).select("user_id", "last_ts").orderBy("user_id")
+      // update-mode collapse (q11/q134/q140 convention): under multi-batch
+      // execution a user can fire, re-arm on a later event, and fire again —
+      // the LAST emission per user is the answer, and max(last_ts) selects
+      // it exactly (later fire ⇔ later last_ts)
+      s.table(qname).groupBy("user_id").agg(max("last_ts").as("last_ts"))
+        .orderBy("user_id")
     }),
 
     // ---- ONLINE-STORE BOOTSTRAP: latest-per-key warm-started from a batch
@@ -2722,6 +2727,63 @@ object QuerySuite {
         .select(col("l_orderkey"), col("l_linenumber"), col("split"),
           col("l_quantity"), col("l_discount"), col("l_extendedprice"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- PageRank iterated to the EXACT integer stopping point (q129's
+    //      graph family, Graph.pagerankIntConverged): delta == 0 is a
+    //      meaningful stop rule only because scores are fixed-point
+    //      integers — and on real graphs the floor map either PINS (true
+    //      fixed point) or enters a ±1-unit PERIOD-2 CYCLE; which one is
+    //      data-dependent (observed both ways across sf/damping here), so
+    //      the operator detects both and reports which. Oracle contract
+    //      (candidate-dump style, TWO frames): the last two iterates are
+    //      dumped; DuckDB replays ONE step from xᵏ⁻¹ — matching xᵏ row-for-
+    //      row proves the engines' step algebra agrees bit-for-bit — and
+    //      re-derives the `converged` verdict itself (step(xᵏ⁻¹) == xᵏ⁻¹),
+    //      so a wrong certification ALSO mismatches. No recursion needed ----
+    "q144_pagerank_fixedpoint" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .filter(pmod(col("l_orderkey"), lit(4)) === 0)
+        .groupBy("l_orderkey").agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(expr(
+          "flatten(transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), y -> struct(x AS a, y AS b))))"))
+          .as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      val r = Graph.pagerankIntConverged(edges, maxIters = 40,
+        dampNum = 1L, dampDen = 2L)
+      r.prevScores.coalesce(1).write.mode("overwrite").parquet(aux(dir, "q144_prev"))
+      r.scores.coalesce(1).write.mode("overwrite").parquet(aux(dir, "q144_scores"))
+      // read the DUMP back so output and oracle input are the same bytes
+      s.read.parquet(aux(dir, "q144_scores"))
+        .orderBy(desc("x"), col("node")).limit(100)
+        .select(col("node").cast("long").as("node"), col("x").cast("long").as("score"))
+        .withColumn("converged", lit(r.converged))
+    }),
+
+    // ---- REAL image decode (Multimodal.pngAssets → decodeImageStats):
+    //      genuine PNGs encoded AND parsed by javax.imageio inside the
+    //      batched partition loop. The pixel pattern is closed-form
+    //      ((id·31+x·7+y·13) mod 256 at (4+id%13)×(4+id%11)), so the oracle
+    //      re-derives every decoded pixel arithmetically — the decode is
+    //      bit-verified without DuckDB owning a codec ----
+    "q145_image_decode" -> ((s, dir) => {
+      Multimodal.decodeImageStats(
+          Multimodal.pngAssets(Tables.customer(s, dir), "c_custkey"))
+        .select(col("asset_id"), col("width"), col("height"), col("sum_gray"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- REAL image resize (decode → nearest-neighbor → re-encode → decode
+    //      again): src = ⌊dst·srcDim/dstDim⌋ is the exact mapping, so the
+    //      oracle replays the whole decode→resize→decode chain in integer
+    //      algebra over the same closed-form pattern ----
+    "q146_image_resize" -> ((s, dir) => {
+      Multimodal.decodeImageStats(
+          Multimodal.resizeImagesReal(
+            Multimodal.pngAssets(Tables.customer(s, dir), "c_custkey"), 8, 6))
+        .select(col("asset_id"), col("width"), col("height"), col("sum_gray"))
+        .orderBy("asset_id")
     })
   )
 
@@ -4586,6 +4648,50 @@ object QuerySuite {
         |WHERE l_orderkey % 10 = 0
         |  AND l_quantity IS NOT NULL AND l_discount IS NOT NULL
         |  AND l_extendedprice IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // one step replayed from the dumped xᵏ⁻¹: matching the dumped xᵏ proves
+    // step-algebra agreement; the convergence verdict is re-derived (did
+    // step(xᵏ⁻¹) move anything?) so a wrong flag also mismatches
+    // (damping 1/2, scale 1e6: teleport term = 1000000 - 500000)
+    "q144_pagerank_fixedpoint" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |           WHERE l_orderkey % 4 = 0),
+        |e0 AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |       FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |xp AS (SELECT node, x FROM read_parquet('{AUX}/q144_prev/*.parquet')),
+        |nxt AS (SELECT e.dst AS node, 500000 + (1 * sum(p.x // g.deg)) // 2 AS x
+        |        FROM e JOIN xp p ON p.node = e.src JOIN deg g ON g.src = e.src GROUP BY e.dst),
+        |cv AS (SELECT count(*) = 0 AS converged
+        |       FROM nxt n JOIN xp p ON n.node = p.node WHERE n.x != p.x)
+        |SELECT CAST(n.node AS BIGINT) AS node, CAST(n.x AS BIGINT) AS score, cv.converged
+        |FROM nxt n CROSS JOIN cv ORDER BY n.x DESC, n.node LIMIT 100""".stripMargin,
+
+    // every decoded pixel re-derived arithmetically from the closed-form
+    // pattern — bit-verifies the javax.imageio decode without a codec
+    "q145_image_decode" ->
+      """WITH a AS (SELECT c_custkey AS asset_id,
+        |                  4 + c_custkey % 13 AS w, 4 + c_custkey % 11 AS h
+        |           FROM customer),
+        |px AS (SELECT asset_id, w, h, xs.x AS x, ys.y AS y
+        |       FROM a CROSS JOIN range(16) xs(x) CROSS JOIN range(14) ys(y)
+        |       WHERE xs.x < w AND ys.y < h)
+        |SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       CAST(sum((asset_id*31 + x*7 + y*13) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY asset_id, w, h ORDER BY asset_id""".stripMargin,
+
+    // decode→nearest-neighbor→re-encode→decode replayed in integer algebra:
+    // resized pixel (x,y) samples source (x*w//8, y*h//6)
+    "q146_image_resize" ->
+      """WITH a AS (SELECT c_custkey AS asset_id,
+        |                  4 + c_custkey % 13 AS w, 4 + c_custkey % 11 AS h
+        |           FROM customer),
+        |px AS (SELECT asset_id, w, h, xs.x AS x, ys.y AS y
+        |       FROM a CROSS JOIN range(8) xs(x) CROSS JOIN range(6) ys(y))
+        |SELECT asset_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+        |       CAST(sum((asset_id*31 + ((x*w)//8)*7 + ((y*h)//6)*13) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin
   )
 }

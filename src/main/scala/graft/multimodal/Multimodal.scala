@@ -11,12 +11,17 @@ import org.apache.spark.sql.types._
   * the plan shape: the scan prunes to (id, bytes, meta), partitioning is
   * preserved, and the decode stage pipelines with downstream filters.
   *
-  * ==== STUB NOTICE ====
-  * No image/audio codec libraries exist in this environment, so
-  * [[decodeImageFeatures]] / [[sampleFrames]] produce DETERMINISTIC FAKE
-  * features derived from the payload hash. The Spark-side plumbing — schema,
-  * batch iteration, partition preservation — is real and tested; swap
-  * `fakeDecode` for a JNI/codec call to productionize.
+  * ==== CODEC STATUS ====
+  * IMAGE decode/resize is REAL: PNG via the JDK's own `javax.imageio` (no
+  * external deps) — [[pngAssets]] writes genuine PNG payloads,
+  * [[decodeImageStats]] parses them back pixel-for-pixel, and
+  * [[resizeImagesReal]] decodes → nearest-neighbor → re-encodes, all inside
+  * the batched partition loop. AUDIO/VIDEO have no JDK codec, so
+  * [[sampleFrames]] / [[segmentAudio]] and the embedding stand-in
+  * [[decodeImageFeatures]] keep DETERMINISTIC FAKE features derived from the
+  * payload hash (the `fakeDecode` seam) — swap in a JNI/codec call to
+  * productionize; the Spark-side plumbing (schema, batch iteration,
+  * partition preservation) is identical on both paths.
   */
 object Multimodal {
 
@@ -102,6 +107,120 @@ object Multimodal {
         val meta = r.getAs[Row]("meta")
         Row(r.getLong(0), r.getString(1), resized,
           Row(meta.get(0), width, height, meta.get(3)))
+      }
+    }(enc)
+    images.unionByName(assets.filter(!isImage))
+  }
+
+  // ==================== REAL image codec path (JDK javax.imageio) =========
+
+  /** Deterministic grayscale test pattern: pixel (x,y) of asset `id` is
+    * (id·31 + x·7 + y·13) mod 256. Closed form on purpose — a SQL oracle
+    * re-derives every DECODED pixel without owning a codec, which is what
+    * lets the real decode be verified bit-exactly cross-engine. */
+  def patternGray(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7L + y * 13L) % 256).toInt
+
+  /** Pattern-image dimensions for asset `id`: (4 + id mod 13, 4 + id mod 11)
+    * — small, varied, never degenerate. */
+  def patternDims(id: Long): (Int, Int) =
+    ((4 + id % 13).toInt, (4 + id % 11).toInt)
+
+  /** Encode a real PNG (8-bit RGB, r=g=b=gray(x,y)) with the JDK encoder. */
+  def encodePng(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = gray(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload (PNG here); None for empty,
+    * null, or undecodable bytes. */
+  def decodePng(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(bytes).filter(_.nonEmpty).flatMap(b =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+
+  /** Asset table whose payloads are REAL PNGs of the deterministic pattern —
+    * the fixture that exercises the genuine decode path end-to-end. Encoding
+    * runs in the batched partition loop (same shape a production
+    * fetch-and-encode stage has). */
+  def pngAssets(df: DataFrame, id: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(AssetSchema)
+    df.select(col(id).cast(LongType).as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val aid = r.getLong(0)
+        val (w, h) = patternDims(aid)
+        val bytes = encodePng(w, h, (x, y) => patternGray(aid, x, y))
+        Row(aid, "image", bytes, Row("image/png", w, h, null))
+      }
+    }(enc)
+  }
+
+  private val imageStatsSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sum_gray", LongType),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL per-image decode → exact pixel statistics (dims + gray-channel
+    * sum). The payload is genuinely parsed by `javax.imageio` — if the PNG
+    * bytes were corrupt the row reports decode_ok = false rather than
+    * failing the stage (a 100 TB corpus always contains broken files). */
+  def decodeImageStats(assets: DataFrame): DataFrame = {
+    val pruned = assets.filter(col("modality") === "image")
+      .select("asset_id", "bytes") // column-pruned scan
+    val enc = org.apache.spark.sql.Encoders.row(imageStatsSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val aid = r.getLong(0)
+        decodePng(r.getAs[Array[Byte]]("bytes")) match {
+          case Some(img) =>
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { s += (img.getRGB(x, y) & 0xFF); x += 1 }
+              y += 1
+            }
+            Row(aid, img.getWidth, img.getHeight, s, true)
+          case None => Row(aid, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL resize: decode → nearest-neighbor (src = ⌊dst · srcDim/dstDim⌋,
+    * the exact integer mapping, so the oracle can replay it) → re-encode
+    * PNG. Undecodable payloads pass through untouched; non-image modalities
+    * bypass the stage entirely. */
+  def resizeImagesReal(assets: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "resize dims must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(AssetSchema)
+    val isImage = col("modality") === "image"
+    val images = assets.filter(isImage).mapPartitions { it =>
+      it.map { r =>
+        val meta = r.getAs[Row]("meta")
+        decodePng(r.getAs[Array[Byte]]("bytes")) match {
+          case Some(img) =>
+            val sw = img.getWidth
+            val sh = img.getHeight
+            val out = encodePng(width, height,
+              (x, y) => img.getRGB(x * sw / width, y * sh / height) & 0xFF)
+            Row(r.getLong(0), "image", out, Row(meta.get(0), width, height, meta.get(3)))
+          case None => Row(r.getLong(0), "image", r.getAs[Array[Byte]]("bytes"), meta)
+        }
       }
     }(enc)
     images.unionByName(assets.filter(!isImage))

@@ -126,6 +126,105 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       "need iters >= 1 and 0 < dampNum/dampDen < 1")
+    val (edgesDeg, deg) = prGraph(edges)
+    var x = deg.select(col("src").as("node"), lit(scale).as("x"))
+    for (_ <- 1 to iters) x = prStep(edgesDeg, x, dampNum, dampDen, scale)
+    val out = x.localCheckpoint(true)
+    GraftBridge.releaseCheckpoint(edgesDeg)
+    out
+  }
+
+  /** Result of [[pagerankIntConverged]]. `scores` is the final iterate xᵏ,
+    * `prevScores` the one before it (xᵏ⁻¹ — kept so a verifier can replay
+    * the last step: step(prevScores) == scores by construction).
+    * `converged` ⇔ delta == 0 on every node (an EXACT integer fixed point);
+    * `cycled` ⇔ the iteration landed on a period-2 floor cycle
+    * (xᵏ == xᵏ⁻², xᵏ ≠ xᵏ⁻¹) — both frames then sit within ±O(1) micro of
+    * the true fixed point and oscillate forever, so continuing is useless
+    * and the honest answer is to stop and SAY so. */
+  final case class PageRankResult(scores: DataFrame, prevScores: DataFrame,
+      iters: Int, converged: Boolean, cycled: Boolean)
+
+  /** [[pagerankInt]] iterated to the EXACT integer fixed point: stop when
+    * xᵏ⁺¹ == xᵏ on every node (delta == 0 — meaningful only because scores
+    * are integers; a floating-point PR can never test this), when the
+    * iteration enters a period-2 floor cycle (floor arithmetic perturbs the
+    * contraction by < 1 unit per node, so iterates reach a ±O(1) lattice
+    * neighborhood of the exact fixed point and either pin or oscillate —
+    * both observed on real graphs, and WHICH one is data-dependent), or at
+    * `maxIters`. The caller gets the truth in [[PageRankResult]] flags
+    * instead of a stall or a silently-unconverged frame. Up to `cycleBreaks`
+    * detected 2-cycles are broken by restarting from the two frames'
+    * elementwise midpoint (deterministic averaging; on the graphs observed
+    * here one midpoint restart pins the walk) — `cycled` is only reported
+    * when the budget is exhausted and the oscillation persists.
+    *
+    * Per iteration: the static degree-annotated edge join + one
+    * map-combinable sum (as [[pagerankInt]]), plus any-change probes —
+    * inner joins of |V|-row STAGED frames (every node has in-degree ≥ 1 in
+    * the symmetrized graph, so node sets are identical and a value
+    * comparison is a complete delta check; the cycle probe only runs when
+    * the fixed-point probe fails). Each iterate is localCheckpoint-staged:
+    * probes re-read it for free and lineage stays O(1) across arbitrarily
+    * many iterations. */
+  def pagerankIntConverged(edges: DataFrame, maxIters: Int = 60,
+      dampNum: Long = 17L, dampDen: Long = 20L,
+      scale: Long = 1000000L, cycleBreaks: Int = 3): PageRankResult = {
+    require(maxIters >= 1 && dampNum > 0 && dampNum < dampDen,
+      "need maxIters >= 1 and 0 < dampNum/dampDen < 1")
+    // both probes (vs xᵏ and vs xᵏ⁻¹) in ONE job — iteration wall time here
+    // is job-count-bound, not data-bound (|V|-row staged frames)
+    def deltas(next: DataFrame, a: DataFrame, b: DataFrame): (Long, Long) = {
+      val base = next.join(a.select(col("node"), col("x").as("__xa")), "node")
+      val joined =
+        if (b != null) base.join(b.select(col("node"), col("x").as("__xb")), "node")
+        else base.withColumn("__xb", col("x"))
+      val r = joined.agg(
+        count(when(col("x") =!= col("__xa"), 1)).as("da"),
+        count(when(col("x") =!= col("__xb"), 1)).as("db")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (edgesDeg, deg) = prGraph(edges)
+    var prev: DataFrame = null
+    var x = deg.select(col("src").as("node"), lit(scale).as("x"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    var cycled = false
+    var breaksLeft = cycleBreaks
+    while (!converged && !cycled && it < maxIters) {
+      val next = prStep(edgesDeg, x, dampNum, dampDen, scale).localCheckpoint(true)
+      it += 1
+      val (dx, dp) = deltas(next, x, prev)
+      val rotateTo: DataFrame =
+        if (dx == 0) { converged = true; next }
+        else if (prev != null && dp == 0) {
+          if (breaksLeft > 0) {
+            // period-2 floor cycle: the two frames straddle the true fixed
+            // point within ±O(1), so restart from their elementwise midpoint
+            // (Krasnoselskii–Mann averaging, deterministic). If the iteration
+            // then pins, the certification is a GENUINE delta == 0 — the
+            // breaker only changes where the walk restarts, never the test.
+            breaksLeft -= 1
+            val mid = next
+              .join(x.select(col("node"), col("x").as("__xp")), "node")
+              .select(col("node"), expr("(x + __xp) div 2").as("x"))
+              .localCheckpoint(true)
+            GraftBridge.releaseCheckpoint(next)
+            mid
+          } else { cycled = true; next }
+        } else next
+      if (prev != null) GraftBridge.releaseCheckpoint(prev)
+      prev = x
+      x = rotateTo
+    }
+    GraftBridge.releaseCheckpoint(edgesDeg)
+    PageRankResult(x, prev, it, converged, cycled)
+  }
+
+  /** Symmetrized, deduped, degree-annotated edge list (staged — reused every
+    * iteration) plus the degree table. */
+  private def prGraph(edges: DataFrame): (DataFrame, DataFrame) = {
     val Array(ca, cb) = edges.columns
     val und = edges
       .select(least(col(ca), col(cb)).cast("long").as("a"),
@@ -134,22 +233,18 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    // static across iterations: stage once, reuse k times
-    val edgesDeg = dir.join(deg, "src").localCheckpoint(true)
-
-    var x = deg.select(col("src").as("node"), lit(scale).as("x"))
-    for (_ <- 1 to iters) {
-      x = edgesDeg
-        .join(x.withColumnRenamed("node", "src"), "src")
-        .select(col("dst"), expr("x div deg").as("contrib"))
-        .groupBy("dst")
-        .agg(sum("contrib").as("s"))
-        .select(col("dst").as("node"),
-          (lit(scale - scale * dampNum / dampDen) +
-            expr(s"($dampNum * s) div $dampDen")).as("x"))
-    }
-    val out = x.localCheckpoint(true)
-    GraftBridge.releaseCheckpoint(edgesDeg)
-    out
+    (dir.join(deg, "src").localCheckpoint(true), deg)
   }
+
+  /** One exact-integer power-iteration step (see [[pagerankInt]] formula). */
+  private def prStep(edgesDeg: DataFrame, x: DataFrame,
+      dampNum: Long, dampDen: Long, scale: Long): DataFrame =
+    edgesDeg
+      .join(x.withColumnRenamed("node", "src"), "src")
+      .select(col("dst"), expr("x div deg").as("contrib"))
+      .groupBy("dst")
+      .agg(sum("contrib").as("s"))
+      .select(col("dst").as("node"),
+        (lit(scale - scale * dampNum / dampDen) +
+          expr(s"($dampNum * s) div $dampDen")).as("x"))
 }

@@ -49,6 +49,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodePng reads a PNG written by an INDEPENDENT encoder bit-exactly") {
+    // golden: a 3x2 RGB PNG produced by a from-scratch Python zlib/struct
+    // writer (no ImageIO involved) — proves the decode is a real codec, not
+    // a roundtrip of our own encoder's quirks
+    val golden = java.util.Base64.getDecoder.decode(
+      "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAIAAAASFvFNAAAAF0lEQVR4nGP4z8DAAMFcInIaRjZuAVEAM1kEwOQkmMsAAAAASUVORK5CYII=")
+    val img = Multimodal.decodePng(golden).getOrElse(fail("golden PNG did not decode"))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    val expect = Map(
+      (0, 0) -> 0xFFFF0000, (1, 0) -> 0xFF00FF00, (2, 0) -> 0xFF0000FF,
+      (0, 1) -> 0xFF0A141E, (1, 1) -> 0xFF28323C, (2, 1) -> 0xFF46505A)
+    expect.foreach { case ((x, y), argb) =>
+      assert(img.getRGB(x, y) == argb,
+        f"pixel ($x,$y): got ${img.getRGB(x, y)}%08x want $argb%08x")
+    }
+    assert(Multimodal.decodePng(Array[Byte](1, 2, 3)).isEmpty, "garbage must not decode")
+    assert(Multimodal.decodePng(null).isEmpty && Multimodal.decodePng(Array.emptyByteArray).isEmpty)
+  }
+
+  test("encodePng → decodePng roundtrips the deterministic pattern bit-exactly") {
+    val id = 4242L
+    val (w, h) = Multimodal.patternDims(id)
+    val img = Multimodal.decodePng(
+      Multimodal.encodePng(w, h, (x, y) => Multimodal.patternGray(id, x, y)))
+      .getOrElse(fail("pattern PNG did not decode"))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = Multimodal.patternGray(id, x, y)
+      assert((img.getRGB(x, y) & 0xFFFFFF) == ((g << 16) | (g << 8) | g),
+        s"pixel ($x,$y) of asset $id")
+    }
+  }
+
+  test("pngAssets → decodeImageStats: real decode matches the closed form; resize resamples exactly") {
+    import spark.implicits._
+    val ids = Seq(7L, 100L, 9999L)
+    val a = Multimodal.pngAssets(ids.toDF("id"), "id")
+    val stats = Multimodal.decodeImageStats(a).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.patternDims(id)
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield Multimodal.patternGray(id, x, y).toLong).sum
+      val r = stats(id)
+      assert(r.getAs[Boolean]("decode_ok"))
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Long]("sum_gray") == want, s"asset $id gray sum")
+    }
+    val rz = Multimodal.decodeImageStats(Multimodal.resizeImagesReal(a, 8, 6))
+      .collect().map(r => r.getAs[Long]("asset_id") -> r).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.patternDims(id)
+      val want = (for (y <- 0 until 6; x <- 0 until 8)
+        yield Multimodal.patternGray(id, x * w / 8, y * h / 6).toLong).sum
+      val r = rz(id)
+      assert(r.getAs[Int]("width") == 8 && r.getAs[Int]("height") == 6)
+      assert(r.getAs[Long]("sum_gray") == want, s"asset $id resized gray sum")
+    }
+  }
+
   test("sampleFrames emits one row per everyMs of duration (video only)") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 10000L).collect()
     assert(frames.nonEmpty)

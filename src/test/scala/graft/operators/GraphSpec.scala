@@ -67,4 +67,30 @@ class GraphSpec extends SparkSpec {
     assert(r1(0L) > r1(1L), "hub must outrank a leaf")
     assert((1L to 20L).map(r1).toSet.size == 1, "symmetric leaves tie exactly")
   }
+
+  test("pagerankIntConverged: regular graph certifies its fixed point in one step") {
+    // cycle of 12: x0 = scale IS the fixed point, so the first iterate
+    // equals x0 and the probe certifies convergence immediately
+    val cyc = (0L until 12L).map(i => (i, (i + 1) % 12))
+    val r = Graph.pagerankIntConverged(cyc.toDF("a", "b"), maxIters = 10)
+    assert(r.converged && !r.cycled && r.iters == 1,
+      s"expected certification on iteration 1, got $r")
+    val got = r.scores.as[(Long, Long)].collect().toMap
+    assert(got.size == 12 && got.values.forall(_ == 1000000L))
+  }
+
+  test("pagerankIntConverged: irregular graph settles under the cap, certified honestly") {
+    // star + tail: mixed degrees, so scores genuinely move before settling
+    val edges = ((1L to 20L).map(i => (0L, i)) ++ Seq((20L, 21L), (21L, 22L))).toDF("a", "b")
+    val r = Graph.pagerankIntConverged(edges, maxIters = 60, dampNum = 1L, dampDen = 2L)
+    assert(r.converged || r.cycled, s"neither pinned nor cycled within the cap: $r")
+    val cur = r.scores.as[(Long, Long)].collect().toMap
+    val prev = r.prevScores.as[(Long, Long)].collect().toMap
+    if (r.converged) assert(cur == prev, "certified fixed point must equal its predecessor")
+    else assert(cur != prev, "a 2-cycle's frames must differ")
+    // the stop verdict is rerun-deterministic
+    val again = Graph.pagerankIntConverged(edges, maxIters = 60, dampNum = 1L, dampDen = 2L)
+    assert(cur == again.scores.as[(Long, Long)].collect().toMap
+      && r.converged == again.converged && r.cycled == again.cycled)
+  }
 }
