@@ -2761,6 +2761,20 @@ object QuerySuite {
         .withColumn("converged", lit(r.converged))
     }),
 
+    // ---- q127's prefix-filter join with the OPT-IN df-floor engaged
+    //      (Dedup.prefixFilterJaccard prefixDfFloor): candidate buckets
+    //      whose gram df exceeds 50 are dropped before pair expansion. The
+    //      oracle mirrors the floor exactly, so the lossy lever itself sits
+    //      under the correctness gate at every sf (measured trade on the
+    //      shipped corpus: see MeasureQ127 / BASELINE.md) ----
+    "q147_prefix_join_floored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.prefixFilterJaccard(docs, "doc_id", "text",
+        prefixDfFloor = Some(50L))
+      Dedup.marksFromPairs(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("is_duplicate")).orderBy("doc_id")
+    }),
+
     // ---- REAL image decode (Multimodal.pngAssets → decodeImageStats):
     //      genuine PNGs encoded AND parsed by javax.imageio inside the
     //      batched partition loop. The pixel pattern is closed-form
@@ -4668,6 +4682,39 @@ object QuerySuite {
         |       FROM nxt n JOIN xp p ON n.node = p.node WHERE n.x != p.x)
         |SELECT CAST(n.node AS BIGINT) AS node, CAST(n.x AS BIGINT) AS score, cv.converged
         |FROM nxt n CROSS JOIN cv ORDER BY n.x DESC, n.node LIMIT 100""".stripMargin,
+
+    // q127's oracle with the df-floor mirrored: prefix rows whose token df
+    // exceeds 50 are excluded from candidate generation on BOTH engines
+    "q147_prefix_join_floored" ->
+      """WITH l AS (SELECT doc_id, list_distinct(CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |             ELSE list_transform(range(length(lower(text)) - 7),
+        |                                 i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END) AS gtoks
+        |           FROM documents),
+        |h AS (SELECT doc_id, list_distinct(list_transform(gtoks,
+        |        g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS toks FROM l),
+        |toks AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM h),
+        |dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, t.sz, t.tok,
+        |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |  FROM toks t JOIN dfs d USING (tok)),
+        |pref AS (SELECT doc_id, tok, sz, rn FROM ranked WHERE rn <= sz - ((4 * sz + 4) // 5) + 1),
+        |prefc AS (SELECT doc_id, tok, sz, rn FROM
+        |            (SELECT *, count(*) OVER (PARTITION BY tok) AS bdf FROM pref)
+        |          WHERE bdf BETWEEN 2 AND 200),
+        |preff AS (SELECT p.* FROM prefc p JOIN dfs d USING (tok) WHERE d.df <= 50),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM preff a JOIN preff b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         WHERE 5 * least(a.sz, b.sz) >= 4 * greatest(a.sz, b.sz)
+        |           AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= (4 * (a.sz + b.sz) + 8) // 9),
+        |j AS (SELECT id_a, id_b, len(list_intersect(la.gtoks, lb.gtoks)) AS inter,
+        |             len(la.gtoks) + len(lb.gtoks) AS tot
+        |      FROM cand JOIN l la ON la.doc_id = cand.id_a JOIN l lb ON lb.doc_id = cand.id_b)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT id_b AS doc_id, true AS is_dup FROM j WHERE 9 * inter >= 4 * tot) dup
+        |  USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // every decoded pixel re-derived arithmetically from the closed-form
     // pattern — bit-verifies the javax.imageio decode without a codec

@@ -561,6 +561,31 @@ object Dedup {
     * `xxhash64Seeded(df, gram)` in production to shuffle 8-byte longs
     * instead — any total order preserves the guarantee.
     *
+    * Candidate-tail lever (`prefixDfFloor`, opt-in, LOSSY): drop candidate
+    * buckets whose gram's GLOBAL document frequency exceeds the floor.
+    * Recall caveat, stated exactly: a qualifying pair is missed iff EVERY
+    * prefix gram the two docs share has df > floor — i.e. the pair shares
+    * not one sufficiently-rare gram. Measured on the shipped sf0.1 corpus
+    * (MeasureQ127, BASELINE.md): floor=50 keeps all 256/256 verified pairs
+    * but cuts candidates only 1.1× (199k→189k — the tail here is MANY
+    * mid-df buckets, not a few template ones); floor=20 cuts 2.3×
+    * (199k→85k) at 253/256 recall. Same measurement's larger finding:
+    * candidate count is NOT this operator's wall-clock driver at these
+    * scales — verification is an integer merge walk (~µs/pair), so ±50%
+    * candidates moves wall time inside noise, and the fixed stages
+    * (per-gram md5 token derivation, df aggregation, prefix sort) dominate.
+    * The floor is therefore a SHUFFLE-VOLUME guard for corpora whose
+    * bucket-pair tail genuinely explodes, not a latency tune. The PPJoin+
+    * SUFFIX filter (Xiao et al. 2008) — the lossless candidate cutter — is
+    * deliberately absent: it needs random access to both docs' suffix
+    * windows at pair time, and shipping those into the candidate rows
+    * costs more payload than the verification arrays it would save, while
+    * a single-median quantile bound (which WOULD fit in the rows) provably
+    * cannot separate candidates whose token ranges coincide — exactly the
+    * shape of this corpus's false candidates.
+    *
+    * @param candidateSink oracle/measurement fixture: dump candidate id
+    *   pairs (post-prune, pre-verify) and read them back (q13 contract)
     * @return verified pairs (id_a, id_b, jaccard ≥ tn/td)
     */
   def prefixFilterJaccard(
@@ -570,7 +595,9 @@ object Dedup {
       n: Int = 8,
       thresholdNum: Int = 4,
       thresholdDen: Int = 5,
-      maxBucket: Int = 200): DataFrame = {
+      maxBucket: Int = 200,
+      prefixDfFloor: Option[Long] = None,
+      candidateSink: Option[String] = None): DataFrame = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
     val (tn, td) = (lit(thresholdNum.toLong), lit(thresholdDen.toLong))
 
@@ -616,10 +643,17 @@ object Dedup {
             s" div $thresholdDen + 1 AS INT)"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("rn"), col("tok"))
 
-    val buckets = prefix
+    val bucketsAll = prefix
       .groupBy("tok")
       .agg(collect_list(struct(col("doc_id"), col("sz"), col("rn"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+    // df-floor: one narrow left-semi against the (tok, df) table already in
+    // hand — entire template buckets vanish before any pair is expanded
+    val buckets = prefixDfFloor match {
+      case Some(f) =>
+        bucketsAll.join(dfs.filter(col("df") <= f).select("tok"), Seq("tok"), "left_semi")
+      case None => bucketsAll
+    }
 
     // pair expansion in place (structs sort by doc_id first); BOTH lossless
     // prunes run per collision BEFORE the pair distinct, so the heavy
@@ -648,7 +682,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    val out = verifyJaccard(candidates, sets,
+    val out = verifyJaccard(sinkCandidates(candidates, candidateSink), sets,
       thresholdNum.toDouble / thresholdDen,
       rational = Some((thresholdNum, thresholdDen)))
     eager(out, () => { gr.unpersist(false): Unit })
