@@ -2,6 +2,7 @@ package graft.streaming
 
 import scala.util.Random
 
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
@@ -53,6 +54,94 @@ class StreamingSpec extends SparkSpec {
     }.toSet
 
     assert(got == expected)
+  }
+
+  test("TWS crash recovery: RocksDB state survives a stop-after-batch-N checkpoint restart") {
+    // the q134 shape (latestPerKeyTWS) driven to a mid-stream stop and a
+    // restart from the same checkpoint. Recovery is asserted through the
+    // EMISSIONS of the post-restart batch, not a collapsed union (a
+    // collapse would mask state loss): batch 2 sends u1 an OLDER event
+    // than its batch-1 state, so only a recovered store emits the batch-1
+    // winner; a fresh store would emit the stale batch-2 event as winner.
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+
+    def ev(u: Long, t: Long, id: Long) =
+      KeyedEvent(u, new java.sql.Timestamp(t), id, "e", 1.0)
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_recover_").toString
+    val source = MemoryStream[KeyedEvent]
+    // memory sink refuses checkpoint recovery; foreachBatch (the production
+    // sink shape here) supports it, and collects emissions per phase
+    def run(buf: scala.collection.mutable.Set[(Long, Long, Long)]) = {
+      val q = StreamingLatest.latestPerKeyTWS(source.toDS())
+        .writeStream.outputMode("update").option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[KeyedEvent], _: Long) =>
+          val rows = batch.collect().map(e => (e.user_id, e.ts.getTime, e.event_id))
+          buf.synchronized { buf ++= rows }: Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // ---- run 1: one batch, then stop (the "crash") ----
+    val p1 = scala.collection.mutable.Set[(Long, Long, Long)]()
+    source.addData(Seq(ev(1L, 1000L, 1), ev(2L, 500L, 2)))
+    run(p1)
+    assert(p1.toSet == Set((1L, 1000L, 1L), (2L, 500L, 2L)))
+
+    // ---- run 2: NEW query object, SAME checkpoint — state must come back ----
+    val p2 = scala.collection.mutable.Set[(Long, Long, Long)]()
+    source.addData(Seq(ev(1L, 900L, 3), ev(2L, 600L, 4)))
+    run(p2)
+    assert(p2.toSet == Set((1L, 1000L, 1L), (2L, 600L, 4L)),
+      s"post-restart emissions must reflect recovered state, got $p2")
+  }
+
+  test("TWS crash recovery: bootstrapped initial state survives restart and is not re-applied") {
+    // the q140 shape (latestPerKeyBootstrapped): initial state loads on the
+    // FIRST run only; after a checkpoint restart the bootstrap's influence
+    // must come back from the RocksDB store. Batch 2 probes both kinds of
+    // recovered state: u7's only prior record is the BOOTSTRAP row (never
+    // streamed, never emitted), u8's is a batch-1 STREAM winner.
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s2.sqlContext
+
+    def ev(u: Long, t: Long, id: Long) =
+      KeyedEvent(u, new java.sql.Timestamp(t), id, "e", 1.0)
+    val ckpt = java.nio.file.Files.createTempDirectory("tws_boot_rec_").toString
+    val init = Seq(ev(7L, 2000L, 70), ev(8L, 100L, 80)).toDS()
+    val source = MemoryStream[KeyedEvent]
+    def run(buf: scala.collection.mutable.Set[(Long, Long, Long)]) = {
+      val q = StreamingLatest.latestPerKeyBootstrapped(source.toDS(), init)
+        .writeStream.outputMode("update").option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[KeyedEvent], _: Long) =>
+          val rows = batch.collect().map(e => (e.user_id, e.ts.getTime, e.event_id))
+          buf.synchronized { buf ++= rows }: Unit
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    val p1 = scala.collection.mutable.Set[(Long, Long, Long)]()
+    source.addData(Seq(ev(8L, 150L, 81)))
+    run(p1)
+    assert(p1.toSet == Set((8L, 150L, 81L)))
+
+    val p2 = scala.collection.mutable.Set[(Long, Long, Long)]()
+    source.addData(Seq(ev(7L, 1500L, 71), ev(8L, 120L, 82)))
+    run(p2)
+    assert(p2.toSet == Set((7L, 2000L, 70L), (8L, 150L, 81L)),
+      s"bootstrap + stream state must both survive the restart, got $p2")
   }
 
   test("streaming sessionize: interior sessions emit immediately, open ones close by watermark") {
