@@ -24,6 +24,56 @@ object Bench {
     } catch { case _: Exception => -1.0 }
   }
 
+  /** Serving-path latency (VERDICT r5 item 5): the online `getRecord` hot
+    * path is correctness-gated (0 Spark jobs on the cache-hit path,
+    * FeatureStoreSpec) but was never MEASURED. Two stores over the same
+    * ingested latest-per-key snapshot: one serving from the driver cache
+    * (the production hot path; reference floor is a managed-KV ms hit),
+    * one capped to force the bucket-pruned Spark fallback (the over-cap
+    * path — a job per lookup, so it gets 100 probes, not 1000). Returns a
+    * JSON object for the bench artifact. */
+  private def servingBench(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
+    def pct(xs: Array[Long], p: Double): Long =
+      xs.sorted.apply(math.min(xs.length - 1, (p * xs.length).toInt))
+    try {
+      val latest = graft.operators.LatestPerKey.viaMaxBy(
+          spark.read.parquet(s"$sfDir/events.parquet"),
+          Seq("user_id"), "ts", Seq("event_id"))
+        .select(col("user_id"), col("ts").as("event_time"),
+          col("value").as("latest_value"))
+      val dir = Files.createTempDirectory("graft_serving_").toString
+      val group = FeatureGroup("ServingBench", "user_id", "event_time", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_time", FType.FTimestamp),
+        FeatureDef("latest_value", FType.Fractional)))
+      val fs = new FeatureStore(spark, dir)
+      fs.createGroup(group)
+      fs.ingest("ServingBench", latest)
+      val keys = latest.select("user_id").orderBy("user_id").limit(1000)
+        .collect().map(_.getLong(0))
+      def measure(store: FeatureStore, ks: Array[Long]): Array[Long] = {
+        store.getRecord("ServingBench", ks.head): Unit // warm (cache build / plan)
+        ks.map { k =>
+          val t0 = System.nanoTime()
+          val r = store.getRecord("ServingBench", k)
+          require(r.isDefined, s"serving bench key $k missing")
+          System.nanoTime() - t0
+        }
+      }
+      val hot = measure(fs, keys)
+      // cap 10 < |keys| forces the cached over-cap verdict + bucket-pruned read
+      val cold = measure(new FeatureStore(spark, dir, maxServingCacheRows = 10),
+        keys.take(100))
+      s""""serving":{"cache_hit":{"n":${hot.length},"p50_us":${pct(hot, 0.5) / 1000},"p99_us":${pct(hot, 0.99) / 1000}},""" +
+        s""""bucket_pruned":{"n":${cold.length},"p50_ms":${pct(cold, 0.5) / 1000000},"p99_ms":${pct(cold, 0.99) / 1000000}}}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] serving bench failed: ${e.getMessage}")
+      s""""serving":{"error":"${e.getClass.getSimpleName}"}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -61,7 +111,8 @@ object Bench {
     System.err.println(f"[bench] cpython probe (before): $probeBefore%.2f s (~2.0-2.1 = clean host)")
 
     var failed = Seq.empty[String]
-    def render(results: Seq[(String, Double)], probeAfter: Double = -1.0): String = {
+    def render(results: Seq[(String, Double)], probeAfter: Double = -1.0,
+        serving: Option[String] = None): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
@@ -69,10 +120,11 @@ object Bench {
       // the artifact names them — a run with failures must not read as a
       // faster suite
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val servingJson = serving.map("," + _).getOrElse("")
       // probe_before/probe_after: CPython host-speed probe (see cpythonProbe)
       // — clean ≈ 2.0-2.1; a pair well above that marks the whole run as
       // throttle-inflated, a clean pair certifies the totals
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter,"artifact":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter$servingJson,"artifact":"$outFile"}"""
     }
 
     // noop sink, not count(): count() lets Catalyst prune unused projections,
@@ -99,9 +151,13 @@ object Bench {
       Files.writeString(Paths.get(outFile), render(results))
       resetSession()
     }
+    // serving-path latency, measured OUTSIDE the suite's timed window
+    val serving = servingBench(spark, sfDir)
+    System.err.println(s"[bench] $serving")
+    resetSession()
     val probeAfter = cpythonProbe()
     System.err.println(f"[bench] cpython probe (after): $probeAfter%.2f s")
-    val finalJson = render(results, probeAfter)
+    val finalJson = render(results, probeAfter, Some(serving))
     Files.writeString(Paths.get(outFile), finalJson)
     println(finalJson)
     spark.stop()
