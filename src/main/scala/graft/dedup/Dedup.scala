@@ -742,13 +742,23 @@ object Dedup {
     *
     * KMeans assignment is engine-specific, so the oracle contract is the
     * q16/q18 one: candidate id pairs dump to a side table and DuckDB
-    * re-derives the cosine verification + marks from the stored vectors. */
+    * re-derives the cosine verification + marks from the stored vectors.
+    *
+    * CLUSTER COUNT SCALES WITH n (round-6 scaling-curve fix): with k fixed,
+    * cells grow ∝ n and candidates ∝ Σcell² ≈ n²/k — quadratic (measured:
+    * 10× corpus → ~100× candidates before the fix). k =
+    * max(nClusters, ⌈n/targetCell⌉) holds E[cell] ≈ targetCell so
+    * candidates ∝ n·targetCell — linear in n, the SemDeDup paper's own
+    * k ∝ n regime. The k cap (4096) bounds single-level KMeans fit cost;
+    * past ~10⁶·targetCell rows swap the quantizer for a two-level /
+    * hierarchical k-means behind the same cell-assignment interface. */
   def semanticDedup(
       df: DataFrame,
       id: String,
       vec: String,
       threshold: Double = 0.9,
       nClusters: Int = 16,
+      targetCell: Int = 250,
       seed: Long = 42L,
       fitSampleFraction: Double = 1.0,
       fitMaxIter: Int = 20,
@@ -761,10 +771,11 @@ object Dedup {
       .select(col(id).as("vec_id"), col(vec).as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
       .persist()
-    keyed.count(): Unit
+    val n = keyed.count()
 
+    val k = math.max(nClusters, math.min(n / math.max(1, targetCell) + 1, 4096L).toInt)
     val fitSet = if (fitSampleFraction < 1.0) keyed.sample(fitSampleFraction, seed) else keyed
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(fitMaxIter)
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
       .setFeaturesCol("features").fit(fitSet)
 
     val buckets = model.transform(keyed)

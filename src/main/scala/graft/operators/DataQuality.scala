@@ -88,8 +88,16 @@ object DataQuality {
     * for integers/strings; give doubles and timestamps an explicit repr
     * (integer cents, a fixed datetime format) when the profile must be
     * engine-portable. */
+  /** @param approxDistinct swap the EXACT distinct counts for HyperLogLog++
+    *   `approx_count_distinct` (±~2.3%). The exact form plans the N-column
+    *   multi-distinct as an Expand — an N× row multiplier feeding the
+    *   aggregate, fine at survey scale but a real cost on a 100 TB scan;
+    *   the approx form is a plain single-pass aggregate (no Expand, no row
+    *   multiplication), which is what a catalog profile job should run at
+    *   full scale. Oracled queries keep exact (DuckDB must match). */
   def profile(df: DataFrame,
-      repr: Map[String, Column => Column] = Map.empty): DataFrame = {
+      repr: Map[String, Column => Column] = Map.empty,
+      approxDistinct: Boolean = false): DataFrame = {
     val cols = df.columns.toSeq
     // source refs are backtick-escaped; internal agg aliases are keyed by
     // POSITION and the visible label rides as a lit() — a user column name
@@ -97,9 +105,11 @@ object DataQuality {
     def src(c: String): Column = col(s"`${c.replace("`", "``")}`")
     def rep(c: String)(v: Column): Column =
       repr.getOrElse(c, (x: Column) => x.cast("string"))(v)
+    def nd(c: String): Column =
+      if (approxDistinct) approx_count_distinct(src(c)) else countDistinct(src(c))
     val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(count(when(src(c).isNull, 1)).as(s"__nn_$i"),
-        countDistinct(src(c)).as(s"__nd_$i"),
+        nd(c).as(s"__nd_$i"),
         rep(c)(min(src(c))).as(s"__mn_$i"),
         rep(c)(max(src(c))).as(s"__mx_$i"))
     }

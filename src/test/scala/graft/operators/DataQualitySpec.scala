@@ -50,4 +50,27 @@ class DataQualitySpec extends SparkSpec {
       s"min over the VALUE then repr: lexical min('10','9') would be '10': ${rows("k")}")
     assert(rows("s") == ((3L, 1L, 2L, "a", "b")))
   }
+
+  test("profile: hostile column names (quotes, backticks, dots) survive intact") {
+    val hostile = Seq((1L, "x"), (2L, "y"))
+      .toDF("a'b", "c`d.e")
+    val rows = DataQuality.profile(hostile).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows.keySet == Set("a'b", "c`d.e"), s"labels mangled: ${rows.keySet}")
+    assert(rows("a'b") == 2L && rows("c`d.e") == 2L)
+  }
+
+  test("profile approxDistinct: no Expand in the plan, counts within HLL tolerance") {
+    val pdf = Seq.tabulate(2000)(i => (i.toLong % 500, s"v${i % 37}")).toDF("k", "s")
+    val approx = DataQuality.profile(pdf, approxDistinct = true)
+    // the exact multi-distinct plans an Expand (N× row multiplier); the
+    // approx form must be a plain single-pass aggregate
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"),
+      "approxDistinct=true must not plan an Expand")
+    assert(DataQuality.profile(pdf).queryExecution.executedPlan.toString.contains("Expand"),
+      "sanity: the exact form does plan an Expand")
+    val got = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(math.abs(got("k") - 500L) <= 25 && math.abs(got("s") - 37L) <= 4,
+      s"approx distincts out of tolerance: $got")
+  }
 }
