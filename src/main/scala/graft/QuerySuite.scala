@@ -508,6 +508,22 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- product-quantization ANN (Similarity.pqTopK, Jégou et al. '11):
+    //      stage 1 scores m-byte PQ codes via broadcast ADC tables — no
+    //      vector is read at all, 32× less stage-1 IO than fp32 — and the
+    //      exact-cosine rerank + candidate-dump oracle contract is q18's ----
+    "q148_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // 8 fit iterations: a PQ codebook is a rate-distortion device, not a
+      // clustering answer — shortlist rerank absorbs placement slop, and
+      // each saved iteration is m driver-synchronized MLlib jobs
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, m = 4, codebookSize = 16, shortlist = 50,
+          excludeSelf = true, fitMaxIter = 8, fitSampleFraction = 0.25,
+          candidateSink = Some(aux(dir, "q148_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- IVF against the PERSISTED index (the fit-free serving shape;
     //      q18 is the exploration mode that re-fits per call) ----
     "q86_ann_ivf_index" -> ((s, dir) => {
@@ -2782,8 +2798,13 @@ object QuerySuite {
     //      re-derives every decoded pixel arithmetically — the decode is
     //      bit-verified without DuckDB owning a codec ----
     "q145_image_decode" -> ((s, dir) => {
+      // a deterministic third of the customers: the codec cost is linear
+      // per image, so the subset proves the same thing for a third of the
+      // bench wall (the mod-3 predicate is mirrored in the oracle)
       Multimodal.decodeImageStats(
-          Multimodal.pngAssets(Tables.customer(s, dir), "c_custkey"))
+          Multimodal.pngAssets(
+            Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 0),
+            "c_custkey"))
         .select(col("asset_id"), col("width"), col("height"), col("sum_gray"))
         .orderBy("asset_id")
     }),
@@ -2795,7 +2816,9 @@ object QuerySuite {
     "q146_image_resize" -> ((s, dir) => {
       Multimodal.decodeImageStats(
           Multimodal.resizeImagesReal(
-            Multimodal.pngAssets(Tables.customer(s, dir), "c_custkey"), 8, 6))
+            Multimodal.pngAssets(
+              Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 0),
+              "c_custkey"), 8, 6))
         .select(col("asset_id"), col("width"), col("height"), col("sum_gray"))
         .orderBy("asset_id")
     })
@@ -3270,6 +3293,22 @@ object QuerySuite {
     // similarity bit-matches the native expression — q17)
     "q18_ann_ivf" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q18_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // q18's candidate-dump contract with q148's own dump: DuckDB re-ranks
+    // the PQ shortlist by exact cosine, so coding/ADC errors that perturb
+    // the shortlist CONTENTS are visible, and rerank math is bit-checked
+    "q148_pq_ann" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q148_candidates/*.parquet')),
         |scored AS (
         |  SELECT query_id, nbr_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
@@ -4721,7 +4760,7 @@ object QuerySuite {
     "q145_image_decode" ->
       """WITH a AS (SELECT c_custkey AS asset_id,
         |                  4 + c_custkey % 13 AS w, 4 + c_custkey % 11 AS h
-        |           FROM customer),
+        |           FROM customer WHERE c_custkey % 3 = 0),
         |px AS (SELECT asset_id, w, h, xs.x AS x, ys.y AS y
         |       FROM a CROSS JOIN range(16) xs(x) CROSS JOIN range(14) ys(y)
         |       WHERE xs.x < w AND ys.y < h)
@@ -4734,7 +4773,7 @@ object QuerySuite {
     "q146_image_resize" ->
       """WITH a AS (SELECT c_custkey AS asset_id,
         |                  4 + c_custkey % 13 AS w, 4 + c_custkey % 11 AS h
-        |           FROM customer),
+        |           FROM customer WHERE c_custkey % 3 = 0),
         |px AS (SELECT asset_id, w, h, xs.x AS x, ys.y AS y
         |       FROM a CROSS JOIN range(8) xs(x) CROSS JOIN range(6) ys(y))
         |SELECT asset_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,

@@ -241,6 +241,120 @@ object Similarity {
     * The stage-1 rank filter plants a partial WindowGroupLimit (map-side
     * top-m before the exchange), so the shuffle moves ≤ m·|queries| id
     * rows, never scores for the whole corpus. */
+  /** Product-quantization two-stage top-k (Jégou–Douze–Schmid TPAMI'11,
+    * public method) — the EXTREME-compression serving shape: each vector is
+    * stored for stage 1 as `m` small codes (m bytes at codebookSize ≤ 256 —
+    * 32× less than 64-dim fp32, 4× less than the int8 path), and stage-1
+    * scoring never touches a vector at all: per query, an ADC table of
+    * m × codebookSize precomputed sub-distances is broadcast, and each
+    * corpus row's score is m ARRAY LOOKUPS + adds — pure codegen Column
+    * algebra, no UDF.
+    *
+    * Both sides are L2-NORMALIZED first, so the stage-1 squared-L2 ADC
+    * metric is 2 − 2·cosine — rank-equivalent to cosine — and stage 2
+    * reranks the `shortlist` survivors per query with the exact codegen
+    * [[CosineSimilarity]] on the original vectors (same rerank tail and
+    * candidate-dump oracle contract as every other ANN path here).
+    *
+    * Quantizer fit: m independent KMeans fits on the SAMPLE's subspaces
+    * (each tiny — subDim-dimensional, codebookSize centroids), so fit cost
+    * stays constant as the corpus grows; encoding is one full-corpus
+    * codegen pass (m·codebookSize fused sub-distance expressions per row).
+    * `shortlist/k` is the recall lever; shortlist = |corpus| degenerates to
+    * exact brute force (SimilaritySpec). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      shortlist: Int = 50,
+      seed: Long = 42L,
+      excludeSelf: Boolean = false,
+      fitSampleFraction: Double = 1.0,
+      fitMaxIter: Int = 20,
+      candidateSink: Option[String] = None): DataFrame = {
+    require(m >= 1 && codebookSize >= 2 && shortlist >= k,
+      "need m >= 1, codebookSize >= 2, shortlist >= k")
+
+    val c0 = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+
+    // L2-normalize (zero vectors stay zero — they score worst everywhere)
+    def l2norm(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x))
+      when(n > 0, transform(v, x => x.cast("double") / n))
+        .otherwise(transform(v, x => x.cast("double") * 0.0))
+    }
+    val cn = c0.withColumn("nv", l2norm(col("cv")))
+    val dim = cn.select(size(col("nv"))).head().getInt(0)
+    require(dim >= m, s"vector dim $dim must be >= m=$m")
+    // subspace j covers [starts(j), starts(j) + lens(j)) — last takes remainder
+    val base = dim / m
+    val starts = (0 until m).map(j => j * base + 1) // slice() is 1-based
+    val lens = (0 until m).map(j => if (j == m - 1) dim - base * (m - 1) else base)
+
+    // m independent sub-quantizer fits on the sample: each KMeans sees only
+    // its subDim-dim projection, so fit cost is m small fits, not one big
+    // one — and the m fits run CONCURRENTLY (independent jobs on the shared
+    // context; Spark schedules them fine, and each fit is driver-
+    // synchronized per iteration, so serial fits would sum their latencies)
+    val fitSet = (if (fitSampleFraction < 1.0) cn.sample(fitSampleFraction, seed) else cn)
+      .select((0 until m).map(j =>
+        array_to_vector(slice(col("nv"), starts(j), lens(j))).as(s"__f$j")): _*)
+      .persist()
+    fitSet.count(): Unit
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence((0 until m).map { j =>
+        Future {
+          new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(fitMaxIter)
+            .setFeaturesCol(s"__f$j").fit(fitSet)
+            .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    }
+    fitSet.unpersist(false)
+
+    // sub-distance over a PRE-SLICED subvector column: slicing once per
+    // subspace (not once per centroid) cuts array copies codebookSize×
+    def sqDist(sub: Column, cen: Seq[Double]): Column =
+      aggregate(zip_with(sub, typedLit(cen),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, d) => acc + d)
+    def withSubs(df: DataFrame): DataFrame = df.select(df.columns.map(col) ++
+      (0 until m).map(j => slice(col("nv"), starts(j), lens(j)).as(s"__s$j")): _*)
+
+    // encode: per subspace, argmin over the codebook — m·codebookSize fused
+    // sub-distance expressions, one pass, output is m small ints
+    val codes = (0 until m).map { j =>
+      val ds = array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    val enc = withSubs(cn).select(col("nbr_id"), array(codes: _*).as("pqc"))
+
+    // per-query ADC tables: m × codebookSize exact sub-distances, carried as
+    // an array-of-arrays into the broadcast — stage 1 reads NO vectors
+    val qn = withSubs(q0.withColumn("nv", l2norm(col("qv"))))
+    val adc = qn.select(col("query_id"), array((0 until m).map { j =>
+      array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
+    }: _*).as("adc"))
+
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val score = (0 until m).map(j =>
+      element_at(element_at(col("adc"), j + 1), element_at(col("pqc"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("s1").asc, col("nbr_id").asc)
+    val cand0 = enc.join(broadcast(adc), cond)
+      .withColumn("s1", score) // squared L2 on normalized vectors: 2 − 2·cos
+      .withColumn("r1", row_number().over(w)).filter(col("r1") <= shortlist)
+      .select(col("query_id"), col("nbr_id"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, c0, q0, k)
+  }
+
   def twoStageTopK(
       corpus: DataFrame,
       queries: DataFrame,
