@@ -508,6 +508,23 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- bounded-state deterministic group sample (BottomK — the typed
+    //      Aggregator UDAF surface, §2.11): per event_type, the 5 events
+    //      with the smallest md5(event_id). collect_list+sort would buffer
+    //      WHOLE groups; this buffer never exceeds k and partials merge
+    //      associatively (map-side combine works). Content-addressed order
+    //      key ⇒ the oracle replays the identical sample ----
+    "q149_group_sample" -> ((s, dir) => {
+      val bk = udaf(new graft.functions.BottomK(5),
+        org.apache.spark.sql.Encoders.product[graft.functions.BottomK.In])
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(bk(md5(col("event_id").cast("string")),
+          col("event_id").cast("string")).as("sample"))
+        .select(col("event_type"), explode(col("sample")).cast("long").as("event_id"))
+        .orderBy("event_type", "event_id")
+    }),
+
     // ---- product-quantization ANN (Similarity.pqTopK, Jégou et al. '11):
     //      stage 1 scores m-byte PQ codes via broadcast ADC tables — no
     //      vector is read at all, 32× less stage-1 IO than fp32 — and the
@@ -3303,6 +3320,16 @@ object QuerySuite {
         |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
         |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
         |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // the bounded-state sample IS "ORDER BY md5 LIMIT k per group" — replayed
+    // exactly (content-addressed key, payload tie-break)
+    "q149_group_sample" ->
+      """SELECT event_type, CAST(event_id AS BIGINT) AS event_id FROM (
+        |  SELECT event_type, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY md5(event_id::VARCHAR), event_id::VARCHAR) AS rn
+        |  FROM events) t
+        |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
 
     // q18's candidate-dump contract with q148's own dump: DuckDB re-ranks
     // the PQ shortlist by exact cosine, so coding/ADC errors that perturb
