@@ -521,7 +521,8 @@ object QuerySuite {
         .groupBy("event_type")
         .agg(bk(md5(col("event_id").cast("string")),
           col("event_id").cast("string")).as("sample"))
-        .select(col("event_type"), explode(col("sample")).cast("long").as("event_id"))
+        .select(col("event_type"), explode(col("sample")).as("s"))
+        .select(col("event_type"), col("s").cast("long").as("event_id"))
         .orderBy("event_type", "event_id")
     }),
 
@@ -3328,7 +3329,7 @@ object QuerySuite {
         |  SELECT event_type, event_id,
         |         row_number() OVER (PARTITION BY event_type
         |                            ORDER BY md5(event_id::VARCHAR), event_id::VARCHAR) AS rn
-        |  FROM events) t
+        |  FROM (SELECT DISTINCT event_type, event_id FROM events) d) t
         |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
 
     // q18's candidate-dump contract with q148's own dump: DuckDB re-ranks

@@ -128,14 +128,20 @@ object Multimodal {
 
   /** Encode a real PNG (8-bit RGB, r=g=b=gray(x,y)) with the JDK encoder. */
   def encodePng(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val g = gray
+    encodePngRgb(w, h, (x, y) => { val v = g(x, y) & 0xFF; (v << 16) | (v << 8) | v })
+  }
+
+  /** Encode a real PNG from a full packed-RGB pixel function — the
+    * general-purpose (color-preserving) encoder the resize path uses. */
+  def encodePngRgb(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = gray(x, y) & 0xFF
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        img.setRGB(x, y, rgb(x, y) & 0xFFFFFF)
         x += 1
       }
       y += 1
@@ -216,8 +222,10 @@ object Multimodal {
           case Some(img) =>
             val sw = img.getWidth
             val sh = img.getHeight
-            val out = encodePng(width, height,
-              (x, y) => img.getRGB(x * sw / width, y * sh / height) & 0xFF)
+            // full RGB triple carried through — a color input stays color;
+            // on the grayscale fixtures this is bit-identical to before
+            val out = encodePngRgb(width, height,
+              (x, y) => img.getRGB(x * sw / width, y * sh / height))
             Row(r.getLong(0), "image", out, Row(meta.get(0), width, height, meta.get(3)))
           case None => Row(r.getLong(0), "image", r.getAs[Array[Byte]]("bytes"), meta)
         }

@@ -192,6 +192,7 @@ object Graph {
     var converged = false
     var cycled = false
     var breaksLeft = cycleBreaks
+    var lastWasMid = false
     while (!converged && !cycled && it < maxIters) {
       val next = prStep(edgesDeg, x, dampNum, dampDen, scale).localCheckpoint(true)
       it += 1
@@ -214,9 +215,23 @@ object Graph {
             mid
           } else { cycled = true; next }
         } else next
+      lastWasMid = !converged && !cycled && !(rotateTo eq next)
       if (prev != null) GraftBridge.releaseCheckpoint(prev)
       prev = x
       x = rotateTo
+    }
+    if (lastWasMid) {
+      // the iteration budget ran out right after a midpoint restart: a mid
+      // frame is an averaging artifact, never a power-iterate, so returning
+      // it would break the documented invariant step(prevScores) == scores.
+      // One more genuine step restores it (and may even certify).
+      val next = prStep(edgesDeg, x, dampNum, dampDen, scale).localCheckpoint(true)
+      it += 1
+      val (dx, _) = deltas(next, x, null)
+      if (dx == 0) converged = true
+      if (prev != null) GraftBridge.releaseCheckpoint(prev)
+      prev = x
+      x = next
     }
     GraftBridge.releaseCheckpoint(edgesDeg)
     PageRankResult(x, prev, it, converged, cycled)

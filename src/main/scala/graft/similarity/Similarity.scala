@@ -289,8 +289,16 @@ object Similarity {
         .otherwise(transform(v, x => x.cast("double") * 0.0))
     }
     val cn = c0.withColumn("nv", l2norm(col("cv")))
-    val dim = cn.select(size(col("nv"))).head().getInt(0)
+    val dim = cn.select(size(col("nv"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "pqTopK: empty corpus — nothing to quantize"))
     require(dim >= m, s"vector dim $dim must be >= m=$m")
+    // ragged/null vectors would produce null ADC scores that sort nulls-
+    // first under s1 ASC and pollute the shortlist — fail loudly instead
+    // (one cheap agg over the already-required scan)
+    val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim).limit(1).count()
+    require(bad == 0, s"pqTopK: corpus has null or non-$dim-dim vectors")
     // subspace j covers [starts(j), starts(j) + lens(j)) — last takes remainder
     val base = dim / m
     val starts = (0 until m).map(j => j * base + 1) // slice() is 1-based
@@ -315,7 +323,7 @@ object Similarity {
             .setFeaturesCol(s"__f$j").fit(fitSet)
             .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
         }
-      }), scala.concurrent.duration.Duration.Inf)
+      }), scala.concurrent.duration.Duration(30, scala.concurrent.duration.MINUTES))
     }
     fitSet.unpersist(false)
 

@@ -31,7 +31,7 @@ class BottomKSpec extends SparkSpec {
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val brute = rows.distinct.map { case (g, p) => (g, md5hex(p), p) }
-      .groupBy(_._1).flatMap { case (g, es) =>
+      .groupBy(_._1).toSeq.flatMap { case (g, es) =>
         es.map(e => (e._2, e._3)).distinct.sorted.take(3).map(e => (g, e._2))
       }.toSet
 
