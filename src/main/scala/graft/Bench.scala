@@ -66,8 +66,32 @@ object Bench {
       // cap 10 < |keys| forces the cached over-cap verdict + bucket-pruned read
       val cold = measure(new FeatureStore(spark, dir, maxServingCacheRows = 10),
         keys.take(100))
+      // concurrent load (VERDICT r6 item 8): 8 threads hammering the SAME
+      // store's cache-hit path — sequential numbers hide cache contention;
+      // this reports tail latency AND aggregate throughput under load
+      val (nThreads, perThread) = (8, 1000)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      val t0 = System.nanoTime()
+      val futs = (0 until nThreads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Array[Long]] {
+          def call(): Array[Long] = {
+            val rng = new scala.util.Random(t)
+            Array.fill(perThread) {
+              val k = keys(rng.nextInt(keys.length))
+              val s = System.nanoTime()
+              require(fs.getRecord("ServingBench", k).isDefined)
+              System.nanoTime() - s
+            }
+          }
+        })
+      }
+      val conc = futs.flatMap(_.get()).toArray
+      val wallNs = math.max(1L, System.nanoTime() - t0)
+      pool.shutdown()
+      val thrpt = conc.length.toLong * 1000000000L / wallNs
       s""""serving":{"cache_hit":{"n":${hot.length},"p50_us":${pct(hot, 0.5) / 1000},"p99_us":${pct(hot, 0.99) / 1000}},""" +
-        s""""bucket_pruned":{"n":${cold.length},"p50_ms":${pct(cold, 0.5) / 1000000},"p99_ms":${pct(cold, 0.99) / 1000000}}}"""
+        s""""bucket_pruned":{"n":${cold.length},"p50_ms":${pct(cold, 0.5) / 1000000},"p99_ms":${pct(cold, 0.99) / 1000000}},""" +
+        s""""concurrent":{"threads":$nThreads,"n":${conc.length},"p50_us":${pct(conc, 0.5) / 1000},"p99_us":${pct(conc, 0.99) / 1000},"lookups_per_s":$thrpt}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] serving bench failed: ${e.getMessage}")
       s""""serving":{"error":"${e.getClass.getSimpleName}"}"""

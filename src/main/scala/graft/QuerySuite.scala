@@ -461,6 +461,24 @@ object QuerySuite {
         .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
     }),
 
+    // ---- semantic dedup through the TWO-LEVEL coarse quantizer (the k ∝ n
+    //      scale path past the flat-fit ceiling): targetCell/cutover tuned
+    //      so the hierarchical fit + map-only two-stage assignment actually
+    //      run at sf scale. Same candidate-dump oracle as q67 — the oracle
+    //      verifies every claimed pair and rebuilds the marks, so it is
+    //      agnostic to WHICH quantizer proposed the cells ----
+    "q150_semantic_two_level" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // fitMaxIter=8: pqTopK's rate-distortion argument — the exact-cosine
+      // verification absorbs cell-placement slop, and every saved iteration
+      // is one driver-synchronized job in BOTH fit levels
+      val pairs = Dedup.semanticDedup(emb, "vec_id", "embedding", threshold = 0.9,
+        nClusters = 16, targetCell = 50, twoLevelCutover = 8, fitMaxIter = 8,
+        candidateSink = Some(aux(dir, "q150_candidates")))
+      Dedup.marksFromPairs(emb, "vec_id", pairs)
+        .withColumnRenamed("doc_id", "vec_id").orderBy("vec_id")
+    }),
+
     // ---- decontamination: train/test n-gram overlap over the q52 content-
     //      addressed split — per test doc, how many train docs share ≥3
     //      distinct df-capped 8-grams with it, and the worst overlap ----
@@ -3192,6 +3210,20 @@ object QuerySuite {
     // same re-derivation as q16, over the KMeans-cell candidates: the oracle
     // is agnostic to HOW candidates were generated — it independently
     // verifies every claimed pair and reconstructs the marks
+    // q67's verification contract over the two-level quantizer's candidates
+    "q150_semantic_two_level" ->
+      """WITH cand AS (SELECT id_a, id_b FROM read_parquet('{AUX}/q150_candidates/*.parquet')),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+        |            JOIN embeddings b ON b.vec_id = cand.id_b)
+        |SELECT e.vec_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM embeddings e
+        |LEFT JOIN (SELECT DISTINCT id_b AS vec_id, true AS is_dup FROM c WHERE cosine >= 0.9) dup
+        |  USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
     "q67_dedup_semantic" ->
       """WITH cand AS (SELECT id_a, id_b FROM read_parquet('{AUX}/q67_candidates/*.parquet')),
         |c AS (

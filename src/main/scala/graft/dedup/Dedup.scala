@@ -2,7 +2,7 @@ package graft.dedup
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -749,9 +749,13 @@ object Dedup {
     * 10× corpus → ~100× candidates before the fix). k =
     * max(nClusters, ⌈n/targetCell⌉) holds E[cell] ≈ targetCell so
     * candidates ∝ n·targetCell — linear in n, the SemDeDup paper's own
-    * k ∝ n regime. The k cap (4096) bounds single-level KMeans fit cost;
-    * past ~10⁶·targetCell rows swap the quantizer for a two-level /
-    * hierarchical k-means behind the same cell-assignment interface. */
+    * k ∝ n regime. Past `twoLevelCutover` cells the quantizer switches to
+    * the two-level form ([[fitTwoLevelCentroids]]): fit cost drops from
+    * O(n·k) to O(n·√k̄) per iteration and the k cap rises 4096 → 16384,
+    * extending the linear-candidate regime to ~4·10⁶·targetCell rows
+    * behind the same (doc_id, cell) assignment interface — the oracle
+    * contract is untouched because candidates are verified, not trusted.
+    * Beyond that cap, a third level (same construction) is the lever. */
   def semanticDedup(
       df: DataFrame,
       id: String,
@@ -763,6 +767,7 @@ object Dedup {
       fitSampleFraction: Double = 1.0,
       fitMaxIter: Int = 20,
       maxCluster: Int = 10000,
+      twoLevelCutover: Int = 1024,
       candidateSink: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -773,13 +778,31 @@ object Dedup {
       .persist()
     val n = keyed.count()
 
-    val k = math.max(nClusters, math.min(n / math.max(1, targetCell) + 1, 4096L).toInt)
+    // cap: 4096 single-level (flat fit cost ∝ n·k·iter), 16384 two-level
+    // (fit cost ∝ n·(√k̄)·iter — the cutover is what RAISES the ceiling)
+    val kCap = if (n / math.max(1, targetCell) + 1 > twoLevelCutover) 16384L else 4096L
+    val k = math.max(nClusters, math.min(n / math.max(1, targetCell) + 1, kCap).toInt)
     val fitSet = if (fitSampleFraction < 1.0) keyed.sample(fitSampleFraction, seed) else keyed
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
-      .setFeaturesCol("features").fit(fitSet)
 
-    val buckets = model.transform(keyed)
-      .select(col("vec_id").as("doc_id"), col("prediction").as("cell"))
+    val assigned: DataFrame = if (k > twoLevelCutover) {
+      // two-level regime: √k top cells fit by MLlib on the sample, all the
+      // sub-codebooks trained together by distributed Lloyd (one map-only
+      // assignment + one combinable aggregation per iteration — never a
+      // per-cell driver-synchronized fit), then ONE map-only hierarchical
+      // assignment pass over the corpus: O(n·(k₁+k₂)) distance evals vs the
+      // flat path's O(n·k)
+      val q = fitTwoLevelCentroids(
+        fitSet.select(col("v").cast("array<double>").as("v")), k, seed, fitMaxIter)
+      keyed.select(col("vec_id").as("doc_id"),
+        assignTwoLevel(col("v").cast("array<double>"), q).as("cell"))
+    } else {
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
+        .setFeaturesCol("features").fit(fitSet)
+      model.transform(keyed)
+        .select(col("vec_id").as("doc_id"), col("prediction").as("cell"))
+    }
+
+    val buckets = assigned
       .groupBy(col("cell")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, maxCluster)) // skew guard
 
@@ -792,6 +815,137 @@ object Dedup {
         round(CosineSimilarity(col("v_a"), col("v_b")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
     eager(out, () => { keyed.unpersist(false): Unit })
+  }
+
+  /** Two-level coarse quantizer: `tops(t)` is top-centroid t; `leaves(t)`
+    * is top cell t's sub-codebook as (flat leaf cell id, centroid) pairs.
+    * Plain driver-side arrays (≤ k·dim doubles — bounded by the codebook,
+    * never the data), so assignment is a pure literal expression and the
+    * serving path needs no MLlib model object. */
+  private[graft] case class TwoLevelQuantizer(
+      tops: IndexedSeq[Seq[Double]],
+      leaves: IndexedSeq[Seq[(Int, Seq[Double])]])
+
+  /** Map-only nearest-centroid index over a small literal codebook (k₁ ≤
+    * ~128 fused squared-L2 expressions — pqTopK's encode shape): argmin via
+    * array_min over (d2, idx) structs, ties to the lower idx. */
+  private def nearestIdx(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (cen, i) =>
+      struct(
+        aggregate(zip_with(v, typedLit(cen), (a, b) => { val d = a - b; d * d }),
+          lit(0.0), (s, x) => s + x).as("d2"),
+        lit(i).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** Map-only sub-cell argmin for a row already carrying its `top`: ONE
+    * literal holds every sub-codebook grouped by top cell; element_at picks
+    * this row's codebook, transform scores its k₂ entries, array_min takes
+    * the (d2, cell)-lexicographic min. The expression tree stays O(1) as k
+    * grows — k lives in the literal's DATA, not in fused branches, which is
+    * what keeps codegen viable at k = 16384. */
+  private def nearestLeafCell(v: Column, top: Column,
+      leaves: IndexedSeq[Seq[(Int, Seq[Double])]]): Column = {
+    val scored = transform(element_at(typedLit(leaves), top + 1), s =>
+      struct(
+        aggregate(zip_with(v, s.getField("_2"), (a, b) => { val d = a - b; d * d }),
+          lit(0.0), (acc, x) => acc + x).as("d2"),
+        s.getField("_1").as("cell")))
+    array_min(scored).getField("cell")
+  }
+
+  /** One map-only hierarchical assignment: nearest top (k₁ evals) then
+    * nearest leaf within it (k₂ evals) — zero joins, zero shuffles. */
+  private[graft] def assignTwoLevel(v: Column, q: TwoLevelQuantizer): Column =
+    nearestLeafCell(v, nearestIdx(v, q.tops), q.leaves)
+
+  /** Fit the two-level codebook — pure distributed Lloyd at BOTH levels,
+    * no MLlib (kmeans||'s multi-job init measured ~2 s of fixed overhead
+    * for no quality gain at a level whose residual the sub level refines
+    * anyway). Per iteration of either level: ONE map-only assignment pass
+    * plus ONE combinable per-dimension mean aggregation whose output is
+    * codebook-bounded (≤ k rows collected — never data-bounded), so fit
+    * cost per iteration is O(n·k₁) then O(n·k₂) distance evals instead of
+    * the flat fit's O(n·k), with no per-cell driver-synchronized fits.
+    * Deterministic end to end: both inits are content-smallest (xxhash64)
+    * members — top-level globally, sub-level per top cell — so the fit is
+    * reproducible under any partitioning; an empty top cell degrades to
+    * its own top centroid as the single leaf. Iterations are capped low
+    * and early-exit on sub-ppm movement: a coarse quantizer is a
+    * rate-distortion device, not a clustering answer — the exact-cosine
+    * verification stage absorbs cell-placement slop (pqTopK's argument),
+    * and each saved iteration is one driver-synchronized job. */
+  private[graft] def fitTwoLevelCentroids(
+      vecs: DataFrame, // one column "v": array<double>
+      k: Int,
+      seed: Long,
+      fitMaxIter: Int): TwoLevelQuantizer = {
+    require(k >= 4, s"two-level quantizer needs k >= 4, got $k")
+    val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(2, math.ceil(k.toDouble / k1).toInt)
+
+    val vp = vecs.select(col("v")).persist()
+    val maxIters = math.min(fitMaxIter, 4)
+    def movedBeyond(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-6 * math.max(1.0, math.abs(x)) }
+
+    // ---- top level: k1 content-smallest DISTINCT rows seed the walk ----
+    var tops: IndexedSeq[Seq[Double]] = vp
+      .orderBy(xxhash64(col("v")).asc).limit(4 * k1) // TakeOrdered, one job
+      .collect().map(_.getSeq[Double](0)).distinct.take(k1).toIndexedSeq
+    require(tops.nonEmpty, "two-level quantizer: empty fit set")
+    val dim = tops.head.size // no separate size() job — the seeds carry it
+    val dimAvgs = (0 until dim).map(i => avg(col("v")(i)).as(s"__m$i"))
+    // one Lloyd step: assign by `cellOf`, mean per cell, collect ≤ k rows
+    def meansBy(df: DataFrame, cellOf: Column): Map[Int, Seq[Double]] = df
+      .select(cellOf.as("cell"), col("v"))
+      .groupBy(col("cell")).agg(dimAvgs.head, dimAvgs.tail: _*)
+      .select(col("cell"), array((0 until dim).map(i => col(s"__m$i")): _*).as("cen"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    var it = 0
+    var moved = true
+    while (it < maxIters && moved) {
+      val m = meansBy(vp, nearestIdx(col("v"), tops))
+      val merged = tops.indices.map(i => m.getOrElse(i, tops(i)))
+      moved = tops.zip(merged).exists { case (a, b) => movedBeyond(a, b) }
+      tops = merged.toIndexedSeq
+      it += 1
+    }
+
+    // top-assign ONCE with the same assignment expression the corpus pass
+    // will use, stage it for the sub-level loop
+    val assignedTop = vp.select(col("v"), nearestIdx(col("v"), tops).as("top"))
+      .persist() // first consumer (the sub init) populates the cache
+
+    // sub init: per top cell, the k2 content-smallest members; flat leaf
+    // id = top·k2 + sub
+    var leaves: Map[Int, Seq[Double]] = assignedTop
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("top")).orderBy(xxhash64(col("v")).asc)))
+      .filter(col("__rn") <= k2)
+      .select((col("top") * k2 + col("__rn") - 1).as("cell"), col("v"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    (0 until k1).foreach { t =>
+      if (!leaves.contains(t * k2)) leaves += (t * k2) -> tops(t)
+    }
+
+    def grouped(ls: Map[Int, Seq[Double]]): IndexedSeq[Seq[(Int, Seq[Double])]] =
+      IndexedSeq.tabulate(k1)(t =>
+        ls.toSeq.filter { case (c, _) => c / k2 == t }.sortBy(_._1))
+
+    it = 0
+    moved = true
+    while (it < maxIters && moved) {
+      val m = meansBy(assignedTop, nearestLeafCell(col("v"), col("top"), grouped(leaves)))
+      val merged = leaves.map { case (c, cen) => c -> m.getOrElse(c, cen) }
+      moved = merged.exists { case (c, cen) => movedBeyond(leaves(c), cen) }
+      leaves = merged
+      it += 1
+    }
+    assignedTop.unpersist(false)
+    vp.unpersist(false)
+    TwoLevelQuantizer(tops, grouped(leaves))
   }
 
   /** Bootstrap a persisted semantic (embedding) index WITHOUT running dedup:

@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   * beat the join-based wedge generation (82M joined rows through a
   * broadcast probe) ~3× wall-clock at sf0.1.
   *
-  * The adjacency table (|V| rows, arrays ≤ O(√m)) is BROADCAST twice; for
-  * graphs whose vertex set outgrows a broadcast, swap those two joins for
-  * shuffle joins on u / w — same plan shape, two more exchanges.
+  * The adjacency table (|V| rows, arrays ≤ O(√m), ~16·m bytes total) is
+  * BROADCAST twice while it fits `broadcastMaxBytes`; past that the two
+  * probes automatically become shuffle joins on u / w — same plan shape,
+  * two more exchanges, no operator intervention. The switch is sized from
+  * the already-staged oriented-edge count, so it costs one cached-block
+  * count, never an extra scan of the input.
   *
   * The (deg, id) order is packed into one long (deg·2³² + id) so the hot
   * comparisons are primitive; requires ids < 2³² — true for any graph
@@ -42,7 +45,8 @@ object Graph {
     *              self-loops are removed here, input pair order is free
     * @return (node, n_tri) — one row per node in ≥1 triangle
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+      broadcastMaxBytes: Long = 256L << 20): DataFrame = {
     val Array(ca, cb) = edges.columns
     val e = edges
       .select(least(col(ca), col(cb)).cast("long").as("a"),
@@ -74,10 +78,16 @@ object Graph {
       .localCheckpoint(true)
 
     val mask = lit((1L << 32) - 1)
+    // adjacency payload ≈ 16 bytes/oriented edge (packed long + array
+    // overhead); oriented is already materialized so this count is a
+    // cached-block scan, not a recompute
+    val bcast = 16L * oriented.count() <= broadcastMaxBytes
+    def probe(d: DataFrame): DataFrame =
+      if (bcast) broadcast(d) else d.hint("shuffle_merge")
     val perEdge = oriented
       .select(col("src").as("u"), col("dstk").bitwiseAND(mask).as("w"))
-      .join(broadcast(adj.select(col("src").as("u"), col("nb").as("nbu"))), Seq("u"), "left")
-      .join(broadcast(adj.select(col("src").as("w"), col("nb").as("nbw"))), Seq("w"), "left")
+      .join(probe(adj.select(col("src").as("u"), col("nb").as("nbu"))), Seq("u"), "left")
+      .join(probe(adj.select(col("src").as("w"), col("nb").as("nbw"))), Seq("w"), "left")
       .select(col("u"), col("w"),
         graft.functions.SortedIntersect( // codegen merge walk, no per-row hash set
           coalesce(col("nbu"), array().cast("array<long>")),

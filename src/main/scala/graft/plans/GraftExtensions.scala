@@ -104,9 +104,26 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AsOfSql.AsOfOn].getName, null, "asof_on"),
     (args: Seq[Expression]) => AsOfSql.AsOfOn(args))
 
+  /** The typed-Aggregator surface (§2.11), reachable from SQL text:
+    * `bottom_k(order_key, payload, k)` — bounded-state deterministic group
+    * sample, k a literal like Spark's own `approx_percentile` accuracy arg.
+    * Built through the same udaf() wrapper the Column API uses, so SQL and
+    * Scala cannot drift (GraftExtensionsSpec asserts ≡). */
+  private[plans] val bottomKDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bottom_k"),
+    new ExpressionInfo(classOf[graft.functions.BottomK].getName, null, "bottom_k"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3, s"bottom_k expects (key, payload, k), got ${args.length}")
+      val k = litInt(args(2), "bottom_k k")
+      require(k >= 1, "bottom_k k must be >= 1")
+      org.apache.spark.sql.GraftBridge.udafExpression(new graft.functions.BottomK(k),
+        org.apache.spark.sql.Encoders.product[graft.functions.BottomK.In], args.take(2))
+    })
+
   private[plans] val all = Seq(
     cosineSimDescriptor, sortedIntersectDescriptor, zOrderDescriptor,
-    hashSplitDescriptor, asofOnDescriptor)
+    hashSplitDescriptor, asofOnDescriptor, bottomKDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -18,6 +18,16 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Build the catalyst aggregate expression for a typed Aggregator over
+    * already-analyzed children — the piece a FunctionRegistry builder needs
+    * to expose a UDAF to SQL text (the Column-API path goes through
+    * ColumnNode conversion, which a registry builder bypasses). */
+  def udafExpression[I, B, O](agg: expressions.Aggregator[I, B, O],
+      inputEnc: Encoder[I], children: Seq[Expression]): Expression =
+    execution.aggregate.ScalaAggregator(
+      expressions.UserDefinedAggregator(agg, inputEnc), children)
+      .toAggregateExpression()
+
   /** Release the block-manager storage behind a `localCheckpoint`ed frame.
     * `Dataset.unpersist` only covers `cache()`/`persist()`; a local checkpoint
     * pins its materialized RDD until the session dies — in a long session

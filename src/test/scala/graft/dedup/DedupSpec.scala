@@ -311,6 +311,49 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((100L, 101L), (200L, 201L)), s"got $pairs")
   }
 
+  test("semantic dedup two-level quantizer: same planted pairs; assignment matches driver replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(5)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val blobA = Array(10f, 0f, 0f, 5f); val blobB = Array(-10f, 8f, 0f, -5f)
+    val planted = Seq(
+      100L -> blobA, 101L -> jitter(blobA, 0.01f),
+      200L -> blobB, 201L -> jitter(blobB, 0.01f))
+    val noise = (0L until 40L).map(i =>
+      (300L + i) -> jitter(if (i % 2 == 0) blobA else blobB, 12f))
+    val vecs = (planted ++ noise).map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+
+    // targetCell=4 on 44 rows → k=12 > cutover=4 → the two-level path runs;
+    // the planted near-identical pairs must still share a leaf cell and
+    // survive the cosine gate, and noise must still be rejected
+    val pairs = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+        threshold = 0.9999, nClusters = 8, targetCell = 4, twoLevelCutover = 4,
+        fitMaxIter = 20)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((100L, 101L), (200L, 201L)), s"got $pairs")
+
+    // the quantizer contract itself: the map-only assignment expression ==
+    // a driver-side replay of (nearest top, then nearest leaf in that top),
+    // ties to the lower index — for EVERY vector
+    val dv = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = Dedup.fitTwoLevelCentroids(dv.select(col("v")), k = 12, seed = 42L, fitMaxIter = 20)
+    assert(q.tops.size >= 2 && q.leaves.size == q.tops.size)
+    assert(q.leaves.forall(_.nonEmpty), "every top cell needs at least one leaf")
+    val assigned = dv.select(col("vec_id"), Dedup.assignTwoLevel(col("v"), q).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    dv.collect().foreach { r =>
+      val (id, v) = (r.getLong(0), r.getSeq[Double](1))
+      val top = q.tops.zipWithIndex.minBy { case (c, i) => (d2(v, c), i) }._2
+      val cell = q.leaves(top).minBy { case (c, cen) => (d2(v, cen), c) }._1
+      assert(assigned(id) == cell, s"vec $id: expr=${assigned(id)} replay=$cell")
+    }
+  }
+
   test("duplicateSpans finds a shared 8-token passage, ignores unique text") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -34,6 +34,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts shuffle-join fallback: same counts, plan-gated SMJ probes") {
+    val rnd = new Random(7)
+    val n = 20
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+    } yield (a, b))
+    // broadcastMaxBytes = 0 forces the over-threshold path: the two
+    // adjacency probes must become shuffle joins, and the counts must not
+    // change (same plan SHAPE, different exchange strategy). The returned
+    // frame is checkpoint-staged (joins invisible in ITS plan), so the gate
+    // reads the SQL status store, which records every staged execution.
+    val store = spark.sharedState.statusStore
+    val before = store.executionsCount().toInt
+    val df = Graph.triangleCounts(edges.toDF("a", "b"), broadcastMaxBytes = 0L)
+    val got = df.as[(Long, Long)].collect().toMap
+    assert(got == bruteNodeCounts(edges), "fallback path must agree with brute force")
+    def sawSmj() = store.executionsList().drop(before)
+      .exists(_.physicalPlanDescription.contains("SortMergeJoin"))
+    val deadline = System.currentTimeMillis() + 10000 // status bus is async
+    while (!sawSmj() && System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(sawSmj(), "adjacency probes must shuffle-join under the size gate")
+  }
+
   test("triangleCounts: triangle-free graph returns no rows; duplicate and reversed input edges collapse") {
     // a path plus duplicates/reversals — no triangles anywhere
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 1L), (3L, 2L))

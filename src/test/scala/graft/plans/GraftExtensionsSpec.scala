@@ -25,6 +25,28 @@ class GraftExtensionsSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT cosine_sim('x', 'y')").collect() }
   }
 
+  test("bottom_k is callable from SQL text and agrees with the Column-API udaf") {
+    import graft.functions.BottomK
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rng = new scala.util.Random(13)
+    Seq.tabulate(200)(i => (s"g${rng.nextInt(4)}", s"p${rng.nextInt(50)}"))
+      .toDF("g", "p").createOrReplaceTempView("bk_rows")
+    val fromSql = spark.sql(
+        "SELECT g, bottom_k(md5(p), p, 3) AS s FROM bk_rows GROUP BY g")
+      .as[(String, Seq[String])].collect().map { case (g, s) => g -> s }.toMap
+    val bk = udaf(new BottomK(3), Encoders.product[BottomK.In])
+    val fromCol = spark.table("bk_rows").groupBy($"g").agg(bk(md5($"p"), $"p").as("s"))
+      .as[(String, Seq[String])].collect().map { case (g, s) => g -> s }.toMap
+    assert(fromSql == fromCol && fromSql.nonEmpty)
+    assert(fromSql.values.forall(_.size == 3))
+    // k must be a literal, like round(x, 2)
+    intercept[Exception] {
+      spark.sql("SELECT g, bottom_k(md5(p), p, length(p)) FROM bk_rows GROUP BY g").collect()
+    }
+  }
+
   test("zorder2 and hash_split_bucket are callable from SQL and agree with the Column API") {
     import graft.functions.GraftFunctions
     import spark.implicits._

@@ -79,8 +79,21 @@ def main() -> None:
             FROM read_parquet('{SRC}/lineitem.parquet')"""
         for k in range(REPS)])
 
+    # customer amplified too (round-7 curves: q146 derives its PNG-asset
+    # corpus from c_custkey, q141 its name table from c_name): keys shifted
+    # into disjoint ranges; the name's digit tail is what carries identity,
+    # so replica names translate digits 0-9 -> rotated digits, preserving
+    # within-replica edit-distance structure while making replicas disjoint
+    DIG = "0123456789"
+    copy("customer", [
+        f"""SELECT c_custkey + {k * 10000000} AS c_custkey,
+              translate(c_name, '{DIG}', '{DIG[k % 10:] + DIG[:k % 10]}') AS c_name,
+              c_nationkey, c_acctbal, c_mktsegment
+            FROM read_parquet('{SRC}/customer.parquet')"""
+        for k in range(REPS)])
+
     # small dims copied verbatim so any query that joins them still runs
-    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+    for t in ("region", "nation", "supplier", "part", "orders"):
         con.sql(f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
                 f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     print("[amplify] dims copied verbatim")
