@@ -962,7 +962,9 @@ object Dedup {
       seed: Long = 42L,
       fitSampleFraction: Double = 1.0,
       fitMaxIter: Int = 20,
-      batchId: String = "base"): Unit = {
+      batchId: String = "base",
+      targetCell: Int = 0,
+      twoLevelCutover: Int = 1024): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -970,17 +972,60 @@ object Dedup {
       .select(col(id).as("doc_id"), col(vec).as("v"))
       .withColumn("features", array_to_vector(col("v").cast("array<double>")))
     val fitSet = if (fitSampleFraction < 1.0) keyed.sample(fitSampleFraction, seed) else keyed
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(fitMaxIter)
-      .setFeaturesCol("features").fit(fitSet)
-
     val spark = df.sparkSession
     import spark.implicits._
-    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$indexPath/centroids")
-    writeIndexBatch(
-      model.transform(keyed).select(col("doc_id"), col("prediction").as("cell"), col("v")),
-      s"$indexPath/vectors", batchId, wholeIndex = true)
+
+    // targetCell > 0 opts the INDEX into semanticDedup's k ∝ n regime; past
+    // the cutover the fit and base assignment go two-level, and the stored
+    // centroid table grows a `top` column + a `topcentroids` side table so
+    // every later batch ([[semanticDedupIncremental]]) assigns with the
+    // SAME hierarchical geometry — base and increments can never disagree
+    // on which leaf a vector belongs to
+    val k = if (targetCell > 0) {
+      val n = keyed.count()
+      val kCap = if (n / math.max(1, targetCell) + 1 > twoLevelCutover) 16384L else 4096L
+      math.max(nClusters, math.min(n / math.max(1, targetCell) + 1, kCap).toInt)
+    } else nClusters
+
+    if (k > twoLevelCutover) {
+      val q = fitTwoLevelCentroids(
+        fitSet.select(col("v").cast("array<double>").as("v")), k, seed, fitMaxIter)
+      q.tops.zipWithIndex.map { case (c, t) => (t, c) }
+        .toDF("top", "centroid")
+        .write.mode("overwrite").parquet(s"$indexPath/topcentroids")
+      q.leaves.zipWithIndex
+        .flatMap { case (ls, t) => ls.map { case (cell, cen) => (cell, t, cen) } }
+        .toDF("cell", "top", "centroid")
+        .write.mode("overwrite").parquet(s"$indexPath/centroids")
+      writeIndexBatch(
+        keyed.select(col("doc_id"),
+          assignTwoLevel(col("v").cast("array<double>"), q).as("cell"), col("v")),
+        s"$indexPath/vectors", batchId, wholeIndex = true)
+    } else {
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
+        .setFeaturesCol("features").fit(fitSet)
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$indexPath/centroids")
+      writeIndexBatch(
+        model.transform(keyed).select(col("doc_id"), col("prediction").as("cell"), col("v")),
+        s"$indexPath/vectors", batchId, wholeIndex = true)
+    }
+  }
+
+  /** Rebuild the [[TwoLevelQuantizer]] from a persisted two-level index
+    * (`topcentroids` + `top`-annotated `centroids`) — codebook-bounded
+    * collects, no MLlib, the serving analogue of [[assignCells]]. */
+  private def loadTwoLevel(spark: SparkSession, indexPath: String): TwoLevelQuantizer = {
+    val tops = spark.read.parquet(s"$indexPath/topcentroids")
+      .orderBy("top").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid"))).toIndexedSeq
+    val leafRows = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("cell").cast("int"), col("top").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val leaves = IndexedSeq.tabulate(tops.size)(t =>
+      leafRows.filter(_._2 == t).map { case (c, _, cen) => (c, cen) }.sortBy(_._1).toSeq)
+    TwoLevelQuantizer(tops, leaves)
   }
 
   /** Assign vectors to their nearest stored centroid (squared-Euclidean
@@ -1031,10 +1076,17 @@ object Dedup {
       .filter(col("batch") =!= lit(batchId))
       .select(col("doc_id"), col("cell"), col("v"))
 
-    val newAssigned = assignCells(
-      newDf.filter(col(vec).isNotNull && size(col(vec)) > 0)
-        .select(col(id).as("doc_id"), col(vec).as("v")),
-      centroids).persist()
+    val newKeyed = newDf.filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id).as("doc_id"), col(vec).as("v"))
+    // a two-level index (top-annotated centroids) must be probed with the
+    // SAME hierarchical geometry the base was assigned with — a flat argmin
+    // over the leaves can land a borderline vector in a different leaf than
+    // its indexed near-dup and silently miss the candidate
+    val newAssigned = (if (centroids.columns.contains("top")) {
+      val q = loadTwoLevel(spark, indexPath)
+      newKeyed.select(col("doc_id"),
+        assignTwoLevel(col("v").cast("array<double>"), q).as("cell"), col("v"))
+    } else assignCells(newKeyed, centroids)).persist()
     newAssigned.count(): Unit
 
     val all = oldVecs.withColumn("is_new", lit(false))

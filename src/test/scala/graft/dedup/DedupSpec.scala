@@ -243,6 +243,37 @@ class DedupSpec extends SparkSpec {
       s"compacted vector index lost the day-1 fold, got $pairs3")
   }
 
+  test("buildSemanticIndex scaled-k (two-level fit): incremental batch dedups against it and replays") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("semdedup_2l_").toString + "/vec"
+    val rng = new scala.util.Random(11)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    val blobA = Array(10f, 0f, 0f, 5f); val blobB = Array(-10f, 8f, 0f, -5f)
+    val baseVecs = (1L to 40L).map(i =>
+      (i, jitter(if (i % 2 == 0) blobA else blobB, 8f))) :+ (50L, blobA)
+    // targetCell=4 on 41 rows forces scaled k past cutover=4 → two-level fit
+    Dedup.buildSemanticIndex(baseVecs.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, nClusters = 8, targetCell = 4, twoLevelCutover = 4)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    assert(cents.count() > 8, "scaled k must exceed the legacy nClusters")
+    assert(cents.columns.contains("top"), "two-level leaves carry their top cell")
+
+    val batch = Seq(
+      (100L, jitter(blobA, 0.001f)), // dups indexed 50
+      (103L, Array(0f, 0f, 20f, 0f))) // unique
+      .toDF("vec_id", "embedding")
+    def run(): Map[Long, Boolean] = {
+      val pairs = Dedup.semanticDedupIncremental(batch, "vec_id", "embedding", idx,
+        batchId = "day1", threshold = 0.9999)
+      Dedup.incrementalMarks(batch, "vec_id", pairs)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    }
+    val marks1 = run()
+    assert(marks1 == Map(100L -> true, 103L -> false), s"got $marks1")
+    assert(run() == marks1, "replay must be idempotent")
+  }
+
   test("ngramCrossOverlap flags cross-side leaks only, with shared-gram counts") {
     import spark.implicits._
     val train = Seq(
