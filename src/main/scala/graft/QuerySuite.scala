@@ -560,6 +560,22 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- IVFADC (Similarity.ivfadcTopK, Jégou et al. '11 §IV — the FAISS
+    //      serving shape): coarse cells + PQ codes on RESIDUALS. Stage 1
+    //      reads only the probed cells' m-byte codes — both prunings at
+    //      once (nProbe/nCells of the corpus, 32× less payload per row).
+    //      Oracle contract is q18/q148's: candidates dump, DuckDB re-ranks
+    //      by exact cosine ----
+    "q151_ivfadc_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfadcTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nCells = 16, nProbe = 8, m = 4,
+          codebookSize = 16, shortlist = 50, excludeSelf = true,
+          fitMaxIter = 8, fitSampleFraction = 0.25,
+          candidateSink = Some(aux(dir, "q151_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- IVF against the PERSISTED index (the fit-free serving shape;
     //      q18 is the exploration mode that re-fits per call) ----
     "q86_ann_ivf_index" -> ((s, dir) => {
@@ -3367,6 +3383,22 @@ object QuerySuite {
     // q18's candidate-dump contract with q148's own dump: DuckDB re-ranks
     // the PQ shortlist by exact cosine, so coding/ADC errors that perturb
     // the shortlist CONTENTS are visible, and rerank math is bit-checked
+    // q148's contract over the IVFADC shortlist: DuckDB re-ranks by exact
+    // cosine, so coarse-probe and residual-coding errors that perturb the
+    // shortlist CONTENTS are visible and the rerank math is bit-checked
+    "q151_ivfadc_ann" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q151_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
     "q148_pq_ann" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q148_candidates/*.parquet')),
         |scored AS (

@@ -363,6 +363,163 @@ object Similarity {
     rankCandidates(candidates, c0, q0, k)
   }
 
+  /** IVFADC (Jégou et al. '11 §IV — the FAISS-standard serving shape):
+    * coarse IVF cells + product-quantization codes on the RESIDUAL
+    * (v − centroid(cell)). Composes the two existing approximations and
+    * beats both at scale: vs [[pqTopK]], stage 1 scores only the probed
+    * cells' codes (~nProbe/nCells of the corpus) instead of every code;
+    * vs [[ivfTopK]], the probed candidates cost m bytes each instead of a
+    * full fp32 vector. Residual coding is what makes the shared sub-
+    * codebooks work across cells: residuals of different cells live in a
+    * comparable zero-centered ball, so ONE set of m sub-quantizers covers
+    * the whole corpus (the paper's core observation).
+    *
+    * Plan shape: coarse centroids live in literals (map-only cell
+    * assignment + residual computation — no joins); the per-(query, probed
+    * cell) ADC tables form a tiny frame BROADCAST into an EQUI-join on
+    * cell (only probed cells' codes are ever read — with the codes table
+    * bucketed/partitioned by cell at 100 TB, that join prunes to nProbe
+    * partitions per query batch); exact-cosine rerank on the shortlist is
+    * [[rankCandidates]], same oracle contract as q18/q148 (candidate dump,
+    * external re-rank). nProbe = nCells ∧ shortlist = |corpus| degenerates
+    * to exact brute force (SimilaritySpec). */
+  def ivfadcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      shortlist: Int = 50,
+      seed: Long = 42L,
+      excludeSelf: Boolean = false,
+      fitSampleFraction: Double = 1.0,
+      fitMaxIter: Int = 20,
+      candidateSink: Option[String] = None): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
+      "need 1 <= nProbe <= nCells")
+    require(m >= 1 && codebookSize >= 2 && shortlist >= k,
+      "need m >= 1, codebookSize >= 2, shortlist >= k")
+
+    val c0 = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    def l2norm(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x))
+      when(n > 0, transform(v, x => x.cast("double") / n))
+        .otherwise(transform(v, x => x.cast("double") * 0.0))
+    }
+    val cn = c0.withColumn("nv", l2norm(col("cv")))
+    val dim = cn.select(size(col("nv"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "ivfadcTopK: empty corpus — nothing to quantize"))
+    require(dim >= m, s"vector dim $dim must be >= m=$m")
+    val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim).limit(1).count()
+    require(bad == 0, s"ivfadcTopK: corpus has null or non-$dim-dim vectors")
+
+    // ---- coarse quantizer: one small MLlib fit, centroids → driver ----
+    val fitSet0 = (if (fitSampleFraction < 1.0) cn.sample(fitSampleFraction, seed) else cn)
+      .withColumn("__f", array_to_vector(col("nv"))).persist()
+    fitSet0.count(): Unit
+    val coarse: IndexedSeq[Seq[Double]] = new KMeans().setK(nCells).setSeed(seed)
+      .setMaxIter(fitMaxIter).setFeaturesCol("__f").fit(fitSet0)
+      .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+    val kc = coarse.size // MLlib may return < nCells on tiny corpora
+
+    // map-only cell assignment + residual: argmin over literal centroids,
+    // then elementwise v − centroid (zip_with) — no joins anywhere here
+    def cellOf(v: Column): Column = {
+      val scored = coarse.zipWithIndex.map { case (cen, i) =>
+        struct(
+          aggregate(zip_with(v, typedLit(cen), (a, b) => { val d = a - b; d * d }),
+            lit(0.0), (s, x) => s + x).as("d2"),
+          lit(i).as("idx"))
+      }
+      array_min(array(scored: _*)).getField("idx")
+    }
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(typedLit(coarse), cell + 1), (a, b) => a - b)
+
+    // ---- PQ sub-quantizers fit on SAMPLE residuals (shared across cells) ----
+    val base = dim / m
+    val starts = (0 until m).map(j => j * base + 1) // slice() is 1-based
+    val lens = (0 until m).map(j => if (j == m - 1) dim - base * (m - 1) else base)
+    val fitRes = fitSet0
+      .withColumn("__cell", cellOf(col("nv")))
+      .withColumn("__r", residual(col("nv"), col("__cell")))
+      .select((0 until m).map(j =>
+        array_to_vector(slice(col("__r"), starts(j), lens(j))).as(s"__f$j")): _*)
+      .persist()
+    fitRes.count(): Unit
+    fitSet0.unpersist(false)
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence((0 until m).map { j =>
+        Future {
+          new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(fitMaxIter)
+            .setFeaturesCol(s"__f$j").fit(fitRes)
+            .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
+        }
+      }), scala.concurrent.duration.Duration(30, scala.concurrent.duration.MINUTES))
+    }
+    fitRes.unpersist(false)
+
+    def sqDist(sub: Column, cen: Seq[Double]): Column =
+      aggregate(zip_with(sub, typedLit(cen),
+        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, d) => acc + d)
+
+    // ---- encode: (nbr_id, cell, pqc) — m small ints per vector ----
+    val encSubs = (0 until m).map(j => slice(col("__r"), starts(j), lens(j)).as(s"__s$j"))
+    val codes = (0 until m).map { j =>
+      val ds = array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int")
+    }
+    val enc = cn
+      .withColumn("cell", cellOf(col("nv")))
+      .withColumn("__r", residual(col("nv"), col("cell")))
+      .select(Seq(col("nbr_id"), col("cell")) ++ encSubs: _*)
+      .select(col("nbr_id"), col("cell"), array(codes: _*).as("pqc"))
+
+    // ---- query side: top-nProbe cells per query (map-only: sort the
+    //      literal-scored struct array, slice, explode), then the ADC
+    //      table on THAT cell's residual — (query, probed cell) rows ----
+    val qn = q0.withColumn("nv", l2norm(col("qv")))
+    val cellScores = array(coarse.zipWithIndex.map { case (cen, i) =>
+      struct(
+        aggregate(zip_with(col("nv"), typedLit(cen), (a, b) => { val d = a - b; d * d }),
+          lit(0.0), (s, x) => s + x).as("d2"),
+        lit(i).as("idx"))
+    }: _*)
+    val probed = qn
+      .withColumn("__pc", explode(slice(array_sort(cellScores), 1, math.min(nProbe, kc))))
+      .withColumn("cell", col("__pc.idx"))
+      .withColumn("__r", residual(col("nv"), col("cell")))
+    val adc = probed
+      .select(Seq(col("query_id"), col("cell")) ++
+        (0 until m).map(j => slice(col("__r"), starts(j), lens(j)).as(s"__s$j")): _*)
+      .select(col("query_id"), col("cell"), array((0 until m).map { j =>
+        array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
+      }: _*).as("adc"))
+
+    // equi-join on cell: only probed cells' codes are read
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val score = (0 until m).map(j =>
+      element_at(element_at(col("adc"), j + 1), element_at(col("pqc"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("s1").asc, col("nbr_id").asc)
+    val cand0 = enc.join(broadcast(adc), Seq("cell"))
+      .filter(cond)
+      .withColumn("s1", score)
+      .withColumn("r1", row_number().over(w)).filter(col("r1") <= shortlist)
+      .select(col("query_id"), col("nbr_id"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, c0, q0, k)
+  }
+
   def twoStageTopK(
       corpus: DataFrame,
       queries: DataFrame,

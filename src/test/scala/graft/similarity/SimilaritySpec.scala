@@ -216,6 +216,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall below 0.9 at shortlist=4k")
   }
 
+  test("ivfadcTopK with nProbe = nCells and shortlist = |corpus| degenerates to exact brute force") {
+    import spark.implicits._
+    val rng = new Random(29)
+    val vecs = randomVecs(rng, 60, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    // every cell probed + every survivor reranked in fp32 ⇒ the coarse and
+    // PQ approximations can't have dropped anything
+    val got = rows(Similarity.ivfadcTopK(df, queries, "vec_id", "embedding",
+      k = 4, nCells = 4, nProbe = 4, m = 4, codebookSize = 8, shortlist = 60,
+      excludeSelf = true))
+    val brute = rows(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+      k = 4, excludeSelf = true))
+    assert(got == brute)
+  }
+
+  test("ivfadcTopK recall at small nProbe + shortlist on clustered data (the pruned-scan claim)") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val centers = Seq(Array(10f, 0f, 0f, 1f), Array(0f, 10f, 0f, -1f),
+      Array(0f, 0f, 10f, 1f), Array(-10f, -10f, 0f, -1f))
+    val df = Seq.tabulate(200) { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rng.nextFloat() * 3f))
+    }.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 8)
+    def topSets(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rows) => q -> rows.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5, excludeSelf = true))
+    val got = topSets(Similarity.ivfadcTopK(df, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 3, m = 2, codebookSize = 16, shortlist = 20,
+      excludeSelf = true))
+    val recall = exact.toSeq.map { case (q, bs) =>
+      got.getOrElse(q, Set.empty).intersect(bs).size.toDouble / bs.size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"IVFADC recall $recall below 0.9")
+  }
+
   test("int8 quantization: max|x| maps to ±127, zero vector stays zero, error ≤ 0.5/scale") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
