@@ -826,33 +826,25 @@ object Dedup {
       tops: IndexedSeq[Seq[Double]],
       leaves: IndexedSeq[Seq[(Int, Seq[Double])]])
 
-  /** Map-only nearest-centroid index over a small literal codebook (k₁ ≤
-    * ~128 fused squared-L2 expressions — pqTopK's encode shape): argmin via
-    * array_min over (d2, idx) structs, ties to the lower idx. */
-  private def nearestIdx(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (cen, i) =>
-      struct(
-        aggregate(zip_with(v, typedLit(cen), (a, b) => { val d = a - b; d * d }),
-          lit(0.0), (s, x) => s + x).as("d2"),
-        lit(i).as("idx"))
-    }
-    array_min(array(scored: _*)).getField("idx")
-  }
+  /** Map-only nearest-centroid index over a driver-side codebook — one
+    * codegen'd [[graft.functions.NearestCentroid]] scan per row (argmin by
+    * squared L2, ties to the lower idx; the codebook rides along as a task
+    * reference object, never per-row). */
+  private def nearestIdx(v: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.NearestCentroid(v, centroids)
 
-  /** Map-only sub-cell argmin for a row already carrying its `top`: ONE
-    * literal holds every sub-codebook grouped by top cell; element_at picks
-    * this row's codebook, transform scores its k₂ entries, array_min takes
-    * the (d2, cell)-lexicographic min. The expression tree stays O(1) as k
-    * grows — k lives in the literal's DATA, not in fused branches, which is
-    * what keeps codegen viable at k = 16384. */
+  /** Map-only sub-cell argmin for a row already carrying its `top`: the
+    * grouped [[graft.functions.NearestCentroid]] form scans only this row's
+    * sub-codebook, then a tiny nested literal maps the LOCAL winner back to
+    * its flat leaf cell id. The expression tree stays O(1) as k grows — k
+    * lives in the reference object's DATA, not in fused branches. */
   private def nearestLeafCell(v: Column, top: Column,
       leaves: IndexedSeq[Seq[(Int, Seq[Double])]]): Column = {
-    val scored = transform(element_at(typedLit(leaves), top + 1), s =>
-      struct(
-        aggregate(zip_with(v, s.getField("_2"), (a, b) => { val d = a - b; d * d }),
-          lit(0.0), (acc, x) => acc + x).as("d2"),
-        s.getField("_1").as("cell")))
-    array_min(scored).getField("cell")
+    val mats: Array[Array[Array[Double]]] =
+      leaves.map(_.map(_._2.toArray).toArray).toArray
+    val ids: Seq[Seq[Int]] = leaves.map(_.map(_._1))
+    element_at(element_at(typedLit(ids), top + 1),
+      graft.functions.NearestCentroid(v, top, mats) + 1)
   }
 
   /** One map-only hierarchical assignment: nearest top (k₁ evals) then

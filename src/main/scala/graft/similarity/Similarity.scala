@@ -337,9 +337,11 @@ object Similarity {
 
     // encode: per subspace, argmin over the codebook — m·codebookSize fused
     // sub-distance expressions, one pass, output is m small ints
+    // per-subspace argmin is ONE codegen'd NearestCentroid scan (the HOF
+    // form also re-evaluated the distance array twice — no CSE across
+    // array_position/array_min)
     val codes = (0 until m).map { j =>
-      val ds = array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
+      graft.functions.NearestCentroid(col(s"__s$j"), codebooks(j).map(_.toSeq))
     }
     val enc = withSubs(cn).select(col("nbr_id"), array(codes: _*).as("pqc"))
 
@@ -431,15 +433,8 @@ object Similarity {
 
     // map-only cell assignment + residual: argmin over literal centroids,
     // then elementwise v − centroid (zip_with) — no joins anywhere here
-    def cellOf(v: Column): Column = {
-      val scored = coarse.zipWithIndex.map { case (cen, i) =>
-        struct(
-          aggregate(zip_with(v, typedLit(cen), (a, b) => { val d = a - b; d * d }),
-            lit(0.0), (s, x) => s + x).as("d2"),
-          lit(i).as("idx"))
-      }
-      array_min(array(scored: _*)).getField("idx")
-    }
+    def cellOf(v: Column): Column =
+      graft.functions.NearestCentroid(v, coarse.map(_.toSeq))
     def residual(v: Column, cell: Column): Column =
       zip_with(v, element_at(typedLit(coarse), cell + 1), (a, b) => a - b)
 
@@ -474,9 +469,11 @@ object Similarity {
 
     // ---- encode: (nbr_id, cell, pqc) — m small ints per vector ----
     val encSubs = (0 until m).map(j => slice(col("__r"), starts(j), lens(j)).as(s"__s$j"))
+    // per-subspace argmin is ONE codegen'd NearestCentroid scan (the HOF
+    // form also re-evaluated the distance array twice — no CSE across
+    // array_position/array_min)
     val codes = (0 until m).map { j =>
-      val ds = array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int")
+      graft.functions.NearestCentroid(col(s"__s$j"), codebooks(j).map(_.toSeq))
     }
     val enc = cn
       .withColumn("cell", cellOf(col("nv")))
