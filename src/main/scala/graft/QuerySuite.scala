@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -395,6 +395,35 @@ object QuerySuite {
         .join(keptIds, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("__kept") === false, lit(true)).as("is_duplicate"))
         .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING semantic near-dup ingest (StreamingSemanticDedup —
+    //      q72's vector face): even vec_ids bootstrap the persisted
+    //      centroid+vector index; odd vec_ids arrive as a STREAM, each
+    //      micro-batch assigning against the frozen geometry and folding
+    //      into per-batch index partitions. Tagged candidates dumped; the
+    //      oracle re-derives cosine, orientation, and marks (q70 contract,
+    //      agnostic to the batching) ----
+    "q152_stream_semantic" -> ((s, dir) => withStreamingConf(s) { s =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q152_vecindex")
+      Dedup.buildSemanticIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx)
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(stageStreamDir(dir, "embeddings"))
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+      val kept = aux(dir, "q152_kept")
+      val q = StreamingSemanticDedup.start(stream, "vec_id", "embedding", idx, kept,
+        tmpDir("q152_ckpt_"), threshold = 0.9,
+        candidateSink = Some(aux(dir, "q152_candidates")))
+      q.awaitTermination()
+      val keptIds = s.read.parquet(kept).select(col("vec_id"))
+        .withColumn("__kept", lit(true))
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1).select(col("vec_id"))
+        .join(keptIds, Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("__kept") === false, lit(true)).as("is_duplicate"))
+        .orderBy("vec_id")
     }),
 
     // ---- incremental SEMANTIC dedup: even vec_ids bootstrap the persisted
@@ -3251,6 +3280,25 @@ object QuerySuite {
         |FROM embeddings e
         |LEFT JOIN (SELECT DISTINCT id_b AS vec_id, true AS is_dup FROM c WHERE cosine >= 0.9) dup
         |  USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // the STREAMED semantic flow shares q70's derivation exactly — the
+    // oracle is agnostic to how the new side was micro-batched
+    "q152_stream_semantic" ->
+      """WITH cand AS (
+        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/q152_candidates/*.parquet')
+        |), c AS (
+        |  SELECT id_a, id_b, new_a, new_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        |  FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+        |            JOIN embeddings b ON b.vec_id = cand.id_b
+        |), drops AS (
+        |  SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS vec_id
+        |  FROM c WHERE cosine >= CAST(0.9 AS DOUBLE)
+        |)
+        |SELECT e.vec_id, coalesce(d.is_dup, false) AS is_duplicate
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) e
+        |LEFT JOIN (SELECT vec_id, true AS is_dup FROM drops) d USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
     // incremental semantic: cosine verification, index-canonical keep/drop

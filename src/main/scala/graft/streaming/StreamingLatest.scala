@@ -88,6 +88,55 @@ object StreamingDedup {
   }
 }
 
+/** Streaming SEMANTIC near-dup ingest — [[StreamingDedup]]'s vector face:
+  * every micro-batch assigns against the FROZEN centroid geometry (flat or
+  * two-level, auto-detected from the stored layout), dedups against (and
+  * folds into) the persisted vector index via
+  * [[graft.dedup.Dedup.semanticDedupIncremental]], so an embedding near-dup
+  * arriving hours after its original — in a different micro-batch — is still
+  * caught. Identical effectively-once contract as [[StreamingDedup]]: the
+  * index partition and the kept-vectors output for micro-batch N are both
+  * `batch=b<N>`, so checkpoint re-delivery overwrites instead of
+  * double-folding. Bootstrap with `Dedup.buildSemanticIndex` first (the cell
+  * geometry must exist before the first batch). */
+object StreamingSemanticDedup {
+
+  /** @param candidateSink oracle fixture passthrough (one dump per batch —
+    *   meaningful under AvailableNow single-batch runs) */
+  def start(
+      stream: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      keptPath: String,
+      checkpoint: String,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import graft.dedup.Dedup
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val pairs = Dedup.semanticDedupIncremental(batch, id, vec, indexPath,
+            batchId = s"b$batchId", threshold = threshold,
+            candidateSink = candidateSink)
+          val kept = Dedup.incrementalMarks(batch, id, pairs)
+            .filter(not(col("is_duplicate"))).select(col("doc_id"))
+          batch.join(kept, batch(id) === kept("doc_id"), "left_semi")
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(keptPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Typed event for the stateful latest-per-key stream (mirrors the events
   * table: key=user_id, event-time=ts). */
 case class KeyedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,

@@ -46,4 +46,42 @@ class StreamingDedupSpec extends SparkSpec {
     // index holds signatures for the seed + all four streamed docs
     assert(spark.read.parquet(idx).count() == 5)
   }
+
+  test("streamed vector batches dedup against the seed semantic index and each other") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("ssd_spec_").toString
+    val idx = s"$root/vec"
+    val kept = s"$root/kept"
+    val blobA = Array(10f, 0f, 0f, 5f); val blobB = Array(-10f, 8f, 0f, -5f)
+    val rng = new scala.util.Random(17)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rng.nextFloat() - 0.5f) * eps)
+    // seed corpus: blob noise + one canonical blobA vector (id 1)
+    val seed = ((1L, blobA) +: (2L to 20L).map(i =>
+      (i, jitter(if (i % 2 == 0) blobA else blobB, 8f)))).toDF("vec_id", "embedding")
+    Dedup.buildSemanticIndex(seed, "vec_id", "embedding", idx, nClusters = 2)
+
+    val freshC = Array(0f, 0f, 20f, 0f)
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSemanticDedup.start(source.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, kept, s"$root/ckpt",
+      threshold = 0.9999, trigger = Trigger.ProcessingTime(0L))
+    try {
+      // 100 dups the SEED's id 1; 101 is genuinely new (blob C)
+      source.addData((100L, jitter(blobA, 0.001f)), (101L, freshC))
+      q.processAllAvailable()
+      // 102 dups 101 — which arrived in the PREVIOUS micro-batch and lives
+      // only in the index now; 103 is new (blob B is noise-distant)
+      source.addData((102L, jitter(freshC, 0.001f)), (103L, blobB))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val keptIds = spark.read.parquet(kept).select("vec_id").as[Long].collect().toSet
+    assert(keptIds == Set(101L, 103L),
+      s"kept $keptIds: 100 dups the seed, 102 dups batch-0's 101")
+    // index holds the seed corpus + all four streamed vectors
+    assert(spark.read.parquet(s"$idx/vectors").count() == 24)
+  }
 }
