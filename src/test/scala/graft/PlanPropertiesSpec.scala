@@ -53,6 +53,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(offenders.isEmpty, s"scale-killing join shapes found:\n${offenders.mkString("\n")}")
   }
 
+  test("IVFADC stage 1 is a broadcast EQUI-join on cell (codes pruned by probe, no nested loop)") {
+    import org.apache.spark.sql.functions.col
+    // the q151 entry dumps candidates to parquet and reads them back (the
+    // oracle contract severs the plan there), so the gate runs the operator
+    // sink-free: the full stage-1 + rerank plan stays inspectable
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = graft.similarity.Similarity.ivfadcTopK(emb,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCells = 8, nProbe = 4, m = 4, codebookSize = 8, shortlist = 50,
+        excludeSelf = true, fitMaxIter = 4)
+      .queryExecution.executedPlan.toString
+    // the ADC table must reach the codes by cell equality — a nested-loop
+    // would score EVERY code for every query, defeating the IVF pruning
+    assert(plan.contains("BroadcastHashJoin [cell"), s"stage 1 must equi-join on cell:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no nested loop anywhere in the IVFADC plan (excludeSelf is a post-join filter)")
+  }
+
   test("q36 pushes all three filters to the scans and joins without a shuffle join") {
     val plan = SparkEntry.queries("q36_tpch_q3")(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
