@@ -1556,6 +1556,23 @@ object QuerySuite {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // ---- q149's bounded-state group sample driven ENTIRELY from SQL text
+    //      through the registered bottom_k UDAF (§2.11 — proves the SQL
+    //      surface under the cross-engine gate, not just the SQL ≡ Column
+    //      spec). Same oracle as q149 by construction ----
+    "q153_group_sample_sql" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s) // idempotent re-registration
+      Tables.events(s, dir).createOrReplaceTempView("events_v153")
+      s.sql(
+        """SELECT event_type, CAST(sv AS BIGINT) AS event_id FROM (
+          |  SELECT event_type, explode(sample) AS sv FROM (
+          |    SELECT event_type,
+          |           bottom_k(md5(CAST(event_id AS STRING)),
+          |                    CAST(event_id AS STRING), 5) AS sample
+          |    FROM events_v153 GROUP BY event_type))
+          |ORDER BY event_type, event_id""".stripMargin)
+    }),
+
     // ---- set operations: INTERSECT / EXCEPT, tagged into one result ----
     "q49_set_ops" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -3431,6 +3448,15 @@ object QuerySuite {
     // q18's candidate-dump contract with q148's own dump: DuckDB re-ranks
     // the PQ shortlist by exact cosine, so coding/ADC errors that perturb
     // the shortlist CONTENTS are visible, and rerank math is bit-checked
+    // identical sample to q149, derived from SQL text — one oracle serves both
+    "q153_group_sample_sql" ->
+      """SELECT event_type, CAST(event_id AS BIGINT) AS event_id FROM (
+        |  SELECT event_type, event_id,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY md5(event_id::VARCHAR), event_id::VARCHAR) AS rn
+        |  FROM (SELECT DISTINCT event_type, event_id FROM events) d) t
+        |WHERE rn <= 5 ORDER BY event_type, event_id""".stripMargin,
+
     // q148's contract over the IVFADC shortlist: DuckDB re-ranks by exact
     // cosine, so coarse-probe and residual-coding errors that perturb the
     // shortlist CONTENTS are visible and the rerank math is bit-checked
