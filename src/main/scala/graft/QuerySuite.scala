@@ -2963,7 +2963,7 @@ object QuerySuite {
     * verification, index-canonical orientation, and the odd-doc marks. */
   private def incrementalMinhashOracle(candDump: String): String =
     s"""WITH cand AS (
-       |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/$candDump/*.parquet')
+       |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/$candDump/**/*.parquet')
        |), t AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
@@ -3303,7 +3303,7 @@ object QuerySuite {
     // oracle is agnostic to how the new side was micro-batched
     "q152_stream_semantic" ->
       """WITH cand AS (
-        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/q152_candidates/*.parquet')
+        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/q152_candidates/**/*.parquet')
         |), c AS (
         |  SELECT id_a, id_b, new_a, new_b,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

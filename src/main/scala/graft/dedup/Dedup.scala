@@ -882,7 +882,12 @@ object Dedup {
     def movedBeyond(a: Seq[Double], b: Seq[Double]): Boolean =
       a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-6 * math.max(1.0, math.abs(x)) }
 
-    // ---- top level: k1 content-smallest DISTINCT rows seed the walk ----
+    // ---- top level: k1 content-smallest DISTINCT rows seed the walk.
+    // Duplicate-heavy fit sets (dedup's core input — identical vectors
+    // share one xxhash64) can yield FEWER than k1 distinct rows in the
+    // 4·k1-row probe; the quantizer then simply runs with fewer top cells
+    // (tops.size is the authority from here on, never k1) — a coarse
+    // quantizer over a low-diversity corpus needs fewer cells anyway ----
     var tops: IndexedSeq[Seq[Double]] = vp
       .orderBy(xxhash64(col("v")).asc).limit(4 * k1) // TakeOrdered, one job
       .collect().map(_.getSeq[Double](0)).distinct.take(k1).toIndexedSeq
@@ -918,12 +923,12 @@ object Dedup {
       .filter(col("__rn") <= k2)
       .select((col("top") * k2 + col("__rn") - 1).as("cell"), col("v"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-    (0 until k1).foreach { t =>
+    tops.indices.foreach { t =>
       if (!leaves.contains(t * k2)) leaves += (t * k2) -> tops(t)
     }
 
     def grouped(ls: Map[Int, Seq[Double]]): IndexedSeq[Seq[(Int, Seq[Double])]] =
-      IndexedSeq.tabulate(k1)(t =>
+      IndexedSeq.tabulate(tops.size)(t =>
         ls.toSeq.filter { case (c, _) => c / k2 == t }.sortBy(_._1))
 
     it = 0
@@ -1022,20 +1027,29 @@ object Dedup {
 
   /** Assign vectors to their nearest stored centroid (squared-Euclidean
     * argmin — the same geometry KMeans assigned the base corpus with; ties
-    * break on the lower cell id). Broadcast cross join against the tiny
-    * centroid table, then a batch-sized argmin — no model object needed, so
-    * the serving path has no MLlib dependency. */
-  private def assignCells(keyed: DataFrame, centroids: DataFrame): DataFrame = {
-    val d2 = aggregate(
-      zip_with(col("v"), col("centroid"),
-        (a, b) => { val d = a.cast("double") - b; d * d }),
-      lit(0.0), (s, x) => s + x)
-    keyed.join(broadcast(centroids), lit(true))
-      .withColumn("__d2", d2)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("__d2").asc, col("cell").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("cell"), col("v"))
+    * break on the lower cell id). The codebook is collected ONCE (bounded:
+    * a flat index stores ≤ 4096 centroids by [[semanticDedup]]'s own cap —
+    * the same driver-fits-the-codebook argument [[loadTwoLevel]] already
+    * makes) and assignment is ONE map-only codegen
+    * [[graft.functions.NearestCentroid]] scan: zero joins, zero exchanges.
+    * The previous shape (broadcast cross join to n·k rows + a row_number
+    * window over doc_id) paid a full n·k-row shuffle per incremental batch
+    * — on the hot path of [[semanticDedupIncremental]] and every
+    * [[graft.streaming.StreamingSemanticDedup]] micro-batch. Cell ids come
+    * back through a sorted id table so non-contiguous cell numbering is
+    * preserved; sorting ascending makes NearestCentroid's ties-to-lower-
+    * index match the old (d2 asc, cell asc) tie-break exactly. */
+  private[graft] def assignCells(keyed: DataFrame, centroids: DataFrame): DataFrame = {
+    val rows = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "assignCells: empty centroid table")
+    val ids: Seq[Int] = rows.map(_._1).toSeq
+    val localIdx = graft.functions.NearestCentroid(
+      col("v").cast("array<double>"), rows.map(_._2.toSeq).toSeq)
+    keyed.select(col("doc_id"),
+      element_at(typedLit(ids), localIdx + 1).as("cell"), col("v"))
   }
 
   /** Incremental SEMANTIC dedup — [[semanticDedup]]'s daily-batch form,

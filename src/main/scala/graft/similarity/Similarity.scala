@@ -296,9 +296,12 @@ object Similarity {
     require(dim >= m, s"vector dim $dim must be >= m=$m")
     // ragged/null vectors would produce null ADC scores that sort nulls-
     // first under s1 ASC and pollute the shortlist — fail loudly instead
-    // (one cheap agg over the already-required scan)
-    val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim).limit(1).count()
-    require(bad == 0, s"pqTopK: corpus has null or non-$dim-dim vectors")
+    // (one cheap agg over the already-required scan). Null ELEMENTS are in
+    // the same class: NearestCentroid's ArrayData.getDouble reads an
+    // undefined 0.0 for them — silent misquantization, not an error
+    val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim ||
+      exists(col("nv"), _.isNull)).limit(1).count()
+    require(bad == 0, s"pqTopK: corpus has null, null-element, or non-$dim-dim vectors")
     // subspace j covers [starts(j), starts(j) + lens(j)) — last takes remainder
     val base = dim / m
     val starts = (0 until m).map(j => j * base + 1) // slice() is 1-based
@@ -400,7 +403,8 @@ object Similarity {
       excludeSelf: Boolean = false,
       fitSampleFraction: Double = 1.0,
       fitMaxIter: Int = 20,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None,
+      adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
       "need 1 <= nProbe <= nCells")
     require(m >= 1 && codebookSize >= 2 && shortlist >= k,
@@ -419,8 +423,10 @@ object Similarity {
       .getOrElse(throw new IllegalArgumentException(
         "ivfadcTopK: empty corpus — nothing to quantize"))
     require(dim >= m, s"vector dim $dim must be >= m=$m")
-    val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim).limit(1).count()
-    require(bad == 0, s"ivfadcTopK: corpus has null or non-$dim-dim vectors")
+    // null ELEMENTS misquantize silently (see pqTopK) — same loud guard
+    val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim ||
+      exists(col("nv"), _.isNull)).limit(1).count()
+    require(bad == 0, s"ivfadcTopK: corpus has null, null-element, or non-$dim-dim vectors")
 
     // ---- coarse quantizer: one small MLlib fit, centroids → driver ----
     val fitSet0 = (if (fitSampleFraction < 1.0) cn.sample(fitSampleFraction, seed) else cn)
@@ -508,7 +514,16 @@ object Similarity {
       element_at(element_at(col("adc"), j + 1), element_at(col("pqc"), j + 1) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("s1").asc, col("nbr_id").asc)
-    val cand0 = enc.join(broadcast(adc), Seq("cell"))
+    // the ADC side grows as |queries| · nProbe · (m · codebookSize doubles)
+    // — a large query batch would force an oversized broadcast (driver
+    // OOM). One cheap count on the small side gates the hint; past the gate
+    // stage 1 degrades to a shuffle equi-join on cell — same plan shape,
+    // one more exchange (the Graph.triangleCounts fallback pattern)
+    val adcBytes = q0.count() * math.min(nProbe, kc) *
+      (16L + 8L * m * codebookSize)
+    val adcSide = if (adcBytes <= adcBroadcastMaxBytes) broadcast(adc)
+                  else adc.hint("shuffle_merge")
+    val cand0 = enc.join(adcSide, Seq("cell"))
       .filter(cond)
       .withColumn("s1", score)
       .withColumn("r1", row_number().over(w)).filter(col("r1") <= shortlist)

@@ -52,8 +52,12 @@ object StreamingIngest {
   */
 object StreamingDedup {
 
-  /** @param candidateSink oracle fixture passthrough (one dump per batch —
-    *   meaningful under AvailableNow single-batch runs) */
+  /** @param candidateSink oracle fixture passthrough — each micro-batch
+    *   dumps under its own `<sink>/b<batchId>` subdirectory (the dump write
+    *   is an overwrite, so a shared path would keep only the LAST batch's
+    *   candidates and silently invalidate the oracle under multi-batch
+    *   triggers; a replayed batch overwrites its own subdir, keeping the
+    *   accumulated dumps replay-idempotent like the index partitions) */
   def start(
       stream: DataFrame,
       id: String,
@@ -73,7 +77,7 @@ object StreamingDedup {
         if (!batch.isEmpty) {
           val pairs = Dedup.minhashLshIncremental(batch, id, text, indexPath,
             batchId = s"b$batchId", threshold = threshold,
-            candidateSink = candidateSink)
+            candidateSink = candidateSink.map(p => s"$p/b$batchId"))
           val kept = Dedup.incrementalMarks(batch, id, pairs)
             .filter(not(col("is_duplicate"))).select(col("doc_id"))
           batch.join(kept, batch(id) === kept("doc_id"), "left_semi")
@@ -101,8 +105,10 @@ object StreamingDedup {
   * geometry must exist before the first batch). */
 object StreamingSemanticDedup {
 
-  /** @param candidateSink oracle fixture passthrough (one dump per batch —
-    *   meaningful under AvailableNow single-batch runs) */
+  /** @param candidateSink oracle fixture passthrough — per-micro-batch
+    *   `<sink>/b<batchId>` subdirectories, same rationale as
+    *   [[StreamingDedup.start]] (a shared overwrite path keeps only the
+    *   last batch's dump) */
   def start(
       stream: DataFrame,
       id: String,
@@ -122,7 +128,7 @@ object StreamingSemanticDedup {
         if (!batch.isEmpty) {
           val pairs = Dedup.semanticDedupIncremental(batch, id, vec, indexPath,
             batchId = s"b$batchId", threshold = threshold,
-            candidateSink = candidateSink)
+            candidateSink = candidateSink.map(p => s"$p/b$batchId"))
           val kept = Dedup.incrementalMarks(batch, id, pairs)
             .filter(not(col("is_duplicate"))).select(col("doc_id"))
           batch.join(kept, batch(id) === kept("doc_id"), "left_semi")

@@ -362,6 +362,32 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"multi-column distinct must plan as one Expand pass:\n$plan")
   }
 
+  test("flat-index cell assignment is map-only: zero Exchange, zero Window (codegen argmin)") {
+    // the incremental semantic-dedup hot path (q70 and every q152
+    // micro-batch) assigns new vectors against the FLAT stored codebook;
+    // this must be the same map-only NearestCentroid shape the two-level
+    // path uses — the previous cross-join+row_number form paid an n·k-row
+    // shuffle per batch
+    import spark.implicits._
+    val centroids = Seq( // deliberately NON-contiguous cell ids
+      (3, Seq(0.0, 0.0)), (7, Seq(10.0, 0.0)), (9, Seq(0.0, 10.0)))
+      .toDF("cell", "centroid")
+    val keyed = Seq(
+      (1L, Seq(1.0f, 1.0f)),   // nearest (0,0) → cell 3
+      (2L, Seq(9.0f, 1.0f)),   // nearest (10,0) → cell 7
+      (3L, Seq(1.0f, 9.0f)),   // nearest (0,10) → cell 9
+      (4L, Seq(6.0f, 6.0f)))   // equidistant to 7 and 9 (d²=52) → tie to lower cell 7
+      .toDF("doc_id", "v")
+    val out = graft.dedup.Dedup.assignCells(keyed, centroids)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"flat assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"flat assignment must not window:\n$plan")
+    assert(!plan.contains("Join"), s"flat assignment must not join:\n$plan")
+    val got = out.select("doc_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 7, 3L -> 9, 4L -> 7))
+  }
+
   test("q127 prefix join: no exchange ever carries a string — grams shuffle as hashed longs") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.StringType
