@@ -134,21 +134,31 @@ object Bench {
     val probeBefore = cpythonProbe()
     System.err.println(f"[bench] cpython probe (before): $probeBefore%.2f s (~2.0-2.1 = clean host)")
 
+    // MINIMA PROTOCOL (VERDICT r7 item 2): this host has documented
+    // episodic throttle windows (the same command measured 982 s and 25 s
+    // forty minutes apart — BASELINE.md's adjudication section), so any
+    // SINGLE pass systematically misrepresents the engine whenever the
+    // episode overlaps the run. The suite therefore runs `passes` full
+    // passes (default 2) and the artifact reports each query's MINIMUM —
+    // the only estimator whose error is one-sided under throttle. The
+    // cpython probes still bracket the whole window, so a run where even
+    // the minima are weather-inflated remains machine-identifiable.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
     var failed = Seq.empty[String]
-    def render(results: Seq[(String, Double)], probeAfter: Double = -1.0,
-        serving: Option[String] = None): String = {
+    def render(results: Seq[(String, Double)], passesDone: Int,
+        probeAfter: Double = -1.0, serving: Option[String] = None): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
       // failed queries stay listed with their elapsed-to-failure time, but
       // the artifact names them — a run with failures must not read as a
       // faster suite
-      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedJson = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val servingJson = serving.map("," + _).getOrElse("")
       // probe_before/probe_after: CPython host-speed probe (see cpythonProbe)
       // — clean ≈ 2.0-2.1; a pair well above that marks the whole run as
       // throttle-inflated, a clean pair certifies the totals
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter$servingJson,"artifact":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"per-query min over $passesDone/$passes passes","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter$servingJson,"artifact":"$outFile"}"""
     }
 
     // noop sink, not count(): count() lets Catalyst prune unused projections,
@@ -158,30 +168,47 @@ object Bench {
     // (comma-separated names) — used to bisect in-suite interference
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    var results = Seq.empty[(String, Double)]
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        failed :+= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // insertion-ordered name → (best successful sec, any success yet)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Boolean)]
+    def currentResults: Seq[(String, Double)] = best.toSeq.map { case (k, (v, _)) => k -> v }
+    var passesDone = 0
+    (1 to passes).foreach { pass =>
+      suite.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        var ok = true
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          ok = false
+          failed :+= name
+          System.err.println(s"[bench] $name FAILED (pass $pass): ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name ${sec}%.1f s (pass $pass)")
+        best.get(name) match {
+          // a failed pass's elapsed-to-failure only stands while no pass
+          // has succeeded; a successful time is never replaced by a failure
+          case Some((prev, hadOk)) =>
+            if (ok && (!hadOk || sec < prev)) best(name) = (sec, true)
+            else if (!ok && !hadOk && sec > prev) best(name) = (sec, false)
+          case None => best(name) = (sec, ok)
+        }
+        // rewritten per query so a killed run still leaves a parseable artifact
+        Files.writeString(Paths.get(outFile),
+          render(currentResults, math.max(passesDone, 1)))
+        resetSession()
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name ${sec}%.1f s")
-      results :+= (name -> sec)
-      // rewritten per query so a killed run still leaves a parseable artifact
-      Files.writeString(Paths.get(outFile), render(results))
-      resetSession()
+      passesDone = pass
     }
+    val results = currentResults
     // serving-path latency, measured OUTSIDE the suite's timed window
     val serving = servingBench(spark, sfDir)
     System.err.println(s"[bench] $serving")
     resetSession()
     val probeAfter = cpythonProbe()
     System.err.println(f"[bench] cpython probe (after): $probeAfter%.2f s")
-    val finalJson = render(results, probeAfter, Some(serving))
+    val finalJson = render(results, passesDone, probeAfter, Some(serving))
     Files.writeString(Paths.get(outFile), finalJson)
     println(finalJson)
     spark.stop()

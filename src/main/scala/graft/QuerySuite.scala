@@ -605,6 +605,25 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- IVFADC against the PERSISTED index (buildIvfadcIndex →
+    //      ivfadcTopKIndexed — the fit-free serving shape for the PQ
+    //      family; q151 is the exploration mode that re-fits per call).
+    //      Stage 1 reads only the stored m-byte codes, probe-pruned by the
+    //      cell equi-join; rerank joins the stored fp32 vectors. Oracle
+    //      contract is q151's: candidate dump, DuckDB re-ranks exactly ----
+    "q155_ivfadc_index" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q155_pqindex")
+      Similarity.buildIvfadcIndex(emb, "vec_id", "embedding", idx,
+        nCells = 16, m = 4, codebookSize = 16, fitMaxIter = 8,
+        fitSampleFraction = 0.25)
+      Similarity.ivfadcTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 50,
+          excludeSelf = true,
+          candidateSink = Some(aux(dir, "q155_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- IVF against the PERSISTED index (the fit-free serving shape;
     //      q18 is the exploration mode that re-fits per call) ----
     "q86_ann_ivf_index" -> ((s, dir) => {
@@ -1294,6 +1313,17 @@ object QuerySuite {
         .select(col("event_id"),
           GraftFunctions.zOrder2(col("user_id"),
             round(col("value") * 100).cast("long"), bits = 16).as("zv"))
+        .orderBy("event_id")
+    }),
+
+    // ---- 3-column Morton interleave (zOrderN — real OPTIMIZE ZORDER BY
+    //      takes N columns; bit i of column j → position 3i+j, 48 bits) ----
+    "q157_zorder3" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          GraftFunctions.zOrderN(Seq(col("user_id"),
+            round(col("value") * 100).cast("long"),
+            unix_timestamp(col("ts"))), bits = 16).as("zv"))
         .orderBy("event_id")
     }),
 
@@ -2919,6 +2949,36 @@ object QuerySuite {
               "c_custkey"), 8, 6))
         .select(col("asset_id"), col("width"), col("height"), col("sum_gray"))
         .orderBy("asset_id")
+    }),
+
+    // ---- REAL audio decode (Multimodal.wavAssets → segmentAudioReal):
+    //      genuine RIFF/WAVE PCM16 payloads parsed by javax.sound.sampled
+    //      inside the batched partition loop, cut into 100 ms windows, each
+    //      window's exact integer energy (n_samples + Σ sample²) emitted.
+    //      The PCM pattern is closed-form ((id·31+i·7) mod 2003 − 1001 over
+    //      800+(id%7)·400 samples at 8 kHz), so the oracle re-derives every
+    //      decoded sample arithmetically — the q145 contract for audio ----
+    "q154_audio_decode" -> ((s, dir) => {
+      Multimodal.segmentAudioReal(
+          Multimodal.wavAssets(
+            Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 1),
+            "c_custkey"), windowMs = 100L)
+        .select("asset_id", "seg_idx", "seg_start_ms", "n_samples", "sum_sq")
+        .orderBy("asset_id", "seg_idx")
+    }),
+
+    // ---- REAL video-frame sampling (Multimodal.videoAssets →
+    //      sampleFramesReal): GFV1 PNG-container clips (no JDK video codec
+    //      exists — the container is the documented seam), every 2nd frame
+    //      genuinely decoded by javax.imageio, exact per-frame pixel stats.
+    //      Pattern adds a frame term: (id·31+f·17+x·7+y·13) mod 256 ----
+    "q156_video_frames" -> ((s, dir) => {
+      Multimodal.sampleFramesReal(
+          Multimodal.videoAssets(
+            Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 2),
+            "c_custkey"), everyN = 2)
+        .select("asset_id", "frame_idx", "ts_ms", "width", "height", "sum_gray")
+        .orderBy("asset_id", "frame_idx")
     })
   )
 
@@ -3475,6 +3535,22 @@ object QuerySuite {
 
     "q148_pq_ann" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q148_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // q151's contract over the PERSISTED-index shortlist: DuckDB re-ranks
+    // by exact cosine, so a stale/corrupt stored code or codebook that
+    // perturbs the shortlist CONTENTS is visible
+    "q155_ivfadc_index" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q155_candidates/*.parquet')),
         |scored AS (
         |  SELECT query_id, nbr_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
@@ -4062,6 +4138,18 @@ object QuerySuite {
         s"((((u >> $i) & 1) << ${2 * i}) | (((v >> $i) & 1) << ${2 * i + 1}))").mkString(" | ")
       s"""WITH b AS (SELECT event_id, user_id & 65535 AS u,
          |  CAST(round(value * 100) AS BIGINT) & 65535 AS v FROM events)
+         |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
+    },
+
+    "q157_zorder3" -> {
+      val terms = (0 until 16).map(i =>
+        s"((((u >> $i) & 1) << ${3 * i}) | (((v >> $i) & 1) << ${3 * i + 1})" +
+          s" | (((t >> $i) & 1) << ${3 * i + 2}))").mkString(" | ")
+      // epoch_us // 1000000 floors to whole seconds, matching Spark's
+      // unix_timestamp truncation on the naive-µs corpus timestamps
+      s"""WITH b AS (SELECT event_id, user_id & 65535 AS u,
+         |  CAST(round(value * 100) AS BIGINT) & 65535 AS v,
+         |  (epoch_us(ts) // 1000000) & 65535 AS t FROM events)
          |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
     },
 
@@ -4944,6 +5032,44 @@ object QuerySuite {
         |       FROM a CROSS JOIN range(8) xs(x) CROSS JOIN range(6) ys(y))
         |SELECT asset_id, CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
         |       CAST(sum((asset_id*31 + ((x*w)//8)*7 + ((y*h)//6)*13) % 256) AS BIGINT) AS sum_gray
-        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin,
+
+    // every decoded PCM16 sample re-derived from the closed-form pattern —
+    // bit-verifies the javax.sound.sampled decode + exact window energies
+    "q154_audio_decode" ->
+      """WITH a AS (SELECT c_custkey AS asset_id, 800 + (c_custkey % 7) * 400 AS n
+        |           FROM customer WHERE c_custkey % 3 = 1),
+        |w AS (SELECT asset_id, n,
+        |             unnest(generate_series(0, (n + 799) // 800 - 1)) AS seg_idx
+        |      FROM a),
+        |px AS (SELECT asset_id, seg_idx,
+        |              unnest(generate_series(seg_idx * 800,
+        |                                     least(n, seg_idx * 800 + 800) - 1)) AS i
+        |       FROM w)
+        |SELECT asset_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+        |  CAST(seg_idx * 100 AS BIGINT) AS seg_start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(((asset_id*31 + i*7) % 2003 - 1001)
+        |         * ((asset_id*31 + i*7) % 2003 - 1001)) AS BIGINT) AS sum_sq
+        |FROM px GROUP BY asset_id, seg_idx ORDER BY asset_id, seg_idx""".stripMargin,
+
+    // every sampled frame's decoded pixels re-derived from the frame-term
+    // pattern — bit-verifies the GFV1 demux + per-frame javax.imageio parse
+    "q156_video_frames" ->
+      """WITH a AS (SELECT c_custkey AS asset_id, 4 + c_custkey % 13 AS w,
+        |                  4 + c_custkey % 11 AS h, 2 + c_custkey % 4 AS nf
+        |           FROM customer WHERE c_custkey % 3 = 2),
+        |f AS (SELECT asset_id, w, h,
+        |             unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+        |      FROM a),
+        |px AS (SELECT asset_id, w, h, frame_idx, xs.x AS x, ys.y AS y
+        |       FROM f CROSS JOIN range(16) xs(x) CROSS JOIN range(14) ys(y)
+        |       WHERE xs.x < w AND ys.y < h)
+        |SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 250 AS BIGINT) AS ts_ms,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((asset_id*31 + frame_idx*17 + x*7 + y*13) % 256) AS BIGINT) AS sum_gray
+        |FROM px GROUP BY asset_id, w, h, frame_idx
+        |ORDER BY asset_id, frame_idx""".stripMargin
   )
 }

@@ -75,14 +75,26 @@ object GraftFunctions {
     * asserted in FunctionsSpec. Quantize inputs to `bits` (e.g. by ranking
     * or fixed-width bucketing) before interleaving — values above the mask
     * wrap, which destroys locality but not correctness. */
-  def zOrder2(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  def zOrder2(a: Column, b: Column, bits: Int = 16): Column = zOrderN(Seq(a, b), bits)
+
+  /** N-dimensional Morton interleave (the general OPTIMIZE ZORDER BY shape
+    * — real Delta tables z-order 3+ columns routinely): bit i of column j
+    * lands at position n·i + j, which for n = 2 reproduces [[zOrder2]]'s
+    * layout bit-for-bit (a→even, b→odd positions), so the q82 oracle and
+    * the FunctionsSpec locality property carry over unchanged. Still pure
+    * shift/and/or algebra — whole-stage codegen'd, ANSI-oracle-replayable.
+    * n·bits must fit a signed long (≤ 63 interleaved bits). */
+  def zOrderN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"zOrderN needs >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and n*bits <= 63, got n=$n bits=$bits")
     val mask = (1L << bits) - 1
-    val am = a.cast("long").bitwiseAND(lit(mask))
-    val bm = b.cast("long").bitwiseAND(lit(mask))
-    (0 until bits).map { i =>
-      shiftLeftC(shiftright(am, i).bitwiseAND(lit(1L)), lit(2 * i))
-        .bitwiseOR(shiftLeftC(shiftright(bm, i).bitwiseAND(lit(1L)), lit(2 * i + 1)))
+    val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
+    (0 until bits).flatMap { i =>
+      masked.zipWithIndex.map { case (c, j) =>
+        shiftLeftC(shiftright(c, i).bitwiseAND(lit(1L)), lit(n * i + j))
+      }
     }.reduce(_.bitwiseOR(_))
   }
 

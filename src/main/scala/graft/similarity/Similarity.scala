@@ -412,45 +412,93 @@ object Similarity {
 
     val c0 = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
     val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    def l2norm(v: Column): Column = {
-      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x))
-      when(n > 0, transform(v, x => x.cast("double") / n))
-        .otherwise(transform(v, x => x.cast("double") * 0.0))
-    }
-    val cn = c0.withColumn("nv", l2norm(col("cv")))
+    val cn = c0.withColumn("nv", l2normCol(col("cv")))
+    val dim = guardedDim(cn, "ivfadcTopK")
+    require(dim >= m, s"vector dim $dim must be >= m=$m")
+
+    val model = fitIvfadcModel(cn, dim, nCells, m, codebookSize, seed,
+      fitSampleFraction, fitMaxIter)
+    val enc = encodeIvfadc(cn, model)
+    val cand0 = ivfadcCandidates(enc, q0, model, nProbe, shortlist,
+      excludeSelf, adcBroadcastMaxBytes)
+    val candidates = sinkCandidates(cand0, candidateSink)
+    rankCandidates(candidates, c0, q0, k)
+  }
+
+  // ---------------------------------------------- shared IVFADC machinery
+
+  /** Frozen IVFADC geometry: coarse centroids + the m shared residual
+    * sub-codebooks. Plain driver-side arrays, bounded by the CODEBOOK
+    * sizes (nCells·dim + m·codebookSize·(dim/m) doubles — never the data),
+    * so assignment/encode/ADC are pure literal expressions and the serving
+    * path carries no MLlib model object. */
+  private[graft] case class IvfadcModel(
+      coarse: IndexedSeq[Seq[Double]],
+      codebooks: IndexedSeq[IndexedSeq[Seq[Double]]],
+      dim: Int) {
+    def kc: Int = coarse.size
+    def m: Int = codebooks.size
+  }
+
+  /** L2-normalize (zero vectors stay zero — they score worst everywhere). */
+  private def l2normCol(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x))
+    when(n > 0, transform(v, x => x.cast("double") / n))
+      .otherwise(transform(v, x => x.cast("double") * 0.0))
+  }
+
+  /** Reject empty corpora and null / null-element / ragged vectors — all
+    * of which would misquantize silently downstream. Returns the corpus
+    * dim. */
+  private def guardedDim(cn: DataFrame, who: String): Int = {
     val dim = cn.select(size(col("nv"))).limit(1).collect().headOption
       .map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
-        "ivfadcTopK: empty corpus — nothing to quantize"))
-    require(dim >= m, s"vector dim $dim must be >= m=$m")
-    // null ELEMENTS misquantize silently (see pqTopK) — same loud guard
+        s"$who: empty corpus — nothing to quantize"))
     val bad = cn.filter(col("nv").isNull || size(col("nv")) =!= dim ||
       exists(col("nv"), _.isNull)).limit(1).count()
-    require(bad == 0, s"ivfadcTopK: corpus has null, null-element, or non-$dim-dim vectors")
+    require(bad == 0, s"$who: corpus has null, null-element, or non-$dim-dim vectors")
+    dim
+  }
 
-    // ---- coarse quantizer: one small MLlib fit, centroids → driver ----
+  /** Subspace j covers 1-based slice [starts(j), +lens(j)) — last takes the
+    * remainder. */
+  private def subSpans(dim: Int, m: Int): (Seq[Int], Seq[Int]) = {
+    val base = dim / m
+    ((0 until m).map(j => j * base + 1),
+      (0 until m).map(j => if (j == m - 1) dim - base * (m - 1) else base))
+  }
+
+  // map-only cell assignment + residual: argmin over literal centroids,
+  // then elementwise v − centroid (zip_with) — no joins anywhere here
+  private def cellOfModel(model: IvfadcModel, v: Column): Column =
+    graft.functions.NearestCentroid(v, model.coarse.map(_.toSeq))
+  private def residualOf(model: IvfadcModel, v: Column, cell: Column): Column =
+    zip_with(v, element_at(typedLit(model.coarse), cell + 1), (a, b) => a - b)
+
+  /** Fit the coarse quantizer + the m residual sub-quantizers (one small
+    * MLlib fit each, the m sub-fits concurrent — independent jobs on the
+    * shared context, each driver-synchronized per iteration). Fit cost is
+    * sample-bounded, constant as the corpus grows. */
+  private def fitIvfadcModel(cn: DataFrame, dim: Int, nCells: Int, m: Int,
+      codebookSize: Int, seed: Long, fitSampleFraction: Double,
+      fitMaxIter: Int): IvfadcModel = {
     val fitSet0 = (if (fitSampleFraction < 1.0) cn.sample(fitSampleFraction, seed) else cn)
       .withColumn("__f", array_to_vector(col("nv"))).persist()
     fitSet0.count(): Unit
     val coarse: IndexedSeq[Seq[Double]] = new KMeans().setK(nCells).setSeed(seed)
       .setMaxIter(fitMaxIter).setFeaturesCol("__f").fit(fitSet0)
       .clusterCenters.toIndexedSeq.map(_.toArray.toSeq)
-    val kc = coarse.size // MLlib may return < nCells on tiny corpora
+    // MLlib may return < nCells centroids on tiny corpora — kc is authority
+    val partial = IvfadcModel(coarse, IndexedSeq.empty, dim)
 
-    // map-only cell assignment + residual: argmin over literal centroids,
-    // then elementwise v − centroid (zip_with) — no joins anywhere here
-    def cellOf(v: Column): Column =
-      graft.functions.NearestCentroid(v, coarse.map(_.toSeq))
-    def residual(v: Column, cell: Column): Column =
-      zip_with(v, element_at(typedLit(coarse), cell + 1), (a, b) => a - b)
-
-    // ---- PQ sub-quantizers fit on SAMPLE residuals (shared across cells) ----
-    val base = dim / m
-    val starts = (0 until m).map(j => j * base + 1) // slice() is 1-based
-    val lens = (0 until m).map(j => if (j == m - 1) dim - base * (m - 1) else base)
+    // PQ sub-quantizers fit on SAMPLE residuals, shared across cells:
+    // residuals of different cells live in a comparable zero-centered ball
+    // (Jégou '11's core observation)
+    val (starts, lens) = subSpans(dim, m)
     val fitRes = fitSet0
-      .withColumn("__cell", cellOf(col("nv")))
-      .withColumn("__r", residual(col("nv"), col("__cell")))
+      .withColumn("__cell", cellOfModel(partial, col("nv")))
+      .withColumn("__r", residualOf(partial, col("nv"), col("__cell")))
       .select((0 until m).map(j =>
         array_to_vector(slice(col("__r"), starts(j), lens(j))).as(s"__f$j")): _*)
       .persist()
@@ -468,30 +516,42 @@ object Similarity {
       }), scala.concurrent.duration.Duration(30, scala.concurrent.duration.MINUTES))
     }
     fitRes.unpersist(false)
+    IvfadcModel(coarse, codebooks, dim)
+  }
 
-    def sqDist(sub: Column, cen: Seq[Double]): Column =
-      aggregate(zip_with(sub, typedLit(cen),
-        (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, d) => acc + d)
+  private def sqDistLit(sub: Column, cen: Seq[Double]): Column =
+    aggregate(zip_with(sub, typedLit(cen),
+      (x, cc) => (x - cc) * (x - cc)), lit(0.0), (acc, d) => acc + d)
 
-    // ---- encode: (nbr_id, cell, pqc) — m small ints per vector ----
-    val encSubs = (0 until m).map(j => slice(col("__r"), starts(j), lens(j)).as(s"__s$j"))
-    // per-subspace argmin is ONE codegen'd NearestCentroid scan (the HOF
-    // form also re-evaluated the distance array twice — no CSE across
-    // array_position/array_min)
-    val codes = (0 until m).map { j =>
-      graft.functions.NearestCentroid(col(s"__s$j"), codebooks(j).map(_.toSeq))
+  /** Encode the normalized corpus to (nbr_id, cell, pqc) — m small ints per
+    * vector, each subspace's argmin ONE codegen'd NearestCentroid scan. */
+  private def encodeIvfadc(cn: DataFrame, model: IvfadcModel): DataFrame = {
+    val (starts, lens) = subSpans(model.dim, model.m)
+    val encSubs = (0 until model.m).map(j =>
+      slice(col("__r"), starts(j), lens(j)).as(s"__s$j"))
+    val codes = (0 until model.m).map { j =>
+      graft.functions.NearestCentroid(col(s"__s$j"), model.codebooks(j).map(_.toSeq))
     }
-    val enc = cn
-      .withColumn("cell", cellOf(col("nv")))
-      .withColumn("__r", residual(col("nv"), col("cell")))
+    cn.withColumn("cell", cellOfModel(model, col("nv")))
+      .withColumn("__r", residualOf(model, col("nv"), col("cell")))
       .select(Seq(col("nbr_id"), col("cell")) ++ encSubs: _*)
       .select(col("nbr_id"), col("cell"), array(codes: _*).as("pqc"))
+  }
 
-    // ---- query side: top-nProbe cells per query (map-only: sort the
-    //      literal-scored struct array, slice, explode), then the ADC
-    //      table on THAT cell's residual — (query, probed cell) rows ----
-    val qn = q0.withColumn("nv", l2norm(col("qv")))
-    val cellScores = array(coarse.zipWithIndex.map { case (cen, i) =>
+  /** Stage 1 over encoded codes: per query, probe the nProbe nearest cells
+    * (map-only: sort the literal-scored struct array, slice, explode),
+    * build the per-(query, probed cell) ADC table on THAT cell's residual,
+    * equi-join on cell (only probed cells' codes are ever read), score by
+    * m array lookups + adds, shortlist by rank. Returns (query_id, nbr_id)
+    * candidates. */
+  private def ivfadcCandidates(enc: DataFrame, q0: DataFrame,
+      model: IvfadcModel, nProbe: Int, shortlist: Int, excludeSelf: Boolean,
+      adcBroadcastMaxBytes: Long): DataFrame = {
+    val m = model.m
+    val kc = model.kc
+    val (starts, lens) = subSpans(model.dim, m)
+    val qn = q0.withColumn("nv", l2normCol(col("qv")))
+    val cellScores = array(model.coarse.zipWithIndex.map { case (cen, i) =>
       struct(
         aggregate(zip_with(col("nv"), typedLit(cen), (a, b) => { val d = a - b; d * d }),
           lit(0.0), (s, x) => s + x).as("d2"),
@@ -500,16 +560,17 @@ object Similarity {
     val probed = qn
       .withColumn("__pc", explode(slice(array_sort(cellScores), 1, math.min(nProbe, kc))))
       .withColumn("cell", col("__pc.idx"))
-      .withColumn("__r", residual(col("nv"), col("cell")))
+      .withColumn("__r", residualOf(model, col("nv"), col("cell")))
     val adc = probed
       .select(Seq(col("query_id"), col("cell")) ++
         (0 until m).map(j => slice(col("__r"), starts(j), lens(j)).as(s"__s$j")): _*)
       .select(col("query_id"), col("cell"), array((0 until m).map { j =>
-        array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
+        array(model.codebooks(j).map(cen => sqDistLit(col(s"__s$j"), cen)): _*)
       }: _*).as("adc"))
 
     // equi-join on cell: only probed cells' codes are read
     val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val codebookSize = model.codebooks.head.size
     val score = (0 until m).map(j =>
       element_at(element_at(col("adc"), j + 1), element_at(col("pqc"), j + 1) + 1))
       .reduce(_ + _)
@@ -523,13 +584,103 @@ object Similarity {
       (16L + 8L * m * codebookSize)
     val adcSide = if (adcBytes <= adcBroadcastMaxBytes) broadcast(adc)
                   else adc.hint("shuffle_merge")
-    val cand0 = enc.join(adcSide, Seq("cell"))
+    enc.join(adcSide, Seq("cell"))
       .filter(cond)
       .withColumn("s1", score)
       .withColumn("r1", row_number().over(w)).filter(col("r1") <= shortlist)
       .select(col("query_id"), col("nbr_id"))
+  }
+
+  /** Build a PERSISTED IVFADC index — the fit-once serving shape (VERDICT
+    * r7 item 5: at 100 TB nobody refits codebooks per query batch). Layout
+    * under `indexPath`:
+    *   - `coarse`:      (cell, centroid) — the frozen cell geometry
+    *   - `pqcodebooks`: (sub, code, centroid) — the m residual sub-codebooks
+    *   - `codes`:       (nbr_id, cell, pqc) — m-byte codes, THE stage-1 scan
+    *     (at 100 TB partition/bucket this by cell so a probe prunes to
+    *     nProbe partitions; the stage-1 join is already cell-equi)
+    *   - `vectors`:     (nbr_id, cv) — fp32 originals, rerank-only
+    * The fit is the exact machinery [[ivfadcTopK]] uses, so a query served
+    * from the index agrees bit-for-bit with the refit path on the same
+    * (corpus, params, seed) — asserted by SimilaritySpec. */
+  def buildIvfadcIndex(
+      corpus: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      nCells: Int = 16,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      seed: Long = 42L,
+      fitSampleFraction: Double = 1.0,
+      fitMaxIter: Int = 20): Unit = {
+    require(nCells >= 1 && m >= 1 && codebookSize >= 2,
+      "need nCells >= 1, m >= 1, codebookSize >= 2")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val cn = c0.withColumn("nv", l2normCol(col("cv")))
+    val dim = guardedDim(cn, "buildIvfadcIndex")
+    require(dim >= m, s"vector dim $dim must be >= m=$m")
+    val model = fitIvfadcModel(cn, dim, nCells, m, codebookSize, seed,
+      fitSampleFraction, fitMaxIter)
+    model.coarse.zipWithIndex.map { case (cen, i) => (i, cen) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$indexPath/coarse")
+    model.codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (cen, c) => (j, c, cen) } }
+      .toDF("sub", "code", "centroid")
+      .write.mode("overwrite").parquet(s"$indexPath/pqcodebooks")
+    encodeIvfadc(cn, model).write.mode("overwrite").parquet(s"$indexPath/codes")
+    c0.write.mode("overwrite").parquet(s"$indexPath/vectors")
+  }
+
+  /** Rebuild the frozen [[IvfadcModel]] from a persisted index — codebook-
+    * bounded collects only, no MLlib. */
+  private[graft] def loadIvfadcModel(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): IvfadcModel = {
+    val coarse = spark.read.parquet(s"$indexPath/coarse")
+      .select(col("cell").cast("int"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      .map(_._2.toSeq).toIndexedSeq
+    require(coarse.nonEmpty, s"empty coarse codebook at $indexPath")
+    val cbRows = spark.read.parquet(s"$indexPath/pqcodebooks")
+      .select(col("sub").cast("int"), col("code").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = cbRows.map(_._1).max + 1
+    val codebooks = IndexedSeq.tabulate(m)(j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toIndexedSeq)
+    IvfadcModel(coarse, codebooks, coarse.head.size)
+  }
+
+  /** IVFADC against a PERSISTED index ([[buildIvfadcIndex]]) — fit-free
+    * serving, the q86 pattern for the PQ family: stage 1 reads ONLY the
+    * m-byte codes table (equi-joined on cell, probe-pruned), rerank joins
+    * the stored fp32 vectors back by id. Same candidate-dump oracle
+    * contract as [[ivfadcTopK]]. */
+  def ivfadcTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 50,
+      excludeSelf: Boolean = false,
+      candidateSink: Option[String] = None,
+      adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+    require(shortlist >= k, "need shortlist >= k")
+    val model = loadIvfadcModel(spark, indexPath)
+    val enc = spark.read.parquet(s"$indexPath/codes")
+      .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
+    val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
+    val cand0 = ivfadcCandidates(enc, q0, model, nProbe, shortlist,
+      excludeSelf, adcBroadcastMaxBytes)
     val candidates = sinkCandidates(cand0, candidateSink)
-    rankCandidates(candidates, c0, q0, k)
+    val stored = spark.read.parquet(s"$indexPath/vectors")
+      .select(col("nbr_id"), col("cv"))
+    rankCandidates(candidates, stored, q0, k)
   }
 
   def twoStageTopK(

@@ -135,6 +135,31 @@ class FunctionsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length == 256, "Morton code is a bijection on the grid")
   }
 
+  test("zOrderN: n=2 reproduces zOrder2 bit-for-bit; n=3 is a bijection with the reference layout") {
+    import spark.implicits._
+    // n = 2 delegation: identical codes on the exhaustive grid
+    val pairs = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("a", "b")
+    val same = pairs.select(
+        (zOrder2(col("a"), col("b"), bits = 4) ===
+          zOrderN(Seq(col("a"), col("b")), bits = 4)).as("eq"))
+      .as[Boolean].collect()
+    assert(same.forall(identity), "zOrderN(2 cols) must equal zOrder2")
+    // n = 3 reference: bit i of column j at position 3i + j
+    def morton3(a: Long, b: Long, c: Long, bits: Int): Long =
+      (0 until bits).map(i => (((a >> i) & 1L) << (3 * i)) |
+        (((b >> i) & 1L) << (3 * i + 1)) | (((c >> i) & 1L) << (3 * i + 2)))
+        .reduce(_ | _)
+    val triples = (for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield (a, b, c)).toDF("a", "b", "c")
+    val got = triples.select(col("a"), col("b"), col("c"),
+        zOrderN(Seq(col("a"), col("b"), col("c")), bits = 3).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (a, b, c, z) => assert(z == morton3(a, b, c, 3), s"($a,$b,$c)") }
+    assert(got.map(_._4).distinct.length == 512, "3-d Morton code is a bijection on the grid")
+    intercept[IllegalArgumentException](zOrderN(Seq(col("a")), bits = 4))
+    intercept[IllegalArgumentException](zOrderN(Seq(col("a"), col("b"), col("c")), bits = 22))
+  }
+
   test("zOrder2 range partitioning clusters BOTH dimensions (bounding boxes shrink)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.spark_partition_id

@@ -122,6 +122,99 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeWavPcm16 reads a WAV written by an INDEPENDENT encoder sample-exactly") {
+    // golden: AudioSystem's own WAV writer (not our RIFF writer) — proves
+    // decodeWavPcm16 is a real codec parse, not a roundtrip of our header
+    val samples = Array.tabulate(1234)(i => Multimodal.patternPcm(77L, i).toShort)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (rate, got) = Multimodal.decodeWavPcm16(bos.toByteArray)
+      .getOrElse(fail("golden WAV did not decode"))
+    assert(rate == 8000 && got.sameElements(samples))
+    // and the converse: OUR writer's bytes parse through the JDK codec
+    val ours = Multimodal.encodeWavPcm16(8000, samples)
+    val (r2, got2) = Multimodal.decodeWavPcm16(ours)
+      .getOrElse(fail("our RIFF writer's WAV did not decode via AudioSystem"))
+    assert(r2 == 8000 && got2.sameElements(samples))
+    assert(Multimodal.decodeWavPcm16(Array[Byte](1, 2, 3)).isEmpty, "garbage must not decode")
+    assert(Multimodal.decodeWavPcm16(null).isEmpty &&
+      Multimodal.decodeWavPcm16(Array.emptyByteArray).isEmpty)
+  }
+
+  test("wavAssets → segmentAudioReal: real decode matches closed-form window energies") {
+    import spark.implicits._
+    val ids = Seq(3L, 100L, 9999L)
+    val segs = Multimodal.segmentAudioReal(
+        Multimodal.wavAssets(ids.toDF("id"), "id"), windowMs = 100L)
+      .collect().groupBy(_.getAs[Long]("asset_id"))
+    ids.foreach { id =>
+      val n = Multimodal.patternSampleCount(id)
+      val spw = 100 * Multimodal.WavSampleRate / 1000 // 800
+      val rows = segs(id).sortBy(_.getAs[Long]("seg_idx"))
+      assert(rows.length == (n + spw - 1) / spw, s"asset $id window count")
+      rows.foreach { r =>
+        assert(r.getAs[Boolean]("decode_ok"))
+        val w = r.getAs[Long]("seg_idx").toInt
+        val s0 = w * spw
+        val s1 = math.min(n, s0 + spw)
+        val want = (s0 until s1).map { i =>
+          val v = Multimodal.patternPcm(id, i).toLong; v * v
+        }.sum
+        assert(r.getAs[Long]("seg_start_ms") == w * 100L)
+        assert(r.getAs[Long]("n_samples") == s1 - s0)
+        assert(r.getAs[Long]("sum_sq") == want, s"asset $id window $w energy")
+      }
+    }
+    // corrupt payload degrades to decode_ok = false, never a lost asset
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val corrupted = Multimodal.wavAssets(ids.toDF("id"), "id")
+      .withColumn("bytes", when(col("asset_id") === 3L,
+        lit(Array[Byte](9, 9, 9))).otherwise(col("bytes")))
+    val marks = Multimodal.segmentAudioReal(corrupted, windowMs = 100L)
+      .collect().groupBy(_.getAs[Long]("asset_id"))
+    assert(marks(3L).length == 1 && !marks(3L).head.getAs[Boolean]("decode_ok"))
+    assert(marks(100L).forall(_.getAs[Boolean]("decode_ok")))
+  }
+
+  test("videoAssets → sampleFramesReal: GFV1 demux + real per-frame decode match closed form") {
+    import spark.implicits._
+    val ids = Seq(5L, 42L, 1000L)
+    val frames = Multimodal.sampleFramesReal(
+        Multimodal.videoAssets(ids.toDF("id"), "id"), everyN = 2)
+      .collect().groupBy(_.getAs[Long]("asset_id"))
+    ids.foreach { id =>
+      val (w, h) = Multimodal.patternDims(id)
+      val nf = Multimodal.patternFrameCount(id)
+      val sampled = (0 until nf by 2).toSeq
+      val rows = frames(id).sortBy(_.getAs[Long]("frame_idx"))
+      assert(rows.map(_.getAs[Long]("frame_idx").toInt).toSeq == sampled, s"asset $id frames")
+      rows.foreach { r =>
+        val f = r.getAs[Long]("frame_idx").toInt
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.patternFrameGray(id, f, x, y).toLong).sum
+        assert(r.getAs[Boolean]("decode_ok"))
+        assert(r.getAs[Long]("ts_ms") == f * Multimodal.VideoFrameMs)
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+        assert(r.getAs[Long]("sum_gray") == want, s"asset $id frame $f gray sum")
+      }
+    }
+    // container corruption (bad magic) → one decode_ok=false row
+    assert(Multimodal.splitGfv1Frames("XXXX0000".getBytes).isEmpty)
+    assert(Multimodal.splitGfv1Frames(null).isEmpty)
+    // truncated mid-frame → rejected, not a partial parse
+    val good = Multimodal.encodeGfv1(Seq(
+      Multimodal.encodePng(4, 4, (x, y) => x + y)))
+    assert(Multimodal.splitGfv1Frames(good).nonEmpty)
+    assert(Multimodal.splitGfv1Frames(good.dropRight(5)).isEmpty)
+  }
+
   test("segmentAudio tiles the duration exactly (audio only); windows sum to duration") {
     val segs = Multimodal.segmentAudio(assets, windowMs = 30000L).collect()
     assert(segs.nonEmpty)

@@ -106,6 +106,28 @@ class SimilaritySpec extends SparkSpec {
     assert(indexed == refit, "the persisted index must reproduce the refit path exactly")
   }
 
+  test("ivfadcTopKIndexed (persisted codes+codebooks, fit-free) == ivfadcTopK on the same geometry") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val vecs = randomVecs(rng, 150, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_idx_").toString
+
+    Similarity.buildIvfadcIndex(df, "vec_id", "embedding", idx,
+      nCells = 8, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 8)
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val refit = rows(Similarity.ivfadcTopK(df, queries, "vec_id", "embedding", k = 4,
+      nCells = 8, nProbe = 3, m = 4, codebookSize = 8, shortlist = 30,
+      seed = 42L, excludeSelf = true, fitMaxIter = 8))
+    val indexed = rows(Similarity.ivfadcTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 4, nProbe = 3, shortlist = 30, excludeSelf = true))
+    assert(indexed == refit,
+      "the persisted IVFADC index must reproduce the refit path exactly")
+  }
+
   test("int8-quantized vectors preserve brute-force top-k recall (the serving claim)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
