@@ -367,9 +367,11 @@ object Multimodal {
     }(enc)
   }
 
-  /** STUB frame sampler: every `everyMs` ms of (fake) video duration emits a
-    * (asset_id, frame_idx, ts_ms) row — the explode-shaped plumbing a real
-    * sampler needs, without a codec. */
+  /** STUB frame sampler over hash-derived synthetic metadata — kept for
+    * the [[syntheticAssets]] fixtures (q24); the REAL per-frame decode path
+    * is [[sampleFramesReal]] over [[videoAssets]] (q156). Every `everyMs`
+    * ms of (fake) video duration emits a (asset_id, frame_idx, ts_ms) row
+    * — the explode-shaped plumbing without a codec. */
   def sampleFrames(assets: DataFrame, everyMs: Long = 10000L): DataFrame =
     assets.filter(col("modality") === "video")
       .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"))
@@ -378,14 +380,14 @@ object Multimodal {
         explode(sequence(lit(0L), greatest(floor(col("duration_ms") / everyMs).cast("long"), lit(0L)))))
       .withColumn("ts_ms", col("frame_idx") * everyMs)
 
-  /** STUB audio segmenter: fixed `windowMs` windows over the (fake)
-    * duration, each carrying an md5-derived deterministic pseudo-ENERGY —
-    * the explode-shaped plumbing plus the per-window feature a real RMS/VAD
-    * pass produces, without a codec (??? real decode+RMS goes in place of
-    * the md5). md5, not xxhash64, so any engine — the DuckDB oracle
-    * included — re-derives the energy exactly. A zero-length asset still
-    * yields one (empty) window, so no asset silently disappears. Map-only:
-    * the explode never shuffles. */
+  /** STUB audio segmenter over hash-derived synthetic metadata — kept for
+    * the [[syntheticAssets]] fixtures (q96); the REAL codec path is
+    * [[segmentAudioReal]] over [[wavAssets]] (q154). Fixed `windowMs`
+    * windows over the (fake) duration, each carrying an md5-derived
+    * deterministic pseudo-ENERGY. md5, not xxhash64, so any engine — the
+    * DuckDB oracle included — re-derives the energy exactly. A zero-length
+    * asset still yields one (empty) window, so no asset silently
+    * disappears. Map-only: the explode never shuffles. */
   def segmentAudio(assets: DataFrame, windowMs: Long = 30000L): DataFrame =
     assets.filter(col("modality") === "audio")
       .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"))

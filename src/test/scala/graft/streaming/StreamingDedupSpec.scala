@@ -84,4 +84,41 @@ class StreamingDedupSpec extends SparkSpec {
     // index holds the seed corpus + all four streamed vectors
     assert(spark.read.parquet(s"$idx/vectors").count() == 24)
   }
+
+  test("multi-batch candidate dumps ACCUMULATE per batch (b<id> subdirs), overwriting none") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("sd_dump_").toString
+    val idx = s"$root/sig"
+    val kept = s"$root/kept"
+    val sink = s"$root/cands"
+    val seedText = "the quick brown fox jumps over the lazy dog every single morning again"
+    Dedup.buildMinhashIndex(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text", idx)
+
+    val fresh = "completely novel first document about streaming watermark state eviction semantics"
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingDedup.start(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, kept, s"$root/ckpt",
+      trigger = Trigger.ProcessingTime(0L), candidateSink = Some(sink))
+    try {
+      source.addData((100L, seedText), (101L, fresh)) // batch 0: 100 dups seed
+      q.processAllAvailable()
+      source.addData((102L, fresh))                   // batch 1: 102 dups batch-0's 101
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the round-7 shape overwrote one shared path per batch, so only the
+    // LAST batch's dump survived and an oracle reading it silently missed
+    // earlier-batch duplicates; both per-batch dumps must exist and carry
+    // their own batch's candidate pairs
+    def dumped(b: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$sink/b$b").select("id_a", "id_b")
+        .as[(Long, Long)].collect().toSet
+    assert(dumped(0).exists(p => p._1 == 1L || p._2 == 100L),
+      s"batch-0 dump must hold the seed-vs-100 pair, got ${dumped(0)}")
+    assert(dumped(1).exists(p => Set(p._1, p._2).contains(102L)),
+      s"batch-1 dump must hold 102's pair, got ${dumped(1)}")
+  }
 }
