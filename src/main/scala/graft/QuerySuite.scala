@@ -407,8 +407,13 @@ object QuerySuite {
     "q152_stream_semantic" -> ((s, dir) => withStreamingConf(s) { s =>
       val emb = Tables.embeddings(s, dir)
       val idx = aux(dir, "q152_vecindex")
+      // targetCell > 0 = the k ∝ n regime (the only honest shape at scale:
+      // fixed k makes candidate verification grow linearly in n — measured
+      // 51 s at sf1 with k=16 vs sub-linear under k ∝ n); past the cutover
+      // the stored geometry goes two-level and every micro-batch assigns
+      // with the same map-only hierarchy
       Dedup.buildSemanticIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", idx)
+        "vec_id", "embedding", idx, targetCell = 100)
       val stream = s.readStream
         .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
         .parquet(stageStreamDir(dir, "embeddings"))
@@ -436,7 +441,8 @@ object QuerySuite {
       val base = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
       val batch = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
       val idx = aux(dir, "q70_vecindex")
-      Dedup.buildSemanticIndex(base, "vec_id", "embedding", idx) // overwrite: deterministic per run
+      // overwrite: deterministic per run; targetCell>0 = k ∝ n (see q152)
+      Dedup.buildSemanticIndex(base, "vec_id", "embedding", idx, targetCell = 100)
       val pairs = Dedup.semanticDedupIncremental(batch, "vec_id", "embedding", idx,
         batchId = "day2", threshold = 0.9,
         candidateSink = Some(aux(dir, "q70_candidates")))
