@@ -630,6 +630,26 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- INCREMENTAL fold-in to the persisted IVFADC index
+    //      (appendIvfadcIndex — the minhashLshIncremental contract for ANN
+    //      serving): odd vec_ids encode FIT-FREE against the frozen
+    //      codebooks the even-id base build froze, land in batch=b1
+    //      partitions, and the indexed search serves the union ----
+    "q158_ivfadc_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q158_pqindex")
+      Similarity.buildIvfadcIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nCells = 16, m = 4, codebookSize = 16,
+        fitMaxIter = 8, fitSampleFraction = 0.25)
+      Similarity.appendIvfadcIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", idx, "b1")
+      Similarity.ivfadcTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 50,
+          excludeSelf = true,
+          candidateSink = Some(aux(dir, "q158_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- IVF against the PERSISTED index (the fit-free serving shape;
     //      q18 is the exploration mode that re-fits per call) ----
     "q86_ann_ivf_index" -> ((s, dir) => {
@@ -2973,6 +2993,20 @@ object QuerySuite {
         .orderBy("asset_id", "seg_idx")
     }),
 
+    // ---- VAD-style silence filter over the REAL decode (q154 windows →
+    //      audioActivity): active iff sum_sq ≥ threshold·n_samples in exact
+    //      integer algebra. Threshold sits at the pattern's mean-square
+    //      (~334 k), so verdicts split on real per-window fluctuations ----
+    "q159_audio_activity" -> ((s, dir) => {
+      Multimodal.audioActivity(
+          Multimodal.segmentAudioReal(
+            Multimodal.wavAssets(
+              Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 1),
+              "c_custkey"), windowMs = 100L),
+          thresholdMeanSq = 334000L)
+        .orderBy("asset_id")
+    }),
+
     // ---- REAL video-frame sampling (Multimodal.videoAssets →
     //      sampleFramesReal): GFV1 PNG-container clips (no JDK video codec
     //      exists — the container is the documented seam), every 2nd frame
@@ -3557,6 +3591,22 @@ object QuerySuite {
     // perturbs the shortlist CONTENTS is visible
     "q155_ivfadc_index" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q155_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // q155's contract over the base+appended shortlist: DuckDB re-ranks by
+    // exact cosine — a lost/duplicated/mis-encoded appended vector that
+    // perturbs the shortlist contents is visible
+    "q158_ivfadc_append" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q158_candidates/*.parquet')),
         |scored AS (
         |  SELECT query_id, nbr_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
@@ -5058,6 +5108,29 @@ object QuerySuite {
         |  CAST(sum(((asset_id*31 + i*7) % 2003 - 1001)
         |         * ((asset_id*31 + i*7) % 2003 - 1001)) AS BIGINT) AS sum_sq
         |FROM px GROUP BY asset_id, seg_idx ORDER BY asset_id, seg_idx""".stripMargin,
+
+    // q154's per-window arithmetic + the integer activity verdict
+    "q159_audio_activity" ->
+      """WITH a AS (SELECT c_custkey AS asset_id, 800 + (c_custkey % 7) * 400 AS n
+        |           FROM customer WHERE c_custkey % 3 = 1),
+        |w AS (SELECT asset_id, n,
+        |             unnest(generate_series(0, (n + 799) // 800 - 1)) AS seg_idx
+        |      FROM a),
+        |px AS (SELECT asset_id, seg_idx,
+        |              unnest(generate_series(seg_idx * 800,
+        |                                     least(n, seg_idx * 800 + 800) - 1)) AS i
+        |       FROM w),
+        |seg AS (SELECT asset_id, seg_idx, count(*) AS n_samples,
+        |          sum(((asset_id*31 + i*7) % 2003 - 1001)
+        |            * ((asset_id*31 + i*7) % 2003 - 1001)) AS sum_sq
+        |        FROM px GROUP BY asset_id, seg_idx),
+        |v AS (SELECT asset_id, n_samples,
+        |        CASE WHEN sum_sq >= 334000 * n_samples THEN 1 ELSE 0 END AS active
+        |      FROM seg)
+        |SELECT asset_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(active) AS BIGINT) AS n_active,
+        |  CAST(sum(CASE WHEN active = 1 THEN n_samples ELSE 0 END) AS BIGINT) AS active_samples
+        |FROM v GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     // every sampled frame's decoded pixels re-derived from the frame-term
     // pattern — bit-verifies the GFV1 demux + per-frame javax.imageio parse

@@ -300,7 +300,7 @@ object Dedup {
   def compactSemanticIndex(spark: SparkSession, indexPath: String): Unit =
     compactBatchedDir(spark, s"$indexPath/vectors")
 
-  private def compactBatchedDir(spark: SparkSession, indexPath: String): Unit = {
+  private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(indexPath)
     val oldDir = resolveIndexDir(indexPath)

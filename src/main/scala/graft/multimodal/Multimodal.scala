@@ -401,6 +401,24 @@ object Multimodal {
           col("seg_idx").cast(StringType))), 1, 8), 16, 10)
           .cast(LongType) % 1000000L)
 
+  /** VAD-style activity summary over [[segmentAudioReal]] windows — the
+    * silence-filtering pass an audio curation pipeline runs after decode:
+    * a window is ACTIVE when its mean-square energy clears `thresholdMeanSq`
+    * (compared in exact integer algebra as sum_sq ≥ threshold · n_samples —
+    * no division, no fp, so an external oracle replays the verdict
+    * bit-for-bit). One combinable aggregation per asset; undecodable assets
+    * are reported with n_windows = 0 rather than dropped. */
+  def audioActivity(segments: DataFrame, thresholdMeanSq: Long): DataFrame = {
+    val active = (col("decode_ok") &&
+      col("sum_sq") >= lit(thresholdMeanSq) * col("n_samples")).cast("long")
+    segments.groupBy("asset_id")
+      .agg(
+        sum(col("decode_ok").cast("long")).as("n_windows"),
+        sum(active).as("n_active"),
+        sum(when(active === 1L, col("n_samples")).otherwise(lit(0L)))
+          .as("active_samples"))
+  }
+
   // ==================== REAL video-frame path (PNG container) =============
   //
   // No JDK video codec exists (VERDICT r7 item 6 adjudicated both honest

@@ -631,8 +631,60 @@ object Similarity {
       .flatMap { case (cb, j) => cb.zipWithIndex.map { case (cen, c) => (j, c, cen) } }
       .toDF("sub", "code", "centroid")
       .write.mode("overwrite").parquet(s"$indexPath/pqcodebooks")
-    encodeIvfadc(cn, model).write.mode("overwrite").parquet(s"$indexPath/codes")
-    c0.write.mode("overwrite").parquet(s"$indexPath/vectors")
+    // codes + vectors live in batch=<id> partitions (the dedup-index
+    // layout): the base build statically clears every partition, later
+    // [[appendIvfadcIndex]] batches overwrite only their own — replay-safe
+    writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", "base",
+      wholeIndex = true)
+    writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
+  }
+
+  private def writeBatched(df: DataFrame, path: String, batchId: String,
+      wholeIndex: Boolean = false): Unit = {
+    require(batchId.matches("[A-Za-z0-9_.-]+"),
+      s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
+    df.withColumn("batch", lit(batchId))
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
+      .mode("overwrite")
+      .parquet(graft.dedup.Dedup.resolveIndexDir(path))
+  }
+
+  /** Fold a NEW corpus batch into a persisted IVFADC index FIT-FREE — the
+    * incremental serving story (the [[graft.dedup.Dedup.minhashLshIncremental]]
+    * contract for ANN): the batch encodes against the FROZEN codebooks (one
+    * map-only pass — cell assignment + residual PQ are literal-codebook
+    * codegen expressions, no MLlib, no shuffles) and its codes + vectors
+    * land in `batch=<batchId>` partitions, so a crash-retried or replayed
+    * batch overwrites its own bytes instead of double-folding. Codebook
+    * drift is the documented operational caveat: after enough distribution
+    * shift, rebuild with [[buildIvfadcIndex]] rather than refitting in
+    * place (frozen geometry is what keeps old codes valid). */
+  def appendIvfadcIndex(
+      newDf: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      batchId: String): Unit = {
+    val spark = newDf.sparkSession
+    val model = loadIvfadcModel(spark, indexPath)
+    val c0 = newDf.select(col(id).as("nbr_id"), col(vec).as("cv"))
+    val cn = c0.withColumn("nv", l2normCol(col("cv")))
+    val dim = guardedDim(cn, "appendIvfadcIndex")
+    require(dim == model.dim,
+      s"appendIvfadcIndex: batch dim $dim != index dim ${model.dim}")
+    writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", batchId)
+    writeBatched(c0, s"$indexPath/vectors", batchId)
+  }
+
+  /** Compact the per-batch codes/vectors partitions into one `batch=base`
+    * under a new version dir with an atomic CURRENT swap — the
+    * [[graft.dedup.Dedup.compactMinhashIndex]] maintenance pattern (a year
+    * of daily appends is 365 partition dirs of small files). */
+  def compactIvfadcIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes")
+    graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors")
   }
 
   /** Rebuild the frozen [[IvfadcModel]] from a persisted index — codebook-
@@ -672,13 +724,13 @@ object Similarity {
       adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
     val model = loadIvfadcModel(spark, indexPath)
-    val enc = spark.read.parquet(s"$indexPath/codes")
+    val enc = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/codes"))
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
     val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val cand0 = ivfadcCandidates(enc, q0, model, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)
     val candidates = sinkCandidates(cand0, candidateSink)
-    val stored = spark.read.parquet(s"$indexPath/vectors")
+    val stored = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
       .select(col("nbr_id"), col("cv"))
     rankCandidates(candidates, stored, q0, k)
   }

@@ -71,6 +71,22 @@ class PlanPropertiesSpec extends SparkSpec {
       "no nested loop anywhere in the IVFADC plan (excludeSelf is a post-join filter)")
   }
 
+  test("indexed IVFADC serving keeps the q151 plan shape: cell equi-join, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("gate_ivfadc_").toString
+    graft.similarity.Similarity.buildIvfadcIndex(emb, "vec_id", "embedding", idx,
+      nCells = 8, m = 4, codebookSize = 8, fitMaxIter = 4)
+    val plan = graft.similarity.Similarity.ivfadcTopKIndexed(spark, idx,
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nProbe = 4, shortlist = 50, excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [cell"),
+      s"stage 1 must equi-join the stored codes on cell:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no nested loop anywhere in the indexed IVFADC plan")
+  }
+
   test("q36 pushes all three filters to the scans and joins without a shuffle join") {
     val plan = SparkEntry.queries("q36_tpch_q3")(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)") ||

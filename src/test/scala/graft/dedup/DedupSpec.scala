@@ -385,6 +385,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("two-level fit survives duplicate-heavy fit sets (< k1 distinct seed rows)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // dedup's core input: near-total duplication. Only 2 distinct vectors
+    // exist, so the 4·k1-row smallest-hash seed probe cannot find k1=4
+    // distinct rows — the round-7 shape crashed the backfill loop with
+    // IndexOutOfBoundsException (ADVICE r7); the fit must instead clamp to
+    // the distinct seeds it found and stay correct
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val dv = ((0 until 30).map(i => if (i % 2 == 0) a else b)).toDF("v")
+    val q = Dedup.fitTwoLevelCentroids(dv.select(col("v")), k = 16, seed = 42L,
+      fitMaxIter = 4)
+    assert(q.tops.nonEmpty && q.tops.size <= 2, s"got ${q.tops.size} tops")
+    assert(q.leaves.size == q.tops.size)
+    assert(q.leaves.forall(_.nonEmpty), "every top cell needs at least one leaf")
+    // both distinct vectors still assign to SOME valid leaf cell
+    val cells = dv.select(Dedup.assignTwoLevel(col("v").cast("array<double>"), q).as("c"))
+      .distinct().as[Int].collect().toSet
+    val validCells = q.leaves.flatten.map(_._1).toSet
+    assert(cells.subsetOf(validCells), s"cells $cells not in $validCells")
+  }
+
   test("duplicateSpans finds a shared 8-token passage, ignores unique text") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

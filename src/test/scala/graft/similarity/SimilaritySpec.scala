@@ -128,6 +128,39 @@ class SimilaritySpec extends SparkSpec {
       "the persisted IVFADC index must reproduce the refit path exactly")
   }
 
+  test("appendIvfadcIndex folds fit-free; full-probe degeneracy stays exact through replay and compaction") {
+    import spark.implicits._
+    val rng = new Random(47)
+    val vecs = randomVecs(rng, 160, 8)
+    val all = vecs.toDF("vec_id", "embedding")
+    val evens = all.filter($"vec_id" % 2 === 0)
+    val odds = all.filter($"vec_id" % 2 === 1)
+    val queries = all.filter($"vec_id" < 6)
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_app_").toString
+
+    Similarity.buildIvfadcIndex(evens, "vec_id", "embedding", idx,
+      nCells = 8, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 8)
+    Similarity.appendIvfadcIndex(odds, "vec_id", "embedding", idx, "b1")
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    // nProbe = nCells ∧ shortlist = |corpus|: exact brute force over the
+    // WHOLE folded corpus regardless of codebook quality — any vector the
+    // append lost, duplicated, or mis-stored breaks the equality
+    val brute = rows(Similarity.bruteForceTopK(all, queries, "vec_id", "embedding",
+      k = 4, excludeSelf = true))
+    def served() = rows(Similarity.ivfadcTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 4, nProbe = 8, shortlist = 160, excludeSelf = true))
+    assert(served() == brute, "appended index must serve the full corpus exactly")
+    // replay the same batch id: own-partition overwrite, no double-fold
+    Similarity.appendIvfadcIndex(odds, "vec_id", "embedding", idx, "b1")
+    assert(spark.read.parquet(s"$idx/codes").count() == 160, "replay must not double-fold")
+    assert(served() == brute)
+    // compaction folds partitions under an atomic pointer swap; still exact
+    Similarity.compactIvfadcIndex(spark, idx)
+    assert(served() == brute, "compacted index must serve identically")
+  }
+
   test("int8-quantized vectors preserve brute-force top-k recall (the serving claim)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
