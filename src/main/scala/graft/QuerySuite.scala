@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -429,6 +429,31 @@ object QuerySuite {
         .join(keptIds, Seq("vec_id"), "left")
         .select(col("vec_id"), coalesce(col("__kept") === false, lit(true)).as("is_duplicate"))
         .orderBy("vec_id")
+    }),
+
+    // ---- STREAMING ANN serving (StreamingAnnServe — the online face of
+    //      the persisted IVFADC index): the index is built offline once;
+    //      query vectors arrive as a STREAM and each micro-batch is served
+    //      fit-free (stage 1 reads only probe-pruned m-byte codes), top-k
+    //      landing in per-batch partitions. Real-time inference for a
+    //      vector feature; oracle is q151's over the per-batch dumps ----
+    "q160_stream_ann" -> ((s, dir) => withStreamingConf(s) { s =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q160_pqindex")
+      Similarity.buildIvfadcIndex(emb, "vec_id", "embedding", idx,
+        nCells = 16, m = 4, codebookSize = 16, fitMaxIter = 8,
+        fitSampleFraction = 0.25)
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(stageStreamDir(dir, "embeddings"))
+        .filter(col("vec_id") < 10)
+      val out = aux(dir, "q160_served")
+      val q = StreamingAnnServe.start(stream, "vec_id", "embedding", idx, out,
+        tmpDir("q160_ckpt_"), k = 5, nProbe = 8, shortlist = 50,
+        excludeSelf = true, candidateSink = Some(aux(dir, "q160_candidates")))
+      q.awaitTermination()
+      s.read.parquet(out).select("query_id", "nbr_rank", "nbr_id", "cosine")
+        .orderBy("query_id", "nbr_rank")
     }),
 
     // ---- incremental SEMANTIC dedup: even vec_ids bootstrap the persisted
@@ -3591,6 +3616,21 @@ object QuerySuite {
     // perturbs the shortlist CONTENTS is visible
     "q155_ivfadc_index" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q155_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // q151's contract over the per-micro-batch streaming dumps (** glob:
+    // dumps accumulate per batch like q152's)
+    "q160_stream_ann" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q160_candidates/**/*.parquet')),
         |scored AS (
         |  SELECT query_id, nbr_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,

@@ -143,6 +143,54 @@ object StreamingSemanticDedup {
   }
 }
 
+/** Streaming ANN serving — the online face of the persisted IVFADC index
+  * ([[graft.similarity.Similarity.buildIvfadcIndex]]): each micro-batch of
+  * QUERY vectors is served FIT-FREE through
+  * [[graft.similarity.Similarity.ivfadcTopKIndexed]] (codebook-bounded
+  * collects, stage 1 reads only the probe-pruned m-byte codes), and the
+  * per-query top-k lands in `batch=b<N>` partitions — the same
+  * effectively-once contract as [[StreamingDedup]] (checkpoint re-delivery
+  * overwrites its own partition), with per-batch candidate dumps for the
+  * oracle. This is the real-time-inference shape for a vector feature:
+  * the index is the offline artifact, the stream is the request path. */
+object StreamingAnnServe {
+
+  /** @param candidateSink per-micro-batch `<sink>/b<batchId>` dumps (the
+    *   [[StreamingDedup.start]] accumulation contract) */
+  def start(
+      queryStream: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      k: Int,
+      nProbe: Int = 4,
+      shortlist: Int = 50,
+      excludeSelf: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.similarity.Similarity.ivfadcTopKIndexed(
+              batch.sparkSession, indexPath, batch, id, vec, k = k,
+              nProbe = nProbe, shortlist = shortlist, excludeSelf = excludeSelf,
+              candidateSink = candidateSink.map(p => s"$p/b$batchId"))
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Typed event for the stateful latest-per-key stream (mirrors the events
   * table: key=user_id, event-time=ts). */
 case class KeyedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,

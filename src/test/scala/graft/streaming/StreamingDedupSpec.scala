@@ -85,6 +85,48 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/vectors").count() == 24)
   }
 
+  test("StreamingAnnServe serves each micro-batch fit-free from the persisted IVFADC index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.similarity.Similarity
+
+    val root = Files.createTempDirectory("sann_spec_").toString
+    val rng = new scala.util.Random(53)
+    val corpus = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(8)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    Similarity.buildIvfadcIndex(corpus, "vec_id", "embedding", s"$root/idx",
+      nCells = 8, m = 4, codebookSize = 8, fitMaxIter = 4)
+
+    val source = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnnServe.start(source.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", s"$root/out", s"$root/ckpt",
+      k = 3, nProbe = 8, shortlist = 120, excludeSelf = true,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      source.addData((1000L, Array.fill(8)(0.5f)))
+      q.processAllAvailable()
+      source.addData((1001L, Array.fill(8)(-0.5f)), (1002L, Array.fill(8)(0.1f)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    val byQuery = out.select("query_id", "nbr_rank", "nbr_id")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    assert(byQuery.keySet == Set(1000L, 1001L, 1002L), s"got ${byQuery.keySet}")
+    assert(byQuery.values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)),
+      "each query gets a full dense top-3")
+    // batch partitions: 1000 served in b0, 1001/1002 in b1
+    val batches = out.select("query_id", "batch").as[(Long, String)].collect().toMap
+    assert(batches(1000L) == "b0" && batches(1001L) == "b1")
+    // full-probe + full-shortlist degeneracy: streamed top-3 == brute force
+    val brute = Similarity.bruteForceTopK(corpus,
+        Seq((1000L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, excludeSelf = true)
+      .select("nbr_rank", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(byQuery(1000L).map(t => (t._2, t._3)).toSet == brute,
+      "streamed serving must match brute force under the degeneracy settings")
+  }
+
   test("multi-batch candidate dumps ACCUMULATE per batch (b<id> subdirs), overwriting none") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
