@@ -173,6 +173,13 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     val latest = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
       .drop(EngineColumns.IngestDate)
+    commitOnlineSnapshot(g, latest)
+  }
+
+  /** Write `latest` as the next online snapshot version and atomically
+    * advance the LATEST pointer (shared by [[refreshOnline]] and
+    * [[deleteRecords]]). */
+  private def commitOnlineSnapshot(g: FeatureGroup, latest: DataFrame): Unit = {
     val next = currentVersion(g.name).getOrElse(0L) + 1
     val dir = onlineDir(g.name).resolve(s"v$next")
     // key-bucket partitioning so an uncached point lookup prunes to ONE
@@ -219,7 +226,81 @@ final class FeatureStore(spark: SparkSession, root: String,
       g.features.map(f => StructField(f.name, f.ftype.spark)) :+
         StructField(EngineColumns.IngestSeq, LongType) :+
         StructField(EngineColumns.IngestDate, DateType))
-    spark.read.schema(st).parquet(offlineDir(name))
+    val raw = spark.read.schema(st).parquet(offlineDir(name))
+    // tombstone filter ([[deleteRecords]]): hide a deleted key's history up
+    // to its deletion sequence — later re-ingests (seq > deleted_seq)
+    // legitimately resurface the key. Tombstones are tiny (explicit delete
+    // calls), so this is one broadcast anti-join every offline consumer
+    // (pointInTime, historicalQuery, refreshOnline rebuild, compaction)
+    // inherits for free.
+    tombstones(name) match {
+      case Some(t) =>
+        val tk = broadcast(t.groupBy(col("key"))
+          .agg(max(col("deleted_seq")).as("__del_seq")))
+        raw.join(tk,
+          raw(g.keyCol).cast("string") === tk("key") &&
+            raw(EngineColumns.IngestSeq) <= tk("__del_seq"), "left_anti")
+      case None => raw
+    }
+  }
+
+  // ---- deletion (SageMaker delete_record analogue; the GDPR path) ----
+
+  private def tombstoneDir(name: String): Path = groupDir(name).resolve("tombstones")
+
+  private def tombstones(name: String): Option[DataFrame] =
+    if (Files.exists(tombstoneDir(name)))
+      Some(spark.read.schema("key STRING, deleted_seq LONG")
+        .parquet(tombstoneDir(name).toString))
+    else None
+
+  /** Delete records by key — the managed feature stores' `delete_record`
+    * surface, set-oriented like [[ingest]]:
+    *   - ONLINE: the keys leave the serving snapshot immediately (one
+    *     broadcast anti-join against the current snapshot → new version +
+    *     atomic pointer swap + cache invalidation — never a full-history
+    *     recompute);
+    *   - OFFLINE: a tombstone (key, deleted_seq) is appended; every offline
+    *     reader filters history at or below the deletion sequence, so a
+    *     LATER re-ingest of the key resurfaces it (the same monotone-seq
+    *     rule every other write follows). The data is logically gone at
+    *     once; [[compactOffline]] materializes the filter into the files —
+    *     the PHYSICAL (right-to-be-forgotten) erase — and clears the
+    *     tombstones it folded in. Old ONLINE versions retain the key until
+    *     [[gcOnline]] collects them (time-travel views are immutable by
+    *     design); a full GDPR purge is deleteRecords → compactOffline →
+    *     gcOnline(keep = 1).
+    *
+    * @return the deletion sequence number
+    */
+  def deleteRecords(groupName: String, keys: Seq[Any]): Long = {
+    require(keys.nonEmpty, "deleteRecords: empty key set")
+    val m = readManifest(groupName)
+    val (g, seq) = (m.group, m.nextSeq)
+    // seq bumped and persisted FIRST — the ingest crash-safety rule: a
+    // crash mid-delete leaves at worst a skipped sequence number, never a
+    // reused one
+    writeManifest(g, seq + 1, m.lastBatchId)
+    import scala.jdk.CollectionConverters._
+    val st = StructType(Seq(StructField("key", org.apache.spark.sql.types.StringType),
+      StructField("deleted_seq", LongType)))
+    spark.createDataFrame(
+        keys.map(k => Row(k.toString, seq)).asJava, st)
+      .coalesce(1)
+      .write.mode("append").parquet(tombstoneDir(groupName).toString)
+    currentSnapshot(groupName) match {
+      case Some(snap) =>
+        val keyDf = broadcast(spark.createDataFrame(
+          keys.map(k => Row(k.toString)).asJava,
+          StructType(Seq(StructField("key", org.apache.spark.sql.types.StringType)))))
+        commitOnlineSnapshot(g,
+          snap.join(keyDf, snap(g.keyCol).cast("string") === keyDf("key"), "left_anti"))
+      case None =>
+        // no snapshot yet: online() derives from the (now filtered) offline
+        // history — nothing materialized to rewrite, but drop any cache
+        servingCache.remove(groupName): Unit
+    }
+    seq
   }
 
   /** Online latest-per-key view (reference: get_record point lookups,
@@ -444,6 +525,16 @@ final class FeatureStore(spark: SparkSession, root: String,
       finally versions.close() // Files.list holds the directory handle open
     superseded.foreach { v =>
       val walk = Files.walk(v)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    // the rewrite above went through offline(), which filters tombstoned
+    // history — the deleted rows are now PHYSICALLY absent from v<N+1>
+    // (the GDPR erase), so the folded-in tombstones are cleared. A crash
+    // between the flip and this delete just leaves already-materialized
+    // markers for the next compaction to clear.
+    if (Files.exists(tombstoneDir(groupName))) {
+      val walk = Files.walk(tombstoneDir(groupName))
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
       finally walk.close()
     }

@@ -280,6 +280,45 @@ class FeatureStoreSpec extends SparkSpec {
         FeatureStore.keyBucketOf(r.getAs[Long]("id").toString)))
   }
 
+  test("deleteRecords: online removal, offline tombstone filter, re-ingest resurrects, compaction purges") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 10:00:00", 10.0, "a"),
+      (1L, "2024-01-02 10:00:00", 20.0, "b"),
+      (2L, "2024-01-01 09:00:00", 5.0, "x"),
+      (3L, "2024-01-01 09:30:00", 7.0, "y")))
+
+    fs.deleteRecords("tx", Seq(1L, 3L))
+    // online: gone immediately, cache invalidated
+    assert(fs.getRecord("tx", 1L).isEmpty && fs.getRecord("tx", 3L).isEmpty)
+    assert(fs.getRecord("tx", 2L).isDefined)
+    assert(fs.online("tx").count() == 1)
+    // offline: the deleted keys' FULL history is hidden (GDPR view)
+    assert(fs.offline("tx").count() == 1)
+    assert(fs.historicalQuery("tx", Seq("customer_id", "amount"),
+      "2024-01-01 00:00:00", "2024-12-31 00:00:00").count() == 1)
+
+    // re-ingest AFTER deletion: seq > deleted_seq → the key resurfaces,
+    // with only its post-deletion history
+    fs.ingest("tx", batch((1L, "2024-02-01 10:00:00", 77.0, "back")))
+    assert(fs.getRecord("tx", 1L).get("amount") == "77.0")
+    assert(fs.offline("tx").count() == 2) // key 2's row + key 1's new row
+    assert(fs.getRecord("tx", 3L).isEmpty, "3 stays deleted")
+
+    // compaction materializes the filter: rows physically absent, markers
+    // cleared, every view unchanged
+    fs.compactOffline("tx")
+    assert(fs.offline("tx").count() == 2)
+    // pre-compaction data lives in offline/v1; the compaction rewrote into v2
+    val rawRows = spark.read.parquet(
+      java.nio.file.Paths.get(fs.modelDir("tx")).getParent
+        .resolve("offline").resolve("v2").toString)
+    assert(rawRows.count() == 2, "purged rows must be physically gone from the files")
+    assert(fs.getRecord("tx", 1L).get("amount") == "77.0")
+    assert(fs.getRecord("tx", 3L).isEmpty)
+  }
+
   test("dropGroup removes everything; groupExists reflects it") {
     val fs = newStore()
     fs.createGroup(group)
