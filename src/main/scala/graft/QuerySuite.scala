@@ -310,6 +310,33 @@ object QuerySuite {
         .select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
+    // ---- STREAM-STATIC enrichment (StreamingEnrich — the serving-side
+    //      pattern): an events stream joins the online store's
+    //      latest-per-key snapshot by key, per micro-batch (snapshot
+    //      re-read through the LATEST pointer each batch, so concurrent
+    //      ingests become visible at the next batch) ----
+    "q161_stream_enrich" -> ((s, dir) => withStreamingConf(s) { s =>
+      val fs = new FeatureStore(s, tmpDir("q161_store_"))
+      fs.createGroup(FeatureGroup("Enrich", "user_id", "event_time", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_time", FType.FTimestamp),
+        FeatureDef("latest_value", FType.Fractional))))
+      fs.ingest("Enrich",
+        graft.operators.LatestPerKey.viaMaxBy(
+            Tables.events(s, dir), Seq("user_id"), "ts", Seq("event_id"))
+          .select(col("user_id"), col("ts").as("event_time"),
+            col("value").as("latest_value")))
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+      val out = tmpDir("q161_out_")
+      val q = graft.streaming.StreamingEnrich.start(stream, fs, "Enrich",
+        "user_id", Seq("latest_value"), out, tmpDir("q161_ckpt_"))
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select("event_id", "user_id", "value", "latest_value")
+        .orderBy("event_id")
+    }),
+
     // ---- A1 form ③: stateful streaming latest-per-key (SURVEY §2.8) ----
     "q11_streaming_latest" -> ((s, dir) => withStreamingConf(s) { s =>
       import s.implicits._
@@ -3181,6 +3208,18 @@ object QuerySuite {
 
   val oracleSql: Map[String, String] = Map(
     "q01_latest_maxby" -> latestOracle,
+
+    // every event carries its user's latest value (q01's argmax convention)
+    "q161_stream_enrich" ->
+      """WITH latest AS (
+        |  SELECT user_id, value AS latest_value FROM (
+        |    SELECT user_id, value,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) t
+        |  WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.value, l.latest_value
+        |FROM events e JOIN latest l USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
     "q02_latest_window" -> latestOracle,
     "q41_latest_salted" -> latestOracle,
     "q10_feature_store_e2e" -> latestOracle,

@@ -191,6 +191,47 @@ object StreamingAnnServe {
   }
 }
 
+/** Streaming ENRICHMENT against the online feature store — the serving-side
+  * stream-static join: each event micro-batch attaches the store's
+  * latest-per-key features by key. The snapshot is re-read PER BATCH
+  * through the store's LATEST pointer (not captured once at query start),
+  * so concurrent ingests become visible at the next micro-batch — the
+  * freshness contract a feature-enrichment stream actually wants. Left
+  * join: an unknown key flows through with null features (downstream
+  * imputes defaults, the FeatureML convention) rather than dropping the
+  * event. Output lands in `batch=b<N>` partitions — the effectively-once
+  * re-delivery contract shared with [[StreamingDedup]]. */
+object StreamingEnrich {
+
+  def start(
+      eventStream: DataFrame,
+      fs: graft.core.FeatureStore,
+      group: String,
+      keyCol: String,
+      featureCols: Seq[String],
+      outPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val online = fs.online(group)
+            .select((keyCol +: featureCols).map(col): _*)
+          batch.join(online, Seq(keyCol), "left")
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Typed event for the stateful latest-per-key stream (mirrors the events
   * table: key=user_id, event-time=ts). */
 case class KeyedEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
