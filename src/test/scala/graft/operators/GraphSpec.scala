@@ -46,11 +46,15 @@ class GraphSpec extends SparkSpec {
     // frame is checkpoint-staged (joins invisible in ITS plan), so the gate
     // reads the SQL status store, which records every staged execution.
     val store = spark.sharedState.statusStore
-    val before = store.executionsCount().toInt
+    // compare by executionId, NOT by list position: the status store
+    // retains only the newest N executions, so in a long suite
+    // executionsList() is shorter than executionsCount() and a positional
+    // drop() discards the very executions this gate is looking for
+    val before = store.executionsList().lastOption.map(_.executionId).getOrElse(-1L)
     val df = Graph.triangleCounts(edges.toDF("a", "b"), broadcastMaxBytes = 0L)
     val got = df.as[(Long, Long)].collect().toMap
     assert(got == bruteNodeCounts(edges), "fallback path must agree with brute force")
-    def sawSmj() = store.executionsList().drop(before)
+    def sawSmj() = store.executionsList().filter(_.executionId > before)
       .exists(_.physicalPlanDescription.contains("SortMergeJoin"))
     val deadline = System.currentTimeMillis() + 10000 // status bus is async
     while (!sawSmj() && System.currentTimeMillis() < deadline) Thread.sleep(200)
