@@ -190,6 +190,20 @@ object QuerySuite {
   /** Latest-per-key output projection shared by q01/q02/q10/q11. */
   private val latestCols = Seq("user_id", "event_id", "ts", "event_type", "value")
 
+  /** Shared by q157 (Column API) and q162 (SQL text) — the two forms build
+    * the identical interleave, so one oracle gates both.
+    * epoch_us // 1000000 floors to whole seconds, matching Spark's
+    * unix_timestamp truncation on the naive-µs corpus timestamps. */
+  private val zorder3Oracle: String = {
+    val terms = (0 until 16).map(i =>
+      s"((((u >> $i) & 1) << ${3 * i}) | (((v >> $i) & 1) << ${3 * i + 1})" +
+        s" | (((t >> $i) & 1) << ${3 * i + 2}))").mkString(" | ")
+    s"""WITH b AS (SELECT event_id, user_id & 65535 AS u,
+       |  CAST(round(value * 100) AS BIGINT) & 65535 AS v,
+       |  (epoch_us(ts) // 1000000) & 65535 AS t FROM events)
+       |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
+  }
+
   private val latestOracle =
     """SELECT user_id, event_id, ts, event_type, value FROM (
       |  SELECT user_id, event_id, ts, event_type, value,
@@ -1679,6 +1693,34 @@ object QuerySuite {
           |                    CAST(event_id AS STRING), 5) AS sample
           |    FROM events_v153 GROUP BY event_type))
           |ORDER BY event_type, event_id""".stripMargin)
+    }),
+
+    // ---- q157's interleave derived entirely from SQL TEXT (zorder_n —
+    //      the N-column §2.11 surface itself under the cross-engine gate;
+    //      one oracle serves both forms) ----
+    "q162_zorder3_sql" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s) // idempotent re-registration
+      Tables.events(s, dir).createOrReplaceTempView("events_v162")
+      s.sql(
+        """SELECT event_id,
+          |       zorder_n(user_id, CAST(round(value * 100) AS BIGINT),
+          |                unix_timestamp(ts), 16) AS zv
+          |FROM events_v162 ORDER BY event_id""".stripMargin)
+    }),
+
+    // ---- feature DRIFT: Population Stability Index between the even- and
+    //      odd-user event populations (DataQuality.psiDrift — fixed-width
+    //      buckets, Laplace smoothing, dense bucket spine; the monitoring
+    //      gate a serving pipeline alerts on) ----
+    "q163_psi_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.DataQuality.psiDrift(
+          ev.filter(pmod(col("user_id"), lit(2)) === 0),
+          ev.filter(pmod(col("user_id"), lit(2)) === 1),
+          "value", lo = 0.0, hi = 500.0, nBuckets = 10)
+        .select(col("bucket"), col("n_base"), col("n_cur"),
+          round(col("term"), 6).as("term"))
+        .orderBy("bucket")
     }),
 
     // ---- set operations: INTERSECT / EXCEPT, tagged into one result ----
@@ -4276,17 +4318,29 @@ object QuerySuite {
          |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
     },
 
-    "q157_zorder3" -> {
-      val terms = (0 until 16).map(i =>
-        s"((((u >> $i) & 1) << ${3 * i}) | (((v >> $i) & 1) << ${3 * i + 1})" +
-          s" | (((t >> $i) & 1) << ${3 * i + 2}))").mkString(" | ")
-      // epoch_us // 1000000 floors to whole seconds, matching Spark's
-      // unix_timestamp truncation on the naive-µs corpus timestamps
-      s"""WITH b AS (SELECT event_id, user_id & 65535 AS u,
-         |  CAST(round(value * 100) AS BIGINT) & 65535 AS v,
-         |  (epoch_us(ts) // 1000000) & 65535 AS t FROM events)
-         |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
-    },
+    "q157_zorder3" -> zorder3Oracle,
+    // identical interleave derived from SQL text — one oracle serves both
+    "q162_zorder3_sql" -> zorder3Oracle,
+
+    // fixed-width buckets + Laplace smoothing + dense spine replayed
+    // exactly; ln is the only irrational step (round 6 dp both sides)
+    "q163_psi_drift" ->
+      """WITH base AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket
+        |              FROM events WHERE user_id % 2 = 0),
+        |cur AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket
+        |        FROM events WHERE user_id % 2 = 1),
+        |b AS (SELECT bucket, count(*) AS nb FROM base GROUP BY bucket),
+        |c AS (SELECT bucket, count(*) AS nc FROM cur GROUP BY bucket),
+        |spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
+        |j AS (SELECT s.bucket, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+        |      FROM spine s LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
+        |t AS (SELECT bucket, nb, nc,
+        |        (nb + 1)::DOUBLE / ((SELECT sum(nb) FROM j) + 10) AS p,
+        |        (nc + 1)::DOUBLE / ((SELECT sum(nc) FROM j) + 10) AS q
+        |      FROM j)
+        |SELECT bucket, CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+        |  round((p - q) * ln(p / q), 6) AS term
+        |FROM t ORDER BY bucket""".stripMargin,
 
     "q37_csv_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -127,4 +127,55 @@ object DataQuality {
         col("__p.n_nulls").as("n_nulls"), col("__p.n_distinct").as("n_distinct"),
         col("__p.min_repr").as("min_repr"), col("__p.max_repr").as("max_repr"))
   }
+
+  /** Population Stability Index per bucket — THE standard drift metric a
+    * feature-monitoring pipeline computes between a baseline and a current
+    * feature distribution before trusting a model on new data:
+    * PSI = Σ_b (p_b − q_b) · ln(p_b / q_b), summed over the returned terms.
+    *
+    * Determinism choices (what makes this oracle-replayable and
+    * layout-independent at 100 TB):
+    *   - FIXED-WIDTH buckets over a caller-declared [lo, hi) — quantile
+    *     buckets would make the metric depend on the union distribution
+    *     AND the engine's quantile algorithm; out-of-range values clamp to
+    *     the edge buckets so nothing is silently dropped;
+    *   - Laplace-smoothed proportions (count+1)/(n+B) — exact rationals,
+    *     empty buckets stay finite without an arbitrary epsilon;
+    *   - one aggregation per side (combinable counts), a B-row join, and a
+    *     B-row output: cost is two scans regardless of B.
+    * The ln is the only irrational step; consumers sum `term` for total
+    * PSI (round for cross-engine comparison — spec/oracle use 6 dp).
+    *
+    * @return one row per bucket: (bucket, n_base, n_cur, term)
+    */
+  def psiDrift(
+      baseline: DataFrame,
+      current: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && hi > lo, "need nBuckets >= 2 and hi > lo")
+    val width = (hi - lo) / nBuckets
+    def bucketOf(df: DataFrame, as: String): DataFrame = df
+      .select(least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - lo) / width).cast("int"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val spark = baseline.sparkSession
+    import spark.implicits._
+    // dense bucket spine: a bucket empty on BOTH sides must still appear
+    // (its smoothed term is 0 — dropping it would change B and the smoothing)
+    val spine = (0 until nBuckets).toDF("bucket")
+    val joined = spine
+      .join(bucketOf(baseline, "n_base"), Seq("bucket"), "left")
+      .join(bucketOf(current, "n_cur"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val totB = sum(col("n_base")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    val totC = sum(col("n_cur")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+    joined
+      .withColumn("__p", (col("n_base") + 1).cast("double") / (totB + nBuckets))
+      .withColumn("__q", (col("n_cur") + 1).cast("double") / (totC + nBuckets))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        ((col("__p") - col("__q")) * log(col("__p") / col("__q"))).as("term"))
+  }
 }

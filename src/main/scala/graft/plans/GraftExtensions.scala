@@ -61,17 +61,23 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
   }
 
-  private def zOrder2Expr(a: Expression, b: Expression, bits: Int): Expression = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  private def zOrderNExpr(cols: Seq[Expression], bits: Int): Expression = {
+    val n = cols.size
+    require(n >= 2, s"zorder needs >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 63,
+      s"need 1 <= bits and n*bits <= 63, got n=$n bits=$bits")
     val mask = Literal((1L << bits) - 1)
-    val am = BitwiseAnd(Cast(a, LongType), mask)
-    val bm = BitwiseAnd(Cast(b, LongType), mask)
-    (0 until bits).map { i =>
-      BitwiseOr(
-        ShiftLeft(BitwiseAnd(ShiftRight(am, Literal(i)), Literal(1L)), Literal(2 * i)),
-        ShiftLeft(BitwiseAnd(ShiftRight(bm, Literal(i)), Literal(1L)), Literal(2 * i + 1)))
-    }.reduce(BitwiseOr(_, _))
+    val masked = cols.map(c => BitwiseAnd(Cast(c, LongType), mask))
+    val placed: Seq[Expression] = (0 until bits).flatMap { i =>
+      masked.zipWithIndex.map { case (c, j) =>
+        ShiftLeft(BitwiseAnd(ShiftRight(c, Literal(i)), Literal(1L)), Literal(n * i + j))
+      }
+    }
+    placed.reduce(BitwiseOr(_, _))
   }
+
+  private def zOrder2Expr(a: Expression, b: Expression, bits: Int): Expression =
+    zOrderNExpr(Seq(a, b), bits)
 
   private[plans] val zOrderDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -82,6 +88,19 @@ object GraftExtensions {
         s"zorder2 expects (a, b[, bits]), got ${args.length} arguments")
       zOrder2Expr(args(0), args(1),
         if (args.length == 3) litInt(args(2), "zorder2 bits") else 16)
+    })
+
+  /** N-column Morton interleave from SQL text: `zorder_n(c1, c2, ..., bits)`
+    * — last argument is the per-column bit width (INT literal), matching the
+    * Column API's [[GraftFunctions.zOrderN]] layout bit-for-bit. */
+  private[plans] val zOrderNDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("zorder_n"),
+    new ExpressionInfo(GraftFunctions.getClass.getName, null, "zorder_n"),
+    (args: Seq[Expression]) => {
+      require(args.length >= 3,
+        s"zorder_n expects (col1, col2, ..., bits), got ${args.length} arguments")
+      zOrderNExpr(args.init, litInt(args.last, "zorder_n bits"))
     })
 
   private[plans] val hashSplitDescriptor
@@ -123,7 +142,7 @@ object GraftExtensions {
 
   private[plans] val all = Seq(
     cosineSimDescriptor, sortedIntersectDescriptor, zOrderDescriptor,
-    hashSplitDescriptor, asofOnDescriptor, bottomKDescriptor)
+    zOrderNDescriptor, hashSplitDescriptor, asofOnDescriptor, bottomKDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

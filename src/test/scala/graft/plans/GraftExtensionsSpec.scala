@@ -66,6 +66,24 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("zorder_n (N columns from SQL) agrees with the Column API and with zorder2 at n=2") {
+    import graft.functions.GraftFunctions
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val z3 = spark.sql("SELECT zorder_n(3, 5, 6, 3) AS z").as[Long].head()
+    val z3Col = Seq((3L, 5L, 6L)).toDF("a", "b", "c")
+      .select(GraftFunctions.zOrderN(Seq(col("a"), col("b"), col("c")), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z3 == z3Col, s"zorder_n SQL $z3 != Column $z3Col")
+    // n=2 via zorder_n == zorder2 (same bit layout by construction)
+    val z2a = spark.sql("SELECT zorder_n(3, 5, 4) AS z").as[Long].head()
+    val z2b = spark.sql("SELECT zorder2(3, 5, 4) AS z").as[Long].head()
+    assert(z2a == z2b && z2a == 39L)
+    intercept[Exception] { // n*bits must fit a signed long
+      spark.sql("SELECT zorder_n(1, 2, 3, 22)").collect()
+    }
+  }
+
   // ---- asof_on SQL surface (AsOfSql.scala). The session is built with
   //      spark.sql.extensions=GraftExtensions (SparkSpec), so the analyzer
   //      rule is active; GraftExtensions.register alone cannot add rules.
