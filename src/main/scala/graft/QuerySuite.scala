@@ -1723,6 +1723,22 @@ object QuerySuite {
         .orderBy("bucket")
     }),
 
+    // ---- REPRODUCIBLE training order: content-addressed global shuffle +
+    //      shard assignment (what a data loader consumes) — shard =
+    //      md5-bucket of the key, position = rank by md5 within the shard.
+    //      Any engine re-derives the exact order forever; growing the
+    //      corpus never reorders existing (shard, pos<n) prefixes the way a
+    //      positional randomSplit/orderBy(rand) would ----
+    "q164_corpus_order" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          GraftFunctions.hashSplitBucket(col("doc_id"), 8).as("shard"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+        .orderBy("shard", "pos")
+    }),
+
     // ---- set operations: INTERSECT / EXCEPT, tagged into one result ----
     "q49_set_ops" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -4321,6 +4337,16 @@ object QuerySuite {
     "q157_zorder3" -> zorder3Oracle,
     // identical interleave derived from SQL text — one oracle serves both
     "q162_zorder3_sql" -> zorder3Oracle,
+
+    // the content-addressed order re-derives exactly on any engine
+    "q164_corpus_order" ->
+      """SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |                          ORDER BY md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
+        |      FROM documents)
+        |ORDER BY shard, pos""".stripMargin,
 
     // fixed-width buckets + Laplace smoothing + dense spine replayed
     // exactly; ln is the only irrational step (round 6 dp both sides)

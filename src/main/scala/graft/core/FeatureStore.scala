@@ -42,9 +42,13 @@ import graft.operators.LatestPerKey
   *   fall through to a key-bucket-pruned parquet read instead (one partition
   *   directory, not a snapshot scan). This is the driver-memory guard rail;
   *   at cluster scale the cache seam is an external KV store fed by the same
-  *   versioned snapshot, with the same version-keyed invalidation. */
+  *   versioned snapshot, with the same version-keyed invalidation.
+  * @param clock serving-time source for [[getRecordFresh]]'s staleness gate —
+  *   injectable so the gate is deterministic under test; production uses the
+  *   default wall clock. */
 final class FeatureStore(spark: SparkSession, root: String,
-    maxServingCacheRows: Int = 1 << 20) {
+    maxServingCacheRows: Int = 1 << 20,
+    clock: () => java.time.Instant = () => java.time.Instant.now()) {
 
   private def groupDir(name: String): Path = Paths.get(root, name)
   private def manifestPath(name: String): Path = groupDir(name).resolve("manifest.json")
@@ -453,6 +457,28 @@ final class FeatureStore(spark: SparkSession, root: String,
         }
         f.name -> v
       }.toMap
+    }
+  }
+
+  /** [[getRecord]] with a STALENESS GATE — the managed feature stores'
+    * record-TTL semantic (serve-side form): a record whose event time is
+    * older than `maxStaleness` behind the serving clock is answered with
+    * None, exactly like an absent key, so a model never silently consumes a
+    * feature that stopped updating (the staleness bug class TTLs exist
+    * for). The gate reads the row the normal lookup already fetched — zero
+    * extra jobs, cache path intact; a record with a NULL event time never
+    * passes (unknown age = stale). The clock is the store's injectable
+    * [[clock]], so specs pin it. */
+  def getRecordFresh(groupName: String, key: Any,
+      maxStaleness: java.time.Duration): Option[Map[String, String]] = {
+    val g = describeGroup(groupName)
+    getRecord(groupName, key).filter { rec =>
+      Option(rec(g.eventTimeCol)).exists { iso =>
+        val et = java.time.Instant.from(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+          .parse(iso))
+        !et.plus(maxStaleness).isBefore(clock())
+      }
     }
   }
 

@@ -319,6 +319,24 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.getRecord("tx", 3L).isEmpty)
   }
 
+  test("getRecordFresh: staleness gate under a pinned clock — fresh serves, stale reads as absent") {
+    val fixed = java.time.Instant.parse("2024-06-15T00:00:00Z")
+    val fs = new FeatureStore(spark,
+      Files.createTempDirectory("fs_ttl_").toString, clock = () => fixed)
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-06-14 12:00:00", 10.0, "fresh"),   // 12 h old
+      (2L, "2024-06-01 00:00:00", 20.0, "stale")))  // 14 d old
+    val day = java.time.Duration.ofDays(1)
+    assert(fs.getRecordFresh("tx", 1L, day).isDefined)
+    assert(fs.getRecordFresh("tx", 2L, day).isEmpty, "14-day-old record must read as absent")
+    assert(fs.getRecordFresh("tx", 2L, java.time.Duration.ofDays(30)).isDefined)
+    assert(fs.getRecord("tx", 2L).isDefined, "the ungated lookup still serves it")
+    assert(fs.getRecordFresh("tx", 99L, day).isEmpty, "absent key stays absent")
+    // boundary: exactly maxStaleness old is still fresh (inclusive)
+    assert(fs.getRecordFresh("tx", 1L, java.time.Duration.ofHours(12)).isDefined)
+  }
+
   test("dropGroup removes everything; groupExists reflects it") {
     val fs = newStore()
     fs.createGroup(group)
