@@ -1739,6 +1739,29 @@ object QuerySuite {
         .orderBy("shard", "pos")
     }),
 
+    // ---- perceptual image near-dup: REAL PNG decode → 63-bit dHash →
+    //      banded hamming pairs (the simhash core reused in hash space).
+    //      The scene fixture plants brightness-shifted replicas of shared
+    //      scenes; dHash is a gradient sign, so replicas land within small
+    //      hamming while distinct scenes stay far. FULLY oracled — pixels
+    //      are closed-form and the sampling grid is integer algebra, so
+    //      DuckDB re-derives every hash bit, the 4 bands, the skew cap,
+    //      the pair expansion, the verification, and the marks — stronger
+    //      than q14's candidate-dump contract ----
+    "q165_image_phash" -> ((s, dir) => {
+      val assets = Multimodal.scenePngAssets(Tables.documents(s, dir), "doc_id")
+      val hashes = Multimodal.dHash63(assets)
+      val pairs = Dedup.hammingNearDupPairs(
+        hashes.filter(col("decode_ok"))
+          .select(col("asset_id").as("doc_id"), col("dhash").as("sh")),
+        bands = 4, maxHamming = 3, maxBucket = 1000)
+      hashes.select(col("asset_id"), col("dhash"))
+        .join(pairs.select(col("id_b").as("asset_id")).distinct()
+          .withColumn("is_duplicate", lit(true)), Seq("asset_id"), "left")
+        .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
+        .orderBy("asset_id")
+    }),
+
     // ---- set operations: INTERSECT / EXCEPT, tagged into one result ----
     "q49_set_ops" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -4347,6 +4370,46 @@ object QuerySuite {
         |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard
         |      FROM documents)
         |ORDER BY shard, pos""".stripMargin,
+
+    // the ENTIRE perceptual-hash pipeline re-derived from first principles:
+    // closed-form pixels → integer-grid sampling → 63 gradient-sign bits →
+    // 4 pigeonhole bands → skew-capped pair expansion → bit_count(xor)
+    // verification → min-id marks. No candidate dump — the oracle is
+    // independent of the engine's decode path end to end.
+    "q165_image_phash" ->
+      """WITH g AS (
+        |  SELECT doc_id AS asset_id, doc_id % 50 AS scene,
+        |         8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h,
+        |         (doc_id // 50) * 11 AS shift
+        |  FROM documents),
+        |pts AS (
+        |  SELECT asset_id, d, r,
+        |    ((scene*37 + (d*w//10)*(d*w//10)*7 + (r*h//7)*(r*h//7)*13
+        |      + (d*w//10)*(r*h//7)*5 + shift) % 256) AS gray
+        |  FROM g, range(10) td(d), range(7) tr(r)),
+        |bits AS (
+        |  SELECT a.asset_id,
+        |    CASE WHEN b.gray > a.gray THEN (1::BIGINT << (a.r*9 + a.d))
+        |         ELSE 0::BIGINT END AS bit
+        |  FROM pts a JOIN pts b ON b.asset_id = a.asset_id AND b.r = a.r AND b.d = a.d + 1
+        |  WHERE a.d < 9),
+        |hashes AS (SELECT asset_id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY asset_id),
+        |bands AS (SELECT asset_id, dhash, b, (dhash >> (b*16)) & 65535 AS key
+        |          FROM hashes, range(4) tb(b)),
+        |sized AS (SELECT b, key FROM bands GROUP BY b, key
+        |          HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
+        |         FROM bands x
+        |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.asset_id < y.asset_id
+        |         JOIN sized s ON s.b = x.b AND s.key = x.key),
+        |ver AS (SELECT DISTINCT c.id_b
+        |        FROM cand c JOIN hashes ha ON ha.asset_id = c.id_a
+        |                    JOIN hashes hb ON hb.asset_id = c.id_b
+        |        WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3)
+        |SELECT h.asset_id, h.dhash, coalesce(v.is_dup, false) AS is_duplicate
+        |FROM hashes h
+        |LEFT JOIN (SELECT id_b AS asset_id, true AS is_dup FROM ver) v USING (asset_id)
+        |ORDER BY asset_id""".stripMargin,
 
     // fixed-width buckets + Laplace smoothing + dense spine replayed
     // exactly; ln is the only irrational step (round 6 dp both sides)

@@ -473,7 +473,26 @@ object Dedup {
     val withHash = df.select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("toks"))
       .withColumn("th", simhashTokenHashes(col("toks")))
       .select(col("doc_id"), simhash64FromHashes(col("th")).as("sh"))
-      .persist()
+    hammingNearDupPairs(withHash, bands, maxHamming, maxBucket, candidateSink)
+  }
+
+  /** Banded-hamming near-dup pair generation over ANY 64-bit signature
+    * column — the [[simhash]] core factored out so other hamming-space
+    * signatures (e.g. [[graft.multimodal.Multimodal.dHash63]] perceptual
+    * image hashes) reuse the identical scale shape: one groupBy shuffle of
+    * narrow (band, id) rows, in-place pair expansion under the skew cap,
+    * exact `bit_count(xor)` verification on candidates only. Input:
+    * `(doc_id, sh: long)`. Returns verified `(id_a, id_b, hamming)` pairs
+    * with id_a < id_b. */
+  def hammingNearDupPairs(
+      hashed: DataFrame,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      candidateSink: Option[String] = None): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val withHash = hashed.select(col("doc_id"), col("sh")).persist()
     withHash.count(): Unit
 
     val buckets = withHash

@@ -212,6 +212,104 @@ object Multimodal {
     }(enc)
   }
 
+  // -------------------- perceptual hash (dHash) over REAL decode ---------
+
+  /** Scene-keyed pattern for the NEAR-DUP image fixture: `scene = id mod 50`
+    * picks the picture (a quadratic gradient field — rich enough that
+    * distinct scenes land far apart in hash space, unlike the additive
+    * [[patternGray]] whose constant x-gradient collapses to ~2 hashes per
+    * dim class), and `(id / 50) · 11` is a per-replica BRIGHTNESS shift.
+    * dHash is a gradient sign, so a brightness shift preserves every bit
+    * except where the mod-256 wrap line moves — same-scene replicas are
+    * genuine near-duplicates (hamming small but ≠ 0), different scenes are
+    * far. Closed form on purpose: the SQL oracle re-derives every pixel,
+    * hence every hash bit, without owning a codec. */
+  def sceneOf(id: Long): Long = id % 50
+  def scenePatternGray(id: Long, x: Int, y: Int): Int =
+    ((sceneOf(id) * 37 + x * x * 7L + y * y * 13L + x * y * 5L +
+      (id / 50) * 11) % 256).toInt
+
+  /** Scene-image dimensions: a function of the SCENE (not the id), so
+    * same-scene replicas sample the identical grid. */
+  def scenePatternDims(id: Long): (Int, Int) = {
+    val s = sceneOf(id)
+    ((8 + s % 9).toInt, (8 + s % 7).toInt)
+  }
+
+  /** Asset table of REAL PNGs over the scene-keyed pattern — the fixture for
+    * perceptual-hash near-dup detection ([[dHash63]]): every ~50th id is a
+    * brightness-shifted replica of the same scene. */
+  def scenePngAssets(df: DataFrame, id: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(AssetSchema)
+    df.select(col(id).cast(LongType).as("asset_id")).mapPartitions { it =>
+      it.map { r =>
+        val aid = r.getLong(0)
+        val (w, h) = scenePatternDims(aid)
+        val bytes = encodePng(w, h, (x, y) => scenePatternGray(aid, x, y))
+        Row(aid, "image", bytes, Row("image/png", w, h, null))
+      }
+    }(enc)
+  }
+
+  /** dHash geometry: 63 bits = a 9-wide × 7-tall grid of horizontal
+    * gradient signs, sampled at the exact integer nearest-neighbor mapping
+    * sx(d) = ⌊d·w/10⌋ (d ∈ 0..9), sy(r) = ⌊r·h/7⌋ (r ∈ 0..6) — the
+    * [[resizeImagesReal]] formula, so the oracle replays the sampling in
+    * integer algebra. 63 (not 64) bits keeps the hash non-negative in a
+    * signed BIGINT on every engine; [[graft.functions.GraftFunctions
+    * .simhashBands]] still splits it into 4 pigeonhole bands. */
+  val DHashGridW = 9
+  val DHashGridH = 7
+
+  /** Driver-side dHash of one decoded image (gray = blue channel — the
+    * fixtures are r=g=b): bit (by·9+bx) set iff the sampled gray strictly
+    * increases left→right. Shared by the executor path and the spec's
+    * bit-exact replay. */
+  def dHash63Of(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var v = 0L
+    var by = 0
+    while (by < DHashGridH) {
+      val sy = by * h / DHashGridH
+      var bx = 0
+      while (bx < DHashGridW) {
+        val g1 = img.getRGB(bx * w / (DHashGridW + 1), sy) & 0xFF
+        val g2 = img.getRGB((bx + 1) * w / (DHashGridW + 1), sy) & 0xFF
+        if (g2 > g1) v |= 1L << (by * DHashGridW + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    v
+  }
+
+  private val dHashSchema = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("dhash", LongType),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** REAL perceptual hash: decode each image payload with `javax.imageio`
+    * and emit its 63-bit dHash — the brightness-robust signature whose
+    * hamming distance drives near-duplicate IMAGE detection (the visual
+    * analogue of simhash for text; pair generation via
+    * [[graft.dedup.Dedup.hammingNearDupPairs]]). Corrupt payloads report
+    * decode_ok = false with a null hash instead of failing the stage. */
+  def dHash63(assets: DataFrame): DataFrame = {
+    val pruned = assets.filter(col("modality") === "image")
+      .select("asset_id", "bytes") // column-pruned scan
+    val enc = org.apache.spark.sql.Encoders.row(dHashSchema)
+    pruned.mapPartitions { it =>
+      it.map { r =>
+        val aid = r.getLong(0)
+        decodePng(r.getAs[Array[Byte]]("bytes")) match {
+          case Some(img) => Row(aid, dHash63Of(img), true)
+          case None      => Row(aid, null, false)
+        }
+      }
+    }(enc)
+  }
+
   /** REAL resize: decode → nearest-neighbor (src = ⌊dst · srcDim/dstDim⌋,
     * the exact integer mapping, so the oracle can replay it) → re-encode
     * PNG. Undecodable payloads pass through untouched; non-image modalities

@@ -40,6 +40,26 @@ class DedupSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("hammingNearDupPairs: exact recall within the radius on raw 64-bit signatures") {
+    import spark.implicits._
+    // hand-built signatures: 10 and 11 differ in 2 bits, 12 is 20 bits away,
+    // 13 equals 10 exactly; brute-force ground truth at maxHamming=3
+    val sigs = Seq(
+      (10L, 0x00FF00FF00FF00FFL), (11L, 0x00FF00FF00FF00FCL),
+      (12L, 0x00FF00FF000FFFF0L), (13L, 0x00FF00FF00FF00FFL))
+    val got = Dedup.hammingNearDupPairs(sigs.toDF("doc_id", "sh"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("hamming"))).toSet
+    val want = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((10L, 13L, 0)) && want.contains((10L, 11L, 2)))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingNearDupPairs(sigs.toDF("doc_id", "sh"), bands = 4, maxHamming = 4)
+    }
+  }
+
   test("ngram jaccard finds dups; marksFromPairs drops non-canonical ids") {
     val pairs = Dedup.ngramJaccard(docsDf, "doc_id", "text", threshold = 0.5)
     val ids = pairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet

@@ -109,6 +109,59 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("scenePngAssets → dHash63: engine hash replays bit-exactly from the closed form") {
+    import spark.implicits._
+    val ids = Seq(0L, 3L, 53L, 103L, 499L, 12345L)
+    val got = Multimodal.dHash63(Multimodal.scenePngAssets(ids.toDF("id"), "id"))
+      .collect().map(r => r.getAs[Long]("asset_id") ->
+        (r.getAs[Boolean]("decode_ok"), r.get(r.fieldIndex("dhash")))).toMap
+    ids.foreach { id =>
+      // driver replay from the pattern, independent of the codec path
+      val (w, h) = Multimodal.scenePatternDims(id)
+      var want = 0L
+      for (by <- 0 until Multimodal.DHashGridH; bx <- 0 until Multimodal.DHashGridW) {
+        val sy = by * h / Multimodal.DHashGridH
+        val g1 = Multimodal.scenePatternGray(id, bx * w / (Multimodal.DHashGridW + 1), sy)
+        val g2 = Multimodal.scenePatternGray(id, (bx + 1) * w / (Multimodal.DHashGridW + 1), sy)
+        if (g2 > g1) want |= 1L << (by * Multimodal.DHashGridW + bx)
+      }
+      assert(got(id)._1, s"asset $id must decode")
+      assert(got(id)._2 == want, s"asset $id dhash")
+      assert(want >= 0L, "63-bit hash stays non-negative")
+    }
+  }
+
+  test("dHash63 is brightness-robust: same-scene replicas land near, distinct scenes far") {
+    import spark.implicits._
+    // ids 30, 80, 130 share scene 30 at increasing brightness shifts; 31
+    // is a different scene. The bounds are the measured pattern values with
+    // margin — the CLAIM under test is the ordering: a brightness shift
+    // flips only wrap-line bits, a different scene flips gradient structure.
+    val df = Multimodal.dHash63(Multimodal.scenePngAssets(
+      Seq(30L, 80L, 130L, 31L).toDF("id"), "id"))
+      .collect().map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("dhash")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(df(30L), df(80L)) <= 3, "one brightness step flips only wrap-line bits")
+    assert(ham(df(30L), df(130L)) <= 3, "two steps stay near")
+    assert(ham(df(30L), df(31L)) > 10, "a different scene is far")
+  }
+
+  test("dHash63 reports decode_ok=false with null hash on corrupt payloads") {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.row(Multimodal.AssetSchema)
+    val good = Multimodal.scenePngAssets(Seq(5L).toDF("id"), "id")
+    val corrupt = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(99L, "image", Array[Byte](1, 2, 3), null),
+        org.apache.spark.sql.Row(98L, "image", null, null)),
+      Multimodal.AssetSchema)
+    val out = Multimodal.dHash63(good.unionByName(corrupt)).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r).toMap
+    assert(out(5L).getAs[Boolean]("decode_ok"))
+    assert(!out(99L).getAs[Boolean]("decode_ok") && out(99L).isNullAt(1))
+    assert(!out(98L).getAs[Boolean]("decode_ok") && out(98L).isNullAt(1))
+  }
+
   test("sampleFrames emits one row per everyMs of duration (video only)") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 10000L).collect()
     assert(frames.nonEmpty)
