@@ -156,6 +156,27 @@ object QuerySuite {
 
   /** CMS grid + top-20 estimate oracle shared by q122 (batch) and q123
     * (stream-merged) — the grid is md5-derived, hence engine-portable. */
+  /** q163's full PSI re-derivation; q166 shares it verbatim — the streaming
+    * monitor folds linear bucket counts, so its accumulated PSI equals the
+    * one-shot computation exactly (the cmsOracle mergeability pattern). */
+  private val psiOracle =
+    """WITH base AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket
+      |              FROM events WHERE user_id % 2 = 0),
+      |cur AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket
+      |        FROM events WHERE user_id % 2 = 1),
+      |b AS (SELECT bucket, count(*) AS nb FROM base GROUP BY bucket),
+      |c AS (SELECT bucket, count(*) AS nc FROM cur GROUP BY bucket),
+      |spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
+      |j AS (SELECT s.bucket, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      |      FROM spine s LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
+      |t AS (SELECT bucket, nb, nc,
+      |        (nb + 1)::DOUBLE / ((SELECT sum(nb) FROM j) + 10) AS p,
+      |        (nc + 1)::DOUBLE / ((SELECT sum(nc) FROM j) + 10) AS q
+      |      FROM j)
+      |SELECT bucket, CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+      |  round((p - q) * ln(p / q), 6) AS term
+      |FROM t ORDER BY bucket""".stripMargin
+
   private val cmsOracle =
     """WITH i AS (SELECT unnest([0, 1, 2, 3]) AS row),
       |g AS (SELECT row,
@@ -1718,6 +1739,32 @@ object QuerySuite {
           ev.filter(pmod(col("user_id"), lit(2)) === 0),
           ev.filter(pmod(col("user_id"), lit(2)) === 1),
           "value", lo = 0.0, hi = 500.0, nBuckets = 10)
+        .select(col("bucket"), col("n_base"), col("n_cur"),
+          round(col("term"), 6).as("term"))
+        .orderBy("bucket")
+    }),
+
+    // ---- STREAMING feature-drift monitoring: the current distribution
+    //      arrives as a stream; each micro-batch folds its ≤nBuckets-row
+    //      bucket histogram into the persisted counts dir, and PSI vs the
+    //      FROZEN baseline histogram is derived from the accumulated
+    //      counts. Counts are linear, so this equals q163's one-shot PSI
+    //      bit for bit — the shared oracle IS the mergeability proof ----
+    "q166_stream_psi" -> ((s, dir) => withStreamingConf(s) { s =>
+      val ev = Tables.events(s, dir)
+      val src = tmpDir("q166_src_")
+      ev.filter(pmod(col("user_id"), lit(2)) === 1).select("value")
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val counts = tmpDir("q166_counts_")
+      val stream = s.readStream.schema("value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamingDrift.start(stream, "value",
+        lo = 0.0, hi = 500.0, nBuckets = 10, counts, tmpDir("q166_ckpt_"))
+      q.awaitTermination()
+      val baseline = graft.operators.DataQuality.bucketCounts(
+        ev.filter(pmod(col("user_id"), lit(2)) === 0),
+        "value", lo = 0.0, hi = 500.0, nBuckets = 10, "n_base")
+      graft.streaming.StreamingDrift.psiVsBaseline(s, counts, baseline, 10)
         .select(col("bucket"), col("n_base"), col("n_cur"),
           round(col("term"), 6).as("term"))
         .orderBy("bucket")
@@ -4413,23 +4460,12 @@ object QuerySuite {
 
     // fixed-width buckets + Laplace smoothing + dense spine replayed
     // exactly; ln is the only irrational step (round 6 dp both sides)
-    "q163_psi_drift" ->
-      """WITH base AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket
-        |              FROM events WHERE user_id % 2 = 0),
-        |cur AS (SELECT least(9, greatest(0, CAST(floor(value / 50.0) AS INT))) AS bucket
-        |        FROM events WHERE user_id % 2 = 1),
-        |b AS (SELECT bucket, count(*) AS nb FROM base GROUP BY bucket),
-        |c AS (SELECT bucket, count(*) AS nc FROM cur GROUP BY bucket),
-        |spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bucket),
-        |j AS (SELECT s.bucket, coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
-        |      FROM spine s LEFT JOIN b USING (bucket) LEFT JOIN c USING (bucket)),
-        |t AS (SELECT bucket, nb, nc,
-        |        (nb + 1)::DOUBLE / ((SELECT sum(nb) FROM j) + 10) AS p,
-        |        (nc + 1)::DOUBLE / ((SELECT sum(nc) FROM j) + 10) AS q
-        |      FROM j)
-        |SELECT bucket, CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
-        |  round((p - q) * ln(p / q), 6) AS term
-        |FROM t ORDER BY bucket""".stripMargin,
+    "q163_psi_drift" -> psiOracle,
+
+    // the streaming monitor folds per-micro-batch bucket counts and equals
+    // the one-shot PSI exactly (counts are linear) — q163's oracle verbatim
+    // is the mergeability proof, the q122/q123 green-pair pattern
+    "q166_stream_psi" -> psiOracle,
 
     "q37_csv_roundtrip" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

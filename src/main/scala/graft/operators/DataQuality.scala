@@ -155,20 +155,38 @@ object DataQuality {
       lo: Double,
       hi: Double,
       nBuckets: Int): DataFrame = {
+    psiFromCounts(
+      bucketCounts(baseline, valueCol, lo, hi, nBuckets, "n_base"),
+      bucketCounts(current, valueCol, lo, hi, nBuckets, "n_cur"), nBuckets)
+  }
+
+  /** Fixed-width edge-clamped bucket histogram of `valueCol` — the LINEAR
+    * summary PSI is computed from. Linearity is what makes the metric
+    * streamable: per-micro-batch bucket counts sum to exactly the one-shot
+    * histogram, so [[graft.streaming.StreamingDrift]] folds these and
+    * defers the (nonlinear) PSI terms to read time. */
+  def bucketCounts(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int, as: String): DataFrame = {
     require(nBuckets >= 2 && hi > lo, "need nBuckets >= 2 and hi > lo")
     val width = (hi - lo) / nBuckets
-    def bucketOf(df: DataFrame, as: String): DataFrame = df
-      .select(least(lit(nBuckets - 1), greatest(lit(0),
+    df.select(least(lit(nBuckets - 1), greatest(lit(0),
         floor((col(valueCol).cast("double") - lo) / width).cast("int"))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(as))
-    val spark = baseline.sparkSession
+  }
+
+  /** PSI terms from pre-aggregated bucket counts `(bucket, n_base)` /
+    * `(bucket, n_cur)` — the [[psiDrift]] tail shared with the streaming
+    * monitor. */
+  def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
+      nBuckets: Int): DataFrame = {
+    val spark = baseCounts.sparkSession
     import spark.implicits._
     // dense bucket spine: a bucket empty on BOTH sides must still appear
     // (its smoothed term is 0 — dropping it would change B and the smoothing)
     val spine = (0 until nBuckets).toDF("bucket")
     val joined = spine
-      .join(bucketOf(baseline, "n_base"), Seq("bucket"), "left")
-      .join(bucketOf(current, "n_cur"), Seq("bucket"), "left")
+      .join(baseCounts, Seq("bucket"), "left")
+      .join(curCounts, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_base", "n_cur"))
     val totB = sum(col("n_base")).over(org.apache.spark.sql.expressions.Window.partitionBy())
     val totC = sum(col("n_cur")).over(org.apache.spark.sql.expressions.Window.partitionBy())
