@@ -717,6 +717,28 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- DELETION from the persisted IVFADC index (erasure for ANN
+    //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
+    //      build; serving anti-joins the tombstones out of the stage-1
+    //      codes scan, so deleted vectors never reach the candidate dump —
+    //      the oracle re-ranks the dumped candidates, and the ABSENCE gate
+    //      (deleted ids, pending vs purged equality, resurrection) lives in
+    //      SimilaritySpec under full-probe degeneracy ----
+    "q167_ivfadc_delete" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q167_pqindex")
+      Similarity.buildIvfadcIndex(emb, "vec_id", "embedding", idx,
+        nCells = 16, m = 4, codebookSize = 16, fitMaxIter = 8,
+        fitSampleFraction = 0.25)
+      Similarity.deleteFromIvfadcIndex(
+        emb.filter(pmod(col("vec_id"), lit(10)) === 3), "vec_id", idx, "d1")
+      Similarity.ivfadcTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 50,
+          excludeSelf = true,
+          candidateSink = Some(aux(dir, "q167_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- INCREMENTAL fold-in to the persisted IVFADC index
     //      (appendIvfadcIndex — the minhashLshIncremental contract for ANN
     //      serving): odd vec_ids encode FIT-FREE against the frozen
@@ -3814,6 +3836,20 @@ object QuerySuite {
     // perturbs the shortlist contents is visible
     "q158_ivfadc_append" ->
       """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q158_candidates/*.parquet')),
+        |scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // q155's contract over the post-deletion candidates
+    "q167_ivfadc_delete" ->
+      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q167_candidates/*.parquet')),
         |scored AS (
         |  SELECT query_id, nbr_id,
         |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,

@@ -300,7 +300,8 @@ object Dedup {
   def compactSemanticIndex(spark: SparkSession, indexPath: String): Unit =
     compactBatchedDir(spark, s"$indexPath/vectors")
 
-  private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String): Unit = {
+  private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(indexPath)
     val oldDir = resolveIndexDir(indexPath)
@@ -309,11 +310,12 @@ object Dedup {
       else Paths.get(oldDir).getFileName.toString.stripPrefix("_v").toLong
     val next = oldVersion + 1
     // one shuffle-free rewrite: rows are read and rewritten as-is (schema-
-    // generic — whatever the index stores besides the partition column).
+    // generic — whatever the index stores besides the partition column),
+    // through the caller's optional transform (e.g. a tombstone anti-join
+    // that makes the compaction a physical purge).
     // A retry after a pre-swap crash lands on the same _v<next> and the
     // overwrite clears the orphan.
-    spark.read.parquet(oldDir)
-      .drop("batch")
+    transform(spark.read.parquet(oldDir).drop("batch"))
       .withColumn("batch", lit("base"))
       .write.partitionBy("batch").mode("overwrite")
       .parquet(root.resolve(s"_v$next").toString)

@@ -687,6 +687,51 @@ object Similarity {
     graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors")
   }
 
+  /** Tombstone vectors OUT of a persisted IVFADC index — the erasure path
+    * for ANN serving ([[graft.core.FeatureStore.deleteRecords]]'s semantic
+    * applied to the vector index; a store that can forget a user but whose
+    * embedding index still retrieves them has not forgotten them). Ids land
+    * in replay-idempotent `tombstones/batch=<id>` partitions; serving
+    * ([[ivfadcTopKIndexed]]) anti-joins them out of the stage-1 codes scan
+    * (tombstones are id-only narrow rows — broadcast-sized until purge),
+    * and [[purgeIvfadcIndex]] physically erases them. Re-appending a
+    * tombstoned id stays hidden until a purge clears the marker — the
+    * documented semantic (erasure outranks resurrection). */
+  def deleteFromIvfadcIndex(keys: DataFrame, id: String, indexPath: String,
+      batchId: String): Unit =
+    writeBatched(keys.select(col(id).as("nbr_id")).distinct(),
+      s"$indexPath/tombstones", batchId)
+
+  private def readTombstones(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Option[DataFrame] = {
+    val p = s"$indexPath/tombstones"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
+    else Some(spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(p))
+      .select("nbr_id").distinct())
+  }
+
+  /** Physical purge: compact codes + vectors WITH the tombstone anti-join
+    * folded into the rewrite (one pass, the [[compactIvfadcIndex]]
+    * version-swap machinery), then clear the folded tombstones. A crash
+    * between the two compactions leaves serving correct — the surviving
+    * tombstones still anti-join — and a retry completes the purge. */
+  def purgeIvfadcIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+    readTombstones(spark, indexPath) match {
+      case Some(t0) =>
+        val t = broadcast(t0)
+        graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes",
+          _.join(t, Seq("nbr_id"), "left_anti"))
+        graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors",
+          _.join(t, Seq("nbr_id"), "left_anti"))
+        val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally walk.close()
+      case None => compactIvfadcIndex(spark, indexPath)
+    }
+
   /** Rebuild the frozen [[IvfadcModel]] from a persisted index — codebook-
     * bounded collects only, no MLlib. */
   private[graft] def loadIvfadcModel(
@@ -724,8 +769,13 @@ object Similarity {
       adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
     val model = loadIvfadcModel(spark, indexPath)
-    val enc = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/codes"))
+    val enc0 = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/codes"))
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
+    // pending tombstones hide deleted vectors from stage 1 (id-only
+    // broadcast anti-join); candidates therefore never contain them, so the
+    // rerank join needs no second filter
+    val enc = readTombstones(spark, indexPath)
+      .fold(enc0)(t => enc0.join(broadcast(t), Seq("nbr_id"), "left_anti"))
     val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val cand0 = ivfadcCandidates(enc, q0, model, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)

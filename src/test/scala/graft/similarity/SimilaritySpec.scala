@@ -161,6 +161,57 @@ class SimilaritySpec extends SparkSpec {
     assert(served() == brute, "compacted index must serve identically")
   }
 
+  test("deleteFromIvfadcIndex: tombstoned vectors vanish from serving; purge erases physically; erasure outranks resurrection") {
+    import spark.implicits._
+    val rng = new Random(53)
+    val vecs = randomVecs(rng, 160, 8)
+    val all = vecs.toDF("vec_id", "embedding")
+    val doomed = all.filter($"vec_id" % 5 === 2)
+    val kept = all.filter($"vec_id" % 5 =!= 2)
+    val queries = all.filter($"vec_id" < 6)
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_del_").toString
+
+    Similarity.buildIvfadcIndex(all, "vec_id", "embedding", idx,
+      nCells = 8, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 8)
+    Similarity.deleteFromIvfadcIndex(doomed, "vec_id", idx, "d1")
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    // full-probe degeneracy: serving minus tombstones must equal exact
+    // brute force over the SURVIVING corpus — absence and ranking in one gate
+    val brute = rows(Similarity.bruteForceTopK(kept, queries, "vec_id", "embedding",
+      k = 4, excludeSelf = true))
+    def served() = rows(Similarity.ivfadcTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 4, nProbe = 8, shortlist = 160, excludeSelf = true))
+    val pending = served()
+    assert(pending == brute, "tombstone-pending serving must equal brute force over survivors")
+    assert(!pending.exists { case (_, _, n) => n % 5 == 2 }, "no deleted id may serve")
+
+    // physical purge: codes/vectors lose the ids, serving unchanged
+    Similarity.purgeIvfadcIndex(spark, idx)
+    val codes = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$idx/codes"))
+    assert(codes.filter($"nbr_id" % 5 === 2).count() == 0, "purge must erase codes")
+    assert(spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$idx/vectors"))
+      .filter($"nbr_id" % 5 === 2).count() == 0, "purge must erase vectors")
+    assert(codes.count() == kept.count(), "purge must keep every survivor")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/tombstones")),
+      "purge must clear folded tombstones")
+    assert(served() == brute, "purged index must serve identically")
+
+    // a tombstoned id re-appended BEFORE purge stays hidden...
+    Similarity.deleteFromIvfadcIndex(all.filter($"vec_id" === 7L), "vec_id", idx, "d2")
+    Similarity.appendIvfadcIndex(all.filter($"vec_id" === 7L), "vec_id", "embedding", idx, "b7")
+    assert(!served().exists { case (_, _, n) => n == 7L },
+      "erasure outranks resurrection while the tombstone is pending")
+    // ...and resurfaces when re-appended AFTER the purge clears the marker
+    Similarity.purgeIvfadcIndex(spark, idx)
+    Similarity.appendIvfadcIndex(all.filter($"vec_id" === 7L), "vec_id", "embedding", idx, "b7")
+    val resurfaced = rows(Similarity.bruteForceTopK(
+      kept.filter($"vec_id" =!= 7L).unionByName(all.filter($"vec_id" === 7L)),
+      queries, "vec_id", "embedding", k = 4, excludeSelf = true))
+    assert(served() == resurfaced, "post-purge re-append must serve the id again")
+  }
+
   test("int8-quantized vectors preserve brute-force top-k recall (the serving claim)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
