@@ -156,6 +156,29 @@ object QuerySuite {
 
   /** CMS grid + top-20 estimate oracle shared by q122 (batch) and q123
     * (stream-merged) — the grid is md5-derived, hence engine-portable. */
+  /** First-principles dHash re-derivation shared by q165/q168: closed-form
+    * scene pixels → exact integer-grid sampling → 63 gradient-sign bits →
+    * one BIGINT per asset. Ends mid-WITH (callers append their own CTEs). */
+  private val dhashCte: String =
+    """WITH g AS (
+      |  SELECT doc_id AS asset_id, doc_id % 50 AS scene,
+      |         8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h,
+      |         (doc_id // 50) * 11 AS shift
+      |  FROM documents),
+      |pts AS (
+      |  SELECT asset_id, d, r,
+      |    ((scene*37 + (d*w//10)*(d*w//10)*7 + (r*h//7)*(r*h//7)*13
+      |      + (d*w//10)*(r*h//7)*5 + shift) % 256) AS gray
+      |  FROM g, range(10) td(d), range(7) tr(r)),
+      |bits AS (
+      |  SELECT a.asset_id,
+      |    CASE WHEN b.gray > a.gray THEN (1::BIGINT << (a.r*9 + a.d))
+      |         ELSE 0::BIGINT END AS bit
+      |  FROM pts a JOIN pts b ON b.asset_id = a.asset_id AND b.r = a.r AND b.d = a.d + 1
+      |  WHERE a.d < 9),
+      |hashes AS (SELECT asset_id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY asset_id),
+      |""".stripMargin
+
   /** q163's full PSI re-derivation; q166 shares it verbatim — the streaming
     * monitor folds linear bucket counts, so its accumulated PSI equals the
     * one-shot computation exactly (the cmsOracle mergeability pattern). */
@@ -1829,6 +1852,21 @@ object QuerySuite {
           .withColumn("is_duplicate", lit(true)), Seq("asset_id"), "left")
         .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
         .orderBy("asset_id")
+    }),
+
+    // ---- image retrieval by perceptual hash: top-k nearest corpus images
+    //      per query in HAMMING space — the scan reads 8-byte signatures,
+    //      never pixels (the stage-1-reads-no-payload story at its
+    //      extreme; exact brute force IS the scale shape for ≤64-bit
+    //      signatures). Rank-limit window → map-side top-k. Fully oracled:
+    //      hashes re-derive from the closed form, ranking replays ----
+    "q168_image_hamming_topk" -> ((s, dir) => {
+      val assets = Multimodal.scenePngAssets(Tables.documents(s, dir), "doc_id")
+      val hashes = Multimodal.dHash63(assets).filter(col("decode_ok"))
+        .select(col("asset_id"), col("dhash"))
+      Similarity.hammingTopK(hashes, hashes.filter(col("asset_id") < 10),
+          "asset_id", "dhash", k = 5, excludeSelf = true)
+        .orderBy("query_id", "nbr_rank")
     }),
 
     // ---- set operations: INTERSECT / EXCEPT, tagged into one result ----
@@ -4460,24 +4498,8 @@ object QuerySuite {
     // verification → min-id marks. No candidate dump — the oracle is
     // independent of the engine's decode path end to end.
     "q165_image_phash" ->
-      """WITH g AS (
-        |  SELECT doc_id AS asset_id, doc_id % 50 AS scene,
-        |         8 + (doc_id % 50) % 9 AS w, 8 + (doc_id % 50) % 7 AS h,
-        |         (doc_id // 50) * 11 AS shift
-        |  FROM documents),
-        |pts AS (
-        |  SELECT asset_id, d, r,
-        |    ((scene*37 + (d*w//10)*(d*w//10)*7 + (r*h//7)*(r*h//7)*13
-        |      + (d*w//10)*(r*h//7)*5 + shift) % 256) AS gray
-        |  FROM g, range(10) td(d), range(7) tr(r)),
-        |bits AS (
-        |  SELECT a.asset_id,
-        |    CASE WHEN b.gray > a.gray THEN (1::BIGINT << (a.r*9 + a.d))
-        |         ELSE 0::BIGINT END AS bit
-        |  FROM pts a JOIN pts b ON b.asset_id = a.asset_id AND b.r = a.r AND b.d = a.d + 1
-        |  WHERE a.d < 9),
-        |hashes AS (SELECT asset_id, sum(bit)::BIGINT AS dhash FROM bits GROUP BY asset_id),
-        |bands AS (SELECT asset_id, dhash, b, (dhash >> (b*16)) & 65535 AS key
+      (dhashCte +
+      """bands AS (SELECT asset_id, dhash, b, (dhash >> (b*16)) & 65535 AS key
         |          FROM hashes, range(4) tb(b)),
         |sized AS (SELECT b, key FROM bands GROUP BY b, key
         |          HAVING count(*) BETWEEN 2 AND 1000),
@@ -4492,7 +4514,22 @@ object QuerySuite {
         |SELECT h.asset_id, h.dhash, coalesce(v.is_dup, false) AS is_duplicate
         |FROM hashes h
         |LEFT JOIN (SELECT id_b AS asset_id, true AS is_dup FROM ver) v USING (asset_id)
-        |ORDER BY asset_id""".stripMargin,
+        |ORDER BY asset_id""".stripMargin),
+
+    // the same first-principles hashes, ranked: exact hamming top-k per
+    // query with the (hamming asc, nbr_id asc) deterministic tie-break
+    "q168_image_hamming_topk" ->
+      (dhashCte +
+      """q AS (SELECT asset_id AS query_id, dhash AS q_sh FROM hashes WHERE asset_id < 10),
+        |scored AS (
+        |  SELECT query_id, c.asset_id AS nbr_id,
+        |         bit_count(xor(q_sh, c.dhash)) AS hamming,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY bit_count(xor(q_sh, c.dhash)), c.asset_id) AS nbr_rank
+        |  FROM q JOIN hashes c ON c.asset_id <> q.query_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id,
+        |       CAST(hamming AS INT) AS hamming
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin),
 
     // fixed-width buckets + Laplace smoothing + dense spine replayed
     // exactly; ln is the only irrational step (round 6 dp both sides)

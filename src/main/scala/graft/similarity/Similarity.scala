@@ -77,6 +77,36 @@ object Similarity {
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
   }
 
+  /** Exact top-k in HAMMING space over 64-bit signatures (perceptual image
+    * hashes — [[graft.multimodal.Multimodal.dHash63]] — or simhashes): the
+    * retrieval face of [[graft.dedup.Dedup.hammingNearDupPairs]]. The scan
+    * reads 8-byte signatures, never pixels or vectors — the PQ "stage 1
+    * reads no payload" story taken to its extreme, which is why exact
+    * brute force IS the 100 TB shape here: |corpus| codegen `bit_count`
+    * ops per query against a broadcast query table, then the rank-limit
+    * window (partial WindowGroupLimit = map-side top-k before the single
+    * narrow exchange). Ties break (hamming asc, nbr_id asc) so the
+    * ranking is deterministic and cross-engine replayable.
+    * Input frames: `(id, sh: long)` on both sides. */
+  def hammingTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      sig: String,
+      k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val c = corpus.select(col(id).as("nbr_id"), col(sig).as("c_sh"))
+    val q = queries.select(col(id).as("query_id"), col(sig).as("q_sh"))
+    val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
+    val scored = c.join(broadcast(q), cond)
+      .withColumn("hamming", graft.functions.GraftFunctions
+        .hamming64(col("q_sh"), col("c_sh")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("hamming").asc, col("nbr_id").asc)
+    scored.withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("hamming"))
+  }
+
   /** IVF approximate top-k: KMeans(nCells) coarse quantizer, probe nProbe cells.
     *
     * @param fitSampleFraction fraction of the corpus the quantizer trains on.

@@ -212,6 +212,26 @@ class SimilaritySpec extends SparkSpec {
     assert(served() == resurfaced, "post-purge re-append must serve the id again")
   }
 
+  test("hammingTopK matches driver-side brute force; ties break by nbr_id; excludeSelf respected") {
+    import spark.implicits._
+    val rng = new Random(61)
+    val sigs = (0L until 64L).map(i => (i, rng.nextLong() & Long.MaxValue))
+    val df = sigs.toDF("id", "sh")
+    val queries = df.filter($"id" < 4)
+    val got = Similarity.hammingTopK(df, queries, "id", "sh", k = 6, excludeSelf = true)
+      .select("query_id", "nbr_rank", "nbr_id", "hamming")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val want = (for {
+      (qid, qs) <- sigs.take(4)
+      ranked = sigs.filter(_._1 != qid)
+        .map { case (nid, ns) => (nid, java.lang.Long.bitCount(qs ^ ns)) }
+        .sortBy { case (nid, h) => (h, nid) }.zipWithIndex
+      ((nid, h), r) <- ranked.take(6)
+    } yield (qid, r + 1L, nid, h)).toSet
+    assert(got == want)
+    assert(!got.exists { case (q, _, n, _) => q == n }, "excludeSelf must hold")
+  }
+
   test("int8-quantized vectors preserve brute-force top-k recall (the serving claim)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
