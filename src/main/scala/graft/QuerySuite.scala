@@ -1832,25 +1832,28 @@ object QuerySuite {
     }),
 
     // ---- perceptual image near-dup: REAL PNG decode → 63-bit dHash →
-    //      banded hamming pairs (the simhash core reused in hash space).
-    //      The scene fixture plants brightness-shifted replicas of shared
-    //      scenes; dHash is a gradient sign, so replicas land within small
-    //      hamming while distinct scenes stay far. FULLY oracled — pixels
-    //      are closed-form and the sampling grid is integer algebra, so
-    //      DuckDB re-derives every hash bit, the 4 bands, the skew cap,
-    //      the pair expansion, the verification, and the marks — stronger
-    //      than q14's candidate-dump contract ----
+    //      SIGNATURE-collapsed banded discovery (hammingNearDupMarks: the
+    //      duplicate-heavy shape — candidate cost bounded by signature
+    //      DIVERSITY, never corpus size; a 1000-replica scene cluster is
+    //      one signature group, not 500k expanded pairs). The scene
+    //      fixture plants brightness-shifted replicas; dHash is a gradient
+    //      sign, so replicas land within small hamming while distinct
+    //      scenes stay far. FULLY oracled — pixels are closed-form and the
+    //      sampling grid is integer algebra, so DuckDB re-derives every
+    //      hash bit, the sig groups, the bands, the cap, the neighbor-min
+    //      rule, and the marks — stronger than q14's dump contract ----
     "q165_image_phash" -> ((s, dir) => {
       val assets = Multimodal.scenePngAssets(Tables.documents(s, dir), "doc_id")
-      val hashes = Multimodal.dHash63(assets)
-      val pairs = Dedup.hammingNearDupPairs(
-        hashes.filter(col("decode_ok"))
-          .select(col("asset_id").as("doc_id"), col("dhash").as("sh")),
-        bands = 4, maxHamming = 3, maxBucket = 1000)
-      hashes.select(col("asset_id"), col("dhash"))
-        .join(pairs.select(col("id_b").as("asset_id")).distinct()
-          .withColumn("is_duplicate", lit(true)), Seq("asset_id"), "left")
-        .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
+      // hash frame checkpointed EAGERLY: it feeds the group build and the
+      // member-marks join — without the cut each consumer re-runs the
+      // whole decode (measured 2× the sf1 wall). (id, long, bool) — tiny
+      val hashes = Multimodal.dHash63(assets).localCheckpoint(true)
+      Dedup.hammingNearDupMarks(
+          hashes.filter(col("decode_ok"))
+            .select(col("asset_id").as("doc_id"), col("dhash").as("sh")),
+          bands = 4, maxHamming = 3, maxBucket = 1000)
+        .select(col("doc_id").as("asset_id"), col("sh").as("dhash"),
+          col("is_duplicate"))
         .orderBy("asset_id")
     }),
 
@@ -1862,8 +1865,10 @@ object QuerySuite {
     //      hashes re-derive from the closed form, ranking replays ----
     "q168_image_hamming_topk" -> ((s, dir) => {
       val assets = Multimodal.scenePngAssets(Tables.documents(s, dir), "doc_id")
+      // eager checkpoint: corpus AND query side read this frame — without
+      // it the query-side filter re-decodes the full corpus (q165's note)
       val hashes = Multimodal.dHash63(assets).filter(col("decode_ok"))
-        .select(col("asset_id"), col("dhash"))
+        .select(col("asset_id"), col("dhash")).localCheckpoint(true)
       Similarity.hammingTopK(hashes, hashes.filter(col("asset_id") < 10),
           "asset_id", "dhash", k = 5, excludeSelf = true)
         .orderBy("query_id", "nbr_rank")
@@ -4499,21 +4504,25 @@ object QuerySuite {
     // independent of the engine's decode path end to end.
     "q165_image_phash" ->
       (dhashCte +
-      """bands AS (SELECT asset_id, dhash, b, (dhash >> (b*16)) & 65535 AS key
-        |          FROM hashes, range(4) tb(b)),
+      """grp AS (SELECT dhash, min(asset_id) AS rep FROM hashes GROUP BY dhash),
+        |bands AS (SELECT dhash, b, (dhash >> (b*16)) & 65535 AS key
+        |          FROM grp, range(4) tb(b)),
         |sized AS (SELECT b, key FROM bands GROUP BY b, key
         |          HAVING count(*) BETWEEN 2 AND 1000),
-        |cand AS (SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b
-        |         FROM bands x
-        |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.asset_id < y.asset_id
-        |         JOIN sized s ON s.b = x.b AND s.key = x.key),
-        |ver AS (SELECT DISTINCT c.id_b
-        |        FROM cand c JOIN hashes ha ON ha.asset_id = c.id_a
-        |                    JOIN hashes hb ON hb.asset_id = c.id_b
-        |        WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3)
-        |SELECT h.asset_id, h.dhash, coalesce(v.is_dup, false) AS is_duplicate
-        |FROM hashes h
-        |LEFT JOIN (SELECT id_b AS asset_id, true AS is_dup FROM ver) v USING (asset_id)
+        |sp AS (SELECT DISTINCT x.dhash AS sa, y.dhash AS sb
+        |       FROM bands x
+        |       JOIN bands y ON x.b = y.b AND x.key = y.key AND x.dhash < y.dhash
+        |       JOIN sized s ON s.b = x.b AND s.key = x.key
+        |       WHERE bit_count(xor(x.dhash, y.dhash)) <= 3),
+        |nmin AS (SELECT sh, min(nrep) AS nmin FROM (
+        |           SELECT sa AS sh, g.rep AS nrep FROM sp JOIN grp g ON g.dhash = sp.sb
+        |           UNION ALL
+        |           SELECT sb AS sh, g.rep AS nrep FROM sp JOIN grp g ON g.dhash = sp.sa)
+        |         GROUP BY sh)
+        |SELECT h.asset_id, h.dhash,
+        |       h.asset_id > least(g.rep, coalesce(n.nmin, g.rep)) AS is_duplicate
+        |FROM hashes h JOIN grp g ON g.dhash = h.dhash
+        |LEFT JOIN nmin n ON n.sh = h.dhash
         |ORDER BY asset_id""".stripMargin),
 
     // the same first-principles hashes, ranked: exact hamming top-k per

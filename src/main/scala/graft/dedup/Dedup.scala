@@ -90,6 +90,54 @@ object Dedup {
     p
   }
 
+  /** Scalable MARKS for hamming-space near-dup over 64-bit signatures —
+    * the duplicate-heavy-corpus shape [[hammingNearDupPairs]]'s member-level
+    * expansion cannot take: a corpus where thousands of items share one
+    * signature (replicated images, boilerplate) pays Σ min(bucket, cap)²
+    * pair expansion there, quadratic in cluster size. This form collapses
+    * identical signatures FIRST (one groupBy to (sig, min-id rep)), bands
+    * over DISTINCT signatures only (candidate cost bounded by signature
+    * diversity, not corpus size; exact duplicates can never blow a
+    * bucket), verifies sig pairs with `bit_count(xor)` directly (the sig
+    * IS the value — no join-back), and marks members by the group rule:
+    * doc x is a duplicate iff some smaller id sits in its own sig group
+    * or in a discovered neighbor group, i.e. x > least(own rep, min
+    * neighbor rep). Exact duplicates are therefore ALWAYS marked (the cap
+    * can only drop cross-group discovery in diversity-heavy buckets — the
+    * documented trade, now strictly narrower than the member-level cap).
+    * Input `(doc_id, sh)`; output `(doc_id, sh, is_duplicate)`. */
+  def hammingNearDupMarks(
+      hashed: DataFrame,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val h = hashed.select(col("doc_id"), col("sh"))
+    val groups = h.groupBy("sh").agg(min(col("doc_id")).as("rep")).persist()
+    groups.count(): Unit
+
+    val buckets = groups
+      .select(col("sh"), explode(simhashBands(col("sh"), bands)).as("b"))
+      .groupBy(col("b")).agg(collect_list(col("sh")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // diversity cap
+    // pairsFromBuckets emits ordered (id_a, id_b) — here the "ids" ARE the
+    // signatures, so verification needs no hash join-back
+    val sigPairs = pairsFromBuckets(buckets)
+      .filter(hamming64(col("id_a"), col("id_b")) <= maxHamming)
+    val neighborMin = sigPairs.select(col("id_a").as("sh"), col("id_b").as("nsh"))
+      .unionAll(sigPairs.select(col("id_b").as("sh"), col("id_a").as("nsh")))
+      .join(groups.select(col("sh").as("nsh"), col("rep").as("nrep")), Seq("nsh"))
+      .groupBy("sh").agg(min(col("nrep")).as("nmin"))
+
+    val out = h.join(groups, Seq("sh"))
+      .join(neighborMin, Seq("sh"), "left")
+      .select(col("doc_id"), col("sh"),
+        (col("doc_id") > least(col("rep"), coalesce(col("nmin"), col("rep"))))
+          .as("is_duplicate"))
+    eager(out, () => { groups.unpersist(false): Unit })
+  }
+
   /** Exact-Jaccard verification over PRE-HASHED element sets (`array<long>`),
     * shaped so the expensive set intersection runs ONCE per candidate:
     *

@@ -60,6 +60,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hammingNearDupMarks == brute-force group marks; exact dups always marked under any cap") {
+    import spark.implicits._
+    val rng = new scala.util.Random(71)
+    // duplicate-heavy: 12 base signatures, each replicated 1-6 times under
+    // fresh ids, plus noise — the corpus shape the sig-collapse form exists for
+    val bases = Seq.fill(12)(rng.nextLong() & Long.MaxValue)
+    val sigs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var nextId = 0L
+    bases.foreach { b =>
+      (0 until 1 + rng.nextInt(6)).foreach { _ => sigs += ((nextId, b)); nextId += 1 }
+      // a near variant within hamming 2 of some bases
+      if (rng.nextBoolean()) { sigs += ((nextId, b ^ 3L)); nextId += 1 }
+    }
+    val df = sigs.toSeq.toDF("doc_id", "sh")
+    val got = Dedup.hammingNearDupMarks(df, bands = 4, maxHamming = 3, maxBucket = 1000)
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    // ground truth: x is dup iff ∃ y<x with hamming ≤ 3 (banding is lossless
+    // at this size — no bucket reaches the cap)
+    val all = sigs.toSeq
+    val want = all.map { case (x, sx) =>
+      x -> all.exists { case (y, sy) => y < x && java.lang.Long.bitCount(sx ^ sy) <= 3 }
+    }.toMap
+    assert(got == want)
+    // exact duplicates are marked even when the cap disables cross-group
+    // discovery entirely (maxBucket below any bucket size)
+    val capped = Dedup.hammingNearDupMarks(df, bands = 4, maxHamming = 3, maxBucket = 1)
+      .select("doc_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    val exactWant = all.map { case (x, sx) =>
+      x -> all.exists { case (y, sy) => y < x && sx == sy }
+    }.toMap
+    assert(capped == exactWant, "sig-group collapse must keep exact dups marked under any cap")
+  }
+
   test("ngram jaccard finds dups; marksFromPairs drops non-canonical ids") {
     val pairs = Dedup.ngramJaccard(docsDf, "doc_id", "text", threshold = 0.5)
     val ids = pairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
