@@ -349,7 +349,8 @@ object Dedup {
     compactBatchedDir(spark, s"$indexPath/vectors")
 
   private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String,
-      transform: DataFrame => DataFrame = identity): Unit = {
+      transform: DataFrame => DataFrame = identity,
+      extraPartitionCols: Seq[String] = Nil): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(indexPath)
     val oldDir = resolveIndexDir(indexPath)
@@ -365,7 +366,7 @@ object Dedup {
     // overwrite clears the orphan.
     transform(spark.read.parquet(oldDir).drop("batch"))
       .withColumn("batch", lit("base"))
-      .write.partitionBy("batch").mode("overwrite")
+      .write.partitionBy("batch" +: extraPartitionCols: _*).mode("overwrite")
       .parquet(root.resolve(s"_v$next").toString)
     val tmp = root.resolve("CURRENT.tmp")
     Files.write(tmp, s"_v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -664,17 +664,22 @@ object Similarity {
     // codes + vectors live in batch=<id> partitions (the dedup-index
     // layout): the base build statically clears every partition, later
     // [[appendIvfadcIndex]] batches overwrite only their own — replay-safe
+    // codes land DIRECTORY-PARTITIONED BY CELL (the 100 TB layout the class
+    // doc promises): the stage-1 cell equi-join then prunes the scan to the
+    // probed cells' directories via dynamic partition pruning — at scale a
+    // nProbe/nCells probe reads nProbe/nCells of the FILES, not just of the
+    // rows (plan-gated in SimilaritySpec)
     writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", "base",
-      wholeIndex = true)
+      wholeIndex = true, partitionCols = Seq("cell"))
     writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
   }
 
   private def writeBatched(df: DataFrame, path: String, batchId: String,
-      wholeIndex: Boolean = false): Unit = {
+      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = {
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
     df.withColumn("batch", lit(batchId))
-      .write.partitionBy("batch")
+      .write.partitionBy("batch" +: partitionCols: _*)
       .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
       .mode("overwrite")
       .parquet(graft.dedup.Dedup.resolveIndexDir(path))
@@ -703,7 +708,8 @@ object Similarity {
     val dim = guardedDim(cn, "appendIvfadcIndex")
     require(dim == model.dim,
       s"appendIvfadcIndex: batch dim $dim != index dim ${model.dim}")
-    writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", batchId)
+    writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", batchId,
+      partitionCols = Seq("cell"))
     writeBatched(c0, s"$indexPath/vectors", batchId)
   }
 
@@ -713,7 +719,8 @@ object Similarity {
     * of daily appends is 365 partition dirs of small files). */
   def compactIvfadcIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
-    graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes")
+    graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes",
+      extraPartitionCols = Seq("cell"))
     graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors")
   }
 
@@ -751,7 +758,7 @@ object Similarity {
       case Some(t0) =>
         val t = broadcast(t0)
         graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes",
-          _.join(t, Seq("nbr_id"), "left_anti"))
+          _.join(t, Seq("nbr_id"), "left_anti"), extraPartitionCols = Seq("cell"))
         graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors",
           _.join(t, Seq("nbr_id"), "left_anti"))
         val root = java.nio.file.Paths.get(s"$indexPath/tombstones")

@@ -161,6 +161,64 @@ class SimilaritySpec extends SparkSpec {
     assert(served() == brute, "compacted index must serve identically")
   }
 
+  test("indexed codes are cell-partitioned on disk and stage 1 prunes them via dynamic partition pruning") {
+    import spark.implicits._
+    val rng = new Random(59)
+    val all0 = randomVecs(rng, 200, 8).toDF("vec_id", "embedding")
+    // queries must come from a SOURCE relation for the gate to be honest:
+    // over a local relation Catalyst folds the filter away and DPP's
+    // selective-predicate requirement can never be met (production query
+    // batches are reads + filters, which is exactly what DPP keys on)
+    val corpusPath = java.nio.file.Files.createTempDirectory("ivfadc_dpp_src_").toString
+    all0.write.mode("overwrite").parquet(corpusPath)
+    val all = spark.read.parquet(corpusPath)
+    val queries = all.filter($"vec_id" < 3)
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_dpp_").toString
+    Similarity.buildIvfadcIndex(all, "vec_id", "embedding", idx,
+      nCells = 8, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 8)
+    // physical layout: one cell=<n> directory per coarse cell under batch=base
+    val cellDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$idx/codes/batch=base")).iterator()
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    while (cellDirs.hasNext) names += cellDirs.next().getFileName.toString
+    assert(names.forall(_.startsWith("cell=")), s"expected cell= dirs, got $names")
+    assert(names.size > 1, "multiple cells must materialize as directories")
+
+    // DPP's benefit estimator compares byte sizes that are all ~KB on the
+    // test corpus — pin the fallback ratio high to expose the production
+    // plan (the PlanPropertiesSpec thresholds-lowered pattern). The
+    // selectivity requirement is met the way real serving meets it: the
+    // query batch is a filtered subset.
+    val confs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val served = Similarity.ivfadcTopKIndexed(spark, idx, queries,
+        "vec_id", "embedding", k = 3, nProbe = 2, shortlist = 20, excludeSelf = true)
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"stage-1 codes scan must carry a dynamic partition-pruning filter on cell:\n$plan")
+      // and the probe-pruned serve still returns dense ranked rows
+      val rows = served.collect()
+      assert(rows.nonEmpty && rows.forall(_.getAs[Long]("nbr_rank") <= 3))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+
+    // compaction and purge preserve the cell layout
+    Similarity.compactIvfadcIndex(spark, idx)
+    val v1 = java.nio.file.Files.list(
+        java.nio.file.Paths.get(graft.dedup.Dedup.resolveIndexDir(s"$idx/codes"), "batch=base"))
+      .iterator()
+    val names2 = scala.collection.mutable.ArrayBuffer[String]()
+    while (v1.hasNext) names2 += v1.next().getFileName.toString
+    assert(names2.forall(_.startsWith("cell=")) && names2.nonEmpty,
+      s"compaction must keep cell partitioning, got $names2")
+  }
+
   test("deleteFromIvfadcIndex: tombstoned vectors vanish from serving; purge erases physically; erasure outranks resurrection") {
     import spark.implicits._
     val rng = new Random(53)
