@@ -482,6 +482,29 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Batch face of [[getRecordFresh]]'s staleness gate: SWEEP every record
+    * whose event time lags the store clock by more than `maxStaleness` out
+    * of the serving view (the managed stores' record-TTL maintenance job —
+    * the serve-side gate protects each lookup, the sweep reclaims the
+    * snapshot). Composes [[deleteRecords]], so the sweep inherits its whole
+    * contract: seq-aware tombstones (a later re-ingest of the key
+    * resurfaces it — TTL expiry must never block a genuine update),
+    * hidden history until [[compactOffline]], cache invalidation. A NULL
+    * event time is swept (unknown age = stale, the [[getRecordFresh]]
+    * rule). The stale key set is collected driver-side — bounded by the
+    * serving snapshot, which is driver-sized by the store's own contract.
+    * Returns the swept keys' count. */
+  def expireStale(groupName: String, maxStaleness: java.time.Duration): Long = {
+    val g = describeGroup(groupName)
+    val cutoff = java.sql.Timestamp.from(clock().minus(maxStaleness))
+    val stale = online(groupName)
+      .filter(col(g.eventTimeCol).isNull || col(g.eventTimeCol) < lit(cutoff))
+      .select(col(g.keyCol).cast("string"))
+    val keys = stale.collect().map(_.getString(0)).toSeq
+    if (keys.isEmpty) 0L
+    else { deleteRecords(groupName, keys); keys.size.toLong }
+  }
+
   /** Row-level stringly-typed upsert mirroring the reference's wire API
     * (`put_record` with `ValueAsString` fields, update_feature_store.py:39-50):
     * values are cast from strings to the declared types (timestamps accept

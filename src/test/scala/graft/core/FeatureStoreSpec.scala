@@ -337,6 +337,28 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.getRecordFresh("tx", 1L, java.time.Duration.ofHours(12)).isDefined)
   }
 
+  test("expireStale sweeps old records out of serving; a newer re-ingest resurfaces the key") {
+    val fixed = java.time.Instant.parse("2024-06-15T00:00:00Z")
+    val fs = new FeatureStore(spark,
+      Files.createTempDirectory("fs_sweep_").toString, clock = () => fixed)
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-06-14 12:00:00", 10.0, "fresh"),   // 12 h old
+      (2L, "2024-06-01 00:00:00", 20.0, "stale"),   // 14 d old
+      (3L, "2024-05-20 00:00:00", 30.0, "stale")))  // 26 d old
+    assert(fs.expireStale("tx", java.time.Duration.ofDays(1)) == 2L)
+    assert(fs.getRecord("tx", 1L).isDefined, "fresh record survives the sweep")
+    assert(fs.getRecord("tx", 2L).isEmpty && fs.getRecord("tx", 3L).isEmpty,
+      "swept keys read as absent")
+    assert(fs.online("tx").count() == 1)
+    // idempotent when nothing qualifies
+    assert(fs.expireStale("tx", java.time.Duration.ofDays(1)) == 0L)
+    // TTL expiry must not block a genuine update: a NEWER event resurfaces
+    fs.ingest("tx", batch((2L, "2024-06-14 23:00:00", 21.0, "back")))
+    assert(fs.getRecord("tx", 2L).isDefined, "re-ingested key serves again")
+    assert(fs.online("tx").count() == 2)
+  }
+
   test("dropGroup removes everything; groupExists reflects it") {
     val fs = newStore()
     fs.createGroup(group)
