@@ -1857,6 +1857,59 @@ object QuerySuite {
         .orderBy("asset_id")
     }),
 
+    // ---- INCREMENTAL image dedup (daily-batch flow, q55's contract in
+    //      hamming space): even ids bootstrap the persisted hash index,
+    //      odd ids arrive as the new batch — candidates new×(new∪index),
+    //      never index×index, pairs oriented index-canonical. FULLY
+    //      oracled with NO dump: hashes, bands, caps, tags, orientation
+    //      and marks all re-derive from the closed form ----
+    "q169_image_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = aux(dir, "q169_hashidx")
+      def hashesOf(sub: DataFrame) =
+        Multimodal.dHash63(Multimodal.scenePngAssets(sub, "doc_id"))
+          .filter(col("decode_ok"))
+          .select(col("asset_id").as("doc_id"), col("dhash").as("sh"))
+      Dedup.buildHashIndex(
+        hashesOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), idx)
+      val newHashes = hashesOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .localCheckpoint(true) // decode once: pairs + marks both read it
+      val pairs = Dedup.hammingIncremental(newHashes, idx, "b1")
+      Dedup.incrementalMarks(newHashes, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // ---- STREAMING image near-dup ingest (StreamingImageDedup — q72's
+    //      perceptual-hash face): even ids bootstrap the hash index; odd
+    //      ids arrive as a STREAM of documents converted to REAL PNGs and
+    //      decoded per micro-batch. Tagged candidates dumped per batch;
+    //      the oracle re-derives the hashes from FIRST PRINCIPLES and the
+    //      hamming/orientation/marks from the dump (batching-agnostic) ----
+    "q170_stream_image_dedup" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = Tables.documents(s, dir)
+      val idx = aux(dir, "q170_hashidx")
+      Dedup.buildHashIndex(
+        Multimodal.dHash63(Multimodal.scenePngAssets(
+            docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id"))
+          .filter(col("decode_ok"))
+          .select(col("asset_id").as("doc_id"), col("dhash").as("sh")), idx)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+      val kept = aux(dir, "q170_kept")
+      val q = graft.streaming.StreamingImageDedup.start(stream,
+        b => Multimodal.scenePngAssets(b, "doc_id"), idx, kept,
+        tmpDir("q170_ckpt_"),
+        candidateSink = Some(aux(dir, "q170_candidates")))
+      q.awaitTermination()
+      val keptIds = s.read.parquet(kept).select(col("doc_id"))
+        .withColumn("__kept", lit(true))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1).select(col("doc_id"))
+        .join(keptIds, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__kept") === false, lit(true)).as("is_duplicate"))
+        .orderBy("doc_id")
+    }),
+
     // ---- image retrieval by perceptual hash: top-k nearest corpus images
     //      per query in HAMMING space — the scan reads 8-byte signatures,
     //      never pixels (the stage-1-reads-no-payload story at its
@@ -4524,6 +4577,49 @@ object QuerySuite {
         |FROM hashes h JOIN grp g ON g.dhash = h.dhash
         |LEFT JOIN nmin n ON n.sh = h.dhash
         |ORDER BY asset_id""".stripMargin),
+
+    // incremental flow replayed with NO dump: tags from id parity, the
+    // new×(new∪index) candidate rule, the member-counting cap, the
+    // index-canonical orientation and the marks all re-derive from the
+    // same first-principles hashes
+    "q169_image_dedup_incremental" ->
+      (dhashCte +
+      """tag AS (SELECT asset_id, dhash, asset_id % 2 = 1 AS is_new FROM hashes),
+        |bands AS (SELECT asset_id, dhash, is_new, b, (dhash >> (b*16)) & 65535 AS key
+        |          FROM tag, range(4) tb(b)),
+        |sized AS (SELECT b, key FROM bands GROUP BY b, key
+        |          HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
+        |                x.is_new AS new_a, y.is_new AS new_b,
+        |                x.dhash AS ha, y.dhash AS hb
+        |         FROM bands x
+        |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.asset_id < y.asset_id
+        |         JOIN sized s ON s.b = x.b AND s.key = x.key
+        |         WHERE x.is_new OR y.is_new),
+        |drops AS (SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
+        |          FROM cand WHERE bit_count(xor(ha, hb)) <= 3)
+        |SELECT t.asset_id AS doc_id, coalesce(d.is_dup, false) AS is_duplicate
+        |FROM (SELECT asset_id FROM hashes WHERE asset_id % 2 = 1) t
+        |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) d ON d.doc_id = t.asset_id
+        |ORDER BY doc_id""".stripMargin),
+
+    // the streaming face: candidates (with their per-batch new/old tags)
+    // from the dump — batching-agnostic — but the HASHES come from first
+    // principles, so a decode fault on either side breaks the gate
+    "q170_stream_image_dedup" ->
+      (dhashCte +
+      """cand AS (SELECT id_a, id_b, new_a, new_b
+        |         FROM read_parquet('{AUX}/q170_candidates/**/*.parquet')),
+        |j AS (SELECT id_a, id_b, new_a, new_b,
+        |        bit_count(xor(a.dhash, b.dhash)) AS hamming
+        |      FROM cand JOIN hashes a ON a.asset_id = cand.id_a
+        |                JOIN hashes b ON b.asset_id = cand.id_b),
+        |drops AS (SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
+        |          FROM j WHERE hamming <= 3)
+        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
+        |FROM (SELECT asset_id AS doc_id FROM hashes WHERE asset_id % 2 = 1) d
+        |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) dup USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
 
     // the same first-principles hashes, ranked: exact hamming top-k per
     // query with the (hamming asc, nbr_id asc) deterministic tie-break

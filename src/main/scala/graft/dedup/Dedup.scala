@@ -468,6 +468,74 @@ object Dedup {
     p
   }
 
+  /** Bootstrap a 64-bit signature index (perceptual image hashes,
+    * simhashes) WITHOUT running any dedup — the hamming-space
+    * [[buildMinhashIndex]]. Rows: `(doc_id, sh)` under `batch=` partitions
+    * with the shared CURRENT-pointer versioning. */
+  def buildHashIndex(hashed: DataFrame, indexPath: String,
+      batchId: String = "base"): Unit =
+    writeIndexBatch(hashed.select(col("doc_id"), col("sh")), indexPath,
+      batchId, wholeIndex = true)
+
+  private def readHashIndex(spark: SparkSession, indexPath: String,
+      excludeBatch: Option[String]): DataFrame = {
+    val raw = spark.read.parquet(resolveIndexDir(indexPath))
+    excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** Incremental hamming-space dedup over a persisted 64-bit signature
+    * index — [[minhashLshIncremental]]'s contract for perceptual image
+    * hashes: candidates from band collisions within the new batch and
+    * between new and indexed signatures, never index×index; verified pairs
+    * ORIENTED index-canonical (a new doc duplicating an indexed one is
+    * always the drop, whatever the ids; among two new docs the larger id
+    * drops); the new signatures fold into `batch=<batchId>` afterwards.
+    * Replay-safe exactly like the minhash flow: the index read excludes the
+    * batch's own partition and the fold-in overwrites only it.
+    * @return (keep_id, drop_id, hamming) */
+  def hammingIncremental(
+      newHashes: DataFrame, // (doc_id, sh)
+      indexPath: String,
+      batchId: String,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      candidateSink: Option[String] = None): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val spark = newHashes.sparkSession
+    val oldSig = readHashIndex(spark, indexPath, excludeBatch = Some(batchId))
+    val newSig = newHashes.select(col("doc_id"), col("sh")).persist()
+    newSig.count(): Unit
+
+    val all = oldSig.withColumn("is_new", lit(false))
+      .unionByName(newSig.withColumn("is_new", lit(true)))
+    val buckets = all
+      .select(struct(col("doc_id"), col("is_new")).as("m"),
+        explode(simhashBands(col("sh"), bands)).as("b"))
+      .groupBy(col("b")).agg(collect_list(col("m")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+
+    val cand0 = taggedPairsFromBuckets(buckets)
+      .join(all.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(all.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+
+    val out = candidates
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(
+        when(col("new_a") && !col("new_b"), col("id_b")).otherwise(col("id_a")).as("keep_id"),
+        when(col("new_a") && !col("new_b"), col("id_a")).otherwise(col("id_b")).as("drop_id"),
+        col("hamming"))
+    // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
+    val p = out.localCheckpoint(eager = true)
+    writeIndexBatch(newSig, indexPath, batchId)
+    newSig.unpersist(false): Unit
+    p
+  }
+
   /** Tagged pair expansion for the incremental flows: `buckets.ids` holds
     * struct(doc_id, is_new) members; structs sort by (doc_id, is_new) so
     * pairs come out id-ordered. Pairs with no new member are dropped (the

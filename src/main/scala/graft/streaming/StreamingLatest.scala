@@ -92,6 +92,59 @@ object StreamingDedup {
   }
 }
 
+/** Streaming IMAGE near-dup ingest — [[StreamingDedup]]'s perceptual-hash
+  * face: every micro-batch is converted to image assets, REALLY decoded to
+  * 63-bit dHashes ([[graft.multimodal.Multimodal.dHash63]]), and deduped
+  * against (and into) the persisted hamming signature index via
+  * [[graft.dedup.Dedup.hammingIncremental]] — a brightness-shifted replica
+  * of an image ingested hours earlier, in another micro-batch, is still
+  * caught. Identical effectively-once contract as [[StreamingDedup]]:
+  * per-batch index partitions, per-batch kept output, per-batch candidate
+  * dumps. */
+object StreamingImageDedup {
+
+  /** @param toAssets converts one micro-batch to the AssetSchema frame the
+    *   decoder reads — runs INSIDE foreachBatch so the encode/decode work
+    *   stays per-batch (production: the fetch-and-decode stage). */
+  def start(
+      stream: DataFrame,
+      toAssets: DataFrame => DataFrame,
+      indexPath: String,
+      keptPath: String,
+      checkpoint: String,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import graft.dedup.Dedup
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // decode ONCE per batch: the hash frame feeds pair generation and
+          // the kept-marks join (the q165 double-decode lesson)
+          val hashes = graft.multimodal.Multimodal.dHash63(toAssets(batch))
+            .filter(col("decode_ok"))
+            .select(col("asset_id").as("doc_id"), col("dhash").as("sh"))
+            .localCheckpoint(true)
+          val pairs = Dedup.hammingIncremental(hashes, indexPath,
+            batchId = s"b$batchId", bands = bands, maxHamming = maxHamming,
+            candidateSink = candidateSink.map(p => s"$p/b$batchId"))
+          Dedup.incrementalMarks(hashes, "doc_id", pairs)
+            .filter(not(col("is_duplicate"))).select(col("doc_id"))
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(keptPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Streaming SEMANTIC near-dup ingest — [[StreamingDedup]]'s vector face:
   * every micro-batch assigns against the FROZEN centroid geometry (flat or
   * two-level, auto-detected from the stored layout), dedups against (and

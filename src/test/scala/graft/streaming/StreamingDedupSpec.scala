@@ -47,6 +47,39 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 5)
   }
 
+  test("streamed image batches dedup against the seed hash index and each other (real decode per batch)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.multimodal.Multimodal
+
+    val root = Files.createTempDirectory("sid_spec_").toString
+    val idx = s"$root/hashidx"
+    val kept = s"$root/kept"
+    // seed: scene-30 image (id 30). Measured pattern hammings: 30↔80 = 2
+    // (brightness replicas), 49↔99 = 2, all cross-scene pairs = 30.
+    Dedup.buildHashIndex(
+      Multimodal.dHash63(Multimodal.scenePngAssets(Seq(30L).toDF("id"), "id"))
+        .select($"asset_id".as("doc_id"), $"dhash".as("sh")), idx)
+
+    val source = MemoryStream[Long]
+    val q = StreamingImageDedup.start(source.toDF().toDF("doc_id"),
+      b => Multimodal.scenePngAssets(b, "doc_id"), idx, kept, s"$root/ckpt",
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      // batch 0: 80 replicates the SEED scene (drop); 49 is fresh (keep)
+      source.addData(80L, 49L)
+      q.processAllAvailable()
+      // batch 1: 99 replicates 49 — which arrived in the PREVIOUS batch and
+      // lives only in the index now (the cross-batch catch)
+      source.addData(99L)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val keptIds = spark.read.parquet(kept).select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(49L), s"kept $keptIds: 80 dups the seed, 99 dups batch-0's 49")
+    assert(spark.read.parquet(idx).count() == 4, "index grows by every streamed hash")
+  }
+
   test("streamed vector batches dedup against the seed semantic index and each other") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
