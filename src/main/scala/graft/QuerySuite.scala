@@ -1857,6 +1857,21 @@ object QuerySuite {
         .orderBy("asset_id")
     }),
 
+    // ---- VOICED-SEGMENT extraction (the VAD cut): 25 ms windows from the
+    //      REAL WAV decode; consecutive active windows merge into maximal
+    //      voiced regions via gaps-and-islands. Exact integer algebra end
+    //      to end (closed-form PCM → window sums of squares → integer
+    //      threshold → island arithmetic), fully oracled ----
+    "q171_vad_segments" -> ((s, dir) => {
+      Multimodal.vadSegments(
+          Multimodal.segmentAudioReal(
+            Multimodal.wavAssets(
+              Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 1),
+              "c_custkey"), windowMs = 25L),
+          thresholdMeanSq = 334000L)
+        .orderBy("asset_id", "start_idx")
+    }),
+
     // ---- INCREMENTAL image dedup (daily-batch flow, q55's contract in
     //      hamming space): even ids bootstrap the persisted hash index,
     //      odd ids arrive as the new batch — candidates new×(new∪index),
@@ -4577,6 +4592,35 @@ object QuerySuite {
         |FROM hashes h JOIN grp g ON g.dhash = h.dhash
         |LEFT JOIN nmin n ON n.sh = h.dhash
         |ORDER BY asset_id""".stripMargin),
+
+    // q154's closed-form window arithmetic at 25 ms, the integer activity
+    // verdict, and the island merge replayed exactly
+    "q171_vad_segments" ->
+      """WITH a AS (SELECT c_custkey AS asset_id, 800 + (c_custkey % 7) * 400 AS n
+        |           FROM customer WHERE c_custkey % 3 = 1),
+        |w AS (SELECT asset_id, n,
+        |             unnest(generate_series(0, (n + 199) // 200 - 1)) AS seg_idx
+        |      FROM a),
+        |px AS (SELECT asset_id, seg_idx,
+        |              unnest(generate_series(seg_idx * 200,
+        |                                     least(n, seg_idx * 200 + 200) - 1)) AS i
+        |       FROM w),
+        |seg AS (SELECT asset_id, seg_idx, count(*) AS n_samples,
+        |          sum(((asset_id*31 + i*7) % 2003 - 1001)
+        |            * ((asset_id*31 + i*7) % 2003 - 1001)) AS sum_sq
+        |        FROM px GROUP BY asset_id, seg_idx),
+        |act AS (SELECT *, seg_idx - row_number() OVER (PARTITION BY asset_id
+        |                                               ORDER BY seg_idx) AS island
+        |        FROM seg WHERE sum_sq >= 334000 * n_samples)
+        |SELECT asset_id,
+        |  CAST(min(seg_idx) AS BIGINT) AS start_idx,
+        |  CAST(max(seg_idx) AS BIGINT) AS end_idx,
+        |  CAST(min(seg_idx) * 25 AS BIGINT) AS start_ms,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+        |  CAST(sum(sum_sq) AS BIGINT) AS sum_sq
+        |FROM act GROUP BY asset_id, island
+        |ORDER BY asset_id, start_idx""".stripMargin,
 
     // incremental flow replayed with NO dump: tags from id parity, the
     // new×(new∪index) candidate rule, the member-counting cap, the

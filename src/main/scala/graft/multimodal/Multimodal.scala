@@ -517,6 +517,33 @@ object Multimodal {
           .as("active_samples"))
   }
 
+  /** VOICED-SEGMENT extraction — the step after [[audioActivity]]'s
+    * verdict: consecutive ACTIVE windows merge into maximal voiced regions
+    * (what a speech pipeline actually cuts and keeps), via gaps-and-islands
+    * (island = seg_idx − row_number per asset). The activity compare stays
+    * exact integer algebra (sum_sq ≥ threshold · n_samples), so an external
+    * oracle replays every region bit-for-bit. One hash exchange on
+    * asset_id serves both the island window and the region aggregation
+    * ((asset_id, island) clustering is satisfied by the asset_id
+    * partitioning). Returns one row per voiced region. */
+  def vadSegments(segments: DataFrame, thresholdMeanSq: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("seg_idx")
+    segments
+      .filter(col("decode_ok") &&
+        col("sum_sq") >= lit(thresholdMeanSq) * col("n_samples"))
+      .withColumn("__island", col("seg_idx") - row_number().over(w))
+      .groupBy(col("asset_id"), col("__island"))
+      .agg(
+        min(col("seg_idx")).as("start_idx"),
+        max(col("seg_idx")).as("end_idx"),
+        min(col("seg_start_ms")).as("start_ms"),
+        count(lit(1)).as("n_windows"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("sum_sq")).as("sum_sq"))
+      .drop("__island")
+  }
+
   // ==================== REAL video-frame path (PNG container) =============
   //
   // No JDK video codec exists (VERDICT r7 item 6 adjudicated both honest

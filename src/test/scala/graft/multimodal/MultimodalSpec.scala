@@ -162,6 +162,27 @@ class MultimodalSpec extends SparkSpec {
     assert(!out(98L).getAs[Boolean]("decode_ok") && out(98L).isNullAt(1))
   }
 
+  test("vadSegments merges consecutive active windows into maximal regions; one exchange") {
+    import spark.implicits._
+    // hand fixture: asset 1 windows active/inactive = A A _ A _ A A A
+    val rows = Seq(
+      (1L, 0L, 0L, 200L, 100_000_000L, true), (1L, 1L, 25L, 200L, 90_000_000L, true),
+      (1L, 2L, 50L, 200L, 1L, true), (1L, 3L, 75L, 200L, 80_000_000L, true),
+      (1L, 4L, 100L, 200L, 2L, true), (1L, 5L, 125L, 200L, 70_000_000L, true),
+      (1L, 6L, 150L, 200L, 70_000_000L, true), (1L, 7L, 175L, 100L, 35_000_000L, true),
+      (2L, 0L, 0L, 200L, 5L, true),            // silent asset: no regions
+      (3L, 0L, 0L, 200L, 99_000_000L, false))  // undecodable window never joins
+      .toDF("asset_id", "seg_idx", "seg_start_ms", "n_samples", "sum_sq", "decode_ok")
+    val out = Multimodal.vadSegments(rows, thresholdMeanSq = 334000L)
+    val got = out.select("asset_id", "start_idx", "end_idx", "n_windows", "n_samples")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 1L, 2L, 400L), (1L, 3L, 3L, 1L, 200L),
+      (1L, 5L, 7L, 3L, 500L)), s"got $got")
+    val exchanges = "Exchange".r.findAllIn(
+      out.queryExecution.executedPlan.toString).length
+    assert(exchanges <= 1, s"island window + region agg must share one exchange, saw $exchanges")
+  }
+
   test("sampleFrames emits one row per everyMs of duration (video only)") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 10000L).collect()
     assert(frames.nonEmpty)
