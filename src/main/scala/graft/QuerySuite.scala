@@ -1888,9 +1888,9 @@ object QuerySuite {
       Dedup.buildHashIndex(
         hashesOf(docs.filter(pmod(col("doc_id"), lit(2)) === 0)), idx)
       val newHashes = hashesOf(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
-        .localCheckpoint(true) // decode once: pairs + marks both read it
-      val pairs = Dedup.hammingIncremental(newHashes, idx, "b1")
-      Dedup.incrementalMarks(newHashes, "doc_id", pairs).orderBy("doc_id")
+        .localCheckpoint(true) // decode once: groups + marks both read it
+      Dedup.hammingIncrementalMarks(newHashes, idx, "b1")
+        .select(col("doc_id"), col("is_duplicate")).orderBy("doc_id")
     }),
 
     // ---- STREAMING image near-dup ingest (StreamingImageDedup — q72's
@@ -4622,47 +4622,71 @@ object QuerySuite {
         |FROM act GROUP BY asset_id, island
         |ORDER BY asset_id, start_idx""".stripMargin,
 
-    // incremental flow replayed with NO dump: tags from id parity, the
-    // new×(new∪index) candidate rule, the member-counting cap, the
-    // index-canonical orientation and the marks all re-derive from the
-    // same first-principles hashes
+    // incremental flow replayed with NO dump: the sig-collapsed universe
+    // (side tags, reps), the diversity cap, the group-level index-canonical
+    // drop rule and the marks all re-derive from first-principles hashes
     "q169_image_dedup_incremental" ->
       (dhashCte +
-      """tag AS (SELECT asset_id, dhash, asset_id % 2 = 1 AS is_new FROM hashes),
-        |bands AS (SELECT asset_id, dhash, is_new, b, (dhash >> (b*16)) & 65535 AS key
-        |          FROM tag, range(4) tb(b)),
+      """u AS (SELECT dhash AS sh,
+        |        coalesce(min(CASE WHEN asset_id % 2 = 1 THEN asset_id END),
+        |                 9223372036854775807) AS rep,
+        |        bool_or(asset_id % 2 = 1) AS has_new,
+        |        bool_or(asset_id % 2 = 0) AS in_index
+        |      FROM hashes GROUP BY dhash),
+        |bands AS (SELECT sh, b, (sh >> (b*16)) & 65535 AS key FROM u, range(4) tb(b)),
         |sized AS (SELECT b, key FROM bands GROUP BY b, key
         |          HAVING count(*) BETWEEN 2 AND 1000),
-        |cand AS (SELECT DISTINCT x.asset_id AS id_a, y.asset_id AS id_b,
-        |                x.is_new AS new_a, y.is_new AS new_b,
-        |                x.dhash AS ha, y.dhash AS hb
-        |         FROM bands x
-        |         JOIN bands y ON x.b = y.b AND x.key = y.key AND x.asset_id < y.asset_id
-        |         JOIN sized s ON s.b = x.b AND s.key = x.key
-        |         WHERE x.is_new OR y.is_new),
-        |drops AS (SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
-        |          FROM cand WHERE bit_count(xor(ha, hb)) <= 3)
-        |SELECT t.asset_id AS doc_id, coalesce(d.is_dup, false) AS is_duplicate
-        |FROM (SELECT asset_id FROM hashes WHERE asset_id % 2 = 1) t
-        |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) d ON d.doc_id = t.asset_id
+        |sp AS (SELECT DISTINCT x.sh AS sa, y.sh AS sb
+        |       FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.sh < y.sh
+        |       JOIN sized s ON s.b = x.b AND s.key = x.key),
+        |spf AS (SELECT sa, sb, ua.has_new AS new_a, ua.in_index AS idx_a, ua.rep AS rep_a,
+        |               ub.has_new AS new_b, ub.in_index AS idx_b, ub.rep AS rep_b
+        |        FROM sp JOIN u ua ON ua.sh = sp.sa JOIN u ub ON ub.sh = sp.sb
+        |        WHERE (ua.has_new OR ub.has_new) AND bit_count(xor(sa, sb)) <= 3),
+        |nbr AS (SELECT sh, bool_or(n_idx) AS idx_near, min(n_rep) AS nmin FROM (
+        |          SELECT sa AS sh, idx_b AS n_idx, CASE WHEN new_b THEN rep_b END AS n_rep FROM spf
+        |          UNION ALL
+        |          SELECT sb AS sh, idx_a AS n_idx, CASE WHEN new_a THEN rep_a END AS n_rep FROM spf)
+        |        GROUP BY sh)
+        |SELECT h.asset_id AS doc_id,
+        |  (u.in_index OR coalesce(n.idx_near, false)
+        |   OR h.asset_id > least(u.rep, coalesce(n.nmin, u.rep))) AS is_duplicate
+        |FROM hashes h JOIN u ON u.sh = h.dhash
+        |LEFT JOIN nbr n ON n.sh = h.dhash
+        |WHERE h.asset_id % 2 = 1
         |ORDER BY doc_id""".stripMargin),
 
-    // the streaming face: candidates (with their per-batch new/old tags)
-    // from the dump — batching-agnostic — but the HASHES come from first
-    // principles, so a decode fault on either side breaks the gate
+    // the streaming face: per-batch sig universes, pair candidates, and the
+    // doc→batch map come from the three dumps (file-split batching is
+    // nondeterministic); the HASHES and the hamming verification come from
+    // FIRST PRINCIPLES, so a decode fault on either side breaks the gate
     "q170_stream_image_dedup" ->
       (dhashCte +
-      """cand AS (SELECT id_a, id_b, new_a, new_b
-        |         FROM read_parquet('{AUX}/q170_candidates/**/*.parquet')),
-        |j AS (SELECT id_a, id_b, new_a, new_b,
-        |        bit_count(xor(a.dhash, b.dhash)) AS hamming
-        |      FROM cand JOIN hashes a ON a.asset_id = cand.id_a
-        |                JOIN hashes b ON b.asset_id = cand.id_b),
-        |drops AS (SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
-        |          FROM j WHERE hamming <= 3)
-        |SELECT d.doc_id, coalesce(dup.is_dup, false) AS is_duplicate
-        |FROM (SELECT asset_id AS doc_id FROM hashes WHERE asset_id % 2 = 1) d
-        |LEFT JOIN (SELECT doc_id, true AS is_dup FROM drops) dup USING (doc_id)
+      """db AS (SELECT doc_id, regexp_extract(filename, '/(b\d+)/docs/', 1) AS batch
+        |       FROM read_parquet('{AUX}/q170_candidates/*/docs/*.parquet', filename = true)),
+        |sg AS (SELECT sh, rep, has_new, in_index,
+        |              regexp_extract(filename, '/(b\d+)/sigs/', 1) AS batch
+        |       FROM read_parquet('{AUX}/q170_candidates/*/sigs/*.parquet', filename = true)),
+        |sp AS (SELECT id_a AS sa, id_b AS sb, new_a, new_b, idx_a, idx_b, rep_a, rep_b,
+        |              regexp_extract(filename, '/(b\d+)/pairs/', 1) AS batch
+        |       FROM read_parquet('{AUX}/q170_candidates/*/pairs/*.parquet', filename = true)
+        |       WHERE bit_count(xor(id_a, id_b)) <= 3),
+        |nbr AS (SELECT batch, sh, bool_or(n_idx) AS idx_near, min(n_rep) AS nmin FROM (
+        |          SELECT batch, sa AS sh, idx_b AS n_idx,
+        |                 CASE WHEN new_b THEN rep_b END AS n_rep FROM sp
+        |          UNION ALL
+        |          SELECT batch, sb AS sh, idx_a AS n_idx,
+        |                 CASE WHEN new_a THEN rep_a END AS n_rep FROM sp)
+        |        GROUP BY batch, sh),
+        |marks AS (SELECT d.doc_id,
+        |            (u.in_index OR coalesce(n.idx_near, false)
+        |             OR d.doc_id > least(u.rep, coalesce(n.nmin, u.rep))) AS is_duplicate
+        |          FROM db d JOIN hashes h ON h.asset_id = d.doc_id
+        |          JOIN sg u ON u.batch = d.batch AND u.sh = h.dhash
+        |          LEFT JOIN nbr n ON n.batch = d.batch AND n.sh = h.dhash)
+        |SELECT t.asset_id AS doc_id, coalesce(m.is_duplicate, true) AS is_duplicate
+        |FROM (SELECT asset_id FROM hashes WHERE asset_id % 2 = 1) t
+        |LEFT JOIN marks m ON m.doc_id = t.asset_id
         |ORDER BY doc_id""".stripMargin),
 
     // the same first-principles hashes, ranked: exact hamming top-k per

@@ -486,15 +486,27 @@ object Dedup {
 
   /** Incremental hamming-space dedup over a persisted 64-bit signature
     * index — [[minhashLshIncremental]]'s contract for perceptual image
-    * hashes: candidates from band collisions within the new batch and
-    * between new and indexed signatures, never index×index; verified pairs
-    * ORIENTED index-canonical (a new doc duplicating an indexed one is
-    * always the drop, whatever the ids; among two new docs the larger id
-    * drops); the new signatures fold into `batch=<batchId>` afterwards.
-    * Replay-safe exactly like the minhash flow: the index read excludes the
-    * batch's own partition and the fold-in overwrites only it.
-    * @return (keep_id, drop_id, hamming) */
-  def hammingIncremental(
+    * hashes, in the SIGNATURE-COLLAPSED form ([[hammingNearDupMarks]]'
+    * scale argument, which the first member-level cut of this flow failed
+    * at sf1: a new batch near a replica-heavy index cluster expanded
+    * against every member — measured 12× on 10× data; this form is bounded
+    * by signature diversity). Discovery runs over DISTINCT signatures of
+    * new ∪ index, tagged per side; orientation is index-canonical at the
+    * group level: a new doc drops iff its sig is in (or within `maxHamming`
+    * of) the INDEX, or a smaller-id new doc shares/neighbors its sig —
+    * i.e. `in_index(s) ∨ idx_near(s) ∨ x > least(rep(s), nmin(s))`.
+    * Exact replicas of index content can never be cap-dropped. The batch's
+    * hashes fold into `batch=<batchId>` afterwards; replay-safe via
+    * own-partition exclusion + overwrite, like the minhash flow.
+    *
+    * @param candidateSink oracle fixture: dumps TWO side tables —
+    *   `<sink>/sigs` (the tagged signature universe: sh, rep, has_new,
+    *   in_index) and `<sink>/pairs` (banded sig-pair candidates
+    *   PRE-verification with both sides' tags) — so an external oracle
+    *   re-derives hamming, the drop rule, and the marks independently of
+    *   the batching.
+    * @return (doc_id, sh, is_duplicate) for the NEW docs */
+  def hammingIncrementalMarks(
       newHashes: DataFrame, // (doc_id, sh)
       indexPath: String,
       batchId: String,
@@ -506,33 +518,56 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val spark = newHashes.sparkSession
     val oldSig = readHashIndex(spark, indexPath, excludeBatch = Some(batchId))
-    val newSig = newHashes.select(col("doc_id"), col("sh")).persist()
-    newSig.count(): Unit
+    val newSig0 = newHashes.select(col("doc_id"), col("sh")).persist()
+    newSig0.count(): Unit
+    // third oracle side table: WHICH docs this batch processed (file-split
+    // batching is nondeterministic, so the doc→batch map must be a fixture)
+    val newSig = sinkCandidates(newSig0, candidateSink.map(p => s"$p/docs"))
 
-    val all = oldSig.withColumn("is_new", lit(false))
-      .unionByName(newSig.withColumn("is_new", lit(true)))
-    val buckets = all
-      .select(struct(col("doc_id"), col("is_new")).as("m"),
-        explode(simhashBands(col("sh"), bands)).as("b"))
-      .groupBy(col("b")).agg(collect_list(col("m")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket)) // skew guard
+    // one row per DISTINCT signature across both sides, side-tagged; an
+    // index sig carries rep = Long.MaxValue so `least` ignores it
+    val u0 = newSig.groupBy("sh").agg(min(col("doc_id")).as("rep"))
+      .select(col("sh"), col("rep"), lit(true).as("has_new"), lit(false).as("in_index"))
+      .unionByName(oldSig.select(col("sh")).distinct()
+        .select(col("sh"), lit(Long.MaxValue).as("rep"),
+          lit(false).as("has_new"), lit(true).as("in_index")))
+      .groupBy("sh").agg(min(col("rep")).as("rep"),
+        max(col("has_new")).as("has_new"), max(col("in_index")).as("in_index"))
+    val u = sinkCandidates(u0, candidateSink.map(p => s"$p/sigs")).persist()
+    u.count(): Unit
 
-    val cand0 = taggedPairsFromBuckets(buckets)
-      .join(all.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(all.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    val candidates = sinkCandidates(cand0, candidateSink)
+    val buckets = u
+      .select(col("sh"), explode(simhashBands(col("sh"), bands)).as("b"))
+      .groupBy(col("b")).agg(collect_list(col("sh")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket)) // diversity cap
+    val sp0 = pairsFromBuckets(buckets)
+      .join(u.select(col("sh").as("id_a"), col("has_new").as("new_a"),
+        col("in_index").as("idx_a"), col("rep").as("rep_a")), Seq("id_a"))
+      .join(u.select(col("sh").as("id_b"), col("has_new").as("new_b"),
+        col("in_index").as("idx_b"), col("rep").as("rep_b")), Seq("id_b"))
+      .filter(col("new_a") || col("new_b"))
+    val sp = sinkCandidates(sp0, candidateSink.map(p => s"$p/pairs"))
+      .filter(hamming64(col("id_a"), col("id_b")) <= maxHamming)
 
-    val out = candidates
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(
-        when(col("new_a") && !col("new_b"), col("id_b")).otherwise(col("id_a")).as("keep_id"),
-        when(col("new_a") && !col("new_b"), col("id_a")).otherwise(col("id_b")).as("drop_id"),
-        col("hamming"))
+    // per new sig: did ANY neighbor sit in the index; min rep among NEW neighbors
+    val nbr = sp.select(col("id_a").as("sh"), col("idx_b").as("n_idx"),
+        when(col("new_b"), col("rep_b")).as("n_rep"))
+      .unionAll(sp.select(col("id_b").as("sh"), col("idx_a").as("n_idx"),
+        when(col("new_a"), col("rep_a")).as("n_rep")))
+      .groupBy("sh").agg(max(col("n_idx")).as("idx_near"), min(col("n_rep")).as("nmin"))
+
+    val out = newSig
+      .join(u.select(col("sh"), col("rep"), col("in_index")), Seq("sh"))
+      .join(nbr, Seq("sh"), "left")
+      .select(col("doc_id"), col("sh"),
+        (col("in_index") || coalesce(col("idx_near"), lit(false)) ||
+          col("doc_id") > least(col("rep"), coalesce(col("nmin"), col("rep"))))
+          .as("is_duplicate"))
     // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
     val p = out.localCheckpoint(eager = true)
     writeIndexBatch(newSig, indexPath, batchId)
-    newSig.unpersist(false): Unit
+    newSig0.unpersist(false): Unit
+    u.unpersist(false): Unit
     p
   }
 

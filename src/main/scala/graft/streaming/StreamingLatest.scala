@@ -129,10 +129,9 @@ object StreamingImageDedup {
             .filter(col("decode_ok"))
             .select(col("asset_id").as("doc_id"), col("dhash").as("sh"))
             .localCheckpoint(true)
-          val pairs = Dedup.hammingIncremental(hashes, indexPath,
-            batchId = s"b$batchId", bands = bands, maxHamming = maxHamming,
-            candidateSink = candidateSink.map(p => s"$p/b$batchId"))
-          Dedup.incrementalMarks(hashes, "doc_id", pairs)
+          Dedup.hammingIncrementalMarks(hashes, indexPath,
+              batchId = s"b$batchId", bands = bands, maxHamming = maxHamming,
+              candidateSink = candidateSink.map(p => s"$p/b$batchId"))
             .filter(not(col("is_duplicate"))).select(col("doc_id"))
             .withColumn("batch", lit(s"b$batchId"))
             .write.partitionBy("batch")
