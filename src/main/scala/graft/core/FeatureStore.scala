@@ -279,26 +279,44 @@ final class FeatureStore(spark: SparkSession, root: String,
     */
   def deleteRecords(groupName: String, keys: Seq[Any]): Long = {
     require(keys.nonEmpty, "deleteRecords: empty key set")
+    import scala.jdk.CollectionConverters._
+    val keyDf = spark.createDataFrame(
+      keys.map(k => Row(k.toString)).asJava,
+      StructType(Seq(StructField("key", org.apache.spark.sql.types.StringType))))
+    // an explicit key list is driver-sized by construction → broadcast the
+    // anti-join and write the tombstones as one file
+    deleteKeyFrame(groupName, keyDf, smallKeySet = true)
+  }
+
+  /** Cluster-side core of [[deleteRecords]]: `keyDf` is a one-column
+    * (`key` string) frame that NEVER visits the driver — the sweep path
+    * ([[expireStale]]) passes a predicate-derived frame that can be
+    * arbitrarily large, so the tombstone write and the snapshot anti-join
+    * stay set-oriented; only explicit driver-provided key lists
+    * (`smallKeySet`) get the broadcast hint and single-file tombstones. */
+  private def deleteKeyFrame(groupName: String, keyDf0: DataFrame,
+      smallKeySet: Boolean): Long = {
     val m = readManifest(groupName)
     val (g, seq) = (m.group, m.nextSeq)
     // seq bumped and persisted FIRST — the ingest crash-safety rule: a
     // crash mid-delete leaves at worst a skipped sequence number, never a
     // reused one
     writeManifest(g, seq + 1, m.lastBatchId)
-    import scala.jdk.CollectionConverters._
-    val st = StructType(Seq(StructField("key", org.apache.spark.sql.types.StringType),
-      StructField("deleted_seq", LongType)))
-    spark.createDataFrame(
-        keys.map(k => Row(k.toString, seq)).asJava, st)
-      .coalesce(1)
+    val marks = keyDf0.select(col("key"),
+      lit(seq).cast(LongType).as("deleted_seq"))
+    (if (smallKeySet) marks.coalesce(1) else marks)
       .write.mode("append").parquet(tombstoneDir(groupName).toString)
     currentSnapshot(groupName) match {
       case Some(snap) =>
-        val keyDf = broadcast(spark.createDataFrame(
-          keys.map(k => Row(k.toString)).asJava,
-          StructType(Seq(StructField("key", org.apache.spark.sql.types.StringType)))))
+        // read the just-written markers back rather than re-running keyDf0's
+        // plan: the sweep's frame derives from this very snapshot, and the
+        // parquet roundtrip both cuts that self-reference and guarantees the
+        // anti-join filters EXACTLY the keys the tombstones record
+        val keyDf = spark.read.parquet(tombstoneDir(groupName).toString)
+          .filter(col("deleted_seq") === seq).select(col("key"))
+        val hinted = if (smallKeySet) broadcast(keyDf) else keyDf
         commitOnlineSnapshot(g,
-          snap.join(keyDf, snap(g.keyCol).cast("string") === keyDf("key"), "left_anti"))
+          snap.join(hinted, snap(g.keyCol).cast("string") === hinted("key"), "left_anti"))
       case None =>
         // no snapshot yet: online() derives from the (now filtered) offline
         // history — nothing materialized to rewrite, but drop any cache
@@ -491,18 +509,19 @@ final class FeatureStore(spark: SparkSession, root: String,
     * resurfaces it — TTL expiry must never block a genuine update),
     * hidden history until [[compactOffline]], cache invalidation. A NULL
     * event time is swept (unknown age = stale, the [[getRecordFresh]]
-    * rule). The stale key set is collected driver-side — bounded by the
-    * serving snapshot, which is driver-sized by the store's own contract.
-    * Returns the swept keys' count. */
+    * rule). The stale key set stays a DataFrame end to end — the store
+    * explicitly serves snapshots LARGER than the serving cache cap (bucket
+    * -pruned reads), so a mostly-stale over-cap store must never funnel
+    * its key set through the driver. Returns the swept keys' count. */
   def expireStale(groupName: String, maxStaleness: java.time.Duration): Long = {
     val g = describeGroup(groupName)
     val cutoff = java.sql.Timestamp.from(clock().minus(maxStaleness))
     val stale = online(groupName)
       .filter(col(g.eventTimeCol).isNull || col(g.eventTimeCol) < lit(cutoff))
-      .select(col(g.keyCol).cast("string"))
-    val keys = stale.collect().map(_.getString(0)).toSeq
-    if (keys.isEmpty) 0L
-    else { deleteRecords(groupName, keys); keys.size.toLong }
+      .select(col(g.keyCol).cast("string").as("key"))
+    val n = stale.count()
+    if (n == 0L) 0L
+    else { deleteKeyFrame(groupName, stale, smallKeySet = false); n }
   }
 
   /** Row-level stringly-typed upsert mirroring the reference's wire API
@@ -553,6 +572,17 @@ final class FeatureStore(spark: SparkSession, root: String,
     require(groupExists(groupName), s"no such feature group: $groupName")
     val cur = offlineVersion(groupName)
     val nextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
+    // tombstone FILES are snapshotted BEFORE the rewrite and only that list
+    // is deleted after the flip: a deleteRecords landing mid-compaction
+    // writes a new marker file that survives the sweep (its rows re-apply
+    // against v<N+1> until the next compaction), instead of being destroyed
+    // without ever materializing — which would silently resurrect the key.
+    val tombstoneFilesAtPlan: List[Path] =
+      if (Files.exists(tombstoneDir(groupName))) {
+        import scala.jdk.CollectionConverters._
+        val ls = Files.list(tombstoneDir(groupName))
+        try ls.iterator().asScala.toList finally ls.close()
+      } else Nil
     offline(groupName) // declared-schema read: compaction also materializes post-evolution columns
       .repartition(col(EngineColumns.IngestDate))
       .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
@@ -579,13 +609,15 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     // the rewrite above went through offline(), which filters tombstoned
     // history — the deleted rows are now PHYSICALLY absent from v<N+1>
-    // (the GDPR erase), so the folded-in tombstones are cleared. A crash
-    // between the flip and this delete just leaves already-materialized
-    // markers for the next compaction to clear.
+    // (the GDPR erase), so the folded-in tombstones are cleared: only the
+    // files snapshotted at plan time (any marker appended since survives
+    // and re-applies until the next compaction). A crash between the flip
+    // and this delete just leaves already-materialized markers to re-clear.
+    tombstoneFilesAtPlan.foreach(p => Files.deleteIfExists(p): Unit)
     if (Files.exists(tombstoneDir(groupName))) {
-      val walk = Files.walk(tombstoneDir(groupName))
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
-      finally walk.close()
+      val ls = Files.list(tombstoneDir(groupName))
+      val empty = try !ls.iterator().hasNext finally ls.close()
+      if (empty) Files.delete(tombstoneDir(groupName))
     }
     val files = Files.walk(nextDir)
     try files.filter(p => p.toString.endsWith(".parquet")).count()

@@ -113,7 +113,15 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
-    val h = hashed.select(col("doc_id"), col("sh"))
+    // null signatures (undecodable assets) are carried through as
+    // is_duplicate=false, never grouped: two images that both failed to
+    // decode are not duplicates of each other, and the non-null-safe joins
+    // below would otherwise silently DROP them — a lost asset is worse
+    // than a flagged one.
+    val all = hashed.select(col("doc_id"), col("sh"))
+    val h = all.where(col("sh").isNotNull)
+    val nullSig = all.where(col("sh").isNull)
+      .select(col("doc_id"), col("sh"), lit(false).as("is_duplicate"))
     val groups = h.groupBy("sh").agg(min(col("doc_id")).as("rep")).persist()
     groups.count(): Unit
 
@@ -135,6 +143,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         (col("doc_id") > least(col("rep"), coalesce(col("nmin"), col("rep"))))
           .as("is_duplicate"))
+      .unionAll(nullSig)
     eager(out, () => { groups.unpersist(false): Unit })
   }
 
@@ -284,13 +293,18 @@ object Dedup {
     * guard. Readers prune the partition column away (and, in the
     * incremental path, prune OUT the running batch's own partition, so a
     * replay sees exactly the pre-batch index). */
-  private def writeIndexBatch(sig: DataFrame, indexPath: String, batchId: String,
-      wholeIndex: Boolean = false): Unit = {
+  /** Replay-idempotent batch write shared by every persisted index family
+    * (signature, vector, IVFADC codes/vectors/tombstones): rows land in
+    * `batch=<id>` under the resolved layout. `partitionCols` adds further
+    * layout columns after `batch` (the IVFADC codes table partitions by
+    * `cell` for probe-time pruning). */
+  private[graft] def writeIndexBatch(sig: DataFrame, indexPath: String, batchId: String,
+      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = {
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
     sig.withColumn("batch", lit(batchId))
       .write
-      .partitionBy("batch")
+      .partitionBy("batch" +: partitionCols: _*)
       // whole-index rebuild clears every partition; per-batch append clears
       // only batch=<id> (replay-idempotent)
       .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
@@ -518,7 +532,13 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val spark = newHashes.sparkSession
     val oldSig = readHashIndex(spark, indexPath, excludeBatch = Some(batchId))
-    val newSig0 = newHashes.select(col("doc_id"), col("sh")).persist()
+    // null signatures pass through as is_duplicate=false (hammingNearDupMarks'
+    // rule): they'd be silently dropped by the non-null-safe sig joins below,
+    // and never belong in the signature index.
+    val newAll = newHashes.select(col("doc_id"), col("sh"))
+    val newNullSig = newAll.where(col("sh").isNull)
+      .select(col("doc_id"), col("sh"), lit(false).as("is_duplicate"))
+    val newSig0 = newAll.where(col("sh").isNotNull).persist()
     newSig0.count(): Unit
     // third oracle side table: WHICH docs this batch processed (file-split
     // batching is nondeterministic, so the doc→batch map must be a fixture)
@@ -563,6 +583,7 @@ object Dedup {
         (col("in_index") || coalesce(col("idx_near"), lit(false)) ||
           col("doc_id") > least(col("rep"), coalesce(col("nmin"), col("rep"))))
           .as("is_duplicate"))
+      .unionAll(newNullSig)
     // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
     val p = out.localCheckpoint(eager = true)
     writeIndexBatch(newSig, indexPath, batchId)
@@ -1364,6 +1385,83 @@ object Dedup {
       .join(broadcast(pairs.select(col("id_b").as("doc_id")).distinct()
         .withColumn("is_duplicate", lit(true))), Seq("doc_id"), "left")
       .withColumn("is_duplicate", coalesce(col("is_duplicate"), lit(false)))
+
+  /** QUALITY-AWARE duplicate-cluster canonicalization — [[dedupCorpus]]'s
+    * production form: collapse `pairs` to exact connected components, then
+    * keep the BEST copy per cluster (max `quality`, ties → min id) instead
+    * of the lowest id — when a page was crawled five times, the curation
+    * pipeline wants the cleanest capture, not the first. Emits MARKS for
+    * every doc (the [[marksFromPairs]] contract — downstream joins decide
+    * what to drop): singletons are their own canonical.
+    *
+    * Shape: CC is the pointer-jumping pass ([[connectedComponents]]);
+    * cluster labels join back to the corpus by id (narrow long keys); the
+    * per-cluster argmax is ONE window over (quality desc, id) — one
+    * exchange on component, cluster-sized partitions (clusters are
+    * near-dup groups, bounded by the corpus's replication factor, never
+    * corpus-sized).
+    *
+    * @param quality any deterministic Column over the doc row (e.g.
+    *   [[graft.functions.TextAnalysis.qualityScore]])
+    * @return (doc_id, component, canonical_id, is_canonical) */
+  def canonicalizeClusters(
+      docs: DataFrame,
+      id: String,
+      pairs: DataFrame,
+      quality: Column): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    val scored = docs.select(col(id).cast("long").as("doc_id"), quality.as("__q"))
+    val labeled = scored.join(comps, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val w = Window.partitionBy("component")
+      .orderBy(col("__q").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labeled
+      .withColumn("canonical_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("component"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+  }
+
+  /** Per-document CONTAMINATION RATIO against a reference corpus — the
+    * audit-grade face of [[ngramCrossOverlap]]'s leak detection: instead of
+    * (train, test) pair hits, report for each right-side doc what FRACTION
+    * of its distinct 8-gram surface already exists anywhere on the left
+    * (the "n% of this benchmark is in the training set" number a data audit
+    * publishes; Brown et al. '20 App. C measures exactly this). No df cap:
+    * an audit wants every gram counted, and the plan never builds pairs —
+    * the left side collapses to a DISTINCT gram set and the right side
+    * probes it with one left-semi join on 64-bit gram hashes (an inverted-
+    * index probe: both exchanges carry narrow longs, cost ∝ gram volume,
+    * never |left|×|right|). Same hashed-gram noise floor as the minhash
+    * family (~|grams|²/2⁶⁵ collisions; the oracle re-derives raw strings
+    * and agrees at every tested sf).
+    *
+    * @return (doc_id, n_grams, n_seen, ratio) for every `right` doc;
+    *   ratio = round(n_seen/n_grams, 6) — one correctly-rounded division */
+  def contaminationRatio(
+      left: DataFrame,
+      right: DataFrame,
+      id: String,
+      text: String,
+      n: Int = 8): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(id).as("doc_id"),
+          explode(array_distinct(transform(charNgrams(lower(col(text)), n),
+            g => xxhash64Seeded(17L, g)))).as("gh"))
+    val leftSet = grams(left).select(col("gh")).distinct()
+    val rg = grams(right).persist()
+    rg.count(): Unit // one gram pass feeds both the total and the probe
+    val totals = rg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val seen = rg.join(leftSet, Seq("gh"), "leftsemi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
+    val out = totals.join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+      .withColumn("ratio",
+        round(col("n_seen").cast("double") / col("n_grams").cast("double"), 6))
+    eager(out, () => { rg.unpersist(false): Unit })
+  }
 
   /** End-to-end near-dup removal: collapse `pairs` to exact connected
     * components and keep one canonical doc (min id) per component; docs in no

@@ -507,7 +507,9 @@ object Multimodal {
     * bit-for-bit). One combinable aggregation per asset; undecodable assets
     * are reported with n_windows = 0 rather than dropped. */
   def audioActivity(segments: DataFrame, thresholdMeanSq: Long): DataFrame = {
-    val active = (col("decode_ok") &&
+    // n_samples > 0: a zero-length clip's single empty window would pass
+    // 0 >= threshold·0 and read as speech — an empty window is silence.
+    val active = (col("decode_ok") && col("n_samples") > 0L &&
       col("sum_sq") >= lit(thresholdMeanSq) * col("n_samples")).cast("long")
     segments.groupBy("asset_id")
       .agg(
@@ -530,7 +532,7 @@ object Multimodal {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("asset_id").orderBy("seg_idx")
     segments
-      .filter(col("decode_ok") &&
+      .filter(col("decode_ok") && col("n_samples") > 0L &&
         col("sum_sq") >= lit(thresholdMeanSq) * col("n_samples"))
       .withColumn("__island", col("seg_idx") - row_number().over(w))
       .groupBy(col("asset_id"), col("__island"))

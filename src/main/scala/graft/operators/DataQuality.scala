@@ -138,7 +138,8 @@ object DataQuality {
     *   - FIXED-WIDTH buckets over a caller-declared [lo, hi) — quantile
     *     buckets would make the metric depend on the union distribution
     *     AND the engine's quantile algorithm; out-of-range values clamp to
-    *     the edge buckets so nothing is silently dropped;
+    *     the edge buckets so no finite value is silently dropped (NULL/NaN
+    *     are excluded — a null is a missing observation, not a bucket-0 one);
     *   - Laplace-smoothed proportions (count+1)/(n+B) — exact rationals,
     *     empty buckets stay finite without an arbitrary epsilon;
     *   - one aggregation per side (combinable counts), a B-row join, and a
@@ -169,8 +170,15 @@ object DataQuality {
       nBuckets: Int, as: String): DataFrame = {
     require(nBuckets >= 2 && hi > lo, "need nBuckets >= 2 and hi > lo")
     val width = (hi - lo) / nBuckets
-    df.select(least(lit(nBuckets - 1), greatest(lit(0),
-        floor((col(valueCol).cast("double") - lo) / width).cast("int"))).as("bucket"))
+    // NULL/NaN values are EXCLUDED, not clamped: greatest() skips nulls, so
+    // without this filter a null value would silently land in bucket 0 and a
+    // null-rate spike (the classic upstream-breakage event) would read as a
+    // low-bucket distribution shift. Excluding matches what a SQL replay of
+    // floor((value-lo)/width) does naturally (NULL bucket drops at the join).
+    val v = col(valueCol).cast("double")
+    df.select(v.as("__v")).where(col("__v").isNotNull && !isnan(col("__v")))
+      .select(least(lit(nBuckets - 1), greatest(lit(0),
+        floor((col("__v") - lo) / width).cast("int"))).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as(as))
   }
 

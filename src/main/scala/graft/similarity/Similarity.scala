@@ -95,8 +95,14 @@ object Similarity {
       sig: String,
       k: Int,
       excludeSelf: Boolean = false): DataFrame = {
+    // Null signatures (dHash63 emits sig=null for undecodable images) are
+    // excluded from BOTH sides: hamming64(x, null) is null and the asc window
+    // sorts nulls first, so an unfiltered corrupt image would occupy rank 1
+    // for every query. A corrupt image is not a neighbor.
     val c = corpus.select(col(id).as("nbr_id"), col(sig).as("c_sh"))
+      .where(col("c_sh").isNotNull)
     val q = queries.select(col(id).as("query_id"), col(sig).as("q_sh"))
+      .where(col("q_sh").isNotNull)
     val cond = if (excludeSelf) col("query_id") =!= col("nbr_id") else lit(true)
     val scored = c.join(broadcast(q), cond)
       .withColumn("hamming", graft.functions.GraftFunctions
@@ -674,16 +680,13 @@ object Similarity {
     writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
   }
 
+  // one copy of the replay-idempotence machinery: Dedup.writeIndexBatch is
+  // the shared engine (batchId validation, dynamic-overwrite selection,
+  // CURRENT-pointer resolution) — keeping a clone here would mean two copies
+  // of the contract to keep in sync
   private def writeBatched(df: DataFrame, path: String, batchId: String,
-      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = {
-    require(batchId.matches("[A-Za-z0-9_.-]+"),
-      s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
-    df.withColumn("batch", lit(batchId))
-      .write.partitionBy("batch" +: partitionCols: _*)
-      .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
-      .mode("overwrite")
-      .parquet(graft.dedup.Dedup.resolveIndexDir(path))
-  }
+      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit =
+    graft.dedup.Dedup.writeIndexBatch(df, path, batchId, wholeIndex, partitionCols)
 
   /** Fold a NEW corpus batch into a persisted IVFADC index FIT-FREE — the
     * incremental serving story (the [[graft.dedup.Dedup.minhashLshIncremental]]
@@ -753,7 +756,24 @@ object Similarity {
     * between the two compactions leaves serving correct — the surviving
     * tombstones still anti-join — and a retry completes the purge. */
   def purgeIvfadcIndex(
-      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+    // snapshot the tombstone batch dirs BEFORE anything reads them and clear
+    // only that list at the end: a deleteFromIvfadcIndex landing mid-purge
+    // writes a new batch=<id> dir that must survive the sweep (its ids keep
+    // anti-joining at serve time until the next purge) — a blanket
+    // walk-delete would destroy the marker while its codes survive the
+    // already-planned compaction, silently resurrecting the vector. The
+    // snapshot precedes readTombstones' file listing, so a marker in the
+    // race window is at worst folded AND retained (re-applied harmlessly),
+    // never deleted unfolded.
+    val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
+    import scala.jdk.CollectionConverters._
+    val dirsAtPlan: List[java.nio.file.Path] =
+      if (!java.nio.file.Files.exists(root)) Nil
+      else {
+        val ls = java.nio.file.Files.list(root)
+        try ls.iterator().asScala.toList finally ls.close()
+      }
     readTombstones(spark, indexPath) match {
       case Some(t0) =>
         val t = broadcast(t0)
@@ -761,13 +781,18 @@ object Similarity {
           _.join(t, Seq("nbr_id"), "left_anti"), extraPartitionCols = Seq("cell"))
         graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors",
           _.join(t, Seq("nbr_id"), "left_anti"))
-        val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
-        val walk = java.nio.file.Files.walk(root)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally walk.close()
+        dirsAtPlan.foreach { d =>
+          val walk = java.nio.file.Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
+        }
+        val ls2 = java.nio.file.Files.list(root)
+        val empty = try !ls2.iterator().hasNext finally ls2.close()
+        if (empty) java.nio.file.Files.delete(root)
       case None => compactIvfadcIndex(spark, indexPath)
     }
+  }
 
   /** Rebuild the frozen [[IvfadcModel]] from a persisted index — codebook-
     * bounded collects only, no MLlib. */
@@ -791,7 +816,15 @@ object Similarity {
     * serving, the q86 pattern for the PQ family: stage 1 reads ONLY the
     * m-byte codes table (equi-joined on cell, probe-pruned), rerank joins
     * the stored fp32 vectors back by id. Same candidate-dump oracle
-    * contract as [[ivfadcTopK]]. */
+    * contract as [[ivfadcTopK]].
+    *
+    * @param preloadedModel the frozen geometry, loaded ONCE by long-lived
+    *   callers ([[graft.streaming.StreamingAnnServe]] serves many
+    *   micro-batches against one index — re-collecting the codebooks per
+    *   batch is pure fixed overhead on the request path; the index contract
+    *   freezes them, so a pre-start load stays valid for the stream's
+    *   lifetime). Codes and tombstones are still read per call — those DO
+    *   change under fold-in/deletes. */
   def ivfadcTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -803,9 +836,10 @@ object Similarity {
       shortlist: Int = 50,
       excludeSelf: Boolean = false,
       candidateSink: Option[String] = None,
-      adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+      adcBroadcastMaxBytes: Long = 256L << 20,
+      preloadedModel: Option[IvfadcModel] = None): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
-    val model = loadIvfadcModel(spark, indexPath)
+    val model = preloadedModel.getOrElse(loadIvfadcModel(spark, indexPath))
     val enc0 = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/codes"))
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
     // pending tombstones hide deleted vectors from stage 1 (id-only

@@ -223,6 +223,12 @@ object StreamingAnnServe {
       trigger: Trigger = Trigger.AvailableNow(),
       candidateSink: Option[String] = None): StreamingQuery = {
     import org.apache.spark.sql.functions.{col, lit}
+    // the frozen geometry (coarse + PQ codebooks) is loaded ONCE before the
+    // stream starts — it is immutable by the index contract, and re-collecting
+    // it per micro-batch would put two fixed driver collects on every request
+    // batch. Codes + tombstones are still read per batch (they change).
+    val model = graft.similarity.Similarity.loadIvfadcModel(
+      queryStream.sparkSession, indexPath)
     queryStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -231,7 +237,8 @@ object StreamingAnnServe {
           graft.similarity.Similarity.ivfadcTopKIndexed(
               batch.sparkSession, indexPath, batch, id, vec, k = k,
               nProbe = nProbe, shortlist = shortlist, excludeSelf = excludeSelf,
-              candidateSink = candidateSink.map(p => s"$p/b$batchId"))
+              candidateSink = candidateSink.map(p => s"$p/b$batchId"),
+              preloadedModel = Some(model))
             .withColumn("batch", lit(s"b$batchId"))
             .write.partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")
