@@ -1872,6 +1872,52 @@ object QuerySuite {
         .orderBy("asset_id", "start_idx")
     }),
 
+    // ---- RARE-BIGRAM novelty: word-level LM-style curation signal — the
+    //      corpus's own bigram counts as the "model" (CCNet's perplexity
+    //      filter reduced to oracle-replayable integer algebra; tokens
+    //      shuffle as portable 60-bit ids, never strings). rareMax=2 so a
+    //      planted near-dup pair doesn't de-rare its own bigrams ----
+    "q172_bigram_novelty" -> ((s, dir) => {
+      TextAnalysis.wordBigramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        rareMax = 2L).orderBy("doc_id")
+    }),
+
+    // ---- QUALITY-AWARE canonicalization: minhash pairs → connected
+    //      components → keep the BEST copy per duplicate cluster (max
+    //      quality score, ties → min id). Candidates dumped; the oracle
+    //      re-verifies jaccard, rebuilds components via transitive closure,
+    //      replays the quality score and the argmax ----
+    "q173_dup_canonical" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
+        candidateSink = Some(aux(dir, "q173_candidates")))
+      Dedup.canonicalizeClusters(docs, "doc_id", pairs,
+          TextAnalysis.qualityScore(col("text")))
+        .orderBy("doc_id")
+    }),
+
+    // ---- BM25 retrieval: top-10 docs for a fixed query-term set — tf from
+    //      the corpus, raw-ratio idf (the tfIdf bit-reproducibility rule:
+    //      no ln), length normalization, contributions summed in fixed
+    //      expression order. Fully oracled ----
+    "q174_bm25_topk" -> ((s, dir) => {
+      TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        queryTerms = Seq("spark", "window", "hash"), k = 10)
+    }),
+
+    // ---- CONTAMINATION RATIO: per test doc, the fraction of its distinct
+    //      8-gram surface present anywhere in the train split (the audit
+    //      number next to q56's pair-level leak detection; same
+    //      hash-split buckets). Inverted-index probe, no pair expansion ----
+    "q175_contamination_ratio" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      Dedup.contaminationRatio(
+          docs.filter(col("bucket") < 80),
+          docs.filter(col("bucket") >= 90), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- INCREMENTAL image dedup (daily-batch flow, q55's contract in
     //      hamming space): even ids bootstrap the persisted hash index,
     //      odd ids arrive as the new batch — candidates new×(new∪index),
@@ -3374,6 +3420,27 @@ object QuerySuite {
   /** Incremental-minhash marks re-derivation (q55 and its streaming twin
     * q72): candidates + new-batch tags from the dump, shingle-Jaccard
     * verification, index-canonical orientation, and the odd-doc marks. */
+  /** The candidate-dump ANN contract shared by the whole vector-retrieval
+    * family (IVF / LSH / int8 two-stage / PQ / IVFADC, batch and indexed and
+    * streaming): candidate generation is engine-specific, so the engine
+    * dumps (query_id, nbr_id) shortlists and DuckDB re-ranks them by EXACT
+    * cosine with the (cosine DESC, nbr_id) tie-break — any stale/corrupt
+    * code, codebook, probe, or lost/duplicated appended vector that perturbs
+    * the shortlist CONTENTS is visible, and the rerank math is bit-checked.
+    * `glob` is `**` for streaming dumps that accumulate per micro-batch. */
+  private def cosineRerankOracle(candDump: String, glob: String = "*"): String =
+    s"""WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/$candDump/$glob.parquet')),
+       |scored AS (
+       |  SELECT query_id, nbr_id,
+       |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+       |                                     nbr_id) AS nbr_rank
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+       |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+       |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin
+
   private def incrementalMinhashOracle(candDump: String): String =
     s"""WITH cand AS (
        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/$candDump/**/*.parquet')
@@ -3832,6 +3899,181 @@ object QuerySuite {
         |LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // q56's gram split, ratio form: every distinct 8-gram of a test doc
+    // probed against the train side's full distinct gram set — raw strings
+    // here, 60-bit xxhash in the engine (the documented noise floor)
+    "q175_contamination_ratio" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |), lab AS (
+        |  SELECT doc_id, text, CASE WHEN bucket < 80 THEN 0 ELSE 1 END AS side
+        |  FROM b WHERE bucket < 80 OR bucket >= 90
+        |), g AS (
+        |  SELECT doc_id, side,
+        |    unnest(list_distinct(
+        |      CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |           ELSE list_transform(range(length(lower(text)) - 7),
+        |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END)) AS gram
+        |  FROM lab
+        |), train AS (SELECT DISTINCT gram FROM g WHERE side = 0
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN gram IN (SELECT gram FROM train) THEN 1 ELSE 0 END) AS n_seen
+        |  FROM g WHERE side = 1 GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(n_seen AS BIGINT) AS n_seen,
+        |       round(n_seen::DOUBLE / n_grams::DOUBLE, 6) AS ratio
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // word bigrams over the SAME portable 60-bit token ids the engine
+    // shuffles (md5-prefix longs — bit-identical across engines), corpus
+    // counts, rare-rate per doc; one rounded division, no transcendentals
+    "q172_bigram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), tid AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS tids
+        |  FROM t
+        |), pos AS (
+        |  SELECT doc_id, tids, unnest(generate_series(0, len(tids) - 2)) AS i
+        |  FROM tid WHERE len(tids) >= 2
+        |), bg AS (
+        |  SELECT doc_id, tids[i + 1] AS w1, tids[i + 2] AS w2 FROM pos
+        |), c AS (
+        |  SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2
+        |), per AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         sum(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS n_rare
+        |  FROM bg JOIN c USING (w1, w2) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(per.n_rare, 0) AS BIGINT) AS n_rare,
+        |  CASE WHEN coalesce(per.n_bigrams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE round(per.n_rare::DOUBLE / per.n_bigrams::DOUBLE, 6) END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // BM25 with the tfIdf raw-ratio idf (no ln) and the EXACT expression
+    // shape of the engine (same literals, same associativity — every op is
+    // IEEE correctly-rounded, so scores are bit-identical before the final
+    // 6 dp round); per-doc sum is ≤3 conditional aggregates added in fixed
+    // order, never an arbitrary-order float sum
+    "q174_bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+        |), consts AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM d
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), contrib AS (
+        |  SELECT tf.doc_id, tf.term, d.dl,
+        |    ((consts.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5) / (dfreq.df::DOUBLE + 0.5))
+        |      * (tf.tf::DOUBLE * (1.2 + 1.0)) /
+        |      (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl::DOUBLE /
+        |        (consts.sum_dl::DOUBLE / consts.n_docs::DOUBLE)))) AS c
+        |  FROM tf JOIN d USING (doc_id) JOIN dfreq USING (term) CROSS JOIN consts
+        |), per AS (
+        |  SELECT doc_id, dl,
+        |    round(coalesce(sum(CASE WHEN term = 'spark' THEN c END), 0.0)
+        |      + coalesce(sum(CASE WHEN term = 'window' THEN c END), 0.0)
+        |      + coalesce(sum(CASE WHEN term = 'hash' THEN c END), 0.0), 6) AS score
+        |  FROM contrib GROUP BY doc_id, dl
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, dl, score
+        |FROM per ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q13's candidate-dump verification, then the cluster machinery in
+    // pure SQL: transitive closure over verified pairs (dup clusters are
+    // replication-bounded — the closure is tiny), min-id component labels
+    // (the engine's CC invariant), the quality score replayed bit-exactly,
+    // and the (quality DESC, id) argmax per cluster
+    "q173_dup_canonical" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT id_a, id_b FROM read_parquet('{AUX}/q173_candidates/*.parquet')
+        |), t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+        |  FROM t
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT cand.id_a, cand.id_b,
+        |      round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |            len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+        |    FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b)
+        |  WHERE jaccard >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+        |), comp AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS component FROM reach GROUP BY node
+        |), m AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks)::DOUBLE AS n,
+        |    greatest(length(text), 1)::DOUBLE AS chars
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE list_aggregate(list_transform(toks, s -> length(s)), 'sum')::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS mean_len,
+        |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / chars AS alpha_ratio,
+        |    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / chars AS punct_ratio,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE len(list_distinct(toks))::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS distinct_ratio
+        |  FROM m
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n >= 50 AND n <= 100000 THEN CAST(1.0 AS DOUBLE)
+        |          WHEN n >= 10 THEN CAST(0.6 AS DOUBLE)
+        |          WHEN n >= 3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |    + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |    + alpha_ratio * CAST(0.2 AS DOUBLE)
+        |    + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.1 AS DOUBLE)
+        |    + distinct_ratio * CAST(0.2 AS DOUBLE) AS quality
+        |  FROM x
+        |), lab AS (
+        |  SELECT q.doc_id, coalesce(comp.component, q.doc_id) AS component, q.quality
+        |  FROM q LEFT JOIN comp USING (doc_id)
+        |), sel AS (
+        |  SELECT doc_id, component, quality,
+        |    row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn
+        |  FROM lab
+        |), canon AS (
+        |  SELECT component, doc_id AS canonical_id FROM sel WHERE rn = 1
+        |)
+        |SELECT lab.doc_id, lab.component, canon.canonical_id,
+        |       lab.doc_id = canon.canonical_id AS is_canonical
+        |FROM lab JOIN canon USING (component)
+        |ORDER BY doc_id""".stripMargin,
+
     "q17_ann_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -3848,17 +4090,7 @@ object QuerySuite {
     // (cosine DESC, nbr_id) ranking are re-derived exactly (list_cosine_
     // similarity bit-matches the native expression — q17)
     "q18_ann_ivf" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q18_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q18_candidates"),
 
     // the bounded-state sample IS "ORDER BY md5 LIMIT k per group" — replayed
     // exactly (content-addressed key, payload tie-break)
@@ -3886,117 +4118,37 @@ object QuerySuite {
     // cosine, so coarse-probe and residual-coding errors that perturb the
     // shortlist CONTENTS are visible and the rerank math is bit-checked
     "q151_ivfadc_ann" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q151_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q151_candidates"),
 
     "q148_pq_ann" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q148_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q148_candidates"),
 
     // q151's contract over the PERSISTED-index shortlist: DuckDB re-ranks
     // by exact cosine, so a stale/corrupt stored code or codebook that
     // perturbs the shortlist CONTENTS is visible
     "q155_ivfadc_index" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q155_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q155_candidates"),
 
     // q151's contract over the per-micro-batch streaming dumps (** glob:
     // dumps accumulate per batch like q152's)
     "q160_stream_ann" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q160_candidates/**/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q160_candidates", glob = "**/*"),
 
     // q155's contract over the base+appended shortlist: DuckDB re-ranks by
     // exact cosine — a lost/duplicated/mis-encoded appended vector that
     // perturbs the shortlist contents is visible
     "q158_ivfadc_append" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q158_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q158_candidates"),
 
     // q155's contract over the post-deletion candidates
     "q167_ivfadc_delete" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q167_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q167_candidates"),
 
     "q86_ann_ivf_index" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q86_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q86_candidates"),
 
     "q47_ann_lsh" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q47_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q47_candidates"),
 
     // md5-derived winnowing: the full fingerprint selection (8-gram 60-bit
     // hashes, window-4 minima, distinct count) re-derived from scratch
@@ -5012,17 +5164,7 @@ object QuerySuite {
 
     // the q18 rerank contract verbatim, over the stage-1 int8 candidates
     "q102_two_stage_ann" ->
-      """WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/q102_candidates/*.parquet')),
-        |scored AS (
-        |  SELECT query_id, nbr_id,
-        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
-        |                                     nbr_id) AS nbr_rank
-        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
-        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
-        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+      cosineRerankOracle("q102_candidates"),
 
     "q103_cohort_retention" ->
       """WITH ud AS (

@@ -233,8 +233,15 @@ object GraftFunctions {
     * fingerprint never leaves Spark. Materialize before
     * [[winnowingFromHashes]] (same no-CSE rationale). */
   def winnowingHashesPortable(text: Column, n: Int): Column =
-    transform(charNgrams(text, n),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    transform(charNgrams(text, n), portableHash60(_))
+
+  /** ENGINE-PORTABLE 60-bit hash of any string — first 15 hex chars of md5
+    * as a long (the [[hashSplitBucket]] / [[winnowingHashesPortable]] rule,
+    * factored): any engine re-derives the exact value, so ids built from it
+    * can cross an oracle boundary. 60 bits keeps the value positive and the
+    * collision rate (~n²/2⁶¹ per corpus) below any realistic noise floor. */
+  def portableHash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** Order-sensitive whole-document fingerprint: left-fold hash chaining
     * (ANSI-safe: xxhash64 of (acc, token-hash) instead of overflow arithmetic). */

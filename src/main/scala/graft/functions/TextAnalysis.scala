@@ -207,6 +207,124 @@ object TextAnalysis {
     (out, () => { tf.unpersist(false): Unit })
   }
 
+  /** Per-document RARE-WORD-BIGRAM rate against the corpus's own bigram
+    * counts — the word-level LM-style curation signal next to
+    * [[charBigramCoverage]]'s character model: a document whose word bigrams
+    * are mostly unseen elsewhere in the corpus is gibberish, OCR noise, or a
+    * wrong-language stray (CCNet's KenLM-perplexity filter reduced to the
+    * count statistics a SQL oracle can replay — same "why not perplexity"
+    * argument as charBigramCoverage: `ln` + order-dependent float summation
+    * are not bit-reproducible across engines; an integer rare-count plus ONE
+    * correctly-rounded division is). A trained LM table would slot in where
+    * the corpus count frame sits.
+    *
+    * Scale shape: tokens become PORTABLE 60-bit ids
+    * ([[GraftFunctions.portableHash60]]) before anything shuffles — every
+    * exchange carries (long, long) bigram keys, never strings (the q127
+    * rule); the bigram frame is staged once (no-CSE contract) and feeds both
+    * the corpus count aggregation and the scoring join; the final verdict is
+    * one combinable per-doc aggregation. Bigram occurrences count with
+    * multiplicity (a doc repeating one rare bigram is still novel text).
+    *
+    * @param rareMax a bigram is RARE when its corpus count is ≤ this (count
+    *   includes the occurrence itself, so rareMax=1 = "unique to this doc")
+    * @return (doc_id, n_bigrams, n_rare, novelty) for EVERY doc — <2-token
+    *   docs carry n_bigrams=0, novelty=0.0 */
+  def wordBigramNovelty(docs: DataFrame, id: String, text: String,
+      rareMax: Long = 1L): DataFrame = {
+    val ids = docs.select(col(id).as("doc_id"))
+    val bg = docs
+      .select(col(id).as("doc_id"),
+        transform(wsTokens(lower(col(text))), portableHash60(_)).as("tids"))
+      .filter(size(col("tids")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("tids")) - 2),
+        i => struct(element_at(col("tids"), i + 1).as("w1"),
+          element_at(col("tids"), i + 2).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .persist()
+    bg.count(): Unit // materialize: exactly one tokenize+explode pass
+    val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val per = bg.join(counts, Seq("w1", "w2"))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+    val out = ids.join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+      .withColumn("novelty", when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(round(col("n_rare").cast("double") / col("n_bigrams").cast("double"), 6)))
+    val result = out.localCheckpoint(eager = true)
+    bg.unpersist(false): Unit
+    result
+  }
+
+  /** BM25 top-k retrieval over the corpus for a FIXED query-term set — the
+    * search face of the text stack (tf from the corpus, df-based rarity
+    * weight, length normalization; Robertson & Spärck Jones as shipped in
+    * every search engine). The idf keeps [[tfIdfTopK]]'s bit-reproducibility
+    * rule: RAW ratio (n_docs − df + 0.5)/(df + 0.5), not its logarithm —
+    * `ln` differs in the last ulp across engines; +, −, ×, / are IEEE
+    * correctly-rounded everywhere. The per-doc score sums the (≤ a handful
+    * of) query-term contributions in FIXED expression order via conditional
+    * aggregation — never an arbitrary-order float sum.
+    *
+    * Shape: the token explode filters to the query terms IN THE SCAN
+    * (map-side `isin` — the exchange carries only matching (doc, term)
+    * rows); doc lengths are one combinable aggregation; corpus constants
+    * (n_docs, total length) join as a broadcast one-row frame; the global
+    * top-k is an orderBy-limit (TakeOrdered — no full sort at scale).
+    *
+    * @return (rank, doc_id, dl, score) — the k highest-scoring docs,
+    *   ties broken by doc_id */
+  def bm25TopK(docs: DataFrame, id: String, text: String,
+      queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.size <= 16,
+      "bm25TopK: 1..16 query terms (contributions sum in fixed expression order)")
+    val base = docs.select(col(id).as("doc_id"),
+      wsTokens(lower(col(text))).as("toks"))
+    val dl = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .persist()
+    dl.count(): Unit // one tokenize pass: feeds constants AND the score join
+    val consts = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = base
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(consts))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double"))))))
+    // fixed-order sum: one conditional-agg column per query term, added in
+    // declaration order — bit-identical in any engine mirroring the shape
+    val aggs = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("contrib"))).as(s"__c$i")
+    }
+    val per = scored.groupBy("doc_id", "dl").agg(aggs.head, aggs.tail: _*)
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val topk = per.withColumn("score", round(score, 6))
+      .select(col("doc_id"), col("dl"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val out = topk.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "dl", "score")
+    val result = out.localCheckpoint(eager = true)
+    dl.unpersist(false): Unit
+    result
+  }
+
   /** Per-document character-bigram coverage against the corpus's `topN` most
     * frequent bigrams — a cheap LM-style fluency proxy (CCNet filters on
     * KenLM perplexity; this is the same shape with a degenerate unigram-of-

@@ -490,4 +490,46 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ")))
     assert(rows.contains((2L, 3L)), s"passage occurs twice in doc 1 + once in doc 2: $rows")
   }
+
+  test("canonicalizeClusters: quality argmax per cluster, min-id tie-break, singletons self-canonical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // chain cluster {1,2,3} (transitively connected through 2); best quality
+    // sits MID-chain at 2 — a min-id rule would pick 1, quality must pick 2.
+    // cluster {10,11} ties on quality → min id 10. 20 is a singleton.
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = when(col("doc_id") === 2L, lit(0.9)).otherwise(lit(0.5))
+    val got = Dedup.canonicalizeClusters(docs, "doc_id", pairs, quality)
+      .select("doc_id", "component", "canonical_id", "is_canonical")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 2L, false)))
+    assert(got(2L) == ((2L, 1L, 2L, true)), "mid-chain best quality is canonical")
+    assert(got(3L) == ((3L, 1L, 2L, false)))
+    assert(got(10L) == ((10L, 10L, 10L, true)), "quality tie falls to min id")
+    assert(got(11L) == ((11L, 10L, 10L, false)))
+    assert(got(20L) == ((20L, 20L, 20L, true)), "singleton is its own canonical")
+  }
+
+  test("contaminationRatio: distinct-gram overlap fraction against the left side") {
+    import spark.implicits._
+    // 4-grams. Right doc 100 = left doc 1's text (ratio 1.0); right doc 101
+    // shares a 10-char prefix with doc 1 → 7 of its distinct 4-grams seen;
+    // right doc 102 is disjoint (ratio 0.0); right doc 103 is short (≤4
+    // chars → single whole-text gram, present on the left as doc 2's text).
+    val left = Seq((1L, "abcdefghijkl"), (2L, "abc")).toDF("doc_id", "text")
+    val right = Seq(
+      (100L, "abcdefghijkl"),
+      (101L, "abcdefghijZZZZ"),
+      (102L, "qrstuvwxyz"),
+      (103L, "abc")).toDF("doc_id", "text")
+    val got = Dedup.contaminationRatio(left, right, "doc_id", "text", n = 4)
+      .select("doc_id", "n_grams", "n_seen", "ratio")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(100L) == ((100L, 9L, 9L, 1.0)))
+    // "abcdefghijZZZZ": grams abcd..ghij (7 seen) + hijZ, ijZZ, jZZZ, ZZZZ
+    assert(got(101L) == ((101L, 11L, 7L, 0.636364)))
+    assert(got(102L) == ((102L, 7L, 0L, 0.0)))
+    assert(got(103L) == ((103L, 1L, 1L, 1.0)))
+  }
 }

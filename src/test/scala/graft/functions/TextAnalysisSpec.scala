@@ -115,4 +115,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L,
       "length<=2 contributes the whole text as its single 'bigram'")
   }
+
+  test("wordBigramNovelty: rare-rate from corpus counts; short docs report 0") {
+    import spark.implicits._
+    // "a b" occurs in docs 1,2,3 (count 3 > rareMax=1); "b c" only in doc 1;
+    // doc 3 repeats "a b" twice (multiplicity); doc 4 has 1 token → 0 bigrams
+    val docs = Seq(
+      (1L, "a b c"),      // bigrams: (a b) common, (b c) rare → 1/2
+      (2L, "a b"),        // (a b) → 0/1
+      (3L, "a b a b"),    // (a b), (b a), (a b): (b a) rare → 1/3
+      (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordBigramNovelty(docs, "doc_id", "text", rareMax = 1L)
+      .select("doc_id", "n_bigrams", "n_rare", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 3L, 1L, 0.333333)))
+    assert(got(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(got(5L) == ((5L, 0L, 0L, 0.0)))
+  }
+
+  test("bm25TopK: matches a driver-side recompute of the exact formula") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark window spark hash extra words here"),
+      (2L, "spark only once padded padded padded"),
+      (3L, "window window window window short"),
+      (4L, "nothing relevant at all in here now"),
+      (5L, "hash spark"))
+    val docs = corpus.toDF("doc_id", "text")
+    val terms = Seq("spark", "window", "hash")
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+      .select("rank", "doc_id", "score").as[(Long, Long, Double)].collect()
+
+    // driver-side recompute with the same expression shape
+    val toks = corpus.map { case (i, t) => i -> t.split("\\s+").toSeq }.toMap
+    val nDocs = corpus.size.toDouble
+    val sumDl = toks.values.map(_.size).sum.toDouble
+    def tf(d: Long, t: String) = toks(d).count(_ == t).toDouble
+    val dfm = terms.map(t => t -> corpus.count { case (i, _) => tf(i, t) > 0 }.toDouble).toMap
+    val (k1, b) = (1.2, 0.75)
+    def score(d: Long): Double = {
+      val dl = toks(d).size.toDouble
+      val s = terms.map { t =>
+        val f = tf(d, t)
+        if (f == 0) 0.0
+        else ((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5)) * (f * (k1 + 1.0)) /
+          (f + k1 * ((1.0 - b) + b * (dl / (sumDl / nDocs))))
+      }.reduceLeft(_ + _)
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = corpus.map(_._1).filter(d => terms.exists(t => tf(d, t) > 0))
+      .map(d => d -> score(d)).sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex.map { case ((d, s), i) => (i + 1L, d, s) }
+    assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
+  }
 }
