@@ -9,13 +9,13 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
 import graft.dedup.Dedup
-import graft.functions.{Bpe, GraftFunctions, TextAnalysis}
+import graft.functions.{Bpe, GraftFunctions, LexicalRetrieval, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingDecontamGate, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -109,6 +109,58 @@ object QuerySuite {
   val auxRoot = "/root/repo/target/oracle_aux"
   private def aux(dir: String, name: String): String =
     s"$auxRoot/${new java.io.File(dir).getName}/$name"
+
+  /** The multi-query BM25 oracle, parameterized by the literal query VALUES
+    * rows — q174's bit-reproducibility contract generalized to a query
+    * TABLE: identical idf/saturation literals and associativity, and the
+    * per-(query, doc) contribution fold runs in ascending 60-bit term_id
+    * order on both sides (the engine's `sort_array` + `aggregate` HOF is
+    * replayed here with `list_sort` + `list_reduce`; contributions are
+    * strictly positive, so the engine's extra 0.0 init term is exact). */
+  private def bm25MultiQueryOracle(valuesRows: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+       |), consts AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d
+       |), q AS (
+       |  SELECT * FROM (VALUES
+       |    $valuesRows) AS v(query_id, terms)
+       |), qt AS (
+       |  SELECT query_id, unnest(terms) AS term FROM q
+       |), tok AS (
+       |  SELECT doc_id, unnest(toks) AS term FROM d
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT qt.query_id, tf.doc_id, d.dl,
+       |    ('0x' || substr(md5(tf.term), 1, 15))::BIGINT AS term_id,
+       |    ((consts.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5) / (dfreq.df::DOUBLE + 0.5))
+       |      * (tf.tf::DOUBLE * (1.2 + 1.0)) /
+       |      (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl::DOUBLE /
+       |        (consts.sum_dl::DOUBLE / consts.n_docs::DOUBLE)))) AS c
+       |  FROM qt JOIN tf USING (term) JOIN d USING (doc_id)
+       |  JOIN dfreq USING (term) CROSS JOIN consts
+       |), per AS (
+       |  SELECT query_id, doc_id, dl,
+       |    round(list_reduce(list_sort(list({'t': term_id, 'c': c})),
+       |      (a, b) -> {'t': b.t, 'c': a.c + b.c}).c, 6) AS score
+       |  FROM contrib GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |    doc_id, dl, score
+       |  FROM per
+       |)
+       |SELECT query_id, rank, doc_id, dl, score
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Orders tagged with their customer's nation — the q130/q132 stratum frame. */
   private def ordersByNation(s: SparkSession, dir: String): DataFrame =
@@ -1915,6 +1967,102 @@ object QuerySuite {
       Dedup.contaminationRatio(
           docs.filter(col("bucket") < 80),
           docs.filter(col("bucket") >= 90), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- PERSISTED BM25 index + fit-free multi-query serving (the lexical
+    //      face of the ANN serving family): postings bucket-partitioned by
+    //      term hash with denormalized doc lengths, df/stats partials; a
+    //      4-query batch is served with a statically bucket-pruned scan and
+    //      an ordered contribution fold. FULLY oracled — DuckDB rebuilds the
+    //      same statistics from the raw corpus and replays the fold with
+    //      list_sort + list_reduce (identical literals and fold order) ----
+    "q176_bm25_serve" -> ((s, dir) => {
+      import s.implicits._
+      val idx = aux(dir, "q176_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      val queries = Seq(
+        (1L, Seq("spark", "window")),
+        (2L, Seq("hash", "join", "scan")),
+        (3L, Seq("dup", "merge")),
+        (4L, Seq("vector", "stream", "filter", "batch"))
+      ).toDF("query_id", "terms")
+      LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- INCREMENTAL BM25 index: even doc_ids build the base, odd doc_ids
+    //      fold in fit-free as a day-2 batch (df and corpus constants are
+    //      additive partials under the new-docs-only contract), the index
+    //      compacts under the atomic CURRENT swap, and serving equals the
+    //      full-corpus build bit-for-bit — which is exactly what the oracle
+    //      checks: the SQL knows nothing about batches ----
+    "q177_bm25_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = aux(dir, "q177_bm25index")
+      LexicalRetrieval.buildBm25Index(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      LexicalRetrieval.appendBm25Index(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx, "day2")
+      LexicalRetrieval.compactBm25Index(s, idx)
+      val queries = Seq(
+        (1L, Seq("customer", "order")),
+        (2L, Seq("dup", "slow")),
+        (3L, Seq("query", "table", "column"))
+      ).toDF("query_id", "terms")
+      LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- STREAMING lexical retrieval (StreamingBm25Serve — q160's request
+    //      path over the BM25 index): the index is built offline once; query
+    //      batches arrive as a STREAM and each micro-batch is served
+    //      fit-free, top-k landing in per-batch partitions ----
+    "q178_stream_bm25" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val idx = aux(dir, "q178_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      val qdir = tmpDir("q178_queries_")
+      Seq(
+        (1L, Seq("spark", "scan")),
+        (2L, Seq("window", "sort", "dup")),
+        (3L, Seq("big", "small", "fast", "slow"))
+      ).toDF("query_id", "terms").coalesce(1).write.mode("overwrite").parquet(qdir)
+      val stream = s.readStream
+        .schema("query_id LONG, terms ARRAY<STRING>")
+        .parquet(qdir)
+      val out = aux(dir, "q178_served")
+      val q = StreamingBm25Serve.start(stream, idx, out, tmpDir("q178_ckpt_"), k = 10)
+      q.awaitTermination()
+      s.read.parquet(out).select("query_id", "rank", "doc_id", "dl", "score")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- STREAMING decontamination gate (StreamingDecontamGate): the
+    //      benchmark split's gram surface is frozen offline into a gram
+    //      index; document batches arrive as a STREAM and each doc is
+    //      admitted or quarantined by its contamination ratio against the
+    //      frozen index (q175's audit number as online admission control).
+    //      Verdicts land per batch; the oracle replays ratio AND gate ----
+    "q179_stream_decontam" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val idx = aux(dir, "q179_gramindex")
+      Dedup.buildGramIndex(docs.filter(col("bucket") >= 90), "doc_id", "text", idx)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .filter(col("bucket") < 80)
+        .drop("bucket")
+      val kept = aux(dir, "q179_kept")
+      val verdicts = aux(dir, "q179_verdicts")
+      val q = StreamingDecontamGate.start(stream, "doc_id", "text", idx, kept,
+        verdicts, tmpDir("q179_ckpt_"), maxRatio = 0.9)
+      q.awaitTermination()
+      s.read.parquet(verdicts)
+        .select("doc_id", "n_grams", "n_seen", "ratio", "quarantined")
         .orderBy("doc_id")
     }),
 
@@ -3926,6 +4074,66 @@ object QuerySuite {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |       CAST(n_seen AS BIGINT) AS n_seen,
         |       round(n_seen::DOUBLE / n_grams::DOUBLE, 6) AS ratio
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    // multi-query BM25 from the raw corpus — the SQL knows nothing about
+    // the index (postings/df/stats are just reformulations of corpus
+    // statistics, so index-served scores must equal the direct computation
+    // bit-for-bit). Same literals and associativity as q174; the per-
+    // (query, doc) score folds contributions in ascending 60-bit term_id
+    // order on BOTH sides (sort_array+aggregate there, list_sort+
+    // list_reduce here) — contributions are strictly positive, so the
+    // engine's 0.0 fold init is exact
+    "q176_bm25_serve" -> bm25MultiQueryOracle(
+      """(1, ['spark', 'window']),
+        |    (2, ['hash', 'join', 'scan']),
+        |    (3, ['dup', 'merge']),
+        |    (4, ['vector', 'stream', 'filter', 'batch'])""".stripMargin),
+
+    // the q176 oracle over a DIFFERENT query set: the engine side built the
+    // index incrementally (base + day-2 batch + compaction), so equality
+    // against the batch-agnostic SQL proves df/stats partial additivity and
+    // the compaction fold
+    "q177_bm25_append" -> bm25MultiQueryOracle(
+      """(1, ['customer', 'order']),
+        |    (2, ['dup', 'slow']),
+        |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // q176's contract over the STREAMED query batch (single AvailableNow
+    // micro-batch; the oracle is agnostic to the batching)
+    "q178_stream_bm25" -> bm25MultiQueryOracle(
+      """(1, ['spark', 'scan']),
+        |    (2, ['window', 'sort', 'dup']),
+        |    (3, ['big', 'small', 'fast', 'slow'])""".stripMargin),
+
+    // q175's gram replay with the benchmark on the OTHER side of the split,
+    // plus the gate verdict: quarantined = rounded ratio > 0.9 (the engine
+    // compares the same rounded value)
+    "q179_stream_decontam" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |), lab AS (
+        |  SELECT doc_id, text, CASE WHEN bucket >= 90 THEN 0 ELSE 1 END AS side
+        |  FROM b WHERE bucket < 80 OR bucket >= 90
+        |), g AS (
+        |  SELECT doc_id, side,
+        |    unnest(list_distinct(
+        |      CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |           ELSE list_transform(range(length(lower(text)) - 7),
+        |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END)) AS gram
+        |  FROM lab
+        |), bench AS (SELECT DISTINCT gram FROM g WHERE side = 0
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS n_seen
+        |  FROM g WHERE side = 1 GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(n_seen AS BIGINT) AS n_seen,
+        |       round(n_seen::DOUBLE / n_grams::DOUBLE, 6) AS ratio,
+        |       (round(n_seen::DOUBLE / n_grams::DOUBLE, 6) > 0.9) AS quarantined
         |FROM per ORDER BY doc_id""".stripMargin,
 
     // word bigrams over the SAME portable 60-bit token ids the engine

@@ -1444,16 +1444,31 @@ object Dedup {
       right: DataFrame,
       id: String,
       text: String,
-      n: Int = 8): DataFrame = {
-    def grams(df: DataFrame) =
-      df.select(col(id).as("doc_id"),
-          explode(array_distinct(transform(charNgrams(lower(col(text)), n),
-            g => xxhash64Seeded(17L, g)))).as("gh"))
-    val leftSet = grams(left).select(col("gh")).distinct()
-    val rg = grams(right).persist()
+      n: Int = 8): DataFrame =
+    contaminationAgainst(
+      docGrams(left, id, text, n).select(col("gh")).distinct(),
+      right, id, text, n)
+
+  /** The distinct hashed n-gram surface of a doc set — one row per
+    * (doc_id, gh) with gh = seeded 64-bit xxhash of the lowercased gram. */
+  private def docGrams(df: DataFrame, id: String, text: String, n: Int) =
+    df.select(col(id).as("doc_id"),
+      explode(array_distinct(transform(charNgrams(lower(col(text)), n),
+        g => xxhash64Seeded(17L, g)))).as("gh"))
+
+  /** The probe body shared by [[contaminationRatio]] and
+    * [[contaminationRatioIndexed]]: right-side grams against a given
+    * distinct gram set. */
+  private def contaminationAgainst(
+      gramSet: DataFrame, // one column "gh"
+      right: DataFrame,
+      id: String,
+      text: String,
+      n: Int): DataFrame = {
+    val rg = docGrams(right, id, text, n).persist()
     rg.count(): Unit // one gram pass feeds both the total and the probe
     val totals = rg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val seen = rg.join(leftSet, Seq("gh"), "leftsemi")
+    val seen = rg.join(gramSet, Seq("gh"), "leftsemi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_seen"))
     val out = totals.join(seen, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
@@ -1461,6 +1476,30 @@ object Dedup {
       .withColumn("ratio",
         round(col("n_seen").cast("double") / col("n_grams").cast("double"), 6))
     eager(out, () => { rg.unpersist(false): Unit })
+  }
+
+  /** Persist the benchmark's distinct hashed gram surface — the frozen
+    * reference set a decontamination GATE probes on every ingest batch
+    * (building it once is what makes the gate an O(batch) probe instead of
+    * an O(benchmark) rescan per micro-batch; the offline-artifact/online-
+    * request split of the serving family applied to decontamination).
+    * Stored in the shared `batch=<id>` index layout so a benchmark refresh
+    * is an atomic whole-index rebuild. */
+  def buildGramIndex(bench: DataFrame, id: String, text: String,
+      indexPath: String, n: Int = 8): Unit =
+    writeIndexBatch(
+      docGrams(bench, id, text, n).select(col("gh")).distinct(),
+      indexPath, "base", wholeIndex = true)
+
+  /** [[contaminationRatio]] served from a PERSISTED gram index
+    * ([[buildGramIndex]]) — the fit-free form the streaming gate uses: the
+    * benchmark side is never re-tokenized; each doc batch pays one gram
+    * pass over ITSELF plus one narrow left-semi join on 64-bit hashes. */
+  def contaminationRatioIndexed(docs: DataFrame, id: String, text: String,
+      indexPath: String, n: Int = 8): DataFrame = {
+    val gramSet = docs.sparkSession.read.parquet(resolveIndexDir(indexPath))
+      .select(col("gh"))
+    contaminationAgainst(gramSet, docs, id, text, n)
   }
 
   /** End-to-end near-dup removal: collapse `pairs` to exact connected

@@ -1,0 +1,215 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import GraftFunctions.{portableHash60, wsTokens}
+
+/** Persisted BM25 index + fit-free multi-query serving — the LEXICAL face of
+  * the ANN serving family ([[graft.similarity.Similarity.buildIvfadcIndex]] /
+  * `ivfadcTopKIndexed`): retrieval over a 100 TB corpus cannot re-tokenize the
+  * corpus per query batch, so the corpus statistics BM25 needs (postings, doc
+  * frequencies, corpus length constants) are computed ONCE offline and every
+  * query batch afterwards probes them fit-free. Mirrors the reference's
+  * offline-artifact/online-request split (`real_time_inference.py:16-32`
+  * serves from a prebuilt store) applied to text retrieval.
+  *
+  * Index layout under `indexPath` (all three tables in the replay-idempotent
+  * `batch=<id>` layout shared with the minhash/IVFADC indexes —
+  * [[graft.dedup.Dedup.writeIndexBatch]], versioned compaction, atomic
+  * CURRENT pointer):
+  *
+  *  - `postings/` — `(term_id, doc_id, tf, dl)` DIRECTORY-PARTITIONED BY
+  *    `tb = pmod(term_id, buckets)` inside each batch dir: a query batch
+  *    probes only its terms' buckets, so the scan reads |probed buckets| /
+  *    `buckets` of the FILES, not just of the rows (the IVFADC
+  *    cell-partitioned codes layout applied to postings). Doc length `dl` is
+  *    DENORMALIZED into the posting row — the classic posting-with-norm
+  *    search-engine layout — so serving never joins the corpus-sized doclen
+  *    table (zero big-big joins on the request path). Terms are stored as
+  *    PORTABLE 60-bit md5 ids ([[GraftFunctions.portableHash60]]) — every
+  *    exchange and every file carries longs, never strings (the q127 rule),
+  *    and any engine re-derives the id from the term.
+  *  - `termdf/` — `(term_id, df)` per-batch PARTIALS. df is additive across
+  *    batches under the incremental contract (each doc folds in through
+  *    exactly one batch — the [[graft.dedup.Dedup.minhashLshIncremental]]
+  *    new-docs-only rule), so serving sums the partials of just its probed
+  *    terms; compaction folds partials physically.
+  *  - `stats/` — `(n_docs, sum_dl, tb_buckets)` per-batch partials, same
+  *    additivity. `tb_buckets` pins the bucket count the postings layout was
+  *    built with (appends must agree or probe pruning would miss rows).
+  *
+  * Scoring keeps q174's cross-engine bit-reproducibility rules: RAW-ratio idf
+  * `(n_docs − df + 0.5)/(df + 0.5)` (no `ln` — transcendentals differ in the
+  * last ulp across engines; +, −, ×, / are IEEE correctly-rounded
+  * everywhere), and the per-(query, doc) score folds its term contributions
+  * in ASCENDING `term_id` ORDER via `sort_array` + the `aggregate` HOF —
+  * never an arbitrary-order float sum. A fixed fold order is what an
+  * independent engine (the DuckDB oracle replays it with
+  * `list_sort`+`list_reduce`) can reproduce bit-for-bit; contributions are
+  * strictly positive, so the 0.0 init adds nothing (`0.0 + c == c`). */
+object LexicalRetrieval {
+
+  /** Build (overwrite) the BM25 index for `docs`. Tokenization is the
+    * [[TextAnalysis.bm25TopK]] contract: whitespace split of the lowercased
+    * text; zero-token docs carry no postings but still count in the corpus
+    * constants (their absence from every tf is exactly BM25's treatment). */
+  def buildBm25Index(docs: DataFrame, id: String, text: String,
+      indexPath: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    writeBm25Batch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+  }
+
+  /** Fold a NEW doc batch into the index — the incremental serving story
+    * (daily crawl drops fold in without re-tokenizing the corpus). All three
+    * tables land in `batch=<batchId>` partitions, so a crash-retried or
+    * replayed batch overwrites its own bytes instead of double-counting df
+    * or the corpus constants. Docs must be NEW (the shared incremental
+    * contract): a doc re-ingested through a second batch would double-count
+    * itself in df/n_docs/sum_dl. */
+  def appendBm25Index(newDocs: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String): Unit = {
+    val buckets = readBuckets(newDocs.sparkSession, indexPath)
+    writeBm25Batch(newDocs, id, text, indexPath, batchId, buckets,
+      wholeIndex = false)
+  }
+
+  /** Compact per-batch partitions: postings rewrite as-is (still partitioned
+    * by `tb`), df partials and the stats partials FOLD into one row per key
+    * through [[graft.dedup.Dedup.compactBatchedDir]]'s transform hook — all
+    * three swap in under the shared atomic CURRENT-pointer versioning. */
+  def compactBm25Index(spark: SparkSession, indexPath: String): Unit = {
+    Dedup.compactBatchedDir(spark, s"$indexPath/postings",
+      extraPartitionCols = Seq("tb"))
+    Dedup.compactBatchedDir(spark, s"$indexPath/termdf",
+      transform = df => df.groupBy("term_id").agg(sum(col("df")).as("df")))
+    Dedup.compactBatchedDir(spark, s"$indexPath/stats",
+      transform = df => df.groupBy("tb_buckets").agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        .select("n_docs", "sum_dl", "tb_buckets"))
+  }
+
+  /** Serve a BATCH of queries fit-free from the persisted index.
+    *
+    * `queries` is `(query_id, terms array<string>)` and is small by the
+    * serving contract (a request batch — the same boundedness the ANN family
+    * assumes of its query side): it is broadcast into every probe join, and
+    * its distinct term buckets are collected (≤ `buckets` values) to prune
+    * the postings scan STATICALLY — the probed `tb` directories are the only
+    * files listed. Everything corpus-sized stays distributed: the pruned
+    * postings scan, one (query, doc)-keyed aggregation, and a rank-limit
+    * window (partial WindowGroupLimit) for the per-query top-k.
+    *
+    * @return (query_id, rank, doc_id, dl, score) — per query, the k
+    *   highest-scoring docs, ties broken by doc_id; queries none of whose
+    *   terms occur in the corpus return no rows */
+  def bm25TopKIndexed(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      id: String = "query_id",
+      terms: String = "terms",
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val buckets = readBuckets(spark, indexPath)
+    val qt = queries
+      .select(col(id).as("query_id"), explode(col(terms)).as("term"))
+      .select(col("query_id"), portableHash60(lower(col("term"))).as("term_id"))
+      .distinct()
+    // bounded driver collect BY CONTRACT (request batch × ≤ buckets values):
+    // a static isin on the partition column prunes the file listing itself —
+    // no join needed to skip the unprobed 63/64ths of the postings files
+    val tbs = qt.select(pmod(col("term_id"), lit(buckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    if (tbs.isEmpty) {
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rank"),
+          lit(0L).as("doc_id"), lit(0L).as("dl"), lit(0.0).as("score"))
+        .limit(0)
+    }
+    val post = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+      .filter(col("tb").isin(tbs: _*))
+      .join(broadcast(qt), Seq("term_id"))
+    val qtIds = qt.select("term_id").distinct()
+    val dfAgg = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/termdf"))
+      .join(broadcast(qtIds), Seq("term_id"), "leftsemi")
+      .groupBy("term_id").agg(sum(col("df")).as("df"))
+    val consts = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val scored = post
+      .join(broadcast(dfAgg), Seq("term_id"))
+      .crossJoin(broadcast(consts)) // one row — a constant, not a data join
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5))
+      .withColumn("contrib",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * (col("dl").cast("double") /
+              (col("sum_dl").cast("double") / col("n_docs").cast("double"))))))
+    // ordered fold: contributions sorted by term_id, then summed left-to-
+    // right from 0.0 — the multi-query generalization of q174's fixed-order
+    // conditional aggregates (a literal CASE chain can't cover an arbitrary
+    // query table; a sorted fold can, and the oracle replays it exactly)
+    val folded = scored
+      .groupBy("query_id", "doc_id", "dl")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term_id").as("t"),
+          col("contrib").as("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("raw"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    folded
+      .withColumn("score", round(col("raw"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "dl", "score")
+  }
+
+  /** The bucket count the postings layout was built with — pinned in the
+    * stats rows; every batch must agree (probe pruning reads only the
+    * computed buckets, so a mixed layout would silently drop postings). */
+  private def readBuckets(spark: SparkSession, indexPath: String): Int = {
+    val rows = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .select("tb_buckets").distinct().collect()
+    require(rows.length == 1,
+      s"bm25 index at $indexPath has ${rows.length} distinct bucket counts")
+    rows.head.getInt(0)
+  }
+
+  private def writeBm25Batch(docs: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String, buckets: Int,
+      wholeIndex: Boolean): Unit = {
+    val tokd = docs
+      .select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("dl"))
+      .persist()
+    tokd.count(): Unit // ONE tokenize pass feeds stats AND postings
+    val stats = tokd
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("tb_buckets", lit(buckets))
+    val postings = tokd
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("dl"), portableHash60(col("term")).as("term_id"))
+      .groupBy("term_id", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(col("term_id"), lit(buckets.toLong)))
+      .persist()
+    postings.count(): Unit // staged: feeds the postings write AND termdf
+    val termdf = postings.groupBy("term_id").agg(count(lit(1)).as("df"))
+    Dedup.writeIndexBatch(postings, s"$indexPath/postings", batchId,
+      wholeIndex, partitionCols = Seq("tb"))
+    Dedup.writeIndexBatch(termdf, s"$indexPath/termdf", batchId, wholeIndex)
+    Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId, wholeIndex)
+    postings.unpersist(false): Unit
+    tokd.unpersist(false): Unit
+  }
+}

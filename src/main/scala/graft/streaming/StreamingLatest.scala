@@ -250,6 +250,99 @@ object StreamingAnnServe {
   }
 }
 
+/** Streaming LEXICAL retrieval — the text face of [[StreamingAnnServe]]:
+  * each micro-batch of QUERIES (`(query_id, terms array<string>)` rows) is
+  * served FIT-FREE from the persisted BM25 index
+  * ([[graft.functions.LexicalRetrieval.buildBm25Index]] — bucket-pruned
+  * postings scan, broadcast query side, ordered-fold scores), and the
+  * per-query top-k lands in `batch=b<N>` partitions — the effectively-once
+  * re-delivery contract shared with [[StreamingDedup]]. The index is the
+  * offline artifact; the stream is the request path. */
+object StreamingBm25Serve {
+
+  def start(
+      queryStream: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpoint: String,
+      id: String = "query_id",
+      terms: String = "terms",
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.LexicalRetrieval.bm25TopKIndexed(
+              batch.sparkSession, indexPath, batch, id = id, terms = terms,
+              k = k, k1 = k1, b = b)
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
+/** Streaming DECONTAMINATION gate — benchmark leak protection on the ingest
+  * path: each micro-batch of documents probes the FROZEN benchmark gram
+  * index ([[graft.dedup.Dedup.buildGramIndex]]) and docs whose contamination
+  * ratio exceeds `maxRatio` are quarantined instead of ingested. Per-batch
+  * verdict rows (every doc, with its ratio and the gate decision) land in
+  * `verdictPath/batch=b<N>` and the clean docs in `keptPath/batch=b<N>` —
+  * both under the effectively-once re-delivery contract shared with
+  * [[StreamingDedup]]. This is [[graft.dedup.Dedup.contaminationRatio]]'s
+  * audit number turned into an online admission control: the benchmark side
+  * is tokenized ONCE offline, each batch pays one gram pass over itself plus
+  * one narrow hash semi-join. */
+object StreamingDecontamGate {
+
+  def start(
+      docStream: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      keptPath: String,
+      verdictPath: String,
+      checkpoint: String,
+      maxRatio: Double = 0.5,
+      n: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.dedup.Dedup
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = Dedup.contaminationRatioIndexed(batch, id, text,
+              indexPath, n)
+            .withColumn("quarantined", col("ratio") > maxRatio)
+          verdicts
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(verdictPath)
+          val clean = verdicts.filter(!col("quarantined")).select(col("doc_id"))
+          batch.join(clean, batch(id) === clean("doc_id"), "left_semi")
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(keptPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Streaming ENRICHMENT against the online feature store — the serving-side
   * stream-static join: each event micro-batch attaches the store's
   * latest-per-key features by key. The snapshot is re-read PER BATCH

@@ -1,0 +1,198 @@
+package graft.functions
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+
+/** Persisted BM25 index + fit-free serving: correctness against a driver-side
+  * exact recompute, incremental build/compaction equivalence, and the
+  * bucket-pruned probe plan. */
+class LexicalRetrievalSpec extends SparkSpec {
+
+  private val corpus = Seq(
+    (1L, "spark window spark hash"),
+    (2L, "window sort merge join hash hash"),
+    (3L, "spark spark spark scan filter"),
+    (4L, "totally unrelated words here"),
+    (5L, ""), // zero tokens: counts in n_docs, appears in no posting
+    (6L, "hash"))
+
+  /** Driver-side exact BM25: same raw-ratio idf, same saturation, fold in
+    * ascending portable-60-bit-term-id order from 0.0 — an independent
+    * implementation of the engine's contract. */
+  private def bruteBm25(docs: Seq[(Long, String)], terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): Map[(Long, Long), Double] = {
+    def toks(t: String): Seq[String] =
+      if (t.trim.isEmpty) Seq.empty else t.trim.toLowerCase.split("\\s+").toSeq
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val nDocs = docs.size.toLong
+    val sumDl = docs.map(d => toks(d._2).size.toLong).sum
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    val dfm = terms.map { t =>
+      t -> docs.count(d => toks(d._2).contains(t)).toLong
+    }.toMap
+    (for {
+      (did, text) <- docs
+      tl = toks(text)
+      contribs = terms.flatMap { t =>
+        val tf = tl.count(_ == t).toLong
+        if (tf == 0 || dfm(t) == 0) None
+        else {
+          val idf = (nDocs.toDouble - dfm(t).toDouble + 0.5) / (dfm(t).toDouble + 0.5)
+          val c = idf * (tf.toDouble * (k1 + 1.0)) /
+            (tf.toDouble + k1 * ((1.0 - b) + b * (tl.size.toDouble / avgdl)))
+          Some((h60(t), c))
+        }
+      }
+      if contribs.nonEmpty
+    } yield {
+      val raw = contribs.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+      (0L, did) -> BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).toMap
+  }
+
+  test("bm25TopKIndexed matches a driver-side exact recompute, per query") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val q1 = Seq("spark", "hash")
+    val q2 = Seq("merge")
+    val served = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((1L, q1), (2L, q2)).toDF("query_id", "terms"), k = 10)
+      .select("query_id", "doc_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    val exp1 = bruteBm25(corpus, q1).map { case ((_, d), s) => (1L, d) -> s }
+    val exp2 = bruteBm25(corpus, q2).map { case ((_, d), s) => (2L, d) -> s }
+    assert(served == exp1 ++ exp2,
+      s"served $served vs expected ${exp1 ++ exp2}")
+  }
+
+  test("rank breaks score ties by doc_id and k truncates per query") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    // docs 11/12/13 are identical -> identical scores -> rank by doc_id
+    val docs = Seq((11L, "alpha beta"), (12L, "alpha beta"), (13L, "alpha beta"),
+      (14L, "gamma"))
+    LexicalRetrieval.buildBm25Index(docs.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 4)
+    val out = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((7L, Seq("alpha"))).toDF("query_id", "terms"), k = 2)
+      .select("rank", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 11L), (2L, 12L)), s"got ${out.toSeq}")
+  }
+
+  test("append + compact serve identically to a whole-corpus build") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val whole = s"$root/whole"
+    val inc = s"$root/inc"
+    val df = corpus.toDF("doc_id", "text")
+    LexicalRetrieval.buildBm25Index(df, "doc_id", "text", whole, buckets = 8)
+    LexicalRetrieval.buildBm25Index(df.filter(col("doc_id") <= 3),
+      "doc_id", "text", inc, buckets = 8)
+    LexicalRetrieval.appendBm25Index(df.filter(col("doc_id") > 3),
+      "doc_id", "text", inc, "day2")
+    val queries = Seq((1L, Seq("spark", "hash")), (2L, Seq("merge", "scan")))
+      .toDF("query_id", "terms")
+    def serve(p: String) = LexicalRetrieval.bm25TopKIndexed(spark, p, queries)
+      .collect().map(_.toSeq).toSet
+    val expected = serve(whole)
+    assert(serve(inc) == expected, "pre-compaction append must match")
+    LexicalRetrieval.compactBm25Index(spark, inc)
+    assert(serve(inc) == expected, "post-compaction serve must match")
+    // compaction folded the partials: one stats row, one df row per term
+    val stats = spark.read.parquet(Dedup.resolveIndexDir(s"$inc/stats"))
+    assert(stats.count() == 1, "stats partials folded to one row")
+    val termdf = spark.read.parquet(Dedup.resolveIndexDir(s"$inc/termdf"))
+    assert(termdf.groupBy("term_id").count().filter(col("count") > 1).isEmpty,
+      "df partials folded to one row per term")
+  }
+
+  test("a replayed append batch overwrites itself instead of double-counting") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val df = corpus.toDF("doc_id", "text")
+    LexicalRetrieval.buildBm25Index(df.filter(col("doc_id") <= 3),
+      "doc_id", "text", idx, buckets = 8)
+    LexicalRetrieval.appendBm25Index(df.filter(col("doc_id") > 3),
+      "doc_id", "text", idx, "day2")
+    val once = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("spark", "hash"))).toDF("query_id", "terms"))
+      .collect().map(_.toSeq).toSet
+    // crash-retry: the same batch id lands again
+    LexicalRetrieval.appendBm25Index(df.filter(col("doc_id") > 3),
+      "doc_id", "text", idx, "day2")
+    val twice = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("spark", "hash"))).toDF("query_id", "terms"))
+      .collect().map(_.toSeq).toSet
+    assert(once == twice, "replayed batch must not change any statistic")
+  }
+
+  test("the postings probe prunes to the query terms' buckets") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val served = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("merge"))).toDF("query_id", "terms"))
+    served.collect()
+    // the scan hides inside AQE query stages — assert on the printed final
+    // plan (the FeatureStoreSpec partition-filter gate pattern): the
+    // postings read must carry the static tb isin as a PARTITION filter
+    // (directory pruning), not a post-scan data filter
+    val plan = served.queryExecution.executedPlan.toString
+    val postingsScan = plan.linesIterator
+      .filter(l => l.contains("postings") && l.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(postingsScan.nonEmpty, s"no postings scan with PartitionFilters in:\n$plan")
+    assert(postingsScan.contains("tb"),
+      s"postings scan must prune on tb: $postingsScan")
+  }
+
+  test("queries with no corpus hits return no rows; others are unaffected") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val out = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((1L, Seq("zzznope")), (2L, Seq("merge"))).toDF("query_id", "terms"))
+      .select("query_id").distinct().as[Long].collect().toSet
+    assert(out == Set(2L), s"got $out")
+  }
+
+  test("contaminationRatioIndexed over a built gram index equals the direct form") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // fully contained
+      (2L, "entirely novel text with no shared substrings!!"),
+      (3L, "five dozen liquor jugs are heavy"))
+    val root = Files.createTempDirectory("gram_spec_").toString
+    val idx = s"$root/grams"
+    Dedup.buildGramIndex(bench.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val direct = Dedup.contaminationRatio(bench.toDF("doc_id", "text"),
+        probe.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val indexed = Dedup.contaminationRatioIndexed(probe.toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == direct)
+    val full = indexed.find(_.head == 1L).get
+    assert(full(3) == 1.0, s"doc 1 is fully contained: $full")
+  }
+}

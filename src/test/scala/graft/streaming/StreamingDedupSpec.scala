@@ -160,6 +160,84 @@ class StreamingDedupSpec extends SparkSpec {
       "streamed serving must match brute force under the degeneracy settings")
   }
 
+  test("StreamingBm25Serve serves query micro-batches fit-free from the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.LexicalRetrieval
+
+    val root = Files.createTempDirectory("sbm25_spec_").toString
+    val corpus = Seq(
+      (1L, "spark window spark hash"),
+      (2L, "window sort merge join hash hash"),
+      (3L, "spark spark spark scan filter")).toDF("doc_id", "text")
+    LexicalRetrieval.buildBm25Index(corpus, "doc_id", "text", s"$root/idx",
+      buckets = 8)
+
+    val source = MemoryStream[(Long, Seq[String])]
+    val q = StreamingBm25Serve.start(source.toDF().toDF("query_id", "terms"),
+      s"$root/idx", s"$root/out", s"$root/ckpt", k = 10,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      source.addData((10L, Seq("spark")))
+      q.processAllAvailable()
+      source.addData((11L, Seq("merge", "hash")), (12L, Seq("scan")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    // per-batch partitions under the effectively-once contract
+    val batches = out.select("query_id", "batch").as[(Long, String)]
+      .collect().toMap
+    assert(batches == Map(10L -> "b0", 11L -> "b1", 12L -> "b1") ||
+      (batches(10L) == "b0" && batches(11L) == "b1" && batches(12L) == "b1"),
+      s"got $batches")
+    // each batch's rows equal a direct fit-free serve of the same queries
+    val direct = LexicalRetrieval.bm25TopKIndexed(spark, s"$root/idx",
+        Seq((10L, Seq("spark")), (11L, Seq("merge", "hash")), (12L, Seq("scan")))
+          .toDF("query_id", "terms"), k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(out.drop("batch").collect().map(_.toSeq).toSet == direct,
+      "streamed serving must equal the direct indexed serve")
+  }
+
+  test("StreamingDecontamGate quarantines contaminated docs against the frozen gram index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("sgate_spec_").toString
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every morning"),
+      (101L, "pack my box with five dozen liquor jugs tonight")).toDF("doc_id", "text")
+    Dedup.buildGramIndex(bench, "doc_id", "text", s"$root/grams")
+
+    val contaminated = "the quick brown fox jumps over the lazy dog every morning"
+    val clean = "zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii oooo pppp"
+    val partial = "five dozen liquor jugs but the rest is completely different prose"
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingDecontamGate.start(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/grams", s"$root/kept", s"$root/verdicts",
+      s"$root/ckpt", maxRatio = 0.5, trigger = Trigger.ProcessingTime(0L))
+    try {
+      source.addData((1L, contaminated), (2L, clean))
+      q.processAllAvailable()
+      source.addData((3L, partial))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "ratio", "quarantined", "batch")
+      .as[(Long, Double, Boolean, String)].collect().map(r => r._1 -> r).toMap
+    assert(verdicts.keySet == Set(1L, 2L, 3L), "every streamed doc gets a verdict")
+    assert(verdicts(1L)._2 == 1.0 && verdicts(1L)._3, "full containment quarantined")
+    assert(verdicts(2L)._2 < 0.5 && !verdicts(2L)._3, "novel text admitted")
+    assert(verdicts(1L)._4 == "b0" && verdicts(3L)._4 == "b1",
+      "verdicts land in per-batch partitions")
+    val keptIds = spark.read.parquet(s"$root/kept").select("doc_id")
+      .as[Long].collect().toSet
+    assert(!keptIds.contains(1L) && keptIds.contains(2L),
+      s"kept must hold exactly the admitted docs, got $keptIds")
+  }
+
   test("multi-batch candidate dumps ACCUMULATE per batch (b<id> subdirs), overwriting none") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
