@@ -117,12 +117,13 @@ object QuerySuite {
     * order on both sides (the engine's `sort_array` + `aggregate` HOF is
     * replayed here with `list_sort` + `list_reduce`; contributions are
     * strictly positive, so the engine's extra 0.0 init term is exact). */
-  private def bm25MultiQueryOracle(valuesRows: String): String =
+  private def bm25MultiQueryOracle(valuesRows: String,
+      docsWhere: String = ""): String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
-       |  FROM documents
+       |  FROM documents $docsWhere
        |), d AS (
        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
        |), consts AS (
@@ -2013,6 +2014,35 @@ object QuerySuite {
       ).toDF("query_id", "terms")
       LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10)
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25 index DELETION: erasure for lexical serving. Docs deleted BY
+    //      ID write negative df/stats partials (scores must reflect the
+    //      post-deletion corpus — hiding postings is not enough) + id-only
+    //      tombstones the serve scan anti-joins; purge physically erases.
+    //      The query serves PENDING and PURGED and requires them identical;
+    //      the oracle computes BM25 over the corpus WITHOUT the deleted docs
+    //      — it knows nothing about tombstones, so a match proves exact
+    //      statistical erasure ----
+    "q180_bm25_delete" -> ((s, dir) => {
+      import s.implicits._
+      val idx = aux(dir, "q180_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      LexicalRetrieval.deleteFromBm25Index(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select("doc_id"), "doc_id", idx, "erase1")
+      val queries = Seq(
+        (1L, Seq("spark", "hash")),
+        (2L, Seq("dup", "window")),
+        (3L, Seq("merge", "scan", "filter"))
+      ).toDF("query_id", "terms")
+      val pending = LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10)
+        .collect().map(_.toSeq).toSet
+      LexicalRetrieval.purgeBm25Index(s, idx)
+      val purged = LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10)
+      require(purged.collect().map(_.toSeq).toSet == pending,
+        "pending-tombstone serving must equal post-purge serving")
+      purged.orderBy("query_id", "rank")
     }),
 
     // ---- STREAMING lexical retrieval (StreamingBm25Serve — q160's request
@@ -4098,6 +4128,15 @@ object QuerySuite {
       """(1, ['customer', 'order']),
         |    (2, ['dup', 'slow']),
         |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // the q176 oracle over the corpus MINUS the deleted docs — no tombstone
+    // concept on this side: equality proves the negative partials restored
+    // df/n_docs/sum_dl exactly and the anti-join hid every deleted posting
+    "q180_bm25_delete" -> bm25MultiQueryOracle(
+      """(1, ['spark', 'hash']),
+        |    (2, ['dup', 'window']),
+        |    (3, ['merge', 'scan', 'filter'])""".stripMargin,
+      docsWhere = "WHERE doc_id % 7 <> 0"),
 
     // q176's contract over the STREAMED query batch (single AvailableNow
     // micro-batch; the oracle is agnostic to the batching)

@@ -40,6 +40,14 @@ import GraftFunctions.{portableHash60, wsTokens}
   *  - `stats/` — `(n_docs, sum_dl, tb_buckets)` per-batch partials, same
   *    additivity. `tb_buckets` pins the bucket count the postings layout was
   *    built with (appends must agree or probe pruning would miss rows).
+  *  - `doclens/` — `(doc_id, dl)`, one row per doc INCLUDING zero-token docs
+  *    (which have no postings but count in the corpus constants). Never read
+  *    on the request path; it exists so [[deleteFromBm25Index]] can erase a
+  *    doc's statistics EXACTLY (a deleted empty doc must still decrement
+  *    n_docs).
+  *  - `tombstones/` — id-only `(doc_id)` deletion markers
+  *    ([[deleteFromBm25Index]]); serving anti-joins them out of the postings
+  *    scan until [[purgeBm25Index]] physically erases.
   *
   * Scoring keeps q174's cross-engine bit-reproducibility rules: RAW-ratio idf
   * `(n_docs − df + 0.5)/(df + 0.5)` (no `ln` — transcendentals differ in the
@@ -76,19 +84,114 @@ object LexicalRetrieval {
       wholeIndex = false)
   }
 
-  /** Compact per-batch partitions: postings rewrite as-is (still partitioned
-    * by `tb`), df partials and the stats partials FOLD into one row per key
-    * through [[graft.dedup.Dedup.compactBatchedDir]]'s transform hook — all
-    * three swap in under the shared atomic CURRENT-pointer versioning. */
-  def compactBm25Index(spark: SparkSession, indexPath: String): Unit = {
-    Dedup.compactBatchedDir(spark, s"$indexPath/postings",
+  /** Compact per-batch partitions: postings/doclens rewrite as-is (postings
+    * still partitioned by `tb`), df partials and the stats partials FOLD
+    * into one row per key through
+    * [[graft.dedup.Dedup.compactBatchedDir]]'s transform hook — all tables
+    * swap in under the shared atomic CURRENT-pointer versioning. Folding
+    * drops df rows that sum to ≤ 0 (a fully-deleted term after a purge). */
+  def compactBm25Index(spark: SparkSession, indexPath: String): Unit =
+    compactTables(spark, indexPath, identity)
+
+  private def compactTables(spark: SparkSession, indexPath: String,
+      erase: DataFrame => DataFrame): Unit = {
+    Dedup.compactBatchedDir(spark, s"$indexPath/postings", erase,
       extraPartitionCols = Seq("tb"))
+    Dedup.compactBatchedDir(spark, s"$indexPath/doclens", erase)
     Dedup.compactBatchedDir(spark, s"$indexPath/termdf",
-      transform = df => df.groupBy("term_id").agg(sum(col("df")).as("df")))
+      transform = df => df.groupBy("term_id").agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0))
     Dedup.compactBatchedDir(spark, s"$indexPath/stats",
       transform = df => df.groupBy("tb_buckets").agg(
           sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
         .select("n_docs", "sum_dl", "tb_buckets"))
+  }
+
+  /** Tombstone docs OUT of the index — the erasure path for lexical serving
+    * ([[graft.similarity.Similarity.deleteFromIvfadcIndex]]'s semantic for
+    * BM25, with one extra obligation the vector index doesn't have: BM25
+    * scores depend on CORPUS STATISTICS, so hiding a doc's postings is not
+    * enough — its contribution to df, n_docs and sum_dl must come out too,
+    * or every surviving doc keeps being scored against a phantom corpus.
+    * Erasure therefore writes NEGATIVE partials: the deleted docs' per-term
+    * df counts and (n_docs, sum_dl) totals, negated, land as ordinary
+    * `batch=<batchId>` partial rows that the serve-time sums fold in — the
+    * additive-partials design makes deletion just another batch. Ids land in
+    * replay-idempotent `tombstones/batch=<id>` partitions and serving
+    * anti-joins them out of the postings scan (id-only narrow rows,
+    * broadcast until purge). Already-tombstoned and never-indexed ids are
+    * excluded when computing the decrements, so a double-delete (any batch
+    * id) cannot double-decrement. Statistics come FROM THE INDEX (one
+    * maintenance-class scan over postings + doclens), so the caller deletes
+    * by id alone — no payload needed. */
+  def deleteFromBm25Index(keys: DataFrame, id: String, indexPath: String,
+      batchId: String): Unit = {
+    val spark = keys.sparkSession
+    val buckets = readBuckets(spark, indexPath)
+    val ids = keys.select(col(id).cast("long").as("doc_id")).distinct()
+    val known = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/doclens"))
+      .join(ids, Seq("doc_id"), "leftsemi")
+    val fresh = readTombstones(spark, indexPath)
+      .fold(known)(t => known.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      .persist()
+    fresh.count(): Unit // feeds stats, df decrements AND the marker write
+    val negStats = fresh
+      .agg((-count(lit(1))).as("n_docs"), (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      .withColumn("tb_buckets", lit(buckets))
+    val negDf = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+      .join(fresh.select("doc_id"), Seq("doc_id"), "leftsemi")
+      .groupBy("term_id").agg((-count(lit(1))).as("df"))
+    Dedup.writeIndexBatch(negDf, s"$indexPath/termdf", batchId)
+    Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId)
+    Dedup.writeIndexBatch(fresh.select("doc_id"), s"$indexPath/tombstones",
+      batchId)
+    fresh.unpersist(false): Unit
+  }
+
+  /** Physical purge: one versioned rewrite of postings + doclens with the
+    * tombstone anti-join folded in, df/stats partials folded (the pending
+    * negative rows net out the erased docs' counts), then the folded
+    * tombstone markers are cleared — the
+    * [[graft.similarity.Similarity.purgeIvfadcIndex]] crash contract: the
+    * marker-dir snapshot is taken BEFORE anything reads them, so a delete
+    * landing mid-purge survives the sweep and keeps anti-joining until the
+    * next purge; a crash between rewrites leaves serving correct (surviving
+    * tombstones still anti-join) and a retry completes. */
+  def purgeBm25Index(spark: SparkSession, indexPath: String): Unit = {
+    val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
+    import scala.jdk.CollectionConverters._
+    val dirsAtPlan: List[java.nio.file.Path] =
+      if (!java.nio.file.Files.exists(root)) Nil
+      else {
+        val ls = java.nio.file.Files.list(root)
+        try ls.iterator().asScala.toList finally ls.close()
+      }
+    readTombstones(spark, indexPath) match {
+      case Some(t0) =>
+        val t = broadcast(t0)
+        compactTables(spark, indexPath,
+          erase = _.join(t, Seq("doc_id"), "left_anti"))
+        dirsAtPlan.foreach { d =>
+          val walk = java.nio.file.Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
+        }
+        val ls2 = java.nio.file.Files.list(root)
+        val empty = try !ls2.iterator().hasNext finally ls2.close()
+        if (empty) java.nio.file.Files.delete(root)
+      case None => compactBm25Index(spark, indexPath)
+    }
+  }
+
+  private def readTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = s"$indexPath/tombstones"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
+    else Some(spark.read.parquet(Dedup.resolveIndexDir(p))
+      .select("doc_id").distinct())
   }
 
   /** Serve a BATCH of queries fit-free from the persisted index.
@@ -130,10 +233,16 @@ object LexicalRetrieval {
           lit(0L).as("doc_id"), lit(0L).as("dl"), lit(0.0).as("score"))
         .limit(0)
     }
-    val post = spark.read
+    val post0 = spark.read
       .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
       .filter(col("tb").isin(tbs: _*))
       .join(broadcast(qt), Seq("term_id"))
+    // pending erasures leave the scan hidden until purge (id-only narrow
+    // rows — broadcast-sized; the negative df/stats partials those deletes
+    // wrote fold into the same sums as every other batch, so the scores of
+    // SURVIVING docs reflect the post-deletion corpus exactly)
+    val post = readTombstones(spark, indexPath)
+      .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val qtIds = qt.select("term_id").distinct()
     val dfAgg = spark.read
       .parquet(Dedup.resolveIndexDir(s"$indexPath/termdf"))
@@ -209,6 +318,8 @@ object LexicalRetrieval {
       wholeIndex, partitionCols = Seq("tb"))
     Dedup.writeIndexBatch(termdf, s"$indexPath/termdf", batchId, wholeIndex)
     Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId, wholeIndex)
+    Dedup.writeIndexBatch(tokd.select("doc_id", "dl"), s"$indexPath/doclens",
+      batchId, wholeIndex)
     postings.unpersist(false): Unit
     tokd.unpersist(false): Unit
   }

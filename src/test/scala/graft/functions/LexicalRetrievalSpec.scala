@@ -174,6 +174,59 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(out == Set(2L), s"got $out")
   }
 
+  test("deletion serves as if the docs never existed — pending AND purged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val rebuilt = s"$root/rebuilt"
+    val df = corpus.toDF("doc_id", "text")
+    LexicalRetrieval.buildBm25Index(df, "doc_id", "text", idx, buckets = 8)
+    // doc 3 carries most 'spark' mass (df + n_docs + sum_dl all move);
+    // doc 5 is the ZERO-TOKEN doc — only doclens knows it exists, so its
+    // n_docs decrement exercises the doc-level table
+    LexicalRetrieval.deleteFromBm25Index(Seq(3L, 5L).toDF("doc_id"),
+      "doc_id", idx, "erase1")
+    LexicalRetrieval.buildBm25Index(df.filter(!col("doc_id").isin(3L, 5L)),
+      "doc_id", "text", rebuilt, buckets = 8)
+    val queries = Seq((1L, Seq("spark", "hash")), (2L, Seq("scan")))
+      .toDF("query_id", "terms")
+    def serve(p: String) = LexicalRetrieval.bm25TopKIndexed(spark, p, queries)
+      .collect().map(_.toSeq).toSet
+    val expected = serve(rebuilt)
+    assert(serve(idx) == expected,
+      "pending-tombstone serving must equal a rebuild on the survivors")
+    assert(!serve(idx).exists(_(2) == 3L), "deleted doc must not be retrieved")
+    LexicalRetrieval.purgeBm25Index(spark, idx)
+    assert(serve(idx) == expected, "post-purge serving must equal the rebuild")
+    // purge physically erased: no posting or doclen row of doc 3/5 survives
+    val posts = spark.read.parquet(Dedup.resolveIndexDir(s"$idx/postings"))
+    assert(posts.filter(col("doc_id").isin(3L, 5L)).isEmpty)
+    val lens = spark.read.parquet(Dedup.resolveIndexDir(s"$idx/doclens"))
+    assert(lens.filter(col("doc_id").isin(3L, 5L)).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/tombstones")), "markers cleared")
+  }
+
+  test("double-delete across batch ids cannot double-decrement the statistics") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val df = corpus.toDF("doc_id", "text")
+    LexicalRetrieval.buildBm25Index(df, "doc_id", "text", idx, buckets = 8)
+    LexicalRetrieval.deleteFromBm25Index(Seq(3L).toDF("doc_id"), "doc_id", idx, "e1")
+    val once = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("spark", "hash"))).toDF("query_id", "terms"))
+      .collect().map(_.toSeq).toSet
+    // the same id again under a NEW batch id, plus an id the index never had
+    LexicalRetrieval.deleteFromBm25Index(Seq(3L, 999L).toDF("doc_id"),
+      "doc_id", idx, "e2")
+    val twice = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("spark", "hash"))).toDF("query_id", "terms"))
+      .collect().map(_.toSeq).toSet
+    assert(once == twice,
+      "re-deleting a tombstoned or unknown id must not change any statistic")
+  }
+
   test("contaminationRatioIndexed over a built gram index equals the direct form") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"),
