@@ -119,7 +119,14 @@ object QuerySuite {
     * strictly positive, so the engine's extra 0.0 init term is exact). */
   private def bm25MultiQueryOracle(valuesRows: String,
       docsWhere: String = ""): String =
-    s"""WITH t AS (
+    s"""WITH ${bm25RankedCtes(valuesRows, docsWhere)}
+       |SELECT query_id, rank, doc_id, dl, score
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** The CTE chain (ending in `ranked`) behind [[bm25MultiQueryOracle]],
+    * reusable as the lexical ARM of a fusion oracle. */
+  private def bm25RankedCtes(valuesRows: String, docsWhere: String): String =
+    s"""t AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
@@ -159,9 +166,7 @@ object QuerySuite {
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
        |    doc_id, dl, score
        |  FROM per
-       |)
-       |SELECT query_id, rank, doc_id, dl, score
-       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |)""".stripMargin
 
   /** Orders tagged with their customer's nation — the q130/q132 stratum frame. */
   private def ordersByNation(s: SparkSession, dir: String): DataFrame =
@@ -2043,6 +2048,33 @@ object QuerySuite {
       require(purged.collect().map(_.toSeq).toSet == pending,
         "pending-tombstone serving must equal post-purge serving")
       purged.orderBy("query_id", "rank")
+    }),
+
+    // ---- HYBRID retrieval: BM25 arm (persisted index, fit-free) + dense
+    //      cosine arm fused by reciprocal rank (RRF, Cormack '09) — the
+    //      retrieval stack a RAG/training-curation pipeline actually runs.
+    //      Fusion consumes only RANKS, so it is exactly oracle-replayable;
+    //      the dense arm runs exact here (the q17 contract) and production
+    //      swaps in ivfadcTopKIndexed — rrfFuse is arm-agnostic ----
+    "q181_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q181_bm25index")
+      LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", idx)
+      val terms = Seq(
+        (0L, Seq("spark", "hash")),
+        (7L, Seq("merge", "scan")),
+        (42L, Seq("dup"))
+      ).toDF("query_id", "terms")
+      val lex = LexicalRetrieval.bm25TopKIndexed(s, idx, terms, k = 20)
+        .select("query_id", "doc_id", "rank")
+      val sem = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id").isin(0L, 7L, 42L)),
+          "vec_id", "embedding", k = 20, excludeSelf = true)
+        .select(col("query_id"), col("nbr_id").as("doc_id"),
+          col("nbr_rank").as("rank"))
+      Similarity.rrfFuse(Seq(lex, sem), k = 10).orderBy("query_id", "rank")
     }),
 
     // ---- STREAMING lexical retrieval (StreamingBm25Serve — q160's request
@@ -4137,6 +4169,45 @@ object QuerySuite {
         |    (2, ['dup', 'window']),
         |    (3, ['merge', 'scan', 'filter'])""".stripMargin,
       docsWhere = "WHERE doc_id % 7 <> 0"),
+
+    // both arms re-derived exactly (the q176 BM25 CTEs at top-20; the q17
+    // cosine ranking at top-20), then the RRF fold: two fixed-order IEEE
+    // terms 1/(60 + rank), missing arm -> 0.0, rounded once, ties -> doc_id
+    "q181_hybrid_rrf" ->
+      s"""WITH ${bm25RankedCtes(
+        """(0, ['spark', 'hash']),
+          |    (7, ['merge', 'scan']),
+          |    (42, ['dup'])""".stripMargin, "")},
+         |lex AS (
+         |  SELECT query_id, doc_id, rank AS lr FROM ranked WHERE rank <= 20
+         |), qv AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+         |  FROM embeddings WHERE vec_id IN (0, 7, 42)
+         |), cvs AS (
+         |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings
+         |), semscored AS (
+         |  SELECT query_id, nbr_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY list_cosine_similarity(qvec, cv) DESC, nbr_id) AS sr
+         |  FROM qv JOIN cvs ON query_id <> nbr_id
+         |), sem AS (
+         |  SELECT query_id, nbr_id AS doc_id, sr FROM semscored WHERE sr <= 20
+         |), fused AS (
+         |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+         |         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |         round(coalesce(1.0 / (60.0 + lr::DOUBLE), 0.0)
+         |             + coalesce(1.0 / (60.0 + sr::DOUBLE), 0.0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+         |), final AS (
+         |  SELECT query_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         |    doc_id, rrf
+         |  FROM fused
+         |)
+         |SELECT query_id, rank, doc_id, rrf
+         |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // q176's contract over the STREAMED query batch (single AvailableNow
     // micro-batch; the oracle is agnostic to the batching)

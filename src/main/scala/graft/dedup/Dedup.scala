@@ -1491,6 +1491,25 @@ object Dedup {
       docGrams(bench, id, text, n).select(col("gh")).distinct(),
       indexPath, "base", wholeIndex = true)
 
+  /** Fold NEW benchmark docs into a gram index — benchmarks grow (a new
+    * eval-set release must start gating immediately, without re-tokenizing
+    * every prior benchmark). Per-batch distinct grams land in replay-
+    * idempotent `batch=<id>` partitions; the membership probe is
+    * insensitive to cross-batch duplicates, so no global re-distinct is
+    * needed on the write path. */
+  def appendGramIndex(bench: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String, n: Int = 8): Unit =
+    writeIndexBatch(
+      docGrams(bench, id, text, n).select(col("gh")).distinct(),
+      indexPath, batchId)
+
+  /** Compact gram-index batches, folding cross-batch duplicate grams away
+    * (probe cost ∝ stored rows — a year of benchmark drops with shared
+    * boilerplate wants the global distinct back). Shared atomic
+    * CURRENT-pointer versioning. */
+  def compactGramIndex(spark: SparkSession, indexPath: String): Unit =
+    compactBatchedDir(spark, indexPath, transform = _.distinct())
+
   /** [[contaminationRatio]] served from a PERSISTED gram index
     * ([[buildGramIndex]]) — the fit-free form the streaming gate uses: the
     * benchmark side is never re-tokenized; each doc batch pays one gram

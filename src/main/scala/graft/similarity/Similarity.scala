@@ -205,6 +205,47 @@ object Similarity {
     rankCandidates(candidates, assigned.select(col("nbr_id"), col("cv")), q, k)
   }
 
+  /** Reciprocal-rank fusion of retrieval arms — the HYBRID retrieval step
+    * (Cormack et al. '09: RRF beats learned fusion surprisingly often, needs
+    * zero training, and consumes nothing but RANKS, which makes it the one
+    * fusion rule an independent engine can replay bit-for-bit). Each arm is
+    * any rank frame `(query_id, doc_id, rank)` — [[bruteForceTopK]] /
+    * [[ivfadcTopKIndexed]] renamed, or
+    * [[graft.functions.LexicalRetrieval.bm25TopKIndexed]] as-is — so the
+    * fusion is arm-agnostic: production fuses the PERSISTED-index serving
+    * paths of both families.
+    *
+    * Scale shape: arms arrive already top-N-truncated (each N·|queries|
+    * rows), so everything here is narrow — the chained full-outer joins and
+    * the rank-limit window run on request-batch-sized frames. Score =
+    * Σ 1/(kRrf + rank) with missing-arm terms 0.0, summed in ARM ORDER (a
+    * compile-time list — the q174 fixed-expression-order rule; each term is
+    * one IEEE division, no transcendentals).
+    *
+    * @return (query_id, rank, doc_id, rrf) — fused top-k per query, ties →
+    *   lower doc_id */
+  def rrfFuse(arms: Seq[DataFrame], k: Int = 10, kRrf: Int = 60): DataFrame = {
+    require(arms.nonEmpty && arms.size <= 8,
+      "rrfFuse: 1..8 arms (terms sum in fixed expression order)")
+    val keyed = arms.zipWithIndex.map { case (a, i) =>
+      a.select(col("query_id"), col("doc_id"),
+        col("rank").cast("long").as(s"__r$i"))
+    }
+    val joined = keyed.reduce((l, r) =>
+      l.join(r, Seq("query_id", "doc_id"), "full_outer"))
+    val score = keyed.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(kRrf.toDouble) + col(s"__r$i").cast("double")),
+        lit(0.0)))
+      .reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    joined.withColumn("rrf", round(score, 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf")
+  }
+
   /** LSH-bucketed approximate top-k — the training-free scale path (no
     * quantizer fit at all): `tables` independent random-hyperplane hash
     * tables; a query only scores corpus vectors sharing a bucket in at least

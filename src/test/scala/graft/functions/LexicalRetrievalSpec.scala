@@ -227,6 +227,52 @@ class LexicalRetrievalSpec extends SparkSpec {
       "re-deleting a tombstoned or unknown id must not change any statistic")
   }
 
+  test("rrfFuse folds ranks exactly, handles missing arms, breaks ties by doc_id") {
+    import spark.implicits._
+    import graft.similarity.Similarity
+    // arm A ranks docs 1,2,3; arm B ranks 2,1,4 — doc 3 and 4 each miss one arm
+    val a = Seq((9L, 1L, 1L), (9L, 2L, 2L), (9L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((9L, 2L, 1L), (9L, 1L, 2L), (9L, 4L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    def r(x: Long) = 1.0 / (60.0 + x.toDouble)
+    def rrf(xs: Double*) = BigDecimal(xs.sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .select("doc_id", "rrf").as[(Long, Double)].collect().toMap
+    assert(out(1L) == rrf(r(1), r(2)))
+    assert(out(2L) == rrf(r(2), r(1)))
+    assert(out(3L) == rrf(r(3)), "single-arm doc gets the other arm as 0.0")
+    assert(out(4L) == rrf(r(3)))
+    // 1 and 2 tie exactly (symmetric ranks), as do 3 and 4 -> doc_id order
+    val ranked = Similarity.rrfFuse(Seq(a, b), k = 10)
+      .select("rank", "doc_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(ranked.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("appendGramIndex extends the gate; compactGramIndex folds duplicates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gram_spec_").toString
+    val idx = s"$root/grams"
+    val bench1 = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+    val bench2 = Seq((101L, "pack my box with five dozen liquor jugs"),
+      (102L, "the quick brown fox jumps over the lazy dog")) // dups bench1
+    Dedup.buildGramIndex(bench1.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val probe = Seq((1L, "five dozen liquor jugs exactly")).toDF("doc_id", "text")
+    def ratioOf = Dedup.contaminationRatioIndexed(probe, "doc_id", "text", idx)
+      .select("ratio").collect().head.getDouble(0)
+    assert(ratioOf == 0.0, "not contaminated against bench1 alone")
+    Dedup.appendGramIndex(bench2.toDF("doc_id", "text"), "doc_id", "text",
+      idx, "drop2")
+    val after = ratioOf
+    assert(after > 0.0, "bench2's grams must gate immediately after append")
+    val preCompact = spark.read.parquet(Dedup.resolveIndexDir(idx)).count()
+    Dedup.compactGramIndex(spark, idx)
+    val postCompact = spark.read.parquet(Dedup.resolveIndexDir(idx)).count()
+    assert(postCompact < preCompact, "cross-batch duplicate grams folded")
+    assert(ratioOf == after, "compaction must not change any verdict")
+  }
+
   test("contaminationRatioIndexed over a built gram index equals the direct form") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"),
