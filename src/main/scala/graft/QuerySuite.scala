@@ -12,10 +12,10 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, LexicalRetrieval, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
+import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingDecontamGate, StreamingDedup, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -117,6 +117,46 @@ object QuerySuite {
     * order on both sides (the engine's `sort_array` + `aggregate` HOF is
     * replayed here with `list_sort` + `list_reduce`; contributions are
     * strictly positive, so the engine's extra 0.0 init term is exact). */
+  /** The q181/q183 oracle: hybrid RRF over the exact lexical (q176 CTEs,
+    * top-20) and dense (q17 cosine ranking, top-20) arms, fused with the
+    * engine's two-term IEEE fold — shared because q183 is the SAME retrieval
+    * streamed (dense arm at full probe = exact). */
+  private def hybridRrfOracle: String =
+    s"""WITH ${bm25RankedCtes(
+      """(0, ['spark', 'hash']),
+        |    (7, ['merge', 'scan']),
+        |    (42, ['dup'])""".stripMargin, "")},
+       |lex AS (
+       |  SELECT query_id, doc_id, rank AS lr FROM ranked WHERE rank <= 20
+       |), qv AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+       |  FROM embeddings WHERE vec_id IN (0, 7, 42)
+       |), cvs AS (
+       |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings
+       |), semscored AS (
+       |  SELECT query_id, nbr_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY list_cosine_similarity(qvec, cv) DESC, nbr_id) AS sr
+       |  FROM qv JOIN cvs ON query_id <> nbr_id
+       |), sem AS (
+       |  SELECT query_id, nbr_id AS doc_id, sr FROM semscored WHERE sr <= 20
+       |), fused AS (
+       |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+       |         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |         round(coalesce(1.0 / (60.0 + lr::DOUBLE), 0.0)
+       |             + coalesce(1.0 / (60.0 + sr::DOUBLE), 0.0), 6) AS rrf
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+       |), final AS (
+       |  SELECT query_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       |    doc_id, rrf
+       |  FROM fused
+       |)
+       |SELECT query_id, rank, doc_id, rrf
+       |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def bm25MultiQueryOracle(valuesRows: String,
       docsWhere: String = ""): String =
     s"""WITH ${bm25RankedCtes(valuesRows, docsWhere)}
@@ -2075,6 +2115,50 @@ object QuerySuite {
         .select(col("query_id"), col("nbr_id").as("doc_id"),
           col("nbr_rank").as("rank"))
       Similarity.rrfFuse(Seq(lex, sem), k = 10).orderBy("query_id", "rank")
+    }),
+
+    // ---- SHARDED corpus export + integrity manifest: content-addressed
+    //      shard assignment (the q164 rule), per-shard (n_rows, checksum)
+    //      with an ORDER-INDEPENDENT digest sum computed from the files AS
+    //      WRITTEN — the oracle recomputes both from the raw table, so a
+    //      lost/duplicated/corrupted exported row breaks the hash match ----
+    "q182_export_manifest" -> ((s, dir) => {
+      CorpusExport.exportShards(Tables.documents(s, dir),
+          "doc_id", "text", aux(dir, "q182_export"), shards = 8)
+        .orderBy("shard")
+    }),
+
+    // ---- STREAMING hybrid retrieval (StreamingHybridServe): one request
+    //      path over BOTH persisted indexes — per micro-batch the lexical
+    //      arm serves from the BM25 index, the dense arm from the semantic
+    //      index (full probe here = exact; nProbe is the production dial),
+    //      RRF-fused. Oracle = q181's, agnostic to the batching ----
+    "q183_stream_hybrid" -> ((s, dir) => withStreamingConf(s) { s =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val bmIdx = aux(dir, "q183_bm25index")
+      val semIdx = aux(dir, "q183_semindex")
+      LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", bmIdx)
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", semIdx, nClusters = 16)
+      val queries = Seq(
+        (0L, Seq("spark", "hash")),
+        (7L, Seq("merge", "scan")),
+        (42L, Seq("dup"))
+      ).toDF("query_id", "terms")
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding").as("qvec")), Seq("query_id"))
+      val qdir = tmpDir("q183_queries_")
+      queries.coalesce(1).write.mode("overwrite").parquet(qdir)
+      val stream = s.readStream
+        .schema("query_id LONG, terms ARRAY<STRING>, qvec ARRAY<FLOAT>")
+        .parquet(qdir)
+      val out = aux(dir, "q183_served")
+      val q = StreamingHybridServe.start(stream, bmIdx, semIdx, out,
+        tmpDir("q183_ckpt_"), k = 10, armK = 20, nProbe = 16)
+      q.awaitTermination()
+      s.read.parquet(out).select("query_id", "rank", "doc_id", "rrf")
+        .orderBy("query_id", "rank")
     }),
 
     // ---- STREAMING lexical retrieval (StreamingBm25Serve — q160's request
@@ -4173,41 +4257,21 @@ object QuerySuite {
     // both arms re-derived exactly (the q176 BM25 CTEs at top-20; the q17
     // cosine ranking at top-20), then the RRF fold: two fixed-order IEEE
     // terms 1/(60 + rank), missing arm -> 0.0, rounded once, ties -> doc_id
-    "q181_hybrid_rrf" ->
-      s"""WITH ${bm25RankedCtes(
-        """(0, ['spark', 'hash']),
-          |    (7, ['merge', 'scan']),
-          |    (42, ['dup'])""".stripMargin, "")},
-         |lex AS (
-         |  SELECT query_id, doc_id, rank AS lr FROM ranked WHERE rank <= 20
-         |), qv AS (
-         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-         |  FROM embeddings WHERE vec_id IN (0, 7, 42)
-         |), cvs AS (
-         |  SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings
-         |), semscored AS (
-         |  SELECT query_id, nbr_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |           ORDER BY list_cosine_similarity(qvec, cv) DESC, nbr_id) AS sr
-         |  FROM qv JOIN cvs ON query_id <> nbr_id
-         |), sem AS (
-         |  SELECT query_id, nbr_id AS doc_id, sr FROM semscored WHERE sr <= 20
-         |), fused AS (
-         |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
-         |         coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-         |         round(coalesce(1.0 / (60.0 + lr::DOUBLE), 0.0)
-         |             + coalesce(1.0 / (60.0 + sr::DOUBLE), 0.0), 6) AS rrf
-         |  FROM lex FULL OUTER JOIN sem
-         |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
-         |), final AS (
-         |  SELECT query_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-         |    doc_id, rrf
-         |  FROM fused
-         |)
-         |SELECT query_id, rank, doc_id, rrf
-         |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q181_hybrid_rrf" -> hybridRrfOracle,
+
+    // q181's oracle verbatim: the streamed hybrid serve runs the SAME two
+    // arms fit-free from the persisted indexes (dense arm at full probe =
+    // exact), so the batching must not change a single bit
+    "q183_stream_hybrid" -> hybridRrfOracle,
+
+    // shard + per-row digest recomputed from the RAW table: any lost,
+    // duplicated, or corrupted row in the export moves a count or an
+    // order-independent checksum (sum of md5-digests mod 1e6+3)
+    "q182_export_manifest" ->
+      """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum((('0x' || substr(md5(doc_id::VARCHAR || chr(1) || text), 1, 15))::BIGINT) % 1000003) AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // q176's contract over the STREAMED query batch (single AvailableNow
     // micro-batch; the oracle is agnostic to the batching)

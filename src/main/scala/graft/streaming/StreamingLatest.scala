@@ -291,6 +291,58 @@ object StreamingBm25Serve {
   }
 }
 
+/** Streaming HYBRID retrieval — both persisted indexes on one request path:
+  * each micro-batch of queries carries TEXT TERMS and an EMBEDDING; the
+  * lexical arm serves fit-free from the BM25 index
+  * ([[graft.functions.LexicalRetrieval.bm25TopKIndexed]]), the dense arm
+  * fit-free from the semantic index
+  * ([[graft.similarity.Similarity.ivfTopKIndexed]]), and
+  * [[graft.similarity.Similarity.rrfFuse]] folds the two rank frames —
+  * request-batch-sized end to end, `batch=b<N>` output partitions under the
+  * shared effectively-once contract. nProbe is the recall/cost dial; probing
+  * every cell makes the dense arm EXACT (the oracle's degeneracy setting). */
+object StreamingHybridServe {
+
+  def start(
+      queryStream: DataFrame, // (query_id, terms array<string>, qvec array<float>)
+      bm25IndexPath: String,
+      semIndexPath: String,
+      outPath: String,
+      checkpoint: String,
+      k: Int = 10,
+      armK: Int = 20,
+      nProbe: Int = 4,
+      kRrf: Int = 60,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.LexicalRetrieval
+    import graft.similarity.Similarity
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val lex = LexicalRetrieval.bm25TopKIndexed(s, bm25IndexPath,
+              batch.select("query_id", "terms"), k = armK)
+            .select("query_id", "doc_id", "rank")
+          val sem = Similarity.ivfTopKIndexed(s, semIndexPath,
+              batch.select("query_id", "qvec"), "query_id", "qvec",
+              k = armK, nProbe = nProbe, excludeSelf = true)
+            .select(col("query_id"), col("nbr_id").as("doc_id"),
+              col("nbr_rank").as("rank"))
+          Similarity.rrfFuse(Seq(lex, sem), k = k, kRrf = kRrf)
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(outPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Streaming DECONTAMINATION gate — benchmark leak protection on the ingest
   * path: each micro-batch of documents probes the FROZEN benchmark gram
   * index ([[graft.dedup.Dedup.buildGramIndex]]) and docs whose contamination

@@ -200,6 +200,55 @@ class StreamingDedupSpec extends SparkSpec {
       "streamed serving must equal the direct indexed serve")
   }
 
+  test("StreamingHybridServe fuses both persisted indexes per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.functions.LexicalRetrieval
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions.col
+
+    val root = Files.createTempDirectory("shyb_spec_").toString
+    val docs = Seq(
+      (1L, "spark window spark hash"),
+      (2L, "window sort merge join hash hash"),
+      (3L, "spark spark spark scan filter"),
+      (4L, "totally unrelated words here")).toDF("doc_id", "text")
+    val rng = new scala.util.Random(7)
+    val emb = Seq.tabulate(4)(i =>
+      ((i + 1).toLong, Array.fill(8)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", s"$root/bm", buckets = 8)
+    Dedup.buildSemanticIndex(emb, "vec_id", "embedding", s"$root/sem", nClusters = 2)
+
+    val qvec = Array.fill(8)(0.3f)
+    val source = MemoryStream[(Long, Seq[String], Array[Float])]
+    val q = StreamingHybridServe.start(
+      source.toDF().toDF("query_id", "terms", "qvec"),
+      s"$root/bm", s"$root/sem", s"$root/out", s"$root/ckpt",
+      k = 3, armK = 4, nProbe = 2, trigger = Trigger.ProcessingTime(0L))
+    try {
+      source.addData((50L, Seq("spark", "hash"), qvec))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.parquet(s"$root/out")
+      .select("query_id", "rank", "doc_id", "rrf")
+      .collect().map(_.toSeq).toSet
+    // direct recompute: same arms, same fusion (dense arm full-probe exact)
+    val lex = LexicalRetrieval.bm25TopKIndexed(spark, s"$root/bm",
+        Seq((50L, Seq("spark", "hash"))).toDF("query_id", "terms"), k = 4)
+      .select("query_id", "doc_id", "rank")
+    val sem = Similarity.bruteForceTopK(emb,
+        Seq((50L, qvec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4, excludeSelf = true)
+      .select(col("query_id"), col("nbr_id").as("doc_id"),
+        col("nbr_rank").as("rank"))
+    val direct = Similarity.rrfFuse(Seq(lex, sem), k = 3)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct,
+      s"streamed hybrid must equal the direct fusion: $served vs $direct")
+  }
+
   test("StreamingDecontamGate quarantines contaminated docs against the frozen gram index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
