@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, GraftFunctions, LexicalRetrieval, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, SaltedJoin, SequencePacking, Sessionize, Skyline}
+import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
@@ -2161,6 +2161,24 @@ object QuerySuite {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- BUDGETED corpus selection via distributed EXACT prefix scan:
+    //      best-quality-first until half the corpus's tokens are spent. The
+    //      naive form (Window.orderBy with no partition) funnels 100 TB
+    //      through one task; this one is range-shuffle + parallel
+    //      within-partition windows + a partition-count-bounded offset
+    //      collect. Integer running sums -> bit-replayable oracle ----
+    "q184_budgeted_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", GraftFunctions.tokenCountWs(col("text")).cast("long"))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      // the one scalar the operator inherently needs (the quotaAlloc rule)
+      val budget = docs.agg(sum(col("n_tokens"))).collect().head.getLong(0) / 2
+      PrefixScan.budgetedSelect(docs,
+          Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"), budget)
+        .select("doc_id", "n_tokens", "running_total")
+        .orderBy("doc_id")
+    }),
+
     // ---- STREAMING lexical retrieval (StreamingBm25Serve — q160's request
     //      path over the BM25 index): the index is built offline once; query
     //      batches arrive as a STREAM and each micro-batch is served
@@ -4263,6 +4281,56 @@ object QuerySuite {
     // arms fit-free from the persisted indexes (dense arm at full probe =
     // exact), so the batching must not change a single bit
     "q183_stream_hybrid" -> hybridRrfOracle,
+
+    // the q173 quality-score replay feeding a single global window cumsum —
+    // DuckDB runs the whole scan in one pass; the ENGINE must reach the
+    // identical integer running totals through its range-shuffle + parallel
+    // windows + offset recomposition, which is exactly what the hash match
+    // proves. Budget = integer half of the corpus token total, both sides
+    "q184_budgeted_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text, toks,
+        |    len(toks)::DOUBLE AS n,
+        |    greatest(length(text), 1)::DOUBLE AS chars
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE list_aggregate(list_transform(toks, s -> length(s)), 'sum')::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS mean_len,
+        |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / chars AS alpha_ratio,
+        |    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / chars AS punct_ratio,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE len(list_distinct(toks))::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS distinct_ratio
+        |  FROM m
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n >= 50 AND n <= 100000 THEN CAST(1.0 AS DOUBLE)
+        |          WHEN n >= 10 THEN CAST(0.6 AS DOUBLE)
+        |          WHEN n >= 3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |    + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |    + alpha_ratio * CAST(0.2 AS DOUBLE)
+        |    + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.1 AS DOUBLE)
+        |    + distinct_ratio * CAST(0.2 AS DOUBLE) AS quality
+        |  FROM x
+        |), tok AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+        |), j AS (
+        |  SELECT q.doc_id, q.quality, tok.n_tokens FROM q JOIN tok USING (doc_id)
+        |), r AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+        |  FROM j
+        |), b AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) // 2 AS budget FROM tok
+        |)
+        |SELECT doc_id, n_tokens, CAST(running_total AS BIGINT) AS running_total
+        |FROM r, b WHERE running_total <= budget ORDER BY doc_id""".stripMargin,
 
     // shard + per-row digest recomputed from the RAW table: any lost,
     // duplicated, or corrupted row in the export moves a count or an
