@@ -2161,6 +2161,18 @@ object QuerySuite {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- LEAKAGE-FREE train/test split: near-dup clusters bucket ATOMICALLY
+    //      by their representative's hash, so a paraphrase can never sit in
+    //      test while its twin trains (the failure q56/q175 only detect,
+    //      closed structurally). Candidates dumped; the oracle re-verifies
+    //      jaccard, rebuilds components, and replays rep + md5 bucket ----
+    "q185_leakfree_split" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
+        candidateSink = Some(aux(dir, "q185_candidates")))
+      Dedup.leakFreeSplit(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
     // ---- BUDGETED corpus selection via distributed EXACT prefix scan:
     //      best-quality-first until half the corpus's tokens are spent. The
     //      naive form (Window.orderBy with no partition) funnels 100 TB
@@ -4281,6 +4293,46 @@ object QuerySuite {
     // arms fit-free from the persisted indexes (dense arm at full probe =
     // exact), so the batching must not change a single bit
     "q183_stream_hybrid" -> hybridRrfOracle,
+
+    // q173's candidate-verification + transitive-closure machinery, then the
+    // split: rep = component min (or self), bucket = the md5 split rule on
+    // the REP — the oracle proves a cluster can never straddle buckets
+    "q185_leakfree_split" ->
+      """WITH RECURSIVE cand AS (
+        |  SELECT id_a, id_b FROM read_parquet('{AUX}/q185_candidates/*.parquet')
+        |), t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+        |  FROM t
+        |), e0 AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT cand.id_a, cand.id_b,
+        |      round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |            len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+        |    FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b)
+        |  WHERE jaccard >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM e0
+        |  UNION SELECT id_b, id_a FROM e0
+        |), reach AS (
+        |  SELECT src AS node, dst AS r FROM edges
+        |  UNION
+        |  SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.r
+        |), comp AS (
+        |  SELECT node AS doc_id, least(node, min(r)) AS component FROM reach GROUP BY node
+        |), rep AS (
+        |  SELECT d.doc_id, coalesce(comp.component, d.doc_id) AS split_rep
+        |  FROM documents d LEFT JOIN comp USING (doc_id)
+        |)
+        |SELECT doc_id, split_rep,
+        |  ('0x' || substr(md5(split_rep::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |FROM rep ORDER BY doc_id""".stripMargin,
 
     // the q173 quality-score replay feeding a single global window cumsum —
     // DuckDB runs the whole scan in one pass; the ENGINE must reach the

@@ -1423,6 +1423,34 @@ object Dedup {
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
   }
 
+  /** LEAKAGE-FREE train/test split: a content-addressed split
+    * ([[graft.functions.GraftFunctions.hashSplitBucket]]) assigns each doc
+    * independently, so two NEAR-DUPLICATES can land on opposite sides — the
+    * test set then contains paraphrases of training docs and the eval is
+    * contaminated by construction (the failure q56/q175 only DETECT). This
+    * split closes it structurally: near-dup pairs collapse to connected
+    * components and the whole component buckets by its REPRESENTATIVE's
+    * hash, so a cluster is atomic — train or test, never both. Singletons
+    * bucket by their own id, which keeps the assignment stable as the
+    * corpus grows (a doc's bucket changes only if it joins a cluster).
+    *
+    * Shape: CC is the pointer-jumping pass ([[connectedComponents]]);
+    * labels join back on narrow longs; the bucket is one map-only md5
+    * expression on the representative. Nothing here is pair-shaped.
+    *
+    * @return (doc_id, split_rep, bucket) for every doc */
+  def leakFreeSplit(docs: DataFrame, id: String, pairs: DataFrame,
+      nBuckets: Int = 100): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+    docs.select(col(id).cast("long").as("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("split_rep", coalesce(col("component"), col("doc_id")))
+      .select(col("doc_id"), col("split_rep"),
+        graft.functions.GraftFunctions.hashSplitBucket(col("split_rep"), nBuckets)
+          .as("bucket"))
+  }
+
   /** Per-document CONTAMINATION RATIO against a reference corpus — the
     * audit-grade face of [[ngramCrossOverlap]]'s leak detection: instead of
     * (train, test) pair hits, report for each right-side doc what FRACTION

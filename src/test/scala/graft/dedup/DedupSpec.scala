@@ -511,6 +511,36 @@ class DedupSpec extends SparkSpec {
     assert(got(20L) == ((20L, 20L, 20L, true)), "singleton is its own canonical")
   }
 
+  test("leakFreeSplit buckets near-dup clusters atomically by the representative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain cluster {1,2,3}, pair {10,11}, singletons 20/21
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.leakFreeSplit(docs, "doc_id", pairs, nBuckets = 100)
+      .select("doc_id", "split_rep", "bucket")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // atomicity: every cluster member carries the SAME rep and bucket
+    assert(Seq(1L, 2L, 3L).map(got(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(got(_)._3).distinct.size == 1,
+      "a near-dup cluster must never straddle buckets")
+    assert(got(10L)._3 == got(11L)._3)
+    // singletons bucket by their own id — the plain content-addressed rule,
+    // so cluster-free docs keep their q164-stable assignment
+    val own = docs.filter(col("doc_id") >= 20L)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashSplitBucket(col("doc_id"), 100)
+          .as("b")).as[(Long, Long)].collect().toMap
+    assert(got(20L)._3 == own(20L) && got(21L)._3 == own(21L))
+    // and the cluster's bucket is the REPRESENTATIVE's content hash
+    assert(got(1L)._3 == {
+      val repOnly = Seq(1L).toDF("doc_id")
+        .select(graft.functions.GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .collect().head.getLong(0)
+      repOnly
+    })
+  }
+
   test("contaminationRatio: distinct-gram overlap fraction against the left side") {
     import spark.implicits._
     // 4-grams. Right doc 100 = left doc 1's text (ratio 1.0); right doc 101
