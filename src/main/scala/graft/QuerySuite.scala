@@ -2173,6 +2173,17 @@ object QuerySuite {
       Dedup.leakFreeSplit(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // ---- PER-DOMAIN quality pruning: keep the best 80% of each domain by
+    //      quality — the C4-style rule where the cutoff adapts per domain.
+    //      Rank-based (integer ppm predicate), never an interpolated float
+    //      quantile, so the oracle replays it exactly; the windows see only
+    //      narrow (id, domain, rank) tuples ----
+    "q186_domain_quality_prune" -> ((s, dir) => {
+      DomainMix.topFractionPerDomain(Tables.documents(s, dir), "doc_id",
+          "source", TextAnalysis.qualityScore(col("text")), keepPpm = 800000L)
+        .orderBy("doc_id")
+    }),
+
     // ---- BUDGETED corpus selection via distributed EXACT prefix scan:
     //      best-quality-first until half the corpus's tokens are spent. The
     //      naive form (Window.orderBy with no partition) funnels 100 TB
@@ -4333,6 +4344,48 @@ object QuerySuite {
         |SELECT doc_id, split_rep,
         |  ('0x' || substr(md5(split_rep::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // the q173 quality replay ranked per domain with the exact integer ppm
+    // predicate — no interpolated quantile anywhere
+    "q186_domain_quality_prune" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, source, text, toks,
+        |    len(toks)::DOUBLE AS n,
+        |    greatest(length(text), 1)::DOUBLE AS chars
+        |  FROM t
+        |), x AS (
+        |  SELECT doc_id, source, n,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE list_aggregate(list_transform(toks, s -> length(s)), 'sum')::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS mean_len,
+        |    len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / chars AS alpha_ratio,
+        |    len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE / chars AS punct_ratio,
+        |    CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE len(list_distinct(toks))::DOUBLE / greatest(n, CAST(1.0 AS DOUBLE)) END AS distinct_ratio
+        |  FROM m
+        |), q AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN n >= 50 AND n <= 100000 THEN CAST(1.0 AS DOUBLE)
+        |          WHEN n >= 10 THEN CAST(0.6 AS DOUBLE)
+        |          WHEN n >= 3 THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) * CAST(0.3 AS DOUBLE)
+        |    + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.4 AS DOUBLE) END) * CAST(0.2 AS DOUBLE)
+        |    + alpha_ratio * CAST(0.2 AS DOUBLE)
+        |    + (CASE WHEN punct_ratio <= CAST(0.2 AS DOUBLE) THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.3 AS DOUBLE) END) * CAST(0.1 AS DOUBLE)
+        |    + distinct_ratio * CAST(0.2 AS DOUBLE) AS quality
+        |  FROM x
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS BIGINT) AS q_rank,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_domain
+        |  FROM q
+        |)
+        |SELECT doc_id, source, q_rank, n_domain,
+        |       (q_rank * 1000000 <= 800000 * n_domain) AS kept
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the q173 quality-score replay feeding a single global window cumsum —
     // DuckDB runs the whole scan in one pass; the ENGINE must reach the

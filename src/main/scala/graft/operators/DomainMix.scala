@@ -53,6 +53,36 @@ object DomainMix {
     * back as a BROADCAST left-semi join: the wide rows never enter any
     * shuffle, skew hits only 16-byte tuples, and the docs side stays a
     * map-only scan (plan-gated in PlanPropertiesSpec). */
+  /** Keep the top `keepPpm`/1e6 FRACTION of each domain by `rank` — C4-style
+    * per-domain quality pruning where the cutoff ADAPTS to the domain (one
+    * global threshold over-prunes clean domains and under-prunes noisy
+    * ones; the per-domain percentile is the curation rule that survives a
+    * heterogeneous crawl). Rank-based, not quantile-based, deliberately:
+    * engines disagree on interpolated quantiles of floats, but
+    * `rank × 1e6 ≤ keepPpm × n` is exact integer algebra any oracle
+    * replays. Same narrow-projection shape as [[capPerDomain]]: the windows
+    * see only (id, domain, rank value) — skewed mega-domains hit 16-byte
+    * tuples, never document text.
+    *
+    * @return the verdict frame (doc_id, <domain>, q_rank, n_domain, kept)
+    *   for EVERY doc; filter on `kept` to apply */
+  def topFractionPerDomain(docs: DataFrame, id: String, domain: String,
+      rank: Column, keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0L && keepPpm <= 1000000L,
+      s"keepPpm must be in [0, 1e6], got $keepPpm")
+    val narrow = docs.select(col(id).as("doc_id"),
+      col(domain).as("__dom"), rank.as("__r"))
+    val w = Window.partitionBy("__dom")
+      .orderBy(col("__r").desc, col("doc_id").asc)
+    narrow
+      .withColumn("q_rank", row_number().over(w).cast("long"))
+      .withColumn("n_domain", count(lit(1)).over(Window.partitionBy("__dom")))
+      .withColumn("kept",
+        col("q_rank") * lit(1000000L) <= lit(keepPpm) * col("n_domain"))
+      .select(col("doc_id"), col("__dom").as(domain),
+        col("q_rank"), col("n_domain"), col("kept"))
+  }
+
   def capPerDomain(docs: DataFrame, id: String, domain: String,
       rank: Column, n: Int): DataFrame = {
     val w = Window.partitionBy(col("__cap_dom"))

@@ -26,6 +26,31 @@ class DomainMixSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("topFractionPerDomain keeps the exact per-domain rank prefix, ties by id") {
+    import spark.implicits._
+    // domain a: 5 docs, quality = id (desc rank: 5,4,3,2,1); keep 60% of 5
+    // -> rank*1e6 <= 600000*5 -> rank <= 3 -> docs 5,4,3.
+    // domain b: 2 docs with TIED quality -> rank by id; keep 60% of 2 ->
+    // rank <= 1 (1*1e6 <= 1.2e6, 2*1e6 > 1.2e6) -> only the LOWER id.
+    val docs = (Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 5.0), (10L, "b", 7.0), (11L, "b", 7.0)))
+      .toDF("doc_id", "source", "q")
+    val got = DomainMix.topFractionPerDomain(docs, "doc_id", "source",
+        col("q"), keepPpm = 600000L)
+      .select("doc_id", "q_rank", "n_domain", "kept")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(5L) == ((5L, 1L, 5L, true)))
+    assert(got(3L) == ((3L, 3L, 5L, true)), "rank 3 of 5 is inside 60%")
+    assert(got(2L) == ((2L, 4L, 5L, false)), "rank 4 of 5 is outside 60%")
+    assert(got(10L) == ((10L, 1L, 2L, true)), "tie broken toward lower id")
+    assert(got(11L) == ((11L, 2L, 2L, false)))
+    // boundary exactness: keep 40% of 5 -> 2*1e6 <= 2e6 keeps rank 2 EXACTLY
+    val b = DomainMix.topFractionPerDomain(docs.filter(col("source") === "a"),
+        "doc_id", "source", col("q"), keepPpm = 400000L)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(b == Set(5L, 4L), "integer ppm boundary is inclusive at equality")
+  }
+
   test("mix decision is independent of the q52 split bucket (salted hash)") {
     import spark.implicits._
     val docs = (0L until 4000L).map(i => (i, "s")).toDF("doc_id", "source")
