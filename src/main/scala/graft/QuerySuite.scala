@@ -2173,6 +2173,24 @@ object QuerySuite {
       Dedup.leakFreeSplit(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // ---- CORPUS version DIFF: what did the refresh change? Payloads reduce
+    //      to digests BEFORE the full-outer join, so text never shuffles;
+    //      the synthetic "after" snapshot drops every 11th doc, edits every
+    //      7th, and adds 50 new ones — all replayed literally in SQL ----
+    "q187_corpus_diff" -> ((s, dir) => {
+      val before = Tables.documents(s, dir)
+      val after = before
+        .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(
+          before.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000000L)
+            .withColumn("text", concat(lit("new "), col("text"))))
+      CorpusExport.diffCorpora(before, after, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- PER-DOMAIN quality pruning: keep the best 80% of each domain by
     //      quality — the C4-style rule where the cutoff adapts per domain.
     //      Rank-based (integer ppm predicate), never an interpolated float
@@ -4344,6 +4362,27 @@ object QuerySuite {
         |SELECT doc_id, split_rep,
         |  ('0x' || substr(md5(split_rep::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // the same synthetic "after" snapshot rebuilt literally; the oracle
+    // compares raw text where the engine compares digests — equal at the
+    // family's documented collision noise floor
+    "q187_corpus_diff" ->
+      """WITH b AS (
+        |  SELECT doc_id, text FROM documents
+        |), a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id < 50
+        |)
+        |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text = b.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // the q173 quality replay ranked per domain with the exact integer ppm
     // predicate — no interpolated quantile anywhere

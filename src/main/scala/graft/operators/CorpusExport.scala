@@ -66,6 +66,30 @@ object CorpusExport {
       .agg(count(lit(1)).as("n_rows"),
         sum(rowDigest(col(id), col(text))).as("checksum"))
 
+  /** Version diff between two corpus snapshots — the audit question after
+    * every refresh ("what did yesterday's crawl actually change?"). One
+    * full-outer join on the key with payloads reduced to [[rowDigest]]s
+    * FIRST, so the wide text never enters the join's shuffle — both
+    * exchanges carry (long, long) rows, and equality-of-digest stands in
+    * for equality-of-payload at the family's documented collision noise
+    * floor. Statuses: added / removed / changed / unchanged.
+    *
+    * @return (doc_id, status) for every key present in either snapshot */
+  def diffCorpora(before: DataFrame, after: DataFrame, id: String,
+      text: String): DataFrame = {
+    val b = before.select(col(id).as("doc_id"),
+      rowDigest(col(id), col(text)).as("__db"))
+    val a = after.select(col(id).as("doc_id"),
+      rowDigest(col(id), col(text)).as("__da"))
+    b.join(a, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__db").isNull, lit("added"))
+          .when(col("__da").isNull, lit("removed"))
+          .when(col("__da") === col("__db"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("doc_id"), col("status"))
+  }
+
   /** End-to-end export verification: recompute the manifest FROM THE
     * EXPORTED FILES AS THEY ARE NOW and compare to the source-side
     * recomputation — catches write-time corruption AND later object loss

@@ -28,6 +28,18 @@ class CorpusExportSpec extends SparkSpec {
     assert(onDisk.filter(col("expected") =!= col("shard")).isEmpty)
   }
 
+  test("diffCorpora classifies added / removed / changed / unchanged exactly") {
+    import spark.implicits._
+    val before = Seq((1L, "same"), (2L, "old text"), (3L, "going away"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new text"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = CorpusExport.diffCorpora(before, after, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("a lost shard file breaks verification; a changed row breaks the checksum") {
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("export_spec_").toString
