@@ -2209,9 +2209,12 @@ object QuerySuite {
     //      within-partition windows + a partition-count-bounded offset
     //      collect. Integer running sums -> bit-replayable oracle ----
     "q184_budgeted_select" -> ((s, dir) => {
+      // project NARROW before the scan: the range shuffle and the pinned
+      // checkpoint must carry (id, tokens, quality) — never document text
       val docs = Tables.documents(s, dir)
-        .withColumn("n_tokens", GraftFunctions.tokenCountWs(col("text")).cast("long"))
-        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"),
+          GraftFunctions.tokenCountWs(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
       // the one scalar the operator inherently needs (the quotaAlloc rule)
       val budget = docs.agg(sum(col("n_tokens"))).collect().head.getLong(0) / 2
       PrefixScan.budgetedSelect(docs,

@@ -34,7 +34,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q101_mad_outliers", "q103_cohort_retention", "q104_basket_pairs",
     "q105_markov_transitions", "q109_attribution", "q110_moving_median",
     "q122_count_min", "q125_skyline", "q126_twap",
-    "q128_interval_join", "q130_quota_alloc")
+    "q128_interval_join", "q130_quota_alloc", "q186_domain_quality_prune",
+    "q187_corpus_diff")
   // q121_quality_checks is audited separately (q76 rationale): attaching the
   // one-row table count to the one-row referential check is a deliberate
   // single-scalar nested-loop join
@@ -137,6 +138,40 @@ class PlanPropertiesSpec extends SparkSpec {
       s"no shuffle join in the cap plan:\n$plan")
     val shufflesText = plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text"))
     assert(!shufflesText, s"text must not cross an Exchange:\n$plan")
+  }
+
+  test("q186 per-domain windows see only narrow tuples: text never crosses an Exchange") {
+    val plan = SparkEntry.queries("q186_domain_quality_prune")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shufflesText = plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#"))
+    assert(!shufflesText,
+      s"domain windows must shuffle (id, domain, rank) tuples only:\n$plan")
+  }
+
+  test("q187 corpus diff joins digests, not text") {
+    val plan = SparkEntry.queries("q187_corpus_diff")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shufflesText = plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#"))
+    assert(!shufflesText,
+      s"the diff's full-outer join must shuffle (doc_id, digest) rows only:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q184 prefix scan: no partition-less global window, text never shuffles") {
+    val df = SparkEntry.queries("q184_budgeted_select")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every window spec must carry the __pid partition key — a global
+    // Window.orderBy would read 'windowspecdefinition(<order>...' with no
+    // partition column and funnel the corpus through one task
+    val specs = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(specs.nonEmpty, s"expected the within-partition running-sum window:\n$plan")
+    assert(specs.forall(_.contains("__pid")),
+      s"running-sum windows must be partitioned by __pid:\n${specs.mkString("\n")}")
+    val shufflesText = plan.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#"))
+    assert(!shufflesText, s"the range shuffle must carry narrow rows:\n$plan")
   }
 
   test("q69 pipeline: document text never crosses an Exchange") {
