@@ -2173,6 +2173,32 @@ object QuerySuite {
       Dedup.leakFreeSplit(docs, "doc_id", pairs).orderBy("doc_id")
     }),
 
+    // ---- CLUSTER-BALANCED sampling: flatten topic skew by capping every
+    //      embedding cell at the same count — the curation rule that keeps
+    //      one crawl topic from dominating the mix. Cells come from the
+    //      persisted semantic index (frozen geometry, the q86/q152 family);
+    //      the per-cell keep rule is the deterministic salted-hash rank of
+    //      capPerDomain, so reruns and engines agree row-for-row. Cell
+    //      assignment isn't ANSI-expressible -> assignments dumped, the
+    //      oracle replays rank + cap over them (the q18 contract) ----
+    "q188_cluster_balanced" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q188_vecindex")
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, targetCell = 50)
+      val assigned = s.read.parquet(Dedup.resolveIndexDir(s"$idx/vectors"))
+        .select(col("doc_id").as("vec_id"), col("cell").cast("long").as("cell"))
+      assigned.write.mode("overwrite").parquet(aux(dir, "q188_cells"))
+      val kept = DomainMix.capPerDomain(assigned, "vec_id", "cell",
+        (GraftFunctions.hashSplitBucket(
+          concat(lit("bal:"), col("vec_id").cast("string")), 1000000)).cast("double"),
+        n = 20)
+      assigned
+        .join(kept.select(col("vec_id"), lit(true).as("__k")), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("__k"), lit(false)).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // ---- CORPUS version DIFF: what did the refresh change? Payloads reduce
     //      to digests BEFORE the full-outer join, so text never shuffles;
     //      the synthetic "after" snapshot drops every 11th doc, edits every
@@ -4365,6 +4391,21 @@ object QuerySuite {
         |SELECT doc_id, split_rep,
         |  ('0x' || substr(md5(split_rep::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // rank + cap replayed over the dumped cell assignments: the salted md5
+    // rank, the (rank DESC, id) order, and the per-cell cap are all exact
+    "q188_cluster_balanced" ->
+      """WITH a AS (
+        |  SELECT vec_id, cell FROM read_parquet('{AUX}/q188_cells/*.parquet')
+        |), r AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY cell ORDER BY
+        |      ('0x' || substr(md5('bal:' || vec_id::VARCHAR), 1, 8))::BIGINT % 1000000 DESC,
+        |      vec_id) AS rn
+        |  FROM a
+        |)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, (rn <= 20) AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
 
     // the same synthetic "after" snapshot rebuilt literally; the oracle
     // compares raw text where the engine compares digests — equal at the
