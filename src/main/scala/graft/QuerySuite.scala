@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -2171,6 +2171,52 @@ object QuerySuite {
       val pairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5,
         candidateSink = Some(aux(dir, "q185_candidates")))
       Dedup.leakFreeSplit(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // ---- STREAMING CURATION capstone (StreamingCurationPipeline): the
+    //      crawl-ingest request path in one stream — per micro-batch every
+    //      doc is gated against the frozen benchmark gram index
+    //      (quarantined), the admitted docs near-dup-check against and fold
+    //      into the persisted signature index (duplicate), survivors land
+    //      (kept). Each doc's final status is re-derived by the oracle from
+    //      the gate's gram replay + the dedup candidate dump ----
+    "q189_stream_curation" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val gramIdx = aux(dir, "q189_gramindex")
+      Dedup.buildGramIndex(docs.filter(col("bucket") >= 90), "doc_id", "text", gramIdx)
+      val sigIdx = aux(dir, "q189_sigindex")
+      Dedup.buildMinhashIndex(
+        docs.filter(col("bucket") < 80 && pmod(col("doc_id"), lit(2)) === 0)
+          .select("doc_id", "text"),
+        "doc_id", "text", sigIdx)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .filter(col("bucket") < 80 && pmod(col("doc_id"), lit(2)) === 1)
+        .drop("bucket")
+      val kept = aux(dir, "q189_kept")
+      val verd = aux(dir, "q189_verdicts")
+      val q = StreamingCurationPipeline.start(stream, "doc_id", "text",
+        gramIdx, sigIdx, kept, verd, tmpDir("q189_ckpt_"),
+        maxRatio = 0.9, threshold = 0.5,
+        candidateSink = Some(aux(dir, "q189_candidates")))
+      q.awaitTermination()
+      val streamedIds = docs
+        .filter(col("bucket") < 80 && pmod(col("doc_id"), lit(2)) === 1)
+        .select("doc_id")
+      val verdicts = s.read.parquet(verd).select(col("doc_id"), col("quarantined"))
+      val keptIds = s.read.parquet(kept).select(col("doc_id"))
+        .withColumn("__kept", lit(true))
+      streamedIds
+        .join(verdicts, Seq("doc_id"), "left")
+        .join(keptIds, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("quarantined"), lit("quarantined"))
+            .when(coalesce(col("__kept"), lit(false)), lit("kept"))
+            .otherwise(lit("duplicate")).as("status"))
+        .orderBy("doc_id")
     }),
 
     // ---- CLUSTER-BALANCED sampling: flatten topic skew by capping every
@@ -4391,6 +4437,69 @@ object QuerySuite {
         |SELECT doc_id, split_rep,
         |  ('0x' || substr(md5(split_rep::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // the q179 gate replay (raw-string grams, rounded ratio > 0.9) composed
+    // with the q72 incremental-dedup replay (candidate jaccard verification
+    // + index-canonical orientation) — each streamed doc's status falls out
+    // of the two independent re-derivations
+    "q189_stream_curation" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+        |  FROM documents
+        |), streamed AS (
+        |  SELECT doc_id, text FROM b WHERE bucket < 80 AND doc_id % 2 = 1
+        |), bg AS (
+        |  SELECT unnest(list_distinct(
+        |      CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |           ELSE list_transform(range(length(lower(text)) - 7),
+        |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END)) AS gram
+        |  FROM b WHERE bucket >= 90
+        |), bench AS (SELECT DISTINCT gram FROM bg
+        |), sg AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(
+        |      CASE WHEN length(lower(text)) <= 8 THEN [lower(text)]
+        |           ELSE list_transform(range(length(lower(text)) - 7),
+        |                               i -> substr(lower(text), CAST(i + 1 AS INTEGER), 8)) END)) AS gram
+        |  FROM streamed
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |         sum(CASE WHEN gram IN (SELECT gram FROM bench) THEN 1 ELSE 0 END) AS n_seen
+        |  FROM sg GROUP BY doc_id
+        |), quar AS (
+        |  SELECT doc_id FROM per
+        |  WHERE round(n_seen::DOUBLE / n_grams::DOUBLE, 6) > 0.9
+        |), cand AS (
+        |  SELECT id_a, id_b, new_a, new_b
+        |  FROM read_parquet('{AUX}/q189_candidates/**/*.parquet')
+        |), t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 4), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS shingles
+        |  FROM t
+        |), j AS (
+        |  SELECT id_a, id_b, new_a, new_b,
+        |    round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+        |          len(list_distinct(list_concat(a.shingles, b.shingles)))::DOUBLE, 6) AS jaccard
+        |  FROM cand JOIN sh a ON a.doc_id = cand.id_a JOIN sh b ON b.doc_id = cand.id_b
+        |), drops AS (
+        |  SELECT DISTINCT CASE WHEN new_a AND NOT new_b THEN id_a ELSE id_b END AS doc_id
+        |  FROM j WHERE jaccard >= 0.5
+        |)
+        |SELECT s.doc_id,
+        |  CASE WHEN quar.doc_id IS NOT NULL THEN 'quarantined'
+        |       WHEN drops.doc_id IS NOT NULL THEN 'duplicate'
+        |       ELSE 'kept' END AS status
+        |FROM streamed s
+        |LEFT JOIN quar USING (doc_id)
+        |LEFT JOIN drops USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // rank + cap replayed over the dumped cell assignments: the salted md5
     // rank, the (rank DESC, id) order, and the per-cell cap are all exact

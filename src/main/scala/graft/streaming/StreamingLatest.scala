@@ -395,6 +395,68 @@ object StreamingDecontamGate {
   }
 }
 
+/** Streaming CURATION pipeline — the full crawl-ingest request path in one
+  * stream, composing the two admission controls this library ships:
+  * per micro-batch, (1) every doc probes the FROZEN benchmark gram index
+  * and contaminated docs are QUARANTINED ([[StreamingDecontamGate]]'s
+  * stage), then (2) the admitted docs near-dup-check against — and fold
+  * into — the persisted minhash signature index
+  * ([[StreamingDedup]]'s stage), and only novel, clean docs land in
+  * `keptPath/batch=b<N>`. Verdicts and per-batch candidate dumps follow the
+  * family's effectively-once contracts, so the whole pipeline is
+  * crash-replayable and every decision is independently re-derivable. */
+object StreamingCurationPipeline {
+
+  def start(
+      docStream: DataFrame,
+      id: String,
+      text: String,
+      gramIndexPath: String,
+      sigIndexPath: String,
+      keptPath: String,
+      verdictPath: String,
+      checkpoint: String,
+      maxRatio: Double = 0.5,
+      threshold: Double = 0.5,
+      n: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import graft.dedup.Dedup
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = Dedup.contaminationRatioIndexed(batch, id, text,
+              gramIndexPath, n)
+            .withColumn("quarantined", col("ratio") > maxRatio)
+          verdicts
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(verdictPath)
+          val admitted = verdicts.filter(not(col("quarantined")))
+            .select(col("doc_id"))
+          val clean = batch.join(admitted, batch(id) === admitted("doc_id"),
+            "left_semi")
+          val pairs = Dedup.minhashLshIncremental(clean, id, text,
+            sigIndexPath, batchId = s"b$batchId", threshold = threshold,
+            candidateSink = candidateSink.map(p => s"$p/b$batchId"))
+          val novel = Dedup.incrementalMarks(clean, id, pairs)
+            .filter(not(col("is_duplicate"))).select(col("doc_id"))
+          clean.join(novel, clean(id) === novel("doc_id"), "left_semi")
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(keptPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Streaming ENRICHMENT against the online feature store — the serving-side
   * stream-static join: each event micro-batch attaches the store's
   * latest-per-key features by key. The snapshot is re-read PER BATCH

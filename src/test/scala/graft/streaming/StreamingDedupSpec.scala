@@ -287,6 +287,52 @@ class StreamingDedupSpec extends SparkSpec {
       s"kept must hold exactly the admitted docs, got $keptIds")
   }
 
+  test("StreamingCurationPipeline gates then dedups per batch; quarantined docs never enter the index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("scur_spec_").toString
+    val benchText = "the quick brown fox jumps over the lazy dog every single morning"
+    Dedup.buildGramIndex(Seq((900L, benchText)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/grams")
+    val seedText = "completely unrelated seed document about broadcast joins and adaptive execution"
+    Dedup.buildMinhashIndex(Seq((1L, seedText)).toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/sigs")
+
+    val fresh = "novel clean first document describing watermark state eviction semantics today"
+    val source = MemoryStream[(Long, String)]
+    val q = StreamingCurationPipeline.start(source.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$root/grams", s"$root/sigs", s"$root/kept",
+      s"$root/verdicts", s"$root/ckpt", maxRatio = 0.5, threshold = 0.5,
+      trigger = Trigger.ProcessingTime(0L),
+      candidateSink = Some(s"$root/cands"))
+    try {
+      // batch 0: 100 contaminated (quarantined), 101 dups the SEED index
+      // (duplicate), 102 novel (kept)
+      source.addData((100L, benchText), (101L, seedText), (102L, fresh))
+      q.processAllAvailable()
+      // batch 1: 103 dups 102 — which arrived via the PREVIOUS batch and
+      // lives only in the index; 104 dups the QUARANTINED 100 and passes
+      // the gate... except its text IS the benchmark text, so it gates too.
+      // Use a doc that near-dups nothing admitted: it must be KEPT, proving
+      // the quarantined doc never folded into the signature index
+      source.addData((103L, fresh), (104L, benchText))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val keptIds = spark.read.parquet(s"$root/kept").select("doc_id")
+      .as[Long].collect().toSet
+    assert(keptIds == Set(102L),
+      s"kept $keptIds: 100/104 gate out, 101 dups the seed, 103 dups batch-0's 102")
+    val verd = spark.read.parquet(s"$root/verdicts")
+      .select("doc_id", "quarantined").as[(Long, Boolean)].collect().toMap
+    assert(verd(100L) && verd(104L), "benchmark text quarantined in both batches")
+    assert(!verd(101L) && !verd(102L) && !verd(103L))
+    // the signature index folded ONLY admitted docs: seed + 101 + 102 + 103
+    assert(spark.read.parquet(Dedup.resolveIndexDir(s"$root/sigs")).count() == 4,
+      "quarantined docs must never fold into the signature index")
+  }
+
   test("multi-batch candidate dumps ACCUMULATE per batch (b<id> subdirs), overwriting none") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
