@@ -158,14 +158,16 @@ object QuerySuite {
        |FROM final WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   private def bm25MultiQueryOracle(valuesRows: String,
-      docsWhere: String = ""): String =
-    s"""WITH ${bm25RankedCtes(valuesRows, docsWhere)}
+      docsWhere: String = "", maxDfPpm: Long = 1000000L): String =
+    s"""WITH ${bm25RankedCtes(valuesRows, docsWhere, maxDfPpm)}
        |SELECT query_id, rank, doc_id, dl, score
        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** The CTE chain (ending in `ranked`) behind [[bm25MultiQueryOracle]],
-    * reusable as the lexical ARM of a fusion oracle. */
-  private def bm25RankedCtes(valuesRows: String, docsWhere: String): String =
+    * reusable as the lexical ARM of a fusion oracle. `maxDfPpm < 1e6`
+    * replays the engine's stop-term cut with the same integer rule. */
+  private def bm25RankedCtes(valuesRows: String, docsWhere: String,
+      maxDfPpm: Long = 1000000L): String =
     s"""t AS (
        |  SELECT doc_id,
        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
@@ -186,7 +188,11 @@ object QuerySuite {
        |  SELECT doc_id, term, count(*) AS tf FROM tok
        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2
        |), dfreq AS (
-       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |  ${if (maxDfPpm >= 1000000L)
+             "SELECT term, count(*) AS df FROM tf GROUP BY 1"
+           else
+             s"SELECT term, df FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) x " +
+             s"CROSS JOIN consts WHERE x.df * 1000000 <= $maxDfPpm * consts.n_docs"}
        |), contrib AS (
        |  SELECT qt.query_id, tf.doc_id, d.dl,
        |    ('0x' || substr(md5(tf.term), 1, 15))::BIGINT AS term_id,
@@ -2058,6 +2064,25 @@ object QuerySuite {
         (3L, Seq("query", "table", "column"))
       ).toDF("query_id", "terms")
       LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- BM25 serving with the STOP-TERM df cap (WAND/MaxScore-lite): a
+    //      query term present in > 78% of docs contributes ~nothing to BM25
+    //      but floods the exchange with a corpus-sized posting list; the
+    //      exact integer rule df*1e6 <= ppm*n_docs cuts it on the tiny df
+    //      frame before its postings join. The cap lands mid-vocabulary
+    //      here (scan/merge out, spark at the boundary in) ----
+    "q190_bm25_df_capped" -> ((s, dir) => {
+      import s.implicits._
+      val idx = aux(dir, "q190_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      val queries = Seq(
+        (1L, Seq("dup", "scan")),
+        (2L, Seq("spark", "merge", "slow"))
+      ).toDF("query_id", "terms")
+      LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = 10,
+          maxDfPpm = 780000L)
         .orderBy("query_id", "rank")
     }),
 
@@ -4378,6 +4403,12 @@ object QuerySuite {
       """(1, ['customer', 'order']),
         |    (2, ['dup', 'slow']),
         |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // the q176 oracle with the SAME integer stop-term cut in the dfreq CTE
+    "q190_bm25_df_capped" -> bm25MultiQueryOracle(
+      """(1, ['dup', 'scan']),
+        |    (2, ['spark', 'merge', 'slow'])""".stripMargin,
+      maxDfPpm = 780000L),
 
     // the q176 oracle over the corpus MINUS the deleted docs — no tombstone
     // concept on this side: equality proves the negative partials restored

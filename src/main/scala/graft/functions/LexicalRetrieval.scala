@@ -205,6 +205,14 @@ object LexicalRetrieval {
     * postings scan, one (query, doc)-keyed aggregation, and a rank-limit
     * window (partial WindowGroupLimit) for the per-query top-k.
     *
+    * @param maxDfPpm OPT-IN stop-term cap (1e6 = off): query terms whose
+    *   document frequency exceeds `maxDfPpm`/1e6 of the corpus are dropped
+    *   from scoring BEFORE their postings join — the WAND/MaxScore-lite
+    *   scale lever. A stop word's posting list is corpus-sized; at 100 TB
+    *   one such term in one query floods the exchange with rows whose BM25
+    *   contribution is ~0 anyway (idf of an everywhere-term approaches
+    *   (0.5)/(df+0.5)). The rule is exact integer algebra
+    *   (`df × 1e6 ≤ maxDfPpm × n_docs`), so the oracle replays the cut.
     * @return (query_id, rank, doc_id, dl, score) — per query, the k
     *   highest-scoring docs, ties broken by doc_id; queries none of whose
     *   terms occur in the corpus return no rows */
@@ -216,7 +224,10 @@ object LexicalRetrieval {
       terms: String = "terms",
       k: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxDfPpm: Long = 1000000L): DataFrame = {
+    require(maxDfPpm >= 0L && maxDfPpm <= 1000000L,
+      s"maxDfPpm must be in [0, 1e6], got $maxDfPpm")
     val buckets = readBuckets(spark, indexPath)
     val qt = queries
       .select(col(id).as("query_id"), explode(col(terms)).as("term"))
@@ -251,8 +262,16 @@ object LexicalRetrieval {
     val consts = spark.read
       .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    // stop-term cut happens on the TINY df frame, and the inner join below
+    // then drops the cut terms' posting rows at the broadcast probe — the
+    // corpus-sized posting list of a stop word never reaches an exchange
+    val dfKept =
+      if (maxDfPpm >= 1000000L) dfAgg
+      else dfAgg.crossJoin(broadcast(consts))
+        .filter(col("df") * lit(1000000L) <= lit(maxDfPpm) * col("n_docs"))
+        .select("term_id", "df")
     val scored = post
-      .join(broadcast(dfAgg), Seq("term_id"))
+      .join(broadcast(dfKept), Seq("term_id"))
       .crossJoin(broadcast(consts)) // one row — a constant, not a data join
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /

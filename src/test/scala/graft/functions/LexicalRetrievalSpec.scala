@@ -174,6 +174,32 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(out == Set(2L), s"got $out")
   }
 
+  test("the df cap drops stop terms from scoring with the exact integer rule") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    // 'hash' is in docs 1/2/6 -> df 3 of 6 docs = 500000 ppm; 'spark' in
+    // 1/3 -> 333333 ppm. Cap 400000: hash OUT, spark IN — the capped serve
+    // must equal a spark-only recompute
+    val capped = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((1L, Seq("spark", "hash"))).toDF("query_id", "terms"),
+        maxDfPpm = 400000L)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val sparkOnly = bruteBm25(corpus, Seq("spark"))
+      .map { case ((_, d), s) => d -> s }
+    assert(capped == sparkOnly, s"$capped vs $sparkOnly")
+    // boundary: cap 500000 keeps hash (3 * 1e6 <= 500000 * 6 exactly)
+    val atBoundary = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((1L, Seq("spark", "hash"))).toDF("query_id", "terms"),
+        maxDfPpm = 500000L)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val both = bruteBm25(corpus, Seq("spark", "hash"))
+      .map { case ((_, d), s) => d -> s }
+    assert(atBoundary == both, "the ppm boundary is inclusive at equality")
+  }
+
   test("deletion serves as if the docs never existed — pending AND purged") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString
