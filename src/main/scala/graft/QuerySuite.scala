@@ -2086,6 +2086,18 @@ object QuerySuite {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- EXACT PHRASE search over positional postings: the query class
+    //      bag-of-words BM25 cannot answer. Term i's positions shift by -i;
+    //      a common shifted position is a phrase start; the m-way doc join
+    //      is bounded by the rarest term's df. FULLY oracled — the oracle
+    //      replays the positional intersection as a (doc, start) join ----
+    "q191_phrase_search" -> ((s, dir) => {
+      val idx = aux(dir, "q191_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      LexicalRetrieval.phraseTopK(s, idx, Seq("window", "join"), k = 15)
+        .orderBy("rank")
+    }),
+
     // ---- BM25 index DELETION: erasure for lexical serving. Docs deleted BY
     //      ID write negative df/stats partials (scores must reflect the
     //      post-deletion corpus — hiding postings is not enough) + id-only
@@ -4403,6 +4415,36 @@ object QuerySuite {
       """(1, ['customer', 'order']),
         |    (2, ['dup', 'slow']),
         |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // positional intersection as a (doc_id, shifted-start) join-count —
+    // positions are distinct per (doc, term), so the join count equals the
+    // engine's array-intersection size exactly
+    "q191_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS p
+        |  FROM t WHERE len(toks) >= 1
+        |), pt AS (
+        |  SELECT doc_id, p, toks[p + 1] AS term FROM pos
+        |), p0 AS (
+        |  SELECT doc_id, p AS sp FROM pt WHERE term = 'window'
+        |), p1 AS (
+        |  SELECT doc_id, p - 1 AS sp FROM pt WHERE term = 'join'
+        |), m AS (
+        |  SELECT doc_id, count(*) AS n_phrase
+        |  FROM p0 JOIN p1 USING (doc_id, sp) GROUP BY doc_id
+        |), r AS (
+        |  SELECT m.doc_id, CAST(len(t.toks) AS BIGINT) AS dl,
+        |         CAST(m.n_phrase AS BIGINT) AS n_phrase
+        |  FROM m JOIN t USING (doc_id)
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n_phrase DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, dl, n_phrase
+        |FROM r ORDER BY n_phrase DESC, doc_id LIMIT 15""".stripMargin,
 
     // the q176 oracle with the SAME integer stop-term cut in the dfreq CTE
     "q190_bm25_df_capped" -> bm25MultiQueryOracle(

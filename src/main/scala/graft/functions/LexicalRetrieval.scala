@@ -301,6 +301,63 @@ object LexicalRetrieval {
       .select("query_id", "rank", "doc_id", "dl", "score")
   }
 
+  /** EXACT PHRASE search over the positional postings — the query class
+    * BM25's bag-of-words cannot answer ("spark shuffle service", not just
+    * docs containing all three words somewhere). Classic positional
+    * intersection: term i's positions shift by −i, and a common shifted
+    * position is a phrase start. Everything is id-keyed and integral:
+    *
+    *  - each term's postings load bucket-pruned and term-filtered AT THE
+    *    SCAN (a literal term_id equality — pushed filter + directory
+    *    pruning), so the m frames are df-sized, never corpus-sized;
+    *  - the m-way equi-join on doc_id touches only docs containing EVERY
+    *    term (the rarest term bounds the join — WAND's intuition, exact);
+    *  - `n_phrase` = |∩ shifted position arrays| — pure integer set
+    *    algebra the oracle replays as an (doc_id, start) join-count.
+    *
+    * Tombstoned docs are excluded (the deletion contract applies to every
+    * serving face of the index).
+    *
+    * @return (rank, doc_id, dl, n_phrase) — docs containing the phrase,
+    *   ranked by occurrence count then doc_id */
+  def phraseTopK(spark: SparkSession, indexPath: String,
+      phrase: Seq[String], k: Int = 10): DataFrame = {
+    require(phrase.size >= 2 && phrase.size <= 8,
+      "phraseTopK: 2..8 terms (each term is one narrow self-join arm)")
+    val buckets = readBuckets(spark, indexPath)
+    val ids = phrase.map(t => driverHash60(t.toLowerCase))
+    val tbs = ids.map(h => h % buckets).distinct
+    val post0 = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+      .filter(col("tb").isin(tbs: _*))
+    val post = readTombstones(spark, indexPath)
+      .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val frames = phrase.indices.map { i =>
+      val f = post.filter(col("term_id") === lit(ids(i)))
+        .select(col("doc_id"), col("dl"),
+          transform(col("positions"), p => p - i).as(s"__p$i"))
+      if (i == 0) f else f.drop("dl")
+    }
+    val joined = frames.reduce((l, r) => l.join(r, Seq("doc_id")))
+    val common = phrase.indices.map(i => col(s"__p$i"))
+      .reduceLeft((a, b) => array_intersect(a, b))
+    val w = Window.orderBy(col("n_phrase").desc, col("doc_id").asc)
+    joined
+      .withColumn("n_phrase", size(common).cast("long"))
+      .filter(col("n_phrase") > 0)
+      .orderBy(col("n_phrase").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "dl", "n_phrase")
+  }
+
+  /** Driver-side twin of [[GraftFunctions.portableHash60]] — the query side
+    * hashes its literal terms without a Spark job. */
+  private def driverHash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   /** The bucket count the postings layout was built with — pinned in the
     * stats rows; every batch must agree (probe pruning reads only the
     * computed buckets, so a mixed layout would silently drop postings). */
@@ -325,10 +382,18 @@ object LexicalRetrieval {
     val stats = tokd
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .withColumn("tb_buckets", lit(buckets))
+    // POSITIONAL postings (the Lucene layout): `positions` holds the sorted
+    // 0-based token offsets of each (term, doc) — what phrase and proximity
+    // queries ([[phraseTopK]]) intersect; |positions| = tf, so the column
+    // is bounded by the data it describes. BM25 serving never reads it
+    // (column pruning keeps the scan narrow — parquet is columnar).
     val postings = tokd
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .select(col("doc_id"), col("dl"), portableHash60(col("term")).as("term_id"))
-      .groupBy("term_id", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("dl"), col("pos").cast("int").as("pos"),
+        portableHash60(col("term")).as("term_id"))
+      .groupBy("term_id", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", pmod(col("term_id"), lit(buckets.toLong)))
       .persist()
     postings.count(): Unit // staged: feeds the postings write AND termdf

@@ -174,6 +174,30 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(out == Set(2L), s"got $out")
   }
 
+  test("phraseTopK intersects positions exactly: overlaps, 3-grams, absences, deletions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val docs = Seq(
+      (1L, "a a a b"),          // "a a" starts at 0 and 1 -> n_phrase 2
+      (2L, "x a a y a a"),      // starts at 1 and 4 -> 2
+      (3L, "a b a b a"),        // "a a" absent; "a b a" starts at 0 and 2 -> 2
+      (4L, "b a"),              // reversed — must not match "a b"
+      (5L, "a a"))              // one start
+    LexicalRetrieval.buildBm25Index(docs.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    def serve(p: Seq[String]) = LexicalRetrieval.phraseTopK(spark, idx, p)
+      .select("doc_id", "n_phrase").as[(Long, Long)].collect().toMap
+    assert(serve(Seq("a", "a")) == Map(1L -> 2L, 2L -> 2L, 5L -> 1L))
+    assert(serve(Seq("a", "b", "a")) == Map(3L -> 2L),
+      "overlapping 3-gram occurrences in doc 3 both count; no other doc has the exact sequence")
+    assert(serve(Seq("b", "b")) == Map.empty[Long, Long], "absent phrase -> no rows")
+    // erasure applies to the phrase face too
+    LexicalRetrieval.deleteFromBm25Index(Seq(1L).toDF("doc_id"), "doc_id", idx, "e1")
+    assert(!serve(Seq("a", "a")).contains(1L),
+      "tombstoned docs must not be retrieved by phrase search")
+  }
+
   test("the df cap drops stop terms from scoring with the exact integer rule") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString
