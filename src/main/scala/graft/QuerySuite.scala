@@ -2098,6 +2098,33 @@ object QuerySuite {
         .orderBy("rank")
     }),
 
+    // ---- PROXIMITY (NEAR) search: two terms within 3 tokens, either
+    //      order — the relevance signal between bag-of-words and exact
+    //      phrase. Per-doc pair counts over the positional postings,
+    //      replayed by the oracle as a range-join count ----
+    "q193_proximity_search" -> ((s, dir) => {
+      val idx = aux(dir, "q193_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      LexicalRetrieval.proximityTopK(s, idx, "spark", "hash", window = 3, k = 15)
+        .orderBy("rank")
+    }),
+
+    // ---- BM25 index INTROSPECTION: the one-row health check an operator
+    //      runs before trusting a serving index. Every number folds from the
+    //      persisted partials, so pending deletions' negative rows are
+    //      already netted out — the describe reports the LOGICAL corpus the
+    //      serve path scores against, which is exactly what the oracle
+    //      recomputes from the raw table minus the deleted docs ----
+    "q192_bm25_describe" -> ((s, dir) => {
+      import s.implicits._
+      val idx = aux(dir, "q192_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      LexicalRetrieval.deleteFromBm25Index(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(13)) === 0)
+          .select("doc_id"), "doc_id", idx, "erase1")
+      LexicalRetrieval.describeBm25Index(s, idx)
+    }),
+
     // ---- BM25 index DELETION: erasure for lexical serving. Docs deleted BY
     //      ID write negative df/stats partials (scores must reflect the
     //      post-deletion corpus — hiding postings is not enough) + id-only
@@ -4415,6 +4442,54 @@ object QuerySuite {
       """(1, ['customer', 'order']),
         |    (2, ['dup', 'slow']),
         |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // per-doc (posA, posB) pairs with |a - b| <= 3 as a range-join count —
+    // identical to the engine's O(tfA x tfB) position-array fold
+    "q193_proximity_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS p
+        |  FROM t WHERE len(toks) >= 1
+        |), pt AS (
+        |  SELECT doc_id, p, toks[p + 1] AS term FROM pos
+        |), pa AS (SELECT doc_id, p FROM pt WHERE term = 'spark'
+        |), pb AS (SELECT doc_id, p FROM pt WHERE term = 'hash'
+        |), m AS (
+        |  SELECT pa.doc_id, count(*) AS n_near
+        |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
+        |  GROUP BY pa.doc_id
+        |), r AS (
+        |  SELECT m.doc_id, CAST(len(t.toks) AS BIGINT) AS dl,
+        |         CAST(m.n_near AS BIGINT) AS n_near
+        |  FROM m JOIN t USING (doc_id)
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY n_near DESC, doc_id) AS BIGINT) AS rank,
+        |       doc_id, dl, n_near
+        |FROM r ORDER BY n_near DESC, doc_id LIMIT 15""".stripMargin,
+
+    // the logical corpus (survivors of the %13 delete) recomputed raw: doc
+    // and token totals, distinct-term vocabulary, (term, doc) posting count
+    "q192_bm25_describe" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents WHERE doc_id % 13 <> 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM s
+        |), p AS (
+        |  SELECT term, doc_id FROM tok GROUP BY term, doc_id
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_docs,
+        |       (SELECT CAST(sum(len(toks)) AS BIGINT) FROM s) AS sum_dl,
+        |       (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM p) AS n_terms,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_postings,
+        |       CAST(64 AS BIGINT) AS tb_buckets,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 13 = 0) AS pending_tombstones""".stripMargin,
 
     // positional intersection as a (doc_id, shifted-start) join-count —
     // positions are distinct per (doc, term), so the join count equals the

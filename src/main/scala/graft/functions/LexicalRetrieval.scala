@@ -350,6 +350,67 @@ object LexicalRetrieval {
       .select("rank", "doc_id", "dl", "n_phrase")
   }
 
+  /** Proximity (NEAR) search: docs where two terms occur within `window`
+    * tokens of each other, in either order — the relevance signal between
+    * bag-of-words and exact phrase ("spark" NEAR "shuffle" admits "spark's
+    * external shuffle"). Same df-sized arms as [[phraseTopK]]; the per-doc
+    * pair count is an O(tf_A × tf_B) HOF over the two position arrays —
+    * bounded by in-document term counts, never corpus-shaped — and the
+    * oracle replays it as a range-join count. Tombstones excluded. */
+  def proximityTopK(spark: SparkSession, indexPath: String,
+      termA: String, termB: String, window: Int, k: Int = 10): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(termA.toLowerCase != termB.toLowerCase,
+      "proximityTopK: distinct terms (same-term distance is trivially 0)")
+    val buckets = readBuckets(spark, indexPath)
+    val ids = Seq(termA, termB).map(t => driverHash60(t.toLowerCase))
+    val tbs = ids.map(_ % buckets).distinct
+    val post0 = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+      .filter(col("tb").isin(tbs: _*))
+    val post = readTombstones(spark, indexPath)
+      .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val a = post.filter(col("term_id") === lit(ids(0)))
+      .select(col("doc_id"), col("dl"), col("positions").as("__pa"))
+    val b = post.filter(col("term_id") === lit(ids(1)))
+      .select(col("doc_id"), col("positions").as("__pb"))
+    val nNear = aggregate(
+      transform(col("__pa"),
+        p => size(filter(col("__pb"), q => abs(q - p) <= lit(window)))),
+      lit(0), (acc, x) => acc + x).cast("long")
+    val w = Window.orderBy(col("n_near").desc, col("doc_id").asc)
+    a.join(b, Seq("doc_id"))
+      .withColumn("n_near", nNear)
+      .filter(col("n_near") > 0)
+      .orderBy(col("n_near").desc, col("doc_id").asc).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "dl", "n_near")
+  }
+
+  /** Index introspection — the numbers an operator checks before trusting a
+    * serving index (is the corpus all here? how big is the vocabulary? are
+    * deletes pending?). One row; every statistic folds from the persisted
+    * tables (df/stats partials sum — so pending deletions' NEGATIVE partials
+    * are already netted out, and the numbers describe the LOGICAL corpus the
+    * serve path scores against, not the physical bytes). */
+  def describeBm25Index(spark: SparkSession, indexPath: String): DataFrame = {
+    val stats = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val termdf = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/termdf"))
+      .groupBy("term_id").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"))
+    val pendingTombstones = readTombstones(spark, indexPath)
+      .map(_.count()).getOrElse(0L)
+    stats.crossJoin(termdf)
+      .withColumn("tb_buckets", lit(readBuckets(spark, indexPath).toLong))
+      .withColumn("pending_tombstones", lit(pendingTombstones))
+      .select("n_docs", "sum_dl", "n_terms", "n_postings", "tb_buckets",
+        "pending_tombstones")
+  }
+
   /** Driver-side twin of [[GraftFunctions.portableHash60]] — the query side
     * hashes its literal terms without a Spark job. */
   private def driverHash60(s: String): Long = {

@@ -198,6 +198,26 @@ class LexicalRetrievalSpec extends SparkSpec {
       "tombstoned docs must not be retrieved by phrase search")
   }
 
+  test("proximityTopK counts position pairs within the window, either order") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val docs = Seq(
+      (1L, "x y a b x"),        // a@2, b@3: |2-3|=1 -> 1 pair at w=1
+      (2L, "b x x a"),          // b@0, a@3: distance 3 -> 0 at w=1, 1 at w=3
+      (3L, "a x a b"),          // a@0,2; b@3: pairs (2,3) at w=1; (0,3),(2,3) at w=3
+      (4L, "a x x x x b"))      // distance 5 -> never within 3
+    LexicalRetrieval.buildBm25Index(docs.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    def serve(w: Int) = LexicalRetrieval.proximityTopK(spark, idx, "a", "b", w)
+      .select("doc_id", "n_near").as[(Long, Long)].collect().toMap
+    assert(serve(1) == Map(1L -> 1L, 3L -> 1L))
+    assert(serve(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    intercept[IllegalArgumentException] {
+      LexicalRetrieval.proximityTopK(spark, idx, "a", "A", 2)
+    }
+  }
+
   test("the df cap drops stop terms from scoring with the exact integer rule") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString
