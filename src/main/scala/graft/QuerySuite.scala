@@ -2098,6 +2098,19 @@ object QuerySuite {
         .orderBy("rank")
     }),
 
+    // ---- PHRASE hits WITH display snippets: the index answers the query
+    //      (id-only result), then ONLY the k winning ids touch the document
+    //      store via a broadcast semi — text never shuffles. Snippet = the
+    //      8 tokens around the first occurrence, same tokenizer as the
+    //      index. FULLY oracled incl. the snippet string ----
+    "q194_phrase_snippets" -> ((s, dir) => {
+      val idx = aux(dir, "q194_bm25index")
+      val docs = Tables.documents(s, dir)
+      LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", idx)
+      LexicalRetrieval.phraseSnippets(s, idx, docs, "doc_id", "text",
+        Seq("window", "join"), k = 10, context = 3).orderBy("rank")
+    }),
+
     // ---- PROXIMITY (NEAR) search: two terms within 3 tokens, either
     //      order — the relevance signal between bag-of-words and exact
     //      phrase. Per-doc pair counts over the positional postings,
@@ -4442,6 +4455,36 @@ object QuerySuite {
       """(1, ['customer', 'order']),
         |    (2, ['dup', 'slow']),
         |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // the q191 positional machinery plus the snippet: min start, clamp the
+    // window at 0, slice 8 tokens, join the same tokenization
+    "q194_phrase_snippets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS p
+        |  FROM t WHERE len(toks) >= 1
+        |), pt AS (
+        |  SELECT doc_id, p, toks[p + 1] AS term FROM pos
+        |), p0 AS (
+        |  SELECT doc_id, p AS sp FROM pt WHERE term = 'window'
+        |), p1 AS (
+        |  SELECT doc_id, p - 1 AS sp FROM pt WHERE term = 'join'
+        |), m AS (
+        |  SELECT doc_id, count(*) AS n_phrase, min(sp) AS fs
+        |  FROM p0 JOIN p1 USING (doc_id, sp) GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY n_phrase DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, CAST(n_phrase AS BIGINT) AS n_phrase, fs
+        |  FROM m
+        |)
+        |SELECT rank, doc_id, n_phrase,
+        |       array_to_string(t.toks[greatest(fs - 3, 0) + 1 : greatest(fs - 3, 0) + 8], ' ') AS snippet
+        |FROM ranked JOIN t USING (doc_id)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // per-doc (posA, posB) pairs with |a - b| <= 3 as a range-join count —
     // identical to the engine's O(tfA x tfB) position-array fold

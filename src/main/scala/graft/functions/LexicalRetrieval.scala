@@ -321,7 +321,14 @@ object LexicalRetrieval {
     * @return (rank, doc_id, dl, n_phrase) — docs containing the phrase,
     *   ranked by occurrence count then doc_id */
   def phraseTopK(spark: SparkSession, indexPath: String,
-      phrase: Seq[String], k: Int = 10): DataFrame = {
+      phrase: Seq[String], k: Int = 10): DataFrame =
+    phraseMatches(spark, indexPath, phrase, k)
+      .select("rank", "doc_id", "dl", "n_phrase")
+
+  /** [[phraseTopK]] plus the sorted phrase START positions (`starts`) —
+    * what [[phraseSnippets]] slices around. */
+  private[graft] def phraseMatches(spark: SparkSession, indexPath: String,
+      phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.size >= 2 && phrase.size <= 8,
       "phraseTopK: 2..8 terms (each term is one narrow self-join arm)")
     val buckets = readBuckets(spark, indexPath)
@@ -343,11 +350,35 @@ object LexicalRetrieval {
       .reduceLeft((a, b) => array_intersect(a, b))
     val w = Window.orderBy(col("n_phrase").desc, col("doc_id").asc)
     joined
-      .withColumn("n_phrase", size(common).cast("long"))
+      .withColumn("starts", sort_array(common))
+      .withColumn("n_phrase", size(col("starts")).cast("long"))
       .filter(col("n_phrase") > 0)
       .orderBy(col("n_phrase").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
-      .select("rank", "doc_id", "dl", "n_phrase")
+      .select("rank", "doc_id", "dl", "n_phrase", "starts")
+  }
+
+  /** Phrase hits WITH a display snippet — the retrieval result a human (or
+    * an LLM context window) actually consumes. The separation of concerns
+    * is the point at scale: the INDEX answers the phrase query (df-sized
+    * arms, id-only result), and only the k winning ids touch the document
+    * store — the k-row hit frame broadcasts into the docs scan, so the text
+    * read is a semi-join, never a corpus shuffle. The snippet is the
+    * `phrase.size + 2·context` tokens around the FIRST occurrence, sliced
+    * with the same tokenizer the index was built with. */
+  def phraseSnippets(spark: SparkSession, indexPath: String,
+      docs: DataFrame, id: String, text: String,
+      phrase: Seq[String], k: Int = 10, context: Int = 3): DataFrame = {
+    require(context >= 0, s"context must be >= 0, got $context")
+    val hits = phraseMatches(spark, indexPath, phrase, k)
+      .withColumn("first_start", element_at(col("starts"), 1))
+      .select("rank", "doc_id", "n_phrase", "first_start")
+    docs.select(col(id).as("doc_id"), wsTokens(lower(col(text))).as("__toks"))
+      .join(broadcast(hits), Seq("doc_id"))
+      .withColumn("__from", greatest(col("first_start") - context, lit(0)))
+      .withColumn("snippet", concat_ws(" ",
+        slice(col("__toks"), col("__from") + 1, lit(phrase.size + 2 * context))))
+      .select("rank", "doc_id", "n_phrase", "snippet")
   }
 
   /** Proximity (NEAR) search: docs where two terms occur within `window`

@@ -198,6 +198,28 @@ class LexicalRetrievalSpec extends SparkSpec {
       "tombstoned docs must not be retrieved by phrase search")
   }
 
+  test("phraseSnippets slices the first occurrence's window, clamped at the doc start") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val docs = Seq(
+      (1L, "a b x y z w q r"),      // phrase at 0 -> clamp: slice from 0
+      (2L, "x y z a b w q r s t"),  // phrase at 3, context 2 -> from 1
+      (3L, "x a b y a b z"))        // twice: first at 1 -> from 0
+    LexicalRetrieval.buildBm25Index(docs.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val got = LexicalRetrieval.phraseSnippets(spark, idx,
+        docs.toDF("doc_id", "text"), "doc_id", "text",
+        Seq("a", "b"), k = 10, context = 2)
+      .select("doc_id", "n_phrase", "snippet")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, "a b x y z w")),
+      "clamped at the doc start, still 6 tokens")
+    assert(got(2L) == ((2L, 1L, "y z a b w q")))
+    assert(got(3L) == ((3L, 2L, "x a b y a b")),
+      "two occurrences counted; the snippet sits on the FIRST")
+  }
+
   test("proximityTopK counts position pairs within the window, either order") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString
