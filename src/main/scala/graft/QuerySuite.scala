@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -117,6 +117,38 @@ object QuerySuite {
     * order on both sides (the engine's `sort_array` + `aggregate` HOF is
     * replayed here with `list_sort` + `list_reduce`; contributions are
     * strictly positive, so the engine's extra 0.0 init term is exact). */
+  /** The q195/q196 oracle: the unrolled watchlist as VALUES rows
+    * `(phrase_id, term_idx, term)`, matched by the same
+    * all-indices-at-one-start rule the engine aggregates. */
+  private def phraseWatchlistOracle(watchRows: String, docsWhere: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+       |  FROM documents $docsWhere
+       |), pos AS (
+       |  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS p
+       |  FROM t WHERE len(toks) >= 1
+       |), pt AS (
+       |  SELECT doc_id, p, toks[p + 1] AS term FROM pos
+       |), w AS (
+       |  SELECT * FROM (VALUES
+       |    $watchRows) v(phrase_id, term_idx, term)
+       |), plen AS (
+       |  SELECT phrase_id, count(*) AS m FROM w GROUP BY 1
+       |), h AS (
+       |  SELECT pt.doc_id, w.phrase_id, pt.p - w.term_idx AS sp, w.term_idx
+       |  FROM pt JOIN w ON pt.term = w.term
+       |), st AS (
+       |  SELECT h.doc_id, h.phrase_id, h.sp
+       |  FROM h JOIN plen USING (phrase_id)
+       |  GROUP BY h.doc_id, h.phrase_id, h.sp, plen.m
+       |  HAVING count(DISTINCT h.term_idx) = plen.m
+       |)
+       |SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id,
+       |       CAST(count(*) AS BIGINT) AS n_phrase
+       |FROM st GROUP BY 1, 2 ORDER BY doc_id, phrase_id""".stripMargin
+
   /** The q181/q183 oracle: hybrid RRF over the exact lexical (q176 CTEs,
     * top-20) and dense (q17 cosine ranking, top-20) arms, fused with the
     * engine's two-term IEEE fold — shared because q183 is the SAME retrieval
@@ -2096,6 +2128,32 @@ object QuerySuite {
       LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
       LexicalRetrieval.phraseTopK(s, idx, Seq("window", "join"), k = 15)
         .orderBy("rank")
+    }),
+
+    // ---- WATCHLIST phrase scan: every phrase of a watchlist against every
+    //      doc in ONE tokenize pass, no index — the content-compliance
+    //      primitive. The watchlist unrolls to broadcast (phrase, idx,
+    //      term) rows; a start where all m indices appear is a match ----
+    "q195_phrase_watchlist" -> ((s, dir) => {
+      LexicalRetrieval.phraseScan(Tables.documents(s, dir), "doc_id", "text",
+          Seq(Seq("window", "join"), Seq("order", "fast"), Seq("dup"),
+            Seq("big", "data", "slow")))
+        .orderBy("doc_id", "phrase_id")
+    }),
+
+    // ---- STREAMING watchlist alerts (StreamingPhraseAlert): the same scan
+    //      per document micro-batch, hits in batch= partitions ----
+    "q196_stream_phrase_alert" -> ((s, dir) => withStreamingConf(s) { s =>
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+      val alerts = aux(dir, "q196_alerts")
+      val q = StreamingPhraseAlert.start(stream, "doc_id", "text",
+        Seq(Seq("window", "join"), Seq("dup")), alerts, tmpDir("q196_ckpt_"))
+      q.awaitTermination()
+      s.read.parquet(alerts).select("doc_id", "phrase_id", "n_phrase")
+        .orderBy("doc_id", "phrase_id")
     }),
 
     // ---- PHRASE hits WITH display snippets: the index answers the query
@@ -4455,6 +4513,20 @@ object QuerySuite {
       """(1, ['customer', 'order']),
         |    (2, ['dup', 'slow']),
         |    (3, ['query', 'table', 'column'])""".stripMargin),
+
+    // the watchlist unrolled as VALUES; a (doc, phrase, start) where all m
+    // term indices appear is a match — count(DISTINCT term_idx) = m
+    "q195_phrase_watchlist" -> phraseWatchlistOracle(
+      """(0, 0, 'window'), (0, 1, 'join'),
+        |    (1, 0, 'order'), (1, 1, 'fast'),
+        |    (2, 0, 'dup'),
+        |    (3, 0, 'big'), (3, 1, 'data'), (3, 2, 'slow')""".stripMargin, ""),
+
+    // q195's contract over the streamed (odd-id) subset
+    "q196_stream_phrase_alert" -> phraseWatchlistOracle(
+      """(0, 0, 'window'), (0, 1, 'join'),
+        |    (1, 0, 'dup')""".stripMargin,
+      "WHERE doc_id % 2 = 1"),
 
     // the q191 positional machinery plus the snippet: min start, clamp the
     // window at 0, slice 8 tokens, join the same tokenization

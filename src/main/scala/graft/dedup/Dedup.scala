@@ -328,6 +328,21 @@ object Dedup {
     * `_v*` dirs, so a compaction that crashed between writing the version
     * dir and swapping the pointer leaves readers completely unaffected (a
     * bare `v1` among the `batch=*` dirs would corrupt partition discovery). */
+  /** Recursively remove a directory if present — the whole-index-rebuild
+    * hygiene for marker dirs: a rebuild writes a NEW index generation, and
+    * tombstones from the previous generation must not survive it (they
+    * would suppress legitimate deletes of re-ingested keys and wrongly
+    * anti-join current docs at serve time). */
+  private[graft] def clearDir(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+  }
+
   private[graft] def resolveIndexDir(indexPath: String): String = {
     val cur = java.nio.file.Paths.get(indexPath, "CURRENT")
     if (java.nio.file.Files.exists(cur))

@@ -68,6 +68,9 @@ object LexicalRetrieval {
       indexPath: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     writeBm25Batch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+    // a rebuild is a NEW index generation: markers from the previous one
+    // must not suppress future deletes or hide current docs at serve time
+    Dedup.clearDir(s"$indexPath/tombstones")
   }
 
   /** Fold a NEW doc batch into the index — the incremental serving story
@@ -416,6 +419,51 @@ object LexicalRetrieval {
       .orderBy(col("n_near").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(w).cast("long"))
       .select("rank", "doc_id", "dl", "n_near")
+  }
+
+  /** One-pass WATCHLIST phrase scan — every phrase of a (small) watchlist
+    * matched against every document in a single tokenize pass, NO index
+    * needed: the content-compliance / brand-safety primitive that runs at
+    * ingest, where the corpus streams past once and the watchlist is the
+    * small side. The trick that makes all phrases one pass: the watchlist
+    * unrolls to broadcast rows `(phrase_id, term_idx, term_id)`; each doc
+    * token joins them (map-side — only watch terms survive the broadcast
+    * hash join) and proposes the phrase START `pos − term_idx`; a start
+    * where ALL `m` term indices showed up is a match (`count(distinct
+    * term_idx) = m`). Both aggregations are narrow (doc, phrase, start)
+    * long-keyed rows; text never shuffles.
+    *
+    * @param phrases the watchlist (each 1..8 lowercase terms)
+    * @return (doc_id, phrase_id, n_phrase) — one row per doc × matched
+    *   phrase, with the exact occurrence count */
+  def phraseScan(docs: DataFrame, id: String, text: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(p => p.nonEmpty && p.size <= 8),
+      "phraseScan: nonempty watchlist of 1..8-term phrases")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val watch = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      p.zipWithIndex.map { case (t, i) =>
+        (pid.toLong, i, driverHash60(t.toLowerCase))
+      }
+    }.toDF("phrase_id", "term_idx", "term_id")
+    val plen = phrases.zipWithIndex
+      .map { case (p, pid) => (pid.toLong, p.size.toLong) }
+      .toDF("phrase_id", "m")
+    val tok = docs
+      .select(col(id).as("doc_id"),
+        posexplode(wsTokens(lower(col(text)))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos"), portableHash60(col("term")).as("term_id"))
+    val starts = tok
+      .join(broadcast(watch), Seq("term_id"))
+      .select(col("doc_id"), col("phrase_id"),
+        (col("pos") - col("term_idx")).as("sp"), col("term_idx"))
+      .groupBy("doc_id", "phrase_id", "sp")
+      .agg(countDistinct(col("term_idx")).as("__seen"))
+      .join(broadcast(plen), Seq("phrase_id"))
+      .filter(col("__seen") === col("m"))
+    starts.groupBy("doc_id", "phrase_id")
+      .agg(count(lit(1)).as("n_phrase"))
   }
 
   /** Index introspection — the numbers an operator checks before trusting a

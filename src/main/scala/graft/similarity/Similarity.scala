@@ -719,6 +719,10 @@ object Similarity {
     writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", "base",
       wholeIndex = true, partitionCols = Seq("cell"))
     writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
+    // rebuild = new generation: stale tombstones would hide current vectors
+    // at serve time and suppress legitimate future deletes (found via the
+    // BM25 twin — q192's describe read a prior bench run's markers)
+    graft.dedup.Dedup.clearDir(s"$indexPath/tombstones")
   }
 
   // one copy of the replay-idempotence machinery: Dedup.writeIndexBatch is

@@ -395,6 +395,42 @@ object StreamingDecontamGate {
   }
 }
 
+/** Streaming WATCHLIST phrase alerts — content-compliance scanning on the
+  * ingest path: each document micro-batch runs the one-pass multi-phrase
+  * scan ([[graft.functions.LexicalRetrieval.phraseScan]] — broadcast
+  * watchlist, narrow (doc, phrase, start) aggregation, no index, text never
+  * shuffles) and every hit lands in `alertPath/batch=b<N>` under the shared
+  * effectively-once contract. The shape a brand-safety / policy pipeline
+  * runs: the watchlist is small and changes rarely; the corpus streams past
+  * once. */
+object StreamingPhraseAlert {
+
+  def start(
+      docStream: DataFrame,
+      id: String,
+      text: String,
+      phrases: Seq[Seq[String]],
+      alertPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.LexicalRetrieval.phraseScan(batch, id, text, phrases)
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(alertPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+  }
+}
+
 /** Streaming CURATION pipeline — the full crawl-ingest request path in one
   * stream, composing the two admission controls this library ships:
   * per micro-batch, (1) every doc probes the FROZEN benchmark gram index

@@ -220,6 +220,23 @@ class LexicalRetrievalSpec extends SparkSpec {
       "two occurrences counted; the snippet sits on the FIRST")
   }
 
+  test("phraseScan matches every watchlist phrase in one pass, repeats included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),        // phrase 0 = "a a": starts 0,1 -> 2
+      (2L, "x a b y a b"),  // phrase 1 = "a b": 2; phrase 2 = "b": 2
+      (3L, "b"),            // phrase 2 only
+      (4L, "zzz"))          // nothing
+    val got = LexicalRetrieval.phraseScan(docs.toDF("doc_id", "text"),
+        "doc_id", "text", Seq(Seq("a", "a"), Seq("a", "b"), Seq("b")))
+      .select("doc_id", "phrase_id", "n_phrase")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (1L, 0L) -> 2L,
+      (2L, 1L) -> 2L, (2L, 2L) -> 2L,
+      (3L, 2L) -> 1L), s"got $got")
+  }
+
   test("proximityTopK counts position pairs within the window, either order") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString
@@ -297,6 +314,28 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(lens.filter(col("doc_id").isin(3L, 5L)).isEmpty)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$idx/tombstones")), "markers cleared")
+  }
+
+  test("a whole rebuild clears the previous generation's tombstones") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bm25_spec_").toString
+    val idx = s"$root/idx"
+    val df = corpus.toDF("doc_id", "text")
+    LexicalRetrieval.buildBm25Index(df, "doc_id", "text", idx, buckets = 8)
+    LexicalRetrieval.deleteFromBm25Index(Seq(3L).toDF("doc_id"), "doc_id", idx, "e1")
+    // REBUILD without purging: a new index generation — the old marker must
+    // not hide doc 3 at serve time, and a fresh delete of 3 must decrement
+    // (the q192 sf0.01 regression: a prior run's marker suppressed it)
+    LexicalRetrieval.buildBm25Index(df, "doc_id", "text", idx, buckets = 8)
+    val served = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((1L, Seq("spark"))).toDF("query_id", "terms"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(served.contains(3L), "rebuilt index must serve doc 3 again")
+    LexicalRetrieval.deleteFromBm25Index(Seq(3L).toDF("doc_id"), "doc_id", idx, "e2")
+    val n = LexicalRetrieval.describeBm25Index(spark, idx)
+      .select("n_docs").collect().head.getLong(0)
+    assert(n == corpus.size - 1L,
+      "the fresh generation's delete must decrement the statistics")
   }
 
   test("double-delete across batch ids cannot double-decrement the statistics") {

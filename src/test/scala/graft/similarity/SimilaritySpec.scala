@@ -219,6 +219,26 @@ class SimilaritySpec extends SparkSpec {
       s"compaction must keep cell partitioning, got $names2")
   }
 
+  test("an IVFADC rebuild clears the previous generation's tombstones") {
+    import spark.implicits._
+    val rng = new Random(71)
+    val all = randomVecs(rng, 80, 8).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_gen_").toString
+    Similarity.buildIvfadcIndex(all, "vec_id", "embedding", idx,
+      nCells = 4, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 4)
+    Similarity.deleteFromIvfadcIndex(all.filter($"vec_id" === 7L), "vec_id", idx, "d1")
+    // rebuild WITHOUT purging: the old marker must not hide vector 7 in the
+    // new generation (the BM25-twin q192 regression, same latent bug here)
+    Similarity.buildIvfadcIndex(all, "vec_id", "embedding", idx,
+      nCells = 4, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 4)
+    val served = Similarity.ivfadcTopKIndexed(spark, idx,
+        all.filter($"vec_id" === 7L), "vec_id", "embedding", k = 1,
+        nProbe = 4, shortlist = 80)
+      .select("nbr_id").as[Long].collect().toSet
+    assert(served == Set(7L),
+      "a rebuilt index must retrieve the re-ingested vector (self-match)")
+  }
+
   test("deleteFromIvfadcIndex: tombstoned vectors vanish from serving; purge erases physically; erasure outranks resurrection") {
     import spark.implicits._
     val rng = new Random(53)
