@@ -9,13 +9,13 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
 import graft.dedup.Dedup
-import graft.functions.{Bpe, GraftFunctions, LexicalRetrieval, TextAnalysis}
+import graft.functions.{Bpe, GraftFunctions, LexicalRetrieval, LmPerplexity, PortableMath, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -117,6 +117,73 @@ object QuerySuite {
     * order on both sides (the engine's `sort_array` + `aggregate` HOF is
     * replayed here with `list_sort` + `list_reduce`; contributions are
     * strictly positive, so the engine's extra 0.0 init term is exact). */
+  /** q199's admission threshold: per-token log-perplexity (natural log)
+    * under the trusted-slice bigram LM. Shared between the query definition
+    * and its oracle string so the two can never drift. */
+  private val QppGateThreshold: Double = 3.41
+
+  /** The q197/q198/q199 LM-perplexity oracle: DuckDB retrains the Laplace
+    * bigram LM from the raw corpus (train/score split by the shared
+    * hash-bucket rule) and replays scoring EXACTLY — portable 60-bit bigram
+    * ids, `ln` via [[graft.functions.PortableMath.lnPosLongSqlSteps]] (the
+    * fixed IEEE tree, bit-identical to the engine's Column form), per-doc
+    * sums folded in token-position order with `list_sort` + `list_reduce`
+    * (the engine's extra 0.0 init is exact: lp is never −0.0). */
+  private def lmPerplexityOracle(trainPred: String, scorePred: String,
+      select: String): String = {
+    val lnNum = PortableMath.lnPosLongSqlSteps("num", "n").mkString(",\n    ")
+    val lnDen = PortableMath.lnPosLongSqlSteps("den", "d").mkString(",\n    ")
+    s"""WITH b AS (
+       |  SELECT doc_id, text, lang, source,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, bucket, lang, source,
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+       |  FROM b
+       |), tr AS (SELECT toks FROM t WHERE $trainPred
+       |), voc AS (
+       |  SELECT count(DISTINCT ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS v
+       |  FROM (SELECT unnest(toks) AS tok FROM tr)
+       |), trbg AS (
+       |  SELECT ('0x' || substr(md5(toks[p+1] || chr(1) || toks[p+2]), 1, 15))::BIGINT AS bg_id,
+       |         ('0x' || substr(md5(toks[p+1]), 1, 15))::BIGINT AS ctx_id
+       |  FROM (SELECT toks, unnest(generate_series(0, len(toks) - 2)) AS p FROM tr)
+       |), cbg AS (SELECT bg_id, count(*) AS c FROM trbg GROUP BY 1
+       |), cctx AS (SELECT ctx_id, count(*) AS c FROM trbg GROUP BY 1
+       |), sc AS (SELECT doc_id, toks, lang, source FROM t WHERE $scorePred
+       |), scbg AS (
+       |  SELECT doc_id, p,
+       |    ('0x' || substr(md5(toks[p+1] || chr(1) || toks[p+2]), 1, 15))::BIGINT AS bg_id,
+       |    ('0x' || substr(md5(toks[p+1]), 1, 15))::BIGINT AS ctx_id
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS p FROM sc)
+       |), prob AS (
+       |  SELECT s.doc_id, s.p,
+       |    coalesce(cbg.c, 0) + 1 AS num,
+       |    coalesce(cctx.c, 0) + voc.v AS den
+       |  FROM scbg s LEFT JOIN cbg USING (bg_id) LEFT JOIN cctx USING (ctx_id) CROSS JOIN voc
+       |), lp AS (
+       |  SELECT doc_id, p,
+       |    $lnNum,
+       |    $lnDen,
+       |    n_ln - d_ln AS lp
+       |  FROM prob
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    list_reduce(list_sort(list({'t': p, 'c': lp})),
+       |      (a, b) -> {'t': b.t, 'c': a.c + b.c}).c AS s
+       |  FROM lp GROUP BY 1
+       |), scored AS (
+       |  SELECT sc.doc_id, sc.lang, sc.source,
+       |    CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |    CASE WHEN per.n_bigrams > 0
+       |         THEN round((-(per.s)) / per.n_bigrams::DOUBLE, 6) END AS logppl
+       |  FROM sc LEFT JOIN per USING (doc_id)
+       |)
+       |$select""".stripMargin
+  }
+
   /** The q195/q196 oracle: the unrolled watchlist as VALUES rows
     * `(phrase_id, term_idx, term)`, matched by the same
     * all-indices-at-one-start rule the engine aggregates. */
@@ -2154,6 +2221,90 @@ object QuerySuite {
       q.awaitTermination()
       s.read.parquet(alerts).select("doc_id", "phrase_id", "n_phrase")
         .orderBy("doc_id", "phrase_id")
+    }),
+
+    // ---- LM PERPLEXITY (CCNet, Wenzek '20): train a Laplace-smoothed
+    //      token-bigram LM on the trusted split, score the candidate split
+    //      by per-token log-perplexity. REAL log-space scores, FULLY
+    //      oracled: every ln is PortableMath.lnPosLong's fixed IEEE tree
+    //      (bit-identical in DuckDB — the q78 scaladoc's "no transcendental"
+    //      seam closed), and per-doc sums fold in token-position order ----
+    "q197_lm_perplexity" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      LmPerplexity.perplexity(
+        docs.filter(col("bucket") < 80),
+        docs.filter(col("bucket") >= 90), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- PERSISTED LM + FIT-FREE scoring: even train doc_ids build the
+    //      base, odd fold in as a day-2 batch (every model table is an
+    //      additive count partial), the index compacts under the atomic
+    //      CURRENT swap, and serving equals whole-corpus training
+    //      bit-for-bit — the oracle knows nothing about batches ----
+    "q198_lm_ppl_serve" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val train = docs.filter(col("bucket") < 80)
+      val idx = aux(dir, "q198_lmindex")
+      LmPerplexity.buildLmIndex(
+        train.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      LmPerplexity.appendLmIndex(
+        train.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", idx,
+        "day2")
+      LmPerplexity.compactLmIndex(s, idx)
+      LmPerplexity.perplexityIndexed(s, idx,
+          docs.filter(col("bucket") >= 90), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING perplexity ADMISSION GATE: candidate docs stream
+    //      through the frozen persisted LM; only docs clearing the
+    //      threshold are admitted (zero-bigram docs rejected —
+    //      unassessable). The oracle replays scoring + filter over the
+    //      whole streamed slice — it knows nothing about micro-batches ----
+    "q199_stream_ppl_gate" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val idx = aux(dir, "q199_lmindex")
+      LmPerplexity.buildLmIndex(
+        docs.filter(col("bucket") < 80), "doc_id", "text", idx)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .filter(col("bucket") >= 90).drop("bucket")
+      val kept = aux(dir, "q199_kept")
+      val q = StreamingPerplexityGate.start(stream, "doc_id", "text", idx,
+        kept, tmpDir("q199_ckpt_"), maxLogPpl = QppGateThreshold)
+      q.awaitTermination()
+      s.read.parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
+    // ---- CCNet HEAD/MIDDLE/TAIL: the whole corpus ranked by perplexity
+    //      under the trusted-slice LM and cut into terciles — the bucket
+    //      rule CCNet selects training data by. Rank = distributed exact
+    //      prefix count (q184's range-repartition machinery, never one
+    //      global window task); bucket = exact integer algebra ----
+    "q200_ppl_terciles" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      LmPerplexity.perplexityTerciles(
+        docs.filter(col("bucket") < 80), docs.drop("bucket"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- TEMPERATURE domain resampling (α = 1/2): sampling weight ∝ √n_d,
+    //      so the head domain stops dominating — rates DERIVED from the
+    //      data, floored to exact ppm, keep = content-addressed hash
+    //      predicate. α pinned to 1/2 because sqrt is IEEE-correctly-
+    //      rounded in every engine (pow is not) — the whole rate derivation
+    //      is oracle-replayable ----
+    "q201_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DomainMix.temperatureSample(docs, "doc_id", "source", docs.count() / 2)
+        .orderBy("doc_id")
     }),
 
     // ---- PHRASE hits WITH display snippets: the index answers the query
@@ -4527,6 +4678,66 @@ object QuerySuite {
       """(0, 0, 'window'), (0, 1, 'join'),
         |    (1, 0, 'dup')""".stripMargin,
       "WHERE doc_id % 2 = 1"),
+
+    // DuckDB retrains the bigram LM from the raw corpus and replays the
+    // scoring bit-for-bit — see lmPerplexityOracle
+    "q197_lm_perplexity" -> lmPerplexityOracle(
+      trainPred = "bucket < 80", scorePred = "bucket >= 90",
+      select = "SELECT doc_id, n_bigrams, logppl FROM scored ORDER BY doc_id"),
+
+    // IDENTICAL oracle to q197: the persisted/incremental/compacted index is
+    // invisible to the SQL, so a match proves fit-free serving equals
+    // whole-corpus training exactly
+    "q198_lm_ppl_serve" -> lmPerplexityOracle(
+      trainPred = "bucket < 80", scorePred = "bucket >= 90",
+      select = "SELECT doc_id, n_bigrams, logppl FROM scored ORDER BY doc_id"),
+
+    // the gate's accept set: scoring + threshold over the whole streamed
+    // slice — micro-batching is invisible
+    "q199_stream_ppl_gate" -> lmPerplexityOracle(
+      trainPred = "bucket < 80", scorePred = "bucket >= 90",
+      select = "SELECT doc_id, lang, source FROM scored " +
+        s"WHERE n_bigrams > 0 AND logppl <= $QppGateThreshold ORDER BY doc_id"),
+
+    // whole-corpus scoring, then ONE global rank (the oracle's single
+    // window is the reference the engine's distributed prefix count must
+    // reproduce exactly) + the integer tercile rule
+    "q200_ppl_terciles" -> lmPerplexityOracle(
+      trainPred = "bucket < 80", scorePred = "TRUE",
+      select = """, ranked AS (
+        |  SELECT doc_id, n_bigrams, logppl,
+        |    CAST(row_number() OVER (ORDER BY logppl, doc_id) AS BIGINT) AS ppl_rank,
+        |    CAST(count(*) OVER () AS BIGINT) AS n
+        |  FROM scored WHERE n_bigrams > 0
+        |)
+        |SELECT doc_id, n_bigrams, logppl, ppl_rank,
+        |  CASE WHEN ppl_rank * 3 <= n THEN 'head'
+        |       WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ranked ORDER BY doc_id""".stripMargin),
+
+    // the α = 1/2 rate derivation replayed step-for-step: √n per domain,
+    // normalizer folded in ascending domain order, budget = half the
+    // corpus (integer division both sides), ppm floor, hash keep rule
+    "q201_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |), st AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_domain FROM d GROUP BY 1
+        |), stw AS (
+        |  SELECT source, n_domain, sqrt(n_domain::DOUBLE) AS s FROM st
+        |), norm AS (
+        |  SELECT list_reduce(list_sort(list({'t': source, 'c': s})),
+        |    (a, b) -> {'t': b.t, 'c': a.c + b.c}).c AS ssum FROM stw
+        |), bud AS (SELECT CAST(count(*) // 2 AS BIGINT) AS budget FROM d
+        |), rates AS (
+        |  SELECT source, n_domain,
+        |    least(1000000, CAST(floor(1000000.0 *
+        |      ((bud.budget::DOUBLE * (s / norm.ssum)) / n_domain::DOUBLE)) AS BIGINT)) AS keep_ppm
+        |  FROM stw CROSS JOIN norm CROSS JOIN bud
+        |)
+        |SELECT d.doc_id, d.source, rates.n_domain, rates.keep_ppm,
+        |  (('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000) < rates.keep_ppm AS kept
+        |FROM d JOIN rates USING (source) ORDER BY d.doc_id""".stripMargin,
 
     // the q191 positional machinery plus the snippet: min start, clamp the
     // window at 0, slice 8 tokens, join the same tokenization

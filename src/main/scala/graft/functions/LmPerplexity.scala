@@ -1,0 +1,303 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import GraftFunctions.{portableHash60, wsTokens}
+import PortableMath.lnPosLong
+
+/** N-gram language-model perplexity filtering — the CCNet signal (Wenzek et
+  * al. 2020: filter a crawl by the perplexity of a LM trained on trusted
+  * text), closing the seam [[TextAnalysis.charBigramCoverage]] documented
+  * ("the CCNet-perplexity seam: swap the top-N table for scored LM
+  * n-grams"). The LM is a Laplace-smoothed token BIGRAM model:
+  *
+  *   p(w₂ | w₁) = (c(w₁w₂) + 1) / (c_ctx(w₁) + V)
+  *
+  * with `c_ctx(w₁)` = bigram positions whose first token is w₁ (= Σ over
+  * c(w₁·)) and `V` = distinct training tokens. A document's score is its
+  * per-token log-perplexity `−(Σ ln p) / n_bigrams` — LOWER is more fluent
+  * under the training distribution.
+  *
+  * **Exactly oracle-checkable log-space scores.** Every probability is a
+  * RATIO OF INTEGERS (counts + smoothing), so each `ln p = ln(num) − ln(den)`
+  * goes through [[PortableMath.lnPosLong]] — the fixed IEEE evaluation tree
+  * an external engine replays bit-for-bit — and the per-document sum folds
+  * in ascending POSITION order (`sort_array` + `aggregate`, the
+  * [[LexicalRetrieval]] ordered-fold rule; the oracle replays it with
+  * `list_sort` + `list_reduce`). This is real perplexity under the repo's
+  * cross-engine bit-reproducibility contract, not a proxy.
+  *
+  * **Shape at 100 TB.** Token pairs travel as portable 60-bit ids
+  * ([[GraftFunctions.portableHash60]] of `w₁w₂` — the q127 narrow-
+  * exchange rule; a 60-bit merge of two bigrams perturbs two counts by one,
+  * mirrored identically by the oracle). Training is one tokenize pass →
+  * one narrow (bg_id, ctx_id) explode → combinable counts; context counts
+  * are a SECOND-LEVEL aggregation of the bigram counts (no second text
+  * pass). Scoring joins the score-side bigram rows to the count tables on
+  * 8-byte keys (shuffle equi-joins AQE can plan; the model is
+  * vocabulary-sized, not corpus-sized) and folds per doc — text itself
+  * never shuffles. The persisted form ([[buildLmIndex]]) stores the counts
+  * as additive per-batch partials in the shared `batch=` /
+  * versioned-compaction / atomic-CURRENT layout, so daily batches fold in
+  * fit-free ([[appendLmIndex]]) and serving ([[perplexityIndexed]]) prunes
+  * the bigram scan to the request batch's hash buckets — the
+  * [[LexicalRetrieval.bm25TopKIndexed]] probe discipline applied to LM
+  * scoring.
+  */
+object LmPerplexity {
+
+  /** `(doc_id, toks)` — the one tokenize projection every pass shares.
+    * Callers persist it: each consumer below touches the staged attribute,
+    * never a re-evaluated tokenization (the no-CSE trap). */
+  private def tokd(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+      wsTokens(lower(col(text))).as("toks"))
+
+  private val BgRowType = "array<struct<pos:int,bg_id:bigint,ctx_id:bigint>>"
+
+  /** Exploded bigram rows `(doc_id, pos, bg_id, ctx_id)` from a STAGED
+    * token frame — a doc with fewer than 2 tokens contributes no rows. */
+  private[graft] def bigramRows(tokdStaged: DataFrame): DataFrame =
+    tokdStaged.select(col("doc_id"),
+      explode(when(size(col("toks")) < 2, array().cast(BgRowType))
+        .otherwise(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => struct(
+            i.cast("int").as("pos"),
+            portableHash60(concat(
+              element_at(col("toks"), i + 1), lit("\u0001"),
+              element_at(col("toks"), i + 2))).as("bg_id"),
+            portableHash60(element_at(col("toks"), i + 1)).as("ctx_id")))))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.pos").as("pos"),
+        col("bg.bg_id").as("bg_id"), col("bg.ctx_id").as("ctx_id"))
+
+  /** Score STAGED score-side frames against model count frames.
+    * @param bgC  (bg_id, c_bg) bigram counts
+    * @param ctxC (ctx_id, c_ctx) context counts
+    * @param vRow one row (v) — distinct training tokens */
+  private def scoreStaged(scTokd: DataFrame, scBg: DataFrame,
+      bgC: DataFrame, ctxC: DataFrame, vRow: DataFrame): DataFrame = {
+    val scored = scBg
+      .join(bgC, Seq("bg_id"), "left")
+      .join(ctxC, Seq("ctx_id"), "left")
+      .crossJoin(broadcast(vRow)) // one row — a constant, not a data join
+      .withColumn("lp",
+        lnPosLong(coalesce(col("c_bg"), lit(0L)) + lit(1L)) -
+          lnPosLong(coalesce(col("c_ctx"), lit(0L)) + col("v")))
+    // ordered fold: ln-contributions sorted by token position, summed
+    // left-to-right from 0.0 (0.0 + c == c exactly; lp is never -0.0 —
+    // equal num/den lns subtract to +0.0)
+    val sums = scored.groupBy("doc_id").agg(
+      aggregate(
+        sort_array(collect_list(struct(col("pos").as("t"), col("lp").as("c")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("__sum"),
+      count(lit(1)).as("n_bigrams"))
+    scTokd.select(col("doc_id"))
+      .join(sums, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("logppl", when(col("n_bigrams") > 0,
+        round((-col("__sum")) / col("n_bigrams").cast("double"), 6)))
+      .select("doc_id", "n_bigrams", "logppl")
+  }
+
+  /** One-shot: train the bigram LM on `train`, score every `score` doc.
+    * @return (doc_id, n_bigrams, logppl) — logppl NULL when the doc has no
+    *   bigram (fewer than 2 tokens: the model cannot assess it) */
+  def perplexity(train: DataFrame, score: DataFrame,
+      id: String, text: String): DataFrame = {
+    val trTokd = tokd(train, id, text).persist()
+    trTokd.count(): Unit // ONE tokenize pass feeds V AND the bigram counts
+    val vRow = trTokd
+      .select(explode(col("toks")).as("t"))
+      .select(portableHash60(col("t")).as("tok_id"))
+      .agg(countDistinct(col("tok_id")).as("v"))
+    val bgC = bigramRows(trTokd)
+      .groupBy("bg_id", "ctx_id").agg(count(lit(1)).as("c_bg"))
+      .persist() // feeds the score join AND the context second-level agg
+    bgC.count(): Unit
+    val ctxC = bgC.groupBy("ctx_id").agg(sum(col("c_bg")).as("c_ctx"))
+    val scTokd = tokd(score, id, text).persist()
+    scTokd.count(): Unit // feeds the bigram explode AND the zero-bigram join
+    val out = scoreStaged(scTokd, bigramRows(scTokd),
+      bgC.select("bg_id", "c_bg"), ctxC, vRow)
+    val result = out.localCheckpoint(eager = true)
+    scTokd.unpersist(false): Unit
+    bgC.unpersist(false): Unit
+    trTokd.unpersist(false): Unit
+    result
+  }
+
+  /** CCNet's head/middle/tail corpus partition: every scoreable doc ranks
+    * by [[perplexity]] ascending (most-fluent first) and the ranking cuts
+    * into three equal buckets — the selection rule CCNet trains on (keep
+    * head+middle, drop tail, or mix them with different weights).
+    *
+    * The rank is a DISTRIBUTED exact prefix count
+    * ([[graft.operators.PrefixScan.runningTotal]] — range repartition +
+    * per-partition windows, never one global window task), and the bucket
+    * rule is exact integer algebra (`rank×3 ≤ n`, `rank×3 ≤ 2n`) — both
+    * oracle-replayable. Docs with no bigram are excluded (they carry no
+    * score to rank).
+    *
+    * @return (doc_id, n_bigrams, logppl, ppl_rank, bucket) */
+  def perplexityTerciles(train: DataFrame, corpus: DataFrame,
+      id: String, text: String): DataFrame = {
+    val scored = perplexity(train, corpus, id, text)
+      .filter(col("n_bigrams") > 0)
+    val ranked = graft.operators.PrefixScan.runningTotal(scored,
+      Seq(col("logppl").asc, col("doc_id").asc), lit(1L), "ppl_rank")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(col("ppl_rank") * 3 <= col("__n"), lit("head"))
+          .when(col("ppl_rank") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "n_bigrams", "logppl", "ppl_rank", "bucket")
+  }
+
+  // ------------------------------------------------------------------
+  // persisted LM index — additive count partials in the shared batch=/
+  // versioned-compaction/atomic-CURRENT layout
+  //
+  //   bigrams/  (bg_id, ctx_id, c) partitioned by bb = pmod(bg_id, buckets)
+  //   contexts/ (ctx_id, c)
+  //   unigrams/ (tok_id, c)        — V = rows with folded c > 0
+  //   stats/    (n_docs, n_bigrams, bb_buckets)
+  // ------------------------------------------------------------------
+
+  /** Build (overwrite) the persisted LM from `docs`. */
+  def buildLmIndex(docs: DataFrame, id: String, text: String,
+      indexPath: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    writeLmBatch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+  }
+
+  /** Fold a NEW doc batch into the LM — every table is an additive count,
+    * so incremental training is just another partial batch (the
+    * [[LexicalRetrieval.appendBm25Index]] contract: docs must be new; a
+    * re-ingested doc would double-count itself). */
+  def appendLmIndex(newDocs: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String): Unit = {
+    val buckets = readBuckets(newDocs.sparkSession, indexPath)
+    writeLmBatch(newDocs, id, text, indexPath, batchId, buckets,
+      wholeIndex = false)
+  }
+
+  /** Fold per-batch partials into one row per key under a new version dir +
+    * atomic CURRENT swap. */
+  def compactLmIndex(spark: SparkSession, indexPath: String): Unit = {
+    val buckets = readBuckets(spark, indexPath)
+    Dedup.compactBatchedDir(spark, s"$indexPath/bigrams",
+      transform = df => df.groupBy("bg_id", "ctx_id")
+        .agg(sum(col("c")).as("c")).filter(col("c") > 0)
+        .withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+      extraPartitionCols = Seq("bb"))
+    Dedup.compactBatchedDir(spark, s"$indexPath/contexts",
+      transform = df => df.groupBy("ctx_id")
+        .agg(sum(col("c")).as("c")).filter(col("c") > 0))
+    Dedup.compactBatchedDir(spark, s"$indexPath/unigrams",
+      transform = df => df.groupBy("tok_id")
+        .agg(sum(col("c")).as("c")).filter(col("c") > 0))
+    Dedup.compactBatchedDir(spark, s"$indexPath/stats",
+      transform = df => df.groupBy("bb_buckets").agg(
+          sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+        .select("n_docs", "n_bigrams", "bb_buckets"))
+  }
+
+  /** Score `docs` FIT-FREE against the persisted LM. The request batch's
+    * distinct bigram hash buckets are collected (≤ `buckets` values — a
+    * bounded driver collect by contract) and prune the bigram scan's FILE
+    * LISTING statically, so a small scoring batch reads only its share of
+    * the model — the [[LexicalRetrieval.bm25TopKIndexed]] probe discipline.
+    * Scores equal [[perplexity]] trained on the same corpus bit-for-bit
+    * (the counts are the same integers wherever they are stored). */
+  def perplexityIndexed(spark: SparkSession, indexPath: String,
+      docs: DataFrame, id: String, text: String): DataFrame = {
+    val buckets = readBuckets(spark, indexPath)
+    val scTokd = tokd(docs, id, text).persist()
+    scTokd.count(): Unit
+    val scBg = bigramRows(scTokd).persist()
+    scBg.count(): Unit // feeds the bucket probe AND the score join
+    val bbs = scBg.select(pmod(col("bg_id"), lit(buckets.toLong)).as("bb"))
+      .distinct().collect().map(_.getLong(0))
+    val bgC =
+      if (bbs.isEmpty)
+        spark.emptyDataFrame.select(lit(0L).as("bg_id"), lit(0L).as("c_bg")).limit(0)
+      else spark.read
+        .parquet(Dedup.resolveIndexDir(s"$indexPath/bigrams"))
+        .filter(col("bb").isin(bbs: _*))
+        .groupBy("bg_id").agg(sum(col("c")).as("c_bg"))
+    val ctxC = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/contexts"))
+      .groupBy("ctx_id").agg(sum(col("c")).as("c_ctx"))
+    val vRow = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/unigrams"))
+      .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
+      .agg(count(lit(1)).as("v"))
+    val out = scoreStaged(scTokd, scBg, bgC, ctxC, vRow)
+    val result = out.localCheckpoint(eager = true)
+    scBg.unpersist(false): Unit
+    scTokd.unpersist(false): Unit
+    result
+  }
+
+  /** One-row index introspection: the logical model the serve path scores
+    * against (partials netted). */
+  def describeLmIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val stats = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+    val voc = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/unigrams"))
+      .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
+      .agg(count(lit(1)).as("vocab"))
+    val bgt = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/bigrams"))
+      .groupBy("bg_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
+      .agg(count(lit(1)).as("bigram_types"))
+    stats.crossJoin(voc).crossJoin(bgt)
+      .withColumn("bb_buckets", lit(readBuckets(spark, indexPath).toLong))
+      .select("n_docs", "n_bigrams", "vocab", "bigram_types", "bb_buckets")
+  }
+
+  private def readBuckets(spark: SparkSession, indexPath: String): Int = {
+    val rows = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .select("bb_buckets").distinct().collect()
+    require(rows.length == 1,
+      s"LM index at $indexPath has ${rows.length} distinct bucket counts")
+    rows.head.getInt(0)
+  }
+
+  private def writeLmBatch(docs: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String, buckets: Int,
+      wholeIndex: Boolean): Unit = {
+    val tk = tokd(docs, id, text).persist()
+    tk.count(): Unit // ONE tokenize pass feeds stats, unigrams AND bigrams
+    val stats = tk.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(greatest(size(col("toks")).cast("long") - 1L, lit(0L))),
+          lit(0L)).as("n_bigrams"))
+      .withColumn("bb_buckets", lit(buckets))
+    val unigrams = tk.select(explode(col("toks")).as("t"))
+      .select(portableHash60(col("t")).as("tok_id"))
+      .groupBy("tok_id").agg(count(lit(1)).as("c"))
+    val bg = bigramRows(tk)
+      .groupBy("bg_id", "ctx_id").agg(count(lit(1)).as("c"))
+      .persist() // feeds the bigram write AND the context second-level agg
+    bg.count(): Unit
+    val contexts = bg.groupBy("ctx_id").agg(sum(col("c")).as("c"))
+    Dedup.writeIndexBatch(
+      bg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+      s"$indexPath/bigrams", batchId, wholeIndex, partitionCols = Seq("bb"))
+    Dedup.writeIndexBatch(contexts, s"$indexPath/contexts", batchId, wholeIndex)
+    Dedup.writeIndexBatch(unigrams, s"$indexPath/unigrams", batchId, wholeIndex)
+    Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId, wholeIndex)
+    bg.unpersist(false): Unit
+    tk.unpersist(false): Unit
+  }
+}

@@ -83,6 +83,56 @@ object DomainMix {
         col("q_rank"), col("n_domain"), col("kept"))
   }
 
+  /** TEMPERATURE-based domain resampling (the multilingual/Pile mixing
+    * rule): sampling weight w_d ∝ n_d^α with α = 1/2, i.e. small domains
+    * are UP-weighted relative to their share and the head domain stops
+    * dominating the mix — [[sampleByDomain]] computes its own rates from
+    * the data instead of taking them from the caller. α is pinned to 1/2
+    * deliberately: `sqrt` is an IEEE-754 CORRECTLY-ROUNDED operation in
+    * every engine (unlike `pow`, which is a library transcendental), so
+    * the whole rate derivation — √n_d, the normalizer Σ√n_d folded in
+    * ascending domain order, `rate_d = budget·(√n_d/Σ)/n_d` floored to
+    * ppm — is the same fixed IEEE tree on both sides of an oracle.
+    *
+    * Shape: one combinable count per domain (a |domains|-row frame), the
+    * normalizer folds inside a one-row aggregate, rates broadcast back,
+    * and the keep decision is the usual content-addressed ppm predicate —
+    * a map-only filter against a broadcast |domains|-row table; document
+    * text never shuffles.
+    *
+    * @param budget target TOTAL kept rows (expected value; realized count
+    *   concentrates binomially). Rates clamp at 1 (a domain smaller than
+    *   its allocation keeps everything — the leftover budget is NOT
+    *   redistributed, matching the one-pass rule an oracle can replay).
+    * @return (doc_id, <domain>, n_domain, keep_ppm, kept) for EVERY doc —
+    *   filter on `kept` to apply */
+  def temperatureSample(docs: DataFrame, id: String, domain: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    val stats = docs.groupBy(col(domain).as("__dom"))
+      .agg(count(lit(1)).as("n_domain"))
+      .withColumn("__s", sqrt(col("n_domain").cast("double")))
+    // Σ√n in ASCENDING domain order — the ordered-fold rule (float sums
+    // are order-dependent; a sorted fold is what the oracle replays)
+    val norm = stats.agg(aggregate(
+      sort_array(collect_list(struct(col("__dom").as("t"), col("__s").as("c")))),
+      lit(0.0), (acc, x) => acc + x.getField("c")).as("__ssum"))
+    val rates = stats.crossJoin(broadcast(norm))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        floor(lit(1000000.0) *
+          ((lit(budget.toDouble) * (col("__s") / col("__ssum"))) /
+            col("n_domain").cast("double"))).cast("long")))
+      .select(col("__dom"), col("n_domain"), col("keep_ppm"))
+    docs.select(col(id).as("doc_id"), col(domain).as("__dom"))
+      .join(broadcast(rates), Seq("__dom"))
+      .withColumn("kept",
+        GraftFunctions.hashSplitBucket(
+          concat(lit("temp:"), col("doc_id").cast("string")), 1000000)
+          < col("keep_ppm"))
+      .select(col("doc_id"), col("__dom").as(domain),
+        col("n_domain"), col("keep_ppm"), col("kept"))
+  }
+
   def capPerDomain(docs: DataFrame, id: String, domain: String,
       rank: Column, n: Int): DataFrame = {
     val w = Window.partitionBy(col("__cap_dom"))

@@ -64,4 +64,46 @@ class DomainMixSpec extends SparkSpec {
     // salted, every quadrant is populated near 1000
     assert(joint.size == 4 && joint.values.forall(c => c > 800 && c < 1200), joint.toString)
   }
+
+  test("temperatureSample: √n weights up-weight small domains; rates match driver math") {
+    import spark.implicits._
+    // 6400 / 1600 / 400 docs: α=1/2 weights 80 / 40 / 20 → shares 4/7, 2/7, 1/7
+    val docs = ((0L until 6400L).map(i => (i, "big")) ++
+      (10000L until 11600L).map(i => (i, "mid")) ++
+      (20000L until 20400L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val budget = 4200L
+    val out = DomainMix.temperatureSample(docs, "doc_id", "source", budget)
+    // driver-side replay of the exact rate math
+    val ns = Map("big" -> 6400L, "mid" -> 1600L, "small" -> 400L)
+    val ssum = ns.toSeq.sortBy(_._1).map { case (_, n) => math.sqrt(n.toDouble) }
+      .foldLeft(0.0)(_ + _)
+    val expectPpm = ns.map { case (d, n) =>
+      d -> math.min(1000000L, math.floor(1000000.0 *
+        ((budget.toDouble * (math.sqrt(n.toDouble) / ssum)) / n.toDouble)).toLong)
+    }
+    val gotPpm = out.select("source", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(gotPpm == expectPpm, s"got $gotPpm expected $expectPpm")
+    // small domains keep a HIGHER fraction than their share (the point of α<1)
+    assert(expectPpm("small") > expectPpm("mid") && expectPpm("mid") > expectPpm("big"))
+    // realized counts concentrate near target ppm (binomial, ±5 σ-ish slack)
+    val kept = out.filter(col("kept")).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    ns.foreach { case (d, n) =>
+      val exp = n.toDouble * expectPpm(d) / 1e6
+      assert(math.abs(kept(d) - exp) < 5 * math.sqrt(exp) + 10,
+        s"$d kept ${kept(d)} vs expected ~$exp")
+    }
+  }
+
+  test("temperatureSample: over-allocated domain clamps at ppm 1e6 (keeps everything)") {
+    import spark.implicits._
+    val docs = ((0L until 5000L).map(i => (i, "big")) ++
+      (9000L until 9010L).map(i => (i, "tiny"))).toDF("doc_id", "source")
+    // budget big enough that tiny's allocation exceeds its size
+    val out = DomainMix.temperatureSample(docs, "doc_id", "source", budget = 4000L)
+    val tiny = out.filter(col("source") === "tiny")
+    assert(tiny.filter(col("keep_ppm") === 1000000L).count() == 10L)
+    assert(tiny.filter(col("kept")).count() == 10L, "clamped domain keeps every row")
+  }
 }
