@@ -217,6 +217,19 @@ object LmPerplexity {
     * (the counts are the same integers wherever they are stored). */
   def perplexityIndexed(spark: SparkSession, indexPath: String,
       docs: DataFrame, id: String, text: String): DataFrame = {
+    val (out, release) = perplexityIndexedStaged(spark, indexPath, docs, id, text)
+    val result = out.localCheckpoint(eager = true)
+    release()
+    result
+  }
+
+  /** [[perplexityIndexed]] WITHOUT the final checkpoint — the staged plan
+    * stays inspectable (PlanPropertiesSpec gates the bucket-pruned scan and
+    * the equi-join shapes on it). Caller must invoke `release` after the
+    * last action on the returned frame. */
+  private[graft] def perplexityIndexedStaged(spark: SparkSession,
+      indexPath: String, docs: DataFrame, id: String,
+      text: String): (DataFrame, () => Unit) = {
     val buckets = readBuckets(spark, indexPath)
     val scTokd = tokd(docs, id, text).persist()
     scTokd.count(): Unit
@@ -239,10 +252,10 @@ object LmPerplexity {
       .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("v"))
     val out = scoreStaged(scTokd, scBg, bgC, ctxC, vRow)
-    val result = out.localCheckpoint(eager = true)
-    scBg.unpersist(false): Unit
-    scTokd.unpersist(false): Unit
-    result
+    (out, () => {
+      scBg.unpersist(false): Unit
+      scTokd.unpersist(false): Unit
+    })
   }
 
   /** One-row index introspection: the logical model the serve path scores

@@ -450,4 +450,37 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"string columns found in shuffle exchanges:\n${offenders.mkString("\n")}")
   }
+
+  test("indexed LM scoring: bucket-pruned bigram scan, equi-joins, text never shuffles") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val docs = Tables.documents(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("gate_lm_").toString
+    graft.functions.LmPerplexity.buildLmIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    val (out, release) = graft.functions.LmPerplexity.perplexityIndexedStaged(
+      spark, idx, docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    try {
+      val qe = out.queryExecution
+      val plan = qe.executedPlan.toString
+      // the request batch's bigram buckets must prune the model scan's FILE
+      // LISTING (the bm25TopKIndexed probe discipline)
+      assert(plan.contains("PartitionFilters") && plan.contains("bb#"),
+        s"bigram scan must be bucket-pruned via partition filters:\n$plan")
+      // model lookups are equi-joins on 8-byte ids; the only nested loop
+      // allowed is the one-row V constant
+      val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnlj <= 1, s"only the one-row V constant may nested-loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"), "no cartesian in LM scoring")
+      // no shuffle carries document text — scoring moves ids and doubles
+      val offenders = qe.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.output.exists(a =>
+            a.dataType == StringType && a.name != "batch") =>
+          e.output.map(a => s"${a.name}: ${a.dataType.simpleString}").mkString(", ")
+      }
+      assert(offenders.isEmpty,
+        s"string columns found in LM scoring exchanges:\n${offenders.mkString("\n")}")
+    } finally release()
+  }
 }
