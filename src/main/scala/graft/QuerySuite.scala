@@ -2295,6 +2295,31 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- LM UNLEARNING: documents retract FROM the persisted LM via
+    //      negative count partials (the BM25-erasure semantic for a count
+    //      model — no purge needed for score correctness, compaction erases
+    //      physically). The oracle retrains WITHOUT the deleted docs and
+    //      knows nothing about tombstones: a match proves exact statistical
+    //      unlearning. Pending must equal purged ----
+    "q202_lm_unlearn" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val train = docs.filter(col("bucket") < 80)
+      val idx = aux(dir, "q202_lmindex")
+      LmPerplexity.buildLmIndex(train, "doc_id", "text", idx)
+      LmPerplexity.deleteFromLmIndex(
+        train.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text",
+        idx, "erase1")
+      val score = docs.filter(col("bucket") >= 90)
+      val pending = LmPerplexity.perplexityIndexed(s, idx, score, "doc_id", "text")
+        .collect().map(_.toSeq).toSet
+      LmPerplexity.purgeLmIndex(s, idx)
+      val purged = LmPerplexity.perplexityIndexed(s, idx, score, "doc_id", "text")
+      require(purged.collect().map(_.toSeq).toSet == pending,
+        "pending-tombstone LM scoring must equal post-purge scoring")
+      purged.orderBy("doc_id")
+    }),
+
     // ---- TEMPERATURE domain resampling (α = 1/2): sampling weight ∝ √n_d,
     //      so the head domain stops dominating — rates DERIVED from the
     //      data, floored to exact ppm, keep = content-addressed hash
@@ -4715,6 +4740,14 @@ object QuerySuite {
         |       WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin),
+
+    // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
+    // no negative-partial concept: a match proves exact statistical
+    // unlearning
+    "q202_lm_unlearn" -> lmPerplexityOracle(
+      trainPred = "bucket < 80 AND NOT (doc_id % 7 = 0)",
+      scorePred = "bucket >= 90",
+      select = "SELECT doc_id, n_bigrams, logppl FROM scored ORDER BY doc_id"),
 
     // the α = 1/2 rate derivation replayed step-for-step: √n per domain,
     // normalizer folded in ascending domain order, budget = half the

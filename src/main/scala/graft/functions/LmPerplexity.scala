@@ -77,16 +77,20 @@ object LmPerplexity {
   /** Score STAGED score-side frames against model count frames.
     * @param bgC  (bg_id, c_bg) bigram counts
     * @param ctxC (ctx_id, c_ctx) context counts
-    * @param vRow one row (v) — distinct training tokens */
+    * @param v distinct training tokens — a DRIVER-KNOWN scalar (one
+    *   vocabulary-count job), embedded as a literal so the smoothing
+    *   denominator codegens inside the scan with NO join at all (a one-row
+    *   crossJoin would plan a BroadcastNestedLoopJoin for nothing) */
   private def scoreStaged(scTokd: DataFrame, scBg: DataFrame,
-      bgC: DataFrame, ctxC: DataFrame, vRow: DataFrame): DataFrame = {
+      bgC: DataFrame, ctxC: DataFrame, v: Long): DataFrame = {
+    require(v > 0, "LM scoring needs a non-empty training vocabulary " +
+      "(V = 0 would put ln(0) in every smoothing denominator)")
     val scored = scBg
       .join(bgC, Seq("bg_id"), "left")
       .join(ctxC, Seq("ctx_id"), "left")
-      .crossJoin(broadcast(vRow)) // one row — a constant, not a data join
       .withColumn("lp",
         lnPosLong(coalesce(col("c_bg"), lit(0L)) + lit(1L)) -
-          lnPosLong(coalesce(col("c_ctx"), lit(0L)) + col("v")))
+          lnPosLong(coalesce(col("c_ctx"), lit(0L)) + lit(v)))
     // ordered fold: ln-contributions sorted by token position, summed
     // left-to-right from 0.0 (0.0 + c == c exactly; lp is never -0.0 —
     // equal num/den lns subtract to +0.0)
@@ -111,10 +115,11 @@ object LmPerplexity {
       id: String, text: String): DataFrame = {
     val trTokd = tokd(train, id, text).persist()
     trTokd.count(): Unit // ONE tokenize pass feeds V AND the bigram counts
-    val vRow = trTokd
+    val v = trTokd
       .select(explode(col("toks")).as("t"))
       .select(portableHash60(col("t")).as("tok_id"))
       .agg(countDistinct(col("tok_id")).as("v"))
+      .first().getLong(0)
     val bgC = bigramRows(trTokd)
       .groupBy("bg_id", "ctx_id").agg(count(lit(1)).as("c_bg"))
       .persist() // feeds the score join AND the context second-level agg
@@ -123,7 +128,7 @@ object LmPerplexity {
     val scTokd = tokd(score, id, text).persist()
     scTokd.count(): Unit // feeds the bigram explode AND the zero-bigram join
     val out = scoreStaged(scTokd, bigramRows(scTokd),
-      bgC.select("bg_id", "c_bg"), ctxC, vRow)
+      bgC.select("bg_id", "c_bg"), ctxC, v)
     val result = out.localCheckpoint(eager = true)
     scTokd.unpersist(false): Unit
     bgC.unpersist(false): Unit
@@ -163,10 +168,15 @@ object LmPerplexity {
   // persisted LM index — additive count partials in the shared batch=/
   // versioned-compaction/atomic-CURRENT layout
   //
-  //   bigrams/  (bg_id, ctx_id, c) partitioned by bb = pmod(bg_id, buckets)
-  //   contexts/ (ctx_id, c)
-  //   unigrams/ (tok_id, c)        — V = rows with folded c > 0
-  //   stats/    (n_docs, n_bigrams, bb_buckets)
+  //   bigrams/    (bg_id, ctx_id, c) partitioned by bb = pmod(bg_id, buckets)
+  //   contexts/   (ctx_id, c)
+  //   unigrams/   (tok_id, c)       — V = rows with folded c > 0
+  //   stats/      (n_docs, n_bigrams, bb_buckets)
+  //   docs/       (doc_id)          — membership; never read on the score
+  //                                   path, exists so deletion can refuse
+  //                                   unknown ids and double-deletes
+  //   tombstones/ (doc_id)          — pending deletions (guard only: count
+  //                                   tables carry no per-doc rows to hide)
   // ------------------------------------------------------------------
 
   /** Build (overwrite) the persisted LM from `docs`. */
@@ -188,8 +198,12 @@ object LmPerplexity {
   }
 
   /** Fold per-batch partials into one row per key under a new version dir +
-    * atomic CURRENT swap. */
-  def compactLmIndex(spark: SparkSession, indexPath: String): Unit = {
+    * atomic CURRENT swap. Pending deletions' NEGATIVE partials net out
+    * physically here; a count folded to ≤ 0 (a fully-unlearned n-gram)
+    * drops its row — V and the bigram-type count shrink exactly as a
+    * rebuild-without-the-deleted-docs would produce. */
+  def compactLmIndex(spark: SparkSession, indexPath: String,
+      eraseDocs: DataFrame => DataFrame = identity): Unit = {
     val buckets = readBuckets(spark, indexPath)
     Dedup.compactBatchedDir(spark, s"$indexPath/bigrams",
       transform = df => df.groupBy("bg_id", "ctx_id")
@@ -206,6 +220,106 @@ object LmPerplexity {
       transform = df => df.groupBy("bb_buckets").agg(
           sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
         .select("n_docs", "n_bigrams", "bb_buckets"))
+    Dedup.compactBatchedDir(spark, s"$indexPath/docs",
+      transform = df => eraseDocs(df.select("doc_id").distinct()))
+  }
+
+  /** UNLEARN documents from the LM — the [[LexicalRetrieval.deleteFromBm25Index]]
+    * erasure semantic for a count model (a store that forgets a user but
+    * whose LM still scores their prose as maximally fluent has not
+    * forgotten them). The count tables carry no per-doc rows to hide, so
+    * erasure is PURELY the negative-partials move: the deleted docs'
+    * unigram/bigram/context counts and (n_docs, n_bigrams) totals, negated,
+    * land as ordinary `batch=` partial rows that every serve-time fold nets
+    * out — scores reflect the post-deletion corpus IMMEDIATELY, no purge
+    * needed for correctness (compaction erases physically).
+    *
+    * The caller passes the documents WITH TEXT: unlike BM25's postings, a
+    * count model cannot reconstruct one doc's contribution, so deletion
+    * retracts the payload as ingested (the CDC-retraction contract; a
+    * drifted payload is the caller's bug). Unknown ids and already-deleted
+    * ids are EXCLUDED via the membership/tombstone tables, so a
+    * double-delete (any batch id) cannot double-decrement. */
+  def deleteFromLmIndex(docs: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String): Unit = {
+    val spark = docs.sparkSession
+    val buckets = readBuckets(spark, indexPath)
+    val member = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/docs"))
+      .select(col("doc_id").as("__known_id"))
+    val known = docs.join(member,
+      docs(id).cast("long") === col("__known_id"), "left_semi")
+    val fresh0 = readTombstones(spark, indexPath)
+      .fold(known)(t => known.join(
+        broadcast(t.select(col("doc_id").as("__ts_id"))),
+        known(id).cast("long") === col("__ts_id"), "left_anti"))
+    val tk = tokd(fresh0, id, text).persist()
+    tk.count(): Unit // ONE tokenize pass feeds all four negative partials
+    val negStats = tk.agg(
+        (-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(greatest(size(col("toks")).cast("long") - 1L, lit(0L))),
+          lit(0L))).as("n_bigrams"))
+      .withColumn("bb_buckets", lit(buckets))
+    val negUnigrams = tk.select(explode(col("toks")).as("t"))
+      .select(portableHash60(col("t")).as("tok_id"))
+      .groupBy("tok_id").agg((-count(lit(1))).as("c"))
+    val negBg = bigramRows(tk)
+      .groupBy("bg_id", "ctx_id").agg((-count(lit(1))).as("c"))
+      .persist()
+    negBg.count(): Unit
+    val negContexts = negBg.groupBy("ctx_id").agg(sum(col("c")).as("c"))
+    Dedup.writeIndexBatch(
+      negBg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+      s"$indexPath/bigrams", batchId, partitionCols = Seq("bb"))
+    Dedup.writeIndexBatch(negContexts, s"$indexPath/contexts", batchId)
+    Dedup.writeIndexBatch(negUnigrams, s"$indexPath/unigrams", batchId)
+    Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId)
+    Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/tombstones",
+      batchId)
+    negBg.unpersist(false): Unit
+    tk.unpersist(false): Unit
+  }
+
+  /** Physical erasure: fold the pending negative partials into the count
+    * tables, drop unlearned docs from the membership table, clear the
+    * tombstone markers — the [[LexicalRetrieval.purgeBm25Index]] crash
+    * contract (marker snapshot taken before any read; a delete landing
+    * mid-purge survives the sweep; a crash between rewrites leaves serving
+    * correct because the negative partials keep folding). A re-delete of a
+    * purged id is a no-op through the membership check. */
+  def purgeLmIndex(spark: SparkSession, indexPath: String): Unit = {
+    val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
+    import scala.jdk.CollectionConverters._
+    val dirsAtPlan: List[java.nio.file.Path] =
+      if (!java.nio.file.Files.exists(root)) Nil
+      else {
+        val ls = java.nio.file.Files.list(root)
+        try ls.iterator().asScala.toList finally ls.close()
+      }
+    readTombstones(spark, indexPath) match {
+      case Some(t0) =>
+        val t = broadcast(t0)
+        compactLmIndex(spark, indexPath,
+          eraseDocs = _.join(t, Seq("doc_id"), "left_anti"))
+        dirsAtPlan.foreach { d =>
+          val walk = java.nio.file.Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.delete(f))
+          finally walk.close()
+        }
+        val ls2 = java.nio.file.Files.list(root)
+        val empty = try !ls2.iterator().hasNext finally ls2.close()
+        if (empty) java.nio.file.Files.delete(root)
+      case None => compactLmIndex(spark, indexPath)
+    }
+  }
+
+  private def readTombstones(spark: SparkSession,
+      indexPath: String): Option[DataFrame] = {
+    val p = s"$indexPath/tombstones"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
+    else Some(spark.read.parquet(Dedup.resolveIndexDir(p))
+      .select("doc_id").distinct())
   }
 
   /** Score `docs` FIT-FREE against the persisted LM. The request batch's
@@ -247,11 +361,12 @@ object LmPerplexity {
     val ctxC = spark.read
       .parquet(Dedup.resolveIndexDir(s"$indexPath/contexts"))
       .groupBy("ctx_id").agg(sum(col("c")).as("c_ctx"))
-    val vRow = spark.read
+    val v = spark.read
       .parquet(Dedup.resolveIndexDir(s"$indexPath/unigrams"))
       .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("v"))
-    val out = scoreStaged(scTokd, scBg, bgC, ctxC, vRow)
+      .first().getLong(0)
+    val out = scoreStaged(scTokd, scBg, bgC, ctxC, v)
     (out, () => {
       scBg.unpersist(false): Unit
       scTokd.unpersist(false): Unit
@@ -310,6 +425,9 @@ object LmPerplexity {
     Dedup.writeIndexBatch(contexts, s"$indexPath/contexts", batchId, wholeIndex)
     Dedup.writeIndexBatch(unigrams, s"$indexPath/unigrams", batchId, wholeIndex)
     Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId, wholeIndex)
+    Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/docs",
+      batchId, wholeIndex)
+    if (wholeIndex) Dedup.clearDir(s"$indexPath/tombstones")
     bg.unpersist(false): Unit
     tk.unpersist(false): Unit
   }

@@ -116,6 +116,48 @@ class LmPerplexitySpec extends SparkSpec {
     assert(rankByDoc(101L) < rankByDoc(109L))
   }
 
+  test("deleteFromLmIndex: scores equal a rebuild without the deleted docs, bit-for-bit") {
+    val docs = (1L to 80L).map { i =>
+      (i, s"alpha beta gamma w$i delta ${if (i % 4 == 0) "rare token" else "epsilon zeta"}")
+    }.toDF("doc_id", "text")
+    val score = Seq((900L, "alpha beta rare token epsilon"), (901L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val survivors = docs.filter(col("doc_id") % 4 =!= 0)
+
+    val idx = tmp("lmidx_")
+    LmPerplexity.buildLmIndex(docs, "doc_id", "text", idx)
+    LmPerplexity.deleteFromLmIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", idx, "e1")
+    val pending = LmPerplexity.perplexityIndexed(spark, idx, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val rebuilt = LmPerplexity.perplexity(survivors, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(pending == rebuilt,
+      "negative partials must reproduce the rebuild-without-deleted scores exactly")
+
+    // double-delete (same ids, new batch) must not double-decrement
+    LmPerplexity.deleteFromLmIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", idx, "e2")
+    // unknown ids are a no-op too
+    LmPerplexity.deleteFromLmIndex(
+      Seq((5555L, "alpha beta")).toDF("doc_id", "text"), "doc_id", "text", idx, "e3")
+    val after = LmPerplexity.perplexityIndexed(spark, idx, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(after == rebuilt, "double-delete and unknown-id delete must be no-ops")
+
+    // purge: physical fold, markers cleared, scores unchanged; a re-delete
+    // of a purged id stays a no-op through the membership table
+    LmPerplexity.purgeLmIndex(spark, idx)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/tombstones")),
+      "purge must clear the tombstone markers")
+    LmPerplexity.deleteFromLmIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", idx, "e4")
+    val purged = LmPerplexity.perplexityIndexed(spark, idx, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(purged == rebuilt, "post-purge scoring and post-purge re-delete must hold")
+  }
+
   test("streaming gate admits exactly the batch-scored accept set") {
     val dir = tmp("lmgate_src_")
     val train = (1L to 100L)
