@@ -377,6 +377,24 @@ object Dedup {
   def compactSemanticIndex(spark: SparkSession, indexPath: String): Unit =
     compactBatchedDir(spark, s"$indexPath/vectors")
 
+  /** Run independent index-maintenance tasks CONCURRENTLY — a multi-table
+    * index (BM25's postings/termdf/stats/doclens, the LM's five counts)
+    * pays one fixed Spark-job latency per table when written or compacted
+    * serially, and the tables are disjoint directories over already-staged
+    * (persisted) inputs, so the only thing serialization buys is wall
+    * time. Spark schedules concurrent actions fine (FIFO within the pool);
+    * exceptions propagate to the caller. */
+  private[graft] def inParallel(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(tasks.size, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf): Unit
+    finally pool.shutdown()
+  }
+
   private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String,
       transform: DataFrame => DataFrame = identity,
       extraPartitionCols: Seq[String] = Nil): Unit = {

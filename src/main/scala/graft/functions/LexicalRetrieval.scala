@@ -97,18 +97,18 @@ object LexicalRetrieval {
     compactTables(spark, indexPath, identity)
 
   private def compactTables(spark: SparkSession, indexPath: String,
-      erase: DataFrame => DataFrame): Unit = {
-    Dedup.compactBatchedDir(spark, s"$indexPath/postings", erase,
-      extraPartitionCols = Seq("tb"))
-    Dedup.compactBatchedDir(spark, s"$indexPath/doclens", erase)
-    Dedup.compactBatchedDir(spark, s"$indexPath/termdf",
-      transform = df => df.groupBy("term_id").agg(sum(col("df")).as("df"))
-        .filter(col("df") > 0))
-    Dedup.compactBatchedDir(spark, s"$indexPath/stats",
-      transform = df => df.groupBy("tb_buckets").agg(
-          sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-        .select("n_docs", "sum_dl", "tb_buckets"))
-  }
+      erase: DataFrame => DataFrame): Unit =
+    Dedup.inParallel(Seq(
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/postings", erase,
+        extraPartitionCols = Seq("tb")),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/doclens", erase),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/termdf",
+        transform = df => df.groupBy("term_id").agg(sum(col("df")).as("df"))
+          .filter(col("df") > 0)),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/stats",
+        transform = df => df.groupBy("tb_buckets").agg(
+            sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+          .select("n_docs", "sum_dl", "tb_buckets"))))
 
   /** Tombstone docs OUT of the index — the erasure path for lexical serving
     * ([[graft.similarity.Similarity.deleteFromIvfadcIndex]]'s semantic for
@@ -146,10 +146,11 @@ object LexicalRetrieval {
       .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
       .join(fresh.select("doc_id"), Seq("doc_id"), "leftsemi")
       .groupBy("term_id").agg((-count(lit(1))).as("df"))
-    Dedup.writeIndexBatch(negDf, s"$indexPath/termdf", batchId)
-    Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId)
-    Dedup.writeIndexBatch(fresh.select("doc_id"), s"$indexPath/tombstones",
-      batchId)
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(negDf, s"$indexPath/termdf", batchId),
+      () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
+      () => Dedup.writeIndexBatch(fresh.select("doc_id"),
+        s"$indexPath/tombstones", batchId)))
     fresh.unpersist(false): Unit
   }
 
@@ -538,12 +539,15 @@ object LexicalRetrieval {
       .persist()
     postings.count(): Unit // staged: feeds the postings write AND termdf
     val termdf = postings.groupBy("term_id").agg(count(lit(1)).as("df"))
-    Dedup.writeIndexBatch(postings, s"$indexPath/postings", batchId,
-      wholeIndex, partitionCols = Seq("tb"))
-    Dedup.writeIndexBatch(termdf, s"$indexPath/termdf", batchId, wholeIndex)
-    Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId, wholeIndex)
-    Dedup.writeIndexBatch(tokd.select("doc_id", "dl"), s"$indexPath/doclens",
-      batchId, wholeIndex)
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(postings, s"$indexPath/postings", batchId,
+        wholeIndex, partitionCols = Seq("tb")),
+      () => Dedup.writeIndexBatch(termdf, s"$indexPath/termdf", batchId,
+        wholeIndex),
+      () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
+        wholeIndex),
+      () => Dedup.writeIndexBatch(tokd.select("doc_id", "dl"),
+        s"$indexPath/doclens", batchId, wholeIndex)))
     postings.unpersist(false): Unit
     tokd.unpersist(false): Unit
   }

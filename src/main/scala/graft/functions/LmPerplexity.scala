@@ -205,23 +205,24 @@ object LmPerplexity {
   def compactLmIndex(spark: SparkSession, indexPath: String,
       eraseDocs: DataFrame => DataFrame = identity): Unit = {
     val buckets = readBuckets(spark, indexPath)
-    Dedup.compactBatchedDir(spark, s"$indexPath/bigrams",
-      transform = df => df.groupBy("bg_id", "ctx_id")
-        .agg(sum(col("c")).as("c")).filter(col("c") > 0)
-        .withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
-      extraPartitionCols = Seq("bb"))
-    Dedup.compactBatchedDir(spark, s"$indexPath/contexts",
-      transform = df => df.groupBy("ctx_id")
-        .agg(sum(col("c")).as("c")).filter(col("c") > 0))
-    Dedup.compactBatchedDir(spark, s"$indexPath/unigrams",
-      transform = df => df.groupBy("tok_id")
-        .agg(sum(col("c")).as("c")).filter(col("c") > 0))
-    Dedup.compactBatchedDir(spark, s"$indexPath/stats",
-      transform = df => df.groupBy("bb_buckets").agg(
-          sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
-        .select("n_docs", "n_bigrams", "bb_buckets"))
-    Dedup.compactBatchedDir(spark, s"$indexPath/docs",
-      transform = df => eraseDocs(df.select("doc_id").distinct()))
+    Dedup.inParallel(Seq(
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/bigrams",
+        transform = df => df.groupBy("bg_id", "ctx_id")
+          .agg(sum(col("c")).as("c")).filter(col("c") > 0)
+          .withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+        extraPartitionCols = Seq("bb")),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/contexts",
+        transform = df => df.groupBy("ctx_id")
+          .agg(sum(col("c")).as("c")).filter(col("c") > 0)),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/unigrams",
+        transform = df => df.groupBy("tok_id")
+          .agg(sum(col("c")).as("c")).filter(col("c") > 0)),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/stats",
+        transform = df => df.groupBy("bb_buckets").agg(
+            sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+          .select("n_docs", "n_bigrams", "bb_buckets")),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/docs",
+        transform = df => eraseDocs(df.select("doc_id").distinct()))))
   }
 
   /** UNLEARN documents from the LM — the [[LexicalRetrieval.deleteFromBm25Index]]
@@ -268,14 +269,15 @@ object LmPerplexity {
       .persist()
     negBg.count(): Unit
     val negContexts = negBg.groupBy("ctx_id").agg(sum(col("c")).as("c"))
-    Dedup.writeIndexBatch(
-      negBg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
-      s"$indexPath/bigrams", batchId, partitionCols = Seq("bb"))
-    Dedup.writeIndexBatch(negContexts, s"$indexPath/contexts", batchId)
-    Dedup.writeIndexBatch(negUnigrams, s"$indexPath/unigrams", batchId)
-    Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId)
-    Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/tombstones",
-      batchId)
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(
+        negBg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+        s"$indexPath/bigrams", batchId, partitionCols = Seq("bb")),
+      () => Dedup.writeIndexBatch(negContexts, s"$indexPath/contexts", batchId),
+      () => Dedup.writeIndexBatch(negUnigrams, s"$indexPath/unigrams", batchId),
+      () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
+      () => Dedup.writeIndexBatch(tk.select(col("doc_id")),
+        s"$indexPath/tombstones", batchId)))
     negBg.unpersist(false): Unit
     tk.unpersist(false): Unit
   }
@@ -419,14 +421,18 @@ object LmPerplexity {
       .persist() // feeds the bigram write AND the context second-level agg
     bg.count(): Unit
     val contexts = bg.groupBy("ctx_id").agg(sum(col("c")).as("c"))
-    Dedup.writeIndexBatch(
-      bg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
-      s"$indexPath/bigrams", batchId, wholeIndex, partitionCols = Seq("bb"))
-    Dedup.writeIndexBatch(contexts, s"$indexPath/contexts", batchId, wholeIndex)
-    Dedup.writeIndexBatch(unigrams, s"$indexPath/unigrams", batchId, wholeIndex)
-    Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId, wholeIndex)
-    Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/docs",
-      batchId, wholeIndex)
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(
+        bg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+        s"$indexPath/bigrams", batchId, wholeIndex, partitionCols = Seq("bb")),
+      () => Dedup.writeIndexBatch(contexts, s"$indexPath/contexts", batchId,
+        wholeIndex),
+      () => Dedup.writeIndexBatch(unigrams, s"$indexPath/unigrams", batchId,
+        wholeIndex),
+      () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
+        wholeIndex),
+      () => Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/docs",
+        batchId, wholeIndex)))
     if (wholeIndex) Dedup.clearDir(s"$indexPath/tombstones")
     bg.unpersist(false): Unit
     tk.unpersist(false): Unit
