@@ -2295,6 +2295,25 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- CROSS-DOC BOILERPLATE LINE REMOVAL (MassiveText/CCNet paragraph
+    //      rule): lines whose trimmed content appears in > maxDocs distinct
+    //      docs are template chrome — removed everywhere, order preserved,
+    //      empty lines never boilerplate. The corpus is deterministically
+    //      AUGMENTED in-query with header/footer chrome (the raw synthetic
+    //      docs are single-line) — the oracle rebuilds the same augmented
+    //      corpus and replays removal + reconstruction byte-for-byte ----
+    "q203_boilerplate_lines" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n\n"), col("text"),
+            lit("\n(c) 2026 example corp - all rights reserved")))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 10)
+        .orderBy("doc_id")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -4740,6 +4759,44 @@ object QuerySuite {
         |       WHEN ppl_rank * 3 <= n * 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM ranked ORDER BY doc_id""".stripMargin),
+
+    // the augmented corpus rebuilt literally, then the identical line rule:
+    // trim + 60-bit md5 ids, distinct-doc df, df > 10 removed, ordered
+    // reconstruction — byte-for-byte including clean_text
+    "q203_boilerplate_lines" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || chr(10) || text || chr(10) || '(c) 2026 example corp - all rights reserved'
+        |         WHEN doc_id % 3 = 1 THEN 'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug
+        |), e AS (
+        |  SELECT doc_id, p, lines[p + 1] AS line FROM (
+        |    SELECT doc_id, lines, unnest(generate_series(0, len(lines) - 1)) AS p FROM l)
+        |), h AS (
+        |  SELECT doc_id, p, line,
+        |    CASE WHEN length(trim(line)) > 0
+        |         THEN ('0x' || substr(md5(trim(line)), 1, 15))::BIGINT END AS line_id
+        |  FROM e
+        |), boiler AS (
+        |  SELECT line_id FROM (
+        |    SELECT line_id, count(DISTINCT doc_id) AS nd FROM h
+        |    WHERE line_id IS NOT NULL GROUP BY 1)
+        |  WHERE nd > 10
+        |), marked AS (
+        |  SELECT doc_id, p, line,
+        |    (line_id IS NOT NULL AND line_id IN (SELECT line_id FROM boiler)) AS rm
+        |  FROM h
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(array_to_string(list(line ORDER BY p) FILTER (WHERE NOT rm), chr(10)), '') AS clean_text
+        |  FROM marked GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_lines, n_removed, clean_text FROM per ORDER BY doc_id""".stripMargin,
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical

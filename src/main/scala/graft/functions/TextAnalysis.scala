@@ -384,4 +384,66 @@ object TextAnalysis {
       .select("doc_id", "n_bigrams", "n_in_top", "coverage")
     (out, () => { counts.unpersist(false): Unit })
   }
+
+  /** CROSS-DOCUMENT boilerplate line removal — the MassiveText/CCNet
+    * paragraph-dedup rule that [[dupLineFraction]] (within-doc) and
+    * `Dedup.duplicateSpans` (detection) stop short of: a LINE whose trimmed
+    * content appears in MORE THAN `maxDocs` DISTINCT documents is template
+    * chrome (nav bars, cookie banners, footers), and every occurrence is
+    * REMOVED from every document, preserving the order of what remains.
+    * Lines empty after trimming are never boilerplate (structure, not
+    * content).
+    *
+    * Shape at 100 TB — text enters NO exchange at any point:
+    *
+    *  1. one narrow pipeline computes the boilerplate vocabulary: lines
+    *     hash to portable 60-bit ids map-side, (doc, id)-distinct → df
+    *     count → `df > maxDocs`;
+    *  2. that vocabulary is SMALL BY DEFINITION (each surviving id accounts
+    *     for > `maxDocs` documents, so |vocabulary| < Σ line instances /
+    *     maxDocs — the BM25 stop-term argument applied to lines). It is
+    *     collected under a hard cap (`maxBoilerLines`, fail-loud overflow:
+    *     raise `maxDocs` or the cap) and embedded as a LITERAL sorted
+    *     array;
+    *  3. the rewrite is then a MAP-ONLY second pass over the docs: re-hash
+    *     each line in the scan, `array_contains` against the literal
+    *     vocabulary, filter + rejoin — no join, no shuffle, no driver loop.
+    *
+    * The whole decision is engine-portable (trim + 60-bit md5 + integer
+    * df), so an oracle replays removal AND reconstruction byte-for-byte.
+    *
+    * @return (doc_id, n_lines, n_removed, clean_text) — n_lines counts all
+    *   split lines including empty ones */
+  def removeBoilerplateLines(docs: DataFrame, id: String, text: String,
+      maxDocs: Long, maxBoilerLines: Int = 4096): DataFrame = {
+    require(maxDocs >= 1L, s"maxDocs must be >= 1, got $maxDocs")
+    val lined = docs.select(col(id).cast("long").as("doc_id"),
+      split(col(text), "\n").as("__lines")).persist()
+    lined.count(): Unit // ONE split pass feeds the df count AND the rewrite
+    val ids = lined
+      .select(col("doc_id"), explode(col("__lines")).as("line"))
+      .select(col("doc_id"), trim(col("line")).as("__t"))
+      .filter(length(col("__t")) > 0)
+      .select(col("doc_id"), GraftFunctions.portableHash60(col("__t")).as("line_id"))
+      .distinct()
+      .groupBy("line_id").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select("line_id").limit(maxBoilerLines + 1)
+      .collect().map(_.getLong(0))
+    require(ids.length <= maxBoilerLines,
+      s"boilerplate vocabulary exceeds $maxBoilerLines lines — raise maxDocs " +
+        "(the df cut) or maxBoilerLines (the literal-array cap)")
+    val boiler = typedlit(ids.sorted.toSeq)
+    def isBoiler(l: Column): Column =
+      length(trim(l)) > 0 &&
+        array_contains(boiler, GraftFunctions.portableHash60(trim(l)))
+    val out = lined.select(
+      col("doc_id"),
+      size(col("__lines")).cast("long").as("n_lines"),
+      size(filter(col("__lines"), l => isBoiler(l))).cast("long").as("n_removed"),
+      array_join(filter(col("__lines"), l => !isBoiler(l)), "\n").as("clean_text"))
+    val result = out.localCheckpoint(eager = true)
+    lined.unpersist(false): Unit
+    result
+  }
 }
