@@ -9,7 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
 import graft.dedup.Dedup
-import graft.functions.{Bpe, GraftFunctions, LexicalRetrieval, LmPerplexity, PortableMath, TextAnalysis}
+import graft.functions.{Bpe, Dsir, GraftFunctions, LexicalRetrieval, LmPerplexity, PortableMath, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
@@ -182,6 +182,82 @@ object QuerySuite {
        |  FROM sc LEFT JOIN per USING (doc_id)
        |)
        |$select""".stripMargin
+  }
+
+  /** The q204 DSIR oracle: DuckDB refits both hashed-feature multinomials
+    * from the raw corpus and replays scoring + ranking EXACTLY — unigram
+    * and bigram features hash to `% buckets` ids, every `ln` is the
+    * [[PortableMath.lnPosLongSqlSteps]] fixed IEEE tree (the smoothing
+    * denominators included — both engines constant-fold the same tree over
+    * the same integer), per-doc sums fold in (pos, kind) order, and
+    * `row_number` over the bit-identical averages reproduces the engine's
+    * distributed rank. */
+  private def dsirOracle(targetPred: String, keepPpm: Long,
+      buckets: Int): String = {
+    val lnT = PortableMath.lnPosLongSqlSteps("tn", "t").mkString(",\n    ")
+    val lnR = PortableMath.lnPosLongSqlSteps("rn", "r").mkString(",\n    ")
+    val lnTd = PortableMath.lnPosLongSqlSteps("t_den_src", "td").mkString(",\n    ")
+    val lnRd = PortableMath.lnPosLongSqlSteps("r_den_src", "rd").mkString(",\n    ")
+    s"""WITH d AS (
+       |  SELECT doc_id, ($targetPred) AS is_t,
+       |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+       |  FROM documents
+       |), u AS (
+       |  SELECT doc_id, is_t, p, 0 AS k,
+       |    ('0x' || substr(md5(toks[p+1]), 1, 15))::BIGINT % $buckets AS fb
+       |  FROM (SELECT doc_id, is_t, toks,
+       |          unnest(generate_series(0, len(toks) - 1)) AS p
+       |        FROM d WHERE len(toks) >= 1)
+       |), g AS (
+       |  SELECT doc_id, is_t, p, 1 AS k,
+       |    ('0x' || substr(md5(toks[p+1] || chr(1) || toks[p+2]), 1, 15))::BIGINT % $buckets AS fb
+       |  FROM (SELECT doc_id, is_t, toks,
+       |          unnest(generate_series(0, len(toks) - 2)) AS p
+       |        FROM d WHERE len(toks) >= 2)
+       |), feats AS (SELECT * FROM u UNION ALL SELECT * FROM g
+       |), ct AS (SELECT fb, count(*) AS c_t FROM feats WHERE is_t GROUP BY 1
+       |), cr AS (SELECT fb, count(*) AS c_r FROM feats GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT coalesce(sum(c_t), 0) FROM ct) + $buckets AS t_den_src,
+       |         (SELECT coalesce(sum(c_r), 0) FROM cr) + $buckets AS r_den_src
+       |), totln AS (
+       |  SELECT $lnTd,
+       |    $lnRd
+       |  FROM tot
+       |), prob AS (
+       |  SELECT f.doc_id, f.p, f.k,
+       |    coalesce(ct.c_t, 0) + 1 AS tn,
+       |    coalesce(cr.c_r, 0) + 1 AS rn
+       |  FROM feats f LEFT JOIN ct USING (fb) LEFT JOIN cr USING (fb)
+       |), lp AS (
+       |  SELECT doc_id, p, k,
+       |    $lnT,
+       |    $lnR,
+       |    (t_ln - td_ln) - (r_ln - rd_ln) AS lp
+       |  FROM prob CROSS JOIN totln
+       |), per AS (
+       |  SELECT doc_id, count(*) AS n_feats,
+       |    list_reduce(list_sort(list({'t': p, 'k': k, 'c': lp})),
+       |      (a, b) -> {'t': b.t, 'k': b.k, 'c': a.c + b.c}).c AS s
+       |  FROM lp GROUP BY 1
+       |), sc AS (
+       |  SELECT d.doc_id, CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
+       |    per.s / per.n_feats::DOUBLE AS avg
+       |  FROM d LEFT JOIN per USING (doc_id)
+       |), rk AS (
+       |  SELECT doc_id, n_feats, avg,
+       |    CAST(row_number() OVER (ORDER BY avg DESC, doc_id) AS BIGINT) AS dsir_rank
+       |  FROM sc WHERE n_feats > 0
+       |), nn AS (SELECT count(*) AS n FROM rk)
+       |SELECT doc_id, n_feats, round(avg, 6) AS logratio, dsir_rank,
+       |  dsir_rank * 1000000 <= n * $keepPpm AS selected
+       |FROM rk CROSS JOIN nn
+       |UNION ALL
+       |SELECT doc_id, n_feats, CAST(NULL AS DOUBLE) AS logratio,
+       |  CAST(NULL AS BIGINT) AS dsir_rank, false AS selected
+       |FROM sc WHERE n_feats = 0
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** The q195/q196 oracle: the unrolled watchlist as VALUES rows
@@ -2311,6 +2387,20 @@ object QuerySuite {
             concat(lit("SUBSCRIBE TO OUR NEWSLETTER\n"), col("text")))
           .otherwise(col("text")).as("text"))
       TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 10)
+        .orderBy("doc_id")
+    }),
+
+    // ---- DSIR importance resampling (Xie '23): hashed unigram+bigram
+    //      multinomials on the target (English exemplar) and raw pool,
+    //      each doc scored by its average log importance ratio, top 30%
+    //      kept (the paper's deterministic top-k variant). REAL log-space
+    //      scores, FULLY oracled: every ln is PortableMath.lnPosLong's
+    //      fixed IEEE tree, per-doc sums fold in (pos, kind) order, and
+    //      the rank orders bit-identical doubles on both engines ----
+    "q204_dsir_select" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+      Dsir.dsirSelect(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", keepPpm = 300000L)
         .orderBy("doc_id")
     }),
 
@@ -4797,6 +4887,11 @@ object QuerySuite {
         |  FROM marked GROUP BY doc_id
         |)
         |SELECT doc_id, n_lines, n_removed, clean_text FROM per ORDER BY doc_id""".stripMargin,
+
+    // both multinomials refit from scratch, scoring + rank replayed over
+    // bit-identical portable-ln averages
+    "q204_dsir_select" ->
+      dsirOracle("lang = 'en'", keepPpm = 300000L, buckets = 8192),
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical

@@ -171,4 +171,32 @@ class TextAnalysisSpec extends SparkSpec {
       .zipWithIndex.map { case ((d, s), i) => (i + 1L, d, s) }
     assert(got.toSeq == expected, s"got ${got.toSeq} expected $expected")
   }
+
+  test("removeBoilerplateLines drops cross-doc chrome, keeps order, spares empties") {
+    import spark.implicits._
+    // chrome line in 4 docs (> maxDocs=3), rare line in 1, empty lines everywhere
+    val rows = (1L to 4L).map(d =>
+      d -> s"  CHROME LINE  \n\nbody $d one\nbody $d two") :+
+      (5L -> "CHROME LINE\nrare line\n\nrare line")
+    val out = TextAnalysis.removeBoilerplateLines(
+      rows.toDF("doc_id", "text"), "doc_id", "text", maxDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1: 4 lines, chrome removed (trim-matched), empty line kept
+    assert(out(1L) == (4L, 1L, "\nbody 1 one\nbody 1 two"))
+    // doc 5: chrome removed; the WITHIN-doc duplicate "rare line" stays
+    // (df counts distinct docs, not occurrences)
+    assert(out(5L) == (4L, 1L, "rare line\n\nrare line"))
+  }
+
+  test("removeBoilerplateLines overflow cap fails loudly") {
+    import spark.implicits._
+    val rows = (1L to 4L).map(d => d -> "common one\ncommon two")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.removeBoilerplateLines(
+        rows.toDF("doc_id", "text"), "doc_id", "text",
+        maxDocs = 3, maxBoilerLines = 1)
+    }
+    assert(e.getMessage.contains("boilerplate vocabulary exceeds"))
+  }
 }
