@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -192,14 +192,16 @@ object QuerySuite {
     * the same integer), per-doc sums fold in (pos, kind) order, and
     * `row_number` over the bit-identical averages reproduces the engine's
     * distributed rank. */
-  private def dsirOracle(targetPred: String, keepPpm: Long,
-      buckets: Int): String = {
+  private def dsirOracle(targetPred: String, scorePred: String,
+      buckets: Int, tail: String): String = {
     val lnT = PortableMath.lnPosLongSqlSteps("tn", "t").mkString(",\n    ")
     val lnR = PortableMath.lnPosLongSqlSteps("rn", "r").mkString(",\n    ")
     val lnTd = PortableMath.lnPosLongSqlSteps("t_den_src", "td").mkString(",\n    ")
     val lnRd = PortableMath.lnPosLongSqlSteps("r_den_src", "rd").mkString(",\n    ")
     s"""WITH d AS (
-       |  SELECT doc_id, ($targetPred) AS is_t,
+       |  SELECT doc_id, lang, source,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+       |    ($targetPred) AS is_t,
        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
        |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
        |  FROM documents
@@ -242,10 +244,18 @@ object QuerySuite {
        |      (a, b) -> {'t': b.t, 'k': b.k, 'c': a.c + b.c}).c AS s
        |  FROM lp GROUP BY 1
        |), sc AS (
-       |  SELECT d.doc_id, CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
+       |  SELECT d.doc_id, d.lang, d.source, d.bucket,
+       |    CAST(coalesce(per.n_feats, 0) AS BIGINT) AS n_feats,
        |    per.s / per.n_feats::DOUBLE AS avg
        |  FROM d LEFT JOIN per USING (doc_id)
-       |), rk AS (
+       |  WHERE $scorePred
+       |$tail""".stripMargin
+  }
+
+  /** The q204 tail (continues the dsirOracle CTE list): deterministic
+    * top-keepPpm selection over the replayed global rank. */
+  private def dsirSelectTail(keepPpm: Long): String =
+    s"""), rk AS (
        |  SELECT doc_id, n_feats, avg,
        |    CAST(row_number() OVER (ORDER BY avg DESC, doc_id) AS BIGINT) AS dsir_rank
        |  FROM sc WHERE n_feats > 0
@@ -258,7 +268,6 @@ object QuerySuite {
        |  CAST(NULL AS BIGINT) AS dsir_rank, false AS selected
        |FROM sc WHERE n_feats = 0
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** The q195/q196 oracle: the unrolled watchlist as VALUES rows
     * `(phrase_id, term_idx, term)`, matched by the same
@@ -2402,6 +2411,54 @@ object QuerySuite {
       Dsir.dsirSelect(docs.filter(col("lang") === "en"), docs,
         "doc_id", "text", keepPpm = 300000L)
         .orderBy("doc_id")
+    }),
+
+    // ---- PERSISTED DSIR model + FIT-FREE scoring: even pool doc_ids
+    //      build the base, odd fold in as a day-2 batch (both count
+    //      tables are additive partials), the index compacts under the
+    //      atomic CURRENT swap, and serving equals whole-pool fitting
+    //      bit-for-bit — the oracle knows nothing about batches ----
+    "q205_dsir_serve" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val idx = aux(dir, "q205_dsirindex")
+      Dsir.buildDsirIndex(docs.filter(col("lang") === "en"),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      Dsir.appendDsirIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", idx, "day2")
+      Dsir.compactDsirIndex(s, idx)
+      Dsir.importanceIndexed(s, idx,
+          docs.filter(col("bucket") >= 90), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING DSIR admission gate: the cutoff is DERIVED at build
+    //      time from the pool's own score distribution (the min logratio
+    //      of the top-50% slice — an exact selection, not a summation, so
+    //      it replays on any engine), then candidate docs stream through
+    //      the frozen persisted model; only docs clearing the frozen
+    //      cutoff are admitted, zero-feature docs rejected. The oracle
+    //      re-derives the cutoff and replays scoring + threshold over the
+    //      whole streamed slice — it knows nothing about micro-batches ----
+    "q206_stream_dsir_gate" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = Tables.documents(s, dir)
+      val idx = aux(dir, "q206_dsirindex")
+      Dsir.buildDsirIndex(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", idx)
+      val cutoff = Dsir.dsirSelect(docs.filter(col("lang") === "en"), docs,
+          "doc_id", "text", keepPpm = 500000L)
+        .filter(col("selected")).agg(min(col("logratio")))
+        .first().getDouble(0)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+        .filter(col("bucket") >= 90).drop("bucket")
+      val kept = aux(dir, "q206_kept")
+      val q = StreamingDsirGate.start(stream, "doc_id", "text", idx,
+        kept, tmpDir("q206_ckpt_"), minLogratio = cutoff)
+      q.awaitTermination()
+      s.read.parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
@@ -4891,7 +4948,36 @@ object QuerySuite {
     // both multinomials refit from scratch, scoring + rank replayed over
     // bit-identical portable-ln averages
     "q204_dsir_select" ->
-      dsirOracle("lang = 'en'", keepPpm = 300000L, buckets = 8192),
+      dsirOracle("lang = 'en'", "TRUE", buckets = 8192,
+        dsirSelectTail(keepPpm = 300000L)),
+
+    // the q204 oracle VERBATIM on the scoring side — the SQL knows nothing
+    // about batches: a match proves partial additivity, the compaction
+    // fold, and fit-free serving at once
+    "q205_dsir_serve" ->
+      dsirOracle("lang = 'en'", "bucket >= 90", buckets = 8192,
+        """)
+          |SELECT doc_id, n_feats, round(avg, 6) AS logratio
+          |FROM sc ORDER BY doc_id""".stripMargin),
+
+    // the cutoff re-derived from the whole pool's replayed rank (min
+    // rounded score of the top-50% slice), then scoring + threshold
+    // replayed over the whole streamed slice — micro-batching invisible;
+    // zero-feature docs rejected
+    "q206_stream_dsir_gate" ->
+      dsirOracle("lang = 'en'", "TRUE", buckets = 8192,
+        """), rk AS (
+          |  SELECT doc_id, n_feats, avg,
+          |    CAST(row_number() OVER (ORDER BY avg DESC, doc_id) AS BIGINT) AS dsir_rank
+          |  FROM sc WHERE n_feats > 0
+          |), nn AS (SELECT count(*) AS n FROM rk
+          |), cut AS (
+          |  SELECT min(round(avg, 6)) AS cutoff FROM rk CROSS JOIN nn
+          |  WHERE dsir_rank * 1000000 <= n * 500000
+          |)
+          |SELECT doc_id, lang, source FROM sc CROSS JOIN cut
+          |WHERE bucket >= 90 AND n_feats > 0 AND round(avg, 6) >= cutoff
+          |ORDER BY doc_id""".stripMargin),
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical

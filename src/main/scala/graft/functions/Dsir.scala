@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import GraftFunctions.{portableHash60, wsTokens}
 import PortableMath.lnPosLong
 
@@ -95,6 +96,23 @@ object Dsir {
     pFeats.count(): Unit
     val cR = pFeats.groupBy("fb").agg(count(lit(1)).as("c_r")).persist()
     val tR = cR.agg(coalesce(sum(col("c_r")), lit(0L))).first().getLong(0)
+    val out = scoreAgainst(pTokd, pFeats, cT, cR, tT, tR, buckets)
+    (out, () => {
+      cR.unpersist(false): Unit
+      pFeats.unpersist(false): Unit
+      pTokd.unpersist(false): Unit
+      cT.unpersist(false): Unit
+      tTokd.unpersist(false): Unit
+    })
+  }
+
+  /** Score STAGED frames against count frames `(fb, c_t)` / `(fb, c_r)`
+    * with driver-known occurrence totals — the shared core of the one-shot
+    * and fit-free paths (the counts are the same integers wherever they are
+    * stored, so the two score bit-for-bit identically). */
+  private def scoreAgainst(pTokd: DataFrame, pFeats: DataFrame,
+      cT: DataFrame, cR: DataFrame, tT: Long, tR: Long,
+      buckets: Int): DataFrame = {
     require(tT > 0, "DSIR needs a non-empty target feature set")
     // model is <= buckets rows by construction — a true broadcast
     val model = cT.join(cR, Seq("fb"), "full_outer")
@@ -114,19 +132,12 @@ object Dsir {
           lit(0.0),
           (acc, x) => acc + x.getField("c")).as("__sum"),
         count(lit(1)).as("n_feats"))
-    val out = pTokd.select(col("doc_id"))
+    pTokd.select(col("doc_id"))
       .join(sums, Seq("doc_id"), "left")
       .withColumn("n_feats", coalesce(col("n_feats"), lit(0L)))
       .withColumn("__avg", when(col("n_feats") > 0,
         col("__sum") / col("n_feats").cast("double")))
       .select("doc_id", "n_feats", "__avg")
-    (out, () => {
-      cR.unpersist(false): Unit
-      pFeats.unpersist(false): Unit
-      pTokd.unpersist(false): Unit
-      cT.unpersist(false): Unit
-      tTokd.unpersist(false): Unit
-    })
   }
 
   /** One-shot scoring: `(doc_id, n_feats, logratio)` for every pool doc. */
@@ -169,5 +180,119 @@ object Dsir {
         lit(null).cast("long").as("dsir_rank"),
         lit(false).as("selected"))
     kept.unionByName(unscoreable)
+  }
+
+  // ------------------------------------------------------------------
+  // persisted DSIR model — additive count partials in the shared batch=/
+  // versioned-compaction/atomic-CURRENT layout ([[LmPerplexity]] contract)
+  //
+  //   target/  (fb, c)                — frozen at build time
+  //   raw/     (fb, c)                — pool counts; new pool batches fold in
+  //   stats/   (t_occ, r_occ, buckets)
+  // ------------------------------------------------------------------
+
+  /** Build (overwrite) the persisted DSIR model: target counts frozen,
+    * pool counts as the first additive batch. */
+  def buildDsirIndex(target: DataFrame, pool: DataFrame, id: String,
+      text: String, indexPath: String, buckets: Int = 8192): Unit = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    writeDsirBatch(Some(target), pool, id, text, indexPath, "base", buckets,
+      wholeIndex = true)
+  }
+
+  /** Fold a NEW pool batch into the raw side — every table is an additive
+    * count, so incremental pool growth is just another partial batch (docs
+    * must be new; a re-ingested doc would double-count itself). The target
+    * exemplar stays frozen: DSIR's question is "does the NEW data look like
+    * the trusted corpus", not "does the trusted corpus drift". */
+  def appendDsirIndex(newPool: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String): Unit = {
+    val buckets = readDsirBuckets(newPool.sparkSession, indexPath)
+    writeDsirBatch(None, newPool, id, text, indexPath, batchId, buckets,
+      wholeIndex = false)
+  }
+
+  /** Fold per-batch partials into one row per bucket under a new version
+    * dir + atomic CURRENT swap. */
+  def compactDsirIndex(spark: SparkSession, indexPath: String): Unit =
+    Dedup.inParallel(Seq(
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/target",
+        transform = df => df.groupBy("fb").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/raw",
+        transform = df => df.groupBy("fb").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0)),
+      () => Dedup.compactBatchedDir(spark, s"$indexPath/stats",
+        transform = df => df.groupBy("buckets").agg(
+            sum(col("t_occ")).as("t_occ"), sum(col("r_occ")).as("r_occ"))
+          .select("t_occ", "r_occ", "buckets"))))
+
+  /** Score `docs` FIT-FREE against the persisted model. Scores equal
+    * [[importance]] fit on the same target/pool bit-for-bit (the counts are
+    * the same integers wherever they are stored). */
+  def importanceIndexed(spark: SparkSession, indexPath: String,
+      docs: DataFrame, id: String, text: String): DataFrame = {
+    val buckets = readDsirBuckets(spark, indexPath)
+    val totals = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .agg(coalesce(sum(col("t_occ")), lit(0L)).as("t"),
+        coalesce(sum(col("r_occ")), lit(0L)).as("r"))
+      .first()
+    val cT = spark.read.parquet(Dedup.resolveIndexDir(s"$indexPath/target"))
+      .groupBy("fb").agg(sum(col("c")).as("c_t")).filter(col("c_t") > 0)
+    val cR = spark.read.parquet(Dedup.resolveIndexDir(s"$indexPath/raw"))
+      .groupBy("fb").agg(sum(col("c")).as("c_r")).filter(col("c_r") > 0)
+    val pTokd = tokd(docs, id, text).persist()
+    pTokd.count(): Unit // feeds the feature explode AND the zero-feat join
+    val pFeats = featureRows(pTokd, buckets)
+    val out = scoreAgainst(pTokd, pFeats, cT, cR,
+        totals.getLong(0), totals.getLong(1), buckets)
+      .withColumn("logratio", round(col("__avg"), 6))
+      .select("doc_id", "n_feats", "logratio")
+    val result = out.localCheckpoint(eager = true)
+    pTokd.unpersist(false): Unit
+    result
+  }
+
+  private def readDsirBuckets(spark: SparkSession, indexPath: String): Int = {
+    val rows = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+      .select("buckets").distinct().collect()
+    require(rows.length == 1,
+      s"DSIR index at $indexPath has ${rows.length} distinct bucket counts")
+    rows.head.getInt(0)
+  }
+
+  private def writeDsirBatch(target: Option[DataFrame], pool: DataFrame,
+      id: String, text: String, indexPath: String, batchId: String,
+      buckets: Int, wholeIndex: Boolean): Unit = {
+    val tCounts = target.map { t =>
+      val tTokd = tokd(t, id, text)
+      featureRows(tTokd, buckets).groupBy("fb").agg(count(lit(1)).as("c"))
+        .persist()
+    }
+    val tOcc = tCounts.map { c =>
+      c.count(): Unit // ONE fit pass feeds the write AND the total
+      c.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
+    }.getOrElse(0L)
+    if (wholeIndex) require(tOcc > 0,
+      "DSIR needs a non-empty target feature set")
+    val pTokd = tokd(pool, id, text)
+    val rCounts = featureRows(pTokd, buckets)
+      .groupBy("fb").agg(count(lit(1)).as("c")).persist()
+    rCounts.count(): Unit
+    val rOcc = rCounts.agg(coalesce(sum(col("c")), lit(0L))).first().getLong(0)
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val stats = Seq((tOcc, rOcc, buckets)).toDF("t_occ", "r_occ", "buckets")
+    Dedup.inParallel(
+      tCounts.map(c => () => Dedup.writeIndexBatch(c, s"$indexPath/target",
+        batchId, wholeIndex)).toSeq ++ Seq(
+      () => Dedup.writeIndexBatch(rCounts, s"$indexPath/raw", batchId,
+        wholeIndex),
+      () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
+        wholeIndex)))
+    rCounts.unpersist(false): Unit
+    tCounts.foreach(_.unpersist(false): Unit)
   }
 }
