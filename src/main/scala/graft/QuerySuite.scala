@@ -2461,6 +2461,24 @@ object QuerySuite {
       s.read.parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
+    // ---- UNICODE TEXT NORMALIZATION (ingest preprocessing): the corpus is
+    //      deterministically dirtied IDENTICALLY in both engines (CRLF, BEL,
+    //      tab runs, a decomposed e+combining-acute, edge whitespace), then
+    //      each side runs its own normalizer — line endings, control strip,
+    //      whitespace collapse, edge trim, NFC LAST. A match proves the JDK
+    //      and utf8proc agree byte-for-byte on the full pipeline ----
+    "q207_normalize_text" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          concat(lit("  "), col("text"), lit("\r\n"),
+            lit("cafe"), lit("\u0301"), lit("\tx"), lit("\u0007"),
+            lit("\t\t y  z "), lit("\r")).as("raw"))
+        .select(col("doc_id"),
+          graft.functions.NormalizeText(col("raw")).as("text_n"))
+        .withColumn("n_chars_n", length(col("text_n")))
+        .orderBy("doc_id")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -4978,6 +4996,29 @@ object QuerySuite {
           |SELECT doc_id, lang, source FROM sc CROSS JOIN cut
           |WHERE bucket >= 90 AND n_feats > 0 AND round(avg, 6) >= cutoff
           |ORDER BY doc_id""".stripMargin),
+
+    // the identical dirtying (chr() so no control chars live in this SQL
+    // text), then utf8proc's NFC vs the JDK's — the steps replayed in the
+    // same order, NFC last
+    "q207_normalize_text" ->
+      """WITH raw AS (
+        |  SELECT doc_id, '  ' || text || chr(13) || chr(10) || 'cafe' ||
+        |    chr(769) || chr(9) || 'x' || chr(7) || chr(9) || chr(9) ||
+        |    ' y  z ' || chr(13) AS raw
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, nfc_normalize(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(raw, '\r\n?', chr(10), 'g'),
+        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '[ \t]+', ' ', 'g'),
+        |      '^[ \t\n]+|[ \t\n]+$', '', 'g')) AS text_n
+        |  FROM raw
+        |)
+        |SELECT doc_id, text_n, length(text_n) AS n_chars_n
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical
