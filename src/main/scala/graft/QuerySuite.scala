@@ -2479,6 +2479,24 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- CONTAINMENT (quote-inclusion) join: the asymmetric relation
+    //      Jaccard dedup is blind to — a composite doc quoting a whole
+    //      short doc has tiny Jaccard but containment 1.0. Composites are
+    //      planted deterministically in BOTH engines (doc ⊕ next doc under
+    //      id+1e6); the prefix algebra prunes only the contained side
+    //      (pigeonhole depends on |B| alone), the container side indexes
+    //      every token under the maxPostings skew cap ----
+    "q208_containment_join" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select("doc_id", "text")
+      val comp = base.as("a")
+        .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(pmod(col("a.doc_id"), lit(37)) === 0)
+        .select((col("a.doc_id") + 1000000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      Dedup.containmentJoin(base.unionByName(comp), "doc_id", "text")
+        .orderBy("container_id", "contained_id")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5019,6 +5037,58 @@ object QuerySuite {
         |)
         |SELECT doc_id, text_n, length(text_n) AS n_chars_n
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // the whole containment prefix filter replayed: planted composites,
+    // 3-word shingles, 60-bit md5 ids, (df, tok) global order, the
+    // contained-side-only prefix slice, posting cap, length + position
+    // prunes, and the exact integer decision — boundary pairs identical
+    "q208_containment_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT a.doc_id + 1000000 AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 37 = 0
+        |), t0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM corpus WHERE length(trim(lower(text))) > 0
+        |), l AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(len(toks) - 2),
+        |                             i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sh
+        |  FROM t0
+        |), h AS (
+        |  SELECT doc_id, list_distinct(list_transform(sh,
+        |    g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS toks FROM l
+        |), toks AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM h
+        |), dfs AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1
+        |), ranked AS (
+        |  SELECT t.doc_id, t.sz, t.tok,
+        |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn
+        |  FROM toks t JOIN dfs d USING (tok)
+        |), rk AS (
+        |  SELECT * FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY tok) AS postings FROM ranked)
+        |  WHERE postings BETWEEN 2 AND 200
+        |), pref AS (
+        |  SELECT * FROM rk WHERE sz >= 5 AND rn <= sz - ((9 * sz + 9) // 10) + 1
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM rk a JOIN pref b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  WHERE 10 * a.sz >= 9 * b.sz
+        |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >= (9 * b.sz + 9) // 10
+        |), j AS (
+        |  SELECT id_a, id_b, len(list_intersect(la.sh, lb.sh)) AS inter,
+        |         len(lb.sh) AS sz_b
+        |  FROM cand JOIN l la ON la.doc_id = cand.id_a
+        |            JOIN l lb ON lb.doc_id = cand.id_b
+        |)
+        |SELECT id_a AS container_id, id_b AS contained_id,
+        |  CAST(inter AS BIGINT) AS inter, CAST(sz_b AS BIGINT) AS sz_contained,
+        |  round(inter::DOUBLE / sz_b::DOUBLE, 6) AS containment
+        |FROM j WHERE 10 * inter >= 9 * sz_b
+        |ORDER BY container_id, contained_id""".stripMargin,
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical

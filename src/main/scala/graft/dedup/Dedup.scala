@@ -915,6 +915,132 @@ object Dedup {
     eager(out, () => { gr.unpersist(false): Unit })
   }
 
+  /** CONTAINMENT (quote-inclusion) join: ordered pairs (container a,
+    * contained b) with C(b⊆a) = |A∩B| / |B| ≥ tn/td over word-`k`-shingle
+    * sets — the asymmetric relation Jaccard dedup is BLIND to (a long doc
+    * quoting a short one wholesale has tiny Jaccard but containment 1.0;
+    * Lee et al. '22's motivating case for substring-level dedup, and the
+    * containment-join problem of Zhu et al.'s LSH Ensemble, VLDB'16 —
+    * done here EXACTLY, prefix-filtered instead of approximated).
+    *
+    * The asymmetry changes the prefix algebra ([[prefixFilterJaccard]]'s
+    * symmetric form doesn't apply): the required overlap α = ceil(tn·|B|/td)
+    * depends on B ALONE, so pigeonhole prunes only the CONTAINED side —
+    * B emits its first |B| − α + 1 tokens in the global (df asc, token asc)
+    * order, while the container side must index ALL its tokens (a container
+    * has no size-derived prefix bound: any |A| ≥ α qualifies). Lossless
+    * prunes per collision, in exact integer algebra:
+    *   - length: |A∩B| ≤ |A| needs td·|A| ≥ tn·|B|;
+    *   - position (PPJoin adapted): at the minimal common token's collision
+    *     (rn_a, rn_b), overlap ≤ 1 + min(|A|−rn_a, |B|−rn_b) must reach α.
+    * Verification is the exact [[SortedIntersectSize]] merge walk; the
+    * decision td·inter ≥ tn·|B| is pure long algebra (boundary pairs kept
+    * identically by the integer-exact oracle).
+    *
+    * At scale: candidate volume is driven by the CONTAINER-side posting
+    * lists (all tokens, not prefixes), so `maxPostings` is the load-bearing
+    * skew guard — a token with more than `maxPostings` container entries is
+    * template chrome whose bucket is dropped whole (documented recall knob,
+    * the [[simhash]] maxBucket trade: a pair is missed iff EVERY prefix
+    * token of the contained doc is that hot). Everything that shuffles is
+    * 8-byte token ids + positions; text never enters an exchange.
+    *
+    * @param minSize contained docs need ≥ this many distinct shingles (a
+    *   1-shingle doc is "contained" everywhere its shingle occurs — true
+    *   but useless; the floor keeps the relation meaningful)
+    * @param candidateSink oracle/measurement fixture (q13 contract)
+    * @return (container_id, contained_id, inter, sz_contained, containment)
+    */
+  def containmentJoin(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int = 3,
+      thresholdNum: Int = 9,
+      thresholdDen: Int = 10,
+      minSize: Int = 5,
+      maxPostings: Int = 200,
+      candidateSink: Option[String] = None): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
+    val (tn, td) = (thresholdNum.toLong, thresholdDen.toLong)
+
+    // 60-bit md5 token ids (engine-portable) for candidate generation;
+    // 64-bit xxhash space for verification — the prefixFilterJaccard
+    // contract, same ~n²/2⁶¹ hash-merge caveat, oracle-mirrored
+    val gr = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
+      .filter(length(trim(col("__lt"))) > 0)
+      .select(col("doc_id"),
+        array_distinct(wordShingles(col("__lt"), k)).as("sh"))
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("toks"),
+        array_sort(array_distinct(transform(col("sh"),
+          g => xxhash64Seeded(17L, g)))).as("hs"))
+      .persist()
+    gr.count(): Unit
+    val sets = gr.select(col("doc_id"), col("hs"))
+
+    val toks = gr.select(col("doc_id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc (df, tok)-sorted positions, sliced in place (one doc-keyed
+    // shuffle, no window pass) — BOTH sides come out of this one frame
+    val ranked = toks.join(dfs, "tok")
+      .groupBy("doc_id", "sz")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(transform(col("ord"), s => s.getField("tok"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("rn"), col("tok"))
+      // contained-side prefix: rn ≤ sz − α + 1, α = ceil(tn·sz/td) via
+      // integer div (must match the oracle's // bit-for-bit)
+      .withColumn("is_pref",
+        col("sz") >= minSize &&
+          col("rn") <= col("sz") -
+            expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
+
+    // one bucket row per token: the full posting list (container side) and
+    // the prefix sublist (contained side); collect_list skips the nulls the
+    // unfired `when` leaves, so the prefix list is exactly the marked rows
+    val buckets = ranked
+      .groupBy("tok")
+      .agg(collect_list(struct(col("doc_id"), col("sz"), col("rn"))).as("all_ids"),
+        collect_list(when(col("is_pref"),
+          struct(col("doc_id"), col("sz"), col("rn")))).as("pref_ids"))
+      .filter(size(col("pref_ids")) >= 1 && size(col("all_ids")) >= 2 &&
+        size(col("all_ids")) <= maxPostings) // skew guard (recall knob)
+
+    // contained-prefix × container expansion with both prunes in place —
+    // only survivors reach the pair distinct
+    val candidates = buckets
+      .select(explode(flatten(transform(col("pref_ids"), b =>
+        transform(col("all_ids"), a => struct(
+          a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
+          a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b"),
+          a.getField("rn").as("rn_a"), b.getField("rn").as("rn_b")))))).as("p"))
+      .select(col("p.*"))
+      .filter(col("id_a") =!= col("id_b"))
+      // length filter: the container must be at least the required overlap
+      .filter(lit(td) * col("sz_a") >= lit(tn) * col("sz_b"))
+      // position filter: remaining capacity at this collision must reach α
+      .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
+        expr(s"($thresholdNum * sz_b + ${thresholdDen - 1}) div $thresholdDen"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val verified = sinkCandidates(candidates, candidateSink)
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SortedIntersectSize(col("h_a"), col("h_b")).cast("long").as("inter"),
+        size(col("h_b")).cast("long").as("sz_contained"))
+      .filter(col("inter") * td >= col("sz_contained") * tn)
+      .select(col("id_a").as("container_id"), col("id_b").as("contained_id"),
+        col("inter"), col("sz_contained"),
+        round(col("inter").cast("double") / col("sz_contained").cast("double"), 6)
+          .as("containment"))
+    eager(verified, () => { gr.unpersist(false): Unit })
+  }
+
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine (native codegen [[CosineSimilarity]]) within buckets.
     * Null/empty vectors carry no cosine signal and are dropped up front.
