@@ -2497,6 +2497,20 @@ object QuerySuite {
         .orderBy("container_id", "contained_id")
     }),
 
+    // ---- kNN GRAPH over the persisted semantic index: every indexed
+    //      vector's top-5 neighbors by exact cosine — map-only multi-probe
+    //      (codegen NearestCentroids) + ONE cell equi-join; ranking joins
+    //      vectors by id (no broadcast-queries assumption: every doc IS a
+    //      query). Oracle reranks the dumped candidates exactly ----
+    "q209_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q209_vecindex")
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, nClusters = 16)
+      Similarity.knnGraphIndexed(s, idx, k = 5, nProbe = 2,
+          candidateSink = Some(aux(dir, "q209_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5749,6 +5763,11 @@ object QuerySuite {
 
     "q86_ann_ivf_index" ->
       cosineRerankOracle("q86_candidates"),
+
+    // the graph's candidate dump reranked exactly per query doc — the
+    // oracle knows nothing about cells or probes
+    "q209_knn_graph" ->
+      cosineRerankOracle("q209_candidates"),
 
     "q47_ann_lsh" ->
       cosineRerankOracle("q47_candidates"),

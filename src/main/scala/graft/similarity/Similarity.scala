@@ -205,6 +205,80 @@ object Similarity {
     rankCandidates(candidates, assigned.select(col("nbr_id"), col("cv")), q, k)
   }
 
+  /** kNN GRAPH over a persisted FLAT semantic index: every indexed vector's
+    * k nearest neighbors by exact cosine — the all-pairs building block of
+    * SemDeDup-style cluster pruning, kNN-classifier quality scoring, and
+    * graph-based diversity sampling. This is NOT [[ivfTopKIndexed]] with
+    * queries = corpus: that path broadcasts the query table and ranks
+    * centroids per query through an n·k-row cross join + window — both
+    * non-starters when every doc is a query. Here both sides are map-only:
+    * candidates come from each doc probing its `nProbe` nearest cells via
+    * the codegen [[graft.functions.NearestCentroids]] top-p argmin (zero
+    * exchanges to choose probes), then ONE equi-join on cell against the
+    * stored assignment. Ranking joins the vectors back by id (shuffle
+    * joins — no broadcast assumption) and takes the rank-limit window
+    * (partial WindowGroupLimit pushes the top-k below the exchange).
+    *
+    * Multi-probe recall: a doc's own cell is probe 1 by construction (same
+    * metric as the stored assignment); probe 2+ catches neighbors across
+    * cell boundaries — the standard IVF recall dial, here applied
+    * symmetrically to the self-join. Candidates stay unique without a
+    * distinct: a neighbor lives in exactly one cell and probes are
+    * distinct cells.
+    *
+    * @param maxCell skew guard: cells larger than this are dropped whole
+    *   (template/replicated content better collapsed by exact dedup first
+    *   — the [[graft.dedup.Dedup.semanticDedup]] maxCluster trade)
+    * @return (query_id, nbr_rank, nbr_id, cosine), one row per indexed doc
+    *   per neighbor rank ≤ k
+    */
+  def knnGraphIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      k: Int,
+      nProbe: Int = 2,
+      maxCell: Int = 10000,
+      candidateSink: Option[String] = None): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    require(!centroids.columns.contains("top"),
+      "knnGraphIndexed probes a FLAT index; two-level indexes carry their own geometry")
+    val rows = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(rows.nonEmpty, "knnGraphIndexed: empty centroid table")
+    val ids: Seq[Int] = rows.map(_._1).toSeq
+    val cb: Seq[Seq[Double]] = rows.map(_._2.toSeq).toSeq
+
+    val assigned = spark.read
+      .parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
+      .select(col("doc_id"), col("cell").cast("int").as("cell"), col("v"))
+    val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("cell")
+
+    // map-only probe selection: top-nProbe cells per doc, local indices
+    // mapped back through the sorted id table (non-contiguous cell ids)
+    val probes = assigned.select(col("doc_id").as("query_id"),
+      explode(transform(
+        graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
+        idx => element_at(typedLit(ids), idx + 1))).as("cell"))
+
+    val cand0 = probes
+      .join(broadcast(okCells), Seq("cell")) // ≤ |cells| rows — a true broadcast
+      .join(assigned.select(col("doc_id").as("nbr_id"), col("cell")), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"))
+    val candidates = sinkCandidates(cand0, candidateSink)
+
+    val vecs = assigned.select(col("doc_id"), col("v"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    candidates
+      .join(vecs.select(col("doc_id").as("nbr_id"), col("v").as("cv")), Seq("nbr_id"))
+      .join(vecs.select(col("doc_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
+      .withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+  }
+
   /** Reciprocal-rank fusion of retrieval arms — the HYBRID retrieval step
     * (Cormack et al. '09: RRF beats learned fusion surprisingly often, needs
     * zero training, and consumes nothing but RANKS, which makes it the one

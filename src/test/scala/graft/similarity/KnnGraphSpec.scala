@@ -1,0 +1,95 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.functions.NearestCentroids
+
+class KnnGraphSpec extends SparkSpec {
+
+  private def vec(xs: Double*): Seq[Double] = xs
+
+  test("NearestCentroids equals brute-force top-p by squared L2, ties to lower index") {
+    import spark.implicits._
+    val cb = Seq(vec(0, 0), vec(1, 0), vec(0, 1), vec(1, 1), vec(0.5, 0.5))
+    val pts = Seq(vec(0.1, 0.0), vec(0.9, 0.9), vec(0.5, 0.5), vec(0.5, 0.5))
+    val got = pts.toDF("v")
+      .select(NearestCentroids(col("v"), cb, 3).as("p"))
+      .as[Seq[Int]].collect().toSeq
+    def brute(x: Seq[Double]): Seq[Int] = cb.indices
+      .map(i => (cb(i).zip(x).map { case (a, b) => (a - b) * (a - b) }.sum, i))
+      .sortBy(identity).take(3).map(_._2)
+    assert(got == pts.map(brute), s"got $got")
+    // a point equidistant to several centroids keeps scan (= index) order
+    assert(got(2).head == 4 && got(2).tail.toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
+  test("p >= centroid count returns every index, nearest first") {
+    import spark.implicits._
+    val cb = Seq(vec(0.0), vec(10.0))
+    val got = Seq(vec(9.0)).toDF("v")
+      .select(NearestCentroids(col("v"), cb, 5).as("p"))
+      .as[Seq[Int]].head()
+    assert(got == Seq(1, 0))
+  }
+
+  test("knnGraphIndexed with full probing equals per-doc brute-force cosine top-k") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("knn_").toString
+    // two clusters + a bridge point, deterministic coordinates
+    val pts = Seq(
+      1L -> vec(1.0, 0.0, 0.0), 2L -> vec(0.9, 0.1, 0.0), 3L -> vec(0.8, 0.2, 0.0),
+      4L -> vec(0.0, 1.0, 0.0), 5L -> vec(0.1, 0.9, 0.0), 6L -> vec(0.0, 0.8, 0.2),
+      7L -> vec(0.5, 0.5, 0.0))
+    val df = pts.toDF("vec_id", "embedding")
+    Dedup.buildSemanticIndex(df, "vec_id", "embedding", s"$root/idx", nClusters = 4)
+    val nCells = spark.read.parquet(s"$root/idx/centroids").count().toInt
+    val got = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 3, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute reference on the driver
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val m = pts.toMap
+    pts.foreach { case (q, qv) =>
+      val want = pts.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      val gotN = (1 to 3).map(r => got((q, r.toLong)))
+      assert(gotN == want, s"query $q: got $gotN want $want (m=${m(q)})")
+    }
+  }
+
+  test("maxCell skew guard drops hot cells whole") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("knn_hot_").toString
+    // 30 identical vectors (one hot cell) + 3 distinct ones
+    val hot = (100L to 129L).map(i => i -> vec(1.0, 0.0))
+    val cool = Seq(1L -> vec(0.0, 1.0), 2L -> vec(0.1, 0.9), 3L -> vec(0.0, 0.8))
+    val df = (hot ++ cool).toDF("vec_id", "embedding")
+    Dedup.buildSemanticIndex(df, "vec_id", "embedding", s"$root/idx", nClusters = 2)
+    val out = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 2, nProbe = 1,
+      maxCell = 10)
+    val ids = out.select("query_id").as[Long].collect().toSet
+    assert(!ids.exists(_ >= 100L), s"hot-cell members must be dropped: $ids")
+    assert(ids.nonEmpty, "cool cell still produces neighbors")
+  }
+
+  test("plan: no cartesian/nested-loop join; top-k pushes a partial WindowGroupLimit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("knn_plan_").toString
+    val df = (1L to 40L).map(i => i -> vec(i.toDouble, (i % 7).toDouble))
+      .toDF("vec_id", "embedding")
+    Dedup.buildSemanticIndex(df, "vec_id", "embedding", s"$root/idx", nClusters = 4)
+    val plan = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 3, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"scale-killing join shape:\n$plan")
+    assert(plan.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+      s"expected partial+final WindowGroupLimit around the exchange:\n$plan")
+  }
+}
