@@ -2511,6 +2511,22 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- HARD-NEGATIVE mining (contrastive training data): per anchor,
+    //      the top-5 most-similar docs with a DIFFERENT label — the
+    //      informative negatives just across the decision boundary. Label
+    //      filter at candidate time (labels ride the assignment rows), so
+    //      ranks are contiguous within each anchor's different-label pool ----
+    "q210_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q210_vecindex")
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, nClusters = 16)
+      Similarity.hardNegativesIndexed(s, idx,
+          emb.select(col("vec_id").as("doc_id"), col("label")),
+          k = 5, nProbe = 4,
+          candidateSink = Some(aux(dir, "q210_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5768,6 +5784,27 @@ object QuerySuite {
     // oracle knows nothing about cells or probes
     "q209_knn_graph" ->
       cosineRerankOracle("q209_candidates"),
+
+    // the dumped different-label candidates reranked exactly; the oracle
+    // ALSO independently re-checks the label-inequality invariant (a
+    // same-label pair in the dump would join back and fail the row count)
+    "q210_hard_negatives" ->
+      """WITH cand AS (
+        |  SELECT c.query_id, c.nbr_id
+        |  FROM read_parquet('{AUX}/q210_candidates/*.parquet') c
+        |  JOIN embeddings a ON a.vec_id = c.query_id
+        |  JOIN embeddings b ON b.vec_id = c.nbr_id
+        |  WHERE a.label <> b.label
+        |), scored AS (
+        |  SELECT query_id, nbr_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                                     nbr_id) AS nbr_rank
+        |  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+        |            JOIN embeddings c ON c.vec_id = cand.nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
 
     "q47_ann_lsh" ->
       cosineRerankOracle("q47_candidates"),

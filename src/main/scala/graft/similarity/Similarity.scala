@@ -238,37 +238,88 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       maxCell: Int = 10000,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None): DataFrame =
+    selfJoinTopK(spark, indexPath, k, nProbe, maxCell, candidateSink,
+      labels = None)
+
+  /** HARD-NEGATIVE mining for contrastive training data: for every indexed
+    * doc (the anchor), its k most-similar docs carrying a DIFFERENT label —
+    * the negatives that actually teach a contrastive model something
+    * (random negatives are trivially separable; the informative ones sit
+    * just across the decision boundary, i.e. nearest-by-cosine with the
+    * wrong label). Same scale shape as [[knnGraphIndexed]] — map-only
+    * multi-probe, one cell equi-join — with the label-inequality filter
+    * applied AT CANDIDATE TIME (labels ride the assignment rows, so the
+    * filter is a column comparison inside the join, not a post-rank pass
+    * that would under-fill k). Ranks are therefore contiguous 1..k within
+    * each anchor's different-label pool.
+    *
+    * @param labels (id, label) for every indexed doc; anchors missing a
+    *   label are dropped (no label — no notion of "negative") */
+  def hardNegativesIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      labels: DataFrame, // (doc_id, label)
+      k: Int,
+      nProbe: Int = 4,
+      maxCell: Int = 10000,
+      candidateSink: Option[String] = None): DataFrame =
+    selfJoinTopK(spark, indexPath, k, nProbe, maxCell, candidateSink,
+      labels = Some(labels.select(col("doc_id"), col("label"))))
+
+  /** Shared core of the index self-join family: map-only probe selection
+    * (codegen [[graft.functions.NearestCentroids]]), one equi-join on cell,
+    * optional label-inequality candidate filter, id-joined exact-cosine
+    * ranking under the rank-limit window. */
+  private def selfJoinTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      k: Int,
+      nProbe: Int,
+      maxCell: Int,
+      candidateSink: Option[String],
+      labels: Option[DataFrame]): DataFrame = {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     require(!centroids.columns.contains("top"),
-      "knnGraphIndexed probes a FLAT index; two-level indexes carry their own geometry")
+      "index self-joins probe a FLAT index; two-level indexes carry their own geometry")
     val rows = centroids.select(col("cell").cast("int"), col("centroid"))
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(rows.nonEmpty, "knnGraphIndexed: empty centroid table")
+    require(rows.nonEmpty, "selfJoinTopK: empty centroid table")
     val ids: Seq[Int] = rows.map(_._1).toSeq
     val cb: Seq[Seq[Double]] = rows.map(_._2.toSeq).toSeq
 
-    val assigned = spark.read
+    val assigned0 = spark.read
       .parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
       .select(col("doc_id"), col("cell").cast("int").as("cell"), col("v"))
+    // labels ride the assignment rows: ONE narrow join here instead of two
+    // per-side joins against the expanded candidate set later
+    val assigned = labels match {
+      case Some(l) => assigned0.join(l, Seq("doc_id"))
+      case None => assigned0.withColumn("label", lit(null).cast("int"))
+    }
     val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxCell).select("cell")
 
     // map-only probe selection: top-nProbe cells per doc, local indices
     // mapped back through the sorted id table (non-contiguous cell ids)
     val probes = assigned.select(col("doc_id").as("query_id"),
+      col("label").as("q_label"),
       explode(transform(
         graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
         idx => element_at(typedLit(ids), idx + 1))).as("cell"))
 
-    val cand0 = probes
+    val joined = probes
       .join(broadcast(okCells), Seq("cell")) // ≤ |cells| rows — a true broadcast
-      .join(assigned.select(col("doc_id").as("nbr_id"), col("cell")), Seq("cell"))
+      .join(assigned.select(col("doc_id").as("nbr_id"), col("cell"),
+        col("label").as("n_label")), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"))
+    val cand0 = (labels match {
+      case Some(_) => joined.filter(col("q_label") =!= col("n_label"))
+      case None => joined
+    }).select(col("query_id"), col("nbr_id"))
     val candidates = sinkCandidates(cand0, candidateSink)
 
-    val vecs = assigned.select(col("doc_id"), col("v"))
+    val vecs = assigned0.select(col("doc_id"), col("v"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
     candidates
       .join(vecs.select(col("doc_id").as("nbr_id"), col("v").as("cv")), Seq("nbr_id"))

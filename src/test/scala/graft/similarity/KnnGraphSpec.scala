@@ -79,6 +79,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(ids.nonEmpty, "cool cell still produces neighbors")
   }
 
+  test("hardNegatives: only cross-label neighbors, contiguous ranks, unlabeled anchors dropped") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hardneg_").toString
+    val pts = Seq(
+      (1L, vec(1.0, 0.0), Some(0)), (2L, vec(0.95, 0.05), Some(0)),
+      (3L, vec(0.9, 0.1), Some(1)), (4L, vec(0.85, 0.15), Some(1)),
+      (5L, vec(0.0, 1.0), Some(0)), (6L, vec(0.1, 0.9), None))
+    val df = pts.map { case (i, v, _) => (i, v) }.toDF("vec_id", "embedding")
+    Dedup.buildSemanticIndex(df, "vec_id", "embedding", s"$root/idx", nClusters = 2)
+    val nCells = spark.read.parquet(s"$root/idx/centroids").count().toInt
+    val labels = pts.collect { case (i, _, Some(l)) => (i, l) }.toDF("doc_id", "label")
+    val out = Similarity.hardNegativesIndexed(spark, s"$root/idx", labels,
+        k = 2, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lab = pts.collect { case (i, _, Some(l)) => i -> l }.toMap
+    assert(out.forall { case (q, _, n) => lab(q) != lab(n) },
+      s"every reported neighbor must carry a different label: $out")
+    assert(!out.exists(_._1 == 6L) && !out.exists(_._3 == 6L),
+      "unlabeled docs appear on neither side")
+    // anchor 1 (label 0): its different-label pool is {3, 4}; both probed
+    // cells visible, so ranks 1..2 are exactly 3 then 4 (cosine order)
+    assert(out.filter(_._1 == 1L).map(x => (x._2, x._3)) == Seq((1L, 3L), (2L, 4L)))
+  }
+
   test("plan: no cartesian/nested-loop join; top-k pushes a partial WindowGroupLimit") {
     import spark.implicits._
     val root = Files.createTempDirectory("knn_plan_").toString
