@@ -12,7 +12,7 @@ import graft.dedup.Dedup
 import graft.functions.{Bpe, Dsir, GraftFunctions, LexicalRetrieval, LmPerplexity, PortableMath, TextAnalysis}
 import graft.ml.FeatureML
 import graft.multimodal.Multimodal
-import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, SaltedJoin, SequencePacking, Sessionize, Skyline}
+import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
 import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
@@ -2525,6 +2525,25 @@ object QuerySuite {
           k = 5, nProbe = 4,
           candidateSink = Some(aux(dir, "q210_candidates")))
         .orderBy("query_id", "nbr_rank")
+    }),
+
+    // ---- k-ANONYMITY release gate (generalization ladder, local
+    //      recoding): level 0 = (lang, source, length-centile bucket),
+    //      level 1 drops the bucket, level 2 drops source; the residual
+    //      of each level cascades to the next, survivors of all levels
+    //      are suppressed (all-'*', gen_level = 3). Exact integer group
+    //      counts — the guarantee replays on any engine ----
+    "q211_k_anonymize" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Privacy.kAnonymize(docs, "doc_id", k = 5, levels = Seq(
+        Seq("q_lang" -> col("lang"), "q_source" -> col("source"),
+          "q_len" -> expr("CAST(n_chars div 300 AS STRING)")),
+        Seq("q_lang" -> col("lang"), "q_source" -> col("source"),
+          "q_len" -> lit("*")),
+        Seq("q_lang" -> col("lang"), "q_source" -> lit("*"),
+          "q_len" -> lit("*"))))
+        .withColumn("gen_level", col("gen_level").cast("long"))
+        .orderBy("doc_id")
     }),
 
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
@@ -5119,6 +5138,44 @@ object QuerySuite {
         |  round(inter::DOUBLE / sz_b::DOUBLE, 6) AS containment
         |FROM j WHERE 10 * inter >= 9 * sz_b
         |ORDER BY container_id, contained_id""".stripMargin,
+
+    // the residual cascade replayed level by level: ≥k groups released,
+    // the remainder re-grouped coarser, the final residual suppressed
+    "q211_k_anonymize" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, CAST(n_chars // 300 AS VARCHAR) AS lenb
+        |  FROM documents
+        |), l0 AS (
+        |  SELECT doc_id, lang AS q_lang, source AS q_source, lenb AS q_len FROM d
+        |), k0 AS (
+        |  SELECT l0.*, 0 AS gen_level FROM l0
+        |  JOIN (SELECT q_lang, q_source, q_len FROM l0
+        |        GROUP BY 1, 2, 3 HAVING count(*) >= 5) g
+        |    USING (q_lang, q_source, q_len)
+        |), r0 AS (SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM k0)
+        |), l1 AS (
+        |  SELECT doc_id, lang AS q_lang, source AS q_source, '*' AS q_len FROM r0
+        |), k1 AS (
+        |  SELECT l1.*, 1 AS gen_level FROM l1
+        |  JOIN (SELECT q_lang, q_source FROM l1
+        |        GROUP BY 1, 2 HAVING count(*) >= 5) g
+        |    USING (q_lang, q_source)
+        |), r1 AS (SELECT * FROM r0 WHERE doc_id NOT IN (SELECT doc_id FROM k1)
+        |), l2 AS (
+        |  SELECT doc_id, lang AS q_lang, '*' AS q_source, '*' AS q_len FROM r1
+        |), k2 AS (
+        |  SELECT l2.*, 2 AS gen_level FROM l2
+        |  JOIN (SELECT q_lang FROM l2 GROUP BY 1 HAVING count(*) >= 5) g
+        |    USING (q_lang)
+        |), r2 AS (SELECT * FROM r1 WHERE doc_id NOT IN (SELECT doc_id FROM k2)
+        |), allout AS (
+        |  SELECT * FROM k0 UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2
+        |  UNION ALL
+        |  SELECT doc_id, '*' AS q_lang, '*' AS q_source, '*' AS q_len, 3 AS gen_level
+        |  FROM r2
+        |)
+        |SELECT doc_id, q_lang, q_source, q_len, CAST(gen_level AS BIGINT) AS gen_level
+        |FROM allout ORDER BY doc_id""".stripMargin,
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical
