@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -2546,6 +2546,64 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- INCREMENTAL containment (daily-batch quote detection): even
+    //      docs + planted composites bootstrap the persisted index (frozen
+    //      (df, tok) order — lossless under the prefix pigeonhole); odd
+    //      docs arrive as the new batch, ranked under the frozen order
+    //      (unseen tokens df=0), candidates are prefix×posting collisions
+    //      with ≥1 new side, both directions tagged. The composites (a ⊕
+    //      a+1, a even) sit in the INDEX while their odd component arrives
+    //      NEW — exactly the "new fragment the corpus already subsumes"
+    //      case Jaccard-incremental waves through ----
+    "q212_containment_incremental" -> ((s, dir) => {
+      val base0 = Tables.documents(s, dir).select("doc_id", "text")
+      val comp = base0.as("a")
+        .join(base0.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(pmod(col("a.doc_id"), lit(37)) === 0)
+        .select((col("a.doc_id") + 1000000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      val idx = aux(dir, "q212_contindex")
+      Dedup.buildContainmentIndex(
+        base0.filter(pmod(col("doc_id"), lit(2)) === 0).unionByName(comp),
+        "doc_id", "text", idx)
+      Dedup.containmentIncremental(
+          base0.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", idx, "day2",
+          candidateSink = Some(aux(dir, "q212_candidates")))
+        .orderBy("container_id", "contained_id")
+    }),
+
+    // ---- STREAMING quote detection (StreamingContainment — q72's
+    //      asymmetric face): the same split as q212 but the odd docs
+    //      arrive as a stream; each micro-batch checks containment against
+    //      the frozen index and folds in. The oracle reads the accumulated
+    //      per-batch candidate dumps — agnostic to the batching ----
+    "q213_stream_containment" -> ((s, dir) => withStreamingConf(s) { s =>
+      val base0 = Tables.documents(s, dir).select("doc_id", "text")
+      val comp = base0.as("a")
+        .join(base0.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(pmod(col("a.doc_id"), lit(37)) === 0)
+        .select((col("a.doc_id") + 1000000L).as("doc_id"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      val idx = aux(dir, "q213_contindex")
+      Dedup.buildContainmentIndex(
+        base0.filter(pmod(col("doc_id"), lit(2)) === 0).unionByName(comp),
+        "doc_id", "text", idx)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+      val pairs = aux(dir, "q213_pairs")
+      val q = StreamingContainment.start(stream, "doc_id", "text", idx,
+        pairs, tmpDir("q213_ckpt_"),
+        candidateSink = Some(aux(dir, "q213_candidates")))
+      q.awaitTermination()
+      s.read.parquet(pairs)
+        .select("container_id", "contained_id", "new_container",
+          "new_contained", "inter", "sz_contained", "containment")
+        .orderBy("container_id", "contained_id")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -4431,6 +4489,41 @@ object QuerySuite {
        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin
 
+  /** q212/q213 oracle: dumped candidates + direction tags, exact 3-shingle
+    * containment verified from the reconstructed corpus (documents +
+    * planted composites), the 9/10 integer threshold replayed. */
+  private def containmentIncrementalOracle(candGlob: String): String =
+    s"""WITH cand AS (
+       |  SELECT id_a, id_b, new_a, new_b
+       |  FROM read_parquet('{AUX}/$candGlob')
+       |), corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT a.doc_id + 1000000 AS doc_id, a.text || ' ' || b.text AS text
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id % 37 = 0
+       |), t0 AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM corpus WHERE length(trim(lower(text))) > 0
+       |), l AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(len(toks) - 2),
+       |                             i -> array_to_string(toks[i+1:i+3], ' ')) END) AS sh
+       |  FROM t0
+       |), j AS (
+       |  SELECT id_a, id_b, new_a, new_b,
+       |         len(list_intersect(la.sh, lb.sh)) AS inter, len(lb.sh) AS sz_b
+       |  FROM cand JOIN l la ON la.doc_id = cand.id_a
+       |            JOIN l lb ON lb.doc_id = cand.id_b
+       |)
+       |SELECT id_a AS container_id, id_b AS contained_id,
+       |  new_a AS new_container, new_b AS new_contained,
+       |  CAST(inter AS BIGINT) AS inter, CAST(sz_b AS BIGINT) AS sz_contained,
+       |  round(inter::DOUBLE / sz_b::DOUBLE, 6) AS containment
+       |FROM j WHERE 10 * inter >= 9 * sz_b
+       |ORDER BY container_id, contained_id""".stripMargin
+
   private def incrementalMinhashOracle(candDump: String): String =
     s"""WITH cand AS (
        |  SELECT id_a, id_b, new_a, new_b FROM read_parquet('{AUX}/$candDump/**/*.parquet')
@@ -5176,6 +5269,14 @@ object QuerySuite {
         |)
         |SELECT doc_id, q_lang, q_source, q_len, CAST(gen_level AS BIGINT) AS gen_level
         |FROM allout ORDER BY doc_id""".stripMargin,
+
+    // q212/q213 (q55 contract): candidates + direction tags from the dump,
+    // exact shingle containment verified from the reconstructed corpus,
+    // the integer threshold replayed — batching invisible
+    "q212_containment_incremental" ->
+      containmentIncrementalOracle("q212_candidates/*.parquet"),
+    "q213_stream_containment" ->
+      containmentIncrementalOracle("q213_candidates/**/*.parquet"),
 
     // the LM retrained WITHOUT the deleted docs — no batch, no tombstone,
     // no negative-partial concept: a match proves exact statistical

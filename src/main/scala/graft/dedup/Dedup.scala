@@ -964,10 +964,33 @@ object Dedup {
     require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
     val (tn, td) = (thresholdNum.toLong, thresholdDen.toLong)
 
-    // 60-bit md5 token ids (engine-portable) for candidate generation;
-    // 64-bit xxhash space for verification — the prefixFilterJaccard
-    // contract, same ~n²/2⁶¹ hash-merge caveat, oracle-mirrored
-    val gr = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
+    val gr = containmentSets(df, id, text, k).persist()
+    gr.count(): Unit
+    val sets = gr.select(col("doc_id"), col("hs"))
+
+    val toks = gr.select(col("doc_id"), size(col("toks")).as("sz"),
+      explode(col("toks")).as("tok"))
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = containmentRanked(gr, dfs)
+      .withColumn("is_pref", containmentPrefixPred(thresholdNum, thresholdDen, minSize))
+      .withColumn("is_new", lit(true)) // one-shot: everything is "new"
+
+    val candidates = containmentCandidates(ranked, thresholdNum, thresholdDen,
+        maxPostings, requireNew = false)
+      .select(col("id_a"), col("id_b"))
+
+    val verified = containmentVerify(
+      sinkCandidates(candidates, candidateSink), sets, tn, td)
+    eager(verified, () => { gr.unpersist(false): Unit })
+  }
+
+  /** Shared shingle frame of the containment family: `(doc_id, toks, hs)` —
+    * 60-bit md5 token ids (engine-portable) for candidate generation, a
+    * sorted 64-bit xxhash space for verification (the prefixFilterJaccard
+    * contract, same ~n²/2⁶¹ hash-merge caveat, oracle-mirrored). */
+  private def containmentSets(df: DataFrame, id: String, text: String,
+      k: Int): DataFrame =
+    df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
       .filter(length(trim(col("__lt"))) > 0)
       .select(col("doc_id"),
         array_distinct(wordShingles(col("__lt"), k)).as("sh"))
@@ -976,70 +999,211 @@ object Dedup {
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("toks"),
         array_sort(array_distinct(transform(col("sh"),
           g => xxhash64Seeded(17L, g)))).as("hs"))
-      .persist()
-    gr.count(): Unit
-    val sets = gr.select(col("doc_id"), col("hs"))
 
-    val toks = gr.select(col("doc_id"), size(col("toks")).as("sz"),
-      explode(col("toks")).as("tok"))
-    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // per-doc (df, tok)-sorted positions, sliced in place (one doc-keyed
-    // shuffle, no window pass) — BOTH sides come out of this one frame
-    val ranked = toks.join(dfs, "tok")
+  /** Per-doc (df, tok)-sorted positions, sliced in place (one doc-keyed
+    * shuffle, no window pass). `dfs` is left-joined with df = 0 for tokens
+    * it has never seen — the incremental path probes a FROZEN order, and an
+    * unseen token is by definition the rarest thing possible. */
+  private def containmentRanked(gr: DataFrame, dfs: DataFrame): DataFrame =
+    gr.select(col("doc_id"), size(col("toks")).as("sz"),
+        explode(col("toks")).as("tok"))
+      .join(dfs, Seq("tok"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy("doc_id", "sz")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
       .select(col("doc_id"), col("sz"),
         posexplode(transform(col("ord"), s => s.getField("tok"))).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("rn"), col("tok"))
-      // contained-side prefix: rn ≤ sz − α + 1, α = ceil(tn·sz/td) via
-      // integer div (must match the oracle's // bit-for-bit)
-      .withColumn("is_pref",
-        col("sz") >= minSize &&
-          col("rn") <= col("sz") -
-            expr(s"($thresholdNum * sz + ${thresholdDen - 1}) div $thresholdDen") + 1)
 
+  /** Contained-side prefix predicate: rn ≤ sz − α + 1, α = ceil(tn·sz/td)
+    * via integer div (must match the oracle's `//` bit-for-bit). The
+    * pigeonhole guarantee holds under ANY fixed token order (overlap ≥ α
+    * means at most sz − α tokens are missed, so every (sz − α + 1)-subset
+    * holds a common one) — df-ascending is purely the bucket-size
+    * optimization, which is what makes FROZEN index orders lossless. */
+  private def containmentPrefixPred(tn: Int, td: Int, minSize: Int): Column =
+    col("sz") >= minSize &&
+      col("rn") <= col("sz") - expr(s"($tn * sz + ${td - 1}) div $td") + 1
+
+  /** Token-bucketed contained-prefix × container expansion with the
+    * lossless length and position prunes applied per collision, before the
+    * pair distinct. Input: `(doc_id, sz, rn, tok, is_pref, is_new)`.
+    * Returns `(id_a container, id_b contained, new_a, new_b)`. */
+  private def containmentCandidates(ranked: DataFrame, tn: Int, td: Int,
+      maxPostings: Int, requireNew: Boolean): DataFrame = {
     // one bucket row per token: the full posting list (container side) and
     // the prefix sublist (contained side); collect_list skips the nulls the
     // unfired `when` leaves, so the prefix list is exactly the marked rows
     val buckets = ranked
       .groupBy("tok")
-      .agg(collect_list(struct(col("doc_id"), col("sz"), col("rn"))).as("all_ids"),
-        collect_list(when(col("is_pref"),
-          struct(col("doc_id"), col("sz"), col("rn")))).as("pref_ids"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"), col("rn"),
+          col("is_new"))).as("all_ids"),
+        collect_list(when(col("is_pref"), struct(col("doc_id"), col("sz"),
+          col("rn"), col("is_new")))).as("pref_ids"))
       .filter(size(col("pref_ids")) >= 1 && size(col("all_ids")) >= 2 &&
         size(col("all_ids")) <= maxPostings) // skew guard (recall knob)
 
-    // contained-prefix × container expansion with both prunes in place —
-    // only survivors reach the pair distinct
-    val candidates = buckets
+    buckets
       .select(explode(flatten(transform(col("pref_ids"), b =>
         transform(col("all_ids"), a => struct(
           a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
           a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b"),
-          a.getField("rn").as("rn_a"), b.getField("rn").as("rn_b")))))).as("p"))
+          a.getField("rn").as("rn_a"), b.getField("rn").as("rn_b"),
+          a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
       .select(col("p.*"))
       .filter(col("id_a") =!= col("id_b"))
+      .filter(if (requireNew) col("new_a") || col("new_b") else lit(true))
       // length filter: the container must be at least the required overlap
-      .filter(lit(td) * col("sz_a") >= lit(tn) * col("sz_b"))
+      .filter(lit(td.toLong) * col("sz_a") >= lit(tn.toLong) * col("sz_b"))
       // position filter: remaining capacity at this collision must reach α
       .filter(lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b")) >=
-        expr(s"($thresholdNum * sz_b + ${thresholdDen - 1}) div $thresholdDen"))
-      .select(col("id_a"), col("id_b"))
+        expr(s"($tn * sz_b + ${td - 1}) div $td"))
+      .select(col("id_a"), col("id_b"), col("new_a"), col("new_b"))
       .distinct()
+  }
 
-    val verified = sinkCandidates(candidates, candidateSink)
+  /** Exact verification: SortedIntersectSize over the xxhash sets, pure
+    * long-algebra decision. Extra candidate columns pass through. */
+  private def containmentVerify(candidates: DataFrame, sets: DataFrame,
+      tn: Long, td: Long): DataFrame = {
+    val extra = candidates.columns.filterNot(Set("id_a", "id_b")).toSeq.map(col)
+    candidates
       .join(sets.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+      .select(Seq(col("id_a"), col("id_b")) ++ extra ++ Seq(
         SortedIntersectSize(col("h_a"), col("h_b")).cast("long").as("inter"),
-        size(col("h_b")).cast("long").as("sz_contained"))
+        size(col("h_b")).cast("long").as("sz_contained")): _*)
       .filter(col("inter") * td >= col("sz_contained") * tn)
-      .select(col("id_a").as("container_id"), col("id_b").as("contained_id"),
-        col("inter"), col("sz_contained"),
+      .select(Seq(col("id_a").as("container_id"), col("id_b").as("contained_id")) ++
+        extra ++ Seq(col("inter"), col("sz_contained"),
         round(col("inter").cast("double") / col("sz_contained").cast("double"), 6)
-          .as("containment"))
-    eager(verified, () => { gr.unpersist(false): Unit })
+          .as("containment")): _*)
   }
+
+  /** Bootstrap a persisted CONTAINMENT index without running any join: the
+    * base corpus's token positions (under its own frozen (df, tok) order),
+    * verification sets, and the frozen df table itself —
+    * [[containmentIncremental]] probes new batches against all three.
+    *
+    *   tok/   (doc_id, sz, rn, tok)  — positions under the FROZEN order
+    *   sets/  (doc_id, hs)           — sorted xxhash verification sets
+    *   dfs/   (tok, df)              — the order key, frozen at build
+    *
+    * Freezing the order is CORRECT, not approximate: the prefix pigeonhole
+    * holds under any fixed total order (see [[containmentPrefixPred]]);
+    * df drift only degrades bucket sizes. Rebuild to refresh — the
+    * frozen-centroid caveat of [[buildSemanticIndex]], same operational
+    * answer. Thresholds are NOT baked into the index: prefixes derive from
+    * stored (rn, sz) at query time, so one index serves any tn/td/minSize. */
+  def buildContainmentIndex(df: DataFrame, id: String, text: String,
+      indexPath: String, k: Int = 3): Unit = {
+    val gr = containmentSets(df, id, text, k).persist()
+    gr.count(): Unit
+    val dfs = gr.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .persist()
+    dfs.count(): Unit
+    val ranked = containmentRanked(gr, dfs)
+    inParallel(Seq(
+      () => writeIndexBatch(ranked.select(col("doc_id"), col("sz"), col("rn"),
+        col("tok")), s"$indexPath/tok", "base", wholeIndex = true),
+      () => writeIndexBatch(gr.select(col("doc_id"), col("hs")),
+        s"$indexPath/sets", "base", wholeIndex = true),
+      () => writeIndexBatch(dfs, s"$indexPath/dfs", "base", wholeIndex = true)))
+    dfs.unpersist(false): Unit
+    gr.unpersist(false): Unit
+  }
+
+  /** Incremental CONTAINMENT — the daily-batch quote detector, mirroring
+    * [[minhashLshIncremental]]: the new batch is ranked under the FROZEN
+    * index order (unseen tokens get df = 0 — the rarest thing possible),
+    * candidates are every contained-prefix × container collision with AT
+    * LEAST ONE NEW side (never index×index — the indexed corpus is
+    * settled), verification is exact, and the batch folds into
+    * `tok/batch=` + `sets/batch=` partitions (replay-safe via the
+    * partition-exclusion read + dynamic partition overwrite). Both
+    * directions surface in one pass: indexed content resurfacing inside a
+    * new composite (new_container = true, the new doc quotes the corpus)
+    * AND a new fragment that indexed content already subsumes
+    * (new_contained = true — "this is a slice of something we have").
+    *
+    * @return (container_id, contained_id, new_container, new_contained,
+    *         inter, sz_contained, containment)
+    */
+  def containmentIncremental(
+      newDf: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      batchId: String,
+      k: Int = 3,
+      thresholdNum: Int = 9,
+      thresholdDen: Int = 10,
+      minSize: Int = 5,
+      maxPostings: Int = 200,
+      candidateSink: Option[String] = None): DataFrame = {
+    require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
+    val spark = newDf.sparkSession
+    val (tn, td) = (thresholdNum.toLong, thresholdDen.toLong)
+
+    val frozenDfs = spark.read.parquet(resolveIndexDir(s"$indexPath/dfs"))
+      .select(col("tok"), col("df"))
+    val oldTok = spark.read.parquet(resolveIndexDir(s"$indexPath/tok"))
+      .filter(col("batch") =!= lit(batchId))
+      .select(col("doc_id"), col("sz"), col("rn"), col("tok"))
+    val oldSets = spark.read.parquet(resolveIndexDir(s"$indexPath/sets"))
+      .filter(col("batch") =!= lit(batchId))
+      .select(col("doc_id"), col("hs"))
+
+    val newGr = containmentSets(newDf, id, text, k).persist()
+    newGr.count(): Unit
+    val newRanked = containmentRanked(newGr, frozenDfs).persist()
+    newRanked.count(): Unit
+
+    // every candidate collides on a token the NEW batch carries (both
+    // directions need one new side at the same token), so the index scan
+    // prunes to the new batch's vocabulary first — per-batch cost follows
+    // the BATCH, not the accumulated index (the minhash-incremental
+    // "new×(new∪index) only" principle). Lossless: a pruned token's bucket
+    // could only pair old×old, which requireNew drops anyway.
+    val newToks = newRanked.select(col("tok")).distinct()
+    val all = oldTok.join(newToks, Seq("tok"), "left_semi")
+      .withColumn("is_new", lit(false))
+      .unionByName(newRanked.withColumn("is_new", lit(true)))
+      .withColumn("is_pref", containmentPrefixPred(thresholdNum, thresholdDen, minSize))
+    val candidates = containmentCandidates(all, thresholdNum, thresholdDen,
+      maxPostings, requireNew = true)
+
+    val sets = oldSets.unionByName(newGr.select(col("doc_id"), col("hs")))
+    val verified = containmentVerify(
+        sinkCandidates(candidates, candidateSink), sets, tn, td)
+      .withColumnRenamed("new_a", "new_container")
+      .withColumnRenamed("new_b", "new_contained")
+      .select(col("container_id"), col("contained_id"),
+        col("new_container"), col("new_contained"),
+        col("inter"), col("sz_contained"), col("containment"))
+
+    // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
+    val p = verified.localCheckpoint(eager = true)
+    inParallel(Seq(
+      () => writeIndexBatch(newRanked.select(col("doc_id"), col("sz"),
+        col("rn"), col("tok")), s"$indexPath/tok", batchId),
+      () => writeIndexBatch(newGr.select(col("doc_id"), col("hs")),
+        s"$indexPath/sets", batchId)))
+    newRanked.unpersist(false): Unit
+    newGr.unpersist(false): Unit
+    p
+  }
+
+  /** Fold the containment index's per-batch partitions into one `base`
+    * generation under a new version dir + atomic CURRENT swap. The frozen
+    * dfs table compacts too (it is single-batch, but a rebuilt index may
+    * have re-written it). */
+  def compactContainmentIndex(spark: SparkSession, indexPath: String): Unit =
+    inParallel(Seq(
+      () => compactBatchedDir(spark, s"$indexPath/tok"),
+      () => compactBatchedDir(spark, s"$indexPath/sets"),
+      () => compactBatchedDir(spark, s"$indexPath/dfs")))
 
   /** Embedding near-dup pairs: random-hyperplane LSH buckets, then exact
     * cosine (native codegen [[CosineSimilarity]]) within buckets.

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.dedup.Dedup
+
+/** Streaming QUOTE detection — [[StreamingDedup]]'s asymmetric face: every
+  * micro-batch of documents is checked for CONTAINMENT against (and folded
+  * into) the persisted containment index via
+  * [[graft.dedup.Dedup.containmentIncremental]]. Jaccard-based streaming
+  * dedup waves through a new composite that quotes an indexed doc wholesale
+  * (tiny symmetric similarity); this gate reports it — both directions: a
+  * new doc quoting indexed content (new_container) and a new fragment the
+  * corpus already subsumes (new_contained). Emitted rows are the verified
+  * pair frame itself, landed in `batch=b<N>` partitions — the
+  * effectively-once re-delivery contract shared with [[StreamingDedup]]
+  * (a replayed batch overwrites its own partition AND its own index
+  * fold-in, never double-reporting).
+  *
+  * Bootstrap with [[graft.dedup.Dedup.buildContainmentIndex]] first. The
+  * index's (df, tok) order stays frozen while the stream runs — lossless
+  * by the prefix pigeonhole under any fixed order; rebuild to refresh
+  * bucket efficiency after heavy drift (the frozen-centroid caveat). */
+object StreamingContainment {
+
+  /** @param candidateSink oracle fixture passthrough — per-micro-batch
+    *   dumps under `<sink>/b<batchId>` (shared-path overwrite would keep
+    *   only the last batch; per-batch subdirs stay replay-idempotent) */
+  def start(
+      stream: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      pairsPath: String,
+      checkpoint: String,
+      thresholdNum: Int = 9,
+      thresholdDen: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Dedup.containmentIncremental(batch, id, text, indexPath,
+              batchId = s"b$batchId",
+              thresholdNum = thresholdNum, thresholdDen = thresholdDen,
+              candidateSink = candidateSink.map(p => s"$p/b$batchId"))
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(pairsPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+}

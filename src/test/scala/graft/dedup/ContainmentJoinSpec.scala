@@ -55,6 +55,65 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(out.values.forall(_ == 1.0))
   }
 
+  test("incremental: both directions vs the index, cross-batch, unseen-token docs still caught") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("cont_inc_").toString
+    val idx = s"$root/idx"
+    val seedShort = "alpha beta gamma delta epsilon zeta eta theta"
+    val seedComposite = "iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Dedup.buildContainmentIndex(
+      docs(1L -> seedShort, 2L -> seedComposite), "doc_id", "text", idx, k = 1)
+
+    // batch 1: a NEW composite quoting seed 1 (new_container), and a NEW
+    // fragment of seed 2 (new_contained); its vocabulary includes tokens
+    // the frozen index never saw (df=0 path)
+    val b1 = docs(
+      10L -> (seedShort + " with totally novel framing vocabulary around it"),
+      11L -> "iota kappa lambda mu nu xi omicron pi rho sigma")
+    val out1 = Dedup.containmentIncremental(b1, "doc_id", "text", idx, "b1",
+        k = 1, thresholdNum = 8, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    assert(out1.contains((10L, 1L, true, false)), s"new composite quotes seed: $out1")
+    assert(out1.contains((2L, 11L, false, true)), s"new fragment subsumed by seed: $out1")
+
+    // batch 2: a fragment of BATCH 1's composite — only the folded index
+    // can catch it (cross-batch, the per-batch-blind case)
+    val out2 = Dedup.containmentIncremental(
+        docs(20L -> "with totally novel framing vocabulary"),
+        "doc_id", "text", idx, "b2", k = 1, thresholdNum = 8, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2.contains((10L, 20L)), s"batch-2 fragment of batch-1 doc: $out2")
+
+    // index folded every batch: 2 seed + 2 + 1 docs in sets/
+    val n = spark.read.parquet(Dedup.resolveIndexDir(s"$idx/sets")).count()
+    assert(n == 5L, s"sets index must hold all 5 docs, got $n")
+
+    // no index×index pairs ever: seed 1 is a fragment-like doc but never
+    // reported against seed 2 in any batch output
+    assert(!out1.exists(p => p._1 <= 2L && p._2 <= 2L))
+  }
+
+  test("compaction preserves incremental answers") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("cont_cmp_").toString
+    val idx = s"$root/idx"
+    val seed = "one two three four five six seven eight nine ten"
+    Dedup.buildContainmentIndex(docs(1L -> seed), "doc_id", "text", idx, k = 1)
+    Dedup.containmentIncremental(docs(10L -> (seed + " plus more words here")),
+      "doc_id", "text", idx, "b1", k = 1).collect()
+    Dedup.compactContainmentIndex(spark, idx)
+    val out = Dedup.containmentIncremental(docs(20L -> "one two three four five six seven eight nine"),
+        "doc_id", "text", idx, "b2", k = 1, thresholdNum = 9, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 20 is a 9/10 fragment of seed 1 AND of batch-1's doc 10 — both
+    // visible through the compacted generation; and seed 1 (10 tokens) is
+    // itself a 9/10-contained subset of 20's 9 tokens? No — the reverse:
+    // 20 covers 9 of seed 1's 10 tokens, so seed 1 ⊆ 20 ALSO holds at
+    // exactly the boundary (the relation is not antisymmetric near 1.0)
+    assert(out == Set((1L, 20L), (10L, 20L), (20L, 1L)),
+      s"post-compaction answers: $out")
+  }
+
   test("3-word shingles: a composite detects its components") {
     val a = "the first component document has exactly these eight words"
     val b = "and a second component text with different content entirely"
