@@ -961,6 +961,20 @@ object Dedup {
       minSize: Int = 5,
       maxPostings: Int = 200,
       candidateSink: Option[String] = None): DataFrame = {
+    val (out, release) = containmentJoinStaged(df, id, text, k, thresholdNum,
+      thresholdDen, minSize, maxPostings, candidateSink)
+    eager(out, release)
+  }
+
+  /** [[containmentJoin]] WITHOUT the lineage cut — the plan-auditable form
+    * (the q76/q78 Staged contract: the public method checkpoints, which
+    * collapses the executed plan to an RDD scan). Caller must invoke the
+    * release thunk when done. */
+  private[graft] def containmentJoinStaged(
+      df: DataFrame, id: String, text: String, k: Int = 3,
+      thresholdNum: Int = 9, thresholdDen: Int = 10, minSize: Int = 5,
+      maxPostings: Int = 200,
+      candidateSink: Option[String] = None): (DataFrame, () => Unit) = {
     require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
     val (tn, td) = (thresholdNum.toLong, thresholdDen.toLong)
 
@@ -981,7 +995,7 @@ object Dedup {
 
     val verified = containmentVerify(
       sinkCandidates(candidates, candidateSink), sets, tn, td)
-    eager(verified, () => { gr.unpersist(false): Unit })
+    (verified, () => { gr.unpersist(false): Unit })
   }
 
   /** Shared shingle frame of the containment family: `(doc_id, toks, hs)` —

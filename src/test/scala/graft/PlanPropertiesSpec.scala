@@ -35,7 +35,7 @@ class PlanPropertiesSpec extends SparkSpec {
     "q105_markov_transitions", "q109_attribution", "q110_moving_median",
     "q122_count_min", "q125_skyline", "q126_twap",
     "q128_interval_join", "q130_quota_alloc", "q186_domain_quality_prune",
-    "q187_corpus_diff")
+    "q187_corpus_diff", "q207_normalize_text", "q211_k_anonymize")
   // q121_quality_checks is audited separately (q76 rationale): attaching the
   // one-row table count to the one-row referential check is a deliberate
   // single-scalar nested-loop join
@@ -189,6 +189,21 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!bad, s"span aggregation must shuffle narrow (span_hash, doc_id) rows:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial count"),
       s"span counts must combine map-side before the shuffle:\n$plan")
+  }
+
+  test("containment join shuffles only 8-byte token ids and hash sets — never text or shingles") {
+    import org.apache.spark.sql.functions.col
+    // audit the STAGED plan (public method checkpoints → RDD scan)
+    val (out, release) = graft.dedup.Dedup.containmentJoinStaged(
+      graft.Tables.documents(spark, sfDir), "doc_id", "text")
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"scale-killing join shape in the containment plan:\n$plan")
+      val bad = plan.linesIterator.filter(_.contains("hashpartitioning")).exists(l =>
+        l.contains("text#") || l.contains("sh#") || l.contains("__lt"))
+      assert(!bad, s"text/shingles must never hash-shuffle — only toks/hs:\n$plan")
+    } finally release()
   }
 
   test("q78 broadcasts the bigram model back; hash exchanges carry no text") {
