@@ -2505,7 +2505,11 @@ object QuerySuite {
     "q209_knn_graph" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = aux(dir, "q209_vecindex")
-      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, nClusters = 16)
+      // targetCell: the k ∝ n regime — fixed cell count makes the per-cell
+      // self-join quadratic in corpus growth (measured 104 s at sf1 with
+      // 16 cells; cells must track n for the graph step to stay linear)
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx,
+        nClusters = 16, targetCell = 100)
       Similarity.knnGraphIndexed(s, idx, k = 5, nProbe = 2,
           candidateSink = Some(aux(dir, "q209_candidates")))
         .orderBy("query_id", "nbr_rank")
@@ -2519,7 +2523,8 @@ object QuerySuite {
     "q210_hard_negatives" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = aux(dir, "q210_vecindex")
-      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, nClusters = 16)
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx,
+        nClusters = 16, targetCell = 100) // k ∝ n (the q209 rationale)
       Similarity.hardNegativesIndexed(s, idx,
           emb.select(col("vec_id").as("doc_id"), col("label")),
           k = 5, nProbe = 4,
@@ -2602,6 +2607,29 @@ object QuerySuite {
         .select("container_id", "contained_id", "new_container",
           "new_contained", "inter", "sz_contained", "containment")
         .orderBy("container_id", "contained_id")
+    }),
+
+    // ---- INCREMENTAL kNN-graph maintenance: even vec_ids build the
+    //      persisted graph (edges + probes), odd vec_ids fold in as gen 1 —
+    //      new anchors probe old ∪ new, AFFECTED old anchors (stored probe
+    //      cell ∩ new cells) re-rank their prior top-k against only the
+    //      new arrivals (top-k(top-k ∪ new) = top-k(all ∪ new)), untouched
+    //      anchors keep their rows. Compaction resolves supersession
+    //      physically. The oracle reranks the union of both dumps — it
+    //      knows nothing about generations ----
+    "q214_knn_graph_append" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q214_vecindex")
+      val g = aux(dir, "q214_graph")
+      Dedup.buildSemanticIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nClusters = 16, targetCell = 100)
+      Similarity.knnGraphBuild(s, idx, g, k = 5, nProbe = 2,
+        candidateSink = Some(aux(dir, "q214_candidates") + "/build"))
+      Similarity.knnGraphAppend(emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", idx, g, gen = 1L, k = 5, nProbe = 2,
+        candidateSink = Some(aux(dir, "q214_candidates") + "/append"))
+      Similarity.compactKnnGraph(s, g)
+      Similarity.knnGraphRead(s, g).orderBy("query_id", "nbr_rank")
     }),
 
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
@@ -4477,7 +4505,7 @@ object QuerySuite {
     * the shortlist CONTENTS is visible, and the rerank math is bit-checked.
     * `glob` is `**` for streaming dumps that accumulate per micro-batch. */
   private def cosineRerankOracle(candDump: String, glob: String = "*"): String =
-    s"""WITH cand AS (SELECT query_id, nbr_id FROM read_parquet('{AUX}/$candDump/$glob.parquet')),
+    s"""WITH cand AS (SELECT DISTINCT query_id, nbr_id FROM read_parquet('{AUX}/$candDump/$glob.parquet')),
        |scored AS (
        |  SELECT query_id, nbr_id,
        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine,
@@ -5942,6 +5970,13 @@ object QuerySuite {
     // oracle knows nothing about cells or probes
     "q209_knn_graph" ->
       cosineRerankOracle("q209_candidates"),
+
+    // union of the build + append dumps reranked per anchor: for touched
+    // anchors the engine merged top-k(build) with the new arrivals, the
+    // oracle ranks ALL build candidates ∪ new — equal by truncation
+    // stability, so a match proves the incremental merge exact
+    "q214_knn_graph_append" ->
+      cosineRerankOracle("q214_candidates", glob = "*/*"),
 
     // the dumped different-label candidates reranked exactly; the oracle
     // ALSO independently re-checks the label-inequality invariant (a

@@ -267,6 +267,21 @@ object Similarity {
     selfJoinTopK(spark, indexPath, k, nProbe, maxCell, candidateSink,
       labels = Some(labels.select(col("doc_id"), col("label"))))
 
+  /** Sorted (cell ids, codebook) of a FLAT semantic index — driver-side,
+    * bounded by construction (≤ 4096 flat cells). Non-contiguous cell ids
+    * map back through the sorted id table. */
+  private def loadFlatCodebook(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): (Seq[Int], Seq[Seq[Double]]) = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    require(!centroids.columns.contains("top"),
+      "index self-joins probe a FLAT index; two-level indexes carry their own geometry")
+    val rows = centroids.select(col("cell").cast("int"), col("centroid"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(rows.nonEmpty, "loadFlatCodebook: empty centroid table")
+    (rows.map(_._1).toSeq, rows.map(_._2.toSeq).toSeq)
+  }
+
   /** Shared core of the index self-join family: map-only probe selection
     * (codegen [[graft.functions.NearestCentroids]]), one equi-join on cell,
     * optional label-inequality candidate filter, id-joined exact-cosine
@@ -279,14 +294,7 @@ object Similarity {
       maxCell: Int,
       candidateSink: Option[String],
       labels: Option[DataFrame]): DataFrame = {
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
-    require(!centroids.columns.contains("top"),
-      "index self-joins probe a FLAT index; two-level indexes carry their own geometry")
-    val rows = centroids.select(col("cell").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(rows.nonEmpty, "selfJoinTopK: empty centroid table")
-    val ids: Seq[Int] = rows.map(_._1).toSeq
-    val cb: Seq[Seq[Double]] = rows.map(_._2.toSeq).toSeq
+    val (ids, cb) = loadFlatCodebook(spark, indexPath)
 
     val assigned0 = spark.read
       .parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
@@ -328,6 +336,183 @@ object Similarity {
       .withColumn("nbr_rank", row_number().over(w).cast("long"))
       .filter(col("nbr_rank") <= k)
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+  }
+
+  // ==================== persisted kNN graph + INCREMENTAL maintenance ====
+  //
+  // The graph is a serving artifact (SemDeDup pruning, diversity sampling,
+  // kNN quality scores) — at 100 TB nobody rebuilds all-pairs top-k because
+  // a daily batch arrived. Layout under `graphPath`:
+  //   edges/batch=*   (query_id, nbr_rank, nbr_id, cosine, gen)
+  //   probes/batch=*  (doc_id, cell) — each doc's nProbe probe cells
+  // `gen` resolves supersession: an append re-ranks the anchors it touches
+  // and writes their NEW top-k under a higher gen; the read path (and
+  // compaction) keep each anchor's max-gen rows. Vectors live in the
+  // semantic index (`indexPath/vectors`) — appends fold new vectors there,
+  // the same frame semanticDedupIncremental maintains.
+
+  /** Build the persisted graph: [[knnGraphIndexed]] + the probes table
+    * (the affected-anchor lookup appends need). Returns the edge frame. */
+  def knnGraphBuild(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      graphPath: String,
+      k: Int,
+      nProbe: Int = 2,
+      maxCell: Int = 10000,
+      candidateSink: Option[String] = None): DataFrame = {
+    import graft.dedup.Dedup
+    val edges = selfJoinTopK(spark, indexPath, k, nProbe, maxCell,
+      candidateSink, labels = None)
+    val p = edges.localCheckpoint(eager = true)
+    val (ids, cb) = loadFlatCodebook(spark, indexPath)
+    val probes = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/vectors"))
+      .select(col("doc_id"),
+        explode(transform(
+          graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
+          i => element_at(typedLit(ids), i + 1))).as("cell"))
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(p.withColumn("gen", lit(0L)),
+        s"$graphPath/edges", "base", wholeIndex = true),
+      () => Dedup.writeIndexBatch(probes, s"$graphPath/probes", "base",
+        wholeIndex = true)))
+    p
+  }
+
+  /** INCREMENTAL graph maintenance: fold a new vector batch in and update
+    * exactly the anchors whose neighborhoods can have changed.
+    *
+    *   - NEW anchors probe their nProbe cells against old ∪ new — the
+    *     [[knnGraphIndexed]] step restricted to the batch;
+    *   - AFFECTED old anchors are found through the STORED probes table
+    *     (frozen centroids → probe sets are stable): any old anchor with a
+    *     probe cell the new batch landed in. Their candidates are their
+    *     PRIOR top-k edges plus only the NEW docs in those cells —
+    *     top-k(top-k(old) ∪ new) = top-k(old ∪ new), the standard
+    *     truncation-stability argument, so the merge is EXACT, not a decay
+    *     approximation (equivalence to a from-scratch rebuild is spec-
+    *     gated; caps must not bind for the equality to be literal).
+    *
+    * Per-batch cost follows the batch: |new|·nProbe probe rows, new-cell
+    * postings, and |affected|·(k + new-in-cell) candidate rows — never a
+    * rescan of the settled graph. Replay-safe: all reads exclude
+    * `batch=g<gen>`, all writes overwrite exactly that partition.
+    *
+    * @return the re-ranked edges of every touched anchor (new + affected) */
+  def knnGraphAppend(
+      newDf: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      graphPath: String,
+      gen: Long,
+      k: Int,
+      nProbe: Int = 2,
+      maxCell: Int = 10000,
+      candidateSink: Option[String] = None): DataFrame = {
+    import graft.dedup.Dedup
+    require(gen >= 1, s"append generations start at 1, got $gen")
+    val spark = newDf.sparkSession
+    val batchId = s"g$gen"
+    val (ids, cb) = loadFlatCodebook(spark, indexPath)
+
+    val newKeyed = newDf.filter(col(vec).isNotNull && size(col(vec)) > 0)
+      .select(col(id).as("doc_id"), col(vec).as("v"))
+    val localIdx = graft.functions.NearestCentroid(col("v").cast("array<double>"), cb)
+    val newAssigned = newKeyed.select(col("doc_id"),
+      element_at(typedLit(ids), localIdx + 1).as("cell"), col("v")).persist()
+    newAssigned.count(): Unit
+    val newProbes = newKeyed.select(col("doc_id"),
+      explode(transform(
+        graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
+        i => element_at(typedLit(ids), i + 1))).as("cell"))
+
+    val oldVecs = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$indexPath/vectors"))
+      .filter(col("batch") =!= lit(batchId))
+      .select(col("doc_id"), col("cell"), col("v"))
+    val allAssigned = oldVecs.unionByName(newAssigned)
+    val okCells = allAssigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCell).select("cell")
+
+    // new anchors: the full knnGraph step, batch-restricted
+    val candNew = newProbes
+      .join(broadcast(okCells), Seq("cell"))
+      .join(allAssigned.select(col("doc_id").as("nbr_id"), col("cell")), Seq("cell"))
+      .filter(col("doc_id") =!= col("nbr_id"))
+      .select(col("doc_id").as("query_id"), col("nbr_id"))
+
+    // affected old anchors: stored probes hitting cells the batch landed in;
+    // their only NEW competition is the new docs in those cells
+    val newCells = newAssigned.select(col("cell")).distinct()
+    val oldProbes = spark.read
+      .parquet(Dedup.resolveIndexDir(s"$graphPath/probes"))
+      .filter(col("batch") =!= lit(batchId))
+      .select(col("doc_id"), col("cell"))
+    val candAffected = oldProbes
+      .join(newCells, Seq("cell"), "left_semi")
+      .join(broadcast(okCells), Seq("cell"))
+      .join(newAssigned.select(col("doc_id").as("nbr_id"), col("cell")), Seq("cell"))
+      .filter(col("doc_id") =!= col("nbr_id"))
+      .select(col("doc_id").as("query_id"), col("nbr_id"))
+
+    // prior edges of exactly the anchors being re-ranked (id pairs only —
+    // cosines recompute from the index vectors, one hash space everywhere)
+    val touched = candAffected.select(col("query_id")).distinct()
+    val oldEdges = knnGraphRead(spark, graphPath)
+      .join(touched, Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("nbr_id"))
+
+    val candidates = Dedup.sinkCandidates(
+      candNew.unionByName(candAffected).unionByName(oldEdges).distinct(),
+      candidateSink)
+
+    val vecs = allAssigned.select(col("doc_id"), col("v"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
+    val updated = candidates
+      .join(vecs.select(col("doc_id").as("nbr_id"), col("v").as("cv")), Seq("nbr_id"))
+      .join(vecs.select(col("doc_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .withColumn("cosine", CosineSimilarity(col("qv"), col("cv")))
+      .withColumn("nbr_rank", row_number().over(w).cast("long"))
+      .filter(col("nbr_rank") <= k)
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+
+    val p = updated.localCheckpoint(eager = true)
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(newAssigned, s"$indexPath/vectors", batchId),
+      () => Dedup.writeIndexBatch(newProbes, s"$graphPath/probes", batchId),
+      () => Dedup.writeIndexBatch(p.withColumn("gen", lit(gen)),
+        s"$graphPath/edges", batchId)))
+    newAssigned.unpersist(false): Unit
+    p
+  }
+
+  /** The resolved graph: each anchor's max-gen edge rows (an append
+    * supersedes, never merges with, an anchor's older rows). */
+  def knnGraphRead(
+      spark: org.apache.spark.sql.SparkSession,
+      graphPath: String): DataFrame = {
+    import graft.dedup.Dedup
+    val e = spark.read.parquet(Dedup.resolveIndexDir(s"$graphPath/edges"))
+    val latest = e.groupBy(col("query_id")).agg(max(col("gen")).as("gen"))
+    e.join(latest, Seq("query_id", "gen"))
+      .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
+  }
+
+  /** Fold the graph's per-batch partitions into one generation, resolving
+    * supersession physically (only max-gen rows survive). */
+  def compactKnnGraph(
+      spark: org.apache.spark.sql.SparkSession,
+      graphPath: String): Unit = {
+    import graft.dedup.Dedup
+    Dedup.inParallel(Seq(
+      () => Dedup.compactBatchedDir(spark, s"$graphPath/edges",
+        transform = df => {
+          val latest = df.groupBy(col("query_id")).agg(max(col("gen")).as("gen"))
+          df.join(latest, Seq("query_id", "gen"))
+        }),
+      () => Dedup.compactBatchedDir(spark, s"$graphPath/probes")))
   }
 
   /** Reciprocal-rank fusion of retrieval arms — the HYBRID retrieval step

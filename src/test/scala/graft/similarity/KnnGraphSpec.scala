@@ -103,6 +103,62 @@ class KnnGraphSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(x => (x._2, x._3)) == Seq((1L, 3L), (2L, 4L)))
   }
 
+  test("incremental append equals a from-scratch rebuild over the unioned index") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("knn_app_").toString
+    // deterministic spread: two loose clusters, base = first 12, batch = 6 more
+    val all = (1L to 18L).map(i =>
+      i -> vec(math.cos(i * 0.35), math.sin(i * 0.35), (i % 5) * 0.2))
+    val (base, batch) = all.partition(_._1 <= 12L)
+    Dedup.buildSemanticIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", nClusters = 4)
+    Similarity.knnGraphBuild(spark, s"$root/idx", s"$root/g", k = 3, nProbe = 2)
+    Similarity.knnGraphAppend(batch.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", s"$root/g", gen = 1L, k = 3, nProbe = 2)
+
+    // from-scratch over the SAME index (append folded the vectors in, same
+    // frozen centroids, same probe discipline) — must match row for row
+    val scratch = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val inc = Similarity.knnGraphRead(spark, s"$root/g")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc == scratch, s"incremental:\n$inc\nfrom-scratch:\n$scratch")
+
+    // compaction resolves supersession physically and preserves the graph
+    Similarity.compactKnnGraph(spark, s"$root/g")
+    val compacted = Similarity.knnGraphRead(spark, s"$root/g")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(compacted == inc)
+    // post-compaction the edges dir holds exactly one row per (anchor, rank)
+    val dup = spark.read.parquet(Dedup.resolveIndexDir(s"$root/g/edges"))
+      .groupBy("query_id", "nbr_rank").count().filter(col("count") > 1).count()
+    assert(dup == 0L, "compaction must leave no superseded rows")
+  }
+
+  test("append touches only new and affected anchors; untouched rows keep gen 0") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("knn_app2_").toString
+    // two far-apart clusters; the batch lands entirely in cluster B, so
+    // cluster-A anchors (probing only A cells) must remain untouched
+    val clusterA = (1L to 6L).map(i => i -> vec(10.0 + 0.01 * i, 0.0))
+    val clusterB = (11L to 16L).map(i => i -> vec(0.0, 10.0 + 0.01 * i))
+    Dedup.buildSemanticIndex((clusterA ++ clusterB).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", nClusters = 2)
+    Similarity.knnGraphBuild(spark, s"$root/idx", s"$root/g", k = 2, nProbe = 1)
+    val newB = Seq(20L -> vec(0.0, 10.05))
+    val updated = Similarity.knnGraphAppend(newB.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", s"$root/g", gen = 1L, k = 2, nProbe = 1)
+      .select("query_id").as[Long].collect().toSet
+    assert(updated.contains(20L), "the new anchor is ranked")
+    assert(!updated.exists(q => q >= 1L && q <= 6L),
+      s"cluster-A anchors must not be re-ranked: $updated")
+    // and the persisted rows agree: cluster-A edges still gen 0
+    val gens = spark.read.parquet(Dedup.resolveIndexDir(s"$root/g/edges"))
+      .filter(col("query_id") <= 6L).select("gen").distinct()
+      .as[Long].collect().toSeq
+    assert(gens == Seq(0L), s"untouched anchors keep their gen-0 rows: $gens")
+  }
+
   test("plan: no cartesian/nested-loop join; top-k pushes a partial WindowGroupLimit") {
     import spark.implicits._
     val root = Files.createTempDirectory("knn_plan_").toString
