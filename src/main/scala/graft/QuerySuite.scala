@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -2629,6 +2629,30 @@ object QuerySuite {
         "vec_id", "embedding", idx, g, gen = 1L, k = 5, nProbe = 2,
         candidateSink = Some(aux(dir, "q214_candidates") + "/append"))
       Similarity.compactKnnGraph(s, g)
+      Similarity.knnGraphRead(s, g).orderBy("query_id", "nbr_rank")
+    }),
+
+    // ---- STREAMING kNN-graph maintenance (StreamingKnnGraph — q214's
+    //      online face): odd vec_ids arrive as a stream, each micro-batch
+    //      folding into the persisted graph via the exact incremental
+    //      merge; gen = batchId + 1, so replay overwrites itself. Oracle =
+    //      rerank of build dump ∪ per-batch dumps, batching invisible ----
+    "q215_stream_knn_graph" -> ((s, dir) => withStreamingConf(s) { s =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q215_vecindex")
+      val g = aux(dir, "q215_graph")
+      Dedup.buildSemanticIndex(emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", idx, nClusters = 16, targetCell = 100)
+      Similarity.knnGraphBuild(s, idx, g, k = 5, nProbe = 2,
+        candidateSink = Some(aux(dir, "q215_candidates") + "/build"))
+      val stream = s.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(stageStreamDir(dir, "embeddings"))
+        .filter(pmod(col("vec_id"), lit(2)) === 1)
+      val q = StreamingKnnGraph.start(stream, "vec_id", "embedding", idx, g,
+        tmpDir("q215_ckpt_"), k = 5, nProbe = 2,
+        candidateSink = Some(aux(dir, "q215_candidates")))
+      q.awaitTermination()
       Similarity.knnGraphRead(s, g).orderBy("query_id", "nbr_rank")
     }),
 
@@ -5977,6 +6001,11 @@ object QuerySuite {
     // stability, so a match proves the incremental merge exact
     "q214_knn_graph_append" ->
       cosineRerankOracle("q214_candidates", glob = "*/*"),
+
+    // same contract through the streaming engine: build dump + per-batch
+    // dumps, one rerank
+    "q215_stream_knn_graph" ->
+      cosineRerankOracle("q215_candidates", glob = "*/*"),
 
     // the dumped different-label candidates reranked exactly; the oracle
     // ALSO independently re-checks the label-inequality invariant (a

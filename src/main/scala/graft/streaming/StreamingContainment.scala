@@ -57,3 +57,46 @@ object StreamingContainment {
       .trigger(trigger)
       .start()
 }
+
+/** Streaming kNN-GRAPH maintenance — the online face of
+  * [[graft.similarity.Similarity.knnGraphAppend]]: each micro-batch of
+  * vectors folds into the persisted graph, updating exactly the anchors
+  * whose neighborhoods can change (new anchors + stored-probe-cell hits).
+  * The generation is derived from the micro-batch id (gen = batchId + 1 —
+  * generations start at 1, batch ids at 0), so checkpoint recovery
+  * re-delivers into the SAME gen partition: replay overwrites itself, the
+  * supersession order stays consistent, and `knnGraphRead` serves a
+  * consistent graph at every point between batches.
+  *
+  * The quantizer stays frozen while the stream runs (the
+  * [[StreamingSemanticDedup]] caveat): a moving cell geometry would
+  * invalidate the stored probe table that affected-anchor detection
+  * depends on. Rebuild index + graph to refresh. */
+object StreamingKnnGraph {
+
+  def start(
+      vecStream: DataFrame,
+      id: String,
+      vec: String,
+      indexPath: String,
+      graphPath: String,
+      checkpoint: String,
+      k: Int,
+      nProbe: Int = 2,
+      maxCell: Int = 10000,
+      trigger: Trigger = Trigger.AvailableNow(),
+      candidateSink: Option[String] = None): StreamingQuery =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.similarity.Similarity.knnGraphAppend(batch, id, vec,
+            indexPath, graphPath, gen = batchId + 1, k = k, nProbe = nProbe,
+            maxCell = maxCell,
+            candidateSink = candidateSink.map(p => s"$p/b$batchId")): Unit
+        }
+      }
+      .trigger(trigger)
+      .start()
+}

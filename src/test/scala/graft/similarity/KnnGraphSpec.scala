@@ -159,6 +159,41 @@ class KnnGraphSpec extends SparkSpec {
     assert(gens == Seq(0L), s"untouched anchors keep their gen-0 rows: $gens")
   }
 
+  test("streaming maintenance across micro-batches equals from-scratch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val root = Files.createTempDirectory("knn_stream_").toString
+    val base = (1L to 10L).map(i => i -> vec(math.cos(i * 0.5), math.sin(i * 0.5)))
+    Dedup.buildSemanticIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", nClusters = 3)
+    graft.similarity.Similarity.knnGraphBuild(spark, s"$root/idx", s"$root/g",
+      k = 3, nProbe = 2)
+
+    val source = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingKnnGraph.start(
+      source.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$root/idx", s"$root/g", s"$root/ckpt", k = 3, nProbe = 2,
+      trigger = Trigger.ProcessingTime(0L))
+    try {
+      source.addData(11L -> vec(math.cos(5.5), math.sin(5.5)))
+      q.processAllAvailable()
+      source.addData(12L -> vec(math.cos(6.0), math.sin(6.0)),
+        13L -> vec(math.cos(0.2), math.sin(0.2)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val inc = Similarity.knnGraphRead(spark, s"$root/g")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val scratch = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc == scratch,
+      s"two streamed generations must equal from-scratch:\n$inc\nvs\n$scratch")
+    assert(inc.keySet.map(_._1).size == 13, "all 13 vectors are anchors")
+  }
+
   test("plan: no cartesian/nested-loop join; top-k pushes a partial WindowGroupLimit") {
     import spark.implicits._
     val root = Files.createTempDirectory("knn_plan_").toString
