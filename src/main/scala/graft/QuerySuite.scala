@@ -2656,6 +2656,24 @@ object QuerySuite {
       Similarity.knnGraphRead(s, g).orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- CCNet PARAGRAPH dedup (Wenzek '20 §3.1 — the step CCNet
+    //      actually dedups by): duplicated paragraphs keep exactly their
+    //      canonical (min doc, min pos) occurrence — planted template
+    //      paragraph across 40% of docs, a self-repeating doc, plus the
+    //      corpus's natural exact-dup structure ----
+    "q216_paragraph_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"),
+            lit("\n\nevery fifth document shares this exact template paragraph")))
+          .when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit("every fifth document shares this exact template paragraph"),
+              lit("\n\n"), col("text"), lit("\n\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.dedupParagraphs(docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5174,6 +5192,41 @@ object QuerySuite {
         |  FROM marked GROUP BY doc_id
         |)
         |SELECT doc_id, n_lines, n_removed, clean_text FROM per ORDER BY doc_id""".stripMargin,
+
+    // the canonical-occurrence rule replayed: same 60-bit paragraph ids,
+    // winner = row_number 1 over (doc_id, pos), whitespace-only paragraphs
+    // immune, byte-for-byte reconstruction
+    "q216_paragraph_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || chr(10) || 'every fifth document shares this exact template paragraph'
+        |         WHEN doc_id % 5 = 1 THEN 'every fifth document shares this exact template paragraph' || chr(10) || chr(10) || text || chr(10) || chr(10) || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM aug
+        |), e AS (
+        |  SELECT doc_id, p, paras[p + 1] AS para FROM (
+        |    SELECT doc_id, paras, unnest(generate_series(0, len(paras) - 1)) AS p FROM l)
+        |), h AS (
+        |  SELECT doc_id, p, para,
+        |    CASE WHEN length(trim(para)) > 0
+        |         THEN ('0x' || substr(md5(trim(para)), 1, 15))::BIGINT END AS pid
+        |  FROM e
+        |), marked AS (
+        |  SELECT doc_id, p, para,
+        |    CASE WHEN pid IS NULL THEN FALSE
+        |         ELSE row_number() OVER (PARTITION BY pid ORDER BY doc_id, p) > 1 END AS rm
+        |  FROM h
+        |), per AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_paras,
+        |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(array_to_string(list(para ORDER BY p) FILTER (WHERE NOT rm),
+        |      chr(10) || chr(10)), '') AS clean_text
+        |  FROM marked GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_paras, n_removed, clean_text FROM per ORDER BY doc_id""".stripMargin,
 
     // both multinomials refit from scratch, scoring + rank replayed over
     // bit-identical portable-ln averages

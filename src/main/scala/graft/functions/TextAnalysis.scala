@@ -446,4 +446,60 @@ object TextAnalysis {
     lined.unpersist(false): Unit
     result
   }
+
+  /** CCNet PARAGRAPH dedup (Wenzek '20 §3.1 — the step CCNet actually
+    * dedups by): every paragraph that occurs more than once in the corpus
+    * keeps exactly its CANONICAL occurrence — min (doc_id, position) — and
+    * every other occurrence is cut, including repeats within one document.
+    * This differs from both whole-doc dedup (a doc half-copied from another
+    * survives doc-level Jaccard) and [[removeBoilerplateLines]] (which cuts
+    * template lines EVERYWHERE; here duplicated content survives exactly
+    * once, content is not destroyed).
+    *
+    * Scale shape: paragraphs hash to 60-bit ids, so the occurrence frame
+    * that shuffles is narrow (pid, doc_id, pos); winners = one min-struct
+    * aggregate per pid (map-side combinable). The rewrite joins back only
+    * the REMOVALS (non-canonical occurrences of duplicated paragraphs — a
+    * dedup-rate-proportional frame, usually ≪ corpus, AQE broadcasts it
+    * while it fits); the paragraph text itself re-splits map-side from the
+    * staged doc frame. A corpus rewrite's output is corpus-sized, so when
+    * the removal set outgrows broadcast the one doc-keyed exchange is the
+    * honest floor — what gets minimized is what RIDES it (positions, never
+    * paragraph strings).
+    *
+    * Whitespace-only paragraphs carry no content and are never removed
+    * (they are formatting); the 60-bit hash-merge caveat is the
+    * [[graft.dedup.Dedup.prefixFilterJaccard]] one, oracle-mirrored.
+    *
+    * @return (doc_id, n_paras, n_removed, clean_text) */
+  def dedupParagraphs(docs: DataFrame, id: String, text: String): DataFrame = {
+    val parad = docs.select(col(id).cast("long").as("doc_id"),
+      split(col(text), "\n\n").as("__paras")).persist()
+    parad.count(): Unit // ONE split pass feeds the winner pass AND the rewrite
+    val occ = parad
+      .select(col("doc_id"), posexplode(col("__paras")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"),
+        when(length(trim(col("para"))) > 0,
+          GraftFunctions.portableHash60(trim(col("para")))).as("pid"))
+      .filter(col("pid").isNotNull)
+    val dupWinners = occ
+      .groupBy("pid")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("pid"), col("w"))
+    val removals = occ.join(dupWinners, Seq("pid"))
+      .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("rm_pos"))
+    val out = parad.join(removals, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("rm_pos"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__paras")).cast("long").as("n_paras"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        array_join(filter(col("__paras"), (_, i) => !array_contains(col("__rm"), i)),
+          "\n\n").as("clean_text"))
+    val result = out.localCheckpoint(eager = true)
+    parad.unpersist(false): Unit
+    result
+  }
 }

@@ -189,6 +189,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == (4L, 1L, "rare line\n\nrare line"))
   }
 
+  test("dedupParagraphs: canonical occurrence survives, repeats cut, whitespace immune") {
+    import spark.implicits._
+    val shared = "the shared paragraph content"
+    val rows = Seq(
+      1L -> s"unique one\n\n$shared",              // canonical home of `shared` (doc 1, pos 1)
+      2L -> s"$shared\n\nunique two",              // later doc: occurrence cut
+      3L -> s"self\n\nself\n\n  \n\nself",         // within-doc repeats: keep FIRST, spare blank
+      4L -> shared)                                // whole doc was a dup paragraph -> empties out
+    val out = TextAnalysis.dedupParagraphs(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (2L, 0L, s"unique one\n\n$shared"), s"canonical kept: ${out(1L)}")
+    assert(out(2L) == (2L, 1L, "unique two"), s"non-canonical cut: ${out(2L)}")
+    assert(out(3L) == (4L, 2L, "self\n\n  "), s"within-doc repeats cut, blank immune: ${out(3L)}")
+    assert(out(4L) == (1L, 1L, ""), s"fully-duplicated doc empties out: ${out(4L)}")
+    // trim-matching: leading/trailing spaces do not make a paragraph distinct
+    val out2 = TextAnalysis.dedupParagraphs(
+      Seq(1L -> s"  $shared  ", 2L -> shared).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2 == Map(1L -> 0L, 2L -> 1L), s"trim-matched canonical: $out2")
+  }
+
   test("removeBoilerplateLines overflow cap fails loudly") {
     import spark.implicits._
     val rows = (1L to 4L).map(d => d -> "common one\ncommon two")
