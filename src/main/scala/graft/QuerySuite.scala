@@ -2674,6 +2674,22 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- kNN GRAPH over a TWO-LEVEL index: the k ∝ n regime past ~1024
+    //      cells (the 100 TB shape — a flat argmin over 16k leaves per row
+    //      is the wrong constant factor). Probes = nProbe leaves within
+    //      each of the nProbeTop nearest tops, all map-only codegen;
+    //      forced two-level here via the cutover so the small corpus
+    //      exercises the big-corpus geometry ----
+    "q217_knn_graph_two_level" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q217_vecindex")
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx,
+        nClusters = 24, twoLevelCutover = 8)
+      Similarity.knnGraphIndexed(s, idx, k = 5, nProbe = 3, nProbeTop = 2,
+          candidateSink = Some(aux(dir, "q217_candidates")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -6059,6 +6075,11 @@ object QuerySuite {
     // dumps, one rerank
     "q215_stream_knn_graph" ->
       cosineRerankOracle("q215_candidates", glob = "*/*"),
+
+    // the hierarchical probe discipline is candidate generation only —
+    // the oracle reranks the dump, blind to tops and leaves
+    "q217_knn_graph_two_level" ->
+      cosineRerankOracle("q217_candidates"),
 
     // the dumped different-label candidates reranked exactly; the oracle
     // ALSO independently re-checks the label-inequality invariant (a

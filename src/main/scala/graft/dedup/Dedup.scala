@@ -1544,7 +1544,7 @@ object Dedup {
   /** Rebuild the [[TwoLevelQuantizer]] from a persisted two-level index
     * (`topcentroids` + `top`-annotated `centroids`) — codebook-bounded
     * collects, no MLlib, the serving analogue of [[assignCells]]. */
-  private def loadTwoLevel(spark: SparkSession, indexPath: String): TwoLevelQuantizer = {
+  private[graft] def loadTwoLevel(spark: SparkSession, indexPath: String): TwoLevelQuantizer = {
     val tops = spark.read.parquet(s"$indexPath/topcentroids")
       .orderBy("top").collect()
       .map(r => r.getSeq[Double](r.fieldIndex("centroid"))).toIndexedSeq

@@ -238,9 +238,10 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       maxCell: Int = 10000,
-      candidateSink: Option[String] = None): DataFrame =
+      candidateSink: Option[String] = None,
+      nProbeTop: Int = 2): DataFrame =
     selfJoinTopK(spark, indexPath, k, nProbe, maxCell, candidateSink,
-      labels = None)
+      labels = None, nProbeTop = nProbeTop)
 
   /** HARD-NEGATIVE mining for contrastive training data: for every indexed
     * doc (the anchor), its k most-similar docs carrying a DIFFERENT label —
@@ -263,23 +264,76 @@ object Similarity {
       k: Int,
       nProbe: Int = 4,
       maxCell: Int = 10000,
-      candidateSink: Option[String] = None): DataFrame =
+      candidateSink: Option[String] = None,
+      nProbeTop: Int = 2): DataFrame =
     selfJoinTopK(spark, indexPath, k, nProbe, maxCell, candidateSink,
-      labels = Some(labels.select(col("doc_id"), col("label"))))
+      labels = Some(labels.select(col("doc_id"), col("label"))),
+      nProbeTop = nProbeTop)
 
-  /** Sorted (cell ids, codebook) of a FLAT semantic index — driver-side,
-    * bounded by construction (≤ 4096 flat cells). Non-contiguous cell ids
-    * map back through the sorted id table. */
-  private def loadFlatCodebook(
+  /** Driver-side cell geometry of a persisted semantic index — FLAT (one
+    * codebook) or TWO-LEVEL (coarse tops + per-top leaf codebooks, the
+    * k ∝ n regime past ~1024 cells). Both faces are MAP-ONLY:
+    * `assignCell` is the single-cell argmin (what the stored assignment
+    * used), `probeCells` the multi-probe expansion. Bounded by
+    * construction: ≤ 4096 flat cells / ≤ 16384 two-level leaves — the
+    * same driver-fits-the-codebook argument the dedup family makes. */
+  private[graft] sealed trait IndexGeometry {
+    def assignCell(v: Column): Column
+    /** (doc_id, cell) probe frame: `nProbe` candidate cells per vector —
+      * for two-level, `nProbe` leaves within each of the `nProbeTop`
+      * nearest tops (the own cell is always probe #1: same argmin the
+      * stored assignment used). */
+    def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame
+  }
+
+  private final class FlatGeometry(ids: Seq[Int], cb: Seq[Seq[Double]])
+      extends IndexGeometry {
+    def assignCell(v: Column): Column =
+      element_at(typedLit(ids),
+        graft.functions.NearestCentroid(v.cast("array<double>"), cb) + 1)
+    def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame =
+      df.select(col(id).as("doc_id"),
+        explode(transform(
+          graft.functions.NearestCentroids(col(v).cast("array<double>"), cb, nProbe),
+          i => element_at(typedLit(ids), i + 1))).as("cell"))
+  }
+
+  private final class TwoLevelGeometry(
+      q: graft.dedup.Dedup.TwoLevelQuantizer, nProbeTop: Int)
+      extends IndexGeometry {
+    private val leafMats: Array[Array[Array[Double]]] =
+      q.leaves.map(_.map(_._2.toArray).toArray).toArray
+    private val leafIds: Seq[Seq[Int]] = q.leaves.map(_.map(_._1))
+    private val topMat: Seq[Seq[Double]] = q.tops
+    def assignCell(v: Column): Column =
+      graft.dedup.Dedup.assignTwoLevel(v.cast("array<double>"), q)
+    def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame = {
+      val vd = col(v).cast("array<double>")
+      df.select(col(id).as("doc_id"), vd.as("__v"),
+          explode(graft.functions.NearestCentroids(vd, topMat,
+            math.min(nProbeTop, topMat.size))).as("__top"))
+        .select(col("doc_id"),
+          explode(transform(
+            graft.functions.NearestCentroids(col("__v"), col("__top"), leafMats, nProbe),
+            j => element_at(element_at(typedLit(leafIds), col("__top") + 1), j + 1)))
+            .as("cell"))
+    }
+  }
+
+  private[graft] def loadGeometry(
       spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): (Seq[Int], Seq[Seq[Double]]) = {
+      indexPath: String,
+      nProbeTop: Int = 2): IndexGeometry = {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    require(!centroids.columns.contains("top"),
-      "index self-joins probe a FLAT index; two-level indexes carry their own geometry")
-    val rows = centroids.select(col("cell").cast("int"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    require(rows.nonEmpty, "loadFlatCodebook: empty centroid table")
-    (rows.map(_._1).toSeq, rows.map(_._2.toSeq).toSeq)
+    if (centroids.columns.contains("top"))
+      new TwoLevelGeometry(
+        graft.dedup.Dedup.loadTwoLevel(spark, indexPath), nProbeTop)
+    else {
+      val rows = centroids.select(col("cell").cast("int"), col("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      require(rows.nonEmpty, "loadGeometry: empty centroid table")
+      new FlatGeometry(rows.map(_._1).toSeq, rows.map(_._2.toSeq).toSeq)
+    }
   }
 
   /** Shared core of the index self-join family: map-only probe selection
@@ -293,8 +347,9 @@ object Similarity {
       nProbe: Int,
       maxCell: Int,
       candidateSink: Option[String],
-      labels: Option[DataFrame]): DataFrame = {
-    val (ids, cb) = loadFlatCodebook(spark, indexPath)
+      labels: Option[DataFrame],
+      nProbeTop: Int = 2): DataFrame = {
+    val geo = loadGeometry(spark, indexPath, nProbeTop)
 
     val assigned0 = spark.read
       .parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
@@ -308,13 +363,15 @@ object Similarity {
     val okCells = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxCell).select("cell")
 
-    // map-only probe selection: top-nProbe cells per doc, local indices
-    // mapped back through the sorted id table (non-contiguous cell ids)
-    val probes = assigned.select(col("doc_id").as("query_id"),
-      col("label").as("q_label"),
-      explode(transform(
-        graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
-        idx => element_at(typedLit(ids), idx + 1))).as("cell"))
+    // map-only probe selection (flat or two-level via the geometry); when
+    // labels matter, the anchor's rides back in through a narrow id join
+    val probes0 = geo.probeCells(assigned, "doc_id", "v", nProbe)
+      .withColumnRenamed("doc_id", "query_id")
+    val probes = labels match {
+      case Some(_) => probes0.join(assigned.select(col("doc_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      case None => probes0.withColumn("q_label", lit(null).cast("int"))
+    }
 
     val joined = probes
       .join(broadcast(okCells), Seq("cell")) // ≤ |cells| rows — a true broadcast
@@ -360,18 +417,15 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       maxCell: Int = 10000,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None,
+      nProbeTop: Int = 2): DataFrame = {
     import graft.dedup.Dedup
     val edges = selfJoinTopK(spark, indexPath, k, nProbe, maxCell,
-      candidateSink, labels = None)
+      candidateSink, labels = None, nProbeTop = nProbeTop)
     val p = edges.localCheckpoint(eager = true)
-    val (ids, cb) = loadFlatCodebook(spark, indexPath)
-    val probes = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/vectors"))
-      .select(col("doc_id"),
-        explode(transform(
-          graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
-          i => element_at(typedLit(ids), i + 1))).as("cell"))
+    val probes = loadGeometry(spark, indexPath, nProbeTop).probeCells(
+      spark.read.parquet(Dedup.resolveIndexDir(s"$indexPath/vectors")),
+      "doc_id", "v", nProbe)
     Dedup.inParallel(Seq(
       () => Dedup.writeIndexBatch(p.withColumn("gen", lit(0L)),
         s"$graphPath/edges", "base", wholeIndex = true),
@@ -410,23 +464,20 @@ object Similarity {
       k: Int,
       nProbe: Int = 2,
       maxCell: Int = 10000,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None,
+      nProbeTop: Int = 2): DataFrame = {
     import graft.dedup.Dedup
     require(gen >= 1, s"append generations start at 1, got $gen")
     val spark = newDf.sparkSession
     val batchId = s"g$gen"
-    val (ids, cb) = loadFlatCodebook(spark, indexPath)
+    val geo = loadGeometry(spark, indexPath, nProbeTop)
 
     val newKeyed = newDf.filter(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(id).as("doc_id"), col(vec).as("v"))
-    val localIdx = graft.functions.NearestCentroid(col("v").cast("array<double>"), cb)
     val newAssigned = newKeyed.select(col("doc_id"),
-      element_at(typedLit(ids), localIdx + 1).as("cell"), col("v")).persist()
+      geo.assignCell(col("v")).as("cell"), col("v")).persist()
     newAssigned.count(): Unit
-    val newProbes = newKeyed.select(col("doc_id"),
-      explode(transform(
-        graft.functions.NearestCentroids(col("v").cast("array<double>"), cb, nProbe),
-        i => element_at(typedLit(ids), i + 1))).as("cell"))
+    val newProbes = geo.probeCells(newKeyed, "doc_id", "v", nProbe)
 
     val oldVecs = spark.read
       .parquet(Dedup.resolveIndexDir(s"$indexPath/vectors"))

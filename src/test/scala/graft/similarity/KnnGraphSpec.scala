@@ -194,6 +194,48 @@ class KnnGraphSpec extends SparkSpec {
     assert(inc.keySet.map(_._1).size == 13, "all 13 vectors are anchors")
   }
 
+  test("two-level index: full probing equals brute force; append equals rebuild") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("knn_2l_").toString
+    val all = (1L to 30L).map(i =>
+      i -> vec(math.cos(i * 0.21), math.sin(i * 0.21), (i % 4) * 0.3))
+    val (base, batch) = all.partition(_._1 <= 20L)
+    // nClusters > twoLevelCutover forces the hierarchical fit
+    Dedup.buildSemanticIndex(base.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", nClusters = 9, twoLevelCutover = 4)
+    assert(spark.read.parquet(s"$root/idx/centroids").columns.contains("top"),
+      "fixture must actually be two-level")
+    val nTops = spark.read.parquet(s"$root/idx/topcentroids").count().toInt
+
+    // full probing (all tops, all leaves) == per-doc brute-force cosine
+    val got = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 3,
+        nProbe = 9, nProbeTop = nTops)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    base.foreach { case (q, qv) =>
+      val want = base.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      assert((1 to 3).map(r => got((q, r.toLong))) == want, s"anchor $q")
+    }
+
+    // incremental append over the SAME two-level geometry == from-scratch
+    Similarity.knnGraphBuild(spark, s"$root/idx", s"$root/g", k = 3,
+      nProbe = 2, nProbeTop = 2)
+    Similarity.knnGraphAppend(batch.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$root/idx", s"$root/g", gen = 1L, k = 3,
+      nProbe = 2, nProbeTop = 2)
+    val inc = Similarity.knnGraphRead(spark, s"$root/g")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val scratch = Similarity.knnGraphIndexed(spark, s"$root/idx", k = 3,
+        nProbe = 2, nProbeTop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(inc == scratch, s"two-level append == rebuild:\n$inc\nvs\n$scratch")
+  }
+
   test("plan: no cartesian/nested-loop join; top-k pushes a partial WindowGroupLimit") {
     import spark.implicits._
     val root = Files.createTempDirectory("knn_plan_").toString
