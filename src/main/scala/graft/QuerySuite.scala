@@ -2690,6 +2690,26 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- EXACT-SUBSTRING duplicate removal (Lee et al. '22 rewrite;
+    //      q77's detector made surgical): every duplicated 20-token
+    //      window keeps its canonical occurrence, covered tokens of every
+    //      other occurrence are cut. Planted: full self-duplication
+    //      (doc || doc — the copy vanishes), a cross-doc 24-token
+    //      template, plus the corpus's natural exact-dup docs ----
+    "q218_remove_dup_spans" -> ((s, dir) => {
+      val template = "this exact template sentence carries twenty four whole " +
+        "space separated words so every twenty token window inside it " +
+        "collides across the planted documents"
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" "), col("text")))
+          .when(pmod(col("doc_id"), lit(7)) === 1,
+            concat(lit(template), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanLen = 20)
+        .orderBy("doc_id")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5208,6 +5228,52 @@ object QuerySuite {
         |  FROM marked GROUP BY doc_id
         |)
         |SELECT doc_id, n_lines, n_removed, clean_text FROM per ORDER BY doc_id""".stripMargin,
+
+    // the full ExactSubstr rule replayed: same 20-token windows, 60-bit
+    // ids, canonical = row_number 1 over (doc_id, pos), covered-token
+    // expansion, byte-for-byte reconstruction of the kept stream
+    "q218_remove_dup_spans" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+        |         WHEN doc_id % 7 = 1 THEN 'this exact template sentence carries twenty four whole space separated words so every twenty token window inside it collides across the planted documents' || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM aug
+        |), sp AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(array_to_string(toks[p+1:p+20], ' ')), 1, 15))::BIGINT AS sh
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 20)) AS p
+        |        FROM t WHERE len(toks) >= 20)
+        |), mark AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) > 1 AS rm
+        |  FROM sp
+        |), rmtok AS (
+        |  SELECT DISTINCT doc_id, p + i AS tp
+        |  FROM mark, unnest(generate_series(0, 19)) AS u(i) WHERE rm
+        |), e AS (
+        |  SELECT doc_id, i, toks[i+1] AS tok FROM (
+        |    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS i
+        |    FROM t WHERE len(toks) > 0)
+        |), kept AS (
+        |  SELECT e.doc_id, e.i, e.tok, (r.doc_id IS NOT NULL) AS rm
+        |  FROM e LEFT JOIN rmtok r ON r.doc_id = e.doc_id AND r.tp = e.i
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(array_to_string(list(tok ORDER BY i) FILTER (WHERE NOT rm), ' '), '') AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_removed, 0) AS n_removed,
+        |  coalesce(per.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the canonical-occurrence rule replayed: same 60-bit paragraph ids,
     // winner = row_number 1 over (doc_id, pos), whitespace-only paragraphs

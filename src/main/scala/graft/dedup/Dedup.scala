@@ -2000,4 +2000,67 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** EXACT-SUBSTRING duplicate REMOVAL (Lee et al. '22, "Deduplicating
+    * Training Data Makes Language Models Better" — ExactSubstr): every
+    * `spanLen`-token window that occurs more than once in the corpus keeps
+    * its CANONICAL occurrence (min (doc_id, pos)) and every token covered
+    * by a non-canonical occurrence is cut — [[duplicateSpans]] is the
+    * detector, this is the rewrite. Catches what doc-level dedup cannot:
+    * a long doc quoting 50 tokens of another keeps its own prose and
+    * loses exactly the quote; two identical docs collapse to one (every
+    * window of the later doc is non-canonical, covering all its tokens);
+    * in-document repetition loses its repeats (later windows of the loop
+    * are non-canonical against the first).
+    *
+    * The paper builds a suffix array; the distributed shape here is the
+    * hashed-window equivalent over the SAME decision rule: windows hash to
+    * 60-bit ids, so the corpus-wide pass shuffles only (hash, doc_id, pos)
+    * triples; the winner is one min-struct aggregate (map-side
+    * combinable); removed occurrences expand to covered token positions
+    * (a dup-rate × spanLen narrow frame); the rewrite joins back only
+    * those positions and re-tokenizes map-side. Output text is the kept
+    * token stream joined by single spaces — whitespace normalization is
+    * the documented trade for never shuffling text.
+    *
+    * Docs shorter than `spanLen` tokens carry no window and are never
+    * touched. 60-bit hash-merge caveat as everywhere, oracle-mirrored.
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text) */
+  def removeDuplicateSpans(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      spanLen: Int = 20): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val tokd = docs.select(col(id).cast("long").as("doc_id"),
+      wsTokens(col(text)).as("__toks")).persist()
+    tokd.count(): Unit // ONE tokenize pass feeds the span pass AND the rewrite
+    val occ = tokd.filter(size(col("__toks")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(wordShinglesFromTokens(col("__toks"), spanLen)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("sh"))
+    val dupWinners = occ.groupBy("sh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("sh"), col("w"))
+    val removedPos = occ.join(dupWinners, Seq("sh"))
+      .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tp"))).as("rm_pos"))
+    val out = tokd.join(removedPos, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("rm_pos"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        array_join(filter(col("__toks"), (_, i) => !array_contains(col("__rm"), i)), " ")
+          .as("clean_text"))
+    val result = out.localCheckpoint(eager = true)
+    tokd.unpersist(false): Unit
+    result
+  }
 }

@@ -114,6 +114,32 @@ class ContainmentJoinSpec extends SparkSpec {
       s"post-compaction answers: $out")
   }
 
+  test("removeDuplicateSpans: quote cut, self-copy halved, short docs immune, canonical keeps all") {
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")         // 30 distinct tokens
+    val quote = (1 to 20).map(i => s"w$i").mkString(" ")     // its first 20
+    val v = (1 to 30).map(i => s"v$i").mkString(" ")         // disjoint vocabulary
+    val out = Dedup.removeDuplicateSpans(docs(
+        1L -> w,                                  // canonical home of every w-window
+        2L -> s"fresh prefix tokens here $quote", // quotes doc 1's first 20 tokens
+        3L -> (v + " " + v),                      // self-duplication: copy vanishes
+        4L -> "too short to carry any window"),
+      "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (30L, 0L, w), s"canonical doc untouched: ${out(1L)}")
+    assert(out(2L) == (24L, 20L, "fresh prefix tokens here"),
+      s"exactly the quoted window cut: ${out(2L)}")
+    assert(out(3L) == (60L, 30L, v),
+      s"self-copy halves back to the original: ${out(3L)}")
+    assert(out(4L) == (6L, 0L, "too short to carry any window"))
+    // a WHOLE-DOC duplicate of the canonical empties out entirely — the
+    // exact-dedup degenerate case, by the same rule
+    val out2 = Dedup.removeDuplicateSpans(docs(1L -> w, 2L -> w),
+      "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out2(1L) == (0L, w) && out2(2L) == (30L, ""), s"$out2")
+  }
+
   test("3-word shingles: a composite detects its components") {
     val a = "the first component document has exactly these eight words"
     val b = "and a second component text with different content entirely"
