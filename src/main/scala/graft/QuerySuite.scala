@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.Bucketing
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingSpanDedup, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -92,6 +92,72 @@ object QuerySuite {
 
   /** The file stream source requires a DIRECTORY; the corpus ships one
     * parquet FILE per table — stage a link/copy into a temp dir. */
+  /** The q218/q219/q220 plant: full self-duplication on doc_id %7==0, a
+    * 24-token cross-doc template on %7==1 — mirrored verbatim in the
+    * oracles (the whole ExactSubstr family shares one fixture so the
+    * one-shot, incremental, and streaming answers stay comparable). */
+  private def q218Fixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" "), col("text")))
+        .when(pmod(col("doc_id"), lit(7)) === 1,
+          concat(lit("this exact template sentence carries twenty four whole " +
+            "space separated words so every twenty token window inside it " +
+            "collides across the planted documents"), lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** q219/q220 oracle: the q218 plant, index = even docs' window hashes,
+    * batch = odd docs, removed iff seen-in-index OR earlier-in-batch. */
+  private val spanDedupIncrementalOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+      |         WHEN doc_id % 7 = 1 THEN 'this exact template sentence carries twenty four whole space separated words so every twenty token window inside it collides across the planted documents' || ' ' || text
+      |         ELSE text END AS text
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM aug
+      |), sp AS (
+      |  SELECT doc_id, p,
+      |    ('0x' || substr(md5(array_to_string(toks[p+1:p+20], ' ')), 1, 15))::BIGINT AS sh
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 20)) AS p
+      |        FROM t WHERE len(toks) >= 20)
+      |), idx AS (
+      |  SELECT DISTINCT sh FROM sp WHERE doc_id % 2 = 0
+      |), b AS (
+      |  SELECT doc_id, p, sh FROM sp WHERE doc_id % 2 = 1
+      |), rm0 AS (
+      |  SELECT doc_id, p FROM b WHERE sh IN (SELECT sh FROM idx)
+      |  UNION
+      |  SELECT doc_id, p FROM (
+      |    SELECT doc_id, p, row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) AS rn
+      |    FROM b) WHERE rn > 1
+      |), rmtok AS (
+      |  SELECT DISTINCT doc_id, p + i AS tp
+      |  FROM rm0, unnest(generate_series(0, 19)) AS u(i)
+      |), e AS (
+      |  SELECT doc_id, i, toks[i+1] AS tok FROM (
+      |    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1)) AS i
+      |    FROM t WHERE doc_id % 2 = 1 AND len(toks) > 0)
+      |), kept AS (
+      |  SELECT e.doc_id, e.i, e.tok, (r.doc_id IS NOT NULL) AS rm
+      |  FROM e LEFT JOIN rmtok r ON r.doc_id = e.doc_id AND r.tp = e.i
+      |), per AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    coalesce(array_to_string(list(tok ORDER BY i) FILTER (WHERE NOT rm), ' '), '') AS clean_text
+      |  FROM kept GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+      |  coalesce(per.n_removed, 0) AS n_removed,
+      |  coalesce(per.clean_text, '') AS clean_text
+      |FROM documents d LEFT JOIN per USING (doc_id)
+      |WHERE d.doc_id % 2 = 1
+      |ORDER BY d.doc_id""".stripMargin
+
   private def stageStreamDir(dir: String, table: String): String = {
     val srcDir = Files.createTempDirectory(s"graft_stream_$table")
     val target = java.nio.file.Paths.get(s"$dir/$table.parquet")
@@ -2683,8 +2749,12 @@ object QuerySuite {
     "q217_knn_graph_two_level" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val idx = aux(dir, "q217_vecindex")
+      // nClusters floors k above the forced cutover (two-level at every
+      // sf); targetCell keeps k ∝ n so the per-cell self-join stays linear
+      // (the q209 lesson — a fixed cell count is quadratic in corpus
+      // growth: 24 fixed cells measured 126 s at sf1)
       Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx,
-        nClusters = 24, twoLevelCutover = 8)
+        nClusters = 24, targetCell = 100, twoLevelCutover = 8)
       Similarity.knnGraphIndexed(s, idx, k = 5, nProbe = 3, nProbeTop = 2,
           candidateSink = Some(aux(dir, "q217_candidates")))
         .orderBy("query_id", "nbr_rank")
@@ -2697,16 +2767,46 @@ object QuerySuite {
     //      (doc || doc — the copy vanishes), a cross-doc 24-token
     //      template, plus the corpus's natural exact-dup docs ----
     "q218_remove_dup_spans" -> ((s, dir) => {
-      val template = "this exact template sentence carries twenty four whole " +
-        "space separated words so every twenty token window inside it " +
-        "collides across the planted documents"
-      val docs = Tables.documents(s, dir).select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(7)) === 0,
-          concat(col("text"), lit(" "), col("text")))
-          .when(pmod(col("doc_id"), lit(7)) === 1,
-            concat(lit(template), lit(" "), col("text")))
-          .otherwise(col("text")).as("text"))
-      Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanLen = 20)
+      Dedup.removeDuplicateSpans(q218Fixture(Tables.documents(s, dir)),
+          "doc_id", "text", spanLen = 20)
+        .orderBy("doc_id")
+    }),
+
+    // ---- INCREMENTAL ExactSubstr (ingest-time trim): even docs' window
+    //      hashes bootstrap the span index; odd docs arrive as the batch
+    //      and lose every window the corpus has seen (index semi-join)
+    //      or an earlier batch occurrence holds. Same q218 plant: the
+    //      template rides the index via even docs, self-dups cut batch-
+    //      internally, natural odd/even dup pairs cut via the index ----
+    "q219_span_dedup_incremental" -> ((s, dir) => {
+      val docs = q218Fixture(Tables.documents(s, dir))
+      val idx = aux(dir, "q219_spanindex")
+      Dedup.buildSpanIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", idx)
+      Dedup.removeDuplicateSpansIncremental(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", idx, "day2")
+        .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING ExactSubstr (StreamingSpanDedup — q219 through the
+    //      streaming engine): cleaned docs land per micro-batch, raw
+    //      window hashes fold in, cross-batch quotes still cut ----
+    "q220_stream_span_dedup" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = q218Fixture(Tables.documents(s, dir))
+      val idx = aux(dir, "q220_spanindex")
+      Dedup.buildSpanIndex(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", idx)
+      val raw = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+      val stream = q218Fixture(raw).filter(pmod(col("doc_id"), lit(2)) === 1)
+      val cleaned = aux(dir, "q220_cleaned")
+      val q = StreamingSpanDedup.start(stream, "doc_id", "text", idx,
+        cleaned, tmpDir("q220_ckpt_"))
+      q.awaitTermination()
+      s.read.parquet(cleaned)
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
         .orderBy("doc_id")
     }),
 
@@ -5274,6 +5374,15 @@ object QuerySuite {
         |  coalesce(per.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the split replayed whole: index = even docs' distinct window hashes,
+    // batch = odd docs; removed iff seen-in-index OR an earlier batch
+    // occurrence exists — no dumps, the rule is pure SQL
+    "q219_span_dedup_incremental" -> spanDedupIncrementalOracle,
+
+    // identical SQL: correct streaming = the batch semantics with the
+    // micro-batching invisible
+    "q220_stream_span_dedup" -> spanDedupIncrementalOracle,
 
     // the canonical-occurrence rule replayed: same 60-bit paragraph ids,
     // winner = row_number 1 over (doc_id, pos), whitespace-only paragraphs

@@ -2063,4 +2063,103 @@ object Dedup {
     tokd.unpersist(false): Unit
     result
   }
+
+  /** Bootstrap the persisted SPAN index for
+    * [[removeDuplicateSpansIncremental]]: the distinct spanLen-token
+    * window hashes of the settled corpus — "content that has been seen".
+    * Narrow by construction: one 8-byte hash per distinct window, no
+    * positions, no text (the incremental rule only asks membership; the
+    * canonical copy already lives in the corpus). */
+  def buildSpanIndex(docs: DataFrame, id: String, text: String,
+      indexPath: String, spanLen: Int = 20): Unit = {
+    val occ = spanOccurrences(docs, id, text, spanLen)
+    writeIndexBatch(occ.select(col("sh")).distinct(), indexPath, "base",
+      wholeIndex = true)
+  }
+
+  /** INCREMENTAL ExactSubstr — the ingest-time rewrite: every window of a
+    * new doc that the INDEXED corpus already contains (or that an earlier
+    * (doc, pos) occurrence within this batch contains) has its covered
+    * tokens cut; the cleaned doc is what gets admitted. "Trim the
+    * arriving doc of content we already have" — the admission-control
+    * face of [[removeDuplicateSpans]], mirroring the other incremental
+    * ops: candidates are new-batch-only (the settled corpus is never
+    * re-scanned — membership is a semi-join of the BATCH's hashes against
+    * the index), the batch's RAW window hashes fold into
+    * `batch=` partitions (seen = seen, even when cut — a second arrival
+    * of the same content must still be recognized), replay-safe via the
+    * partition-exclusion read.
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text) for the batch */
+  def removeDuplicateSpansIncremental(
+      newDf: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      batchId: String,
+      spanLen: Int = 20): DataFrame = {
+    val spark = newDf.sparkSession
+    val tokd = newDf.select(col(id).cast("long").as("doc_id"),
+      wsTokens(col(text)).as("__toks")).persist()
+    tokd.count(): Unit
+    val occ = tokd.filter(size(col("__toks")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(wordShinglesFromTokens(col("__toks"), spanLen)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("sh"))
+      .persist()
+    occ.count(): Unit
+
+    val indexed = spark.read.parquet(resolveIndexDir(indexPath))
+      .filter(col("batch") =!= lit(batchId)).select(col("sh"))
+    // seen-in-corpus: membership only — the index never carries positions
+    val hitOld = occ.join(indexed, Seq("sh"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    // batch-internal: non-canonical occurrences, the one-shot rule
+    // restricted to this batch
+    val batchWinners = occ.groupBy("sh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select(col("sh"), col("w"))
+    val hitNew = occ.join(batchWinners, Seq("sh"))
+      .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .select(col("doc_id"), col("pos"))
+
+    val removedPos = hitOld.unionByName(hitNew)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tp"))).as("rm_pos"))
+    val out = tokd.join(removedPos, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("rm_pos"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        array_join(filter(col("__toks"), (_, i) => !array_contains(col("__rm"), i)), " ")
+          .as("clean_text"))
+
+    // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
+    val p = out.localCheckpoint(eager = true)
+    writeIndexBatch(occ.select(col("sh")).distinct(), indexPath, batchId)
+    occ.unpersist(false): Unit
+    tokd.unpersist(false): Unit
+    p
+  }
+
+  /** Fold the span index's per-batch partitions into one deduplicated
+    * `base` generation (membership semantics — duplicate hashes across
+    * batches collapse). */
+  def compactSpanIndex(spark: SparkSession, indexPath: String): Unit =
+    compactBatchedDir(spark, indexPath, transform = _.distinct())
+
+  private def spanOccurrences(docs: DataFrame, id: String, text: String,
+      spanLen: Int): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    docs.select(col(id).cast("long").as("doc_id"), wsTokens(col(text)).as("__toks"))
+      .filter(size(col("__toks")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(wordShinglesFromTokens(col("__toks"), spanLen)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("sh"))
+  }
 }

@@ -58,6 +58,43 @@ object StreamingContainment {
       .start()
 }
 
+/** Streaming ExactSubstr ingest rewrite — the online face of
+  * [[graft.dedup.Dedup.removeDuplicateSpansIncremental]]: every micro-batch
+  * of documents is trimmed of the spanLen-token windows the indexed corpus
+  * (or an earlier occurrence in the same batch) already contains, the
+  * CLEANED docs land in `batch=b<N>` partitions, and the batch's raw
+  * window hashes fold into the span index — so a quote of content that
+  * streamed in hours ago, in another micro-batch, is still cut.
+  * Effectively-once: a replayed batch overwrites its own output partition
+  * AND its own index partition. */
+object StreamingSpanDedup {
+
+  def start(
+      docStream: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      cleanedPath: String,
+      checkpoint: String,
+      spanLen: Int = 20,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Dedup.removeDuplicateSpansIncremental(batch, id, text, indexPath,
+              batchId = s"b$batchId", spanLen = spanLen)
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(cleanedPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+}
+
 /** Streaming kNN-GRAPH maintenance — the online face of
   * [[graft.similarity.Similarity.knnGraphAppend]]: each micro-batch of
   * vectors folds into the persisted graph, updating exactly the anchors

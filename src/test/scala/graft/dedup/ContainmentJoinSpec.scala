@@ -140,6 +140,43 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(out2(1L) == (0L, w) && out2(2L) == (30L, ""), s"$out2")
   }
 
+  test("incremental span dedup: index hits, batch-internal canonical, cross-batch via fold-in") {
+    val root = java.nio.file.Files.createTempDirectory("span_inc_").toString
+    val idx = s"$root/idx"
+    val w = (1 to 25).map(i => s"w$i").mkString(" ")
+    val v = (1 to 25).map(i => s"v$i").mkString(" ")
+    Dedup.buildSpanIndex(docs(1L -> w), "doc_id", "text", idx, spanLen = 20)
+
+    // batch 1: a quote of the INDEX (cut), fresh content (kept), and a
+    // batch-internal duplicate of that fresh content (cut, canonical kept)
+    val q20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val b1 = Dedup.removeDuplicateSpansIncremental(docs(
+        10L -> s"lead in tokens $q20",
+        11L -> v,
+        12L -> v),
+      "doc_id", "text", idx, "b1", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(b1(10L) == (20L, "lead in tokens"), s"index quote cut: ${b1(10L)}")
+    assert(b1(11L) == (0L, v), s"fresh canonical kept whole: ${b1(11L)}")
+    assert(b1(12L) == (25L, ""), s"batch-internal duplicate emptied: ${b1(12L)}")
+
+    // batch 2: quotes batch 1's fresh content — only the folded index
+    // catches it (the cross-batch case per-batch state cannot)
+    val v20 = (1 to 20).map(i => s"v$i").mkString(" ")
+    val b2 = Dedup.removeDuplicateSpansIncremental(docs(
+        20L -> s"second wave $v20"),
+      "doc_id", "text", idx, "b2", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(b2(20L) == (20L, "second wave"), s"cross-batch quote cut: ${b2(20L)}")
+
+    // compaction preserves membership
+    Dedup.compactSpanIndex(spark, idx)
+    val b3 = Dedup.removeDuplicateSpansIncremental(docs(30L -> q20),
+      "doc_id", "text", idx, "b3", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(b3(30L) == "", s"post-compaction membership intact: $b3")
+  }
+
   test("3-word shingles: a composite detects its components") {
     val a = "the first component document has exactly these eight words"
     val b = "and a second component text with different content entirely"
