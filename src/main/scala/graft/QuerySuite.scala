@@ -14,7 +14,7 @@ import graft.ml.FeatureML
 import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
-import graft.sources.Bucketing
+import graft.sources.{Bucketing, ZoneMap}
 import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingSpanDedup, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
@@ -2810,6 +2810,26 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- ZONE-MAP data skipping (the parquet+manifest table format's
+    //      read side): lineitem range-sharded on l_shipdate, a one-year
+    //      window read through the shard map — partition pruning skips
+    //      the non-overlapping files before any data I/O; the residual
+    //      filter keeps the map an optimization, never a correctness
+    //      dependence. Oracle sees only the plain range aggregate ----
+    "q221_zonemap_scan" -> ((s, dir) => {
+      val zm = aux(dir, "q221_zonemap")
+      ZoneMap.write(Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag"),
+        "l_shipdate", zm, shards = 16)
+      val (df, _, _) = ZoneMap.readRange(s, zm, "l_shipdate",
+        java.sql.Timestamp.valueOf("1997-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1997-12-31 23:59:59"))
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5374,6 +5394,15 @@ object QuerySuite {
         |  coalesce(per.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the plain range aggregate — shard maps are invisible to semantics
+    "q221_zonemap_scan" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the split replayed whole: index = even docs' distinct window hashes,
     // batch = odd docs; removed iff seen-in-index OR an earlier batch
