@@ -2830,6 +2830,22 @@ object QuerySuite {
         .orderBy("l_returnflag")
     }),
 
+    // ---- ZONE-MAP POINT LOOKUP via per-shard Bloom stats (Iceberg's
+    //      bloom column stats in the portable bit-table form): the probe
+    //      key's shards are found through the Bloom tables, everything
+    //      else is skipped; one-sided — a holding shard is never skipped,
+    //      a false positive is read and filtered by the residual ----
+    "q222_zonemap_point" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val zm = aux(dir, "q222_zonemap")
+      ZoneMap.write(li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        "l_shipdate", zm, shards = 16, bloomCol = Some("l_orderkey"))
+      val probe = li.agg(max(col("l_orderkey"))).first().getLong(0)
+      val (df, _, _) = ZoneMap.readPoint(s, zm, "l_orderkey", probe)
+      df.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_linenumber")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5394,6 +5410,13 @@ object QuerySuite {
         |  coalesce(per.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the plain point lookup — bloom shard stats invisible to semantics
+    "q222_zonemap_point" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
 
     // the plain range aggregate — shard maps are invisible to semantics
     "q221_zonemap_scan" ->

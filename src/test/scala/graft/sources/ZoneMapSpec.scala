@@ -28,6 +28,39 @@ class ZoneMapSpec extends SparkSpec {
       s"the shard predicate must prune partitions:\n$plan")
   }
 
+  test("bloom point lookup: holding shard never skipped, misses read zero shards") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zm_bloom_").toString
+    // 1000 rows range-sharded on k; lookups go by the UNSORTED column u
+    val df = (1L to 1000L).map(i => (i, i * 7919L % 1000L)).toDF("k", "u")
+    ZoneMap.write(df, "k", root, shards = 10, bloomCol = Some("u"))
+    val target = 42L
+    val expect = (1L to 1000L).filter(i => i * 7919L % 1000L == target)
+    val (out, read, total) = ZoneMap.readPoint(spark, root, "u", target)
+    assert(out.select("k").as[Long].collect().sorted.toSeq == expect,
+      "every holding row survives (one-sided filter)")
+    assert(total == 10 && read < 10,
+      s"bloom must skip at least some shards for a sparse key: read=$read")
+    val (miss, readMiss, _) = ZoneMap.readPoint(spark, root, "u", 999999L)
+    assert(miss.count() == 0L, "a missing key returns nothing")
+    assert(readMiss <= 2, s"a missing key reads at most false-positive shards: $readMiss")
+  }
+
+  test("multi-column range stats prune on the correlated column too") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zm_multi_").toString
+    // t correlates with k (same order) — its per-shard stats are selective
+    val df = (1L to 1000L).map(i => (i, 10000L + i)).toDF("k", "t")
+    ZoneMap.write(df, "k", root, shards = 10, statsCols = Seq("t"))
+    val (out, read, total) = ZoneMap.readRanges(spark, root,
+      Seq(("t", 10150L, 10249L)))
+    assert(out.select("k").as[Long].collect().sorted.toSeq == (150L to 249L))
+    assert(total == 10 && read <= 3, s"correlated stats must prune: $read")
+    intercept[IllegalArgumentException] {
+      ZoneMap.readRanges(spark, root, Seq(("nope", 1L, 2L)))
+    }
+  }
+
   test("map is an optimization, not a correctness dependence: boundary rows survive") {
     import spark.implicits._
     val root = Files.createTempDirectory("zm_b_").toString
