@@ -2846,6 +2846,28 @@ object QuerySuite {
         .orderBy("l_linenumber")
     }),
 
+    // ---- ZONE-MAP table lifecycle (write → append → compact → read):
+    //      even orderkeys write the base, odd ones append as fresh shards
+    //      (files never rewritten — the cheap-append property), compaction
+    //      re-shards to disjoint ranges, the range read sees one table ----
+    "q223_zonemap_lifecycle" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+      val zm = aux(dir, "q223_zonemap")
+      ZoneMap.write(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
+        "l_shipdate", zm, shards = 8)
+      ZoneMap.append(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
+        "l_shipdate", zm, shards = 8)
+      ZoneMap.compact(s, zm, "l_shipdate", shards = 16)
+      val (df, _, _) = ZoneMap.readRange(s, zm, "l_shipdate",
+        java.sql.Timestamp.valueOf("1998-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("1998-12-31 23:59:59"))
+      df.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5410,6 +5432,16 @@ object QuerySuite {
         |  coalesce(per.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // write/append/compact are invisible to semantics: the whole table,
+    // plainly filtered
+    "q223_zonemap_lifecycle" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1998-12-31 23:59:59'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the plain point lookup — bloom shard stats invisible to semantics
     "q222_zonemap_point" ->

@@ -61,6 +61,60 @@ object ZoneMap {
     sharded.unpersist(false): Unit
   }
 
+  /** Append a new batch: the batch is range-sharded AMONG ITSELF into
+    * `shards` NEW shard ids (offset past the existing maximum — existing
+    * files are never rewritten, the cheap-append property every table
+    * format guarantees), its map rows and bloom bits land alongside the
+    * existing ones. Appended shards overlap the old key ranges, so range
+    * reads now touch old+new shards for the same window — the documented
+    * drift that [[compact]] repairs by re-sharding the whole table back to
+    * disjoint ranges. */
+  def append(df: DataFrame, key: String, path: String, shards: Int,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None,
+      bloomK: Int = 5, bloomM: Long = 1L << 20): Unit = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val spark = df.sparkSession
+    val offset = spark.read.parquet(s"$path/zonemap")
+      .agg(max(col("__shard"))).first().getInt(0) + 1
+    val sharded = df.repartitionByRange(shards, col(key))
+      .withColumn("__shard", spark_partition_id() + lit(offset))
+      .persist()
+    sharded.count(): Unit
+    sharded.write.partitionBy("__shard")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/data")
+    val stats = (key +: statsCols).distinct.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    sharded.groupBy("__shard")
+      .agg(stats.head, stats.tail :+ count(lit(1)).as("rows"): _*)
+      .coalesce(1)
+      .write.mode("append").parquet(s"$path/zonemap")
+    bloomCol.foreach { c =>
+      sharded.filter(col(c).isNotNull)
+        .select(col("__shard"),
+          explode(array((1 to bloomK).map(i =>
+            Bloom.bitPos(col(c), i, bloomM)): _*)).as("pos"))
+        .distinct()
+        .write.mode("append").parquet(s"$path/bloom")
+    }
+    sharded.unpersist(false): Unit
+  }
+
+  /** Re-shard the whole table back to disjoint key ranges (append drift
+    * repair): one full read + [[write]]. The table format's OPTIMIZE. */
+  def compact(spark: SparkSession, path: String, key: String, shards: Int,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None,
+      bloomK: Int = 5, bloomM: Long = 1L << 20): Unit = {
+    // eager local checkpoint, not persist: a cache-evicted partition would
+    // recompute FROM THE FILES THE REWRITE REPLACES — the checkpoint severs
+    // lineage so that can never happen
+    val all = spark.read.parquet(s"$path/data").drop("__shard")
+      .localCheckpoint(eager = true)
+    write(all, key, path, shards, statsCols, bloomCol, bloomK, bloomM)
+  }
+
   /** Conjunctive multi-column range scan: each (column, lo, hi) bound is
     * inclusive and must have per-shard stats recorded at write time.
     * Returns (rows, shardsRead, shardsTotal). */

@@ -61,6 +61,30 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("append lands in fresh shards; reads span generations; compact restores disjoint ranges") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zm_app_").toString
+    ZoneMap.write((1L to 500L).toDF("k"), "k", root, shards = 5)
+    ZoneMap.append((501L to 1000L).toDF("k"), "k", root, shards = 5)
+    // correctness across generations
+    val (out, _, total) = ZoneMap.readRange(spark, root, "k", 450L, 550L)
+    assert(out.select("k").as[Long].collect().sorted.toSeq == (450L to 550L))
+    assert(total == 10, s"map must cover both generations: $total")
+    // appended data is range-local too: a window inside the APPEND's key
+    // space reads only its new shards
+    val (_, readNew, _) = ZoneMap.readRange(spark, root, "k", 950L, 1000L)
+    assert(readNew <= 2, s"append-window read must stay local: $readNew")
+    // OVERLAPPING appends drift: append the same key space again, the
+    // old window now touches both generations — compact repairs it
+    ZoneMap.append((1L to 500L).map(i => i).toDF("k"), "k", root, shards = 5)
+    val (_, readDrift, _) = ZoneMap.readRange(spark, root, "k", 1L, 100L)
+    assert(readDrift >= 2, s"overlapping generations must both be read: $readDrift")
+    ZoneMap.compact(spark, root, "k", shards = 10)
+    val (out2, readC, totalC) = ZoneMap.readRange(spark, root, "k", 1L, 100L)
+    assert(totalC == 10 && readC <= 2, s"compaction restores disjoint ranges: $readC/$totalC")
+    assert(out2.count() == 200L, "duplicates from the re-append survive compaction (rewrite, not dedup)")
+  }
+
   test("map is an optimization, not a correctness dependence: boundary rows survive") {
     import spark.implicits._
     val root = Files.createTempDirectory("zm_b_").toString
