@@ -2843,7 +2843,7 @@ object QuerySuite {
       val probe = li.agg(max(col("l_orderkey"))).first().getLong(0)
       val (df, _, _) = ZoneMap.readPoint(s, zm, "l_orderkey", probe)
       df.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity", "l_shipdate")
     }),
 
     // ---- ZONE-MAP table lifecycle (write → append → compact → read):
@@ -5448,7 +5448,7 @@ object QuerySuite {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
         |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
-        |ORDER BY l_linenumber""".stripMargin,
+        |ORDER BY l_linenumber, l_quantity, l_shipdate""".stripMargin,
 
     // the plain range aggregate — shard maps are invisible to semantics
     "q221_zonemap_scan" ->
