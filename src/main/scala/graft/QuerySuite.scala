@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.{Bucketing, ZoneMap}
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingSpanDedup, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingSpanDedup, StreamingZoneMap, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -2868,6 +2868,33 @@ object QuerySuite {
         .orderBy("l_returnflag")
     }),
 
+    // ---- STREAMING zone-mapped ingest (StreamingZoneMap): purchases
+    //      bootstrap the base table, the rest of the events stream in as
+    //      fresh shard generations; compaction restores disjoint ranges;
+    //      the range read sees one table. Lifecycle invisible to the
+    //      oracle ----
+    "q224_stream_zonemap" -> ((s, dir) => withStreamingConf(s) { s =>
+      val e = Tables.events(s, dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val zm = aux(dir, "q224_zonemap")
+      ZoneMap.write(e.filter(col("event_type") === "purchase"),
+        "ts", zm, shards = 8)
+      val stream = s.readStream.schema(Tables.eventsSchema)
+        .parquet(stageStreamDir(dir, "events"))
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .filter(col("event_type") =!= "purchase")
+      val q = StreamingZoneMap.start(stream, "ts", zm,
+        tmpDir("q224_ckpt_"), shardsPerBatch = 8)
+      q.awaitTermination()
+      ZoneMap.compact(s, zm, "ts", shards = 16)
+      val bounds = e.agg(min(col("ts")), max(col("ts"))).first()
+      val (df, _, _) = ZoneMap.readRange(s, zm, "ts",
+        bounds.getTimestamp(0), bounds.getTimestamp(1))
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
     //      negative count partials (the BM25-erasure semantic for a count
     //      model — no purge needed for score correctness, compaction erases
@@ -5432,6 +5459,13 @@ object QuerySuite {
         |  coalesce(per.clean_text, '') AS clean_text
         |FROM documents d LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // the streamed generations + compaction are invisible: the whole
+    // events table, plainly aggregated
+    "q224_stream_zonemap" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // write/append/compact are invisible to semantics: the whole table,
     // plainly filtered

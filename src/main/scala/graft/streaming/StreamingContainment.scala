@@ -95,6 +95,45 @@ object StreamingSpanDedup {
       .start()
 }
 
+/** Streaming ZONE-MAPPED ingest — the online face of
+  * [[graft.sources.ZoneMap.append]]: each micro-batch lands as fresh
+  * range-local shards with their map rows (and optional bloom bits), so a
+  * reader's range/point queries keep skipping files while the table grows.
+  * Appends never rewrite existing files; read amplification drifts as
+  * generations overlap in key space — run [[graft.sources.ZoneMap.compact]]
+  * on the maintenance schedule (the streaming table format's OPTIMIZE
+  * cadence). NOTE: shard ids derive from the existing map's maximum, so a
+  * batch re-delivered after checkpoint recovery appends NEW shard ids
+  * rather than overwriting its old ones — at-least-once, not
+  * effectively-once; readers see duplicated rows until the re-delivered
+  * generation is compacted away with a dedup transform, or the upstream
+  * provides exactly-once delivery. Documented, not hidden: a zone map has
+  * no per-batch partition column to make replay idempotent without
+  * breaking the fresh-shard append property. */
+object StreamingZoneMap {
+
+  def start(
+      stream: DataFrame,
+      key: String,
+      path: String,
+      checkpoint: String,
+      shardsPerBatch: Int,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.sources.ZoneMap.append(batch, key, path, shardsPerBatch,
+            statsCols = statsCols, bloomCol = bloomCol)
+        }
+      }
+      .trigger(trigger)
+      .start()
+}
+
 /** Streaming kNN-GRAPH maintenance — the online face of
   * [[graft.similarity.Similarity.knnGraphAppend]]: each micro-batch of
   * vectors folds into the persisted graph, updating exactly the anchors
