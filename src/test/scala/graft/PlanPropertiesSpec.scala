@@ -35,7 +35,8 @@ class PlanPropertiesSpec extends SparkSpec {
     "q105_markov_transitions", "q109_attribution", "q110_moving_median",
     "q122_count_min", "q125_skyline", "q126_twap",
     "q128_interval_join", "q130_quota_alloc", "q186_domain_quality_prune",
-    "q187_corpus_diff", "q207_normalize_text", "q211_k_anonymize")
+    "q187_corpus_diff", "q207_normalize_text", "q211_k_anonymize",
+    "q216_paragraph_dedup", "q218_remove_dup_spans")
   // q121_quality_checks is audited separately (q76 rationale): attaching the
   // one-row table count to the one-row referential check is a deliberate
   // single-scalar nested-loop join
