@@ -15,7 +15,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOfJoin, Bloom, CdcMerge, Chunking, CorpusExport, CountMin, DataQuality, DomainMix, FuzzyJoin, Graph, IntervalJoin, LatestPerKey, PrefixScan, Privacy, SaltedJoin, SequencePacking, Sessionize, Skyline}
 import graft.similarity.Similarity
 import graft.sources.{Bucketing, ZoneMap}
-import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingSpanDedup, StreamingZoneMap, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
+import graft.streaming.{KeyedEvent, StreamingAnnServe, StreamingBm25Serve, StreamingContainment, StreamingKnnGraph, StreamingParagraphDedup, StreamingSpanDedup, StreamingZoneMap, StreamingCurationPipeline, StreamingDecontamGate, StreamingDedup, StreamingDsirGate, StreamingHybridServe, StreamingInactivity, StreamingLatest, StreamingPerplexityGate, StreamingPhraseAlert, StreamingProfile, StreamingSemanticDedup, StreamingSessionize, StreamingSketch, StreamingTopK}
 
 /** The correctness surface: one entry per implemented operator
   * (SURVEY.md §2 + the LLM-pipeline extension ops), each paired — where ANSI
@@ -105,6 +105,59 @@ object QuerySuite {
             "space separated words so every twenty token window inside it " +
             "collides across the planted documents"), lit(" "), col("text")))
         .otherwise(col("text")).as("text"))
+
+  /** The q216/q225/q226 plant: a template paragraph on 40% of docs, a
+    * self-repeating doc on %5==1 — mirrored verbatim in the oracles. */
+  private def q216Fixture(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"),
+          lit("\n\nevery fifth document shares this exact template paragraph")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit("every fifth document shares this exact template paragraph"),
+            lit("\n\n"), col("text"), lit("\n\n"), col("text")))
+        .otherwise(col("text")).as("text"))
+
+  /** q225/q226 oracle: the q216 plant, index = even docs' paragraph
+    * hashes, batch = odd docs, removed iff seen-in-index OR
+    * earlier-in-batch; whitespace-only paragraphs immune. */
+  private val paragraphDedupIncrementalOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || chr(10) || 'every fifth document shares this exact template paragraph'
+      |         WHEN doc_id % 5 = 1 THEN 'every fifth document shares this exact template paragraph' || chr(10) || chr(10) || text || chr(10) || chr(10) || text
+      |         ELSE text END AS text
+      |  FROM documents
+      |), l AS (
+      |  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS paras FROM aug
+      |), e AS (
+      |  SELECT doc_id, p, paras[p + 1] AS para FROM (
+      |    SELECT doc_id, paras, unnest(generate_series(0, len(paras) - 1)) AS p FROM l)
+      |), h AS (
+      |  SELECT doc_id, p, para,
+      |    CASE WHEN length(trim(para)) > 0
+      |         THEN ('0x' || substr(md5(trim(para)), 1, 15))::BIGINT END AS pid
+      |  FROM e
+      |), idx AS (
+      |  SELECT DISTINCT pid FROM h WHERE doc_id % 2 = 0 AND pid IS NOT NULL
+      |), b AS (
+      |  SELECT doc_id, p, para, pid FROM h WHERE doc_id % 2 = 1
+      |), marked AS (
+      |  SELECT doc_id, p, para,
+      |    CASE WHEN pid IS NULL THEN FALSE
+      |         WHEN pid IN (SELECT pid FROM idx) THEN TRUE
+      |         ELSE row_number() OVER (PARTITION BY pid ORDER BY doc_id, p) > 1 END AS rm
+      |  FROM b
+      |), per AS (
+      |  SELECT doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_paras,
+      |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |    coalesce(array_to_string(list(para ORDER BY p) FILTER (WHERE NOT rm),
+      |      chr(10) || chr(10)), '') AS clean_text
+      |  FROM marked GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_paras, n_removed, clean_text FROM per
+      |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin
 
   /** q219/q220 oracle: the q218 plant, index = even docs' window hashes,
     * batch = odd docs, removed iff seen-in-index OR earlier-in-batch. */
@@ -2728,15 +2781,8 @@ object QuerySuite {
     //      paragraph across 40% of docs, a self-repeating doc, plus the
     //      corpus's natural exact-dup structure ----
     "q216_paragraph_dedup" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"),
-        when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(col("text"),
-            lit("\n\nevery fifth document shares this exact template paragraph")))
-          .when(pmod(col("doc_id"), lit(5)) === 1,
-            concat(lit("every fifth document shares this exact template paragraph"),
-              lit("\n\n"), col("text"), lit("\n\n"), col("text")))
-          .otherwise(col("text")).as("text"))
-      TextAnalysis.dedupParagraphs(docs, "doc_id", "text")
+      TextAnalysis.dedupParagraphs(q216Fixture(Tables.documents(s, dir)),
+          "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -2893,6 +2939,43 @@ object QuerySuite {
       df.groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
         .orderBy("event_type")
+    }),
+
+    // ---- INCREMENTAL CCNet paragraph dedup (the crawl-snapshot flow):
+    //      even docs' paragraph hashes bootstrap the membership index,
+    //      odd docs arrive as the new snapshot and lose every paragraph
+    //      the corpus has seen or an earlier batch doc holds. q216's
+    //      plant, split: the template rides the index via even docs ----
+    "q225_paragraph_dedup_incremental" -> ((s, dir) => {
+      val docs = q216Fixture(Tables.documents(s, dir))
+      val idx = aux(dir, "q225_paraindex")
+      TextAnalysis.buildParagraphIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      TextAnalysis.dedupParagraphsIncremental(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", idx, "day2")
+        .orderBy("doc_id")
+    }),
+
+    // ---- STREAMING CCNet paragraph dedup (StreamingParagraphDedup):
+    //      the same split through the streaming engine — cleaned docs per
+    //      micro-batch, hashes fold in, cross-batch repeats still cut ----
+    "q226_stream_paragraph_dedup" -> ((s, dir) => withStreamingConf(s) { s =>
+      val docs = q216Fixture(Tables.documents(s, dir))
+      val idx = aux(dir, "q226_paraindex")
+      TextAnalysis.buildParagraphIndex(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", idx)
+      val raw = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .parquet(stageStreamDir(dir, "documents"))
+      val stream = q216Fixture(raw).filter(pmod(col("doc_id"), lit(2)) === 1)
+      val cleaned = aux(dir, "q226_cleaned")
+      val q = StreamingParagraphDedup.start(stream, "doc_id", "text", idx,
+        cleaned, tmpDir("q226_ckpt_"))
+      q.awaitTermination()
+      s.read.parquet(cleaned)
+        .select("doc_id", "n_paras", "n_removed", "clean_text")
+        .orderBy("doc_id")
     }),
 
     // ---- LM UNLEARNING: documents retract FROM the persisted LM via
@@ -5492,6 +5575,10 @@ object QuerySuite {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // seen-in-index OR earlier-in-batch, replayed whole in SQL
+    "q225_paragraph_dedup_incremental" -> paragraphDedupIncrementalOracle,
+    "q226_stream_paragraph_dedup" -> paragraphDedupIncrementalOracle,
 
     // the split replayed whole: index = even docs' distinct window hashes,
     // batch = odd docs; removed iff seen-in-index OR an earlier batch

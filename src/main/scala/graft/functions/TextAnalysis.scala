@@ -502,4 +502,81 @@ object TextAnalysis {
     parad.unpersist(false): Unit
     result
   }
+
+  /** Bootstrap the persisted PARAGRAPH index for
+    * [[dedupParagraphsIncremental]]: distinct trimmed-paragraph hashes of
+    * the settled corpus — pure membership, the
+    * [[graft.dedup.Dedup.buildSpanIndex]] shape at paragraph granularity
+    * (this is what CCNet actually maintains between crawl snapshots). */
+  def buildParagraphIndex(docs: DataFrame, id: String, text: String,
+      indexPath: String): Unit =
+    graft.dedup.Dedup.writeIndexBatch(
+      paragraphIds(docs, id, text).select(col("pid")).distinct(),
+      indexPath, "base", wholeIndex = true)
+
+  /** Incremental CCNet paragraph dedup — the crawl-snapshot flow: a new
+    * batch loses every paragraph the INDEXED corpus already contains, plus
+    * non-canonical repeats within the batch (min (doc_id, pos) is the
+    * batch-local canonical); the batch's raw paragraph hashes fold into
+    * `batch=` partitions (seen = seen even when cut), replay-safe via the
+    * partition-exclusion read.
+    *
+    * @return (doc_id, n_paras, n_removed, clean_text) for the batch */
+  def dedupParagraphsIncremental(newDf: DataFrame, id: String, text: String,
+      indexPath: String, batchId: String): DataFrame = {
+    import graft.dedup.Dedup
+    val spark = newDf.sparkSession
+    val parad = newDf.select(col(id).cast("long").as("doc_id"),
+      split(col(text), "\n\n").as("__paras")).persist()
+    parad.count(): Unit
+    val occ = parad
+      .select(col("doc_id"), posexplode(col("__paras")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"),
+        when(length(trim(col("para"))) > 0,
+          GraftFunctions.portableHash60(trim(col("para")))).as("pid"))
+      .filter(col("pid").isNotNull)
+      .persist()
+    occ.count(): Unit
+
+    val indexed = spark.read.parquet(Dedup.resolveIndexDir(indexPath))
+      .filter(col("batch") =!= lit(batchId)).select(col("pid"))
+    val hitOld = occ.join(indexed, Seq("pid"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val batchWinners = occ.groupBy("pid")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select(col("pid"), col("w"))
+    val hitNew = occ.join(batchWinners, Seq("pid"))
+      .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .select(col("doc_id"), col("pos"))
+
+    val removals = hitOld.unionByName(hitNew).distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("rm_pos"))
+    val out = parad.join(removals, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("rm_pos"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__paras")).cast("long").as("n_paras"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        array_join(filter(col("__paras"), (_, i) => !array_contains(col("__rm"), i)),
+          "\n\n").as("clean_text"))
+
+    val p = out.localCheckpoint(eager = true)
+    Dedup.writeIndexBatch(occ.select(col("pid")).distinct(), indexPath, batchId)
+    occ.unpersist(false): Unit
+    parad.unpersist(false): Unit
+    p
+  }
+
+  /** Fold the paragraph index's batches into one deduplicated generation. */
+  def compactParagraphIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit =
+    graft.dedup.Dedup.compactBatchedDir(spark, indexPath, transform = _.distinct())
+
+  private def paragraphIds(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).cast("long").as("doc_id"),
+        posexplode(split(col(text), "\n\n")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos"),
+        when(length(trim(col("para"))) > 0,
+          GraftFunctions.portableHash60(trim(col("para")))).as("pid"))
+      .filter(col("pid").isNotNull)
 }

@@ -95,6 +95,39 @@ object StreamingSpanDedup {
       .start()
 }
 
+/** Streaming CCNet paragraph dedup — the online face of
+  * [[graft.functions.TextAnalysis.dedupParagraphsIncremental]]: each
+  * micro-batch loses the paragraphs the indexed corpus already contains
+  * (plus batch-internal repeats), cleaned docs land in `batch=b<N>`
+  * partitions, raw paragraph hashes fold into the membership index —
+  * effectively-once end to end (replay overwrites its own partitions). */
+object StreamingParagraphDedup {
+
+  def start(
+      docStream: DataFrame,
+      id: String,
+      text: String,
+      indexPath: String,
+      cleanedPath: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.functions.TextAnalysis.dedupParagraphsIncremental(
+              batch, id, text, indexPath, batchId = s"b$batchId")
+            .withColumn("batch", lit(s"b$batchId"))
+            .write.partitionBy("batch")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(cleanedPath)
+        }
+      }
+      .trigger(trigger)
+      .start()
+}
+
 /** Streaming ZONE-MAPPED ingest — the online face of
   * [[graft.sources.ZoneMap.append]]: each micro-batch lands as fresh
   * range-local shards with their map rows (and optional bloom bits), so a

@@ -211,6 +211,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out2 == Map(1L -> 0L, 2L -> 1L), s"trim-matched canonical: $out2")
   }
 
+  test("incremental paragraph dedup: index hits, batch canonical, cross-batch via fold-in") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("para_inc_").toString
+    val idx = s"$root/idx"
+    TextAnalysis.buildParagraphIndex(
+      Seq(1L -> "seed paragraph alpha\n\nseed paragraph beta").toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // batch 1: an index hit, fresh content, and a batch-internal repeat
+    val b1 = TextAnalysis.dedupParagraphsIncremental(Seq(
+        10L -> "seed paragraph alpha\n\nfresh gamma",
+        11L -> "fresh gamma\n\nfresh delta").toDF("doc_id", "text"),
+      "doc_id", "text", idx, "b1")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(b1(10L) == (1L, "fresh gamma"), s"index hit cut, fresh kept: ${b1(10L)}")
+    assert(b1(11L) == (1L, "fresh delta"),
+      s"batch-internal repeat cut (10 holds the canonical): ${b1(11L)}")
+    // batch 2: repeats batch 1's fresh content — only the fold-in catches it
+    val b2 = TextAnalysis.dedupParagraphsIncremental(
+        Seq(20L -> "fresh delta\n\nnever seen epsilon").toDF("doc_id", "text"),
+      "doc_id", "text", idx, "b2")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(b2(20L) == (1L, "never seen epsilon"), s"cross-batch repeat cut: ${b2(20L)}")
+    // compaction preserves membership
+    TextAnalysis.compactParagraphIndex(spark, idx)
+    val b3 = TextAnalysis.dedupParagraphsIncremental(
+        Seq(30L -> "never seen epsilon").toDF("doc_id", "text"),
+      "doc_id", "text", idx, "b3")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(b3(30L) == "", s"post-compaction membership intact: $b3")
+  }
+
   test("removeBoilerplateLines overflow cap fails loudly") {
     import spark.implicits._
     val rows = (1L to 4L).map(d => d -> "common one\ncommon two")
