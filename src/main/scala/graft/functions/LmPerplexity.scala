@@ -127,8 +127,13 @@ object LmPerplexity {
     val ctxC = bgC.groupBy("ctx_id").agg(sum(col("c_bg")).as("c_ctx"))
     val scTokd = tokd(score, id, text).persist()
     scTokd.count(): Unit // feeds the bigram explode AND the zero-bigram join
+    // fold to ONE row per bg_id before scoring (matching the indexed
+    // path's fold): under a 60-bit bg_id collision between bigrams with
+    // different first tokens, the score-side join on bg_id alone would
+    // otherwise duplicate rows per position — inflating n_bigrams and
+    // breaking the one-shot/indexed bit-identity contract
     val out = scoreStaged(scTokd, bigramRows(scTokd),
-      bgC.select("bg_id", "c_bg"), ctxC, v)
+      bgC.groupBy("bg_id").agg(sum(col("c_bg")).as("c_bg")), ctxC, v)
     val result = out.localCheckpoint(eager = true)
     scTokd.unpersist(false): Unit
     bgC.unpersist(false): Unit
@@ -250,7 +255,13 @@ object LmPerplexity {
       .select(col("doc_id").as("__known_id"))
     val known = docs.join(member,
       docs(id).cast("long") === col("__known_id"), "left_semi")
-    val fresh0 = readTombstones(spark, indexPath)
+    // exclude THIS batch's tombstones from the already-deleted check: the
+    // five partial writes below are not atomic as a group, so a crash can
+    // land the tombstones batch without all negative count partials — a
+    // replay of the same batchId must recompute and overwrite all five
+    // (the partition-exclusion discipline every replay-safe reader uses),
+    // not anti-join the docs away against its own half-landed attempt
+    val fresh0 = readTombstones(spark, indexPath, excludeBatch = Some(batchId))
       .fold(known)(t => known.join(
         broadcast(t.select(col("doc_id").as("__ts_id"))),
         known(id).cast("long") === col("__ts_id"), "left_anti"))
@@ -316,12 +327,15 @@ object LmPerplexity {
     }
   }
 
-  private def readTombstones(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
+  private def readTombstones(spark: SparkSession, indexPath: String,
+      excludeBatch: Option[String] = None): Option[DataFrame] = {
     val p = s"$indexPath/tombstones"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(spark.read.parquet(Dedup.resolveIndexDir(p))
-      .select("doc_id").distinct())
+    else {
+      val raw = spark.read.parquet(Dedup.resolveIndexDir(p))
+      val pruned = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
+      Some(pruned.select("doc_id").distinct())
+    }
   }
 
   /** Score `docs` FIT-FREE against the persisted LM. The request batch's

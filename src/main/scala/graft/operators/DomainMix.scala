@@ -123,13 +123,18 @@ object DomainMix {
           ((lit(budget.toDouble) * (col("__s") / col("__ssum"))) /
             col("n_domain").cast("double"))).cast("long")))
       .select(col("__dom"), col("n_domain"), col("keep_ppm"))
-    docs.select(col(id).as("doc_id"), col(domain).as("__dom"))
-      .join(broadcast(rates), Seq("__dom"))
+    // NULL-SAFE equi-join (<=>): the null-domain group is counted in
+    // `stats` and contributes √n to the normalizer like any domain, so it
+    // must also be matched and sampled here — a plain equi-join would
+    // silently drop every null-domain doc while still shrinking the other
+    // domains' allocations (the '@return ... for EVERY doc' contract)
+    val keyed = docs.select(col(id).as("doc_id"), col(domain).as("__dom"))
+    keyed.join(broadcast(rates), keyed("__dom") <=> rates("__dom"))
       .withColumn("kept",
         GraftFunctions.hashSplitBucket(
           concat(lit("temp:"), col("doc_id").cast("string")), 1000000)
           < col("keep_ppm"))
-      .select(col("doc_id"), col("__dom").as(domain),
+      .select(col("doc_id"), keyed("__dom").as(domain),
         col("n_domain"), col("keep_ppm"), col("kept"))
   }
 

@@ -511,7 +511,10 @@ object Similarity {
     // prior edges of exactly the anchors being re-ranked (id pairs only —
     // cosines recompute from the index vectors, one hash space everywhere)
     val touched = candAffected.select(col("query_id")).distinct()
-    val oldEdges = knnGraphRead(spark, graphPath)
+    // exclude THIS batch's edges: a crashed prior attempt may have left a
+    // partially-written batch=g<gen> whose gen would win the max-gen
+    // resolution — replay must rank against the pre-attempt graph only
+    val oldEdges = knnGraphRead(spark, graphPath, excludeBatch = Some(batchId))
       .join(touched, Seq("query_id"), "left_semi")
       .select(col("query_id"), col("nbr_id"))
 
@@ -540,12 +543,17 @@ object Similarity {
   }
 
   /** The resolved graph: each anchor's max-gen edge rows (an append
-    * supersedes, never merges with, an anchor's older rows). */
+    * supersedes, never merges with, an anchor's older rows).
+    * `excludeBatch` drops one `batch=` partition before resolving — the
+    * replay-safe read [[knnGraphAppend]] uses so a crashed prior attempt's
+    * partial edges never win the max-gen resolution. */
   def knnGraphRead(
       spark: org.apache.spark.sql.SparkSession,
-      graphPath: String): DataFrame = {
+      graphPath: String,
+      excludeBatch: Option[String] = None): DataFrame = {
     import graft.dedup.Dedup
-    val e = spark.read.parquet(Dedup.resolveIndexDir(s"$graphPath/edges"))
+    val raw = spark.read.parquet(Dedup.resolveIndexDir(s"$graphPath/edges"))
+    val e = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
     val latest = e.groupBy(col("query_id")).agg(max(col("gen")).as("gen"))
     e.join(latest, Seq("query_id", "gen"))
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
@@ -699,7 +707,13 @@ object Similarity {
     * stays constant as the corpus grows; encoding is one full-corpus
     * codegen pass (m·codebookSize fused sub-distance expressions per row).
     * `shortlist/k` is the recall lever; shortlist = |corpus| degenerates to
-    * exact brute force (SimilaritySpec). */
+    * exact brute force (SimilaritySpec).
+    *
+    * The ADC broadcast is SIZE-GATED (same dial as [[ivfadcTopK]]): past
+    * `adcBroadcastMaxBytes` the stage-1 join degrades to a blocked shuffle
+    * equi-join (enc gets a bounded block id, ADC rows replicate per block)
+    * — no cartesian, no BNLJ, no driver-side materialization of a table
+    * that grows with the query batch. */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -713,7 +727,8 @@ object Similarity {
       excludeSelf: Boolean = false,
       fitSampleFraction: Double = 1.0,
       fitMaxIter: Int = 20,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None,
+      adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
     require(m >= 1 && codebookSize >= 2 && shortlist >= k,
       "need m >= 1, codebookSize >= 2, shortlist >= k")
 
@@ -798,7 +813,28 @@ object Similarity {
       element_at(element_at(col("adc"), j + 1), element_at(col("pqc"), j + 1) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("s1").asc, col("nbr_id").asc)
-    val cand0 = enc.join(broadcast(adc), cond)
+    // flat PQ has no cell key, so the ADC side grows as |queries| · (m ·
+    // codebookSize doubles) with nothing to equi-join on — a large query
+    // batch would force an oversized broadcast (driver OOM). One cheap
+    // count on the small side gates the hint; past the gate, stage 1
+    // becomes a BLOCKED equi-join: enc takes a bounded block id, the ADC
+    // rows replicate once per block, and the join shuffles on __blk — no
+    // cartesian, no BNLJ, executor memory bounded by |adc| (it was anyway:
+    // broadcast ships the whole table to every executor too), and the
+    // driver never materializes the table
+    val adcBytes = q0.count() * (16L + 8L * m * codebookSize)
+    val scored = if (adcBytes <= adcBroadcastMaxBytes) {
+      enc.join(broadcast(adc), cond)
+    } else {
+      val blocks = math.max(1,
+        enc.sparkSession.sessionState.conf.numShufflePartitions)
+      enc.withColumn("__blk", pmod(hash(col("nbr_id")), lit(blocks)))
+        .join(adc.withColumn("__blk",
+          explode(sequence(lit(0), lit(blocks - 1)))), Seq("__blk"))
+        .drop("__blk")
+        .filter(cond)
+    }
+    val cand0 = scored
       .withColumn("s1", score) // squared L2 on normalized vectors: 2 − 2·cos
       .withColumn("r1", row_number().over(w)).filter(col("r1") <= shortlist)
       .select(col("query_id"), col("nbr_id"))

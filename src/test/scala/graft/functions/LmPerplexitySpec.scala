@@ -158,6 +158,39 @@ class LmPerplexitySpec extends SparkSpec {
     assert(purged == rebuilt, "post-purge scoring and post-purge re-delete must hold")
   }
 
+  test("deleteFromLmIndex replay after a partial crash (tombstones landed, counts did not) recovers") {
+    val docs = (1L to 40L).map { i =>
+      (i, s"alpha beta gamma w$i delta ${if (i % 4 == 0) "rare token" else "epsilon zeta"}")
+    }.toDF("doc_id", "text")
+    val score = Seq((900L, "alpha beta rare token epsilon"), (901L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val idx = tmp("lmidx_crash_")
+    LmPerplexity.buildLmIndex(docs, "doc_id", "text", idx)
+    // simulate the crash: the tombstones partial of batch "e1" landed but
+    // none of the four negative count partials did (the five writes run
+    // concurrently — any prefix can land)
+    graft.dedup.Dedup.writeIndexBatch(
+      docs.filter(col("doc_id") % 4 === 0).select(col("doc_id")),
+      s"$idx/tombstones", "e1")
+    // replay of the SAME batchId must recompute and land all five partials
+    // — not anti-join the docs away against its own half-landed attempt
+    LmPerplexity.deleteFromLmIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", idx, "e1")
+    val replayed = LmPerplexity.perplexityIndexed(spark, idx, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val rebuilt = LmPerplexity.perplexity(docs.filter(col("doc_id") % 4 =!= 0),
+      score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(replayed == rebuilt,
+      "same-batch replay must net the counts exactly like a clean delete")
+    // and a DIFFERENT batch id after the recovery is still a no-op
+    LmPerplexity.deleteFromLmIndex(docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", idx, "e2")
+    val after = LmPerplexity.perplexityIndexed(spark, idx, score, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(after == rebuilt, "cross-batch double-delete stays a no-op")
+  }
+
   test("streaming gate admits exactly the batch-scored accept set") {
     val dir = tmp("lmgate_src_")
     val train = (1L to 100L)

@@ -106,4 +106,21 @@ class DomainMixSpec extends SparkSpec {
     assert(tiny.filter(col("keep_ppm") === 1000000L).count() == 10L)
     assert(tiny.filter(col("kept")).count() == 10L, "clamped domain keeps every row")
   }
+
+  test("temperatureSample: null-domain docs are sampled as their own domain, not dropped") {
+    import spark.implicits._
+    val docs = ((0L until 900L).map(i => (i, Some("big"))) ++
+      (2000L until 2400L).map(i => (i, Option.empty[String]))).toDF("doc_id", "source")
+    val out = DomainMix.temperatureSample(docs, "doc_id", "source", budget = 600L)
+    // EVERY doc gets a row — null domains included (the @return contract)
+    assert(out.count() == 1300L, "null-domain docs must not vanish from the output")
+    val nullRows = out.filter(col("source").isNull)
+    assert(nullRows.count() == 400L)
+    // and the null group's rate follows the same √n math as any domain
+    val ssum = math.sqrt(900.0) + math.sqrt(400.0)
+    val expectNullPpm = math.min(1000000L, math.floor(1000000.0 *
+      ((600.0 * (math.sqrt(400.0) / ssum)) / 400.0)).toLong)
+    val gotNullPpm = nullRows.select("keep_ppm").distinct().as[Long].collect().toSeq
+    assert(gotNullPpm == Seq(expectNullPpm), s"got $gotNullPpm expected $expectNullPpm")
+  }
 }

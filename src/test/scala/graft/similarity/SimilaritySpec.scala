@@ -420,6 +420,50 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall below 0.9 at shortlist=4k")
   }
 
+  test("pqTopK over-cap ADC gate: blocked equi-join path is bit-identical and broadcast-free") {
+    import spark.implicits._
+    val rng = new Random(31)
+    val vecs = randomVecs(rng, 60, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val under = Similarity.pqTopK(df, queries, "vec_id", "embedding",
+      k = 4, m = 4, codebookSize = 8, shortlist = 12, excludeSelf = true)
+    // adcBroadcastMaxBytes = 1 forces the over-cap fallback: same argmin /
+    // shortlist / rerank semantics through a shuffled block join. Disable
+    // the optimizer's OWN size-based broadcast so the static plan reveals
+    // any forced broadcast hint on the ADC side (the tiny test ADC would
+    // otherwise be auto-broadcast on stats, which is fine at real scale —
+    // the gate's contract is only that nothing FORCES the broadcast)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (cKey, _) => cKey -> spark.conf.getOption(cKey) }
+    confs.foreach { case (cKey, v) => spark.conf.set(cKey, v) }
+    try {
+      val over = Similarity.pqTopK(df, queries, "vec_id", "embedding",
+        k = 4, m = 4, codebookSize = 8, shortlist = 12, excludeSelf = true,
+        adcBroadcastMaxBytes = 1L)
+      // capture the STATIC plan before execution (post-collect AQE rewrites
+      // would reflect measured runtime sizes, not the hint discipline)
+      val plan = over.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"over-cap pqTopK must not BNLJ:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"over-cap pqTopK must not go cartesian:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin [__blk"),
+        s"over-cap pqTopK must not force-broadcast the ADC table:\n$plan")
+      assert(plan.contains("SortMergeJoin [__blk") ||
+             plan.contains("ShuffledHashJoin [__blk"),
+        s"over-cap pqTopK stage 1 must be a shuffled equi-join on __blk:\n$plan")
+      assert(rows(over) == rows(under))
+    } finally saved.foreach {
+      case (cKey, Some(v)) => spark.conf.set(cKey, v)
+      case (cKey, None)    => spark.conf.unset(cKey)
+    }
+  }
+
   test("ivfadcTopK with nProbe = nCells and shortlist = |corpus| degenerates to exact brute force") {
     import spark.implicits._
     val rng = new Random(29)
