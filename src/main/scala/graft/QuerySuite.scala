@@ -2887,7 +2887,7 @@ object QuerySuite {
       ZoneMap.write(li.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
         "l_shipdate", zm, shards = 16, bloomCol = Some("l_orderkey"))
       val probe = li.agg(max(col("l_orderkey"))).first().getLong(0)
-      val (df, _, _) = ZoneMap.readPoint(s, zm, "l_orderkey", probe)
+      val (df, _, _) = ZoneMap.readPoint(s, zm, probe)
       df.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
         .orderBy("l_linenumber", "l_quantity", "l_shipdate")
     }),
@@ -2903,8 +2903,8 @@ object QuerySuite {
       ZoneMap.write(li.filter(pmod(col("l_orderkey"), lit(2)) === 0),
         "l_shipdate", zm, shards = 8)
       ZoneMap.append(li.filter(pmod(col("l_orderkey"), lit(2)) === 1),
-        "l_shipdate", zm, shards = 8)
-      ZoneMap.compact(s, zm, "l_shipdate", shards = 16)
+        zm, shards = 8)
+      ZoneMap.compact(s, zm, shards = 16)
       val (df, _, _) = ZoneMap.readRange(s, zm, "l_shipdate",
         java.sql.Timestamp.valueOf("1998-01-01 00:00:00"),
         java.sql.Timestamp.valueOf("1998-12-31 23:59:59"))
@@ -2929,10 +2929,10 @@ object QuerySuite {
         .parquet(stageStreamDir(dir, "events"))
         .select("event_id", "user_id", "ts", "event_type", "value")
         .filter(col("event_type") =!= "purchase")
-      val q = StreamingZoneMap.start(stream, "ts", zm,
+      val q = StreamingZoneMap.start(stream, zm,
         tmpDir("q224_ckpt_"), shardsPerBatch = 8)
       q.awaitTermination()
-      ZoneMap.compact(s, zm, "ts", shards = 16)
+      ZoneMap.compact(s, zm, shards = 16)
       val bounds = e.agg(min(col("ts")), max(col("ts"))).first()
       val (df, _, _) = ZoneMap.readRange(s, zm, "ts",
         bounds.getTimestamp(0), bounds.getTimestamp(1))

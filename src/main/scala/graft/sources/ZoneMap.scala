@@ -27,37 +27,107 @@ import graft.operators.Bloom
   * high-cardinality columns get it from the Bloom instead. The residual
   * filter always applies after pruning — the map is an optimization,
   * never a correctness dependence (a shard's stats BOUND its contents).
+  *
+  * TABLE CONFIGURATION IS PERSISTED: [[write]] records (key, statsCols,
+  * bloomCol, bloomK, bloomM) at `path/meta`, and [[append]] /
+  * [[appendBatch]] / [[compact]] / [[readPoint]] DERIVE it instead of
+  * re-taking it as parameters — an append can therefore never silently
+  * skip the bloom (creating shards a point lookup would wrongly prune)
+  * and a compaction can never leave a stale bloom behind with reused
+  * shard ids (the one-sided never-skip guarantee depends on both).
+  *
+  * Layout: `data/__shard=*` (parquet partitions — the pruning unit),
+  * `zonemap/batch=*` and `bloom/batch=*` (per-generation map/bit rows —
+  * the batch partition is what lets a replayed streaming generation
+  * SUPERSEDE itself via dynamic partition overwrite), `meta` (one row).
   */
 object ZoneMap {
 
+  /** Streaming shard ids live at `STREAM_BASE + batchId·shardsPerBatch`,
+    * disjoint from the base/append region below — [[write]]/[[append]]
+    * enforce the boundary so the two id spaces can never collide. */
+  private[graft] val StreamBase: Int = 1 << 20
+
+  private case class Meta(key: String, statsCols: Seq[String],
+      bloomCol: Option[String], bloomK: Int, bloomM: Long)
+
+  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.key, m.statsCols, m.bloomCol, m.bloomK, m.bloomM))
+      .toDF("key", "stats_cols", "bloom_col", "bloom_k", "bloom_m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta")),
+      s"zone-mapped table at '$path' has no meta — was it written by ZoneMap.write?")
+    val r = spark.read.parquet(s"$path/meta").first()
+    Meta(r.getAs[String]("key"), r.getSeq[String](r.fieldIndex("stats_cols")),
+      Option(r.getAs[String]("bloom_col")), r.getAs[Int]("bloom_k"),
+      r.getAs[Long]("bloom_m"))
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+    }
+
+  private def statsAgg(key: String, statsCols: Seq[String]) = {
+    val stats = (key +: statsCols).distinct.flatMap(c =>
+      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
+    (stats.head, stats.tail :+ count(lit(1)).as("rows"))
+  }
+
+  private def bloomBits(sharded: DataFrame, c: String, bloomK: Int,
+      bloomM: Long): DataFrame =
+    sharded.filter(col(c).isNotNull)
+      .select(col("__shard"),
+        explode(array((1 to bloomK).map(i =>
+          Bloom.bitPos(col(c), i, bloomM)): _*)).as("pos"))
+      .distinct()
+
   /** Write `df` range-sharded on `key` under `path/data/__shard=*`, the
-    * min/max map for `key` and `statsCols` at `path/zonemap`, and (when
-    * `bloomCol` is set) per-shard Bloom bit tables at `path/bloom`. */
+    * min/max map for `key` and `statsCols` at `path/zonemap`, per-shard
+    * Bloom bit tables at `path/bloom` (when `bloomCol` is set), and the
+    * table configuration at `path/meta`. A rewrite with `bloomCol = None`
+    * also REMOVES any prior bloom directory — data and bloom can never
+    * drift apart under reused shard ids. */
   def write(df: DataFrame, key: String, path: String, shards: Int,
       statsCols: Seq[String] = Nil,
       bloomCol: Option[String] = None,
       bloomK: Int = 5, bloomM: Long = 1L << 20): Unit = {
-    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(shards >= 1 && shards < StreamBase,
+      s"shards must be in [1, $StreamBase), got $shards")
+    val spark = df.sparkSession
     val sharded = df.repartitionByRange(shards, col(key))
       .withColumn("__shard", spark_partition_id())
       .persist()
     sharded.count(): Unit // one range shuffle feeds the data AND the maps
-    sharded.write.partitionBy("__shard").mode("overwrite").parquet(s"$path/data")
-    val stats = (key +: statsCols).distinct.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    sharded.groupBy("__shard")
-      .agg(stats.head, stats.tail :+ count(lit(1)).as("rows"): _*)
+    sharded.write.partitionBy("__shard")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite").parquet(s"$path/data")
+    val (s0, sN) = statsAgg(key, statsCols)
+    sharded.groupBy("__shard").agg(s0, sN: _*)
+      .withColumn("batch", lit("base"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/zonemap")
-    bloomCol.foreach { c =>
-      // per-shard set-bit tables — mergeable, portable, ≤ m rows each
-      sharded.filter(col(c).isNotNull)
-        .select(col("__shard"),
-          explode(array((1 to bloomK).map(i =>
-            Bloom.bitPos(col(c), i, bloomM)): _*)).as("pos"))
-        .distinct()
-        .write.mode("overwrite").parquet(s"$path/bloom")
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite").parquet(s"$path/zonemap")
+    bloomCol match {
+      case Some(c) =>
+        // per-shard set-bit tables — mergeable, portable, ≤ m rows each
+        bloomBits(sharded, c, bloomK, bloomM)
+          .withColumn("batch", lit("base"))
+          .write.partitionBy("batch")
+          .option("partitionOverwriteMode", "static")
+          .mode("overwrite").parquet(s"$path/bloom")
+      case None =>
+        deleteDir(java.nio.file.Paths.get(s"$path/bloom"))
     }
+    writeMeta(spark, path, Meta(key, statsCols, bloomCol, bloomK, bloomM))
     sharded.unpersist(false): Unit
   }
 
@@ -65,54 +135,112 @@ object ZoneMap {
     * `shards` NEW shard ids (offset past the existing maximum — existing
     * files are never rewritten, the cheap-append property every table
     * format guarantees), its map rows and bloom bits land alongside the
-    * existing ones. Appended shards overlap the old key ranges, so range
-    * reads now touch old+new shards for the same window — the documented
-    * drift that [[compact]] repairs by re-sharding the whole table back to
-    * disjoint ranges. */
-  def append(df: DataFrame, key: String, path: String, shards: Int,
-      statsCols: Seq[String] = Nil,
-      bloomCol: Option[String] = None,
-      bloomK: Int = 5, bloomM: Long = 1L << 20): Unit = {
+    * existing ones under a fresh `batch=a<offset>` generation. The
+    * sharding key, stats columns, and bloom configuration come from the
+    * table's persisted meta — an append can never create shards the
+    * readers would mis-prune. Appended shards overlap the old key ranges,
+    * so range reads now touch old+new shards for the same window — the
+    * documented drift that [[compact]] repairs by re-sharding the whole
+    * table back to disjoint ranges. */
+  def append(df: DataFrame, path: String, shards: Int): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
-    val offset = spark.read.parquet(s"$path/zonemap")
-      .agg(max(col("__shard"))).first().getInt(0) + 1
-    val sharded = df.repartitionByRange(shards, col(key))
+    val meta = readMeta(spark, path)
+    val maxBase = spark.read.parquet(s"$path/zonemap")
+      .filter(col("__shard") < StreamBase)
+      .agg(max(col("__shard"))).first()
+    val offset = if (maxBase.isNullAt(0)) 0 else maxBase.getInt(0) + 1
+    require(offset + shards <= StreamBase,
+      s"append would cross into the streaming shard-id region " +
+        s"([$offset, ${offset + shards}) vs base cap $StreamBase) — compact first")
+    val sharded = df.repartitionByRange(shards, col(meta.key))
       .withColumn("__shard", spark_partition_id() + lit(offset))
       .persist()
     sharded.count(): Unit
     sharded.write.partitionBy("__shard")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$path/data")
-    val stats = (key +: statsCols).distinct.flatMap(c =>
-      Seq(min(col(c)).as(s"lo_$c"), max(col(c)).as(s"hi_$c")))
-    sharded.groupBy("__shard")
-      .agg(stats.head, stats.tail :+ count(lit(1)).as("rows"): _*)
+    val (s0, sN) = statsAgg(meta.key, meta.statsCols)
+    sharded.groupBy("__shard").agg(s0, sN: _*)
+      .withColumn("batch", lit(s"a$offset"))
       .coalesce(1)
-      .write.mode("append").parquet(s"$path/zonemap")
-    bloomCol.foreach { c =>
-      sharded.filter(col(c).isNotNull)
-        .select(col("__shard"),
-          explode(array((1 to bloomK).map(i =>
-            Bloom.bitPos(col(c), i, bloomM)): _*)).as("pos"))
-        .distinct()
-        .write.mode("append").parquet(s"$path/bloom")
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/zonemap")
+    meta.bloomCol.foreach { c =>
+      bloomBits(sharded, c, meta.bloomK, meta.bloomM)
+        .withColumn("batch", lit(s"a$offset"))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/bloom")
+    }
+    sharded.unpersist(false): Unit
+  }
+
+  /** Replay-idempotent per-batch append — the streaming ingest primitive
+    * ([[graft.streaming.StreamingZoneMap]]). Shard ids derive from the
+    * MICRO-BATCH ID (`StreamBase + batchId·shardsPerBatch + p`), not from
+    * the map's current maximum, so a batch re-delivered after checkpoint
+    * recovery lands on the SAME ids: its data partitions overwrite
+    * dynamically (stale shard dirs from the prior attempt are swept
+    * first — a replay whose range boundaries shifted leaves nothing
+    * behind), and its map/bloom rows supersede their own `batch=b<id>`
+    * generation instead of appending a duplicate one — effectively-once,
+    * the `batch=` discipline every other streaming op here uses. */
+  def appendBatch(df: DataFrame, path: String, shardsPerBatch: Int,
+      batchId: Long): Unit = {
+    require(shardsPerBatch >= 1, s"shardsPerBatch must be >= 1, got $shardsPerBatch")
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val offsetL = StreamBase.toLong + batchId * shardsPerBatch
+    require(offsetL + shardsPerBatch <= Int.MaxValue,
+      s"batchId $batchId × shardsPerBatch $shardsPerBatch overflows the shard-id space")
+    val offset = offsetL.toInt
+    val spark = df.sparkSession
+    val meta = readMeta(spark, path)
+    val sharded = df.repartitionByRange(shardsPerBatch, col(meta.key))
+      .withColumn("__shard", spark_partition_id() + lit(offset))
+      .persist()
+    sharded.count(): Unit
+    // sweep the id range before writing: dynamic overwrite only replaces
+    // partitions the NEW write produces rows for — if a replay's range
+    // boundaries shifted and left some shard of the prior attempt empty,
+    // its stale rows would otherwise survive
+    (offset until offset + shardsPerBatch).foreach(i =>
+      deleteDir(java.nio.file.Paths.get(s"$path/data/__shard=$i")))
+    sharded.write.partitionBy("__shard")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/data")
+    val (s0, sN) = statsAgg(meta.key, meta.statsCols)
+    sharded.groupBy("__shard").agg(s0, sN: _*)
+      .withColumn("batch", lit(s"b$batchId"))
+      .coalesce(1)
+      .write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/zonemap")
+    meta.bloomCol.foreach { c =>
+      bloomBits(sharded, c, meta.bloomK, meta.bloomM)
+        .withColumn("batch", lit(s"b$batchId"))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/bloom")
     }
     sharded.unpersist(false): Unit
   }
 
   /** Re-shard the whole table back to disjoint key ranges (append drift
-    * repair): one full read + [[write]]. The table format's OPTIMIZE. */
-  def compact(spark: SparkSession, path: String, key: String, shards: Int,
-      statsCols: Seq[String] = Nil,
-      bloomCol: Option[String] = None,
-      bloomK: Int = 5, bloomM: Long = 1L << 20): Unit = {
+    * repair): one full read + [[write]] under the PERSISTED configuration
+    * — key, stats columns, and bloom all come from meta, so a compaction
+    * can never drop the bloom or leave a stale one behind while data
+    * re-shards reuse the same ids. The table format's OPTIMIZE. */
+  def compact(spark: SparkSession, path: String, shards: Int): Unit = {
+    val meta = readMeta(spark, path)
     // eager local checkpoint, not persist: a cache-evicted partition would
     // recompute FROM THE FILES THE REWRITE REPLACES — the checkpoint severs
     // lineage so that can never happen
     val all = spark.read.parquet(s"$path/data").drop("__shard")
       .localCheckpoint(eager = true)
-    write(all, key, path, shards, statsCols, bloomCol, bloomK, bloomM)
+    write(all, meta.key, path, shards, meta.statsCols, meta.bloomCol,
+      meta.bloomK, meta.bloomM)
   }
 
   /** Conjunctive multi-column range scan: each (column, lo, hi) bound is
@@ -150,14 +278,20 @@ object ZoneMap {
   /** Point lookup through the per-shard Bloom filters: only shards whose
     * Bloom admits the key are read (one-sided: a shard holding the key is
     * NEVER skipped; a false-positive shard is read and filtered). The
-    * probe's bit positions are computed engine-side on a one-row frame —
-    * the same md5 algebra the build used. */
-  def readPoint(spark: SparkSession, path: String, bloomCol: String,
-      value: Any, bloomK: Int = 5, bloomM: Long = 1L << 20): (DataFrame, Int, Int) = {
+    * bloom column and (k, m) come from the table's persisted meta — the
+    * exact configuration every shard was built with — and the probe's bit
+    * positions are computed engine-side on a one-row frame, the same md5
+    * algebra the build used. */
+  def readPoint(spark: SparkSession, path: String,
+      value: Any): (DataFrame, Int, Int) = {
+    val meta = readMeta(spark, path)
+    val bloomCol = meta.bloomCol.getOrElse(throw new IllegalArgumentException(
+      s"zone-mapped table at '$path' has no bloom column configured — " +
+        "write it with bloomCol = Some(...) to serve point lookups"))
     val total = spark.read.parquet(s"$path/zonemap").count().toInt
     val positions = spark.range(1).select(
-        array((1 to bloomK).map(i =>
-          Bloom.bitPos(lit(value), i, bloomM)): _*).as("ps"))
+        array((1 to meta.bloomK).map(i =>
+          Bloom.bitPos(lit(value), i, meta.bloomM)): _*).as("ps"))
       .first().getSeq[Long](0).distinct
     val survivors = spark.read.parquet(s"$path/bloom")
       .filter(col("pos").isInCollection(positions))

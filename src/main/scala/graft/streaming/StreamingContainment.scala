@@ -129,38 +129,34 @@ object StreamingParagraphDedup {
 }
 
 /** Streaming ZONE-MAPPED ingest — the online face of
-  * [[graft.sources.ZoneMap.append]]: each micro-batch lands as fresh
-  * range-local shards with their map rows (and optional bloom bits), so a
-  * reader's range/point queries keep skipping files while the table grows.
-  * Appends never rewrite existing files; read amplification drifts as
-  * generations overlap in key space — run [[graft.sources.ZoneMap.compact]]
-  * on the maintenance schedule (the streaming table format's OPTIMIZE
-  * cadence). NOTE: shard ids derive from the existing map's maximum, so a
-  * batch re-delivered after checkpoint recovery appends NEW shard ids
-  * rather than overwriting its old ones — at-least-once, not
-  * effectively-once; readers see duplicated rows until the re-delivered
-  * generation is compacted away with a dedup transform, or the upstream
-  * provides exactly-once delivery. Documented, not hidden: a zone map has
-  * no per-batch partition column to make replay idempotent without
-  * breaking the fresh-shard append property. */
+  * [[graft.sources.ZoneMap.appendBatch]]: each micro-batch lands as fresh
+  * range-local shards with their map rows (and bloom bits when the table's
+  * persisted meta configures them), so a reader's range/point queries keep
+  * skipping files while the table grows. EFFECTIVELY-ONCE: shard ids
+  * derive from the micro-batch id, so a batch re-delivered after
+  * checkpoint recovery overwrites its own data partitions and supersedes
+  * its own `batch=b<id>` map/bloom generation — replay never duplicates
+  * rows (the `batch=` discipline every other streaming op here uses).
+  * Appends never rewrite OTHER batches' files; read amplification drifts
+  * as generations overlap in key space — run
+  * [[graft.sources.ZoneMap.compact]] on the maintenance schedule (the
+  * streaming table format's OPTIMIZE cadence). The sharding key, stats
+  * columns, and bloom configuration come from the table's meta — the
+  * stream cannot drift from the layout the readers prune against. */
 object StreamingZoneMap {
 
   def start(
       stream: DataFrame,
-      key: String,
       path: String,
       checkpoint: String,
       shardsPerBatch: Int,
-      statsCols: Seq[String] = Nil,
-      bloomCol: Option[String] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.sources.ZoneMap.append(batch, key, path, shardsPerBatch,
-            statsCols = statsCols, bloomCol = bloomCol)
+          graft.sources.ZoneMap.appendBatch(batch, path, shardsPerBatch, batchId)
         }
       }
       .trigger(trigger)

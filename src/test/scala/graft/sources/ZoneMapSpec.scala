@@ -36,12 +36,12 @@ class ZoneMapSpec extends SparkSpec {
     ZoneMap.write(df, "k", root, shards = 10, bloomCol = Some("u"))
     val target = 42L
     val expect = (1L to 1000L).filter(i => i * 7919L % 1000L == target)
-    val (out, read, total) = ZoneMap.readPoint(spark, root, "u", target)
+    val (out, read, total) = ZoneMap.readPoint(spark, root, target)
     assert(out.select("k").as[Long].collect().sorted.toSeq == expect,
       "every holding row survives (one-sided filter)")
     assert(total == 10 && read < 10,
       s"bloom must skip at least some shards for a sparse key: read=$read")
-    val (miss, readMiss, _) = ZoneMap.readPoint(spark, root, "u", 999999L)
+    val (miss, readMiss, _) = ZoneMap.readPoint(spark, root, 999999L)
     assert(miss.count() == 0L, "a missing key returns nothing")
     assert(readMiss <= 2, s"a missing key reads at most false-positive shards: $readMiss")
   }
@@ -65,7 +65,7 @@ class ZoneMapSpec extends SparkSpec {
     import spark.implicits._
     val root = Files.createTempDirectory("zm_app_").toString
     ZoneMap.write((1L to 500L).toDF("k"), "k", root, shards = 5)
-    ZoneMap.append((501L to 1000L).toDF("k"), "k", root, shards = 5)
+    ZoneMap.append((501L to 1000L).toDF("k"), root, shards = 5)
     // correctness across generations
     val (out, _, total) = ZoneMap.readRange(spark, root, "k", 450L, 550L)
     assert(out.select("k").as[Long].collect().sorted.toSeq == (450L to 550L))
@@ -76,13 +76,70 @@ class ZoneMapSpec extends SparkSpec {
     assert(readNew <= 2, s"append-window read must stay local: $readNew")
     // OVERLAPPING appends drift: append the same key space again, the
     // old window now touches both generations — compact repairs it
-    ZoneMap.append((1L to 500L).map(i => i).toDF("k"), "k", root, shards = 5)
+    ZoneMap.append((1L to 500L).map(i => i).toDF("k"), root, shards = 5)
     val (_, readDrift, _) = ZoneMap.readRange(spark, root, "k", 1L, 100L)
     assert(readDrift >= 2, s"overlapping generations must both be read: $readDrift")
-    ZoneMap.compact(spark, root, "k", shards = 10)
+    ZoneMap.compact(spark, root, shards = 10)
     val (out2, readC, totalC) = ZoneMap.readRange(spark, root, "k", 1L, 100L)
     assert(totalC == 10 && readC <= 2, s"compaction restores disjoint ranges: $readC/$totalC")
     assert(out2.count() == 200L, "duplicates from the re-append survive compaction (rewrite, not dedup)")
+  }
+
+  test("bloom config persists: append and compact keep serving point lookups correctly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zm_meta_").toString
+    val mk = (r: Range) => r.map(i => (i.toLong, i.toLong * 7919L % 1000L)).toDF("k", "u")
+    ZoneMap.write(mk(1 to 500), "k", root, shards = 5, bloomCol = Some("u"))
+    // append WITHOUT re-passing the bloom config: it must come from meta,
+    // so the appended shards still carry bloom rows a point lookup probes
+    ZoneMap.append(mk(501 to 1000), root, shards = 5)
+    val target = 42L
+    val expect = (1L to 1000L).filter(i => i * 7919L % 1000L == target)
+    val (out, _, total) = ZoneMap.readPoint(spark, root, target)
+    assert(out.select("k").as[Long].collect().sorted.toSeq == expect,
+      "appended shards must be bloom-probed, not silently skipped")
+    assert(total == 10)
+    // compact derives the bloom config too: the rewrite reuses shard ids,
+    // so a stale bloom here would silently mis-prune — assert it doesn't
+    ZoneMap.compact(spark, root, shards = 7)
+    val (out2, read2, total2) = ZoneMap.readPoint(spark, root, target)
+    assert(out2.select("k").as[Long].collect().sorted.toSeq == expect,
+      "post-compaction point lookup must see every holding row")
+    assert(total2 == 7 && read2 < 7, s"compacted bloom still prunes: $read2/$total2")
+    // a rewrite WITHOUT a bloom column removes the stale bloom dir and
+    // point lookups fail loudly instead of pruning against stale bits
+    ZoneMap.write(mk(1 to 100), "k", root, shards = 3)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/bloom")),
+      "rewrite without bloomCol must remove the stale bloom directory")
+    intercept[IllegalArgumentException] {
+      ZoneMap.readPoint(spark, root, target)
+    }
+  }
+
+  test("appendBatch replay (checkpoint re-delivery) supersedes itself — row counts unchanged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zm_replay_").toString
+    ZoneMap.write((1L to 500L).toDF("k"), "k", root, shards = 5)
+    val batch = (501L to 800L).toDF("k")
+    ZoneMap.appendBatch(batch, root, shardsPerBatch = 4, batchId = 0L)
+    val (one, _, totalOne) = ZoneMap.readRange(spark, root, "k", 1L, 1000L)
+    assert(one.count() == 800L)
+    // re-deliver the SAME batch id: data partitions overwrite, map/bloom
+    // generation supersedes — nothing duplicates
+    ZoneMap.appendBatch(batch, root, shardsPerBatch = 4, batchId = 0L)
+    val (two, _, totalTwo) = ZoneMap.readRange(spark, root, "k", 1L, 1000L)
+    assert(two.count() == 800L, "replayed batch must not duplicate rows")
+    assert(totalTwo == totalOne, "replayed batch must not add map generations")
+    // a DIFFERENT batch id is a genuine append
+    ZoneMap.appendBatch((801L to 900L).toDF("k"), root, shardsPerBatch = 4, batchId = 1L)
+    val (three, _, _) = ZoneMap.readRange(spark, root, "k", 1L, 1000L)
+    assert(three.select("k").as[Long].collect().sorted.toSeq == (1L to 900L))
+    // and a replay with a DIFFERENT shape (fewer shards with rows) sweeps
+    // the prior attempt's stale shard dirs
+    ZoneMap.appendBatch((801L to 805L).toDF("k"), root, shardsPerBatch = 4, batchId = 1L)
+    val (four, _, _) = ZoneMap.readRange(spark, root, "k", 1L, 1000L)
+    assert(four.count() == 805L,
+      "replay with shifted range boundaries must leave no stale rows behind")
   }
 
   test("map is an optimization, not a correctness dependence: boundary rows survive") {
