@@ -1324,7 +1324,17 @@ object Dedup {
       // flat path's O(n·k)
       val q = fitTwoLevelCentroids(
         fitSet.select(col("v").cast("array<double>").as("v")), k, seed, fitMaxIter)
-      keyed.select(col("vec_id").as("doc_id"),
+      val leafBytes = q.leaves.iterator.map(ls =>
+        ls.iterator.map(_._2.size.toLong * 8L).sum).sum
+      if (leafBytes > CodebookLiteralMaxBytes) {
+        import df.sparkSession.implicits._
+        val leavesDf = q.leaves.zipWithIndex
+          .flatMap { case (ls, t) => ls.map { case (cell, cen) => (cell, t, cen) } }
+          .toDF("cell", "top", "centroid")
+        assignTwoLevelViaJoin(keyed.select(col("vec_id").as("doc_id"), col("v")),
+          q.tops, leavesDf)
+          .select(col("doc_id"), col("cell"))
+      } else keyed.select(col("vec_id").as("doc_id"),
         assignTwoLevel(col("v").cast("array<double>"), q).as("cell"))
     } else {
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
@@ -1361,8 +1371,88 @@ object Dedup {
     * codegen'd [[graft.functions.NearestCentroid]] scan per row (argmin by
     * squared L2, ties to the lower idx; the codebook rides along as a task
     * reference object, never per-row). */
-  private def nearestIdx(v: Column, centroids: Seq[Seq[Double]]): Column =
+  private[graft] def nearestIdx(v: Column, centroids: Seq[Seq[Double]]): Column =
     graft.functions.NearestCentroid(v, centroids)
+
+  /** Max bytes of codebook material embedded in the PLAN (expression
+    * reference objects / nested literals). Literal embedding is the fastest
+    * assignment shape — zero joins, zero exchanges — but the task binary
+    * and plan-serialization cost grow with k·dim; under the k ∝ n regime a
+    * billion-vector corpus implies a codebook the plan itself cannot carry.
+    * Past this many bytes, assignment falls back to a JOIN against the
+    * centroid frame (same argmin, same tie-break, bit-identical — specs
+    * assert it) whose cost lives in the data plane instead of the plan.
+    * Env-overridable for operational tuning. */
+  private[graft] val CodebookLiteralMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_CODEBOOK_LITERAL_MAX_BYTES").map(_.toLong)
+      .getOrElse(32L << 20)
+
+  /** Estimated codebook bytes of a centroid frame: k · dim · 8 — one tiny
+    * aggregate over a ≤k-row frame, never a collect. */
+  private[graft] def codebookBytes(centroids: DataFrame): Long = {
+    val r = centroids.agg(count(lit(1)).as("k"),
+      max(size(col("centroid"))).as("dim")).first()
+    if (r.isNullAt(1)) 0L else r.getLong(0) * r.getInt(1).toLong * 8L
+  }
+
+  /** Squared L2 between a double-array column and a centroid column —
+    * SAME arithmetic tree as [[graft.functions.NearestCentroid]]'s inner
+    * loop (left-to-right `d += diff·diff` over the zip order), so the join
+    * fallback's distances are bit-identical to the literal path's. */
+  private[graft] def squaredL2Col(v: Column, cen: Column): Column =
+    aggregate(zip_with(v, cen, (a, b) => { val d = a - b; d * d }),
+      lit(0.0), (s, x) => s + x)
+
+  /** Flat-codebook assignment as a JOIN against the centroid FRAME — the
+    * over-[[CodebookLiteralMaxBytes]] fallback: the codebook never touches
+    * the driver or the plan; every row meets every centroid through a
+    * broadcast (executor-memory-bounded — the same bytes a literal path
+    * would have shipped in every task binary) and the argmin folds in a
+    * combinable `min(struct(d2, cell))` whose (d2 asc, cell asc) ordering
+    * replicates NearestCentroid's ties-to-lower-index over the ascending
+    * cell ids exactly. */
+  private[graft] def assignCellsViaJoin(keyed: DataFrame,
+      centroids: DataFrame): DataFrame = {
+    val cen = broadcast(centroids.select(col("cell").cast("int").as("__cell"),
+      col("centroid").cast("array<double>").as("__cen")))
+    keyed.select(col("doc_id"), col("v"))
+      .crossJoin(cen)
+      .withColumn("__d2", squaredL2Col(col("v").cast("array<double>"), col("__cen")))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("__d2").as("d2"), col("__cell").as("cell"))).as("__m"),
+        first(col("v")).as("v"))
+      .select(col("doc_id"), col("__m.cell").as("cell"), col("v"))
+  }
+
+  /** Two-level assignment with the LEAF level as a join — the over-cap
+    * fallback for the k ∝ n regime: tops stay a literal argmin (√k̄ —
+    * bounded), each row then meets ONLY its own top's sub-codebook through
+    * an equi-join on `top` (shuffle volume n·k̄₂ narrow rows, never n·k),
+    * and the leaf argmin folds combinably. Tie-break parity: leaves are
+    * numbered ascending within each top (fit and loadTwoLevel both sort),
+    * so `min(struct(d2, cell))` equals the literal path's ties-to-lower-
+    * local-index. */
+  private[graft] def assignTwoLevelViaJoin(keyed: DataFrame,
+      tops: IndexedSeq[Seq[Double]], leaves: DataFrame): DataFrame = {
+    val leaf = leaves.select(col("top").cast("int").as("__top"),
+      col("cell").cast("int").as("__cell"),
+      col("centroid").cast("array<double>").as("__cen"))
+    keyed.select(col("doc_id"), col("v"))
+      .withColumn("__top", nearestIdx(col("v").cast("array<double>"), tops))
+      .join(leaf, Seq("__top"))
+      .withColumn("__d2", squaredL2Col(col("v").cast("array<double>"), col("__cen")))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("__d2").as("d2"), col("__cell").as("cell"))).as("__m"),
+        first(col("v")).as("v"))
+      .select(col("doc_id"), col("__m.cell").as("cell"), col("v"))
+  }
+
+  /** The top-level codebook of a persisted two-level index — √k̄ rows, the
+    * collect that stays bounded when the leaf level no longer is. */
+  private[graft] def loadTops(spark: SparkSession, indexPath: String): IndexedSeq[Seq[Double]] =
+    spark.read.parquet(s"$indexPath/topcentroids")
+      .orderBy("top").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid"))).toIndexedSeq
 
   /** Map-only sub-cell argmin for a row already carrying its `top`: the
     * grouped [[graft.functions.NearestCentroid]] form scans only this row's
@@ -1525,9 +1615,17 @@ object Dedup {
         .flatMap { case (ls, t) => ls.map { case (cell, cen) => (cell, t, cen) } }
         .toDF("cell", "top", "centroid")
         .write.mode("overwrite").parquet(s"$indexPath/centroids")
-      writeIndexBatch(
-        keyed.select(col("doc_id"),
-          assignTwoLevel(col("v").cast("array<double>"), q).as("cell"), col("v")),
+      // past the literal gate, encode against the just-written centroid
+      // FRAME (equi-join on top) instead of a plan-embedded leaf codebook
+      val leafBytes = q.leaves.iterator.map(ls =>
+        ls.iterator.map(_._2.size.toLong * 8L).sum).sum
+      val assignedNew =
+        if (leafBytes > CodebookLiteralMaxBytes)
+          assignTwoLevelViaJoin(keyed.select(col("doc_id"), col("v")), q.tops,
+            keyed.sparkSession.read.parquet(s"$indexPath/centroids"))
+        else keyed.select(col("doc_id"),
+          assignTwoLevel(col("v").cast("array<double>"), q).as("cell"), col("v"))
+      writeIndexBatch(assignedNew,
         s"$indexPath/vectors", batchId, wholeIndex = true)
     } else {
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(fitMaxIter)
@@ -1570,7 +1668,10 @@ object Dedup {
     * back through a sorted id table so non-contiguous cell numbering is
     * preserved; sorting ascending makes NearestCentroid's ties-to-lower-
     * index match the old (d2 asc, cell asc) tie-break exactly. */
-  private[graft] def assignCells(keyed: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def assignCells(keyed: DataFrame, centroids: DataFrame,
+      literalMaxBytes: Long = CodebookLiteralMaxBytes): DataFrame = {
+    if (codebookBytes(centroids) > literalMaxBytes)
+      return assignCellsViaJoin(keyed, centroids)
     val rows = centroids.select(col("cell").cast("int"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
@@ -1618,11 +1719,18 @@ object Dedup {
     // a two-level index (top-annotated centroids) must be probed with the
     // SAME hierarchical geometry the base was assigned with — a flat argmin
     // over the leaves can land a borderline vector in a different leaf than
-    // its indexed near-dup and silently miss the candidate
+    // its indexed near-dup and silently miss the candidate. Past the
+    // codebook-literal gate the leaf level assigns through the equi-join
+    // fallback (bit-identical — DedupSpec) instead of a plan-embedded
+    // codebook that grows with k ∝ n
     val newAssigned = (if (centroids.columns.contains("top")) {
-      val q = loadTwoLevel(spark, indexPath)
-      newKeyed.select(col("doc_id"),
-        assignTwoLevel(col("v").cast("array<double>"), q).as("cell"), col("v"))
+      if (codebookBytes(centroids) > CodebookLiteralMaxBytes)
+        assignTwoLevelViaJoin(newKeyed, loadTops(spark, indexPath), centroids)
+      else {
+        val q = loadTwoLevel(spark, indexPath)
+        newKeyed.select(col("doc_id"),
+          assignTwoLevel(col("v").cast("array<double>"), q).as("cell"), col("v"))
+      }
     } else assignCells(newKeyed, centroids)).persist()
     newAssigned.count(): Unit
 

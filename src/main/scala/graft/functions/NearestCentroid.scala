@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
 case class NearestCentroid(
     vec: Expression,
     group: Expression,
-    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+    codebooks: CodebookRef) extends BinaryExpression {
 
   override def left: Expression = vec
   override def right: Expression = group
@@ -57,9 +57,12 @@ case class NearestCentroid(
       s"nearest_centroid expects (array<float|double>, int), got (${vec.dataType}, ${group.dataType})")
   }
 
+  @transient private lazy val cbResolved: Array[Array[Array[Double]]] =
+    codebooks.value
+
   override protected def nullSafeEval(v: Any, g: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val cb = codebooks(g.asInstanceOf[Int])
+    val cb = cbResolved(g.asInstanceOf[Int])
     var best = 0
     var bestD = Double.MaxValue
     val isF = elemIsFloat
@@ -82,7 +85,13 @@ case class NearestCentroid(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    // resolve the codebook ONCE per operator instance (mutable-state init):
+    // for BroadcastCodebooks this is the executor-local broadcast fetch —
+    // the plan carries only the handle
+    val refObj = ctx.addReferenceObj("codebookRef", codebooks,
+      "graft.functions.CodebookRef")
+    val ref = ctx.addMutableState("double[][][]", "nearestCentroidCbs",
+      v => s"$v = $refObj.value();")
     val get = if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
               else (a: String, i: String) => s"$a.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (v, g) => {
@@ -120,6 +129,10 @@ object NearestCentroid {
 
   /** Column API, grouped codebooks: argmin within `codebooks(group)`. */
   def apply(v: Column, group: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    apply(v, group, PlainCodebooks(codebooks))
+
+  /** Column API over an explicit carrier (plan-embedded or broadcast). */
+  def apply(v: Column, group: Column, codebooks: CodebookRef): Column =
     ExpressionUtils.column(NearestCentroid(
       ExpressionUtils.expression(v), ExpressionUtils.expression(group), codebooks))
 }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
 case class NearestCentroids(
     vec: Expression,
     group: Expression,
-    codebooks: Array[Array[Array[Double]]],
+    codebooks: CodebookRef,
     p: Int) extends BinaryExpression {
 
   require(p >= 1, s"nearest_centroids needs p >= 1, got $p")
@@ -49,9 +49,12 @@ case class NearestCentroids(
       s"nearest_centroids expects (array<float|double>, int), got (${vec.dataType}, ${group.dataType})")
   }
 
+  @transient private lazy val cbResolved: Array[Array[Array[Double]]] =
+    codebooks.value
+
   override protected def nullSafeEval(v: Any, g: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val cb = codebooks(g.asInstanceOf[Int])
+    val cb = cbResolved(g.asInstanceOf[Int])
     val m = math.min(p, cb.length)
     val bi = new Array[Int](m)
     val bd = new Array[Double](m)
@@ -81,7 +84,11 @@ case class NearestCentroids(
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    // resolve once per operator instance — see NearestCentroid.doGenCode
+    val refObj = ctx.addReferenceObj("codebookRef", codebooks,
+      "graft.functions.CodebookRef")
+    val ref = ctx.addMutableState("double[][][]", "nearestCentroidsCbs",
+      v => s"$v = $refObj.value();")
     val get = if (elemIsFloat) (a: String, i: String) => s"(double) $a.getFloat($i)"
               else (a: String, i: String) => s"$a.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (v, g) => {
@@ -128,6 +135,10 @@ object NearestCentroids {
 
   /** Column API, grouped codebooks. */
   def apply(v: Column, group: Column, codebooks: Array[Array[Array[Double]]], p: Int): Column =
+    apply(v, group, PlainCodebooks(codebooks), p)
+
+  /** Column API over an explicit carrier (plan-embedded or broadcast). */
+  def apply(v: Column, group: Column, codebooks: CodebookRef, p: Int): Column =
     ExpressionUtils.column(NearestCentroids(
       ExpressionUtils.expression(v), ExpressionUtils.expression(group), codebooks, p))
 }

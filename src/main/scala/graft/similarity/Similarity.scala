@@ -278,7 +278,8 @@ object Similarity {
     * construction: ≤ 4096 flat cells / ≤ 16384 two-level leaves — the
     * same driver-fits-the-codebook argument the dedup family makes. */
   private[graft] sealed trait IndexGeometry {
-    def assignCell(v: Column): Column
+    /** (doc_id, cell, v): each input row with its stored-geometry cell. */
+    def assignFrame(df: DataFrame, id: String, v: String): DataFrame
     /** (doc_id, cell) probe frame: `nProbe` candidate cells per vector —
       * for two-level, `nProbe` leaves within each of the `nProbeTop`
       * nearest tops (the own cell is always probe #1: same argmin the
@@ -288,9 +289,12 @@ object Similarity {
 
   private final class FlatGeometry(ids: Seq[Int], cb: Seq[Seq[Double]])
       extends IndexGeometry {
-    def assignCell(v: Column): Column =
-      element_at(typedLit(ids),
-        graft.functions.NearestCentroid(v.cast("array<double>"), cb) + 1)
+    def assignFrame(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id).as("doc_id"),
+        element_at(typedLit(ids),
+          graft.functions.NearestCentroid(col(v).cast("array<double>"), cb) + 1)
+          .as("cell"),
+        col(v).as("v"))
     def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame =
       df.select(col(id).as("doc_id"),
         explode(transform(
@@ -305,8 +309,10 @@ object Similarity {
       q.leaves.map(_.map(_._2.toArray).toArray).toArray
     private val leafIds: Seq[Seq[Int]] = q.leaves.map(_.map(_._1))
     private val topMat: Seq[Seq[Double]] = q.tops
-    def assignCell(v: Column): Column =
-      graft.dedup.Dedup.assignTwoLevel(v.cast("array<double>"), q)
+    def assignFrame(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id).as("doc_id"),
+        graft.dedup.Dedup.assignTwoLevel(col(v).cast("array<double>"), q).as("cell"),
+        col(v).as("v"))
     def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame = {
       val vd = col(v).cast("array<double>")
       df.select(col(id).as("doc_id"), vd.as("__v"),
@@ -320,15 +326,74 @@ object Similarity {
     }
   }
 
+  /** Over-[[graft.dedup.Dedup.CodebookLiteralMaxBytes]] FLAT geometry: the
+    * codebook stays a FRAME (never collected, never in the plan); cell
+    * assignment is [[graft.dedup.Dedup.assignCellsViaJoin]] and probe
+    * selection a broadcast meet + rank window — identical argmin /
+    * ordering semantics (SimilaritySpec asserts parity). */
+  private final class FlatJoinGeometry(centroids: DataFrame)
+      extends IndexGeometry {
+    private def cen = broadcast(centroids.select(
+      col("cell").cast("int").as("__cell"),
+      col("centroid").cast("array<double>").as("__cen")))
+    def assignFrame(df: DataFrame, id: String, v: String): DataFrame =
+      graft.dedup.Dedup.assignCellsViaJoin(
+        df.select(col(id).as("doc_id"), col(v).as("v")), centroids)
+    def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame = {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("__d2").asc, col("__cell").asc)
+      df.select(col(id).as("doc_id"), col(v).as("__v"))
+        .crossJoin(cen)
+        .withColumn("__d2", graft.dedup.Dedup.squaredL2Col(
+          col("__v").cast("array<double>"), col("__cen")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
+        .select(col("doc_id"), col("__cell").as("cell"))
+    }
+  }
+
+  /** Over-cap TWO-LEVEL geometry: tops stay a literal argmin (√k̄ —
+    * bounded), the leaf level joins on `top` so each row meets only its
+    * own tops' sub-codebooks — the k ∝ n regime's scale shape. */
+  private final class TwoLevelJoinGeometry(
+      tops: IndexedSeq[Seq[Double]], leaves: DataFrame, nProbeTop: Int)
+      extends IndexGeometry {
+    private def leaf = leaves.select(col("top").cast("int").as("__top"),
+      col("cell").cast("int").as("__cell"),
+      col("centroid").cast("array<double>").as("__cen"))
+    def assignFrame(df: DataFrame, id: String, v: String): DataFrame =
+      graft.dedup.Dedup.assignTwoLevelViaJoin(
+        df.select(col(id).as("doc_id"), col(v).as("v")), tops, leaves)
+    def probeCells(df: DataFrame, id: String, v: String, nProbe: Int): DataFrame = {
+      val vd = col(v).cast("array<double>")
+      val w = Window.partitionBy(col("doc_id"), col("__top"))
+        .orderBy(col("__d2").asc, col("__cell").asc)
+      df.select(col(id).as("doc_id"), vd.as("__v"),
+          explode(graft.functions.NearestCentroids(vd, tops,
+            math.min(nProbeTop, tops.size))).as("__top"))
+        .join(leaf, Seq("__top"))
+        .withColumn("__d2", graft.dedup.Dedup.squaredL2Col(
+          col("__v").cast("array<double>"), col("__cen")))
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= nProbe)
+        .select(col("doc_id"), col("__cell").as("cell"))
+    }
+  }
+
   private[graft] def loadGeometry(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
-      nProbeTop: Int = 2): IndexGeometry = {
+      nProbeTop: Int = 2,
+      literalMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): IndexGeometry = {
     val centroids = spark.read.parquet(s"$indexPath/centroids")
-    if (centroids.columns.contains("top"))
-      new TwoLevelGeometry(
+    val overCap = graft.dedup.Dedup.codebookBytes(centroids) > literalMaxBytes
+    if (centroids.columns.contains("top")) {
+      if (overCap)
+        new TwoLevelJoinGeometry(
+          graft.dedup.Dedup.loadTops(spark, indexPath), centroids, nProbeTop)
+      else new TwoLevelGeometry(
         graft.dedup.Dedup.loadTwoLevel(spark, indexPath), nProbeTop)
-    else {
+    } else if (overCap) {
+      new FlatJoinGeometry(centroids)
+    } else {
       val rows = centroids.select(col("cell").cast("int"), col("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
       require(rows.nonEmpty, "loadGeometry: empty centroid table")
@@ -474,8 +539,7 @@ object Similarity {
 
     val newKeyed = newDf.filter(col(vec).isNotNull && size(col(vec)) > 0)
       .select(col(id).as("doc_id"), col(vec).as("v"))
-    val newAssigned = newKeyed.select(col("doc_id"),
-      geo.assignCell(col("v")).as("cell"), col("v")).persist()
+    val newAssigned = geo.assignFrame(newKeyed, "doc_id", "v").persist()
     newAssigned.count(): Unit
     val newProbes = geo.probeCells(newKeyed, "doc_id", "v", nProbe)
 
@@ -878,7 +942,8 @@ object Similarity {
       fitSampleFraction: Double = 1.0,
       fitMaxIter: Int = 20,
       candidateSink: Option[String] = None,
-      adcBroadcastMaxBytes: Long = 256L << 20): DataFrame = {
+      adcBroadcastMaxBytes: Long = 256L << 20,
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): DataFrame = {
     require(nCells >= 1 && nProbe >= 1 && nProbe <= nCells,
       "need 1 <= nProbe <= nCells")
     require(m >= 1 && codebookSize >= 2 && shortlist >= k,
@@ -891,9 +956,10 @@ object Similarity {
     require(dim >= m, s"vector dim $dim must be >= m=$m")
 
     val model = fitIvfadcModel(cn, dim, nCells, m, codebookSize, seed,
-      fitSampleFraction, fitMaxIter)
-    val enc = encodeIvfadc(cn, model)
-    val cand0 = ivfadcCandidates(enc, q0, model, nProbe, shortlist,
+      fitSampleFraction, fitMaxIter, coarseLiteralMaxBytes)
+    val ops = new CoarseOps(model, corpus.sparkSession, coarseLiteralMaxBytes)
+    val enc = encodeIvfadc(cn, model, ops)
+    val cand0 = ivfadcCandidates(enc, q0, model, ops, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)
     val candidates = sinkCandidates(cand0, candidateSink)
     rankCandidates(candidates, c0, q0, k)
@@ -943,12 +1009,31 @@ object Similarity {
       (0 until m).map(j => if (j == m - 1) dim - base * (m - 1) else base))
   }
 
-  // map-only cell assignment + residual: argmin over literal centroids,
-  // then elementwise v − centroid (zip_with) — no joins anywhere here
-  private def cellOfModel(model: IvfadcModel, v: Column): Column =
-    graft.functions.NearestCentroid(v, model.coarse.map(_.toSeq))
-  private def residualOf(model: IvfadcModel, v: Column, cell: Column): Column =
-    zip_with(v, element_at(typedLit(model.coarse), cell + 1), (a, b) => a - b)
+  /** Map-only coarse-cell operations (assignment, residual, probe) over a
+    * gated codebook carrier: under [[graft.dedup.Dedup.CodebookLiteralMaxBytes]]
+    * the coarse matrix embeds in the plan as before (fastest at small kc);
+    * past it, the plan carries only a BROADCAST handle — the k ∝ n regime's
+    * fix for the coarse codebook, keeping assignment map-only (a join-based
+    * assignment would put an n·kc exchange on the hot path for no reason:
+    * the codebook must meet every row either way). Bit-identical both
+    * sides — SimilaritySpec asserts it. */
+  private final class CoarseOps(model: IvfadcModel,
+      spark: org.apache.spark.sql.SparkSession, literalMaxBytes: Long) {
+    private val overCap = model.kc.toLong * model.dim * 8L > literalMaxBytes
+    private val ref: graft.functions.CodebookRef = {
+      val mat = Array(model.coarse.map(_.toArray).toArray)
+      if (overCap) graft.functions.BroadcastCodebooks(spark.sparkContext.broadcast(mat))
+      else graft.functions.PlainCodebooks(mat)
+    }
+    def cell(v: Column): Column =
+      graft.functions.NearestCentroid(v, lit(0), ref)
+    def residual(v: Column, cellIdx: Column): Column =
+      zip_with(v, graft.functions.CentroidLookup(cellIdx, ref), (a, b) => a - b)
+    /** The min(nProbe, kc) nearest cells, ascending by d2 (ties → lower
+      * cell id) — array<int>. */
+    def probes(v: Column, nProbe: Int): Column =
+      graft.functions.NearestCentroids(v, lit(0), ref, math.min(nProbe, model.kc))
+  }
 
   /** Fit the coarse quantizer + the m residual sub-quantizers (one small
     * MLlib fit each, the m sub-fits concurrent — independent jobs on the
@@ -956,7 +1041,8 @@ object Similarity {
     * sample-bounded, constant as the corpus grows. */
   private def fitIvfadcModel(cn: DataFrame, dim: Int, nCells: Int, m: Int,
       codebookSize: Int, seed: Long, fitSampleFraction: Double,
-      fitMaxIter: Int): IvfadcModel = {
+      fitMaxIter: Int,
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): IvfadcModel = {
     val fitSet0 = (if (fitSampleFraction < 1.0) cn.sample(fitSampleFraction, seed) else cn)
       .withColumn("__f", array_to_vector(col("nv"))).persist()
     fitSet0.count(): Unit
@@ -970,9 +1056,10 @@ object Similarity {
     // residuals of different cells live in a comparable zero-centered ball
     // (Jégou '11's core observation)
     val (starts, lens) = subSpans(dim, m)
+    val partialOps = new CoarseOps(partial, cn.sparkSession, coarseLiteralMaxBytes)
     val fitRes = fitSet0
-      .withColumn("__cell", cellOfModel(partial, col("nv")))
-      .withColumn("__r", residualOf(partial, col("nv"), col("__cell")))
+      .withColumn("__cell", partialOps.cell(col("nv")))
+      .withColumn("__r", partialOps.residual(col("nv"), col("__cell")))
       .select((0 until m).map(j =>
         array_to_vector(slice(col("__r"), starts(j), lens(j))).as(s"__f$j")): _*)
       .persist()
@@ -999,15 +1086,16 @@ object Similarity {
 
   /** Encode the normalized corpus to (nbr_id, cell, pqc) — m small ints per
     * vector, each subspace's argmin ONE codegen'd NearestCentroid scan. */
-  private def encodeIvfadc(cn: DataFrame, model: IvfadcModel): DataFrame = {
+  private def encodeIvfadc(cn: DataFrame, model: IvfadcModel,
+      ops: CoarseOps): DataFrame = {
     val (starts, lens) = subSpans(model.dim, model.m)
     val encSubs = (0 until model.m).map(j =>
       slice(col("__r"), starts(j), lens(j)).as(s"__s$j"))
     val codes = (0 until model.m).map { j =>
       graft.functions.NearestCentroid(col(s"__s$j"), model.codebooks(j).map(_.toSeq))
     }
-    cn.withColumn("cell", cellOfModel(model, col("nv")))
-      .withColumn("__r", residualOf(model, col("nv"), col("cell")))
+    cn.withColumn("cell", ops.cell(col("nv")))
+      .withColumn("__r", ops.residual(col("nv"), col("cell")))
       .select(Seq(col("nbr_id"), col("cell")) ++ encSubs: _*)
       .select(col("nbr_id"), col("cell"), array(codes: _*).as("pqc"))
   }
@@ -1019,22 +1107,18 @@ object Similarity {
     * m array lookups + adds, shortlist by rank. Returns (query_id, nbr_id)
     * candidates. */
   private def ivfadcCandidates(enc: DataFrame, q0: DataFrame,
-      model: IvfadcModel, nProbe: Int, shortlist: Int, excludeSelf: Boolean,
-      adcBroadcastMaxBytes: Long): DataFrame = {
+      model: IvfadcModel, ops: CoarseOps, nProbe: Int, shortlist: Int,
+      excludeSelf: Boolean, adcBroadcastMaxBytes: Long): DataFrame = {
     val m = model.m
     val kc = model.kc
     val (starts, lens) = subSpans(model.dim, m)
     val qn = q0.withColumn("nv", l2normCol(col("qv")))
-    val cellScores = array(model.coarse.zipWithIndex.map { case (cen, i) =>
-      struct(
-        aggregate(zip_with(col("nv"), typedLit(cen), (a, b) => { val d = a - b; d * d }),
-          lit(0.0), (s, x) => s + x).as("d2"),
-        lit(i).as("idx"))
-    }: _*)
+    // top-nProbe cells per query in ONE codegen pass (NearestCentroids —
+    // same (d2 asc, idx asc) order the previous literal array_sort form
+    // produced, without materializing a kc-struct array per row)
     val probed = qn
-      .withColumn("__pc", explode(slice(array_sort(cellScores), 1, math.min(nProbe, kc))))
-      .withColumn("cell", col("__pc.idx"))
-      .withColumn("__r", residualOf(model, col("nv"), col("cell")))
+      .withColumn("cell", explode(ops.probes(col("nv"), nProbe)))
+      .withColumn("__r", ops.residual(col("nv"), col("cell")))
     val adc = probed
       .select(Seq(col("query_id"), col("cell")) ++
         (0 until m).map(j => slice(col("__r"), starts(j), lens(j)).as(s"__s$j")): _*)
@@ -1087,7 +1171,8 @@ object Similarity {
       codebookSize: Int = 16,
       seed: Long = 42L,
       fitSampleFraction: Double = 1.0,
-      fitMaxIter: Int = 20): Unit = {
+      fitMaxIter: Int = 20,
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): Unit = {
     require(nCells >= 1 && m >= 1 && codebookSize >= 2,
       "need nCells >= 1, m >= 1, codebookSize >= 2")
     val spark = corpus.sparkSession
@@ -1097,7 +1182,8 @@ object Similarity {
     val dim = guardedDim(cn, "buildIvfadcIndex")
     require(dim >= m, s"vector dim $dim must be >= m=$m")
     val model = fitIvfadcModel(cn, dim, nCells, m, codebookSize, seed,
-      fitSampleFraction, fitMaxIter)
+      fitSampleFraction, fitMaxIter, coarseLiteralMaxBytes)
+    val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
     model.coarse.zipWithIndex.map { case (cen, i) => (i, cen) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$indexPath/coarse")
@@ -1113,7 +1199,7 @@ object Similarity {
     // probed cells' directories via dynamic partition pruning — at scale a
     // nProbe/nCells probe reads nProbe/nCells of the FILES, not just of the
     // rows (plan-gated in SimilaritySpec)
-    writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", "base",
+    writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", "base",
       wholeIndex = true, partitionCols = Seq("cell"))
     writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
     // rebuild = new generation: stale tombstones would hide current vectors
@@ -1145,15 +1231,17 @@ object Similarity {
       id: String,
       vec: String,
       indexPath: String,
-      batchId: String): Unit = {
+      batchId: String,
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): Unit = {
     val spark = newDf.sparkSession
     val model = loadIvfadcModel(spark, indexPath)
+    val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
     val c0 = newDf.select(col(id).as("nbr_id"), col(vec).as("cv"))
     val cn = c0.withColumn("nv", l2normCol(col("cv")))
     val dim = guardedDim(cn, "appendIvfadcIndex")
     require(dim == model.dim,
       s"appendIvfadcIndex: batch dim $dim != index dim ${model.dim}")
-    writeBatched(encodeIvfadc(cn, model), s"$indexPath/codes", batchId,
+    writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", batchId,
       partitionCols = Seq("cell"))
     writeBatched(c0, s"$indexPath/vectors", batchId)
   }
@@ -1279,9 +1367,11 @@ object Similarity {
       excludeSelf: Boolean = false,
       candidateSink: Option[String] = None,
       adcBroadcastMaxBytes: Long = 256L << 20,
-      preloadedModel: Option[IvfadcModel] = None): DataFrame = {
+      preloadedModel: Option[IvfadcModel] = None,
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
     val model = preloadedModel.getOrElse(loadIvfadcModel(spark, indexPath))
+    val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
     val enc0 = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/codes"))
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
     // pending tombstones hide deleted vectors from stage 1 (id-only
@@ -1290,7 +1380,7 @@ object Similarity {
     val enc = readTombstones(spark, indexPath)
       .fold(enc0)(t => enc0.join(broadcast(t), Seq("nbr_id"), "left_anti"))
     val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
-    val cand0 = ivfadcCandidates(enc, q0, model, nProbe, shortlist,
+    val cand0 = ivfadcCandidates(enc, q0, model, ops, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)
     val candidates = sinkCandidates(cand0, candidateSink)
     val stored = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))

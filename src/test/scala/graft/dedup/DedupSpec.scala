@@ -327,6 +327,47 @@ class DedupSpec extends SparkSpec {
     assert(run() == marks1, "replay must be idempotent")
   }
 
+  test("codebook-literal gate: join fallback assigns bit-identically to the literal path") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    // adversarial codebook: includes DUPLICATE centroids (tie-break must
+    // resolve to the lower cell id on both paths) and non-contiguous ids
+    val dup = Seq.fill(6)(rng.nextDouble() * 4 - 2)
+    val cents = (Seq((3, dup), (7, dup)) ++
+      (0 until 30).map(i => (10 + i * 2, Seq.fill(6)(rng.nextDouble() * 4 - 2))))
+      .toDF("cell", "centroid")
+    val vecs = ((1L to 200L).map(i =>
+      (i, Array.fill(6)(rng.nextFloat() * 4 - 2))) :+
+      (500L, dup.map(_.toFloat).toArray)) // exact tie between cells 3 and 7
+      .toDF("doc_id", "v")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cell").as[(Long, Int)].collect().toMap
+    val literal = cellsOf(Dedup.assignCells(vecs, cents, literalMaxBytes = Long.MaxValue))
+    val joined = cellsOf(Dedup.assignCells(vecs, cents, literalMaxBytes = 0L))
+    assert(joined == literal, "join fallback must reproduce the literal argmin exactly")
+    assert(literal(500L) == 3, "tie must resolve to the lower cell id")
+  }
+
+  test("codebook-literal gate: two-level join fallback matches the literal hierarchy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(17)
+    val vecs = (1L to 300L).map(i =>
+      (i, Array.fill(6)(rng.nextFloat() * 8 - 4))).toDF("doc_id", "v")
+    val fitSet = vecs.select(col("v").cast("array<double>").as("v"))
+    val q = Dedup.fitTwoLevelCentroids(fitSet, k = 16, seed = 42L, fitMaxIter = 4)
+    val leavesDf = q.leaves.zipWithIndex
+      .flatMap { case (ls, t) => ls.map { case (cell, cen) => (cell, t, cen) } }
+      .toDF("cell", "top", "centroid")
+    val literal = vecs.select(col("doc_id"),
+        Dedup.assignTwoLevel(col("v").cast("array<double>"), q).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val joined = Dedup.assignTwoLevelViaJoin(vecs, q.tops, leavesDf)
+      .select("doc_id", "cell").as[(Long, Int)].collect().toMap
+    assert(joined == literal,
+      "two-level join fallback must land every vector in the literal path's leaf")
+  }
+
   test("ngramCrossOverlap flags cross-side leaks only, with shared-gram counts") {
     import spark.implicits._
     val train = Seq(

@@ -64,6 +64,36 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("codebook-literal gate: join geometries assign and probe identically to the literal ones") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val vecs = (1L to 200L).map(i =>
+      (i, Seq.fill(6)(rng.nextDouble() * 8 - 4))).toDF("vec_id", "embedding")
+    def geoParity(idxDir: String): Unit = {
+      val lit0 = Similarity.loadGeometry(spark, idxDir,
+        literalMaxBytes = Long.MaxValue)
+      val join0 = Similarity.loadGeometry(spark, idxDir, literalMaxBytes = 0L)
+      val litAssign = lit0.assignFrame(vecs, "vec_id", "embedding")
+        .select("doc_id", "cell").as[(Long, Int)].collect().toMap
+      val joinAssign = join0.assignFrame(vecs, "vec_id", "embedding")
+        .select("doc_id", "cell").as[(Long, Int)].collect().toMap
+      assert(joinAssign == litAssign, s"assignFrame parity broke for $idxDir")
+      val litProbes = lit0.probeCells(vecs, "vec_id", "embedding", 2)
+        .as[(Long, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val joinProbes = join0.probeCells(vecs, "vec_id", "embedding", 2)
+        .as[(Long, Int)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(joinProbes == litProbes, s"probeCells parity broke for $idxDir")
+    }
+    val flat = Files.createTempDirectory("geo_flat_").toString + "/idx"
+    Dedup.buildSemanticIndex(vecs, "vec_id", "embedding", flat, nClusters = 8)
+    geoParity(flat)
+    val two = Files.createTempDirectory("geo_two_").toString + "/idx"
+    Dedup.buildSemanticIndex(vecs, "vec_id", "embedding", two,
+      nClusters = 8, targetCell = 10, twoLevelCutover = 4)
+    assert(spark.read.parquet(s"$two/centroids").columns.contains("top"))
+    geoParity(two)
+  }
+
   test("maxCell skew guard drops hot cells whole") {
     import spark.implicits._
     val root = Files.createTempDirectory("knn_hot_").toString

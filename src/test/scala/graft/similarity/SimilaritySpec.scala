@@ -464,6 +464,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("coarse-codebook gate: broadcast carrier serves IVFADC bit-identically to the literal one") {
+    import spark.implicits._
+    val rng = new Random(37)
+    val vecs = randomVecs(rng, 80, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val literal = rows(Similarity.ivfadcTopK(df, queries, "vec_id", "embedding",
+      k = 4, nCells = 8, nProbe = 3, m = 4, codebookSize = 8, shortlist = 20,
+      excludeSelf = true, coarseLiteralMaxBytes = Long.MaxValue))
+    // coarseLiteralMaxBytes = 0 forces the BroadcastCodebooks carrier for
+    // cell assignment, residuals, and probe selection
+    val bcast = rows(Similarity.ivfadcTopK(df, queries, "vec_id", "embedding",
+      k = 4, nCells = 8, nProbe = 3, m = 4, codebookSize = 8, shortlist = 20,
+      excludeSelf = true, coarseLiteralMaxBytes = 0L))
+    assert(bcast == literal, "broadcast coarse carrier must be bit-identical")
+    // and the persisted lifecycle (build → append → serve) under the gate
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_gate_").toString
+    Similarity.buildIvfadcIndex(df.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      idx, nCells = 8, m = 4, codebookSize = 8, coarseLiteralMaxBytes = 0L)
+    Similarity.appendIvfadcIndex(df.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+      idx, "g1", coarseLiteralMaxBytes = 0L)
+    val servedGated = rows(Similarity.ivfadcTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 4, nProbe = 3, shortlist = 20,
+      excludeSelf = true, coarseLiteralMaxBytes = 0L))
+    val servedLit = rows(Similarity.ivfadcTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 4, nProbe = 3, shortlist = 20,
+      excludeSelf = true, coarseLiteralMaxBytes = Long.MaxValue))
+    assert(servedGated == servedLit,
+      "gated serving over a gated-built index must match the literal serve")
+  }
+
   test("ivfadcTopK with nProbe = nCells and shortlist = |corpus| degenerates to exact brute force") {
     import spark.implicits._
     val rng = new Random(29)
