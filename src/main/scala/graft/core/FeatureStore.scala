@@ -171,21 +171,32 @@ final class FeatureStore(spark: SparkSession, root: String,
       (if (df.columns.contains(f.name)) col(f.name).cast(f.ftype.spark)
        else lit(null).cast(f.ftype.spark)).as(f.name)
     } :+ col(EngineColumns.IngestSeq): _*)
+    val baseVersion = currentVersion(g.name) // the version this refresh derives from
     val base = (currentSnapshot(g.name), batch) match {
       case (Some(snap), Some(b)) => conform(snap).unionByName(conform(b))
       case (_, _)                => conform(offline(g.name))
     }
     val latest = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
       .drop(EngineColumns.IngestDate)
-    commitOnlineSnapshot(g, latest)
+    commitOnlineSnapshot(g, latest, baseVersion)
   }
 
   /** Write `latest` as the next online snapshot version and atomically
     * advance the LATEST pointer (shared by [[refreshOnline]] and
-    * [[deleteRecords]]). */
-  private def commitOnlineSnapshot(g: FeatureGroup, latest: DataFrame): Unit = {
-    val next = currentVersion(g.name).getOrElse(0L) + 1
-    val dir = onlineDir(g.name).resolve(s"v$next")
+    * [[deleteRecords]]). `baseVersion` is the version the snapshot DERIVED
+    * from (None = no snapshot existed): the commit is a compare-and-swap
+    * against it, so two concurrent writers can never silently clobber each
+    * other — the loser throws, the store stays on the winner's version
+    * (FeatureStoreSpec's two-writer race). */
+  private def commitOnlineSnapshot(g: FeatureGroup, latest: DataFrame,
+      baseVersion: Option[Long]): Unit = {
+    val next = baseVersion.getOrElse(0L) + 1
+    Files.createDirectories(onlineDir(g.name))
+    // rewrite into a PRIVATE staging dir: a racing writer derives the same
+    // v<next> name, and only the CAS winner may touch it (promotion happens
+    // inside the commit's critical section)
+    val finalDir = onlineDir(g.name).resolve(s"v$next")
+    val dir = OptimisticPointer.stagingFor(finalDir)
     // key-bucket partitioning so an uncached point lookup prunes to ONE
     // bucket directory (getRecord fall-through when the snapshot exceeds
     // maxServingCacheRows) instead of scanning every key
@@ -198,11 +209,14 @@ final class FeatureStore(spark: SparkSession, root: String,
         pmod(crc32(col(g.keyCol).cast("string")), lit(FeatureStore.OnlineKeyBuckets)))
       .repartition(FeatureStore.OnlineKeyBuckets.toInt, col(EngineColumns.KeyBucket))
       .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
-    val tmp = onlineDir(g.name).resolve("LATEST.tmp")
-    Files.createDirectories(onlineDir(g.name))
-    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, onlineDir(g.name).resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
+      expected = baseVersion.map(_.toString), next = next.toString,
+      stage = Some(dir -> finalDir))
+    finally if (Files.exists(dir)) { // loser cleans its own staging
+      val walk = Files.walk(dir)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
     servingCache.remove(g.name): Unit // next getRecord rebuilds from v<next>
   }
 
@@ -306,6 +320,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       lit(seq).cast(LongType).as("deleted_seq"))
     (if (smallKeySet) marks.coalesce(1) else marks)
       .write.mode("append").parquet(tombstoneDir(groupName).toString)
+    val baseVersion = currentVersion(groupName)
     currentSnapshot(groupName) match {
       case Some(snap) =>
         // read the just-written markers back rather than re-running keyDf0's
@@ -316,7 +331,8 @@ final class FeatureStore(spark: SparkSession, root: String,
           .filter(col("deleted_seq") === seq).select(col("key"))
         val hinted = if (smallKeySet) broadcast(keyDf) else keyDf
         commitOnlineSnapshot(g,
-          snap.join(hinted, snap(g.keyCol).cast("string") === hinted("key"), "left_anti"))
+          snap.join(hinted, snap(g.keyCol).cast("string") === hinted("key"), "left_anti"),
+          baseVersion)
       case None =>
         // no snapshot yet: online() derives from the (now filtered) offline
         // history — nothing materialized to rewrite, but drop any cache
@@ -570,8 +586,17 @@ final class FeatureStore(spark: SparkSession, root: String,
     */
   def compactOffline(groupName: String): Long = {
     require(groupExists(groupName), s"no such feature group: $groupName")
-    val cur = offlineVersion(groupName)
-    val nextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
+    // capture (value, presence) in ONE read: the commit below is a
+    // compare-and-swap against exactly this observation
+    val curPointerAtPlan: Option[Long] = {
+      val p = offlineRoot(groupName).resolve("CURRENT")
+      if (Files.exists(p))
+        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+      else None
+    }
+    val cur = curPointerAtPlan.getOrElse(1L)
+    val finalNextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
+    val nextDir = OptimisticPointer.stagingFor(finalNextDir)
     // tombstone FILES are snapshotted BEFORE the rewrite and only that list
     // is deleted after the flip: a deleteRecords landing mid-compaction
     // writes a new marker file that survives the sweep (its rows re-apply
@@ -587,11 +612,17 @@ final class FeatureStore(spark: SparkSession, root: String,
       .repartition(col(EngineColumns.IngestDate))
       .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
       .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
-    // commit: one atomic pointer move
-    val tmp = offlineRoot(groupName).resolve("CURRENT.tmp")
-    Files.write(tmp, (cur + 1).toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, offlineRoot(groupName).resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // commit: one compare-and-swap pointer move — a concurrent compaction
+    // that already advanced CURRENT makes this one fail loudly instead of
+    // silently superseding a version whose rows it never read
+    try OptimisticPointer.casSwap(offlineRoot(groupName), "CURRENT",
+      expected = curPointerAtPlan.map(_.toString), next = (cur + 1).toString,
+      stage = Some(nextDir -> finalNextDir))
+    finally if (Files.exists(nextDir)) { // loser cleans its own staging
+      val walk = Files.walk(nextDir)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally walk.close()
+    }
     // GC superseded versions (best-effort: a crash here just leaves orphans
     // for the next compaction to collect)
     import scala.jdk.CollectionConverters._
@@ -619,7 +650,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       val empty = try !ls.iterator().hasNext finally ls.close()
       if (empty) Files.delete(tombstoneDir(groupName))
     }
-    val files = Files.walk(nextDir)
+    val files = Files.walk(finalNextDir)
     try files.filter(p => p.toString.endsWith(".parquet")).count()
     finally files.close()
   }

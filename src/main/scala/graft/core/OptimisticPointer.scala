@@ -1,0 +1,95 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+
+/** Optimistic-concurrency commit for version-pointer files (the offline
+  * store's `CURRENT`, the online snapshot's `LATEST`, every compacted
+  * index's `CURRENT`). The repo's stores are single-writer by DESIGN, but
+  * "two operators ran maintenance at once" is the most realistic
+  * operational accident — without a check, the loser's pointer move would
+  * silently supersede the winner's committed version (their rewrite never
+  * saw the winner's rows). Here a commit states the version it DERIVED
+  * FROM; if the pointer moved since, the loser fails loudly with a
+  * [[java.util.ConcurrentModificationException]] and the store stays on
+  * the winner's version — the compare-and-swap every table format
+  * arbitrates writers with.
+  *
+  * The check and the move run as one critical section: a JVM-wide monitor
+  * per pointer path (same-process writers), plus an exclusive
+  * [[java.nio.channels.FileChannel]] lock on a sibling `.lock` file
+  * (cross-process writers on a local/NFS filesystem). On an object store
+  * this maps to a conditional put / ETag check — the seam is this one
+  * function. */
+object OptimisticPointer {
+
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically: verify `pointer` currently reads `expected` (None =
+    * absent), optionally promote a STAGED version directory to its final
+    * name, then write `next`. Throws ConcurrentModificationException on
+    * mismatch — the caller's rewrite derived from a superseded version.
+    *
+    * `stage` is why the CAS alone is not enough: two racing writers both
+    * derive version N+1 and would both WRITE the same `v<N+1>` directory —
+    * the loser's overwrite could clobber the winner's committed bytes even
+    * though its pointer swap fails. Writers therefore rewrite into a
+    * private `_staging_*` directory (underscore → hidden from Spark
+    * readers, excluded from every version listing) and pass
+    * `stage = Some(stagingDir -> finalDir)`: the promotion happens INSIDE
+    * the critical section, after the version check, so only the winner
+    * ever touches the final name. A final dir already present at
+    * promotion time is debris from a CRASHED attempt at this same version
+    * (a committed one would have moved the pointer and failed the check)
+    * and is replaced. */
+  def casSwap(dir: Path, pointerName: String, expected: Option[String],
+      next: String, stage: Option[(Path, Path)] = None): Unit = {
+    Files.createDirectories(dir)
+    val pointer = dir.resolve(pointerName)
+    val monitor = monitors.computeIfAbsent(
+      pointer.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve(pointerName + ".lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          val actual =
+            if (Files.exists(pointer))
+              Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
+            else None
+          if (actual != expected)
+            throw new java.util.ConcurrentModificationException(
+              s"$pointer moved from ${expected.getOrElse("<absent>")} to " +
+                s"${actual.getOrElse("<absent>")} — another writer committed " +
+                "first; this rewrite derived from a superseded version. " +
+                "Re-run against the current version.")
+          stage.foreach { case (src, dst) =>
+            deleteRecursively(dst) // crashed-attempt debris only (see above)
+            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+          }
+          val tmp = dir.resolve(pointerName + ".tmp")
+          Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        } finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** A collision-free staging sibling for `finalDir` — the underscore
+    * prefix keeps it hidden from Spark's path discovery and outside every
+    * `v<digits>` version-listing filter. */
+  def stagingFor(finalDir: Path): Path =
+    finalDir.resolveSibling(
+      s"_staging_${finalDir.getFileName}_${java.util.UUID.randomUUID().toString.take(8)}")
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+}

@@ -409,16 +409,28 @@ object Dedup {
     // generic — whatever the index stores besides the partition column),
     // through the caller's optional transform (e.g. a tombstone anti-join
     // that makes the compaction a physical purge).
-    // A retry after a pre-swap crash lands on the same _v<next> and the
-    // overwrite clears the orphan.
+    // A retry after a pre-swap crash starts a fresh staging dir; a
+    // crashed attempt's _v<next> debris is replaced at promotion time.
+    // Rewrite into a PRIVATE staging dir (a racing compaction derives the
+    // same _v<next> name; only the CAS winner may touch it)
+    val finalDir = root.resolve(s"_v$next")
+    val stagingDir = graft.core.OptimisticPointer.stagingFor(finalDir)
     transform(spark.read.parquet(oldDir).drop("batch"))
       .withColumn("batch", lit("base"))
       .write.partitionBy("batch" +: extraPartitionCols: _*).mode("overwrite")
-      .parquet(root.resolve(s"_v$next").toString)
-    val tmp = root.resolve("CURRENT.tmp")
-    Files.write(tmp, s"_v$next".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    Files.move(tmp, root.resolve("CURRENT"), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      .parquet(stagingDir.toString)
+    // compare-and-swap commit: a concurrent compaction that already moved
+    // CURRENT makes this one fail loudly instead of silently superseding a
+    // version whose rows this rewrite never read
+    try graft.core.OptimisticPointer.casSwap(root, "CURRENT",
+      expected = if (oldDir == indexPath) None else Some(s"_v$oldVersion"),
+      next = s"_v$next", stage = Some(stagingDir -> finalDir))
+    finally if (Files.exists(stagingDir)) { // loser cleans its own staging
+      val walk = Files.walk(stagingDir)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
     // release the superseded layout: the old version dir, or (first
     // compaction) the flat batch=* dirs at the root
     val stale: Seq[java.nio.file.Path] =

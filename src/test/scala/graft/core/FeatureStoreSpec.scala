@@ -463,4 +463,79 @@ class FeatureStoreSpec extends SparkSpec {
     fs.ingest("tx", dirty, batchId = Some(7L)) // replay — skipped
     assert(fs.lastIngestMetrics("tx").contains(IngestMetrics(1L, 0L, 0L)))
   }
+
+  test("optimistic pointer: exactly one of N racing CAS commits wins, losers throw") {
+    val dir = Files.createTempDirectory("cas_")
+    OptimisticPointer.casSwap(dir, "CURRENT", expected = None, next = "1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    (1 to 8).foreach { _ =>
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        try { OptimisticPointer.casSwap(dir, "CURRENT", Some("1"), "2"); wins.incrementAndGet(): Unit }
+        catch { case _: java.util.ConcurrentModificationException => losses.incrementAndGet(): Unit }
+      }})
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(wins.get() == 1 && losses.get() == 7, s"wins=${wins.get()} losses=${losses.get()}")
+    assert(new String(Files.readAllBytes(dir.resolve("CURRENT"))).trim == "2")
+    // a stale expectation against the committed pointer also fails
+    intercept[java.util.ConcurrentModificationException] {
+      OptimisticPointer.casSwap(dir, "CURRENT", Some("1"), "3")
+    }
+  }
+
+  test("two-writer online-snapshot race: loser fails loudly, winner's version survives intact") {
+    val root = Files.createTempDirectory("fs_race_").toString
+    val fs = new FeatureStore(spark, root)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "a"))) // commits v1
+    val g = fs.describeGroup("tx")
+    // writer A: refresh whose batch evaluation BLOCKS until released —
+    // it captures base version v1, then stalls inside the snapshot write
+    import org.apache.spark.sql.functions.{col, udf}
+    val gate = FsRaceGate
+    val slow = udf((x: Double) => { gate.entered.countDown(); gate.release.await(60, java.util.concurrent.TimeUnit.SECONDS); x })
+    val slowBatch = batch((1L, "2024-01-05 10:00:00", 55.0, "slow"))
+      .withColumn("amount", slow(col("amount")))
+      .withColumn(EngineColumns.IngestSeq, org.apache.spark.sql.functions.lit(99L))
+    val loser = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val t = new Thread(() => {
+      try fs.refreshOnline(g, Some(slowBatch))
+      catch { case e: Throwable => loser.set(e) }
+    })
+    t.start()
+    assert(gate.entered.await(60, java.util.concurrent.TimeUnit.SECONDS), "writer A never started")
+    // writer B: a quick ingest commits v2 while A is mid-write
+    fs.ingest("tx", batch((2L, "2024-01-02 10:00:00", 20.0, "winner")))
+    gate.release.countDown()
+    t.join(120000)
+    assert(loser.get() != null, "stale writer must fail, not silently commit")
+    assert(loser.get().isInstanceOf[java.util.ConcurrentModificationException]
+      || Option(loser.get().getCause).exists(_.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected a CAS failure, got ${loser.get()}")
+    // the winner's snapshot is intact: both keys served, no trace of A's row
+    val online = fs.online("tx").collect()
+      .map(r => r.getAs[Long]("customer_id") -> r.getAs[Double]("amount")).toMap
+    assert(online == Map(1L -> 10.0, 2L -> 20.0), s"got $online")
+    // and no staging debris keeps accumulating under the online dir
+    val ls = Files.list(java.nio.file.Paths.get(root, "tx", "online"))
+    val staging = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("_staging_")).toList
+    } finally ls.close()
+    assert(staging.isEmpty, s"loser must clean its staging dir: $staging")
+  }
+}
+
+/** JVM-visible latches for the two-writer race (executor threads of
+  * local-mode Spark share the JVM). One-shot by construction — used by a
+  * single test. */
+object FsRaceGate {
+  val entered = new java.util.concurrent.CountDownLatch(1)
+  val release = new java.util.concurrent.CountDownLatch(1)
 }
