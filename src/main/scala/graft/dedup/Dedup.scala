@@ -2038,17 +2038,17 @@ object Dedup {
     * @param pairs edge list with columns `id_a`, `id_b`
     * @return (node BIGINT, component BIGINT), component = min reachable node id
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+      reliableDir: Option[String] = graft.operators.Staging.DefaultReliableDir): DataFrame = {
+    import graft.operators.Staging
     // symmetric edge list; self-loops dropped
-    val edges = pairs
+    val edges = Staging.stage(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(eager = true)
+      .filter(col("src") =!= col("dst")).distinct(), reliableDir)
 
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .localCheckpoint(eager = true)
+    var labels = Staging.stage(edges.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node")), reliableDir)
 
     var converged = false
     var round = 0
@@ -2067,9 +2067,9 @@ object Dedup {
       // checkpointed plan stays a plain Aggregate (constraint-clean for the
       // next round's union — a checkpointed join+project leaks pruned-attr
       // constraints that break Union.rewriteConstraints)
-      val next = labels.unionByName(msgs).unionByName(jumps)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint(eager = true)
+      val next = graft.operators.Staging.stage(
+        labels.unionByName(msgs).unionByName(jumps)
+          .groupBy("node").agg(min("comp").as("comp")), reliableDir)
       converged = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") < col("o.comp"))

@@ -174,12 +174,16 @@ object Graph {
     * inner joins of |V|-row STAGED frames (every node has in-degree ≥ 1 in
     * the symmetrized graph, so node sets are identical and a value
     * comparison is a complete delta check; the cycle probe only runs when
-    * the fixed-point probe fails). Each iterate is localCheckpoint-staged:
-    * probes re-read it for free and lineage stays O(1) across arbitrarily
-    * many iterations. */
+    * the fixed-point probe fails). Each iterate is staged through
+    * [[Staging.stage]]: probes re-read it for free and lineage stays O(1)
+    * across arbitrarily many iterations — local blocks by default,
+    * reliable checkpoints under `reliableDir`/`SPARK_GRAFT_CHECKPOINT_DIR`
+    * so an executor loss on a long run recomputes instead of killing the
+    * job. */
   def pagerankIntConverged(edges: DataFrame, maxIters: Int = 60,
       dampNum: Long = 17L, dampDen: Long = 20L,
-      scale: Long = 1000000L, cycleBreaks: Int = 3): PageRankResult = {
+      scale: Long = 1000000L, cycleBreaks: Int = 3,
+      reliableDir: Option[String] = Staging.DefaultReliableDir): PageRankResult = {
     require(maxIters >= 1 && dampNum > 0 && dampNum < dampDen,
       "need maxIters >= 1 and 0 < dampNum/dampDen < 1")
     // both probes (vs xᵏ and vs xᵏ⁻¹) in ONE job — iteration wall time here
@@ -194,17 +198,18 @@ object Graph {
         count(when(col("x") =!= col("__xb"), 1)).as("db")).head
       (r.getLong(0), r.getLong(1))
     }
-    val (edgesDeg, deg) = prGraph(edges)
+    val (edgesDeg, deg) = prGraph(edges, reliableDir)
     var prev: DataFrame = null
-    var x = deg.select(col("src").as("node"), lit(scale).as("x"))
-      .localCheckpoint(true)
+    var x = Staging.stage(
+      deg.select(col("src").as("node"), lit(scale).as("x")), reliableDir)
     var it = 0
     var converged = false
     var cycled = false
     var breaksLeft = cycleBreaks
     var lastWasMid = false
     while (!converged && !cycled && it < maxIters) {
-      val next = prStep(edgesDeg, x, dampNum, dampDen, scale).localCheckpoint(true)
+      val next = Staging.stage(
+        prStep(edgesDeg, x, dampNum, dampDen, scale), reliableDir)
       it += 1
       val (dx, dp) = deltas(next, x, prev)
       val rotateTo: DataFrame =
@@ -217,10 +222,9 @@ object Graph {
             // then pins, the certification is a GENUINE delta == 0 — the
             // breaker only changes where the walk restarts, never the test.
             breaksLeft -= 1
-            val mid = next
+            val mid = Staging.stage(next
               .join(x.select(col("node"), col("x").as("__xp")), "node")
-              .select(col("node"), expr("(x + __xp) div 2").as("x"))
-              .localCheckpoint(true)
+              .select(col("node"), expr("(x + __xp) div 2").as("x")), reliableDir)
             GraftBridge.releaseCheckpoint(next)
             mid
           } else { cycled = true; next }
@@ -235,7 +239,8 @@ object Graph {
       // frame is an averaging artifact, never a power-iterate, so returning
       // it would break the documented invariant step(prevScores) == scores.
       // One more genuine step restores it (and may even certify).
-      val next = prStep(edgesDeg, x, dampNum, dampDen, scale).localCheckpoint(true)
+      val next = Staging.stage(
+        prStep(edgesDeg, x, dampNum, dampDen, scale), reliableDir)
       it += 1
       val (dx, _) = deltas(next, x, null)
       if (dx == 0) converged = true
@@ -249,7 +254,8 @@ object Graph {
 
   /** Symmetrized, deduped, degree-annotated edge list (staged — reused every
     * iteration) plus the degree table. */
-  private def prGraph(edges: DataFrame): (DataFrame, DataFrame) = {
+  private def prGraph(edges: DataFrame,
+      reliableDir: Option[String] = Staging.DefaultReliableDir): (DataFrame, DataFrame) = {
     val Array(ca, cb) = edges.columns
     val und = edges
       .select(least(col(ca), col(cb)).cast("long").as("a"),
@@ -258,7 +264,7 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    (dir.join(deg, "src").localCheckpoint(true), deg)
+    (Staging.stage(dir.join(deg, "src"), reliableDir), deg)
   }
 
   /** One exact-integer power-iteration step (see [[pagerankInt]] formula). */

@@ -31,13 +31,13 @@ object PrefixScan {
     * arbitrarily across range-partition boundaries). `value` must be
     * integral (cast to long). */
   def runningTotal(df: DataFrame, order: Seq[Column], value: Column,
-      outCol: String = "running_total"): DataFrame = {
+      outCol: String = "running_total",
+      reliableDir: Option[String] = Staging.DefaultReliableDir): DataFrame = {
     val spark = df.sparkSession
-    val staged = df
+    val staged = Staging.stage(df
       .withColumn("__v", value.cast("long"))
       .repartitionByRange(order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = true)
+      .withColumn("__pid", spark_partition_id()), reliableDir)
     val totals = staged.groupBy("__pid").agg(sum(col("__v")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.map(_._1)

@@ -43,6 +43,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.keySet == (0L until 12L).toSet)
   }
 
+  test("reliable-checkpoint staging mode produces identical components") {
+    import spark.implicits._
+    val rng = new Random(41)
+    val edges = Seq.fill(60)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val local = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+      reliableDir = None).as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt_").toString
+    val reliable = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+      reliableDir = Some(dir)).as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+  }
+
   test("adversarial 300-node path converges in O(log n) rounds (pointer jumping)") {
     import spark.implicits._
     // a 300-edge path is the worst case for hop-only min-label propagation

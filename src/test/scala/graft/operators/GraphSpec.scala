@@ -120,4 +120,21 @@ class GraphSpec extends SparkSpec {
     assert(cur == again.scores.as[(Long, Long)].collect().toMap
       && r.converged == again.converged && r.cycled == again.cycled)
   }
+
+  test("reliable-checkpoint staging mode produces identical pagerank results") {
+    val edges = ((1L to 20L).map(i => (0L, i)) ++ Seq((20L, 21L), (21L, 22L))).toDF("a", "b")
+    val local = Graph.pagerankIntConverged(edges, maxIters = 60,
+      dampNum = 1L, dampDen = 2L, reliableDir = None)
+    val ckptDir = java.nio.file.Files.createTempDirectory("pr_ckpt_").toString
+    val reliable = Graph.pagerankIntConverged(edges, maxIters = 60,
+      dampNum = 1L, dampDen = 2L, reliableDir = Some(ckptDir))
+    assert(reliable.scores.as[(Long, Long)].collect().toMap ==
+      local.scores.as[(Long, Long)].collect().toMap)
+    assert(reliable.converged == local.converged && reliable.iters == local.iters)
+    // the reliable mode actually wrote durable iterates
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+    val nFiles = try wrote.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    finally wrote.close()
+    assert(nFiles > 0, "reliable mode must persist iterates to the checkpoint dir")
+  }
 }
