@@ -1248,14 +1248,14 @@ object QuerySuite {
     // ---- multimodal: batched decode plumbing (STUB codec, real plan shape) ----
     "q23_multimodal_decode" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
-      Multimodal.decodeImageFeatures(assets, dim = 16)
+      Multimodal.decodeImageFeaturesSynthetic(assets, dim = 16)
         .select("asset_id", "modality", "n_bytes").orderBy("asset_id")
     }),
 
     // ---- multimodal: frame sampling (explode-shaped) ----
     "q24_frame_sample" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
-      Multimodal.sampleFrames(assets, everyMs = 10000L)
+      Multimodal.sampleFramesSynthetic(assets, everyMs = 10000L)
         .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("asset_id")
     }),
@@ -1264,7 +1264,7 @@ object QuerySuite {
     //      md5-derived pseudo-energy — fully oracled incl. the feature) ----
     "q96_audio_segments" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
-      Multimodal.segmentAudio(assets, windowMs = 30000L)
+      Multimodal.segmentAudioSynthetic(assets, windowMs = 30000L)
         .select("asset_id", "seg_idx", "seg_start_ms", "seg_ms", "energy_ppm")
         .orderBy("asset_id", "seg_idx")
     }),
@@ -1276,7 +1276,7 @@ object QuerySuite {
     //      md5-derived meta and original byte length ----
     "q62_image_resize" -> ((s, dir) => {
       val assets = Multimodal.syntheticAssets(Tables.documents(s, dir), "doc_id", "text")
-      Multimodal.resizeImages(assets, width = 64, height = 48)
+      Multimodal.resizeImagesSynthetic(assets, width = 64, height = 48)
         .select(col("asset_id"), col("modality"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.duration_ms").as("duration_ms"),
@@ -4788,14 +4788,15 @@ object QuerySuite {
         .orderBy("asset_id")
     }),
 
-    // ---- REAL video-frame sampling (Multimodal.videoAssets →
-    //      sampleFramesReal): GFV1 PNG-container clips (no JDK video codec
-    //      exists — the container is the documented seam), every 2nd frame
-    //      genuinely decoded by javax.imageio, exact per-frame pixel stats.
+    // ---- REAL video-frame sampling (Multimodal.videoAssetsAvi →
+    //      sampleFramesReal): genuine RIFF-AVI clips (PNG-in-AVI, 'MPNG' —
+    //      lossless so the pixel oracle is exact; the same demuxer reads
+    //      MJPEG), every 2nd frame genuinely decoded by javax.imageio,
+    //      frame period read from the container's avih header.
     //      Pattern adds a frame term: (id·31+f·17+x·7+y·13) mod 256 ----
     "q156_video_frames" -> ((s, dir) => {
       Multimodal.sampleFramesReal(
-          Multimodal.videoAssets(
+          Multimodal.videoAssetsAvi(
             Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) === 2),
             "c_custkey"), everyN = 2)
         .select("asset_id", "frame_idx", "ts_ms", "width", "height", "sum_gray")
@@ -8114,7 +8115,7 @@ object QuerySuite {
         |FROM v GROUP BY asset_id ORDER BY asset_id""".stripMargin,
 
     // every sampled frame's decoded pixels re-derived from the frame-term
-    // pattern — bit-verifies the GFV1 demux + per-frame javax.imageio parse
+    // pattern — bit-verifies the AVI demux + per-frame javax.imageio parse
     "q156_video_frames" ->
       """WITH a AS (SELECT c_custkey AS asset_id, 4 + c_custkey % 13 AS w,
         |                  4 + c_custkey % 11 AS h, 2 + c_custkey % 4 AS nf

@@ -21,8 +21,8 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeImageFeatures is deterministic, batch-shaped, length-stable") {
-    def decode() = Multimodal.decodeImageFeatures(assets, dim = 8).collect()
+  test("decodeImageFeaturesSynthetic is deterministic, batch-shaped, length-stable") {
+    def decode() = Multimodal.decodeImageFeaturesSynthetic(assets, dim = 8).collect()
       .map(r => r.getAs[Long]("asset_id") ->
         r.getAs[scala.collection.Seq[Float]]("features").toList).toMap
     val a = decode(); val b = decode()
@@ -30,10 +30,10 @@ class MultimodalSpec extends SparkSpec {
     assert(a.values.forall(_.length == 8))
   }
 
-  test("resizeImages rewrites image dims, passes others through, keeps schema") {
-    val resized = Multimodal.resizeImages(assets, 64, 64)
+  test("resizeImagesSynthetic rewrites image dims, passes others through, keeps schema") {
+    val resized = Multimodal.resizeImagesSynthetic(assets, 64, 64)
     // same columns, and union-compatible with the source (nullability may
-    // tighten through the encoder — unionByName inside resizeImages already
+    // tighten through the encoder — unionByName inside resizeImagesSynthetic already
     // enforces structural compatibility)
     assert(resized.columns.sameElements(assets.columns))
     assert(resized.unionByName(assets).count() == 12)
@@ -183,8 +183,8 @@ class MultimodalSpec extends SparkSpec {
     assert(exchanges <= 1, s"island window + region agg must share one exchange, saw $exchanges")
   }
 
-  test("sampleFrames emits one row per everyMs of duration (video only)") {
-    val frames = Multimodal.sampleFrames(assets, everyMs = 10000L).collect()
+  test("sampleFramesSynthetic emits one row per everyMs of duration (video only)") {
+    val frames = Multimodal.sampleFramesSynthetic(assets, everyMs = 10000L).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Long]("ts_ms") % 10000L == 0))
     val durations = assets.filter(org.apache.spark.sql.functions.col("modality") === "video")
@@ -289,8 +289,92 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.splitGfv1Frames(good.dropRight(5)).isEmpty)
   }
 
-  test("segmentAudio tiles the duration exactly (audio only); windows sum to duration") {
-    val segs = Multimodal.segmentAudio(assets, windowMs = 30000L).collect()
+  test("videoAssetsAvi → sampleFramesReal: real AVI demux + per-frame decode match closed form") {
+    import spark.implicits._
+    val ids = Seq(5L, 42L, 1000L)
+    val frames = Multimodal.sampleFramesReal(
+        Multimodal.videoAssetsAvi(ids.toDF("id"), "id"), everyN = 2)
+      .collect().groupBy(_.getAs[Long]("asset_id"))
+    ids.foreach { id =>
+      val (w, h) = Multimodal.patternDims(id)
+      val nf = Multimodal.patternFrameCount(id)
+      val rows = frames(id).sortBy(_.getAs[Long]("frame_idx"))
+      assert(rows.map(_.getAs[Long]("frame_idx").toInt).toSeq == (0 until nf by 2).toSeq)
+      rows.foreach { r =>
+        val f = r.getAs[Long]("frame_idx").toInt
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.patternFrameGray(id, f, x, y).toLong).sum
+        assert(r.getAs[Boolean]("decode_ok"))
+        assert(r.getAs[Long]("ts_ms") == f * Multimodal.VideoFrameMs,
+          "ts must derive from the container's avih period")
+        assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+        assert(r.getAs[Long]("sum_gray") == want, s"asset $id frame $f gray sum")
+      }
+    }
+  }
+
+  test("demuxAvi reads an AVI assembled by an INDEPENDENT muxer (MJPEG frames)") {
+    // hand-assemble the RIFF layout from the public spec — a separate code
+    // path from encodeAviMjpeg, so mux and demux are not mirror images
+    def le(v: Int): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def s16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def fcc(s: String) = s.getBytes("US-ASCII")
+    // REAL JPEG frames via the JDK's own encoder — the genuine MJPEG payload
+    def jpegFrame(shade: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (shade << 16) | (shade << 8) | shade)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val (w, h) = (6, 5)
+    val payloads = Seq(jpegFrame(40, w, h), jpegFrame(120, w, h), jpegFrame(220, w, h))
+    val periodUs = 100000 // 10 fps — NOT the engine default, proves avih is read
+    val avih = fcc("avih") ++ le(56) ++ le(periodUs) ++ le(0) ++ le(0) ++ le(0x10) ++
+      le(payloads.size) ++ le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++ Array.fill(16)(0.toByte)
+    val strh = fcc("strh") ++ le(56) ++ fcc("vids") ++ fcc("MJPG") ++ le(0) ++
+      s16(0) ++ s16(0) ++ le(0) ++ le(100) ++ le(1000) ++ le(0) ++ le(payloads.size) ++
+      le(0) ++ le(-1) ++ le(0) ++ s16(0) ++ s16(0) ++ s16(w) ++ s16(h)
+    val strf = fcc("strf") ++ le(40) ++ le(40) ++ le(w) ++ le(h) ++ s16(1) ++ s16(24) ++
+      fcc("MJPG") ++ le(w * h * 3) ++ le(0) ++ le(0) ++ le(0) ++ le(0)
+    val strl = fcc("LIST") ++ le(4 + strh.length + strf.length) ++ fcc("strl") ++ strh ++ strf
+    val hdrl = fcc("LIST") ++ le(4 + avih.length + strl.length) ++ fcc("hdrl") ++ avih ++ strl
+    val moviChunks = payloads.flatMap { p =>
+      val padded = if (p.length % 2 == 1) p :+ 0.toByte else p
+      fcc("00dc") ++ le(p.length) ++ padded
+    }.toArray
+    val movi = fcc("LIST") ++ le(4 + moviChunks.length) ++ fcc("movi") ++ moviChunks
+    val body = fcc("AVI ") ++ hdrl ++ movi
+    val avi = fcc("RIFF") ++ le(body.length) ++ body
+
+    val Some((got, periodMs)) = Multimodal.demuxAvi(avi)
+    assert(periodMs == 100L, s"avih period must be honored, got $periodMs")
+    assert(got.size == payloads.size)
+    got.zip(payloads).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "payloads must demux byte-identically")
+    }
+    // and the JDK genuinely decodes the MJPEG payloads with exact dims
+    got.foreach { p =>
+      val img = Multimodal.decodePng(p)
+      assert(img.exists(i => i.getWidth == w && i.getHeight == h))
+    }
+    // corrupt containers are verdicts, not exceptions
+    assert(Multimodal.demuxAvi(avi.dropRight(7)).isEmpty, "truncated AVI rejected")
+    assert(Multimodal.demuxAvi("RIFFxxxxWAVE".getBytes).isEmpty, "non-AVI RIFF rejected")
+    assert(Multimodal.demuxAvi(Array[Byte](1, 2, 3)).isEmpty)
+    // and the engine's own muxer round-trips through the same demuxer
+    val muxed = Multimodal.encodeAviMjpeg(payloads, w, h, periodMs = 100L)
+    val Some((rt, rtMs)) = Multimodal.demuxAvi(muxed)
+    assert(rtMs == 100L && rt.size == payloads.size &&
+      rt.zip(payloads).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("segmentAudioSynthetic tiles the duration exactly (audio only); windows sum to duration") {
+    val segs = Multimodal.segmentAudioSynthetic(assets, windowMs = 30000L).collect()
     assert(segs.nonEmpty)
     assert(segs.forall(_.getAs[Long]("seg_start_ms") % 30000L == 0))
     assert(segs.forall(r => r.getAs[Long]("energy_ppm") >= 0 && r.getAs[Long]("energy_ppm") < 1000000L))
