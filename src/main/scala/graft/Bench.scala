@@ -90,7 +90,7 @@ object Bench {
       pool.shutdown()
       val thrpt = conc.length.toLong * 1000000000L / wallNs
       s""""serving":{"cache_hit":{"n":${hot.length},"p50_us":${pct(hot, 0.5) / 1000},"p99_us":${pct(hot, 0.99) / 1000}},""" +
-        s""""bucket_pruned":{"n":${cold.length},"p50_ms":${pct(cold, 0.5) / 1000000},"p99_ms":${pct(cold, 0.99) / 1000000}},""" +
+        s""""bucket_pruned":{"n":${cold.length},"p50_us":${pct(cold, 0.5) / 1000},"p99_us":${pct(cold, 0.99) / 1000},"p50_ms":${pct(cold, 0.5) / 1000000},"p99_ms":${pct(cold, 0.99) / 1000000}},""" +
         s""""concurrent":{"threads":$nThreads,"n":${conc.length},"p50_us":${pct(conc, 0.5) / 1000},"p99_us":${pct(conc, 0.99) / 1000},"lookups_per_s":$thrpt}}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] serving bench failed: ${e.getMessage}")

@@ -209,6 +209,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         pmod(crc32(col(g.keyCol).cast("string")), lit(FeatureStore.OnlineKeyBuckets)))
       .repartition(FeatureStore.OnlineKeyBuckets.toInt, col(EngineColumns.KeyBucket))
       .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
+    writeServingKv(g, dir) // serving tier rides the same staged commit
     try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
       expected = baseVersion.map(_.toString), next = next.toString,
       stage = Some(dir -> finalDir))
@@ -456,42 +457,142 @@ final class FeatureStore(spark: SparkSession, root: String,
     * (real_time_inference.py:20-22). Event time formatted ISO-8601 Zulu
     * (update_feature_store.py:36). Serves from the driver-side snapshot
     * cache — NO Spark job per lookup (asserted by FeatureStoreSpec); the
-    * job-per-lookup path remains as the fallback when no online snapshot is
-    * materialized yet, or when the snapshot exceeds `maxServingCacheRows` —
-    * in the latter case the lookup prunes to the key's bucket partition
-    * (`_key_bucket=<crc32(key) mod N>`) so it reads one directory, not the
-    * whole snapshot. */
+    * over-cap and no-snapshot paths no longer launch a job either: every
+    * snapshot commit also persists a per-bucket KV file
+    * (`v<N>/_serving/bucket=<crc32(key) mod N>.kv`, sorted, wire-format
+    * values) that the driver reads DIRECTLY — one small file open + scan,
+    * no Spark job (<10 ms; servingBench's `bucket_pruned` row). The
+    * job-per-lookup path remains only for legacy snapshots written before
+    * the KV layout existed, and for stores with no snapshot at all
+    * (latest-per-key derived from offline history). */
   def getRecord(groupName: String, key: Any): Option[Map[String, String]] = {
     val g = describeGroup(groupName)
     val skey = String.valueOf(key)
-    val row = servingSnapshot(groupName) match {
-      case Some(m) => m.get(skey)
-      case None => currentSnapshotRaw(groupName) match {
-        case Some(snap) => // over-cap snapshot: bucket-pruned point read
-          snap.filter(col(EngineColumns.KeyBucket) === lit(FeatureStore.keyBucketOf(skey)))
-            .filter(col(g.keyCol).cast("string") === lit(skey))
-            .drop(EngineColumns.KeyBucket)
-            .collect().headOption
-        case None => // no snapshot yet: derive latest-per-key from history
-          online(groupName).filter(col(g.keyCol).cast("string") === lit(skey)).collect().headOption
-      }
-    }
-    row.map { r =>
-      g.features.map { f =>
-        // a snapshot written before addFeature has no field for the new
-        // column yet — serve null (the caller's default applies, P4)
-        val raw = if (r.schema != null && r.schema.fieldNames.contains(f.name))
-          r.get(r.fieldIndex(f.name)) else null
-        val v = raw match {
-          case null                     => null
-          case t: java.sql.Timestamp    => java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
-            .format(t.toInstant)
-          case other                    => other.toString
+    servingSnapshot(groupName) match {
+      case Some(m) => m.get(skey).map(renderWireRow(g, _))
+      case None =>
+        currentVersion(groupName) match {
+          case Some(v) =>
+            servingKvGet(g, v, skey) match {
+              case Some(res) => res // authoritative: KV layout rides the commit
+              case None => // legacy snapshot without the KV layout
+                currentSnapshotRaw(groupName).get
+                  .filter(col(EngineColumns.KeyBucket) === lit(FeatureStore.keyBucketOf(skey)))
+                  .filter(col(g.keyCol).cast("string") === lit(skey))
+                  .drop(EngineColumns.KeyBucket)
+                  .collect().headOption.map(renderWireRow(g, _))
+            }
+          case None => // no snapshot yet: derive latest-per-key from history
+            online(groupName).filter(col(g.keyCol).cast("string") === lit(skey))
+              .collect().headOption.map(renderWireRow(g, _))
         }
-        f.name -> v
-      }.toMap
     }
+  }
+
+  /** Render a snapshot row to the stringly wire format (feature-name →
+    * string; ISO-8601 Zulu timestamps). A snapshot written before
+    * addFeature has no field for the new column yet — serve null (the
+    * caller's default applies, P4). */
+  private def renderWireRow(g: FeatureGroup, r: Row): Map[String, String] =
+    g.features.map { f =>
+      val raw = if (r.schema != null && r.schema.fieldNames.contains(f.name))
+        r.get(r.fieldIndex(f.name)) else null
+      f.name -> FeatureStore.renderWireValue(raw)
+    }.toMap
+
+  /** Write the serving-tier KV layout under the (staged) snapshot dir:
+    * one `_serving/bucket=<b>.kv` per key bucket, entries SORTED by key,
+    * values already rendered to the wire format — so an over-cap point
+    * lookup is one driver-side file scan, never a Spark job. The layout
+    * rides the same staged commit as the parquet (promoted together, or
+    * not at all), and the underscore dir is invisible to parquet readers.
+    * At 100 TB the bucket count is the dial ([[FeatureStore.OnlineKeyBuckets]])
+    * and the files land on the shared filesystem next to the snapshot —
+    * the serving host reads one bucket file per miss, exactly the layout a
+    * KV-restore job would bulk-load. */
+  private def writeServingKv(g: FeatureGroup, versionDir: Path): Unit = {
+    val servingDir = versionDir.resolve("_serving")
+    Files.createDirectories(servingDir)
+    val names = g.featureNames
+    val keyCol = g.keyCol
+    val servingPath = servingDir.toString
+    // re-read the just-written staged parquet (no recompute of `latest`),
+    // re-clustered by bucket so one task owns each bucket's file outright
+    // (a large bucket's parquet could otherwise split across two tasks)
+    spark.read.parquet(versionDir.toString)
+      .repartition(FeatureStore.OnlineKeyBuckets.toInt, col(EngineColumns.KeyBucket))
+      .foreachPartition { (it: Iterator[Row]) =>
+        // null keys bucket to null (crc32(null) is null) — they land in a
+        // designated -1 file; no key-addressed lookup can reach them anyway
+        it.toSeq.groupBy(r =>
+          Option(r.get(r.fieldIndex(EngineColumns.KeyBucket)))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
+          .foreach { case (b, rows) =>
+            val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              Files.newOutputStream(Paths.get(servingPath, s"bucket=$b.kv"))))
+            try {
+              out.writeInt(0x474B5631) // "GKV1"
+              out.writeInt(names.size)
+              names.foreach(n => FeatureStore.writeKvStr(out, n))
+              val sorted = rows
+                .map(r => String.valueOf(r.get(r.fieldIndex(keyCol))) -> r)
+                .sortBy(_._1)
+              out.writeInt(sorted.size)
+              sorted.foreach { case (k, r) =>
+                FeatureStore.writeKvStr(out, k)
+                names.foreach { n =>
+                  val raw = if (r.schema != null && r.schema.fieldNames.contains(n))
+                    r.get(r.fieldIndex(n)) else null
+                  val v = FeatureStore.renderWireValue(raw)
+                  if (v == null) out.writeBoolean(false)
+                  else { out.writeBoolean(true); FeatureStore.writeKvStr(out, v) }
+                }
+              }
+            } finally out.close()
+          }
+      }
+  }
+
+  /** Driver-side point read of the serving KV layout. Returns None when
+    * the layout does not exist for this version (legacy snapshot — caller
+    * falls back to the job path); Some(answer) otherwise, where the inner
+    * Option is the authoritative presence/absence of the key. Fields added
+    * to the group after the snapshot was written serve as null. */
+  private def servingKvGet(g: FeatureGroup, version: Long,
+      skey: String): Option[Option[Map[String, String]]] = {
+    val servingDir = onlineDir(g.name).resolve(s"v$version").resolve("_serving")
+    if (!Files.exists(servingDir)) return None
+    val f = servingDir.resolve(s"bucket=${FeatureStore.keyBucketOf(skey)}.kv")
+    if (!Files.exists(f)) return Some(None) // layout present, bucket empty
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(f)))
+    try {
+      require(in.readInt() == 0x474B5631, s"bad serving KV magic in $f")
+      val nFields = in.readInt()
+      val fileNames = Array.fill(nFields)(FeatureStore.readKvStr(in))
+      val nEntries = in.readInt()
+      var i = 0
+      while (i < nEntries) {
+        val k = FeatureStore.readKvStr(in)
+        if (k == skey) {
+          val vals = fileNames.map { n =>
+            n -> (if (in.readBoolean()) FeatureStore.readKvStr(in) else null)
+          }.toMap
+          return Some(Some(
+            g.features.map(fd => fd.name -> vals.getOrElse(fd.name, null)).toMap))
+        } else if (k > skey) {
+          return Some(None) // sorted: the key cannot appear later
+        } else {
+          var j = 0
+          while (j < nFields) { // skip this entry's values
+            if (in.readBoolean()) FeatureStore.readKvStr(in): Unit
+            j += 1
+          }
+        }
+        i += 1
+      }
+      Some(None)
+    } finally in.close()
   }
 
   /** [[getRecord]] with a STALENESS GATE — the managed feature stores'
@@ -783,5 +884,31 @@ object FeatureStore {
     val c = new java.util.zip.CRC32()
     c.update(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.lang.Math.floorMod(c.getValue, OnlineKeyBuckets)
+  }
+
+  /** The stringly wire rendering (shared by the cache path, the KV writer,
+    * and the legacy job path — one definition, so they can never drift):
+    * null → null, timestamps → ISO-8601 Zulu, everything else → toString. */
+  private[core] def renderWireValue(raw: Any): String = raw match {
+    case null                  => null
+    case t: java.sql.Timestamp => java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(t.toInstant)
+    case other                 => other.toString
+  }
+
+  /** Length-prefixed UTF-8 (writeUTF caps at 64 KiB — feature values can
+    * exceed it). */
+  private[core] def writeKvStr(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  private[core] def readKvStr(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

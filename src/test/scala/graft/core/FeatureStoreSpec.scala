@@ -242,7 +242,9 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.getRecord("tx", "7").get("amount") == "7.0")
     assert(fs.getRecord("tx", 999L).isEmpty)
 
-    // over-cap lookups keep launching jobs (no billion-row driver map built)
+    // over-cap lookups launch NO jobs and build no driver map: they read
+    // the key's serving KV file directly (one small file per bucket,
+    // committed with the snapshot)
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -251,9 +253,32 @@ class FeatureStoreSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       assert(fs.getRecord("tx", 5L).get("amount") == "5.0")
+      assert(fs.getRecord("tx", 888L).isEmpty, "absence is authoritative from the KV file")
       org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
-      assert(jobs.get() > 0, "over-cap lookups must use the pruned read path, not a driver map")
+      assert(jobs.get() == 0,
+        "over-cap lookups must read the serving KV file without a Spark job")
     } finally spark.sparkContext.removeSparkListener(listener)
+
+    // LEGACY snapshot (written before the KV layout): remove _serving and
+    // the lookup falls back to the bucket-pruned Spark read — correct, just
+    // a job again
+    val servingDir = java.nio.file.Paths.get(root, "tx", "online", "v1", "_serving")
+    assert(Files.exists(servingDir), "commit must persist the serving KV layout")
+    val walk = Files.walk(servingDir)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+    finally walk.close()
+    val jobs2 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener2 = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs2.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener2)
+    try {
+      assert(fs.getRecord("tx", 5L).get("amount") == "5.0")
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      assert(jobs2.get() > 0, "legacy snapshots fall back to the pruned read path")
+    } finally spark.sparkContext.removeSparkListener(listener2)
 
     // the snapshot is key-bucket partitioned and a bucket filter PRUNES:
     // the scan over one bucket reads strictly fewer files than the snapshot
