@@ -2914,6 +2914,35 @@ object QuerySuite {
         .orderBy("l_returnflag")
     }),
 
+    // ---- ZONE-MAP bloom LIFECYCLE point lookup (the config-drift hazard
+    //      e2e): the bloom is configured ONCE at write; append and compact
+    //      derive it from the persisted meta — an append can never create
+    //      bloom-less shards a point lookup would wrongly prune, and the
+    //      compaction's id reuse can never serve against stale bits. The
+    //      probed key's rows straddle base and appended generations AND the
+    //      compacted rewrite; lifecycle invisible to the oracle ----
+    "q227_zonemap_bloom_lifecycle" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      val zm = aux(dir, "q227_zonemap")
+      ZoneMap.write(li.filter(pmod(col("l_linenumber"), lit(2)) === 0),
+        "l_shipdate", zm, shards = 8, bloomCol = Some("l_orderkey"))
+      ZoneMap.append(li.filter(pmod(col("l_linenumber"), lit(2)) === 1),
+        zm, shards = 8) // bloom config derived from meta, not re-passed
+      val probe = li.agg(max(col("l_orderkey"))).first().getLong(0)
+      val (pre, _, _) = ZoneMap.readPoint(s, zm, probe)
+      // eager checkpoint: the compaction below REWRITES the files this
+      // lazy read would otherwise re-scan (the ZoneMap.compact rule)
+      val preRows = pre.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .localCheckpoint(true)
+      ZoneMap.compact(s, zm, shards = 16) // rewrite reuses shard ids; bloom follows
+      val (post, _, _) = ZoneMap.readPoint(s, zm, probe)
+      // both lifecycle stages must see every holding row: union == 2× oracle
+      preRows.unionByName(
+          post.select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+        .orderBy("l_linenumber", "l_quantity", "l_shipdate")
+    }),
+
     // ---- STREAMING zone-mapped ingest (StreamingZoneMap): purchases
     //      bootstrap the base table, the rest of the events stream in as
     //      fresh shard generations; compaction restores disjoint ranges;
@@ -5566,6 +5595,16 @@ object QuerySuite {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
         |WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber, l_quantity, l_shipdate""".stripMargin,
+
+    // pre-compaction and post-compaction point reads both return every
+    // holding row — the union is the plain point select twice over
+    "q227_zonemap_bloom_lifecycle" ->
+      """WITH hit AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |  FROM lineitem
+        |  WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem))
+        |SELECT * FROM (SELECT * FROM hit UNION ALL SELECT * FROM hit)
         |ORDER BY l_linenumber, l_quantity, l_shipdate""".stripMargin,
 
     // the plain range aggregate — shard maps are invisible to semantics
