@@ -777,7 +777,14 @@ object Similarity {
     * `adcBroadcastMaxBytes` the stage-1 join degrades to a blocked shuffle
     * equi-join (enc gets a bounded block id, ADC rows replicate per block)
     * — no cartesian, no BNLJ, no driver-side materialization of a table
-    * that grows with the query batch. */
+    * that grows with the query batch. Memory discipline in the fallback is
+    * SPILL-based, not magic: each block's task streams its enc slice
+    * against the full ADC group, which Spark's join buffers spill to disk
+    * past the in-memory threshold; parallelism equals the shuffle-partition
+    * count. A query batch that large against a FLAT code table is at the
+    * edge of this operator's design — [[ivfadcTopK]]'s cell-partitioned
+    * probes are the intended shape there (its ADC tables carry a cell key,
+    * so nothing ever meets the whole corpus). */
   def pqTopK(
       corpus: DataFrame,
       queries: DataFrame,
