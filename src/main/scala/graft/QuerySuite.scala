@@ -2818,6 +2818,18 @@ object QuerySuite {
         .orderBy("doc_id")
     }),
 
+    // ---- FAITHFUL ExactSubstr (q218's rule, formatting preserved):
+    //      identical detection and removal, but surviving text keeps the
+    //      ORIGINAL inter-token whitespace wherever two kept tokens were
+    //      adjacent in the source; only splice points across a cut join
+    //      with a single space. The ordered (token, separator, kept) fold
+    //      is pure string algebra the oracle replays with list_reduce ----
+    "q228_exactsubstr_faithful" -> ((s, dir) => {
+      Dedup.removeDuplicateSpansFaithful(q218Fixture(Tables.documents(s, dir)),
+          "doc_id", "text", spanLen = 20)
+        .orderBy("doc_id")
+    }),
+
     // ---- INCREMENTAL ExactSubstr (ingest-time trim): even docs' window
     //      hashes bootstrap the span index; odd docs arrive as the batch
     //      and lose every window the corpus has seen (index semi-join)
@@ -5566,6 +5578,70 @@ object QuerySuite {
         |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |    coalesce(array_to_string(list(tok ORDER BY i) FILTER (WHERE NOT rm), ' '), '') AS clean_text
         |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
+        |  coalesce(per.n_removed, 0) AS n_removed,
+        |  coalesce(per.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q218's detection verbatim; reconstruction replayed in closed window
+    // form — joiner per kept token: '' when no kept token precedes it, the
+    // ORIGINAL separator when its left neighbor was kept, one space across
+    // a cut — exactly the engine's ordered fold unrolled. (A list_reduce
+    // replay of the fold itself tripped a DuckDB 1.0 vectorization bug:
+    // struct-accumulator results leak across rows past ~hundreds of
+    // groups; the window form is equivalent and stable.)
+    "q228_exactsubstr_faithful" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+        |         WHEN doc_id % 7 = 1 THEN 'this exact template sentence carries twenty four whole space separated words so every twenty token window inside it collides across the planted documents' || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+        |    regexp_extract_all(trim(text), '\s+') AS seps
+        |  FROM aug
+        |), sp AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(array_to_string(toks[p+1:p+20], ' ')), 1, 15))::BIGINT AS sh
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 20)) AS p
+        |        FROM t WHERE len(toks) >= 20)
+        |), mark AS (
+        |  SELECT doc_id, p,
+        |    row_number() OVER (PARTITION BY sh ORDER BY doc_id, p) > 1 AS rm
+        |  FROM sp
+        |), rmtok AS (
+        |  SELECT DISTINCT doc_id, p + i AS tp
+        |  FROM mark, unnest(generate_series(0, 19)) AS u(i) WHERE rm
+        |), e AS (
+        |  SELECT doc_id, i, toks[i+1] AS tok,
+        |    CASE WHEN i = 0 THEN '' ELSE seps[i] END AS sb
+        |  FROM (
+        |    SELECT doc_id, toks, seps, unnest(generate_series(0, len(toks) - 1)) AS i
+        |    FROM t WHERE len(toks) > 0)
+        |), kept AS (
+        |  SELECT e.doc_id, e.i, e.tok, e.sb, (r.doc_id IS NOT NULL) AS rm
+        |  FROM e LEFT JOIN rmtok r ON r.doc_id = e.doc_id AND r.tp = e.i
+        |), marked AS (
+        |  SELECT doc_id, i, tok, sb, rm,
+        |    coalesce(sum(CASE WHEN rm THEN 0 ELSE 1 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS kept_before,
+        |    coalesce(lag(rm) OVER (PARTITION BY doc_id ORDER BY i), true) AS prev_rm
+        |  FROM kept
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(
+        |      CASE WHEN NOT rm THEN
+        |        (CASE WHEN kept_before = 0 THEN ''
+        |              WHEN NOT prev_rm THEN sb
+        |              ELSE ' ' END) || tok END, '' ORDER BY i), '') AS clean_text
+        |  FROM marked GROUP BY doc_id
         |)
         |SELECT d.doc_id, coalesce(per.n_tokens, 0) AS n_tokens,
         |  coalesce(per.n_removed, 0) AS n_removed,

@@ -2184,6 +2184,87 @@ object Dedup {
     result
   }
 
+  /** [[removeDuplicateSpans]] with FAITHFUL reconstruction: identical
+    * detection and removal rule (same windows, same canonical winner, same
+    * covered-token expansion), but the surviving text preserves the
+    * ORIGINAL inter-token whitespace wherever two adjacent kept tokens
+    * were adjacent in the source — tabs, newlines, double spaces inside a
+    * kept run all survive byte-for-byte; only the splice points where a
+    * removed span was cut out join with a single space (there is no
+    * "original" separator across a cut). This closes the documented
+    * whitespace-normalization trade of [[removeDuplicateSpans]] for
+    * pipelines where formatting is signal (code, markup, poetry).
+    *
+    * Shape: one extra `regexp_extract_all` per doc captures the separator
+    * runs alongside the token array (both map-side, text still never
+    * shuffles — the removal frame stays narrow (doc_id, positions)), and
+    * the reconstruction is ONE ordered `aggregate` fold over
+    * (token, separator, kept) triples whose state is (text-so-far,
+    * previous-kept) — pure string algebra an external engine replays
+    * bit-for-bit (q228's oracle runs the same fold as `list_reduce`).
+    *
+    * @return (doc_id, n_tokens, n_removed, clean_text) */
+  def removeDuplicateSpansFaithful(
+      docs: DataFrame,
+      id: String,
+      text: String,
+      spanLen: Int = 20): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val tokd = docs.select(col(id).cast("long").as("doc_id"),
+      wsTokens(col(text)).as("__toks"),
+      // separator runs between tokens of the TRIMMED text: exactly
+      // |toks| - 1 entries by construction (split and extract_all see the
+      // same runs)
+      regexp_extract_all(trim(col(text)), lit("\\s+"), lit(0)).as("__seps"))
+      .persist()
+    tokd.count(): Unit // ONE tokenize pass feeds the span pass AND the rewrite
+    val occ = tokd.filter(size(col("__toks")) >= spanLen)
+      .select(col("doc_id"),
+        posexplode(wordShinglesFromTokens(col("__toks"), spanLen)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("span")), 1, 15), 16, 10).cast("long").as("sh"))
+    val dupWinners = occ.groupBy("sh")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("sh"), col("w"))
+    val removedPos = occ.join(dupWinners, Seq("sh"))
+      .filter(!(col("w.doc_id") === col("doc_id") && col("w.pos") === col("pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(spanLen - 1))).as("tp"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tp"))).as("rm_pos"))
+    // (token, separator-before, kept) triples in position order; the fold
+    // appends each kept token behind the ORIGINAL separator when its left
+    // neighbor was kept too, a single space across a cut, nothing at the
+    // front. State (s, pk) starts ("", false) — the same fold the oracle
+    // replays with list_prepend + list_reduce.
+    val elems = transform(col("__toks"), (tok, i) => struct(
+      tok.as("t"),
+      when(i === 0, lit("")).otherwise(element_at(col("__seps"), i)).as("sb"),
+      (!array_contains(col("__rm"), i)).as("k")))
+    val folded = aggregate(elems,
+      struct(lit("").as("s"), lit(false).as("pk")),
+      (acc, e) => struct(
+        when(e.getField("k"),
+          concat(acc.getField("s"),
+            when(acc.getField("s") === "", lit(""))
+              .otherwise(when(acc.getField("pk"), e.getField("sb"))
+                .otherwise(lit(" "))),
+            e.getField("t")))
+          .otherwise(acc.getField("s")).as("s"),
+        e.getField("k").as("pk")))
+    val out = tokd.join(removedPos, Seq("doc_id"), "left")
+      .withColumn("__rm", coalesce(col("rm_pos"), array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__rm")).cast("long").as("n_removed"),
+        folded.getField("s").as("clean_text"))
+    val result = out.localCheckpoint(eager = true)
+    tokd.unpersist(false): Unit
+    result
+  }
+
   /** Bootstrap the persisted SPAN index for
     * [[removeDuplicateSpansIncremental]]: the distinct spanLen-token
     * window hashes of the settled corpus — "content that has been seen".

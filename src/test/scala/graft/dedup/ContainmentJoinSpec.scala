@@ -140,6 +140,37 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(out2(1L) == (0L, w) && out2(2L) == (30L, ""), s"$out2")
   }
 
+  test("removeDuplicateSpansFaithful: original whitespace survives kept runs, single space at splices") {
+    val w = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 20).map(i => s"w$i").mkString(" ")
+    // doc 2's own prose carries tabs, a newline, and a double space — all
+    // must survive byte-for-byte because those tokens stay adjacent
+    val fancy = "alpha\tbeta\n\ngamma  delta"
+    val out = Dedup.removeDuplicateSpansFaithful(docs(
+        1L -> w,
+        2L -> s"$fancy $quote epsilon"), // quote cut from the middle
+      "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (30L, 0L, w), s"canonical doc byte-identical: ${out(1L)}")
+    // kept prefix keeps its tabs/newlines/double space; the cut splices
+    // prefix and suffix with ONE space
+    assert(out(2L) == (25L, 20L, s"$fancy epsilon"), s"got ${out(2L)}")
+    // parity with the normalized variant on single-spaced input
+    val a = Dedup.removeDuplicateSpans(docs(1L -> w, 2L -> s"intro $quote"),
+      "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val b = Dedup.removeDuplicateSpansFaithful(docs(1L -> w, 2L -> s"intro $quote"),
+      "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(a == b, "single-spaced corpora make the two variants coincide")
+    // whole-doc duplicate still empties: the fold returns ""
+    val out2 = Dedup.removeDuplicateSpansFaithful(docs(1L -> w, 2L -> w),
+      "doc_id", "text", spanLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out2(2L) == "", s"$out2")
+  }
+
   test("incremental span dedup: index hits, batch-internal canonical, cross-batch via fold-in") {
     val root = java.nio.file.Files.createTempDirectory("span_inc_").toString
     val idx = s"$root/idx"
