@@ -2926,6 +2926,29 @@ object QuerySuite {
         .orderBy("l_returnflag")
     }),
 
+    // ---- Z-ORDERED zone map (Delta's OPTIMIZE ZORDER BY composed from
+    //      the existing pieces): range-shard on the Morton interleave of
+    //      two uncorrelated keys with per-shard stats on BOTH — every
+    //      shard then owns a tight RECTANGLE in (partkey, suppkey) space,
+    //      so a 2-D box predicate prunes on both dimensions at once (a
+    //      single-key sort can only ever prune one). ZoneMapSpec gates the
+    //      pruning claim; the oracle sees the plain 2-predicate select ----
+    "q229_zonemap_zorder" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+        .withColumn("zkey", GraftFunctions.zOrderN(
+          Seq(col("l_partkey"), col("l_suppkey")), bits = 16))
+      val zm = aux(dir, "q229_zonemap")
+      ZoneMap.write(li, "zkey", zm, shards = 16,
+        statsCols = Seq("l_partkey", "l_suppkey"))
+      val (pk, sk) = (400L, 40L)
+      val (df, _, _) = ZoneMap.readRanges(s, zm, Seq(
+        ("l_partkey", 0L, pk), ("l_suppkey", 0L, sk)))
+      df.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .orderBy("l_suppkey")
+    }),
+
     // ---- ZONE-MAP bloom LIFECYCLE point lookup (the config-drift hazard
     //      e2e): the bloom is configured ONCE at write; append and compact
     //      derive it from the persisted meta — an append can never create
@@ -5682,6 +5705,15 @@ object QuerySuite {
         |  WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem))
         |SELECT * FROM (SELECT * FROM hit UNION ALL SELECT * FROM hit)
         |ORDER BY l_linenumber, l_quantity, l_shipdate""".stripMargin,
+
+    // the z-order layout is invisible to semantics: the plain 2-D box
+    "q229_zonemap_zorder" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey >= 0 AND l_partkey <= 400
+        |  AND l_suppkey >= 0 AND l_suppkey <= 40
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     // the plain range aggregate — shard maps are invisible to semantics
     "q221_zonemap_scan" ->

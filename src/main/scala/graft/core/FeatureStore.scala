@@ -559,11 +559,24 @@ final class FeatureStore(spark: SparkSession, root: String,
     * Option is the authoritative presence/absence of the key. Fields added
     * to the group after the snapshot was written serve as null. */
   private def servingKvGet(g: FeatureGroup, version: Long,
-      skey: String): Option[Option[Map[String, String]]] = {
+      skey: String): Option[Option[Map[String, String]]] =
+    servingKvScan(g, version, FeatureStore.keyBucketOf(skey), Set(skey))
+      .map(_(skey))
+
+  /** One scan of a bucket file answering a SET of keys (the batch face:
+    * many keys of the same bucket cost one file open). Returns None when
+    * the KV layout does not exist for this version (legacy snapshot);
+    * otherwise a verdict for EVERY target key — entries are sorted, so the
+    * scan early-exits past the largest target. */
+  private def servingKvScan(g: FeatureGroup, version: Long, bucket: Long,
+      targets: Set[String]): Option[Map[String, Option[Map[String, String]]]] = {
     val servingDir = onlineDir(g.name).resolve(s"v$version").resolve("_serving")
     if (!Files.exists(servingDir)) return None
-    val f = servingDir.resolve(s"bucket=${FeatureStore.keyBucketOf(skey)}.kv")
-    if (!Files.exists(f)) return Some(None) // layout present, bucket empty
+    val miss: Map[String, Option[Map[String, String]]] =
+      targets.map(_ -> (None: Option[Map[String, String]])).toMap
+    val f = servingDir.resolve(s"bucket=$bucket.kv")
+    if (!Files.exists(f)) return Some(miss) // layout present, bucket empty
+    val maxTarget = targets.max
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(f)))
     try {
@@ -571,17 +584,19 @@ final class FeatureStore(spark: SparkSession, root: String,
       val nFields = in.readInt()
       val fileNames = Array.fill(nFields)(FeatureStore.readKvStr(in))
       val nEntries = in.readInt()
+      var found = miss
       var i = 0
-      while (i < nEntries) {
+      var done = false
+      while (i < nEntries && !done) {
         val k = FeatureStore.readKvStr(in)
-        if (k == skey) {
+        if (targets.contains(k)) {
           val vals = fileNames.map { n =>
             n -> (if (in.readBoolean()) FeatureStore.readKvStr(in) else null)
           }.toMap
-          return Some(Some(
+          found = found.updated(k, Some(
             g.features.map(fd => fd.name -> vals.getOrElse(fd.name, null)).toMap))
-        } else if (k > skey) {
-          return Some(None) // sorted: the key cannot appear later
+        } else if (k > maxTarget) {
+          done = true // sorted: no target can appear later
         } else {
           var j = 0
           while (j < nFields) { // skip this entry's values
@@ -591,8 +606,48 @@ final class FeatureStore(spark: SparkSession, root: String,
         }
         i += 1
       }
-      Some(None)
+      Some(found)
     } finally in.close()
+  }
+
+  /** Multi-key point lookup — the managed feature stores' batch_get_record
+    * face: one answer per requested key (stringly wire format, None for
+    * absent keys). Cost model by path: cache hits are map lookups; the KV
+    * path opens ONE bucket file per distinct bucket the keys hash to (not
+    * one per key); legacy snapshots fall back to a SINGLE bucket-pruned
+    * Spark job over all requested keys (never a job per key). Duplicate
+    * keys collapse; answers are keyed by the key's string form. */
+  def batchGetRecords(groupName: String,
+      keys: Seq[Any]): Map[String, Option[Map[String, String]]] = {
+    val g = describeGroup(groupName)
+    val skeys = keys.map(String.valueOf(_)).distinct
+    if (skeys.isEmpty) return Map.empty
+    servingSnapshot(groupName) match {
+      case Some(m) =>
+        skeys.map(k => k -> m.get(k).map(renderWireRow(g, _))).toMap
+      case None =>
+        def jobPath(df: DataFrame): Map[String, Option[Map[String, String]]] = {
+          val hit = df.filter(col(g.keyCol).cast("string").isInCollection(skeys))
+            .collect()
+            .map(r => String.valueOf(r.get(r.fieldIndex(g.keyCol))) -> r).toMap
+          skeys.map(k => k -> hit.get(k).map(renderWireRow(g, _))).toMap
+        }
+        currentVersion(groupName) match {
+          case Some(v) =>
+            val byBucket = skeys.groupBy(FeatureStore.keyBucketOf)
+            val scanned = byBucket.map { case (b, ks) =>
+              servingKvScan(g, v, b, ks.toSet)
+            }
+            if (scanned.forall(_.isDefined))
+              scanned.flatMap(_.get).toMap
+            else // legacy snapshot without the KV layout: one pruned job
+              jobPath(currentSnapshotRaw(groupName).get
+                .filter(col(EngineColumns.KeyBucket)
+                  .isInCollection(byBucket.keys.toSeq))
+                .drop(EngineColumns.KeyBucket))
+          case None => jobPath(online(groupName))
+        }
+    }
   }
 
   /** [[getRecord]] with a STALENESS GATE — the managed feature stores'

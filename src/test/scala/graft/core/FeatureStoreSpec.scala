@@ -489,6 +489,41 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.lastIngestMetrics("tx").contains(IngestMetrics(1L, 0L, 0L)))
   }
 
+  test("batchGetRecords equals per-key getRecord on every path; KV path launches no jobs") {
+    val root = Files.createTempDirectory("fs_batch_").toString
+    val fs = new FeatureStore(spark, root, maxServingCacheRows = 3) // force over-cap
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L to 10L).map(i =>
+      (i, f"2024-01-01 10:00:$i%02d", i * 1.0, s"n$i")): _*))
+    val keys: Seq[Any] = Seq(1L, 5L, "7", 10L, 999L, 5L) // dup + miss + string form
+    val single = keys.map(k => String.valueOf(k) -> fs.getRecord("tx", k)).toMap
+    // KV path, zero Spark jobs for the whole batch
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val viaKv = try {
+      val r = fs.batchGetRecords("tx", keys)
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 0, "batch KV lookups must not launch Spark jobs")
+    assert(viaKv == single, s"batch must equal per-key answers: $viaKv")
+    assert(viaKv("999").isEmpty && viaKv("5").exists(_("amount") == "5.0"))
+    // cached path (fresh store, cap high enough): same answers
+    val cached = new FeatureStore(spark, root).batchGetRecords("tx", keys)
+    assert(cached == single, "cached path must agree")
+    // legacy path (KV layout removed): one pruned job, same answers
+    val servingDir = java.nio.file.Paths.get(root, "tx", "online", "v1", "_serving")
+    val walk = Files.walk(servingDir)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.delete(p))
+    finally walk.close()
+    assert(fs.batchGetRecords("tx", keys) == single, "legacy path must agree")
+  }
+
   test("optimistic pointer: exactly one of N racing CAS commits wins, losers throw") {
     val dir = Files.createTempDirectory("cas_")
     OptimisticPointer.casSwap(dir, "CURRENT", expected = None, next = "1")

@@ -142,6 +142,31 @@ class ZoneMapSpec extends SparkSpec {
       "replay with shifted range boundaries must leave no stale rows behind")
   }
 
+  test("z-order sharding prunes a 2-D box on both dimensions; single-key sharding cannot") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // full 64×64 grid — a and b are INDEPENDENT, so per-shard b-stats on an
+    // a-sorted layout are useless by construction
+    val grid = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+      .withColumn("zkey", GraftFunctions.zOrderN(Seq(col("a"), col("b")), bits = 6))
+    val zroot = Files.createTempDirectory("zm_z_").toString
+    ZoneMap.write(grid, "zkey", zroot, shards = 16, statsCols = Seq("a", "b"))
+    val sroot = Files.createTempDirectory("zm_s_").toString
+    ZoneMap.write(grid, "a", sroot, shards = 16, statsCols = Seq("a", "b"))
+    val box = Seq(("a", 0L, 15L), ("b", 0L, 15L)) // an aligned quadrant
+    val (zdf, zread, ztotal) = ZoneMap.readRanges(spark, zroot, box)
+    val (sdf, sread, _) = ZoneMap.readRanges(spark, sroot, box)
+    assert(zdf.count() == 256L && sdf.count() == 256L, "both layouts correct")
+    assert(ztotal == 16)
+    // the z-layout reads ~the box's share of shards; the a-sorted layout
+    // must read every shard overlapping a ∈ [0,15] (1/4 of the key space)
+    // because b spans the full range inside each of them
+    assert(zread <= 2, s"z-order box read must stay local: $zread")
+    assert(sread >= 4 && zread < sread,
+      s"single-key layout cannot prune the second dimension: z=$zread vs single=$sread")
+  }
+
   test("map is an optimization, not a correctness dependence: boundary rows survive") {
     import spark.implicits._
     val root = Files.createTempDirectory("zm_b_").toString
