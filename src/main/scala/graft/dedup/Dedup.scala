@@ -2184,6 +2184,33 @@ object Dedup {
     result
   }
 
+  /** The faithful-reconstruction projection shared by the batch and
+    * incremental rewrites: expects staged `__toks` (tokens), `__seps`
+    * (separator runs of the trimmed text — |toks|−1 entries) and `__rm`
+    * (sorted removed token positions). One ordered `aggregate` fold whose
+    * state is (text-so-far, previous-kept): each kept token appends behind
+    * the ORIGINAL separator when its left neighbor was kept too, a single
+    * space across a cut, nothing at the front. Pure string algebra — the
+    * q228 oracle replays it in closed window form. */
+  private def faithfulCleanText(): Column = {
+    val elems = transform(col("__toks"), (tok, i) => struct(
+      tok.as("t"),
+      when(i === 0, lit("")).otherwise(element_at(col("__seps"), i)).as("sb"),
+      (!array_contains(col("__rm"), i)).as("k")))
+    aggregate(elems,
+      struct(lit("").as("s"), lit(false).as("pk")),
+      (acc, e) => struct(
+        when(e.getField("k"),
+          concat(acc.getField("s"),
+            when(acc.getField("s") === "", lit(""))
+              .otherwise(when(acc.getField("pk"), e.getField("sb"))
+                .otherwise(lit(" "))),
+            e.getField("t")))
+          .otherwise(acc.getField("s")).as("s"),
+        e.getField("k").as("pk")))
+      .getField("s")
+  }
+
   /** [[removeDuplicateSpans]] with FAITHFUL reconstruction: identical
     * detection and removal rule (same windows, same canonical winner, same
     * covered-token expansion), but the surviving text preserves the
@@ -2234,32 +2261,12 @@ object Dedup {
       .distinct()
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("tp"))).as("rm_pos"))
-    // (token, separator-before, kept) triples in position order; the fold
-    // appends each kept token behind the ORIGINAL separator when its left
-    // neighbor was kept too, a single space across a cut, nothing at the
-    // front. State (s, pk) starts ("", false) — the same fold the oracle
-    // replays with list_prepend + list_reduce.
-    val elems = transform(col("__toks"), (tok, i) => struct(
-      tok.as("t"),
-      when(i === 0, lit("")).otherwise(element_at(col("__seps"), i)).as("sb"),
-      (!array_contains(col("__rm"), i)).as("k")))
-    val folded = aggregate(elems,
-      struct(lit("").as("s"), lit(false).as("pk")),
-      (acc, e) => struct(
-        when(e.getField("k"),
-          concat(acc.getField("s"),
-            when(acc.getField("s") === "", lit(""))
-              .otherwise(when(acc.getField("pk"), e.getField("sb"))
-                .otherwise(lit(" "))),
-            e.getField("t")))
-          .otherwise(acc.getField("s")).as("s"),
-        e.getField("k").as("pk")))
     val out = tokd.join(removedPos, Seq("doc_id"), "left")
       .withColumn("__rm", coalesce(col("rm_pos"), array().cast("array<int>")))
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
         size(col("__rm")).cast("long").as("n_removed"),
-        folded.getField("s").as("clean_text"))
+        faithfulCleanText().as("clean_text"))
     val result = out.localCheckpoint(eager = true)
     tokd.unpersist(false): Unit
     result
@@ -2298,10 +2305,14 @@ object Dedup {
       text: String,
       indexPath: String,
       batchId: String,
-      spanLen: Int = 20): DataFrame = {
+      spanLen: Int = 20,
+      faithful: Boolean = false): DataFrame = {
     val spark = newDf.sparkSession
     val tokd = newDf.select(col(id).cast("long").as("doc_id"),
-      wsTokens(col(text)).as("__toks")).persist()
+      wsTokens(col(text)).as("__toks"),
+      // separator runs ride along only when the faithful rewrite needs them
+      (if (faithful) regexp_extract_all(trim(col(text)), lit("\\s+"), lit(0))
+       else array().cast("array<string>")).as("__seps")).persist()
     tokd.count(): Unit
     val occ = tokd.filter(size(col("__toks")) >= spanLen)
       .select(col("doc_id"),
@@ -2336,7 +2347,9 @@ object Dedup {
       .select(col("doc_id"),
         size(col("__toks")).cast("long").as("n_tokens"),
         size(col("__rm")).cast("long").as("n_removed"),
-        array_join(filter(col("__toks"), (_, i) => !array_contains(col("__rm"), i)), " ")
+        (if (faithful) faithfulCleanText()
+         else array_join(
+           filter(col("__toks"), (_, i) => !array_contains(col("__rm"), i)), " "))
           .as("clean_text"))
 
     // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)

@@ -77,14 +77,15 @@ object StreamingSpanDedup {
       cleanedPath: String,
       checkpoint: String,
       spanLen: Int = 20,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      faithful: Boolean = false): StreamingQuery =
     docStream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Dedup.removeDuplicateSpansIncremental(batch, id, text, indexPath,
-              batchId = s"b$batchId", spanLen = spanLen)
+              batchId = s"b$batchId", spanLen = spanLen, faithful = faithful)
             .withColumn("batch", lit(s"b$batchId"))
             .write.partitionBy("batch")
             .option("partitionOverwriteMode", "dynamic")

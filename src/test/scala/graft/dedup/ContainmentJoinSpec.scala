@@ -171,6 +171,21 @@ class ContainmentJoinSpec extends SparkSpec {
     assert(out2(2L) == "", s"$out2")
   }
 
+  test("incremental span dedup faithful mode: index-hit cut preserves the batch doc's formatting") {
+    val root = java.nio.file.Files.createTempDirectory("span_inc_f_").toString
+    val idx = s"$root/idx"
+    val w = (1 to 25).map(i => s"w$i").mkString(" ")
+    Dedup.buildSpanIndex(docs(1L -> w), "doc_id", "text", idx, spanLen = 20)
+    val quote = (1 to 20).map(i => s"w$i").mkString(" ")
+    val fancy = "alpha\tbeta\n\ngamma  delta"
+    val out = Dedup.removeDuplicateSpansIncremental(
+        docs(10L -> s"$fancy $quote"), "doc_id", "text", idx, "b1",
+        spanLen = 20, faithful = true)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(10L) == (20L, fancy),
+      s"index-quoted window cut, surviving formatting intact: ${out(10L)}")
+  }
+
   test("incremental span dedup: index hits, batch-internal canonical, cross-batch via fold-in") {
     val root = java.nio.file.Files.createTempDirectory("span_inc_").toString
     val idx = s"$root/idx"
