@@ -518,38 +518,66 @@ final class FeatureStore(spark: SparkSession, root: String,
     val servingPath = servingDir.toString
     // re-read the just-written staged parquet (no recompute of `latest`),
     // re-clustered by bucket so one task owns each bucket's file outright
-    // (a large bucket's parquet could otherwise split across two tasks)
+    // (a large bucket's parquet could otherwise split across two tasks) and
+    // SORTED (bucket, key) so the writer is a pure STREAMING pass — one row
+    // in memory at a time, never a per-partition materialization (a
+    // billion-key snapshot puts ~n/64 rows in each bucket; Spark's
+    // spill-capable sort does the ordering, the task heap holds none of it)
     spark.read.parquet(versionDir.toString)
+      .withColumn("__skey", col(keyCol).cast("string"))
       .repartition(FeatureStore.OnlineKeyBuckets.toInt, col(EngineColumns.KeyBucket))
+      .sortWithinPartitions(col(EngineColumns.KeyBucket), col("__skey"))
       .foreachPartition { (it: Iterator[Row]) =>
-        // null keys bucket to null (crc32(null) is null) — they land in a
-        // designated -1 file; no key-addressed lookup can reach them anyway
-        it.toSeq.groupBy(r =>
-          Option(r.get(r.fieldIndex(EngineColumns.KeyBucket)))
-            .map(_.asInstanceOf[Number].longValue).getOrElse(-1L))
-          .foreach { case (b, rows) =>
-            val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-              Files.newOutputStream(Paths.get(servingPath, s"bucket=$b.kv"))))
-            try {
-              out.writeInt(0x474B5631) // "GKV1"
-              out.writeInt(names.size)
-              names.foreach(n => FeatureStore.writeKvStr(out, n))
-              val sorted = rows
-                .map(r => String.valueOf(r.get(r.fieldIndex(keyCol))) -> r)
-                .sortBy(_._1)
-              out.writeInt(sorted.size)
-              sorted.foreach { case (k, r) =>
-                FeatureStore.writeKvStr(out, k)
-                names.foreach { n =>
-                  val raw = if (r.schema != null && r.schema.fieldNames.contains(n))
-                    r.get(r.fieldIndex(n)) else null
-                  val v = FeatureStore.renderWireValue(raw)
-                  if (v == null) out.writeBoolean(false)
-                  else { out.writeBoolean(true); FeatureStore.writeKvStr(out, v) }
-                }
-              }
-            } finally out.close()
+        var curBucket = Long.MinValue
+        var out: java.io.DataOutputStream = null
+        var ch: java.nio.channels.SeekableByteChannel = null
+        var countPos = 0L
+        var count = 0
+        def patchCountAndClose(): Unit = if (out != null) {
+          out.flush()
+          // back-patch the entry count written as a placeholder in the
+          // header (the stream never buffered the bucket's rows to count
+          // them up front)
+          val bb = java.nio.ByteBuffer.allocate(4).putInt(count)
+          bb.flip()
+          ch.position(countPos)
+          ch.write(bb): Unit
+          ch.close()
+          out = null; ch = null
+        }
+        it.foreach { r =>
+          // null keys bucket to null (crc32(null) is null) — they land in a
+          // designated -1 file; no key-addressed lookup can reach them anyway
+          val b = Option(r.get(r.fieldIndex(EngineColumns.KeyBucket)))
+            .map(_.asInstanceOf[Number].longValue).getOrElse(-1L)
+          if (b != curBucket || out == null) {
+            patchCountAndClose()
+            curBucket = b
+            count = 0
+            ch = Files.newByteChannel(Paths.get(servingPath, s"bucket=$b.kv"),
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+            out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              java.nio.channels.Channels.newOutputStream(ch)))
+            out.writeInt(0x474B5631) // "GKV1"
+            out.writeInt(names.size)
+            names.foreach(n => FeatureStore.writeKvStr(out, n))
+            out.flush() // header lands before we record the count offset
+            countPos = ch.position()
+            out.writeInt(0) // placeholder, back-patched on bucket close
           }
+          FeatureStore.writeKvStr(out, String.valueOf(r.get(r.fieldIndex("__skey"))))
+          names.foreach { n =>
+            val raw = if (r.schema != null && r.schema.fieldNames.contains(n))
+              r.get(r.fieldIndex(n)) else null
+            val v = FeatureStore.renderWireValue(raw)
+            if (v == null) out.writeBoolean(false)
+            else { out.writeBoolean(true); FeatureStore.writeKvStr(out, v) }
+          }
+          count += 1
+        }
+        patchCountAndClose()
       }
   }
 
@@ -576,7 +604,10 @@ final class FeatureStore(spark: SparkSession, root: String,
       targets.map(_ -> (None: Option[Map[String, String]])).toMap
     val f = servingDir.resolve(s"bucket=$bucket.kv")
     if (!Files.exists(f)) return Some(miss) // layout present, bucket empty
-    val maxTarget = targets.max
+    // entries are sorted in Spark's UTF-8 BINARY order (sortWithinPartitions
+    // on the string key); the early-exit must compare the same way — Java's
+    // UTF-16 compareTo diverges for supplementary characters
+    val maxTarget = targets.max(FeatureStore.Utf8Ordering)
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(f)))
     try {
@@ -595,8 +626,8 @@ final class FeatureStore(spark: SparkSession, root: String,
           }.toMap
           found = found.updated(k, Some(
             g.features.map(fd => fd.name -> vals.getOrElse(fd.name, null)).toMap))
-        } else if (k > maxTarget) {
-          done = true // sorted: no target can appear later
+        } else if (FeatureStore.Utf8Ordering.compare(k, maxTarget) > 0) {
+          done = true // sorted (UTF-8 binary): no target can appear later
         } else {
           var j = 0
           while (j < nFields) { // skip this entry's values
@@ -958,6 +989,24 @@ object FeatureStore {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.writeInt(b.length)
     out.write(b)
+  }
+
+  /** UTF-8 byte-wise string order — what Spark's UTF8String sort (and
+    * therefore the serving KV files' entry order) uses; Java's native
+    * UTF-16 compareTo diverges for supplementary characters. */
+  private[core] val Utf8Ordering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
   }
 
   private[core] def readKvStr(in: java.io.DataInputStream): String = {
