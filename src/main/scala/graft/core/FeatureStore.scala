@@ -33,9 +33,12 @@ import graft.operators.LatestPerKey
   * real_time_inference.py:16-19): exactly one current record per entity key;
   * an ingest with a newer event_time replaces the visible record. We maintain
   * it as a materialized latest-per-key snapshot, swapped atomically by writing
-  * v<N+1> and then flipping the LATEST pointer — a crash mid-swap leaves the
-  * old snapshot active (SURVEY.md §7 risk 5). Single-writer assumption (no
-  * Delta/Iceberg jars in this environment; documented substitution).
+  * a staged v<N+1> and then flipping the LATEST pointer — a crash mid-swap
+  * leaves the old snapshot active (SURVEY.md §7 risk 5). Writer safety
+  * without Delta/Iceberg (documented substitution): every pointer commit is
+  * a COMPARE-AND-SWAP against the version the rewrite derived from
+  * ([[OptimisticPointer]]) — concurrent writers cannot silently clobber
+  * each other; the loser fails loudly.
   */
 /** @param maxServingCacheRows upper bound on the DRIVER-side serving cache:
   *   a snapshot with more entity keys than this is never collected — lookups
