@@ -186,7 +186,13 @@ object ZoneMap {
     * first — a replay whose range boundaries shifted leaves nothing
     * behind), and its map/bloom rows supersede their own `batch=b<id>`
     * generation instead of appending a duplicate one — effectively-once,
-    * the `batch=` discipline every other streaming op here uses. */
+    * the `batch=` discipline every other streaming op here uses.
+    *
+    * ONE stream per table: batch ids are the id-space coordinate, so two
+    * concurrent streams would collide on them (the single-writer contract
+    * every streaming index here shares); `shardsPerBatch` must also stay
+    * fixed for a checkpoint's lifetime — changing it re-bases the id
+    * arithmetic under ids the old generations already own. */
   def appendBatch(df: DataFrame, path: String, shardsPerBatch: Int,
       batchId: Long): Unit = {
     require(shardsPerBatch >= 1, s"shardsPerBatch must be >= 1, got $shardsPerBatch")
