@@ -1394,10 +1394,17 @@ object Dedup {
     * Past this many bytes, assignment falls back to a JOIN against the
     * centroid frame (same argmin, same tie-break, bit-identical — specs
     * assert it) whose cost lives in the data plane instead of the plan.
-    * Env-overridable for operational tuning. */
-  private[graft] val CodebookLiteralMaxBytes: Long =
-    sys.env.get("SPARK_GRAFT_CODEBOOK_LITERAL_MAX_BYTES").map(_.toLong)
-      .getOrElse(32L << 20)
+    * Env-overridable for operational tuning. Parsed defensively — and
+    * LAZILY, so a malformed value fails at the first assignment-path use
+    * with a message naming the env var, never as an opaque
+    * ExceptionInInitializerError taking down unrelated Dedup queries. */
+  private[graft] lazy val CodebookLiteralMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_CODEBOOK_LITERAL_MAX_BYTES") match {
+      case Some(s) => s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CODEBOOK_LITERAL_MAX_BYTES must be a plain byte count " +
+          s"(e.g. 33554432), got '$s'"))
+      case None => 32L << 20
+    }
 
   /** Estimated codebook bytes of a centroid frame: k · dim · 8 — one tiny
     * aggregate over a ≤k-row frame, never a collect. */

@@ -663,11 +663,13 @@ object Multimodal {
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val moviChunks = frames.map(f => chunk("00dc", f))
     val movi = list("movi", moviChunks.flatten.toArray)
-    // idx1: offsets are relative to the 'movi' fourcc position + 4
+    // idx1: offsets are relative to the 'movi' fourcc position + 4; sizes
+    // are each frame's ORIGINAL payload length (chunk() pads odd payloads,
+    // so deriving from the padded chunk would overstate odd frames by one —
+    // external index-seeking AVI readers would include the pad byte)
     var off = 4
-    val idxEntries = moviChunks.map { c =>
-      val e = cc("00dc") ++ le32(0x10) ++ le32(off) ++
-        le32(c.length - 8 - (c.length % 2)) // unpadded payload length
+    val idxEntries = moviChunks.zip(frames).map { case (c, f) =>
+      val e = cc("00dc") ++ le32(0x10) ++ le32(off) ++ le32(f.length)
       off += c.length
       e
     }

@@ -1,8 +1,11 @@
 package graft.sources
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.OptimisticPointer
 import graft.operators.Bloom
 
 /** Zone-map data skipping — the read-side half of the parquet+manifest
@@ -29,17 +32,33 @@ import graft.operators.Bloom
   * never a correctness dependence (a shard's stats BOUND its contents).
   *
   * TABLE CONFIGURATION IS PERSISTED: [[write]] records (key, statsCols,
-  * bloomCol, bloomK, bloomM) at `path/meta`, and [[append]] /
+  * bloomCol, bloomK, bloomM) at `<version>/meta`, and [[append]] /
   * [[appendBatch]] / [[compact]] / [[readPoint]] DERIVE it instead of
   * re-taking it as parameters — an append can therefore never silently
-  * skip the bloom (creating shards a point lookup would wrongly prune)
-  * and a compaction can never leave a stale bloom behind with reused
-  * shard ids (the one-sided never-skip guarantee depends on both).
+  * skip the bloom (creating shards a point lookup would wrongly prune).
   *
-  * Layout: `data/__shard=*` (parquet partitions — the pruning unit),
-  * `zonemap/batch=*` and `bloom/batch=*` (per-generation map/bit rows —
-  * the batch partition is what lets a replayed streaming generation
-  * SUPERSEDE itself via dynamic partition overwrite), `meta` (one row).
+  * FULL REWRITES ARE VERSIONED AND CAS-COMMITTED: [[write]] (and therefore
+  * [[compact]], which reuses shard ids) stages data+zonemap+bloom+meta into
+  * a private `_staging_*` directory and promotes it as `v<N+1>` with ONE
+  * [[OptimisticPointer.casSwap]] of the `CURRENT` pointer — a crash at any
+  * point leaves the old version fully consistent (stats, bloom, and data
+  * can never drift apart under reused shard ids), and two racing rewrites
+  * cannot silently clobber each other (the loser fails loudly). Appends
+  * mutate IN PLACE inside the current version (they allocate fresh shard
+  * ids, never rewrite existing files) in the order data → bloom → zonemap:
+  * the zonemap generation doubles as both the COMMIT RECORD and the shard-
+  * id ALLOCATOR, so a crashed append leaves either invisible orphans or a
+  * partial generation the retry overwrites on the same ids — never a shard
+  * a reader would wrongly prune. Single writer, quiet readers during
+  * maintenance (the documented no-Delta substitution contract); superseded
+  * versions are GC'd by the next rewrite's commit.
+  *
+  * Layout: `<path>/CURRENT` (version pointer; absent ⇒ pre-versioning flat
+  * layout at `<path>/` itself), `<path>/v<N>/data/__shard=*` (parquet
+  * partitions — the pruning unit), `…/zonemap/batch=*` and `…/bloom/batch=*`
+  * (per-generation map/bit rows — the batch partition is what lets a
+  * replayed streaming generation SUPERSEDE itself via dynamic partition
+  * overwrite), `…/meta` (one row).
   */
 object ZoneMap {
 
@@ -51,27 +70,41 @@ object ZoneMap {
   private case class Meta(key: String, statsCols: Seq[String],
       bloomCol: Option[String], bloomK: Int, bloomM: Long)
 
-  private def writeMeta(spark: SparkSession, path: String, m: Meta): Unit = {
+  private def currentVersion(path: String): Option[Long] = {
+    val p = Paths.get(path, "CURRENT")
+    if (Files.exists(p))
+      Some(new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  /** The table's ACTIVE root: `v<CURRENT>` under the versioned layout, the
+    * path itself for pre-versioning tables. Readers resolve it ONCE per
+    * call so one read is internally consistent against one version. */
+  private[graft] def tableRoot(path: String): String =
+    currentVersion(path).map(v => s"$path/v$v").getOrElse(path)
+
+  private def writeMeta(spark: SparkSession, root: String, m: Meta): Unit = {
     import spark.implicits._
     Seq((m.key, m.statsCols, m.bloomCol, m.bloomK, m.bloomM))
       .toDF("key", "stats_cols", "bloom_col", "bloom_k", "bloom_m")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/meta")),
-      s"zone-mapped table at '$path' has no meta — was it written by ZoneMap.write?")
-    val r = spark.read.parquet(s"$path/meta").first()
+  private def readMeta(spark: SparkSession, root: String): Meta = {
+    require(Files.exists(Paths.get(s"$root/meta")),
+      s"zone-mapped table at '$root' has no meta — was it written by ZoneMap.write?")
+    val r = spark.read.parquet(s"$root/meta").first()
     Meta(r.getAs[String]("key"), r.getSeq[String](r.fieldIndex("stats_cols")),
       Option(r.getAs[String]("bloom_col")), r.getAs[Int]("bloom_k"),
       r.getAs[Long]("bloom_m"))
   }
 
   private def deleteDir(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
+        .forEach(f => Files.delete(f))
       finally walk.close()
     }
 
@@ -89,12 +122,16 @@ object ZoneMap {
           Bloom.bitPos(col(c), i, bloomM)): _*)).as("pos"))
       .distinct()
 
-  /** Write `df` range-sharded on `key` under `path/data/__shard=*`, the
-    * min/max map for `key` and `statsCols` at `path/zonemap`, per-shard
-    * Bloom bit tables at `path/bloom` (when `bloomCol` is set), and the
-    * table configuration at `path/meta`. A rewrite with `bloomCol = None`
-    * also REMOVES any prior bloom directory — data and bloom can never
-    * drift apart under reused shard ids. */
+  /** Write `df` range-sharded on `key` as a NEW table version: data under
+    * `v<N+1>/data/__shard=*`, the min/max map for `key` and `statsCols` at
+    * `…/zonemap`, per-shard Bloom bit tables at `…/bloom` (when `bloomCol`
+    * is set), and the table configuration at `…/meta` — staged privately
+    * and committed by ONE compare-and-swap of the `CURRENT` pointer, so a
+    * crash mid-rewrite leaves the previous version fully consistent and a
+    * rewrite with `bloomCol = None` atomically retires any prior bloom
+    * (data and bloom can never drift apart under reused shard ids).
+    * Superseded versions (and a pre-versioning flat layout) are GC'd after
+    * the flip. */
   def write(df: DataFrame, key: String, path: String, shards: Int,
       statsCols: Seq[String] = Nil,
       bloomCol: Option[String] = None,
@@ -102,33 +139,48 @@ object ZoneMap {
     require(shards >= 1 && shards < StreamBase,
       s"shards must be in [1, $StreamBase), got $shards")
     val spark = df.sparkSession
+    val expected = currentVersion(path) // the version this rewrite derives from
+    val next = expected.getOrElse(0L) + 1
+    Files.createDirectories(Paths.get(path))
+    val finalDir = Paths.get(path, s"v$next")
+    val staging = OptimisticPointer.stagingFor(finalDir)
     val sharded = df.repartitionByRange(shards, col(key))
       .withColumn("__shard", spark_partition_id())
       .persist()
     sharded.count(): Unit // one range shuffle feeds the data AND the maps
     sharded.write.partitionBy("__shard")
       .option("partitionOverwriteMode", "static")
-      .mode("overwrite").parquet(s"$path/data")
+      .mode("overwrite").parquet(s"$staging/data")
     val (s0, sN) = statsAgg(key, statsCols)
     sharded.groupBy("__shard").agg(s0, sN: _*)
       .withColumn("batch", lit("base"))
       .coalesce(1)
       .write.partitionBy("batch")
       .option("partitionOverwriteMode", "static")
-      .mode("overwrite").parquet(s"$path/zonemap")
-    bloomCol match {
-      case Some(c) =>
-        // per-shard set-bit tables — mergeable, portable, ≤ m rows each
-        bloomBits(sharded, c, bloomK, bloomM)
-          .withColumn("batch", lit("base"))
-          .write.partitionBy("batch")
-          .option("partitionOverwriteMode", "static")
-          .mode("overwrite").parquet(s"$path/bloom")
-      case None =>
-        deleteDir(java.nio.file.Paths.get(s"$path/bloom"))
+      .mode("overwrite").parquet(s"$staging/zonemap")
+    bloomCol.foreach { c =>
+      // per-shard set-bit tables — mergeable, portable, ≤ m rows each
+      bloomBits(sharded, c, bloomK, bloomM)
+        .withColumn("batch", lit("base"))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "static")
+        .mode("overwrite").parquet(s"$staging/bloom")
     }
-    writeMeta(spark, path, Meta(key, statsCols, bloomCol, bloomK, bloomM))
+    writeMeta(spark, staging.toString, Meta(key, statsCols, bloomCol, bloomK, bloomM))
     sharded.unpersist(false): Unit
+    // commit: promote the staged version and flip CURRENT in one critical
+    // section; a racing rewrite that already advanced the pointer makes
+    // this one fail loudly instead of silently superseding its rows
+    try OptimisticPointer.casSwap(Paths.get(path), "CURRENT",
+      expected = expected.map(_.toString), next = next.toString,
+      stage = Some(staging -> finalDir))
+    finally deleteDir(staging) // loser cleans its own staging
+    // GC superseded versions + any pre-versioning flat layout (post-flip;
+    // quiet-reader contract — best-effort, a crash here leaves orphans the
+    // next rewrite's GC collects)
+    (1L until next).foreach(v => deleteDir(Paths.get(path, s"v$v")))
+    Seq("data", "zonemap", "bloom", "meta").foreach(d =>
+      deleteDir(Paths.get(path, d)))
   }
 
   /** Append a new batch: the batch is range-sharded AMONG ITSELF into
@@ -138,15 +190,19 @@ object ZoneMap {
     * existing ones under a fresh `batch=a<offset>` generation. The
     * sharding key, stats columns, and bloom configuration come from the
     * table's persisted meta — an append can never create shards the
-    * readers would mis-prune. Appended shards overlap the old key ranges,
-    * so range reads now touch old+new shards for the same window — the
-    * documented drift that [[compact]] repairs by re-sharding the whole
-    * table back to disjoint ranges. */
+    * readers would mis-prune. Write order is data → bloom → zonemap: the
+    * zonemap generation is both the commit record and the id allocator,
+    * so a crashed append's retry re-derives the SAME offset and its
+    * dynamic overwrites replace the partial attempt in place. Appended
+    * shards overlap the old key ranges, so range reads now touch old+new
+    * shards for the same window — the documented drift that [[compact]]
+    * repairs by re-sharding the whole table back to disjoint ranges. */
   def append(df: DataFrame, path: String, shards: Int): Unit = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
-    val meta = readMeta(spark, path)
-    val maxBase = spark.read.parquet(s"$path/zonemap")
+    val root = tableRoot(path)
+    val meta = readMeta(spark, root)
+    val maxBase = spark.read.parquet(s"$root/zonemap")
       .filter(col("__shard") < StreamBase)
       .agg(max(col("__shard"))).first()
     val offset = if (maxBase.isNullAt(0)) 0 else maxBase.getInt(0) + 1
@@ -159,21 +215,21 @@ object ZoneMap {
     sharded.count(): Unit
     sharded.write.partitionBy("__shard")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/data")
+      .mode("overwrite").parquet(s"$root/data")
+    meta.bloomCol.foreach { c =>
+      bloomBits(sharded, c, meta.bloomK, meta.bloomM)
+        .withColumn("batch", lit(s"a$offset"))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$root/bloom")
+    }
     val (s0, sN) = statsAgg(meta.key, meta.statsCols)
     sharded.groupBy("__shard").agg(s0, sN: _*)
       .withColumn("batch", lit(s"a$offset"))
       .coalesce(1)
       .write.partitionBy("batch")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/zonemap")
-    meta.bloomCol.foreach { c =>
-      bloomBits(sharded, c, meta.bloomK, meta.bloomM)
-        .withColumn("batch", lit(s"a$offset"))
-        .write.partitionBy("batch")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(s"$path/bloom")
-    }
+      .mode("overwrite").parquet(s"$root/zonemap")
     sharded.unpersist(false): Unit
   }
 
@@ -186,7 +242,8 @@ object ZoneMap {
     * first — a replay whose range boundaries shifted leaves nothing
     * behind), and its map/bloom rows supersede their own `batch=b<id>`
     * generation instead of appending a duplicate one — effectively-once,
-    * the `batch=` discipline every other streaming op here uses.
+    * the `batch=` discipline every other streaming op here uses. Write
+    * order is data → bloom → zonemap ([[append]]'s crash rule).
     *
     * ONE stream per table: batch ids are the id-space coordinate, so two
     * concurrent streams would collide on them (the single-writer contract
@@ -202,7 +259,8 @@ object ZoneMap {
       s"batchId $batchId × shardsPerBatch $shardsPerBatch overflows the shard-id space")
     val offset = offsetL.toInt
     val spark = df.sparkSession
-    val meta = readMeta(spark, path)
+    val root = tableRoot(path)
+    val meta = readMeta(spark, root)
     val sharded = df.repartitionByRange(shardsPerBatch, col(meta.key))
       .withColumn("__shard", spark_partition_id() + lit(offset))
       .persist()
@@ -212,39 +270,39 @@ object ZoneMap {
     // boundaries shifted and left some shard of the prior attempt empty,
     // its stale rows would otherwise survive
     (offset until offset + shardsPerBatch).foreach(i =>
-      deleteDir(java.nio.file.Paths.get(s"$path/data/__shard=$i")))
+      deleteDir(Paths.get(s"$root/data/__shard=$i")))
     sharded.write.partitionBy("__shard")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/data")
+      .mode("overwrite").parquet(s"$root/data")
+    meta.bloomCol.foreach { c =>
+      bloomBits(sharded, c, meta.bloomK, meta.bloomM)
+        .withColumn("batch", lit(s"b$batchId"))
+        .write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$root/bloom")
+    }
     val (s0, sN) = statsAgg(meta.key, meta.statsCols)
     sharded.groupBy("__shard").agg(s0, sN: _*)
       .withColumn("batch", lit(s"b$batchId"))
       .coalesce(1)
       .write.partitionBy("batch")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/zonemap")
-    meta.bloomCol.foreach { c =>
-      bloomBits(sharded, c, meta.bloomK, meta.bloomM)
-        .withColumn("batch", lit(s"b$batchId"))
-        .write.partitionBy("batch")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite").parquet(s"$path/bloom")
-    }
+      .mode("overwrite").parquet(s"$root/zonemap")
     sharded.unpersist(false): Unit
   }
 
   /** Re-shard the whole table back to disjoint key ranges (append drift
     * repair): one full read + [[write]] under the PERSISTED configuration
     * — key, stats columns, and bloom all come from meta, so a compaction
-    * can never drop the bloom or leave a stale one behind while data
-    * re-shards reuse the same ids. The table format's OPTIMIZE. */
+    * can never drop the bloom or mis-prune against stale bits. The table
+    * format's OPTIMIZE. Crash-atomic for free: the rewrite lands in a new
+    * staged version and commits by [[write]]'s pointer CAS — the source
+    * files are never touched in place (no lineage cut needed; the old
+    * version is GC'd only after the new one is fully committed). */
   def compact(spark: SparkSession, path: String, shards: Int): Unit = {
-    val meta = readMeta(spark, path)
-    // eager local checkpoint, not persist: a cache-evicted partition would
-    // recompute FROM THE FILES THE REWRITE REPLACES — the checkpoint severs
-    // lineage so that can never happen
-    val all = spark.read.parquet(s"$path/data").drop("__shard")
-      .localCheckpoint(eager = true)
+    val root = tableRoot(path)
+    val meta = readMeta(spark, root)
+    val all = spark.read.parquet(s"$root/data").drop("__shard")
     write(all, meta.key, path, shards, meta.statsCols, meta.bloomCol,
       meta.bloomK, meta.bloomM)
   }
@@ -255,7 +313,8 @@ object ZoneMap {
   def readRanges(spark: SparkSession, path: String,
       ranges: Seq[(String, Any, Any)]): (DataFrame, Int, Int) = {
     require(ranges.nonEmpty, "need at least one range predicate")
-    val zmap = spark.read.parquet(s"$path/zonemap")
+    val root = tableRoot(path) // resolve ONCE: one read, one version
+    val zmap = spark.read.parquet(s"$root/zonemap")
     ranges.foreach { case (c, _, _) =>
       require(zmap.columns.contains(s"lo_$c"),
         s"no per-shard stats recorded for column '$c'") }
@@ -268,7 +327,7 @@ object ZoneMap {
     val residual = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    val pruned = spark.read.parquet(s"$path/data")
+    val pruned = spark.read.parquet(s"$root/data")
       .filter(col("__shard").isInCollection(survivors)) // partition pruning
       .filter(residual)
       .drop("__shard")
@@ -290,21 +349,22 @@ object ZoneMap {
     * algebra the build used. */
   def readPoint(spark: SparkSession, path: String,
       value: Any): (DataFrame, Int, Int) = {
-    val meta = readMeta(spark, path)
+    val root = tableRoot(path) // resolve ONCE: one read, one version
+    val meta = readMeta(spark, root)
     val bloomCol = meta.bloomCol.getOrElse(throw new IllegalArgumentException(
       s"zone-mapped table at '$path' has no bloom column configured — " +
         "write it with bloomCol = Some(...) to serve point lookups"))
-    val total = spark.read.parquet(s"$path/zonemap").count().toInt
+    val total = spark.read.parquet(s"$root/zonemap").count().toInt
     val positions = spark.range(1).select(
         array((1 to meta.bloomK).map(i =>
           Bloom.bitPos(lit(value), i, meta.bloomM)): _*).as("ps"))
       .first().getSeq[Long](0).distinct
-    val survivors = spark.read.parquet(s"$path/bloom")
+    val survivors = spark.read.parquet(s"$root/bloom")
       .filter(col("pos").isInCollection(positions))
       .groupBy(col("__shard")).agg(countDistinct(col("pos")).as("n"))
       .filter(col("n") === positions.size)
       .select(col("__shard")).collect().map(_.getInt(0)).toSeq
-    val pruned = spark.read.parquet(s"$path/data")
+    val pruned = spark.read.parquet(s"$root/data")
       .filter(col("__shard").isInCollection(survivors)) // partition pruning
       .filter(col(bloomCol) === lit(value))              // residual
       .drop("__shard")

@@ -28,14 +28,26 @@ object GraftBridge {
       expressions.UserDefinedAggregator(agg, inputEnc), children)
       .toAggregateExpression()
 
-  /** Release the block-manager storage behind a `localCheckpoint`ed frame.
-    * `Dataset.unpersist` only covers `cache()`/`persist()`; a local checkpoint
-    * pins its materialized RDD until the session dies — in a long session
-    * running many queries (Verify/Bench run 50+) those blocks accumulate.
-    * Digs the checkpointed RDD out of the LogicalRDD leaf and unpersists it;
-    * a no-op for frames that are not checkpoint leaves. */
+  /** Release the storage behind a checkpointed frame once no later iterate
+    * references it. `Dataset.unpersist` only covers `cache()`/`persist()`;
+    * a local checkpoint pins its materialized RDD until the session dies —
+    * in a long session running many queries (Verify/Bench run 50+) those
+    * blocks accumulate. Digs the checkpointed RDD out of the LogicalRDD
+    * leaf and unpersists it; for a RELIABLE checkpoint the files are also
+    * deleted (Spark never removes them on its own unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on, and even
+    * then only at GC time) — otherwise a 60-iteration pagerank accumulates
+    * one full copy of the frame per iteration on the checkpoint filesystem
+    * (the PeriodicCheckpointer deletion pattern). A no-op for frames that
+    * are not checkpoint leaves. */
   def releaseCheckpoint(df: Dataset[_]): Unit = df.queryExecution.analyzed match {
-    case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false): Unit
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true): Unit
+      }
+      l.rdd.unpersist(false): Unit
     case _ => ()
   }
 }

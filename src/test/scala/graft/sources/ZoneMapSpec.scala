@@ -106,11 +106,12 @@ class ZoneMapSpec extends SparkSpec {
     assert(out2.select("k").as[Long].collect().sorted.toSeq == expect,
       "post-compaction point lookup must see every holding row")
     assert(total2 == 7 && read2 < 7, s"compacted bloom still prunes: $read2/$total2")
-    // a rewrite WITHOUT a bloom column removes the stale bloom dir and
-    // point lookups fail loudly instead of pruning against stale bits
+    // a rewrite WITHOUT a bloom column retires the bloom with the old
+    // version (the staged-version commit can never leave stale bits under
+    // reused shard ids) and point lookups fail loudly
     ZoneMap.write(mk(1 to 100), "k", root, shards = 3)
-    assert(!Files.exists(java.nio.file.Paths.get(s"$root/bloom")),
-      "rewrite without bloomCol must remove the stale bloom directory")
+    assert(!Files.exists(java.nio.file.Paths.get(s"${ZoneMap.tableRoot(root)}/bloom")),
+      "rewrite without bloomCol must not carry a bloom into the new version")
     intercept[IllegalArgumentException] {
       ZoneMap.readPoint(spark, root, target)
     }
@@ -165,6 +166,23 @@ class ZoneMapSpec extends SparkSpec {
     assert(zread <= 2, s"z-order box read must stay local: $zread")
     assert(sread >= 4 && zread < sread,
       s"single-key layout cannot prune the second dimension: z=$zread vs single=$sread")
+  }
+
+  test("rewrites are CAS-versioned: one v<N> dir survives, reads resolve the pointer") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("zm_ver_").toString
+    ZoneMap.write((1L to 100L).toDF("k"), "k", root, shards = 2)
+    assert(Files.exists(java.nio.file.Paths.get(root, "CURRENT")),
+      "write must commit through the CURRENT pointer")
+    ZoneMap.append((101L to 200L).toDF("k"), root, shards = 2)
+    ZoneMap.compact(spark, root, shards = 4)
+    val vdirs = Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.matches("v\\d+")).toSeq.sorted
+    assert(vdirs == Seq("v2"), s"superseded versions must be GC'd, got $vdirs")
+    val (out, _, total) = ZoneMap.readRange(spark, root, "k", 1L, 200L)
+    assert(out.count() == 200L && total == 4,
+      "post-compaction reads resolve through the pointer to the new version")
   }
 
   test("map is an optimization, not a correctness dependence: boundary rows survive") {
