@@ -26,8 +26,8 @@ object OptimisticPointer {
   private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomically: verify `pointer` currently reads `expected` (None =
-    * absent), optionally promote a STAGED version directory to its final
-    * name, then write `next`. Throws ConcurrentModificationException on
+    * absent), optionally promote STAGED version directories to their final
+    * names, then write `next`. Throws ConcurrentModificationException on
     * mismatch — the caller's rewrite derived from a superseded version.
     *
     * `stage` is why the CAS alone is not enough: two racing writers both
@@ -41,9 +41,19 @@ object OptimisticPointer {
     * ever touches the final name. A final dir already present at
     * promotion time is debris from a CRASHED attempt at this same version
     * (a committed one would have moved the pointer and failed the check)
-    * and is replaced. */
+    * and is replaced.
+    *
+    * MULTI-TABLE FAMILIES pass `stages` with one (staging → final) pair per
+    * table: every table's promotion happens under the ONE pointer's
+    * critical section, so readers resolving through that pointer can never
+    * observe the tables at mixed versions — the family-manifest commit
+    * (the directory moves themselves are sequential renames; the pointer
+    * write AFTER them is the single commit point, and the pointer names
+    * the version dir, so half-promoted debris from a crash mid-sequence is
+    * invisible and replaced on retry). */
   def casSwap(dir: Path, pointerName: String, expected: Option[String],
-      next: String, stage: Option[(Path, Path)] = None): Unit = {
+      next: String, stage: Option[(Path, Path)] = None,
+      stages: Seq[(Path, Path)] = Nil): Unit = {
     Files.createDirectories(dir)
     val pointer = dir.resolve(pointerName)
     val monitor = monitors.computeIfAbsent(
@@ -65,7 +75,7 @@ object OptimisticPointer {
                 s"${actual.getOrElse("<absent>")} — another writer committed " +
                 "first; this rewrite derived from a superseded version. " +
                 "Re-run against the current version.")
-          stage.foreach { case (src, dst) =>
+          (stage.toSeq ++ stages).foreach { case (src, dst) =>
             deleteRecursively(dst) // crashed-attempt debris only (see above)
             Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
           }

@@ -82,9 +82,10 @@ object EngineColumns {
   /** Partition column of the offline store — gives partition pruning the
     * reference never had (its LOCATION is the bucket root, setup.sh:140). */
   val IngestDate = "_ingest_date"
-  /** Partition column of the ONLINE snapshot: crc32(key-as-string) mod a
-    * fixed bucket count. A point lookup on a snapshot too large for the
-    * driver-side serving cache prunes to one bucket directory instead of
-    * scanning the snapshot (FeatureStore.getRecord fall-through). */
+  /** Partition column of the ONLINE snapshot: crc32(key-as-string) mod the
+    * version's bucket count (recorded in `v<N>/_meta`; grows with key
+    * count). A point lookup on a snapshot too large for the driver-side
+    * serving cache prunes to one bucket directory instead of scanning the
+    * snapshot (FeatureStore.getRecord fall-through). */
   val KeyBucket = "_key_bucket"
 }

@@ -213,19 +213,21 @@ object Dsir {
   }
 
   /** Fold per-batch partials into one row per bucket under a new version
-    * dir + atomic CURRENT swap. */
+    * dir, committed for all three tables by ONE family CAS
+    * ([[graft.dedup.Dedup.compactFamily]] — no mixed versions for an
+    * overlapping reader). */
   def compactDsirIndex(spark: SparkSession, indexPath: String): Unit =
-    Dedup.inParallel(Seq(
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/target",
-        transform = df => df.groupBy("fb").agg(sum(col("c")).as("c"))
-          .filter(col("c") > 0)),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/raw",
-        transform = df => df.groupBy("fb").agg(sum(col("c")).as("c"))
-          .filter(col("c") > 0)),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/stats",
-        transform = df => df.groupBy("buckets").agg(
+    Dedup.compactFamily(spark, indexPath, Seq(
+      ("target",
+        (df: DataFrame) => df.groupBy("fb").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0), Nil),
+      ("raw",
+        (df: DataFrame) => df.groupBy("fb").agg(sum(col("c")).as("c"))
+          .filter(col("c") > 0), Nil),
+      ("stats",
+        (df: DataFrame) => df.groupBy("buckets").agg(
             sum(col("t_occ")).as("t_occ"), sum(col("r_occ")).as("r_occ"))
-          .select("t_occ", "r_occ", "buckets"))))
+          .select("t_occ", "r_occ", "buckets"), Nil)))
 
   /** Score `docs` FIT-FREE against the persisted model. Scores equal
     * [[importance]] fit on the same target/pool bit-for-bit (the counts are

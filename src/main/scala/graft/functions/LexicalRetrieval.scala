@@ -98,17 +98,18 @@ object LexicalRetrieval {
 
   private def compactTables(spark: SparkSession, indexPath: String,
       erase: DataFrame => DataFrame): Unit =
-    Dedup.inParallel(Seq(
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/postings", erase,
-        extraPartitionCols = Seq("tb")),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/doclens", erase),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/termdf",
-        transform = df => df.groupBy("term_id").agg(sum(col("df")).as("df"))
-          .filter(col("df") > 0)),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/stats",
-        transform = df => df.groupBy("tb_buckets").agg(
+    // all four tables fold under ONE family commit (one CAS, no mixed
+    // versions for an overlapping reader — Dedup.compactFamily)
+    Dedup.compactFamily(spark, indexPath, Seq(
+      ("postings", erase, Seq("tb")),
+      ("doclens", erase, Nil),
+      ("termdf",
+        (df: DataFrame) => df.groupBy("term_id").agg(sum(col("df")).as("df"))
+          .filter(col("df") > 0), Nil),
+      ("stats",
+        (df: DataFrame) => df.groupBy("tb_buckets").agg(
             sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-          .select("n_docs", "sum_dl", "tb_buckets"))))
+          .select("n_docs", "sum_dl", "tb_buckets"), Nil)))
 
   /** Tombstone docs OUT of the index — the erasure path for lexical serving
     * ([[graft.similarity.Similarity.deleteFromIvfadcIndex]]'s semantic for

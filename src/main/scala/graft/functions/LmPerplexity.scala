@@ -202,32 +202,34 @@ object LmPerplexity {
       wholeIndex = false)
   }
 
-  /** Fold per-batch partials into one row per key under a new version dir +
-    * atomic CURRENT swap. Pending deletions' NEGATIVE partials net out
-    * physically here; a count folded to ≤ 0 (a fully-unlearned n-gram)
-    * drops its row — V and the bigram-type count shrink exactly as a
-    * rebuild-without-the-deleted-docs would produce. */
+  /** Fold per-batch partials into one row per key under a new version dir,
+    * committed for ALL FIVE tables by one family CAS
+    * ([[graft.dedup.Dedup.compactFamily]] — an overlapping reader can never
+    * see bigrams at version N with contexts at N−1). Pending deletions'
+    * NEGATIVE partials net out physically here; a count folded to ≤ 0 (a
+    * fully-unlearned n-gram) drops its row — V and the bigram-type count
+    * shrink exactly as a rebuild-without-the-deleted-docs would produce. */
   def compactLmIndex(spark: SparkSession, indexPath: String,
       eraseDocs: DataFrame => DataFrame = identity): Unit = {
     val buckets = readBuckets(spark, indexPath)
-    Dedup.inParallel(Seq(
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/bigrams",
-        transform = df => df.groupBy("bg_id", "ctx_id")
+    Dedup.compactFamily(spark, indexPath, Seq(
+      ("bigrams",
+        (df: DataFrame) => df.groupBy("bg_id", "ctx_id")
           .agg(sum(col("c")).as("c")).filter(col("c") > 0)
           .withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
-        extraPartitionCols = Seq("bb")),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/contexts",
-        transform = df => df.groupBy("ctx_id")
-          .agg(sum(col("c")).as("c")).filter(col("c") > 0)),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/unigrams",
-        transform = df => df.groupBy("tok_id")
-          .agg(sum(col("c")).as("c")).filter(col("c") > 0)),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/stats",
-        transform = df => df.groupBy("bb_buckets").agg(
+        Seq("bb")),
+      ("contexts",
+        (df: DataFrame) => df.groupBy("ctx_id")
+          .agg(sum(col("c")).as("c")).filter(col("c") > 0), Nil),
+      ("unigrams",
+        (df: DataFrame) => df.groupBy("tok_id")
+          .agg(sum(col("c")).as("c")).filter(col("c") > 0), Nil),
+      ("stats",
+        (df: DataFrame) => df.groupBy("bb_buckets").agg(
             sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
-          .select("n_docs", "n_bigrams", "bb_buckets")),
-      () => Dedup.compactBatchedDir(spark, s"$indexPath/docs",
-        transform = df => eraseDocs(df.select("doc_id").distinct()))))
+          .select("n_docs", "n_bigrams", "bb_buckets"), Nil),
+      ("docs",
+        (df: DataFrame) => eraseDocs(df.select("doc_id").distinct()), Nil)))
   }
 
   /** UNLEARN documents from the LM — the [[LexicalRetrieval.deleteFromBm25Index]]

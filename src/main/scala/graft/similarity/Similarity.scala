@@ -624,18 +624,19 @@ object Similarity {
   }
 
   /** Fold the graph's per-batch partitions into one generation, resolving
-    * supersession physically (only max-gen rows survive). */
+    * supersession physically (only max-gen rows survive); edges and probes
+    * commit under ONE family CAS ([[graft.dedup.Dedup.compactFamily]]). */
   def compactKnnGraph(
       spark: org.apache.spark.sql.SparkSession,
       graphPath: String): Unit = {
     import graft.dedup.Dedup
-    Dedup.inParallel(Seq(
-      () => Dedup.compactBatchedDir(spark, s"$graphPath/edges",
-        transform = df => {
+    Dedup.compactFamily(spark, graphPath, Seq(
+      ("edges",
+        (df: DataFrame) => {
           val latest = df.groupBy(col("query_id")).agg(max(col("gen")).as("gen"))
           df.join(latest, Seq("query_id", "gen"))
-        }),
-      () => Dedup.compactBatchedDir(spark, s"$graphPath/probes")))
+        }, Nil),
+      ("probes", (df: DataFrame) => df, Nil)))
   }
 
   /** Reciprocal-rank fusion of retrieval arms — the HYBRID retrieval step
@@ -1254,15 +1255,16 @@ object Similarity {
   }
 
   /** Compact the per-batch codes/vectors partitions into one `batch=base`
-    * under a new version dir with an atomic CURRENT swap — the
-    * [[graft.dedup.Dedup.compactMinhashIndex]] maintenance pattern (a year
-    * of daily appends is 365 partition dirs of small files). */
+    * under a new version dir — both tables commit under ONE family CAS
+    * ([[graft.dedup.Dedup.compactFamily]]: an overlapping reader can never
+    * see codes at version N with reorder vectors at N−1). A year of daily
+    * appends is 365 partition dirs of small files — the
+    * [[graft.dedup.Dedup.compactMinhashIndex]] maintenance pattern. */
   def compactIvfadcIndex(
-      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
-    graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes",
-      extraPartitionCols = Seq("cell"))
-    graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors")
-  }
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+    graft.dedup.Dedup.compactFamily(spark, indexPath, Seq(
+      ("codes", (df: DataFrame) => df, Seq("cell")),
+      ("vectors", (df: DataFrame) => df, Nil)))
 
   /** Tombstone vectors OUT of a persisted IVFADC index — the erasure path
     * for ANN serving ([[graft.core.FeatureStore.deleteRecords]]'s semantic
@@ -1314,10 +1316,12 @@ object Similarity {
     readTombstones(spark, indexPath) match {
       case Some(t0) =>
         val t = broadcast(t0)
-        graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/codes",
-          _.join(t, Seq("nbr_id"), "left_anti"), extraPartitionCols = Seq("cell"))
-        graft.dedup.Dedup.compactBatchedDir(spark, s"$indexPath/vectors",
-          _.join(t, Seq("nbr_id"), "left_anti"))
+        graft.dedup.Dedup.compactFamily(spark, indexPath, Seq(
+          ("codes",
+            (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"),
+            Seq("cell")),
+          ("vectors",
+            (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"), Nil)))
         dirsAtPlan.foreach { d =>
           val walk = java.nio.file.Files.walk(d)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())

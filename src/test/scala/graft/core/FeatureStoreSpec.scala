@@ -289,7 +289,8 @@ class FeatureStoreSpec extends SparkSpec {
     assert(bucketDirs.size > 1, s"snapshot must be key-bucket partitioned, saw $bucketDirs")
     val snap = spark.read.parquet(vdir.toString)
     val pruned = snap.filter(
-      col(EngineColumns.KeyBucket) === lit(FeatureStore.keyBucketOf("7")))
+      col(EngineColumns.KeyBucket) === lit(
+        FeatureStore.keyBucketOf("7", FeatureStore.OnlineKeyBuckets)))
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains(s"PartitionFilters: [isnotnull(${EngineColumns.KeyBucket}") ||
         (plan.contains("PartitionFilters") && plan.contains(EngineColumns.KeyBucket)),
@@ -302,7 +303,8 @@ class FeatureStoreSpec extends SparkSpec {
         lit(FeatureStore.OnlineKeyBuckets)).as("b"))
       .collect()
       .foreach(r => assert(r.getAs[Long]("b") ==
-        FeatureStore.keyBucketOf(r.getAs[Long]("id").toString)))
+        FeatureStore.keyBucketOf(r.getAs[Long]("id").toString,
+          FeatureStore.OnlineKeyBuckets)))
   }
 
   test("deleteRecords: online removal, offline tombstone filter, re-ingest resurrects, compaction purges") {
@@ -522,6 +524,106 @@ class FeatureStoreSpec extends SparkSpec {
       .forEach(p => Files.delete(p))
     finally walk.close()
     assert(fs.batchGetRecords("tx", keys) == single, "legacy path must agree")
+  }
+
+  test("incremental refresh: only touched buckets rewritten; untouched carry forward by hard link") {
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("fs_incr_").toString
+    val fs = new FeatureStore(spark, root)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L to 10L).map(i =>
+      (i, f"2024-01-01 10:00:$i%02d", i * 1.0, s"n$i")): _*)) // v1 (full)
+    val b1 = FeatureStore.keyBucketOf("1", FeatureStore.OnlineKeyBuckets)
+    val other = (2L to 10L).find(k =>
+      FeatureStore.keyBucketOf(k.toString, FeatureStore.OnlineKeyBuckets) != b1).get
+    val bOther = FeatureStore.keyBucketOf(other.toString, FeatureStore.OnlineKeyBuckets)
+    fs.ingest("tx", batch((1L, "2024-02-01 10:00:00", 99.0, "upd"))) // v2 (incremental)
+
+    def ino(p: java.nio.file.Path): Any = Files.getAttribute(p, "unix:ino")
+    def bucketFile(v: Long, b: Long): java.nio.file.Path = {
+      val d = java.nio.file.Paths.get(root, "tx", "online", s"v$v",
+        s"${EngineColumns.KeyBucket}=$b")
+      val ls = Files.list(d)
+      try ls.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+      finally ls.close()
+    }
+    // untouched bucket: SAME inode in both versions (carried by link)
+    assert(ino(bucketFile(1, bOther)) == ino(bucketFile(2, bOther)),
+      "untouched bucket parquet must carry forward by link, not rewrite")
+    assert(ino(java.nio.file.Paths.get(root, "tx", "online", "v1", "_serving", s"bucket=$bOther.kv")) ==
+      ino(java.nio.file.Paths.get(root, "tx", "online", "v2", "_serving", s"bucket=$bOther.kv")),
+      "untouched serving-KV file must carry forward by link")
+    // touched bucket: genuinely rewritten
+    assert(ino(bucketFile(1, b1)) != ino(bucketFile(2, b1)),
+      "touched bucket must be rewritten")
+    // no attempt-temp debris survives the commit
+    val sl = Files.list(java.nio.file.Paths.get(root, "tx", "online", "v2", "_serving"))
+    val debris = try sl.iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.endsWith(".kv")).toList finally sl.close()
+    assert(debris.isEmpty, s"attempt temps must be renamed away: $debris")
+    // correctness across rewritten and carried halves, every lookup path
+    assert(fs.getRecord("tx", 1L).get("amount") == "99.0")
+    assert(fs.getRecord("tx", other).get("amount") == s"$other.0")
+    assert(fs.online("tx").count() == 10)
+    val capped = new FeatureStore(spark, root, maxServingCacheRows = 3)
+    assert(capped.getRecord("tx", 1L).get("amount") == "99.0")
+    assert(capped.getRecord("tx", other).get("amount") == s"$other.0")
+    // time travel intact: v1 still serves the pre-update value
+    assert(fs.onlineAt("tx", 1L).filter(col("customer_id") === 1L)
+      .collect().head.getAs[Double]("amount") == 1.0)
+    // gc unlinks v1's names; the shared inodes keep v2 fully readable
+    fs.gcOnline("tx", keep = 1)
+    assert(capped.getRecord("tx", other).get("amount") == s"$other.0")
+    assert(fs.online("tx").count() == 10)
+    // deletes are incremental too: key `other` leaves, its bucket rewritten,
+    // everything else carried — and the answers stay right
+    fs.deleteRecords("tx", Seq(other))
+    assert(fs.getRecord("tx", other).isEmpty)
+    assert(fs.getRecord("tx", 1L).get("amount") == "99.0")
+    assert(fs.online("tx").count() == 9)
+  }
+
+  test("bucket count grows with key count: the growth commit rebuckets, lookups follow the meta") {
+    val root = Files.createTempDirectory("fs_grow_").toString
+    val fs = new FeatureStore(spark, root, targetKeysPerBucket = 1L)
+    fs.createGroup(group)
+    // v1: full commit at the 64-bucket floor, 300 keys
+    fs.ingest("tx", batch((1L to 300L).map(i =>
+      (i, "2024-01-01 10:00:00", i * 1.0, s"n$i")): _*))
+    // 300 keys > 4·target·64 = 256 → the next refresh must REBUCKET (full)
+    fs.ingest("tx", batch((301L, "2024-01-02 10:00:00", 301.0, "grow")))
+    val meta = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "tx", "online", "v2", "_meta")))
+    assert(meta.contains("buckets=512"),
+      s"expected rebucket to 512, got: ${meta.linesIterator.next()}")
+    // lookups hash with the NEW modulus (read from the version meta)
+    val capped = new FeatureStore(spark, root, maxServingCacheRows = 3)
+    assert(capped.getRecord("tx", 301L).get("amount") == "301.0")
+    assert(capped.getRecord("tx", 7L).get("amount") == "7.0")
+    assert(capped.getRecord("tx", 9999L).isEmpty)
+    // the next small ingest is incremental again, at the grown count
+    fs.ingest("tx", batch((5L, "2024-03-01 10:00:00", 555.0, "upd")))
+    assert(fs.getRecord("tx", 5L).get("amount") == "555.0")
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
+      root, "tx", "online", "v3", "_meta"))).contains("buckets=512"))
+  }
+
+  test("a corrupted serving-KV bucket file degrades to the job path, never fails the lookup") {
+    val root = Files.createTempDirectory("fs_corrupt_").toString
+    val fs = new FeatureStore(spark, root, maxServingCacheRows = 3) // force the KV path
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L to 10L).map(i =>
+      (i, f"2024-01-01 10:00:$i%02d", i * 1.0, s"n$i")): _*))
+    val b5 = FeatureStore.keyBucketOf("5", FeatureStore.OnlineKeyBuckets)
+    val f = java.nio.file.Paths.get(root, "tx", "online", "v1", "_serving", s"bucket=$b5.kv")
+    Files.write(f, Array[Byte](1, 2, 3, 4, 5)) // torn/garbage file
+    assert(fs.getRecord("tx", 5L).get("amount") == "5.0",
+      "lookup must degrade to the pruned job path on a bad KV file")
+    val other = (1L to 10L).find(k =>
+      FeatureStore.keyBucketOf(k.toString, FeatureStore.OnlineKeyBuckets) != b5).get
+    assert(fs.getRecord("tx", other).get("amount") == s"$other.0",
+      "intact buckets keep serving through the KV file")
   }
 
   test("optimistic pointer: exactly one of N racing CAS commits wins, losers throw") {

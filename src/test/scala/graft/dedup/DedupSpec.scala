@@ -243,6 +243,46 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(idx + "/_v2").count() == before + 1) // + doc 12
   }
 
+  test("compactFamily: one FAMILY CAS commits every table's version together") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val idx = java.nio.file.Files.createTempDirectory("fam_").toString
+    def names(p: String): Set[String] = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      finally ls.close()
+    }
+    Dedup.writeIndexBatch((1L to 10L).toDF("doc_id"), s"$idx/a", "b1")
+    Dedup.writeIndexBatch((11L to 15L).toDF("doc_id"), s"$idx/a", "b2")
+    Dedup.writeIndexBatch((1L to 7L).toDF("doc_id"), s"$idx/b", "b1")
+    val id = (df: org.apache.spark.sql.DataFrame) => df
+    Dedup.compactFamily(spark, idx, Seq(("a", id, Nil), ("b", id, Nil)))
+    // ONE family pointer; every table at the SAME version; per-table
+    // pointers retired; flat batch dirs gone
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "FAMILY")))
+    assert(names(s"$idx/a").contains("_v1") && names(s"$idx/b").contains("_v1"))
+    assert(!names(s"$idx/a").contains("CURRENT"))
+    assert(!names(s"$idx/a").exists(_.startsWith("batch=")),
+      s"stale flat partitions survive: ${names(s"$idx/a")}")
+    // reads resolve both tables through the one pointer
+    assert(Dedup.resolveIndexDir(s"$idx/a") == s"$idx/a/_v1")
+    assert(Dedup.resolveIndexDir(s"$idx/b") == s"$idx/b/_v1")
+    assert(spark.read.parquet(Dedup.resolveIndexDir(s"$idx/a")).count() == 15)
+    assert(spark.read.parquet(Dedup.resolveIndexDir(s"$idx/b")).count() == 7)
+    // a marker table NOT in the family fold stays flat and still resolves
+    Dedup.writeIndexBatch((99L to 99L).toDF("doc_id"), s"$idx/tombstones", "t1")
+    assert(Dedup.resolveIndexDir(s"$idx/tombstones") == s"$idx/tombstones")
+    assert(spark.read.parquet(Dedup.resolveIndexDir(s"$idx/tombstones")).count() == 1)
+    // appends after the family commit land INSIDE the current version
+    Dedup.writeIndexBatch((16L to 18L).toDF("doc_id"), s"$idx/a", "b3")
+    assert(spark.read.parquet(s"$idx/a/_v1").count() == 18)
+    // second family compaction advances BOTH tables and GCs _v1
+    Dedup.compactFamily(spark, idx, Seq(("a", id, Nil), ("b", id, Nil)))
+    assert(names(s"$idx/a") == Set("_v2") && names(s"$idx/b") == Set("_v2"),
+      s"superseded version must be GC'd: ${names(s"$idx/a")} / ${names(s"$idx/b")}")
+    assert(spark.read.parquet(Dedup.resolveIndexDir(s"$idx/a")).count() == 18)
+  }
+
   test("incremental semantic dedup replays idempotently against the frozen index") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("semdedup_replay_").toString + "/vec"
