@@ -24,7 +24,15 @@ import graft.operators.LatestPerKey
   *   <root>/<group>/offline/CURRENT      — pointer file: active offline version
   *                                         (absent ⇒ v1; flipped atomically by
   *                                          compaction)
-  *   <root>/<group>/online/v<N>/         — latest-per-key snapshot, parquet
+  *   <root>/<group>/online/v<N>/         — latest-per-key snapshot, parquet,
+  *                                         partitioned by _key_bucket =
+  *                                         crc32(key) mod buckets; contains
+  *                                         `_meta` (bucket count + per-bucket
+  *                                         key counts) and `_serving/` (per-
+  *                                         bucket sparse-indexed KV files for
+  *                                         job-free point lookups). Commits
+  *                                         are INCREMENTAL: untouched buckets
+  *                                         carry from v<N-1> by hard link.
   *   <root>/<group>/online/LATEST        — pointer file: currently active N
   *   <root>/<group>/models/              — model artifacts
   * }}}
@@ -209,26 +217,32 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     incremental match {
       case Some((v, buckets, counts, b)) =>
+        // pin the batch: the touched-bucket probe and the rewrite would
+        // otherwise run the caller's plan twice (cost, and a correctness
+        // hazard if the plan is nondeterministic — the rewrite must cover
+        // exactly the buckets the probe saw)
         val bb = conformToDeclared(g, b).withColumn(EngineColumns.KeyBucket,
-          pmod(crc32(col(g.keyCol).cast("string")), lit(buckets)))
-        // the batch's touched buckets: ≤ buckets distinct values by
-        // construction, so the collect is driver-bounded at any data scale
-        val touchedRows = bb.select(col(EngineColumns.KeyBucket)).distinct().collect()
-        if (touchedRows.exists(_.isNullAt(0))) {
-          // null keys bucket to null (crc32(null) is null) — rare; let the
-          // full path's default-partition write handle them rather than
-          // special-casing the carry-forward links
-          fullRefresh(g, batch, baseVersion, buckets)
-        } else {
-          val touched = touchedRows.map(_.get(0).asInstanceOf[Number].longValue).toSet
-          if (touched.isEmpty) { servingCache.remove(g.name): Unit; return } // empty batch
-          val snapTouched = conformToDeclared(g, currentSnapshotRaw(g.name).get
-            .filter(col(EngineColumns.KeyBucket).isInCollection(touched)))
-          val latestTouched = LatestPerKey.viaMaxBy(
-            snapTouched.unionByName(bb.drop(EngineColumns.KeyBucket)),
-            Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
-          commitIncremental(g, v, buckets, counts, touched, latestTouched)
-        }
+          pmod(crc32(col(g.keyCol).cast("string")), lit(buckets))).persist()
+        try {
+          // the batch's touched buckets: ≤ buckets distinct values by
+          // construction, so the collect is driver-bounded at any data scale
+          val touchedRows = bb.select(col(EngineColumns.KeyBucket)).distinct().collect()
+          if (touchedRows.exists(_.isNullAt(0))) {
+            // null keys bucket to null (crc32(null) is null) — rare; let the
+            // full path's default-partition write handle them rather than
+            // special-casing the carry-forward links
+            fullRefresh(g, batch, baseVersion, buckets)
+          } else {
+            val touched = touchedRows.map(_.get(0).asInstanceOf[Number].longValue).toSet
+            if (touched.isEmpty) { servingCache.remove(g.name): Unit; return } // empty batch
+            val snapTouched = conformToDeclared(g, currentSnapshotRaw(g.name).get
+              .filter(col(EngineColumns.KeyBucket).isInCollection(touched)))
+            val latestTouched = LatestPerKey.viaMaxBy(
+              snapTouched.unionByName(bb.drop(EngineColumns.KeyBucket)),
+              Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
+            commitIncremental(g, v, buckets, counts, touched, latestTouched)
+          }
+        } finally bb.unpersist(false): Unit
       case None =>
         // full rewrite: bucket count re-derived from the previous version's
         // recorded key count (legacy/no-snapshot → the floor)

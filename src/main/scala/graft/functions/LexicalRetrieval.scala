@@ -16,10 +16,15 @@ import GraftFunctions.{portableHash60, wsTokens}
   * offline-artifact/online-request split (`real_time_inference.py:16-32`
   * serves from a prebuilt store) applied to text retrieval.
   *
-  * Index layout under `indexPath` (all three tables in the replay-idempotent
+  * Index layout under `indexPath` (all tables in the replay-idempotent
   * `batch=<id>` layout shared with the minhash/IVFADC indexes —
-  * [[graft.dedup.Dedup.writeIndexBatch]], versioned compaction, atomic
-  * CURRENT pointer):
+  * [[graft.dedup.Dedup.writeIndexBatch]]; compaction stages every table and
+  * commits them together under ONE `FAMILY` pointer,
+  * [[graft.dedup.Dedup.compactFamily]], so readers never see the tables at
+  * mixed versions; an APPEND's per-table batch partitions still become
+  * visible as written — the documented single-writer-quiet-reader window,
+  * bounded by one micro-batch, vs the whole-rewrite window the family CAS
+  * closes):
   *
   *  - `postings/` — `(term_id, doc_id, tf, dl)` DIRECTORY-PARTITIONED BY
   *    `tb = pmod(term_id, buckets)` inside each batch dir: a query batch

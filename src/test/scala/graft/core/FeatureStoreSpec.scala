@@ -609,6 +609,48 @@ class FeatureStoreSpec extends SparkSpec {
       root, "tx", "online", "v3", "_meta"))).contains("buckets=512"))
   }
 
+  test("serving-KV sparse index: multi-block buckets, unicode keys, long values — KV equals cache") {
+    val root = Files.createTempDirectory("fs_kvfmt_").toString
+    // ONE bucket (targetKeysPerBucket default, 64 floor; force all keys into
+    // few buckets is hash-luck — instead use enough keys that busy buckets
+    // span multiple 64-entry index blocks)
+    val g2 = FeatureGroup("kv", "name", "event_time", Seq(
+      FeatureDef("name", FType.FString),
+      FeatureDef("event_time", FType.FTimestamp),
+      FeatureDef("payload", FType.FString)))
+    val fs = new FeatureStore(spark, root, maxServingCacheRows = 3) // force the KV path
+    fs.createGroup(g2)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // 9000 keys over 64 buckets ≈ 140/bucket → 3 index blocks per bucket;
+    // unicode keys (incl. a supplementary char) exercise UTF-8 order; one
+    // value exceeds 64 KiB (the writeUTF cap the format replaced)
+    val rows = (1 to 9000).map { i =>
+      val key = if (i % 100 == 0) s"ключ-𝕂-$i" else s"key-$i"
+      val payload = if (i == 777) "x" * 70000 else s"p$i"
+      (key, "2024-01-01 10:00:00", payload)
+    }
+    fs.ingest("kv", rows.toDF("name", "event_time", "payload")
+      .select(col("name"), to_timestamp(col("event_time")).as("event_time"), col("payload")))
+    // KV answers equal the cached-path answers for hits, misses, unicode
+    val cached = new FeatureStore(spark, root) // default cap: driver cache
+    val probes: Seq[Any] = Seq("key-1", "key-4501", "key-9000", "ключ-𝕂-100",
+      "key-777", "nope", "ключ-𝕂-101")
+    probes.foreach { k =>
+      assert(fs.getRecord("kv", k) == cached.getRecord("kv", k), s"KV mismatch for $k")
+    }
+    assert(fs.getRecord("kv", "key-777").get("payload").length == 70000)
+    // batch face crosses blocks and buckets in one call
+    val batch = fs.batchGetRecords("kv", probes)
+    probes.map(String.valueOf(_)).foreach { k =>
+      assert(batch(k) == cached.getRecord("kv", k), s"batch KV mismatch for $k")
+    }
+    // and the whole key space round-trips (every block of every bucket)
+    val all = fs.batchGetRecords("kv", rows.map(_._1))
+    assert(all.size == 9000 && all.values.forall(_.isDefined),
+      "every key must resolve through the sparse index")
+  }
+
   test("a corrupted serving-KV bucket file degrades to the job path, never fails the lookup") {
     val root = Files.createTempDirectory("fs_corrupt_").toString
     val fs = new FeatureStore(spark, root, maxServingCacheRows = 3) // force the KV path
