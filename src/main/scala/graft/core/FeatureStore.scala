@@ -124,6 +124,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       finally walk.close()
     }
     servingCache.remove(name): Unit
+    bucketCountCache.remove(name): Unit // a recreated group may re-reach v1
   }
 
   // ---- ingest (reference: update_feature_store.py — per-row put_record; ours is set-oriented) ----
@@ -362,11 +363,21 @@ final class FeatureStore(spark: SparkSession, root: String,
         if (s.nonEmpty && s.forall(c => c.isDigit || c == '-')) scala.util.Try(s.toLong).toOption
         else None
       }
+    // hard link where the filesystem supports it (the O(1) metadata move);
+    // COPY as the portability fallback (correct everywhere, O(bytes) — on
+    // an object store the real implementation is a manifest entry, this
+    // seam is where it plugs in)
+    def linkOrCopy(src: Path, dst: Path): Unit =
+      try Files.createLink(dst, src): Unit
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING): Unit
+      }
     def linkFilesInto(src: Path, dst: Path): Unit = {
       Files.createDirectories(dst)
       val fl = Files.list(src)
       try fl.iterator().asScala.filter(Files.isRegularFile(_)).foreach(f =>
-        Files.createLink(dst.resolve(f.getFileName.toString), f))
+        linkOrCopy(f, dst.resolve(f.getFileName.toString)))
       finally fl.close()
     }
     val ls = Files.list(baseDir)
@@ -390,7 +401,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         val n = f.getFileName.toString
         bucketOfName(n, "bucket=") match {
           case Some(b) if !touched.contains(b) && n.endsWith(".kv") =>
-            Files.createLink(stagedServing.resolve(n), f)
+            linkOrCopy(f, stagedServing.resolve(n))
           case _ => ()
         }
       }
@@ -461,17 +472,24 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   /** Bucket count of a committed version, cached per (group, version) —
     * one driver-side file read on version change, zero Spark jobs (the
-    * lookup paths depend on that). Legacy snapshots without meta were
-    * written with the fixed default. */
+    * lookup paths depend on that). Legacy snapshots WITHOUT a meta file
+    * were written with the fixed default (Some); a meta file that EXISTS
+    * but fails to parse means the bucket layout cannot be trusted at all
+    * (None) — lookups must not hash with a guessed modulus (a wrong bucket
+    * would answer a present key as authoritatively absent) and fall back
+    * to an unpruned snapshot scan until the next full refresh rewrites the
+    * meta. */
   private val bucketCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[Long])]()
 
-  private def versionBuckets(name: String, v: Long): Long = {
+  private def versionBuckets(name: String, v: Long): Option[Long] = {
     val c = bucketCountCache.get(name)
     if (c != null && c._1 == v) c._2
     else {
-      val b = readVersionMeta(versionDirOf(name, v)).map(_._1)
-        .getOrElse(FeatureStore.OnlineKeyBuckets)
+      val vd = versionDirOf(name, v)
+      val b =
+        if (!Files.exists(vd.resolve("_meta"))) Some(FeatureStore.OnlineKeyBuckets)
+        else readVersionMeta(vd).map(_._1)
       bucketCountCache.put(name, (v, b))
       b
     }
@@ -753,15 +771,21 @@ final class FeatureStore(spark: SparkSession, root: String,
       case None =>
         currentVersion(groupName) match {
           case Some(v) =>
-            val buckets = versionBuckets(groupName, v)
-            val bucket = FeatureStore.keyBucketOf(skey, buckets)
-            servingKvScan(g, v, bucket, Set(skey)).map(_(skey)) match {
-              case Some(res) => res // authoritative: KV layout rides the commit
-              case None => // no/unreadable KV layout: bucket-pruned job path
-                currentSnapshotRaw(groupName).get
-                  .filter(col(EngineColumns.KeyBucket) === lit(bucket))
+            versionBuckets(groupName, v) match {
+              case Some(buckets) =>
+                val bucket = FeatureStore.keyBucketOf(skey, buckets)
+                servingKvScan(g, v, bucket, Set(skey)).map(_(skey)) match {
+                  case Some(res) => res // authoritative: KV layout rides the commit
+                  case None => // no/unreadable KV layout: bucket-pruned job path
+                    currentSnapshotRaw(groupName).get
+                      .filter(col(EngineColumns.KeyBucket) === lit(bucket))
+                      .filter(col(g.keyCol).cast("string") === lit(skey))
+                      .drop(EngineColumns.KeyBucket)
+                      .collect().headOption.map(renderWireRow(g, _))
+                }
+              case None => // corrupt bucket meta: no pruning can be trusted
+                currentSnapshot(groupName).get
                   .filter(col(g.keyCol).cast("string") === lit(skey))
-                  .drop(EngineColumns.KeyBucket)
                   .collect().headOption.map(renderWireRow(g, _))
             }
           case None => // no snapshot yet: derive latest-per-key from history
@@ -942,18 +966,22 @@ final class FeatureStore(spark: SparkSession, root: String,
         }
         currentVersion(groupName) match {
           case Some(v) =>
-            val buckets = versionBuckets(groupName, v)
-            val byBucket = skeys.groupBy(FeatureStore.keyBucketOf(_, buckets))
-            val scanned = byBucket.map { case (b, ks) =>
-              servingKvScan(g, v, b, ks.toSet)
+            versionBuckets(groupName, v) match {
+              case Some(buckets) =>
+                val byBucket = skeys.groupBy(FeatureStore.keyBucketOf(_, buckets))
+                val scanned = byBucket.map { case (b, ks) =>
+                  servingKvScan(g, v, b, ks.toSet)
+                }
+                if (scanned.forall(_.isDefined))
+                  scanned.flatMap(_.get).toMap
+                else // no/unreadable KV layout: one pruned job
+                  jobPath(currentSnapshotRaw(groupName).get
+                    .filter(col(EngineColumns.KeyBucket)
+                      .isInCollection(byBucket.keys.toSeq))
+                    .drop(EngineColumns.KeyBucket))
+              case None => // corrupt bucket meta: no pruning can be trusted
+                jobPath(currentSnapshot(groupName).get)
             }
-            if (scanned.forall(_.isDefined))
-              scanned.flatMap(_.get).toMap
-            else // no/unreadable KV layout: one pruned job
-              jobPath(currentSnapshotRaw(groupName).get
-                .filter(col(EngineColumns.KeyBucket)
-                  .isInCollection(byBucket.keys.toSeq))
-                .drop(EngineColumns.KeyBucket))
           case None => jobPath(online(groupName))
         }
     }

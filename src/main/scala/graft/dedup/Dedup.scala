@@ -367,6 +367,85 @@ object Dedup {
     }
   }
 
+  /** Batch-visibility manifest of a multi-table family: `<family>/VISIBLE`
+    * lists the batch ids whose partitions have landed in ALL the family's
+    * tables. An append writes its per-table `batch=<id>` partitions first
+    * and then commits the id with ONE atomic manifest rewrite — readers
+    * going through [[readVisibleTable]] see the batch in every table at
+    * once or in none (the torn-append window of multi-table families:
+    * postings at batch N with term-df still at N−1). The manifest is
+    * created by the family's BUILD; an index from before it existed has no
+    * file and reads unfiltered (legacy — the old documented window), which
+    * also keeps pre-manifest batches visible. `batch=base` (build/compact
+    * output) is always visible. */
+  private[graft] def visibleBatches(familyPath: String): Option[Set[String]] = {
+    val p = java.nio.file.Paths.get(familyPath, "VISIBLE")
+    if (!java.nio.file.Files.exists(p)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+  }
+
+  // manifest updates are read-modify-write: serialize them (same-process
+  // monitor per path + cross-process file lock — the OptimisticPointer
+  // discipline) so a delete committing mid-compaction can never be lost
+  private val visibleLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withVisibleLock[A](familyPath: String)(body: => A): A = {
+    val root = java.nio.file.Paths.get(familyPath)
+    java.nio.file.Files.createDirectories(root)
+    val monitor = visibleLocks.computeIfAbsent(
+      root.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(root.resolve("VISIBLE.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try body finally l.release() }
+      finally ch.close()
+    }
+  }
+
+  private def writeVisibleFile(familyPath: String, ids: Set[String]): Unit = {
+    val root = java.nio.file.Paths.get(familyPath)
+    val tmp = root.resolve("VISIBLE.tmp")
+    java.nio.file.Files.write(tmp, ids.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, root.resolve("VISIBLE"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** (Re)write the manifest to exactly `ids` — the family's BUILD uses it
+    * to start the visible set. */
+  private[graft] def resetVisibleBatches(familyPath: String,
+      ids: Set[String] = Set.empty): Unit =
+    withVisibleLock(familyPath)(writeVisibleFile(familyPath, ids))
+
+  /** Commit `batchId` as visible — the LAST step of a multi-table append
+    * (all per-table partitions already written; a crash before this line
+    * leaves the whole batch invisible and a same-id retry overwrites it).
+    * No-op on a legacy index without a manifest. Idempotent. */
+  private[graft] def commitVisibleBatch(familyPath: String, batchId: String): Unit =
+    withVisibleLock(familyPath) {
+      visibleBatches(familyPath).foreach(cur =>
+        writeVisibleFile(familyPath, cur + batchId))
+    }
+
+  /** Read one family table with the batch-visibility filter applied (and,
+    * optionally, the replay discipline's own-batch exclusion). The filter
+    * is a static partition predicate — invisible batches' files are pruned
+    * from the listing, never scanned. */
+  private[graft] def readVisibleTable(spark: SparkSession, familyPath: String,
+      table: String, excludeBatch: Option[String] = None): DataFrame = {
+    val df = spark.read.parquet(resolveIndexDir(s"$familyPath/$table"))
+    val vis = visibleBatches(familyPath) match {
+      case Some(ids) => df.filter(col("batch").isInCollection("base" +: ids.toSeq))
+      case None => df
+    }
+    excludeBatch.fold(vis)(b => vis.filter(col("batch") =!= lit(b)))
+  }
+
   /** Compact EVERY table of a multi-table index family under ONE commit:
     * the per-table folds stage in parallel (wall time of the widest table,
     * the [[inParallel]] win), then a SINGLE compare-and-swap of the
@@ -381,10 +460,23 @@ object Dedup {
     * flat and resolve unversioned; legacy per-table pointers are retired
     * by the first family commit.
     *
+    * VISIBILITY ACCOUNTING (families with a batch manifest): the fold reads
+    * only visible batches, and afterwards the manifest is updated to
+    * `current − captured` (folded ids retire; a batch committed MID-
+    * compaction stays visible even though its partials missed this fold —
+    * the marker-survives contract) PLUS the batch ids still physically
+    * present under `preserveVisibilityOf` tables — marker tables like
+    * `tombstones/` are NOT folded but must keep serving their pending
+    * markers until an explicit purge sweeps them (a plain compaction that
+    * blanked them would silently resurrect every pending-deleted doc).
+    *
     * @param tables (name, fold transform, extra partition cols after batch)
+    * @param preserveVisibilityOf marker tables outside the fold whose
+    *   surviving batch ids must stay visible
     */
   private[graft] def compactFamily(spark: SparkSession, familyPath: String,
-      tables: Seq[(String, DataFrame => DataFrame, Seq[String])]): Unit = {
+      tables: Seq[(String, DataFrame => DataFrame, Seq[String])],
+      preserveVisibilityOf: Seq[String] = Nil): Unit = {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(familyPath)
     val famPtr = root.resolve("FAMILY")
@@ -394,6 +486,14 @@ object Dedup {
           java.nio.charset.StandardCharsets.UTF_8).trim)
       else None
     val next = s"_v${expected.map(_.stripPrefix("_v").toLong).getOrElse(0L) + 1}"
+    // fold only VISIBLE batches (when the family keeps a manifest): a torn
+    // append's half-landed partitions are physically dropped by the fold —
+    // the compaction doubles as the self-heal for crashed appends
+    val visible = visibleBatches(familyPath)
+    def visibleOnly(df: DataFrame): DataFrame = visible match {
+      case Some(ids) => df.filter(col("batch").isInCollection("base" +: ids.toSeq))
+      case None => df
+    }
     val staged = tables.map { case (name, transform, extraCols) =>
       val oldDir = resolveIndexDir(s"$familyPath/$name")
       val finalDir = Paths.get(familyPath, name, next)
@@ -402,7 +502,7 @@ object Dedup {
     }
     inParallel(staged.map { case (_, transform, extraCols, oldDir, stagingDir, _) =>
       () =>
-        transform(spark.read.parquet(oldDir).drop("batch"))
+        transform(visibleOnly(spark.read.parquet(oldDir)).drop("batch"))
           .withColumn("batch", lit("base"))
           .write.partitionBy("batch" +: extraCols: _*).mode("overwrite")
           .parquet(stagingDir.toString)
@@ -410,6 +510,26 @@ object Dedup {
     try graft.core.OptimisticPointer.casSwap(root, "FAMILY", expected, next,
       stages = staged.map(s => s._5 -> s._6))
     finally staged.foreach(s => clearDir(s._5.toString)) // loser cleans staging
+    // retire the folded ids; keep ids committed mid-compaction and ids
+    // still backing marker-table partitions (see class doc)
+    if (visible.isDefined) withVisibleLock(familyPath) {
+      val captured = visible.get
+      val current = visibleBatches(familyPath).getOrElse(Set.empty)
+      val markers = preserveVisibilityOf.flatMap { t =>
+        val d = Paths.get(familyPath, t)
+        if (!Files.exists(d)) Nil
+        else {
+          val ls = Files.list(d)
+          try {
+            import scala.jdk.CollectionConverters._
+            ls.iterator().asScala.map(_.getFileName.toString)
+              .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
+              .filter(_ != "base").toList
+          } finally ls.close()
+        }
+      }.toSet
+      writeVisibleFile(familyPath, (current -- captured) ++ markers)
+    }
     // release superseded layouts (post-flip; single-writer-quiet-reader):
     // old version dirs, or a flat table's batch=* dirs, plus any legacy
     // per-table pointer (the family pointer owns resolution from here on)
@@ -1213,6 +1333,9 @@ object Dedup {
       () => writeIndexBatch(gr.select(col("doc_id"), col("hs")),
         s"$indexPath/sets", "base", wholeIndex = true),
       () => writeIndexBatch(dfs, s"$indexPath/dfs", "base", wholeIndex = true)))
+    // (re)start the batch-visibility manifest: an incremental batch's tok
+    // and sets partitions become readable atomically, at commitVisibleBatch
+    resetVisibleBatches(indexPath)
     dfs.unpersist(false): Unit
     gr.unpersist(false): Unit
   }
@@ -1249,13 +1372,11 @@ object Dedup {
     val spark = newDf.sparkSession
     val (tn, td) = (thresholdNum.toLong, thresholdDen.toLong)
 
-    val frozenDfs = spark.read.parquet(resolveIndexDir(s"$indexPath/dfs"))
+    val frozenDfs = readVisibleTable(spark, indexPath, "dfs")
       .select(col("tok"), col("df"))
-    val oldTok = spark.read.parquet(resolveIndexDir(s"$indexPath/tok"))
-      .filter(col("batch") =!= lit(batchId))
+    val oldTok = readVisibleTable(spark, indexPath, "tok", Some(batchId))
       .select(col("doc_id"), col("sz"), col("rn"), col("tok"))
-    val oldSets = spark.read.parquet(resolveIndexDir(s"$indexPath/sets"))
-      .filter(col("batch") =!= lit(batchId))
+    val oldSets = readVisibleTable(spark, indexPath, "sets", Some(batchId))
       .select(col("doc_id"), col("hs"))
 
     val newGr = containmentSets(newDf, id, text, k).persist()
@@ -1293,6 +1414,10 @@ object Dedup {
         col("rn"), col("tok")), s"$indexPath/tok", batchId),
       () => writeIndexBatch(newGr.select(col("doc_id"), col("hs")),
         s"$indexPath/sets", batchId)))
+    // atomic visibility: a batch's postings and its hash sets fold in
+    // together — a torn fold can no longer surface collisions whose
+    // verification sets are missing
+    commitVisibleBatch(indexPath, batchId)
     newRanked.unpersist(false): Unit
     newGr.unpersist(false): Unit
     p

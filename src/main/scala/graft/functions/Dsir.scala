@@ -198,6 +198,9 @@ object Dsir {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     writeDsirBatch(Some(target), pool, id, text, indexPath, "base", buckets,
       wholeIndex = true)
+    // (re)start the batch-visibility manifest: from here on a pool append's
+    // raw+stats partials become readable atomically, at commitVisibleBatch
+    Dedup.resetVisibleBatches(indexPath)
   }
 
   /** Fold a NEW pool batch into the raw side — every table is an additive
@@ -235,14 +238,13 @@ object Dsir {
   def importanceIndexed(spark: SparkSession, indexPath: String,
       docs: DataFrame, id: String, text: String): DataFrame = {
     val buckets = readDsirBuckets(spark, indexPath)
-    val totals = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val totals = Dedup.readVisibleTable(spark, indexPath, "stats")
       .agg(coalesce(sum(col("t_occ")), lit(0L)).as("t"),
         coalesce(sum(col("r_occ")), lit(0L)).as("r"))
       .first()
-    val cT = spark.read.parquet(Dedup.resolveIndexDir(s"$indexPath/target"))
+    val cT = Dedup.readVisibleTable(spark, indexPath, "target")
       .groupBy("fb").agg(sum(col("c")).as("c_t")).filter(col("c_t") > 0)
-    val cR = spark.read.parquet(Dedup.resolveIndexDir(s"$indexPath/raw"))
+    val cR = Dedup.readVisibleTable(spark, indexPath, "raw")
       .groupBy("fb").agg(sum(col("c")).as("c_r")).filter(col("c_r") > 0)
     val pTokd = tokd(docs, id, text).persist()
     pTokd.count(): Unit // feeds the feature explode AND the zero-feat join
@@ -257,8 +259,7 @@ object Dsir {
   }
 
   private def readDsirBuckets(spark: SparkSession, indexPath: String): Int = {
-    val rows = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val rows = Dedup.readVisibleTable(spark, indexPath, "stats")
       .select("buckets").distinct().collect()
     require(rows.length == 1,
       s"DSIR index at $indexPath has ${rows.length} distinct bucket counts")
@@ -294,6 +295,10 @@ object Dsir {
         wholeIndex),
       () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
         wholeIndex)))
+    // atomic visibility: a pool batch's raw counts and its stats partial
+    // appear together — no window where doc counts and occurrence totals
+    // disagree
+    if (!wholeIndex) Dedup.commitVisibleBatch(indexPath, batchId)
     rCounts.unpersist(false): Unit
     tCounts.foreach(_.unpersist(false): Unit)
   }

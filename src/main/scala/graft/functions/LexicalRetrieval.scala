@@ -18,13 +18,14 @@ import GraftFunctions.{portableHash60, wsTokens}
   *
   * Index layout under `indexPath` (all tables in the replay-idempotent
   * `batch=<id>` layout shared with the minhash/IVFADC indexes —
-  * [[graft.dedup.Dedup.writeIndexBatch]]; compaction stages every table and
-  * commits them together under ONE `FAMILY` pointer,
-  * [[graft.dedup.Dedup.compactFamily]], so readers never see the tables at
-  * mixed versions; an APPEND's per-table batch partitions still become
-  * visible as written — the documented single-writer-quiet-reader window,
-  * bounded by one micro-batch, vs the whole-rewrite window the family CAS
-  * closes):
+  * [[graft.dedup.Dedup.writeIndexBatch]]). CROSS-TABLE SNAPSHOT ISOLATION
+  * at both mutation grains: compaction stages every table and commits them
+  * together under ONE `FAMILY` pointer
+  * ([[graft.dedup.Dedup.compactFamily]]), and an append/delete batch
+  * becomes readable only at its [[graft.dedup.Dedup.commitVisibleBatch]] —
+  * one atomic manifest rewrite after ALL its tables' partitions landed —
+  * so a reader can never see postings at batch N with term-df at N−1, in
+  * either direction:
   *
   *  - `postings/` — `(term_id, doc_id, tf, dl)` DIRECTORY-PARTITIONED BY
   *    `tb = pmod(term_id, buckets)` inside each batch dir: a query batch
@@ -76,6 +77,9 @@ object LexicalRetrieval {
     // a rebuild is a NEW index generation: markers from the previous one
     // must not suppress future deletes or hide current docs at serve time
     Dedup.clearDir(s"$indexPath/tombstones")
+    // (re)start the batch-visibility manifest: from here on an append's
+    // tables become readable atomically, at its commitVisibleBatch
+    Dedup.resetVisibleBatches(indexPath)
   }
 
   /** Fold a NEW doc batch into the index — the incremental serving story
@@ -114,7 +118,10 @@ object LexicalRetrieval {
       ("stats",
         (df: DataFrame) => df.groupBy("tb_buckets").agg(
             sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-          .select("n_docs", "sum_dl", "tb_buckets"), Nil)))
+          .select("n_docs", "sum_dl", "tb_buckets"), Nil)),
+      // pending deletion markers are NOT folded — they must keep hiding
+      // their docs after a plain compaction, until purge sweeps them
+      preserveVisibilityOf = Seq("tombstones"))
 
   /** Tombstone docs OUT of the index — the erasure path for lexical serving
     * ([[graft.similarity.Similarity.deleteFromIvfadcIndex]]'s semantic for
@@ -138,8 +145,7 @@ object LexicalRetrieval {
     val spark = keys.sparkSession
     val buckets = readBuckets(spark, indexPath)
     val ids = keys.select(col(id).cast("long").as("doc_id")).distinct()
-    val known = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/doclens"))
+    val known = Dedup.readVisibleTable(spark, indexPath, "doclens")
       .join(ids, Seq("doc_id"), "leftsemi")
     val fresh = readTombstones(spark, indexPath)
       .fold(known)(t => known.join(broadcast(t), Seq("doc_id"), "left_anti"))
@@ -148,8 +154,7 @@ object LexicalRetrieval {
     val negStats = fresh
       .agg((-count(lit(1))).as("n_docs"), (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
       .withColumn("tb_buckets", lit(buckets))
-    val negDf = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+    val negDf = Dedup.readVisibleTable(spark, indexPath, "postings")
       .join(fresh.select("doc_id"), Seq("doc_id"), "leftsemi")
       .groupBy("term_id").agg((-count(lit(1))).as("df"))
     Dedup.inParallel(Seq(
@@ -157,6 +162,10 @@ object LexicalRetrieval {
       () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
       () => Dedup.writeIndexBatch(fresh.select("doc_id"),
         s"$indexPath/tombstones", batchId)))
+    // atomic visibility: the markers and BOTH negative partials appear
+    // together or not at all — a torn delete can no longer hide docs while
+    // scoring against pre-deletion statistics
+    Dedup.commitVisibleBatch(indexPath, batchId)
     fresh.unpersist(false): Unit
   }
 
@@ -200,7 +209,7 @@ object LexicalRetrieval {
       indexPath: String): Option[DataFrame] = {
     val p = s"$indexPath/tombstones"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(spark.read.parquet(Dedup.resolveIndexDir(p))
+    else Some(Dedup.readVisibleTable(spark, indexPath, "tombstones")
       .select("doc_id").distinct())
   }
 
@@ -254,8 +263,7 @@ object LexicalRetrieval {
           lit(0L).as("doc_id"), lit(0L).as("dl"), lit(0.0).as("score"))
         .limit(0)
     }
-    val post0 = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings")
       .filter(col("tb").isin(tbs: _*))
       .join(broadcast(qt), Seq("term_id"))
     // pending erasures leave the scan hidden until purge (id-only narrow
@@ -265,12 +273,10 @@ object LexicalRetrieval {
     val post = readTombstones(spark, indexPath)
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val qtIds = qt.select("term_id").distinct()
-    val dfAgg = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/termdf"))
+    val dfAgg = Dedup.readVisibleTable(spark, indexPath, "termdf")
       .join(broadcast(qtIds), Seq("term_id"), "leftsemi")
       .groupBy("term_id").agg(sum(col("df")).as("df"))
-    val consts = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val consts = Dedup.readVisibleTable(spark, indexPath, "stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // stop-term cut happens on the TINY df frame, and the inner join below
     // then drops the cut terms' posting rows at the broadcast probe — the
@@ -344,8 +350,7 @@ object LexicalRetrieval {
     val buckets = readBuckets(spark, indexPath)
     val ids = phrase.map(t => driverHash60(t.toLowerCase))
     val tbs = ids.map(h => h % buckets).distinct
-    val post0 = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings")
       .filter(col("tb").isin(tbs: _*))
     val post = readTombstones(spark, indexPath)
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
@@ -406,8 +411,7 @@ object LexicalRetrieval {
     val buckets = readBuckets(spark, indexPath)
     val ids = Seq(termA, termB).map(t => driverHash60(t.toLowerCase))
     val tbs = ids.map(_ % buckets).distinct
-    val post0 = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/postings"))
+    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings")
       .filter(col("tb").isin(tbs: _*))
     val post = readTombstones(spark, indexPath)
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
@@ -480,11 +484,9 @@ object LexicalRetrieval {
     * are already netted out, and the numbers describe the LOGICAL corpus the
     * serve path scores against, not the physical bytes). */
   def describeBm25Index(spark: SparkSession, indexPath: String): DataFrame = {
-    val stats = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val stats = Dedup.readVisibleTable(spark, indexPath, "stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val termdf = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/termdf"))
+    val termdf = Dedup.readVisibleTable(spark, indexPath, "termdf")
       .groupBy("term_id").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
       .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"))
@@ -509,8 +511,7 @@ object LexicalRetrieval {
     * stats rows; every batch must agree (probe pruning reads only the
     * computed buckets, so a mixed layout would silently drop postings). */
   private def readBuckets(spark: SparkSession, indexPath: String): Int = {
-    val rows = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val rows = Dedup.readVisibleTable(spark, indexPath, "stats")
       .select("tb_buckets").distinct().collect()
     require(rows.length == 1,
       s"bm25 index at $indexPath has ${rows.length} distinct bucket counts")
@@ -556,5 +557,10 @@ object LexicalRetrieval {
         s"$indexPath/doclens", batchId, wholeIndex)))
     postings.unpersist(false): Unit
     tokd.unpersist(false): Unit
+    // the COMMIT of a multi-table append: all four tables' partitions are
+    // on disk — one atomic manifest rewrite makes the batch visible in all
+    // of them at once (a crash before this line leaves it invisible; the
+    // same-id retry overwrites the partitions and commits)
+    if (!wholeIndex) Dedup.commitVisibleBatch(indexPath, batchId)
   }
 }

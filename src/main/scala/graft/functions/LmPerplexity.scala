@@ -189,6 +189,9 @@ object LmPerplexity {
       indexPath: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     writeLmBatch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+    // (re)start the batch-visibility manifest: from here on an append's or
+    // unlearn's five tables become readable atomically, at commitVisibleBatch
+    Dedup.resetVisibleBatches(indexPath)
   }
 
   /** Fold a NEW doc batch into the LM — every table is an additive count,
@@ -229,7 +232,9 @@ object LmPerplexity {
             sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
           .select("n_docs", "n_bigrams", "bb_buckets"), Nil),
       ("docs",
-        (df: DataFrame) => eraseDocs(df.select("doc_id").distinct()), Nil)))
+        (df: DataFrame) => eraseDocs(df.select("doc_id").distinct()), Nil)),
+      // pending unlearn markers survive a plain compaction until purge
+      preserveVisibilityOf = Seq("tombstones"))
   }
 
   /** UNLEARN documents from the LM — the [[LexicalRetrieval.deleteFromBm25Index]]
@@ -252,8 +257,7 @@ object LmPerplexity {
       indexPath: String, batchId: String): Unit = {
     val spark = docs.sparkSession
     val buckets = readBuckets(spark, indexPath)
-    val member = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/docs"))
+    val member = Dedup.readVisibleTable(spark, indexPath, "docs")
       .select(col("doc_id").as("__known_id"))
     val known = docs.join(member,
       docs(id).cast("long") === col("__known_id"), "left_semi")
@@ -291,6 +295,10 @@ object LmPerplexity {
       () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
       () => Dedup.writeIndexBatch(tk.select(col("doc_id")),
         s"$indexPath/tombstones", batchId)))
+    // atomic visibility: markers and ALL four negative count partials
+    // appear together — a torn unlearn can no longer hide docs while the
+    // model still scores with their counts
+    Dedup.commitVisibleBatch(indexPath, batchId)
     negBg.unpersist(false): Unit
     tk.unpersist(false): Unit
   }
@@ -333,11 +341,8 @@ object LmPerplexity {
       excludeBatch: Option[String] = None): Option[DataFrame] = {
     val p = s"$indexPath/tombstones"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else {
-      val raw = spark.read.parquet(Dedup.resolveIndexDir(p))
-      val pruned = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
-      Some(pruned.select("doc_id").distinct())
-    }
+    else Some(Dedup.readVisibleTable(spark, indexPath, "tombstones", excludeBatch)
+      .select("doc_id").distinct())
   }
 
   /** Score `docs` FIT-FREE against the persisted LM. The request batch's
@@ -372,15 +377,12 @@ object LmPerplexity {
     val bgC =
       if (bbs.isEmpty)
         spark.emptyDataFrame.select(lit(0L).as("bg_id"), lit(0L).as("c_bg")).limit(0)
-      else spark.read
-        .parquet(Dedup.resolveIndexDir(s"$indexPath/bigrams"))
+      else Dedup.readVisibleTable(spark, indexPath, "bigrams")
         .filter(col("bb").isin(bbs: _*))
         .groupBy("bg_id").agg(sum(col("c")).as("c_bg"))
-    val ctxC = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/contexts"))
+    val ctxC = Dedup.readVisibleTable(spark, indexPath, "contexts")
       .groupBy("ctx_id").agg(sum(col("c")).as("c_ctx"))
-    val v = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/unigrams"))
+    val v = Dedup.readVisibleTable(spark, indexPath, "unigrams")
       .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("v"))
       .first().getLong(0)
@@ -394,15 +396,12 @@ object LmPerplexity {
   /** One-row index introspection: the logical model the serve path scores
     * against (partials netted). */
   def describeLmIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val stats = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val stats = Dedup.readVisibleTable(spark, indexPath, "stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
-    val voc = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/unigrams"))
+    val voc = Dedup.readVisibleTable(spark, indexPath, "unigrams")
       .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("vocab"))
-    val bgt = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/bigrams"))
+    val bgt = Dedup.readVisibleTable(spark, indexPath, "bigrams")
       .groupBy("bg_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("bigram_types"))
     stats.crossJoin(voc).crossJoin(bgt)
@@ -411,8 +410,7 @@ object LmPerplexity {
   }
 
   private def readBuckets(spark: SparkSession, indexPath: String): Int = {
-    val rows = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$indexPath/stats"))
+    val rows = Dedup.readVisibleTable(spark, indexPath, "stats")
       .select("bb_buckets").distinct().collect()
     require(rows.length == 1,
       s"LM index at $indexPath has ${rows.length} distinct bucket counts")
@@ -450,6 +448,7 @@ object LmPerplexity {
       () => Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/docs",
         batchId, wholeIndex)))
     if (wholeIndex) Dedup.clearDir(s"$indexPath/tombstones")
+    else Dedup.commitVisibleBatch(indexPath, batchId) // all five tables landed
     bg.unpersist(false): Unit
     tk.unpersist(false): Unit
   }

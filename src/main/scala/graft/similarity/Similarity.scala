@@ -496,6 +496,9 @@ object Similarity {
         s"$graphPath/edges", "base", wholeIndex = true),
       () => Dedup.writeIndexBatch(probes, s"$graphPath/probes", "base",
         wholeIndex = true)))
+    // (re)start the batch-visibility manifest: an append's probes and
+    // edges become readable atomically, at commitVisibleBatch
+    Dedup.resetVisibleBatches(graphPath)
     p
   }
 
@@ -561,9 +564,8 @@ object Similarity {
     // affected old anchors: stored probes hitting cells the batch landed in;
     // their only NEW competition is the new docs in those cells
     val newCells = newAssigned.select(col("cell")).distinct()
-    val oldProbes = spark.read
-      .parquet(Dedup.resolveIndexDir(s"$graphPath/probes"))
-      .filter(col("batch") =!= lit(batchId))
+    val oldProbes = Dedup
+      .readVisibleTable(spark, graphPath, "probes", Some(batchId))
       .select(col("doc_id"), col("cell"))
     val candAffected = oldProbes
       .join(newCells, Seq("cell"), "left_semi")
@@ -602,6 +604,10 @@ object Similarity {
       () => Dedup.writeIndexBatch(newProbes, s"$graphPath/probes", batchId),
       () => Dedup.writeIndexBatch(p.withColumn("gen", lit(gen)),
         s"$graphPath/edges", batchId)))
+    // atomic visibility of the GRAPH tables (probes + edges appear
+    // together); the vector fold-in belongs to the ANN index family and
+    // keeps its own replay discipline
+    Dedup.commitVisibleBatch(graphPath, batchId)
     newAssigned.unpersist(false): Unit
     p
   }
@@ -616,8 +622,7 @@ object Similarity {
       graphPath: String,
       excludeBatch: Option[String] = None): DataFrame = {
     import graft.dedup.Dedup
-    val raw = spark.read.parquet(Dedup.resolveIndexDir(s"$graphPath/edges"))
-    val e = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= lit(b)))
+    val e = Dedup.readVisibleTable(spark, graphPath, "edges", excludeBatch)
     val latest = e.groupBy(col("query_id")).agg(max(col("gen")).as("gen"))
     e.join(latest, Seq("query_id", "gen"))
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
@@ -1214,6 +1219,9 @@ object Similarity {
     // at serve time and suppress legitimate future deletes (found via the
     // BM25 twin — q192's describe read a prior bench run's markers)
     graft.dedup.Dedup.clearDir(s"$indexPath/tombstones")
+    // (re)start the batch-visibility manifest: an append's codes and
+    // reorder vectors become readable atomically, at commitVisibleBatch
+    graft.dedup.Dedup.resetVisibleBatches(indexPath)
   }
 
   // one copy of the replay-idempotence machinery: Dedup.writeIndexBatch is
@@ -1252,6 +1260,10 @@ object Similarity {
     writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", batchId,
       partitionCols = Seq("cell"))
     writeBatched(c0, s"$indexPath/vectors", batchId)
+    // atomic visibility: codes and reorder vectors appear together — a torn
+    // append can no longer surface candidates whose exact vectors are
+    // missing (the rerank join would silently drop them, degrading top-k)
+    graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
   }
 
   /** Compact the per-batch codes/vectors partitions into one `batch=base`
@@ -1264,7 +1276,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
     graft.dedup.Dedup.compactFamily(spark, indexPath, Seq(
       ("codes", (df: DataFrame) => df, Seq("cell")),
-      ("vectors", (df: DataFrame) => df, Nil)))
+      ("vectors", (df: DataFrame) => df, Nil)),
+      // pending deletion markers survive a plain compaction until purge
+      preserveVisibilityOf = Seq("tombstones"))
 
   /** Tombstone vectors OUT of a persisted IVFADC index — the erasure path
     * for ANN serving ([[graft.core.FeatureStore.deleteRecords]]'s semantic
@@ -1277,15 +1291,17 @@ object Similarity {
     * tombstoned id stays hidden until a purge clears the marker — the
     * documented semantic (erasure outranks resurrection). */
   def deleteFromIvfadcIndex(keys: DataFrame, id: String, indexPath: String,
-      batchId: String): Unit =
+      batchId: String): Unit = {
     writeBatched(keys.select(col(id).as("nbr_id")).distinct(),
       s"$indexPath/tombstones", batchId)
+    graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
+  }
 
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Option[DataFrame] = {
     val p = s"$indexPath/tombstones"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(p))
+    else Some(graft.dedup.Dedup.readVisibleTable(spark, indexPath, "tombstones")
       .select("nbr_id").distinct())
   }
 
@@ -1321,7 +1337,9 @@ object Similarity {
             (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"),
             Seq("cell")),
           ("vectors",
-            (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"), Nil)))
+            (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"), Nil)),
+          // a delete landing mid-purge keeps its marker visible
+          preserveVisibilityOf = Seq("tombstones"))
         dirsAtPlan.foreach { d =>
           val walk = java.nio.file.Files.walk(d)
           try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -1383,7 +1401,7 @@ object Similarity {
     require(shortlist >= k, "need shortlist >= k")
     val model = preloadedModel.getOrElse(loadIvfadcModel(spark, indexPath))
     val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
-    val enc0 = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/codes"))
+    val enc0 = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "codes")
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
     // pending tombstones hide deleted vectors from stage 1 (id-only
     // broadcast anti-join); candidates therefore never contain them, so the
@@ -1394,7 +1412,7 @@ object Similarity {
     val cand0 = ivfadcCandidates(enc, q0, model, ops, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)
     val candidates = sinkCandidates(cand0, candidateSink)
-    val stored = spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$indexPath/vectors"))
+    val stored = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "vectors")
       .select(col("nbr_id"), col("cv"))
     rankCandidates(candidates, stored, q0, k)
   }

@@ -666,6 +666,19 @@ class FeatureStoreSpec extends SparkSpec {
       FeatureStore.keyBucketOf(k.toString, FeatureStore.OnlineKeyBuckets) != b5).get
     assert(fs.getRecord("tx", other).get("amount") == s"$other.0",
       "intact buckets keep serving through the KV file")
+
+    // corrupt BUCKET META is worse than a corrupt KV file: a guessed modulus
+    // would answer present keys as authoritatively absent — so lookups must
+    // drop ALL pruning and scan the snapshot (a fresh store, so no cached
+    // bucket count hides the corruption)
+    Files.write(java.nio.file.Paths.get(root, "tx", "online", "v1", "_meta"),
+      "buckets=not-a-number".getBytes)
+    val fs2 = new FeatureStore(spark, root, maxServingCacheRows = 3)
+    assert(fs2.getRecord("tx", 5L).get("amount") == "5.0",
+      "corrupt meta must degrade to an unpruned scan, not a wrong-bucket miss")
+    assert(fs2.getRecord("tx", 999L).isEmpty)
+    assert(fs2.batchGetRecords("tx", Seq(5L, 999L)).get("5").flatten
+      .exists(_("amount") == "5.0"))
   }
 
   test("optimistic pointer: exactly one of N racing CAS commits wins, losers throw") {

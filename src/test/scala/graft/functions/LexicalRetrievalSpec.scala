@@ -140,6 +140,49 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(once == twice, "replayed batch must not change any statistic")
   }
 
+  test("append visibility is atomic: a torn batch is invisible in every table until committed; compaction drops it") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("bm25_torn_").toString
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"), "doc_id", "text", idx)
+    val q = Seq((1L, Seq("spark"))).toDF("query_id", "terms")
+    def served(): Set[Long] =
+      LexicalRetrieval.bm25TopKIndexed(spark, idx, q, k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    def nDocs(): Long = LexicalRetrieval.describeBm25Index(spark, idx)
+      .first().getAs[Long]("n_docs")
+    val before = served()
+    assert(before.nonEmpty && !before.contains(999L))
+    assert(nDocs() == corpus.size.toLong)
+
+    // simulate the torn-append crash window: ONE table's partition lands
+    // (postings for a new doc 999 containing "spark"), no termdf/stats/
+    // doclens, no visibility commit — serving and introspection must see
+    // exactly the pre-batch index
+    val sparkTermId = spark.range(1)
+      .select(GraftFunctions.portableHash60(lit("spark")).as("h"))
+      .first().getLong(0)
+    val tornPostings = Seq((sparkTermId, 999L, 1L, 1L, Seq(0)))
+      .toDF("term_id", "doc_id", "dl", "tf", "positions")
+      .withColumn("tb", pmod(col("term_id"), lit(64L)))
+    Dedup.writeIndexBatch(tornPostings, s"$idx/postings", "torn",
+      partitionCols = Seq("tb"))
+    assert(served() == before, "a half-landed batch must be invisible")
+    assert(nDocs() == corpus.size.toLong)
+
+    // compaction folds only VISIBLE batches: the torn partition is
+    // physically dropped (the self-heal), and serving is unchanged
+    LexicalRetrieval.compactBm25Index(spark, idx)
+    assert(served() == before, "compaction must not commit a torn batch")
+    assert(nDocs() == corpus.size.toLong)
+
+    // a PROPER append of the same doc commits atomically and serves
+    LexicalRetrieval.appendBm25Index(
+      Seq((999L, "spark spark")).toDF("doc_id", "text"), "doc_id", "text",
+      idx, batchId = "b2")
+    assert(served().contains(999L), "a committed append must serve")
+    assert(nDocs() == corpus.size.toLong + 1)
+  }
+
   test("the postings probe prunes to the query terms' buckets") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString

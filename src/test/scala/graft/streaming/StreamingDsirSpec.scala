@@ -98,7 +98,7 @@ class StreamingDsirSpec extends SparkSpec {
     assert(offline == keptIds, "stream admission must equal offline replay")
   }
 
-  test("mismatched bucket counts across stats partials fail loudly") {
+  test("mismatched bucket counts across stats partials fail loudly once committed; uncommitted stays invisible") {
     val root = Files.createTempDirectory("dsir_bad_").toString
     val idx = s"$root/model"
     Dsir.buildDsirIndex(docs(target: _*), docs(poolBase: _*),
@@ -107,6 +107,12 @@ class StreamingDsirSpec extends SparkSpec {
     import spark.implicits._
     Seq((1L, 1L, 512)).toDF("t_occ", "r_occ", "buckets")
       .write.parquet(s"$idx/stats/batch=bogus")
+    // UNCOMMITTED (torn/foreign) partitions are invisible by the batch
+    // manifest — scoring keeps working against the committed model
+    assert(Dsir.importanceIndexed(spark, idx, docs(10L -> "alpha"),
+      "doc_id", "text").count() == 1L)
+    // once COMMITTED, the config drift is a loud error, not a mis-prune
+    graft.dedup.Dedup.commitVisibleBatch(idx, "bogus")
     val e = intercept[IllegalArgumentException] {
       Dsir.importanceIndexed(spark, idx, docs(10L -> "alpha"), "doc_id", "text")
     }
