@@ -183,6 +183,30 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(nDocs() == corpus.size.toLong + 1)
   }
 
+  test("pending tombstones survive a plain compaction: deleted docs stay hidden until purge") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("bm25_del_compact_").toString
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"), "doc_id", "text", idx)
+    LexicalRetrieval.deleteFromBm25Index(Seq(3L).toDF("doc_id"), "doc_id", idx, "del1")
+    val q = Seq((1L, Seq("spark"))).toDF("query_id", "terms")
+    def served(): Set[Long] =
+      LexicalRetrieval.bm25TopKIndexed(spark, idx, q, k = 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!served().contains(3L), "deleted doc hidden before compaction")
+    // a PLAIN compaction folds the negative partials but must NOT blank the
+    // markers' visibility — the doc stays hidden, stats stay netted
+    LexicalRetrieval.compactBm25Index(spark, idx)
+    assert(!served().contains(3L),
+      "deleted doc must stay hidden after a plain compaction")
+    assert(LexicalRetrieval.describeBm25Index(spark, idx)
+      .first().getAs[Long]("n_docs") == corpus.size.toLong - 1)
+    // purge erases physically and clears the markers
+    LexicalRetrieval.purgeBm25Index(spark, idx)
+    assert(!served().contains(3L))
+    assert(LexicalRetrieval.describeBm25Index(spark, idx)
+      .first().getAs[Long]("pending_tombstones") == 0L)
+  }
+
   test("the postings probe prunes to the query terms' buckets") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString
