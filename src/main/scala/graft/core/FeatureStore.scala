@@ -452,6 +452,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       val lines = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
         .linesIterator.toSeq
       val buckets = lines.find(_.startsWith("buckets=")).get.drop(8).trim.toLong
+      require(buckets >= 1, s"nonsense bucket count $buckets") // Try → None: untrusted layout
       val cs = lines.find(_.startsWith("counts=")).map(_.drop(7).trim).getOrElse("")
       val counts =
         if (cs.isEmpty) Map.empty[Long, Long]
