@@ -1147,6 +1147,29 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- FILTERED ANN over the persisted IVFADC index (the production
+    //      vector-search shape: top-k among the docs a metadata predicate
+    //      admits). The allowed-id set SEMI-JOINS the stage-1 codes scan,
+    //      so filtering is EXACT — post-filtering a fixed shortlist
+    //      under-fills k when the predicate is selective (the classic
+    //      filtered-ANN recall bug). Probed at FULL nProbe with an
+    //      uncapped shortlist the result degenerates to the exact filtered
+    //      top-k, so the oracle is plain brute-force SQL over the filtered
+    //      subset — no candidate dump needed ----
+    "q230_ivfadc_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q230_pqindex")
+      Similarity.buildIvfadcIndex(emb, "vec_id", "embedding", idx,
+        nCells = 16, m = 4, codebookSize = 16, fitMaxIter = 8,
+        fitSampleFraction = 0.25)
+      Similarity.ivfadcTopKIndexed(s, idx, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 16, shortlist = 1 << 20,
+          excludeSelf = true,
+          allowed = Some(emb.filter(pmod(col("vec_id"), lit(3)) === 0)
+            .select("vec_id")))
+        .orderBy("query_id", "nbr_rank")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -6568,6 +6591,21 @@ object QuerySuite {
     // perturbs the shortlist CONTENTS is visible
     "q155_ivfadc_index" ->
       cosineRerankOracle("q155_candidates"),
+
+    // FILTERED ANN at full probe + uncapped shortlist degenerates to the
+    // EXACT filtered top-k, so the oracle is q17's brute force with the
+    // allowed-set predicate on the candidate side — checking the filter,
+    // the ranking, and the cosine bit-for-bit, end to end
+    "q230_ivfadc_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 = 0),
+        |scored AS (
+        |  SELECT query_id, nbr_id, list_cosine_similarity(qv, cv) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(qv, cv) DESC, nbr_id) AS nbr_rank
+        |  FROM q JOIN c ON query_id <> nbr_id)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
 
     // q151's contract over the per-micro-batch streaming dumps (** glob:
     // dumps accumulate per batch like q152's)

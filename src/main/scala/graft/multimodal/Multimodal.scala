@@ -69,7 +69,7 @@ object Multimodal {
   /** STUB decoder: deterministic pseudo-features from the payload bytes.
     * Stands in for e.g. a JPEG decode + CNN embed. */
   private def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
-    var h = 1125899906842597L // ??? real codec goes here — deterministic fake
+    var h = 1125899906842597L // synthetic by design — real path: decodeImageStats/resizeImagesReal
     var i = 0
     while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
     Array.tabulate(dim) { d =>
@@ -113,7 +113,7 @@ object Multimodal {
       it.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("bytes")).getOrElse(Array.emptyByteArray)
         val resized = fakeDecode(bytes, math.max(1, width * height / 64))
-          .flatMap(f => Array((f * 255).toByte)) // ??? real scaler goes here
+          .flatMap(f => Array((f * 255).toByte)) // synthetic by design — real path: resizeImagesReal
         val meta = r.getAs[Row]("meta")
         Row(r.getLong(0), r.getString(1), resized,
           Row(meta.get(0), width, height, meta.get(3)))

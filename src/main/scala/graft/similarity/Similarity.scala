@@ -1383,7 +1383,15 @@ object Similarity {
     *   batch is pure fixed overhead on the request path; the index contract
     *   freezes them, so a pre-start load stays valid for the stream's
     *   lifetime). Codes and tombstones are still read per call — those DO
-    *   change under fold-in/deletes. */
+    *   change under fold-in/deletes.
+    * @param allowed FILTERED ANN (the metadata-constrained production
+    *   query: "top-k among docs WHERE <predicate>"): a frame whose FIRST
+    *   column holds the allowed ids. It SEMI-JOINS the stage-1 codes scan
+    *   BEFORE shortlisting, so filtering is exact — post-filtering a fixed
+    *   shortlist under-fills k whenever the predicate is selective (the
+    *   classic filtered-ANN recall bug). Ids-only and narrow at any scale;
+    *   at full nProbe with an uncapped shortlist the result degenerates to
+    *   the EXACT filtered top-k (q230's pure-SQL oracle relies on it). */
   def ivfadcTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -1397,17 +1405,21 @@ object Similarity {
       candidateSink: Option[String] = None,
       adcBroadcastMaxBytes: Long = 256L << 20,
       preloadedModel: Option[IvfadcModel] = None,
-      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): DataFrame = {
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes,
+      allowed: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
     val model = preloadedModel.getOrElse(loadIvfadcModel(spark, indexPath))
     val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
-    val enc0 = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "codes")
+    val enc1 = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "codes")
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
     // pending tombstones hide deleted vectors from stage 1 (id-only
     // broadcast anti-join); candidates therefore never contain them, so the
     // rerank join needs no second filter
-    val enc = readTombstones(spark, indexPath)
-      .fold(enc0)(t => enc0.join(broadcast(t), Seq("nbr_id"), "left_anti"))
+    val enc0 = readTombstones(spark, indexPath)
+      .fold(enc1)(t => enc1.join(broadcast(t), Seq("nbr_id"), "left_anti"))
+    // metadata filter applies at stage 1 too (see `allowed`)
+    val enc = allowed.fold(enc0)(a =>
+      enc0.join(a.select(col(a.columns.head).as("nbr_id")), Seq("nbr_id"), "left_semi"))
     val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
     val cand0 = ivfadcCandidates(enc, q0, model, ops, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)

@@ -128,6 +128,36 @@ class SimilaritySpec extends SparkSpec {
       "the persisted IVFADC index must reproduce the refit path exactly")
   }
 
+  test("filtered ANN: full-probe filtered top-k equals brute force over the allowed subset; k stays filled") {
+    import spark.implicits._
+    val rng = new Random(53)
+    val vecs = randomVecs(rng, 150, 8)
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 6)
+    val allowedPred = $"vec_id" % 7 === 0 // selective: ~21 of 150 docs
+    val idx = java.nio.file.Files.createTempDirectory("ivfadc_filt_").toString
+    Similarity.buildIvfadcIndex(df, "vec_id", "embedding", idx,
+      nCells = 8, m = 4, codebookSize = 8, seed = 42L, fitMaxIter = 8)
+
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "nbr_rank", "nbr_id").as[(Long, Long, Long)].collect().toSet
+    val filtered = Similarity.ivfadcTopKIndexed(spark, idx, queries,
+      "vec_id", "embedding", k = 5, nProbe = 8, shortlist = 1 << 20,
+      excludeSelf = true, allowed = Some(df.filter(allowedPred).select("vec_id")))
+    val brute = Similarity.bruteForceTopK(df.filter(allowedPred), queries,
+      "vec_id", "embedding", k = 5, excludeSelf = true)
+    assert(rows(filtered) == rows(brute),
+      "full-probe filtered ANN must equal exact top-k over the allowed subset")
+    // the classic filtered-ANN bug check: a SELECTIVE filter still fills k
+    // (post-filtering a fixed small shortlist would under-fill)
+    val perQuery = filtered.groupBy("query_id").count()
+      .collect().map(_.getLong(1)).toSet
+    assert(perQuery == Set(5L), s"every query must fill k=5, got $perQuery")
+    // no non-allowed id ever surfaces
+    assert(filtered.select("nbr_id").as[Long].collect().forall(_ % 7 == 0),
+      "the filter is exact — only allowed ids may appear")
+  }
+
   test("appendIvfadcIndex folds fit-free; full-probe degeneracy stays exact through replay and compaction") {
     import spark.implicits._
     val rng = new Random(47)
