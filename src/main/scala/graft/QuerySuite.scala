@@ -1170,6 +1170,30 @@ object QuerySuite {
         .orderBy("query_id", "nbr_rank")
     }),
 
+    // ---- TIME TRAVEL (read-as-of): two ingests land in the offline
+    //      store; the historical query is PINNED at the first ingest's
+    //      seq, so the second batch — already committed when the read
+    //      runs — must be invisible. The pin is a plain filter on the
+    //      _ingest_seq column every offline row carries (survives
+    //      compaction, composes with partition pruning); the oracle
+    //      replays it as the batch-1 membership predicate ----
+    "q231_time_travel" -> ((s, dir) => {
+      val fs = new FeatureStore(s, tmpDir("q231_store_"))
+      fs.createGroup(FeatureGroup("tt_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional))))
+      val e = Tables.events(s, dir)
+      val pin = fs.ingest("tt_fg", e.filter(pmod(col("event_id"), lit(2)) === 0))
+      fs.ingest("tt_fg", e.filter(pmod(col("event_id"), lit(2)) === 1))
+      fs.historicalQueryAsOf("tt_fg",
+          Seq("event_id", "user_id", "ts", "value"),
+          "2024-01-10 00:00:00", "2024-01-20 23:59:59", asOfSeq = pin)
+        .orderBy("event_id")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -5176,6 +5200,16 @@ object QuerySuite {
     "q03_time_range" ->
       """SELECT event_id, user_id, ts, value FROM events
         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 23:59:59'
+        |ORDER BY event_id""".stripMargin,
+
+    // q03's range read, pinned at the first of two ingests: seq-1 held
+    // exactly the even event_ids, so the pin replays as that membership
+    // predicate — batch 2's rows were committed before the read ran and
+    // must not appear
+    "q231_time_travel" ->
+      """SELECT event_id, user_id, ts, value FROM events
+        |WHERE event_id % 2 = 0
+        |  AND ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 23:59:59'
         |ORDER BY event_id""".stripMargin,
 
     "q04_asof_join" -> asofOracle,

@@ -168,9 +168,76 @@ final class FeatureStore(spark: SparkSession, root: String,
     val o = obs.get
     metrics.put(groupName, IngestMetrics(o("rows").asInstanceOf[Long],
       o("null_keys").asInstanceOf[Long], o("null_event_times").asInstanceOf[Long]))
+    recordSeqCommit(groupName, seq)
 
     refreshOnline(g, Some(typed))
     seq
+  }
+
+  // ---- time travel (read-as-of) ----
+
+  private def seqLogDir(name: String): Path = groupDir(name).resolve("seqlog")
+
+  /** One empty marker file per committed ingest, `seq-<n>-<epochMillis>` —
+    * the seq→wall-clock mapping [[ingestSeqAt]] resolves timestamps
+    * against. Lives OUTSIDE the versioned offline dirs so compaction GC
+    * never sweeps it; the filename carries both fields, so resolution is a
+    * directory listing with zero file reads (at minute-level micro-batches
+    * that is ~500k tiny names per year — list-cheap on any store; prune old
+    * markers with retention if a group outlives its reproducibility
+    * window). Written AFTER the offline append: a crashed ingest that never
+    * materialized data never becomes a resolvable point in time. */
+  private def recordSeqCommit(name: String, seq: Long): Unit = {
+    Files.createDirectories(seqLogDir(name))
+    Files.write(seqLogDir(name).resolve(s"seq-$seq-${System.currentTimeMillis}"),
+      Array.emptyByteArray): Unit
+  }
+
+  /** Offline history pinned at an ingest sequence — the time-travel read:
+    * exactly the rows a consumer saw when `asOfSeq` was the newest committed
+    * batch, no matter how much the store has ingested since. The pin is a
+    * plain filter on the `_ingest_seq` column every offline row carries, so
+    * it survives [[compactOffline]] (compaction rewrites files, never rows)
+    * and composes with partition pruning like any other predicate.
+    *
+    * GDPR wins over reproducibility: [[deleteRecords]] tombstones (and the
+    * physical erase a later compaction performs) apply to EVERY read,
+    * pinned or not — time travel never resurrects a deleted key. */
+  def offlineAsOf(name: String, asOfSeq: Long): DataFrame =
+    offline(name).filter(col(EngineColumns.IngestSeq) <= asOfSeq)
+
+  /** [[historicalQuery]] against the [[offlineAsOf]] pinned view — the
+    * reproducible-training-frame read: re-running with the same `asOfSeq`
+    * returns the same frame against a store that kept ingesting. */
+  def historicalQueryAsOf(groupName: String, columns: Seq[String],
+      start: String, end: String, asOfSeq: Long): DataFrame = {
+    val g = describeGroup(groupName)
+    offlineAsOf(groupName, asOfSeq)
+      .filter(col(EngineColumns.IngestDate).between(
+        to_date(lit(start).cast(TimestampType)), to_date(lit(end).cast(TimestampType))))
+      .filter(col(g.eventTimeCol).between(
+        lit(start).cast(TimestampType), lit(end).cast(TimestampType)))
+      .select(columns.map(col): _*)
+  }
+
+  /** Resolve a wall-clock instant to the newest ingest seq committed at or
+    * before it (the `(timestamp)` form of read-as-of: pass the result to
+    * [[offlineAsOf]]/[[historicalQueryAsOf]]). None when no ingest had
+    * committed yet — or for groups whose ingests predate the seq log (the
+    * seq form still works there; `_ingest_seq` is as old as the store). */
+  def ingestSeqAt(groupName: String, asOf: java.time.Instant): Option[Long] = {
+    val d = seqLogDir(groupName)
+    if (!Files.exists(d)) return None
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(d)
+    val marks = try ls.iterator().asScala.flatMap { p =>
+      p.getFileName.toString.split("-") match {
+        case Array("seq", s, t) if s.forall(_.isDigit) && t.forall(_.isDigit) =>
+          Some((s.toLong, t.toLong))
+        case _ => None
+      }
+    }.toList finally ls.close()
+    marks.filter(_._2 <= asOf.toEpochMilli).map(_._1).maxOption
   }
 
   private val metrics = new java.util.concurrent.ConcurrentHashMap[String, IngestMetrics]()
@@ -1159,18 +1226,22 @@ final class FeatureStore(spark: SparkSession, root: String,
     *
     * @param entityDf  rows to enrich; must contain the group's key column and `asOfTsCol`
     * @param featureCols feature columns to attach (default: all non-key, non-time)
+    * @param asOfSeq pin the history at an ingest seq ([[offlineAsOf]]) —
+    *                the reproducible-training-frame form: the same pin
+    *                rebuilds the same frame after any number of later ingests
     */
   def pointInTime(
       groupName: String,
       entityDf: DataFrame,
       asOfTsCol: String,
       featureCols: Seq[String] = Nil,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      asOfSeq: Option[Long] = None): DataFrame = {
     val g = describeGroup(groupName)
     val attach = if (featureCols.nonEmpty) featureCols
       else g.featureNames.filterNot(n => n == g.keyCol || n == g.eventTimeCol)
     graft.operators.AsOfJoin.backward(
-      entityDf, offline(groupName),
+      entityDf, asOfSeq.fold(offline(groupName))(offlineAsOf(groupName, _)),
       leftKey = g.keyCol, rightKey = g.keyCol,
       leftTime = asOfTsCol, rightTime = g.eventTimeCol,
       rightTiebreak = EngineColumns.IngestSeq,
@@ -1193,13 +1264,14 @@ final class FeatureStore(spark: SparkSession, root: String,
       groups: Seq[(String, Seq[String])],
       entityDf: DataFrame,
       asOfTsCol: String,
-      tolerance: Option[String] = None): DataFrame =
+      tolerance: Option[String] = None,
+      asOfSeq: Option[Long] = None): DataFrame =
     groups.foldLeft(entityDf) { case (acc, (groupName, featureCols)) =>
       val g = describeGroup(groupName)
       val attach = if (featureCols.nonEmpty) featureCols
         else g.featureNames.filterNot(n => n == g.keyCol || n == g.eventTimeCol)
       graft.operators.AsOfJoin.backward(
-        acc, offline(groupName),
+        acc, asOfSeq.fold(offline(groupName))(offlineAsOf(groupName, _)),
         leftKey = g.keyCol, rightKey = g.keyCol,
         leftTime = asOfTsCol, rightTime = g.eventTimeCol,
         rightTiebreak = EngineColumns.IngestSeq,

@@ -346,6 +346,55 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.getRecord("tx", 3L).isEmpty)
   }
 
+  test("time travel: pinned frame reproducible across later ingests and compaction; timestamp resolves; GDPR wins") {
+    val fs = newStore()
+    fs.createGroup(group)
+    assert(fs.ingestSeqAt("tx", java.time.Instant.now()).isEmpty,
+      "no committed ingest yet → no resolvable point in time")
+
+    val pin = fs.ingest("tx", batch(
+      (1L, "2024-01-01 10:00:00", 10.0, "a"),
+      (2L, "2024-01-01 09:00:00", 5.0, "x")))
+    val afterPin = java.time.Instant.now()
+    def pinned() = fs.offlineAsOf("tx", pin)
+      .orderBy("customer_id", "event_time").collect().toSeq
+    val frame0 = pinned()
+    assert(frame0.size == 2)
+
+    Thread.sleep(5) // strict marker ordering for the timestamp resolution below
+    val seq2 = fs.ingest("tx", batch(
+      (1L, "2024-01-02 10:00:00", 20.0, "b"),
+      (3L, "2024-01-01 09:30:00", 7.0, "y")))
+
+    // the pinned view is bit-stable while the live view moved on
+    assert(pinned() == frame0, "later ingests must not leak into a pinned frame")
+    assert(fs.offline("tx").count() == 4)
+    assert(fs.historicalQueryAsOf("tx", Seq("customer_id", "amount"),
+      "2024-01-01 00:00:00", "2024-12-31 00:00:00", asOfSeq = pin).count() == 2)
+
+    // pinned pointInTime: the training frame rebuilds against batch-1 history
+    val entity = batch((1L, "2024-06-01 00:00:00", 0.0, "-"))
+      .select("customer_id", "event_time")
+    def amountAsOf(s: Option[Long]) = fs.pointInTime("tx", entity, "event_time",
+      Seq("amount"), asOfSeq = s).collect().head.getAs[Double]("asof_amount")
+    assert(amountAsOf(None) == 20.0 && amountAsOf(Some(pin)) == 10.0,
+      "the pin must reproduce the batch-1 training frame")
+
+    // wall-clock resolution: just after the first commit → pin; now → seq2
+    assert(fs.ingestSeqAt("tx", afterPin).contains(pin))
+    assert(fs.ingestSeqAt("tx", java.time.Instant.now()).contains(seq2))
+
+    // compaction rewrites files, never rows — the pin still reproduces
+    fs.compactOffline("tx")
+    assert(pinned() == frame0, "_ingest_seq must survive compaction")
+
+    // GDPR wins over reproducibility: deletion hides the key in EVERY
+    // read, pinned or not — time travel never resurrects erased history
+    fs.deleteRecords("tx", Seq(1L))
+    assert(fs.offlineAsOf("tx", pin).filter("customer_id = 1").count() == 0)
+    assert(fs.offlineAsOf("tx", pin).count() == 1)
+  }
+
   test("getRecordFresh: staleness gate under a pinned clock — fresh serves, stale reads as absent") {
     val fixed = java.time.Instant.parse("2024-06-15T00:00:00Z")
     val fs = new FeatureStore(spark,
