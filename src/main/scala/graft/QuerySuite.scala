@@ -655,6 +655,45 @@ object QuerySuite {
        |SELECT event_id, CAST(($terms) AS BIGINT) AS zv FROM b ORDER BY event_id""".stripMargin
   }
 
+  // full BM25 (k1=1.2, b=0.75) re-derived from scratch over the raw corpus:
+  // whitespace tokens, Robertson idf, length-normalized tf, ordered
+  // three-term fold — shared by q174 (Column API, direct) and q232 (SQL
+  // text, persisted index): three constructions, one contract
+  private val bm25TopKOracle =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      |  FROM documents
+      |), d AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+      |), consts AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS term FROM d
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+      |), contrib AS (
+      |  SELECT tf.doc_id, tf.term, d.dl,
+      |    ((consts.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5) / (dfreq.df::DOUBLE + 0.5))
+      |      * (tf.tf::DOUBLE * (1.2 + 1.0)) /
+      |      (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl::DOUBLE /
+      |        (consts.sum_dl::DOUBLE / consts.n_docs::DOUBLE)))) AS c
+      |  FROM tf JOIN d USING (doc_id) JOIN dfreq USING (term) CROSS JOIN consts
+      |), per AS (
+      |  SELECT doc_id, dl,
+      |    round(coalesce(sum(CASE WHEN term = 'spark' THEN c END), 0.0)
+      |      + coalesce(sum(CASE WHEN term = 'window' THEN c END), 0.0)
+      |      + coalesce(sum(CASE WHEN term = 'hash' THEN c END), 0.0), 6) AS score
+      |  FROM contrib GROUP BY doc_id, dl
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+      |       doc_id, dl, score
+      |FROM per ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   private val latestOracle =
     """SELECT user_id, event_id, ts, event_type, value FROM (
       |  SELECT user_id, event_id, ts, event_type, value,
@@ -1192,6 +1231,39 @@ object QuerySuite {
           Seq("event_id", "user_id", "ts", "value"),
           "2024-01-10 00:00:00", "2024-01-20 23:59:59", asOfSeq = pin)
         .orderBy("event_id")
+    }),
+
+    // ---- SQL-TEXT serving faces (GraftTableFunctions): the reference's
+    //      users query through SQL text, so the highest-traffic serving
+    //      ops are table-valued functions. Each TVF builds EXACTLY the
+    //      Column-API plan (same code path), so these queries oracle the
+    //      SQL form against the Column-API queries' DuckDB oracles ----
+
+    // q174's BM25 top-k, served from the persisted index via SQL text
+    "q232_bm25_topk_sql" -> ((s, dir) => {
+      val idx = aux(dir, "q232_bm25index")
+      LexicalRetrieval.buildBm25Index(Tables.documents(s, dir), "doc_id", "text", idx)
+      s.sql(s"SELECT * FROM bm25_topk('$idx', 'spark window hash', 10) ORDER BY rank")
+    }),
+
+    // q12's exact-duplicate marks via SQL text over the raw corpus path
+    "q233_dedup_marks_sql" -> ((s, dir) => {
+      s.sql(s"SELECT * FROM dedup_exact_marks('$dir/documents.parquet', 'doc_id', 'text') " +
+        "ORDER BY text_hash")
+    }),
+
+    // q198's perplexity serve via SQL text: same train split, persisted
+    // LM; the serve slice is dumped to parquet and scored through the TVF
+    "q234_lm_ppl_sql" -> ((s, dir) => {
+      val docs = Tables.documentsFanned(s, dir)
+        .withColumn("bucket", GraftFunctions.hashSplitBucket(col("doc_id"), 100))
+      val idx = aux(dir, "q234_lmindex")
+      LmPerplexity.buildLmIndex(docs.filter(col("bucket") < 80), "doc_id", "text", idx)
+      val serveDocs = aux(dir, "q234_docs")
+      docs.filter(col("bucket") >= 90).select("doc_id", "text")
+        .write.mode("overwrite").parquet(serveDocs)
+      s.sql(s"SELECT doc_id, n_bigrams, logppl FROM lm_ppl('$idx', '$serveDocs') " +
+        "ORDER BY doc_id")
     }),
 
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
@@ -6463,40 +6535,28 @@ object QuerySuite {
     // IEEE correctly-rounded, so scores are bit-identical before the final
     // 6 dp round); per-doc sum is ≤3 conditional aggregates added in fixed
     // order, never an arbitrary-order float sum
-    "q174_bm25_topk" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
-        |  FROM documents
-        |), d AS (
-        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
-        |), consts AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d
-        |), tok AS (
-        |  SELECT doc_id, unnest(toks) AS term FROM d
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM tok
-        |  WHERE term IN ('spark', 'window', 'hash') GROUP BY 1, 2
-        |), dfreq AS (
-        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-        |), contrib AS (
-        |  SELECT tf.doc_id, tf.term, d.dl,
-        |    ((consts.n_docs::DOUBLE - dfreq.df::DOUBLE + 0.5) / (dfreq.df::DOUBLE + 0.5))
-        |      * (tf.tf::DOUBLE * (1.2 + 1.0)) /
-        |      (tf.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * (d.dl::DOUBLE /
-        |        (consts.sum_dl::DOUBLE / consts.n_docs::DOUBLE)))) AS c
-        |  FROM tf JOIN d USING (doc_id) JOIN dfreq USING (term) CROSS JOIN consts
-        |), per AS (
-        |  SELECT doc_id, dl,
-        |    round(coalesce(sum(CASE WHEN term = 'spark' THEN c END), 0.0)
-        |      + coalesce(sum(CASE WHEN term = 'window' THEN c END), 0.0)
-        |      + coalesce(sum(CASE WHEN term = 'hash' THEN c END), 0.0), 6) AS score
-        |  FROM contrib GROUP BY doc_id, dl
-        |)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-        |       doc_id, dl, score
-        |FROM per ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "q174_bm25_topk" -> bm25TopKOracle,
+
+    // the TVF serves q174's query from the PERSISTED index, so its float
+    // fold is the indexed path's (contributions summed in term_id order —
+    // q176's contract, not q174's fixed-order sum); single query, so
+    // query_id is dropped from the ranked shape
+    "q232_bm25_topk_sql" ->
+      s"""WITH ${bm25RankedCtes("(1, ['spark', 'window', 'hash'])", "")}
+         |SELECT rank, doc_id, dl, score
+         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // the TVF is Dedup.exact over the same corpus — q12's oracle verbatim
+    "q233_dedup_marks_sql" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+
+    // q198's serve contract through the SQL-text face: the oracle scores
+    // the same train/serve split and knows nothing about how the engine
+    // was invoked
+    "q234_lm_ppl_sql" -> lmPerplexityOracle(
+      trainPred = "bucket < 80", scorePred = "bucket >= 90",
+      select = "SELECT doc_id, n_bigrams, logppl FROM scored ORDER BY doc_id"),
 
     // q13's candidate-dump verification, then the cluster machinery in
     // pure SQL: transitive closure over verified pairs (dup clusters are

@@ -17,14 +17,17 @@ import graft.functions.{CosineSimilarity, GraftFunctions, SortedIntersectSize}
   *
   * Scope note (SURVEY.md §7 "Custom Catalyst work: none required"): every
   * reference operator maps to Spark built-ins, so this deliberately stops at
-  * function injection plus ONE analyzer rule — [[AsOfSqlRule]], which makes
-  * the as-of join (the one whole-operator semantic a single expression can't
-  * carry) reachable from SQL text via the `asof_on` marker; see [[AsOfSql]].
+  * function injection, the TABLE-VALUED serving faces
+  * ([[GraftTableFunctions]]: bm25_topk / dedup_exact_marks / lm_ppl), plus
+  * ONE analyzer rule — [[AsOfSqlRule]], which makes the as-of join (the one
+  * whole-operator semantic a single expression can't carry) reachable from
+  * SQL text via the `asof_on` marker; see [[AsOfSql]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    GraftTableFunctions.all.foreach(ext.injectTableFunction)
     ext.injectResolutionRule(AsOfSqlRule)
   }
 }
@@ -145,8 +148,10 @@ object GraftExtensions {
     zOrderNDescriptor, hashSplitDescriptor, asofOnDescriptor, bottomKDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     all.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    GraftTableFunctions.register(spark)
+  }
 }

@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+/** TABLE-VALUED SQL surface for the engine's serving faces — the forms a
+  * SQL-text user (the reference's population: its users query through SQL,
+  * historical_features.py:28-32) reaches without touching the Column API:
+  *
+  *   SELECT * FROM bm25_topk('/idx/path', 'spark window hash', 10)
+  *   SELECT * FROM dedup_exact_marks('/data/docs.parquet', 'doc_id', 'text')
+  *   SELECT * FROM lm_ppl('/idx/lm', '/data/docs.parquet', 'doc_id', 'text')
+  *
+  * Each builder runs at ANALYSIS time: it resolves its literal arguments,
+  * constructs exactly the Column-API plan (the same code path — SQL and
+  * Scala cannot drift; GraftExtensionsSpec asserts ≡, and q232–q234 oracle
+  * the SQL forms against the Column-API queries' DuckDB oracles), and
+  * returns its analyzed LogicalPlan for the outer query to splice. Tuning
+  * arguments must be literals, exactly like Spark's own `range(0, 10)` TVF.
+  *
+  * Note on `lm_ppl`: [[graft.functions.LmPerplexity.perplexityIndexed]]
+  * materializes its result (the staged probe plan collects the request
+  * batch's bigram buckets), so this TVF computes when the statement is
+  * ANALYZED — serving-call semantics, not lazy-view semantics. */
+object GraftTableFunctions {
+
+  private def litStr(e: Expression, what: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a STRING literal, got $other")
+  }
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$what must be an INT literal, got $other")
+  }
+
+  private def session: SparkSession = SparkSession.getActiveSession.getOrElse(
+    throw new IllegalStateException("graft TVF invoked with no active SparkSession"))
+
+  type TvfDescriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  /** `bm25_topk(indexPath, query[, k])` — top-k serve from a PERSISTED BM25
+    * index ([[graft.functions.LexicalRetrieval.bm25TopKIndexed]]: term-
+    * bucket-pruned postings scan, tombstones excluded). The query string
+    * splits on whitespace; k defaults to 10. Output (rank, doc_id, dl,
+    * score) — the single-query shape. */
+  private[plans] val bm25TopKDescriptor: TvfDescriptor = (
+    FunctionIdentifier("bm25_topk"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "bm25_topk"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        s"bm25_topk expects (indexPath, query[, k]), got ${args.length} arguments")
+      val idx = litStr(args(0), "bm25_topk indexPath")
+      val query = litStr(args(1), "bm25_topk query").trim
+      require(query.nonEmpty, "bm25_topk query must be a non-empty string")
+      val k = if (args.length == 3) litInt(args(2), "bm25_topk k") else 10
+      val s = session
+      import s.implicits._
+      val queries = Seq((1L, query.split("\\s+").toSeq)).toDF("query_id", "terms")
+      graft.functions.LexicalRetrieval.bm25TopKIndexed(s, idx, queries, k = k)
+        .select("rank", "doc_id", "dl", "score")
+        .queryExecution.analyzed
+    })
+
+  /** `dedup_exact_marks(docsPath[, idCol, textCol])` — exact-duplicate
+    * marks ([[graft.dedup.Dedup.exact]]) over a parquet corpus: one row per
+    * distinct text hash with the kept id and the copy count. */
+  private[plans] val dedupExactMarksDescriptor: TvfDescriptor = (
+    FunctionIdentifier("dedup_exact_marks"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "dedup_exact_marks"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1 || args.length == 3,
+        s"dedup_exact_marks expects (docsPath[, idCol, textCol]), got ${args.length} arguments")
+      val path = litStr(args(0), "dedup_exact_marks docsPath")
+      val idCol = if (args.length == 3) litStr(args(1), "idCol") else "doc_id"
+      val textCol = if (args.length == 3) litStr(args(2), "textCol") else "text"
+      val s = session
+      graft.dedup.Dedup.exact(s.read.parquet(path), idCol, textCol)
+        .queryExecution.analyzed
+    })
+
+  /** `lm_ppl(indexPath, docsPath[, idCol, textCol])` — perplexity of each
+    * document in a parquet corpus against a PERSISTED LM
+    * ([[graft.functions.LmPerplexity.perplexityIndexed]]: bucket-pruned
+    * bigram probe). Output (doc_id, n_bigrams, logppl). */
+  private[plans] val lmPplDescriptor: TvfDescriptor = (
+    FunctionIdentifier("lm_ppl"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "lm_ppl"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 4,
+        s"lm_ppl expects (indexPath, docsPath[, idCol, textCol]), got ${args.length} arguments")
+      val idx = litStr(args(0), "lm_ppl indexPath")
+      val path = litStr(args(1), "lm_ppl docsPath")
+      val idCol = if (args.length == 4) litStr(args(2), "idCol") else "doc_id"
+      val textCol = if (args.length == 4) litStr(args(3), "textCol") else "text"
+      val s = session
+      graft.functions.LmPerplexity.perplexityIndexed(
+          s, idx, s.read.parquet(path).select(col(idCol), col(textCol)), idCol, textCol)
+        .queryExecution.analyzed
+    })
+
+  private[plans] val all: Seq[TvfDescriptor] =
+    Seq(bm25TopKDescriptor, dedupExactMarksDescriptor, lmPplDescriptor)
+
+  /** Programmatic alternative when the session already exists (tests, REPL)
+    * — mirrors [[GraftExtensions.register]]. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+}

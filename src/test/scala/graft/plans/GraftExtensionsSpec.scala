@@ -47,6 +47,53 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("table-valued serving faces from SQL text equal the Column API; tuning args must be literals") {
+    import graft.dedup.Dedup
+    import graft.functions.{LexicalRetrieval, LmPerplexity}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val docs = Seq(
+      (1L, "spark window spark hash"),
+      (2L, "hash join scan window"),
+      (3L, "spark window spark hash"), // exact dup of doc 1
+      (4L, "merge sort window spark"),
+      (5L, "")).toDF("doc_id", "text")
+    val docsPath = java.nio.file.Files.createTempDirectory("tvf_docs_")
+      .resolve("docs").toString
+    docs.write.parquet(docsPath)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().toSeq
+
+    // dedup_exact_marks ≡ Dedup.exact
+    val marksSql = spark.sql(
+      s"SELECT * FROM dedup_exact_marks('$docsPath', 'doc_id', 'text') ORDER BY text_hash")
+    val marksCol = Dedup.exact(spark.read.parquet(docsPath), "doc_id", "text")
+      .orderBy("text_hash")
+    assert(rows(marksSql) == rows(marksCol) && marksSql.count() == 4)
+
+    // bm25_topk ≡ bm25TopKIndexed over the same persisted index
+    val idx = java.nio.file.Files.createTempDirectory("tvf_bm25_").toString
+    LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", idx)
+    val bmSql = spark.sql(s"SELECT * FROM bm25_topk('$idx', 'spark window', 3) ORDER BY rank")
+    val bmCol = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+        Seq((1L, Seq("spark", "window"))).toDF("query_id", "terms"), k = 3)
+      .select("rank", "doc_id", "dl", "score").orderBy("rank")
+    assert(rows(bmSql) == rows(bmCol) && bmSql.count() == 3)
+
+    // lm_ppl ≡ perplexityIndexed against the same persisted LM
+    val lm = java.nio.file.Files.createTempDirectory("tvf_lm_").toString
+    LmPerplexity.buildLmIndex(docs.filter($"doc_id" <= 3), "doc_id", "text", lm)
+    val pplSql = spark.sql(s"SELECT * FROM lm_ppl('$lm', '$docsPath') ORDER BY doc_id")
+    val pplCol = LmPerplexity.perplexityIndexed(spark, lm,
+        spark.read.parquet(docsPath).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+    assert(rows(pplSql) == rows(pplCol) && pplSql.count() == 5)
+
+    // paths/queries must be literals — a column reference fails loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM bm25_topk(1, 'x', 2)").collect()
+    }
+  }
+
   test("zorder2 and hash_split_bucket are callable from SQL and agree with the Column API") {
     import graft.functions.GraftFunctions
     import spark.implicits._
