@@ -755,6 +755,101 @@ class FeatureStoreSpec extends SparkSpec {
     }
   }
 
+  test("concurrent-writer soak: online refresh × offline compaction × index compaction storm — losers throw, no version skips, store readable throughout") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import spark.implicits._
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch(
+      (1L, "2024-01-01 10:00:00", 10.0, "seed"),
+      (2L, "2024-01-01 11:00:00", 20.0, "seed2")))
+    val g = fs.describeGroup("tx")
+    val v0 = fs.onlineVersions("tx").max
+
+    // a persisted BM25 index racing its own family pointer alongside
+    val idxDocs = Seq.tabulate(40)(i => (i.toLong, s"alpha beta gamma tok$i"))
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("soak_bm25_").toString
+    graft.functions.LexicalRetrieval.buildBm25Index(idxDocs, "doc_id", "text", idx)
+
+    // reader: the store must serve consistently THROUGHOUT the storm —
+    // losers abort before the pointer moves, winners commit whole versions
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readerFailed = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        assert(fs.online("tx").count() >= 2, "seed keys must always be served")
+        assert(fs.getRecord("tx", 1L).isDefined)
+      } catch { case t: Throwable => readerFailed.set(t) }
+    })
+    reader.start()
+
+    val nWriters = 6
+    val mCommits = 3
+    // op kind -> (successes, losses); a LOSS is any loud abort — the CAS
+    // ConcurrentModificationException, or a job failure from the winner
+    // GC-ing the version a loser was still reading (both leave the
+    // committed state untouched; silence is the only forbidden outcome)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Boolean)]()
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val start = new CountDownLatch(1)
+    (0 until nWriters).foreach { w =>
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        (0 until mCommits).foreach { m =>
+          val kind = (w + m) % 3
+          val ok = try {
+            kind match {
+              case 0 => fs.refreshOnline(g, Some(
+                batch(((w * 100 + m + 10).toLong, "2024-02-01 10:00:00", w + m * 1.0, s"w$w-$m"))
+                  .withColumn(EngineColumns.IngestSeq,
+                    org.apache.spark.sql.functions.lit(100L + w * 10 + m))))
+              case 1 => fs.compactOffline("tx"): Unit
+              case _ => graft.functions.LexicalRetrieval.compactBm25Index(spark, idx)
+            }
+            true
+          } catch { case _: Throwable => false }
+          outcomes.add((kind, ok)): Unit
+        }
+      }})
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "storm must finish")
+    stop.set(true)
+    reader.join(60000)
+
+    assert(readerFailed.get() == null,
+      s"store must stay readable through the storm: ${readerFailed.get()}")
+    // every attempt resolved loudly — committed or thrown, never silent
+    assert(outcomes.size == nWriters * mCommits)
+    def wins(k: Int) = { import scala.jdk.CollectionConverters._
+      outcomes.asScala.count { case (kind, ok) => kind == k && ok } }
+
+    // no version skips: one contiguous online version per successful refresh
+    val versions = fs.onlineVersions("tx")
+    assert(versions == (versions.min to versions.max),
+      s"online versions must be gapless, got $versions")
+    assert(versions.max == v0 + wins(0),
+      s"online CURRENT must advance once per successful refresh: " +
+        s"v0=$v0 wins=${wins(0)} max=${versions.max}")
+    // offline CURRENT advanced once per successful compaction (starts at 1)
+    val offCur = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(fs.modelDir("tx")).getParent
+        .resolve("offline").resolve("CURRENT"))).trim.toLong
+    assert(offCur == 1 + wins(1),
+      s"offline CURRENT must advance once per successful compaction: " +
+        s"wins=${wins(1)} cur=$offCur")
+    assert(wins(0) >= 1 && wins(1) >= 1 && wins(2) >= 1,
+      "at least one commit of each kind must have won the storm")
+
+    // post-storm: every face serves — the store, the offline history, the index
+    assert(fs.online("tx").count() >= 2 + wins(0))
+    assert(fs.offline("tx").count() >= 2)
+    assert(graft.functions.LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("alpha"))).toDF("query_id", "terms"), k = 5).count() == 5)
+  }
+
   test("two-writer online-snapshot race: loser fails loudly, winner's version survives intact") {
     val root = Files.createTempDirectory("fs_race_").toString
     val fs = new FeatureStore(spark, root)
