@@ -19,8 +19,22 @@ quadratically. Instead each replica k is made content-disjoint:
   ranges — 10 disjoint interaction/co-purchase graphs.
 
 Usage: python3 tools/amplify_corpus.py [src] [dst] [replicas]
+
+REPS > 26 (e.g. 100 for sf0.1 -> sf10): plain rotations collide (k and
+k+26 share one, turning cross-replica pairs into exact dups and breaking
+every dedup measurement), so replica transforms generalize while keeping
+the same invariants (1:1 substitution; length, gram-frequency shape, and
+within-replica relations preserved exactly):
+- text: DISTINCT seeded permutations of the alphabet (k=0 identity;
+  rotations for k<26 so sf1 regenerates byte-identical).
+- embeddings: dimension rotation COMPOSED with a seeded per-replica sign
+  flip (flipping a fixed dim set multiplies both vectors' coordinates,
+  so within-replica dot products and norms are bit-preserved; the flip
+  pattern disambiguates k and k+dim).
+- customer names: DISTINCT seeded digit permutations (same scheme).
 """
 import os
+import random
 import sys
 
 import duckdb
@@ -32,9 +46,39 @@ REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
+def _distinct_perms(symbols: str, n: int, seed: int, rotations: int) -> list:
+    """n distinct 1:1 substitution targets for `symbols`: rotations first
+    (identity at k=0, matching the historical sf1 output), then seeded
+    shuffles, deduplicated deterministically."""
+    perms, seen = [], set()
+    for k in range(min(n, rotations)):
+        p = symbols[k:] + symbols[:k]
+        perms.append(p)
+        seen.add(p)
+    rng = random.Random(seed)
+    while len(perms) < n:
+        p = "".join(rng.sample(symbols, len(symbols)))
+        if p not in seen:
+            perms.append(p)
+            seen.add(p)
+    return perms
+
+
 def rot(k: int) -> str:
-    k %= 26
-    return ALPHA[k:] + ALPHA[:k]
+    return TEXT_PERMS[k]
+
+
+TEXT_PERMS = _distinct_perms(ALPHA, REPS, seed=9001, rotations=26)
+DIGIT_PERMS = _distinct_perms("0123456789", REPS, seed=9002, rotations=10)
+
+
+def sign_flips(k: int, dim: int) -> list:
+    """±1 per dimension; identity for k < dim (rotation alone is already
+    collision-free there, and sf1's historical output stays byte-stable)."""
+    if k < dim:
+        return [1.0] * dim
+    rng = random.Random(7001 + k)
+    return [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
 
 
 def main() -> None:
@@ -56,13 +100,25 @@ def main() -> None:
             FROM read_parquet('{SRC}/documents.parquet')"""
         for k in range(REPS)])
 
-    copy("embeddings", [
-        f"""SELECT vec_id + {k * 100000000} AS vec_id,
-              CAST(list_concat(embedding[1 + ({k} % len(embedding)):],
-                               embedding[1:({k} % len(embedding))]) AS REAL[]) AS embedding,
-              label
-            FROM read_parquet('{SRC}/embeddings.parquet')"""
-        for k in range(REPS)])
+    dim = con.sql(
+        f"SELECT len(embedding) FROM read_parquet('{SRC}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
+
+    def emb_select(k: int) -> str:
+        rotated = (f"list_concat(embedding[1 + ({k} % len(embedding)):], "
+                   f"embedding[1:({k} % len(embedding))])")
+        flips = sign_flips(k, dim)
+        if all(f == 1.0 for f in flips):
+            vec = rotated
+        else:
+            lit = "[" + ", ".join(f"{f:.1f}" for f in flips) + "]"
+            vec = (f"list_transform(list_zip({rotated}, {lit}), "
+                   f"s -> s[1] * s[2])")
+        return (f"SELECT vec_id + {k * 100000000} AS vec_id, "
+                f"CAST({vec} AS REAL[]) AS embedding, label "
+                f"FROM read_parquet('{SRC}/embeddings.parquet')")
+
+    copy("embeddings", [emb_select(k) for k in range(REPS)])
 
     copy("events", [
         f"""SELECT event_id + {k * 1000000000000} AS event_id, ts,
@@ -87,7 +143,7 @@ def main() -> None:
     DIG = "0123456789"
     copy("customer", [
         f"""SELECT c_custkey + {k * 10000000} AS c_custkey,
-              translate(c_name, '{DIG}', '{DIG[k % 10:] + DIG[:k % 10]}') AS c_name,
+              translate(c_name, '{DIG}', '{DIGIT_PERMS[k]}') AS c_name,
               c_nationkey, c_acctbal, c_mktsegment
             FROM read_parquet('{SRC}/customer.parquet')"""
         for k in range(REPS)])
