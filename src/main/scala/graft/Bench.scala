@@ -106,6 +106,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle WIDTH scales with input volume, not core count: AQE starts
+      // every exchange at initialPartitionNum and coalesces DOWN by
+      // advisory size, so the high initial width costs nothing at small sf
+      // and keeps per-partition volume bounded as sf grows — how a
+      // production cluster job is sized. Measured NEUTRAL on the sf10
+      // decade on this box (q208 974 s fixed-32 vs 1007 s at 512 — those
+      // queries are CPU-bound, and the real sf10 lever was the rerank
+      // broadcast gate, Similarity.sizeGatedVecs); kept because a fixed 32
+      // is the wrong default the first time a shuffle exceeds memory.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       // corpus timestamps are naive-µs parquet — see Tables class doc
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

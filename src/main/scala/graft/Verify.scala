@@ -15,6 +15,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // volume-scaled shuffle width via AQE coalesce (see Bench.scala:
+      // the high initial width is free at small sf and load-bearing at sf10)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
       .config("spark.sql.session.timeZone", "UTC")
       // corpus timestamps are naive-µs parquet — see Tables class doc
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

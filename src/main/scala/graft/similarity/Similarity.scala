@@ -401,6 +401,33 @@ object Similarity {
     }
   }
 
+  /** Broadcast cap for the rerank join's id→vector side, env-overridable.
+    * Defensive parse: an operator typo must fail loudly, not as an opaque
+    * class-initialization error. */
+  private[graft] val VecBroadcastMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_VEC_BROADCAST_MAX_BYTES") match {
+      case Some(s) => s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_VEC_BROADCAST_MAX_BYTES must be a plain byte count, got '$s'"))
+      case None => 256L << 20
+    }
+
+  /** Size-gate the rerank join's id→vector side. The candidate frame is
+    * O(n·probeWidth) rows while the vector table is O(n) rows of dim
+    * floats: letting Catalyst pick by its 10 MB default turns both rerank
+    * joins into sort-merge past ~40k vectors, which shuffles and sorts the
+    * candidate set TWICE (measured on the sf10 decade: q217's 119M
+    * candidates against a 55 MB vector side — the dominant cost of the
+    * 1660 s reading). Broadcast up to the cap; past it (a serve-scale index
+    * — 10⁹ vectors can never broadcast) the exchange is the honest plan. */
+  private def sizeGatedVecs(vecs: DataFrame, vcol: String): DataFrame = {
+    val n = vecs.count()
+    val dim =
+      if (n == 0L) 0
+      else vecs.select(org.apache.spark.sql.functions.size(col(vcol))).head.getInt(0)
+    val bytes = n * (math.max(dim, 1).toLong * 4L + 40L)
+    if (bytes <= VecBroadcastMaxBytes) broadcast(vecs) else vecs
+  }
+
   /** Shared core of the index self-join family: map-only probe selection
     * (codegen [[graft.functions.NearestCentroids]]), one equi-join on cell,
     * optional label-inequality candidate filter, id-joined exact-cosine
@@ -449,7 +476,7 @@ object Similarity {
     }).select(col("query_id"), col("nbr_id"))
     val candidates = sinkCandidates(cand0, candidateSink)
 
-    val vecs = assigned0.select(col("doc_id"), col("v"))
+    val vecs = sizeGatedVecs(assigned0.select(col("doc_id"), col("v")), "v")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
     candidates
       .join(vecs.select(col("doc_id").as("nbr_id"), col("v").as("cv")), Seq("nbr_id"))
@@ -588,7 +615,7 @@ object Similarity {
       candNew.unionByName(candAffected).unionByName(oldEdges).distinct(),
       candidateSink)
 
-    val vecs = allAssigned.select(col("doc_id"), col("v"))
+    val vecs = sizeGatedVecs(allAssigned.select(col("doc_id"), col("v")), "v")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id").asc)
     val updated = candidates
       .join(vecs.select(col("doc_id").as("nbr_id"), col("v").as("cv")), Seq("nbr_id"))
