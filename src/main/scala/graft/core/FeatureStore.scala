@@ -299,12 +299,11 @@ final class FeatureStore(spark: SparkSession, root: String,
             // null keys bucket to null (crc32(null) is null) — rare; let the
             // full path's default-partition write handle them rather than
             // special-casing the carry-forward links
-            fullRefresh(g, batch, baseVersion, buckets)
+            fullRefresh(g, batch, baseVersion, Some(buckets))
           } else {
             val touched = touchedRows.map(_.get(0).asInstanceOf[Number].longValue).toSet
             if (touched.isEmpty) { servingCache.remove(g.name): Unit; return } // empty batch
-            val snapTouched = conformToDeclared(g, currentSnapshotRaw(g.name).get
-              .filter(col(EngineColumns.KeyBucket).isInCollection(touched)))
+            val snapTouched = conformToDeclared(g, snapshotBuckets(g, v, touched))
             val latestTouched = LatestPerKey.viaMaxBy(
               snapTouched.unionByName(bb.drop(EngineColumns.KeyBucket)),
               Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
@@ -313,26 +312,40 @@ final class FeatureStore(spark: SparkSession, root: String,
         } finally bb.unpersist(false): Unit
       case None =>
         // full rewrite: bucket count re-derived from the previous version's
-        // recorded key count (legacy/no-snapshot → the floor)
+        // recorded key count; with no prior meta (bootstrap / legacy
+        // snapshot) it is derived from the COMPUTED latest frame inside
+        // fullRefresh — without that, a large store's first commit lands at
+        // the 64-bucket floor and its second commit pays a guaranteed
+        // full rebucketing rewrite (measured: a 64-key batch into a fresh
+        // 1M-key store cost the whole store again)
         val buckets = baseVersion
           .flatMap(v => readVersionMeta(versionDirOf(g.name, v)))
           .map { case (_, counts) =>
             FeatureStore.bucketCountFor(counts.values.sum, targetKeysPerBucket) }
-          .getOrElse(FeatureStore.OnlineKeyBuckets)
         fullRefresh(g, batch, baseVersion, buckets)
     }
   }
 
   private def fullRefresh(g: FeatureGroup, batch: Option[DataFrame],
-      baseVersion: Option[Long], buckets: Long): Unit = {
+      baseVersion: Option[Long], bucketsOpt: Option[Long]): Unit = {
     val base = (currentSnapshot(g.name), batch) match {
       case (Some(snap), Some(b)) =>
         conformToDeclared(g, snap).unionByName(conformToDeclared(g, b))
       case (_, _) => conformToDeclared(g, offline(g.name))
     }
-    val latest = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol,
+    val latest0 = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol,
       Seq(EngineColumns.IngestSeq))
-    commitOnlineSnapshot(g, latest, baseVersion, buckets)
+    bucketsOpt match {
+      case Some(b) => commitOnlineSnapshot(g, latest0, baseVersion, b)
+      case None =>
+        // bootstrap: size the bucket count from the actual key count (one
+        // spill-safe persist + count; full refreshes are rare and this
+        // saves the otherwise-certain O(store) rebucket on the next commit)
+        val p = latest0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try commitOnlineSnapshot(g, p, baseVersion,
+          FeatureStore.bucketCountFor(p.count(), targetKeysPerBucket))
+        finally p.unpersist(false): Unit
+    }
   }
 
   /** Write `latest` as the next online snapshot version and atomically
@@ -401,7 +414,8 @@ final class FeatureStore(spark: SparkSession, root: String,
       .repartition(math.max(touched.size, 1), col(EngineColumns.KeyBucket))
       .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
     val newCounts = bucketCounts(dir)
-    writeServingKv(g, dir, buckets) // staging holds ONLY the touched buckets here
+    // staging holds ONLY the touched buckets here; width to match
+    writeServingKv(g, dir, buckets, Some(math.max(touched.size, 1)))
     linkUntouched(baseDir, dir, touched)
     writeVersionMeta(dir, buckets, (baseCounts -- touched) ++ newCounts)
     try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
@@ -574,6 +588,30 @@ final class FeatureStore(spark: SparkSession, root: String,
   private def currentSnapshot(name: String): Option[DataFrame] =
     currentSnapshotRaw(name).map(_.drop(EngineColumns.KeyBucket))
 
+  /** The snapshot RESTRICTED to the given key buckets, read by DIRECT
+    * partition-directory paths — O(touched) file listing instead of the
+    * O(buckets) full-version listing that `read.parquet(vDir).filter(...)`
+    * pays before pruning (at 16k buckets and a minute-level cadence the
+    * listing dominates an incremental commit). A touched bucket with no
+    * directory (batch keys hashing into a previously empty bucket) simply
+    * contributes nothing. */
+  private def snapshotBuckets(g: FeatureGroup, version: Long,
+      touched: Set[Long]): DataFrame = {
+    val vd = versionDirOf(g.name, version)
+    val dirs = touched.toSeq.sorted
+      .map(b => vd.resolve(s"${EngineColumns.KeyBucket}=$b"))
+      .filter(Files.exists(_))
+    if (dirs.isEmpty) {
+      val st = StructType(
+        g.features.map(f => StructField(f.name, f.ftype.spark)) :+
+          StructField(EngineColumns.IngestSeq, LongType))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    } else
+      spark.read.option("basePath", vd.toString)
+        .parquet(dirs.map(_.toString): _*)
+        .drop(EngineColumns.KeyBucket)
+  }
+
   // ---- reads ----
 
   /** Full offline history (reference: Athena external table over the offline
@@ -685,9 +723,7 @@ final class FeatureStore(spark: SparkSession, root: String,
               .map(_.get(0).asInstanceOf[Number].longValue).toSet
             if (touched.isEmpty) servingCache.remove(groupName): Unit
             else {
-              val snapTouched = currentSnapshotRaw(groupName).get
-                .filter(col(EngineColumns.KeyBucket).isInCollection(touched))
-                .drop(EngineColumns.KeyBucket)
+              val snapTouched = snapshotBuckets(g, baseVersion.get, touched)
               commitIncremental(g, baseVersion.get, buckets, counts, touched,
                 snapTouched.join(hinted,
                   snapTouched(g.keyCol).cast("string") === hinted("key"), "left_anti"))
@@ -892,7 +928,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     * bucket, sorted (bucket, key) by Spark's spill-capable sort); the only
     * per-bucket state is the sparse index, entries/stride tuples. */
   private def writeServingKv(g: FeatureGroup, versionDir: Path,
-      buckets: Long): Unit = {
+      buckets: Long, numTasks: Option[Int] = None): Unit = {
     val servingDir = versionDir.resolve("_serving")
     Files.createDirectories(servingDir)
     if (!hasParquet(versionDir)) return // empty snapshot: layout present, all buckets empty
@@ -901,7 +937,11 @@ final class FeatureStore(spark: SparkSession, root: String,
     val servingPath = servingDir.toString
     spark.read.parquet(versionDir.toString)
       .withColumn("__skey", col(keyCol).cast("string"))
-      .repartition(buckets.toInt, col(EngineColumns.KeyBucket))
+      // the writer opens a new file per bucket TRANSITION, so task width is
+      // a knob, not a correctness constraint: the incremental commit passes
+      // its touched-bucket count (a 64-key batch must not pay a
+      // 16k-empty-task pass at 16k buckets)
+      .repartition(numTasks.getOrElse(buckets.toInt), col(EngineColumns.KeyBucket))
       .sortWithinPartitions(col(EngineColumns.KeyBucket), col("__skey"))
       .foreachPartition { (it: Iterator[Row]) =>
         val attempt = Option(org.apache.spark.TaskContext.get())

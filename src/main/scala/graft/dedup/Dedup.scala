@@ -1061,13 +1061,16 @@ object Dedup {
 
     val toks = gr.select(col("doc_id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("tok"))
-    // document frequency per token: the global order key. No broadcast
-    // hint — AQE broadcasts while the vocab fits and falls back to a
-    // shuffle join when it doesn't (the 100 TB case).
-    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // document frequency per token: the global order key. Size-gated
+    // broadcast (sizeGatedDfs): AQE's 10 MB runtime threshold flips this
+    // to sort-merge exactly when the corpus grows, shuffling the full
+    // exploded occurrence stream; past the 256 MB cap the exchange is the
+    // honest plan (the 100 TB case).
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+    val dfsG = sizeGatedDfs(dfs)
     // per-doc (df, tok)-sorted prefix, sliced IN PLACE (one doc-keyed
     // shuffle; no row_number window pass), then positions via posexplode
-    val prefix = toks.join(dfs, "tok")
+    val prefix = toks.join(dfsG, "tok")
       .groupBy("doc_id", "sz")
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
       // prefix length p = sz − ceil(tn·sz/td) + 1; integer `div`, not
@@ -1087,7 +1090,7 @@ object Dedup {
     // hand — entire template buckets vanish before any pair is expanded
     val buckets = prefixDfFloor match {
       case Some(f) =>
-        bucketsAll.join(dfs.filter(col("df") <= f).select("tok"), Seq("tok"), "left_semi")
+        bucketsAll.join(dfsG.filter(col("df") <= f).select("tok"), Seq("tok"), "left_semi")
       case None => bucketsAll
     }
 
@@ -1121,7 +1124,7 @@ object Dedup {
     val out = verifyJaccard(sinkCandidates(candidates, candidateSink), sets,
       thresholdNum.toDouble / thresholdDen,
       rational = Some((thresholdNum, thresholdDen)))
-    eager(out, () => { gr.unpersist(false): Unit })
+    eager(out, () => { gr.unpersist(false): Unit; dfs.unpersist(false): Unit })
   }
 
   /** CONTAINMENT (quote-inclusion) join: ordered pairs (container a,
@@ -1193,8 +1196,8 @@ object Dedup {
 
     val toks = gr.select(col("doc_id"), size(col("toks")).as("sz"),
       explode(col("toks")).as("tok"))
-    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = containmentRanked(gr, dfs)
+    val dfs = toks.groupBy("tok").agg(count(lit(1)).as("df")).persist()
+    val ranked = containmentRanked(gr, sizeGatedDfs(dfs))
       .withColumn("is_pref", containmentPrefixPred(thresholdNum, thresholdDen, minSize))
       .withColumn("is_new", lit(true)) // one-shot: everything is "new"
 
@@ -1204,7 +1207,7 @@ object Dedup {
 
     val verified = containmentVerify(
       sinkCandidates(candidates, candidateSink), sets, tn, td)
-    (verified, () => { gr.unpersist(false): Unit })
+    (verified, () => { gr.unpersist(false): Unit; dfs.unpersist(false): Unit })
   }
 
   /** Shared shingle frame of the containment family: `(doc_id, toks, hs)` —
@@ -1222,6 +1225,32 @@ object Dedup {
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("toks"),
         array_sort(array_distinct(transform(col("sh"),
           g => xxhash64Seeded(17L, g)))).as("hs"))
+
+  /** Broadcast cap for the (tok, df) order-key table of the prefix-filter
+    * family, env-overridable (the [[graft.similarity.Similarity]]
+    * `sizeGatedVecs` pattern). Defensive parse: an operator typo must fail
+    * loudly, not as an opaque class-initialization error. */
+  private[graft] val DfsBroadcastMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_DFS_BROADCAST_MAX_BYTES") match {
+      case Some(s) => s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_DFS_BROADCAST_MAX_BYTES must be a plain byte count, got '$s'"))
+      case None => 256L << 20
+    }
+
+  /** Size-gate the df-annotation join's (tok, df) side. The occurrence
+    * stream is O(corpus tokens) rows while the df table is O(vocabulary) —
+    * sublinear in the corpus by Heaps' law — so letting Catalyst pick by
+    * its 10 MB default flips the annotation join to sort-merge exactly when
+    * the corpus grows, shuffling AND sorting the full exploded occurrence
+    * stream (measured on the sf10 decade: q208's 20× wall on 10× data).
+    * Broadcast up to the cap (~4.8M tokens at the 256 MB default); past it
+    * — a vocabulary that genuinely outgrows executor memory — the exchange
+    * is the honest plan. Callers persist `dfs` first so the gating count
+    * doubles as the materialization. */
+  private def sizeGatedDfs(dfs: DataFrame): DataFrame = {
+    val bytes = dfs.count() * 56L // two longs + UnsafeRow/map overhead
+    if (bytes <= DfsBroadcastMaxBytes) broadcast(dfs) else dfs
+  }
 
   /** Per-doc (df, tok)-sorted positions, sliced in place (one doc-keyed
     * shuffle, no window pass). `dfs` is left-joined with df = 0 for tokens
@@ -1326,7 +1355,7 @@ object Dedup {
       .groupBy("tok").agg(count(lit(1)).as("df"))
       .persist()
     dfs.count(): Unit
-    val ranked = containmentRanked(gr, dfs)
+    val ranked = containmentRanked(gr, sizeGatedDfs(dfs))
     inParallel(Seq(
       () => writeIndexBatch(ranked.select(col("doc_id"), col("sz"), col("rn"),
         col("tok")), s"$indexPath/tok", "base", wholeIndex = true),
@@ -1381,7 +1410,9 @@ object Dedup {
 
     val newGr = containmentSets(newDf, id, text, k).persist()
     newGr.count(): Unit
-    val newRanked = containmentRanked(newGr, frozenDfs).persist()
+    // frozen order key: size-gated broadcast (parquet count ≈ free); a
+    // steady-state batch is small while the index vocabulary keeps growing
+    val newRanked = containmentRanked(newGr, sizeGatedDfs(frozenDfs)).persist()
     newRanked.count(): Unit
 
     // every candidate collides on a token the NEW batch carries (both

@@ -633,29 +633,81 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.online("tx").count() == 9)
   }
 
-  test("bucket count grows with key count: the growth commit rebuckets, lookups follow the meta") {
+  test("bucket count: bootstrap sizes from key count; the growth commit rebuckets; lookups follow the meta") {
+    def metaOf(root: String, v: Long): String = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "tx", "online", s"v$v", "_meta")))
     val root = Files.createTempDirectory("fs_grow_").toString
     val fs = new FeatureStore(spark, root, targetKeysPerBucket = 1L)
     fs.createGroup(group)
-    // v1: full commit at the 64-bucket floor, 300 keys
+    // v1: BOOTSTRAP derives the bucket count from the actual key count —
+    // 300 keys at target 1 → 512, not the 64-bucket floor (the floor would
+    // make the very next commit a guaranteed full rebucketing rewrite)
     fs.ingest("tx", batch((1L to 300L).map(i =>
       (i, "2024-01-01 10:00:00", i * 1.0, s"n$i")): _*))
-    // 300 keys > 4·target·64 = 256 → the next refresh must REBUCKET (full)
-    fs.ingest("tx", batch((301L, "2024-01-02 10:00:00", 301.0, "grow")))
-    val meta = new String(Files.readAllBytes(
-      java.nio.file.Paths.get(root, "tx", "online", "v2", "_meta")))
-    assert(meta.contains("buckets=512"),
-      s"expected rebucket to 512, got: ${meta.linesIterator.next()}")
-    // lookups hash with the NEW modulus (read from the version meta)
+    assert(metaOf(root, 1).contains("buckets=512"),
+      s"bootstrap must size from key count: ${metaOf(root, 1).linesIterator.next()}")
+    // v2: a small ingest is INCREMENTAL at 512 (301 keys < 4·target·512)
+    fs.ingest("tx", batch((301L, "2024-01-02 10:00:00", 301.0, "upd")))
+    assert(metaOf(root, 2).contains("buckets=512"))
+    // lookups hash with the modulus read from the version meta
     val capped = new FeatureStore(spark, root, maxServingCacheRows = 3)
     assert(capped.getRecord("tx", 301L).get("amount") == "301.0")
     assert(capped.getRecord("tx", 7L).get("amount") == "7.0")
     assert(capped.getRecord("tx", 9999L).isEmpty)
-    // the next small ingest is incremental again, at the grown count
+    // v3: a 2101-key batch still commits incrementally at 512 (the grow
+    // check reads the PREVIOUS version's recorded total)
+    fs.ingest("tx", batch((400L to 2500L).map(i =>
+      (i, "2024-02-01 10:00:00", i * 1.0, s"n$i")): _*))
+    assert(metaOf(root, 3).contains("buckets=512"))
+    // v4: now 2402 recorded keys > 4·target·512 → this commit REBUCKETS
     fs.ingest("tx", batch((5L, "2024-03-01 10:00:00", 555.0, "upd")))
+    assert(metaOf(root, 4).contains("buckets=4096"),
+      s"expected rebucket to 4096, got: ${metaOf(root, 4).linesIterator.next()}")
     assert(fs.getRecord("tx", 5L).get("amount") == "555.0")
-    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(
-      root, "tx", "online", "v3", "_meta"))).contains("buckets=512"))
+    // lookups re-read the NEW modulus (bucket-count cache invalidated)
+    val capped2 = new FeatureStore(spark, root, maxServingCacheRows = 3)
+    assert(capped2.getRecord("tx", 2500L).get("amount") == "2500.0")
+    assert(capped2.getRecord("tx", 301L).get("amount") == "301.0")
+    // v5: the next small ingest is incremental again, at the grown count
+    fs.ingest("tx", batch((6L, "2024-03-02 10:00:00", 666.0, "upd")))
+    assert(metaOf(root, 5).contains("buckets=4096"))
+    assert(fs.getRecord("tx", 6L).get("amount") == "666.0")
+  }
+
+  test("incremental refresh into a previously EMPTY bucket: direct-path read misses nothing") {
+    // 10 keys over 64 buckets leave most buckets without a partition dir;
+    // a batch whose key hashes into one of those must commit incrementally
+    // (snapshotBuckets reads only EXISTING touched dirs) and serve right
+    val root = Files.createTempDirectory("fs_emptyb_").toString
+    val fs = new FeatureStore(spark, root)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L to 10L).map(i =>
+      (i, "2024-01-01 10:00:00", i * 1.0, s"n$i")): _*))
+    val occupied = (1L to 10L)
+      .map(k => FeatureStore.keyBucketOf(k.toString, FeatureStore.OnlineKeyBuckets)).toSet
+    val newKey = (11L to 500L).find(k =>
+      !occupied(FeatureStore.keyBucketOf(k.toString, FeatureStore.OnlineKeyBuckets))).get
+    fs.ingest("tx", batch((newKey, "2024-02-01 10:00:00", 77.0, "new")))
+    // the commit was incremental (untouched buckets carried by link) …
+    import scala.jdk.CollectionConverters._
+    def ino(p: java.nio.file.Path): Any = Files.getAttribute(p, "unix:ino")
+    val bOld = FeatureStore.keyBucketOf("1", FeatureStore.OnlineKeyBuckets)
+    def bucketFile(v: Long, b: Long): java.nio.file.Path = {
+      val d = java.nio.file.Paths.get(root, "tx", "online", s"v$v",
+        s"${EngineColumns.KeyBucket}=$b")
+      val ls = Files.list(d)
+      try ls.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+      finally ls.close()
+    }
+    assert(ino(bucketFile(1, bOld)) == ino(bucketFile(2, bOld)),
+      "commit into an empty bucket must still carry untouched buckets by link")
+    // … and every key serves, through cache and KV paths alike
+    assert(fs.getRecord("tx", newKey).get("amount") == "77.0")
+    assert(fs.getRecord("tx", 1L).get("amount") == "1.0")
+    val capped = new FeatureStore(spark, root, maxServingCacheRows = 3)
+    assert(capped.getRecord("tx", newKey).get("amount") == "77.0")
+    assert(capped.getRecord("tx", 1L).get("amount") == "1.0")
+    assert(fs.online("tx").count() == 11)
   }
 
   test("serving-KV sparse index: multi-block buckets, unicode keys, long values — KV equals cache") {
