@@ -1266,6 +1266,25 @@ object QuerySuite {
         "ORDER BY doc_id")
     }),
 
+    // q86's ANN serve via SQL text: persisted IVF index, queries read from
+    // a parquet dump; nProbe = nCells makes the probe EXHAUSTIVE, so the
+    // result is the exact top-k and the oracle is pure-SQL brute force
+    // (the q230 adjudication pattern)
+    "q235_ann_topk_sql" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val idx = aux(dir, "q235_vecindex")
+      Dedup.buildSemanticIndex(emb, "vec_id", "embedding", idx, nClusters = 16)
+      val qPath = aux(dir, "q235_queries")
+      emb.filter(col("vec_id") < 10).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(qPath)
+      // round(…, 6) on both sides: the self-pair cosine is 1.0000000000000002
+      // under Spark's fused dot/norm order while DuckDB's
+      // list_cosine_similarity lands exactly 1.0 — rank order agrees (it is
+      // the max either way), only the displayed digit differs
+      s.sql(s"SELECT query_id, nbr_rank, nbr_id, round(cosine, 6) AS cosine " +
+        s"FROM ann_topk('$idx', '$qPath', 5, 16) ORDER BY query_id, nbr_rank")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -6690,6 +6709,20 @@ object QuerySuite {
     // EXACT filtered top-k, so the oracle is q17's brute force with the
     // allowed-set predicate on the candidate side — checking the filter,
     // the ranking, and the cosine bit-for-bit, end to end
+    // the SQL-text ANN face at exhaustive probe = exact top-k; brute-force
+    // oracle WITHOUT the self-exclusion (the TVF serves self-matches —
+    // rank 1 at cosine 1 — like any vector store queried with a member)
+    "q235_ann_topk_sql" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, nbr_id, list_cosine_similarity(qv, cv) AS cosine,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY list_cosine_similarity(qv, cv) DESC, nbr_id) AS nbr_rank
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, round(cosine, 6) AS cosine
+        |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
     "q230_ivfadc_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS nbr_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id % 3 = 0),

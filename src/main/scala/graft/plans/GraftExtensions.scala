@@ -18,7 +18,8 @@ import graft.functions.{CosineSimilarity, GraftFunctions, SortedIntersectSize}
   * Scope note (SURVEY.md §7 "Custom Catalyst work: none required"): every
   * reference operator maps to Spark built-ins, so this deliberately stops at
   * function injection, the TABLE-VALUED serving faces
-  * ([[GraftTableFunctions]]: bm25_topk / dedup_exact_marks / lm_ppl), plus
+  * ([[GraftTableFunctions]]: bm25_topk / dedup_exact_marks / lm_ppl /
+  * ann_topk), plus
   * ONE analyzer rule — [[AsOfSqlRule]], which makes the as-of join (the one
   * whole-operator semantic a single expression can't carry) reachable from
   * SQL text via the `asof_on` marker; see [[AsOfSql]].

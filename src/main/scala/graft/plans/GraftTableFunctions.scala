@@ -106,8 +106,35 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  /** `ann_topk(indexPath, queriesPath[, k, nProbe[, idCol, vecCol]])` — ANN
+    * top-k over a persisted IVF (flat) semantic index
+    * ([[graft.similarity.Similarity.ivfTopKIndexed]]): every query vector
+    * in the parquet file probes its `nProbe` nearest cells, candidates are
+    * reranked by exact cosine. `nProbe` ≥ the index's cell count
+    * degenerates to the EXACT top-k (the q230 adjudication — q235 oracles
+    * that form in pure SQL). Defaults: k=10, nProbe=4, idCol=vec_id,
+    * vecCol=embedding. Output (query_id, nbr_rank, nbr_id, cosine). */
+  private[plans] val annTopKDescriptor: TvfDescriptor = (
+    FunctionIdentifier("ann_topk"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "ann_topk"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 4 || args.length == 6,
+        s"ann_topk expects (indexPath, queriesPath[, k, nProbe[, idCol, vecCol]]), got ${args.length} arguments")
+      val idx = litStr(args(0), "ann_topk indexPath")
+      val path = litStr(args(1), "ann_topk queriesPath")
+      val k = if (args.length >= 4) litInt(args(2), "ann_topk k") else 10
+      val nProbe = if (args.length >= 4) litInt(args(3), "ann_topk nProbe") else 4
+      val idCol = if (args.length == 6) litStr(args(4), "idCol") else "vec_id"
+      val vecCol = if (args.length == 6) litStr(args(5), "vecCol") else "embedding"
+      val s = session
+      graft.similarity.Similarity.ivfTopKIndexed(
+          s, idx, s.read.parquet(path), idCol, vecCol, k = k, nProbe = nProbe)
+        .queryExecution.analyzed
+    })
+
   private[plans] val all: Seq[TvfDescriptor] =
-    Seq(bm25TopKDescriptor, dedupExactMarksDescriptor, lmPplDescriptor)
+    Seq(bm25TopKDescriptor, dedupExactMarksDescriptor, lmPplDescriptor,
+      annTopKDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL)
     * — mirrors [[GraftExtensions.register]]. */

@@ -88,6 +88,30 @@ class GraftExtensionsSpec extends SparkSpec {
       .orderBy("doc_id")
     assert(rows(pplSql) == rows(pplCol) && pplSql.count() == 5)
 
+    // ann_topk ≡ ivfTopKIndexed over the same persisted IVF index
+    import graft.similarity.Similarity
+    val vecs = (1L to 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val vPath = java.nio.file.Files.createTempDirectory("tvf_vecs_")
+      .resolve("vecs").toString
+    vecs.write.parquet(vPath)
+    val vIdx = java.nio.file.Files.createTempDirectory("tvf_ivf_").toString
+    Dedup.buildSemanticIndex(spark.read.parquet(vPath), "vec_id", "embedding",
+      vIdx, nClusters = 4)
+    val qPath = java.nio.file.Files.createTempDirectory("tvf_annq_")
+      .resolve("q").toString
+    spark.read.parquet(vPath).filter($"vec_id" <= 3).write.parquet(qPath)
+    val annSql = spark.sql(
+      s"SELECT * FROM ann_topk('$vIdx', '$qPath', 3, 2) ORDER BY query_id, nbr_rank")
+    val annCol = Similarity.ivfTopKIndexed(spark, vIdx,
+        spark.read.parquet(qPath), "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("query_id", "nbr_rank")
+    assert(rows(annSql) == rows(annCol) && annSql.count() == 9)
+    // self-match serves at rank 1, cosine 1 (no exclusion on the SQL face)
+    assert(rows(annSql).filter(_.getLong(1) == 1L)
+      .forall(r => r.getLong(0) == r.getLong(2)))
+
     // paths/queries must be literals — a column reference fails loudly
     intercept[Exception] {
       spark.sql(s"SELECT * FROM bm25_topk(1, 'x', 2)").collect()
