@@ -302,7 +302,17 @@ object Dedup {
       wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = {
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
-    sig.withColumn("batch", lit(batchId))
+    val stamped = sig.withColumn("batch", lit(batchId))
+    // CLUSTER on the layout's partition columns before partitionBy: without
+    // it every upstream task writes a file into every partition dir —
+    // tasks × buckets small files per index write (measured: the sf10 LM
+    // lifecycle spent 12× the one-shot compute writing and then re-listing
+    // ~32k bigram files). Clustered, the write is one file per partition
+    // value; the values are hash buckets (bb/tb) or capped cells, so the
+    // per-task skew is bounded by construction. The same fix as the online
+    // snapshot's repartition-before-partitionBy (FeatureStore).
+    (if (partitionCols.isEmpty) stamped
+     else stamped.repartition(partitionCols.map(col): _*))
       .write
       .partitionBy("batch" +: partitionCols: _*)
       // whole-index rebuild clears every partition; per-batch append clears
