@@ -511,11 +511,17 @@ object Dedup {
         graft.core.OptimisticPointer.stagingFor(finalDir), finalDir)
     }
     inParallel(staged.map { case (_, transform, extraCols, oldDir, stagingDir, _) =>
-      () =>
-        transform(visibleOnly(spark.read.parquet(oldDir)).drop("batch"))
+      () => {
+        val folded = transform(visibleOnly(spark.read.parquet(oldDir)).drop("batch"))
           .withColumn("batch", lit("base"))
+        // cluster on the layout's partition columns — the writeIndexBatch
+        // rationale: unclustered, a compaction re-explodes the file count
+        // it exists to shrink (tasks × buckets small files)
+        (if (extraCols.isEmpty) folded
+         else folded.repartition(extraCols.map(col): _*))
           .write.partitionBy("batch" +: extraCols: _*).mode("overwrite")
           .parquet(stagingDir.toString)
+      }
     })
     try graft.core.OptimisticPointer.casSwap(root, "FAMILY", expected, next,
       stages = staged.map(s => s._5 -> s._6))
