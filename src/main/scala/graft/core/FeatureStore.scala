@@ -210,15 +210,9 @@ final class FeatureStore(spark: SparkSession, root: String,
     * reproducible-training-frame read: re-running with the same `asOfSeq`
     * returns the same frame against a store that kept ingesting. */
   def historicalQueryAsOf(groupName: String, columns: Seq[String],
-      start: String, end: String, asOfSeq: Long): DataFrame = {
-    val g = describeGroup(groupName)
-    offlineAsOf(groupName, asOfSeq)
-      .filter(col(EngineColumns.IngestDate).between(
-        to_date(lit(start).cast(TimestampType)), to_date(lit(end).cast(TimestampType))))
-      .filter(col(g.eventTimeCol).between(
-        lit(start).cast(TimestampType), lit(end).cast(TimestampType)))
-      .select(columns.map(col): _*)
-  }
+      start: String, end: String, asOfSeq: Long): DataFrame =
+    historicalRange(offlineAsOf(groupName, asOfSeq), describeGroup(groupName),
+      columns, start, end)
 
   /** Resolve a wall-clock instant to the newest ingest seq committed at or
     * before it (the `(timestamp)` form of read-as-of: pass the result to
@@ -378,7 +372,8 @@ final class FeatureStore(spark: SparkSession, root: String,
       .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
     val counts = bucketCounts(dir)
     writeServingKv(g, dir, buckets) // serving tier rides the same staged commit
-    writeVersionMeta(dir, buckets, counts)
+    writeVersionMeta(dir, buckets, counts,
+      g.featureNames :+ EngineColumns.IngestSeq)
     try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
       expected = baseVersion.map(_.toString), next = next.toString,
       stage = Some(dir -> finalDir))
@@ -417,7 +412,8 @@ final class FeatureStore(spark: SparkSession, root: String,
     // staging holds ONLY the touched buckets here; width to match
     writeServingKv(g, dir, buckets, Some(math.max(touched.size, 1)))
     linkUntouched(baseDir, dir, touched)
-    writeVersionMeta(dir, buckets, (baseCounts -- touched) ++ newCounts)
+    writeVersionMeta(dir, buckets, (baseCounts -- touched) ++ newCounts,
+      g.featureNames :+ EngineColumns.IngestSeq)
     try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
       expected = Some(baseVersion.toString), next = next.toString,
       stage = Some(dir -> finalDir))
@@ -496,11 +492,21 @@ final class FeatureStore(spark: SparkSession, root: String,
   /** True when the committed snapshot's columns match the declared schema
     * (+ ingest seq) — the incremental-commit gate: after [[addFeature]]
     * the carried-forward files would lack the new column while the
-    * rewritten buckets had it, so evolution forces one full rewrite. */
+    * rewritten buckets had it, so evolution forces one full rewrite.
+    * Answered from the version `_meta`'s recorded column set (one driver
+    * file read — an incremental commit must not pay the O(buckets)
+    * partition listing + footer read of a full-version parquet resolve
+    * just to check the schema); snapshots from before the cols line fall
+    * back to that parquet read once, and their next commit records it. */
   private def snapshotSchemaMatches(g: FeatureGroup, v: Long): Boolean = {
-    val cols = spark.read.parquet(versionDirOf(g.name, v).toString)
-      .columns.toSet - EngineColumns.KeyBucket
-    cols == (g.featureNames :+ EngineColumns.IngestSeq).toSet
+    val declared = (g.featureNames :+ EngineColumns.IngestSeq).toSet
+    readVersionCols(versionDirOf(g.name, v)) match {
+      case Some(cols) => cols == declared
+      case None =>
+        val cols = spark.read.parquet(versionDirOf(g.name, v).toString)
+          .columns.toSet - EngineColumns.KeyBucket
+        cols == declared
+    }
   }
 
   private def hasParquet(dir: Path): Boolean = {
@@ -546,10 +552,25 @@ final class FeatureStore(spark: SparkSession, root: String,
   }
 
   private def writeVersionMeta(vd: Path, buckets: Long,
-      counts: Map[Long, Long]): Unit = {
+      counts: Map[Long, Long], cols: Seq[String]): Unit = {
+    // cols = the snapshot's data columns at commit time (declared features
+    // + ingest seq — names are [A-Za-z0-9_]+, comma-safe): the schema-
+    // evolution gate reads THIS line instead of paying a full-version
+    // parquet listing per incremental commit
     val body = s"buckets=$buckets\n" +
-      s"counts=${counts.toSeq.sorted.map { case (b, c) => s"$b:$c" }.mkString(",")}\n"
+      s"counts=${counts.toSeq.sorted.map { case (b, c) => s"$b:$c" }.mkString(",")}\n" +
+      s"cols=${cols.sorted.mkString(",")}\n"
     Files.write(vd.resolve("_meta"), body.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** The snapshot's recorded column set — None for metas from before the
+    * cols line (legacy: the caller falls back to one parquet resolve). */
+  private def readVersionCols(vd: Path): Option[Set[String]] = {
+    val p = vd.resolve("_meta")
+    if (!Files.exists(p)) None
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .linesIterator.find(_.startsWith("cols="))
+      .map(_.drop(5).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
   }
 
   /** Bucket count of a committed version, cached per (group, version) —
@@ -881,7 +902,12 @@ final class FeatureStore(spark: SparkSession, root: String,
                 servingKvScan(g, v, bucket, Set(skey)).map(_(skey)) match {
                   case Some(res) => res // authoritative: KV layout rides the commit
                   case None => // no/unreadable KV layout: bucket-pruned job path
-                    currentSnapshotRaw(groupName).get
+                    // read VERSION v's dir, not a re-resolved LATEST: the
+                    // bucket was hashed with v's modulus, and a rebucketing
+                    // commit landing between the version read and this scan
+                    // would make the pruned filter read the wrong bucket of
+                    // the new layout — a present key answered as absent
+                    spark.read.parquet(versionDirOf(groupName, v).toString)
                       .filter(col(EngineColumns.KeyBucket) === lit(bucket))
                       .filter(col(g.keyCol).cast("string") === lit(skey))
                       .drop(EngineColumns.KeyBucket)
@@ -1082,8 +1108,10 @@ final class FeatureStore(spark: SparkSession, root: String,
                 }
                 if (scanned.forall(_.isDefined))
                   scanned.flatMap(_.get).toMap
-                else // no/unreadable KV layout: one pruned job
-                  jobPath(currentSnapshotRaw(groupName).get
+                else // no/unreadable KV layout: one pruned job — against
+                  // VERSION v's dir (its modulus hashed the buckets; see
+                  // getRecord's fallback for the rebucketing race)
+                  jobPath(spark.read.parquet(versionDirOf(groupName, v).toString)
                     .filter(col(EngineColumns.KeyBucket)
                       .isInCollection(byBucket.keys.toSeq))
                     .drop(EngineColumns.KeyBucket))
@@ -1325,9 +1353,15 @@ final class FeatureStore(spark: SparkSession, root: String,
     * on event time. Projection and predicate reach the parquet scan via
     * Catalyst (column pruning + predicate pushdown; the reference wrote both
     * by hand into SQL text). */
-  def historicalQuery(groupName: String, columns: Seq[String], start: String, end: String): DataFrame = {
-    val g = describeGroup(groupName)
-    offline(groupName)
+  def historicalQuery(groupName: String, columns: Seq[String], start: String, end: String): DataFrame =
+    historicalRange(offline(groupName), describeGroup(groupName), columns, start, end)
+
+  /** One copy of the range pipeline for the pinned ([[historicalQueryAsOf]])
+    * and unpinned ([[historicalQuery]]) reads — they must never diverge on
+    * the predicate details. */
+  private def historicalRange(base: DataFrame, g: FeatureGroup,
+      columns: Seq[String], start: String, end: String): DataFrame =
+    base
       // derived PARTITION filter: _ingest_date = to_date(event_time), so the
       // event-time range implies a date range — this is what actually prunes
       // offline files (the row filter below only prunes row groups within
@@ -1337,7 +1371,6 @@ final class FeatureStore(spark: SparkSession, root: String,
       .filter(col(g.eventTimeCol).between(
         lit(start).cast(TimestampType), lit(end).cast(TimestampType)))
       .select(columns.map(col): _*)
-  }
 
   // ---- manifest (hand-rolled flat JSON; no extra deps) ----
 

@@ -299,7 +299,13 @@ object Dedup {
     * layout columns after `batch` (the IVFADC codes table partitions by
     * `cell` for probe-time pruning). */
   private[graft] def writeIndexBatch(sig: DataFrame, indexPath: String, batchId: String,
-      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = {
+      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = withIndexWriter(indexPath) {
+    // the layout is resolved INSIDE the writer lock: a compaction can no
+    // longer flip the pointer between this resolve and the write, which
+    // would strand the batch's bytes in a version dir the compaction's
+    // cleanup then deletes (single-table indexes lock their own root here;
+    // multi-table sequences hold the family-level lock around the whole
+    // write+commit — reentrant, so this inner lock is free)
     require(batchId.matches("[A-Za-z0-9_.-]+"),
       s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
     val stamped = sig.withColumn("batch", lit(batchId))
@@ -416,6 +422,44 @@ object Dedup {
     }
   }
 
+  /** Serialize the WRITERS of one persisted index root — append/delete
+    * batches and compactions. Without this, an append that resolved the
+    * pre-compaction layout can write its partitions into a version dir the
+    * compaction then flips away from and deletes: the batch id stays in the
+    * manifest while its bytes are gone (a BM25 delete racing a compaction
+    * would permanently over-count n_docs — the fold cannot see partials
+    * that land after it read). The lock is the [[withVisibleLock]]
+    * discipline writ large: a same-process monitor (REENTRANT — a compound
+    * op may nest table-level writes under its family-level lock) plus a
+    * cross-process file lock (`_writer.lock`, underscore-hidden from
+    * Spark's listings). Readers never take it — reads stay lock-free
+    * (quiet-reader as before); on a multi-driver cluster deployment the
+    * file lock's seam is a catalog lease, exactly like [[graft.core.OptimisticPointer]]. */
+  private val writerMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  private[graft] def withIndexWriter[A](indexPath: String)(body: => A): A = {
+    val root = java.nio.file.Paths.get(indexPath)
+    java.nio.file.Files.createDirectories(root)
+    // normalize the key: two spellings of one dir must share one monitor
+    // (a second in-JVM FileChannel.lock on the same file would throw
+    // OverlappingFileLockException instead of blocking)
+    val lk = writerMonitors.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString,
+      _ => new java.util.concurrent.locks.ReentrantLock)
+    lk.lock()
+    try {
+      if (lk.getHoldCount > 1) body // outer frame already holds the file lock
+      else {
+        val ch = java.nio.channels.FileChannel.open(root.resolve("_writer.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { val l = ch.lock(); try body finally l.release() }
+        finally ch.close()
+      }
+    } finally lk.unlock()
+  }
+
   private def writeVisibleFile(familyPath: String, ids: Set[String]): Unit = {
     val root = java.nio.file.Paths.get(familyPath)
     val tmp = root.resolve("VISIBLE.tmp")
@@ -470,15 +514,24 @@ object Dedup {
     * flat and resolve unversioned; legacy per-table pointers are retired
     * by the first family commit.
     *
+    * WRITER SERIALIZATION: the whole compaction holds the family's
+    * [[withIndexWriter]] lock, and every append/delete holds it across its
+    * table writes + visibility commit — so no batch can land partials in a
+    * layout this fold has already read past (the lost-update the lock
+    * exists for: an append writing into the old version dir after the fold
+    * captured its input would survive in the manifest but lose its bytes
+    * to the post-flip cleanup). A racing writer simply blocks and then
+    * proceeds against the compacted generation.
+    *
     * VISIBILITY ACCOUNTING (families with a batch manifest): the fold reads
     * only visible batches, and afterwards the manifest is updated to
-    * `current − captured` (folded ids retire; a batch committed MID-
-    * compaction stays visible even though its partials missed this fold —
-    * the marker-survives contract) PLUS the batch ids still physically
-    * present under `preserveVisibilityOf` tables — marker tables like
-    * `tombstones/` are NOT folded but must keep serving their pending
-    * markers until an explicit purge sweeps them (a plain compaction that
-    * blanked them would silently resurrect every pending-deleted doc).
+    * `current − captured` (folded ids retire; under writer serialization
+    * current == captured — the subtraction is kept as crash defense) PLUS
+    * the batch ids still physically present under `preserveVisibilityOf`
+    * tables — marker tables like `tombstones/` are NOT folded but must
+    * keep serving their pending markers until an explicit purge sweeps
+    * them (a plain compaction that blanked them would silently resurrect
+    * every pending-deleted doc).
     *
     * @param tables (name, fold transform, extra partition cols after batch)
     * @param preserveVisibilityOf marker tables outside the fold whose
@@ -486,7 +539,7 @@ object Dedup {
     */
   private[graft] def compactFamily(spark: SparkSession, familyPath: String,
       tables: Seq[(String, DataFrame => DataFrame, Seq[String])],
-      preserveVisibilityOf: Seq[String] = Nil): Unit = {
+      preserveVisibilityOf: Seq[String] = Nil): Unit = withIndexWriter(familyPath) {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(familyPath)
     val famPtr = root.resolve("FAMILY")
@@ -588,7 +641,11 @@ object Dedup {
   /** See [[compactMinhashIndex]] — same fold for the semantic index's
     * per-batch vector partitions. */
   def compactSemanticIndex(spark: SparkSession, indexPath: String): Unit =
-    compactBatchedDir(spark, s"$indexPath/vectors")
+    // lock the FAMILY root, not just the vectors subtable: the incremental
+    // dedup's full-span lock is on the family path, and the two must
+    // mutually exclude (the nested subtable lock acquires in the same
+    // family→table order as the incremental's writeIndexBatch — no cycle)
+    withIndexWriter(indexPath)(compactBatchedDir(spark, s"$indexPath/vectors"))
 
   /** Run independent index-maintenance tasks CONCURRENTLY — a multi-table
     * index (BM25's postings/termdf/stats/doclens, the LM's five counts)
@@ -610,7 +667,7 @@ object Dedup {
 
   private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String,
       transform: DataFrame => DataFrame = identity,
-      extraPartitionCols: Seq[String] = Nil): Unit = {
+      extraPartitionCols: Seq[String] = Nil): Unit = withIndexWriter(indexPath) {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(indexPath)
     val oldDir = resolveIndexDir(indexPath)
@@ -709,8 +766,10 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      candidateSink: Option[String] = None): DataFrame = {
-
+      candidateSink: Option[String] = None): DataFrame = withIndexWriter(indexPath) {
+    // full-span writer lock: candidate generation reads the resolved index
+    // files, which a concurrent compaction's cleanup would delete mid-job
+    // (the containmentIncremental rationale; result checkpointed before return)
     val spark = newDf.sparkSession
     val oldSig = readIndex(spark, indexPath, excludeBatch = Some(batchId))
     val newSig = minhashSignatures(newDf, id, text, shingleK, numHashes, bands).persist()
@@ -785,7 +844,8 @@ object Dedup {
       bands: Int = 4,
       maxHamming: Int = 3,
       maxBucket: Int = 1000,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None): DataFrame = withIndexWriter(indexPath) {
+    // full-span writer lock — the minhashLshIncremental rationale
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val spark = newHashes.sparkSession
@@ -1244,9 +1304,12 @@ object Dedup {
 
   /** Broadcast cap for the (tok, df) order-key table of the prefix-filter
     * family, env-overridable (the [[graft.similarity.Similarity]]
-    * `sizeGatedVecs` pattern). Defensive parse: an operator typo must fail
-    * loudly, not as an opaque class-initialization error. */
-  private[graft] val DfsBroadcastMaxBytes: Long =
+    * `sizeGatedVecs` pattern). Defensive parse, and LAZY like
+    * [[CodebookLiteralMaxBytes]]: an operator typo must fail loudly at
+    * first use with a message naming the env var — an eager val would
+    * surface it as an opaque ExceptionInInitializerError taking down all
+    * of Dedup. */
+  private[graft] lazy val DfsBroadcastMaxBytes: Long =
     sys.env.get("SPARK_GRAFT_DFS_BROADCAST_MAX_BYTES") match {
       case Some(s) => s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"SPARK_GRAFT_DFS_BROADCAST_MAX_BYTES must be a plain byte count, got '$s'"))
@@ -1372,15 +1435,17 @@ object Dedup {
       .persist()
     dfs.count(): Unit
     val ranked = containmentRanked(gr, sizeGatedDfs(dfs))
-    inParallel(Seq(
-      () => writeIndexBatch(ranked.select(col("doc_id"), col("sz"), col("rn"),
-        col("tok")), s"$indexPath/tok", "base", wholeIndex = true),
-      () => writeIndexBatch(gr.select(col("doc_id"), col("hs")),
-        s"$indexPath/sets", "base", wholeIndex = true),
-      () => writeIndexBatch(dfs, s"$indexPath/dfs", "base", wholeIndex = true)))
-    // (re)start the batch-visibility manifest: an incremental batch's tok
-    // and sets partitions become readable atomically, at commitVisibleBatch
-    resetVisibleBatches(indexPath)
+    withIndexWriter(indexPath) {
+      inParallel(Seq(
+        () => writeIndexBatch(ranked.select(col("doc_id"), col("sz"), col("rn"),
+          col("tok")), s"$indexPath/tok", "base", wholeIndex = true),
+        () => writeIndexBatch(gr.select(col("doc_id"), col("hs")),
+          s"$indexPath/sets", "base", wholeIndex = true),
+        () => writeIndexBatch(dfs, s"$indexPath/dfs", "base", wholeIndex = true)))
+      // (re)start the batch-visibility manifest: an incremental batch's tok
+      // and sets partitions become readable atomically, at commitVisibleBatch
+      resetVisibleBatches(indexPath)
+    }
     dfs.unpersist(false): Unit
     gr.unpersist(false): Unit
   }
@@ -1412,7 +1477,11 @@ object Dedup {
       thresholdDen: Int = 10,
       minSize: Int = 5,
       maxPostings: Int = 200,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None): DataFrame = withIndexWriter(indexPath) {
+    // full-span writer lock (reads included): candidates and verification
+    // read the resolved index layout's files, which a concurrent
+    // compaction's post-flip cleanup would delete mid-job; the result is
+    // checkpointed before return, so the lock covers every index read
     require(0 < thresholdNum && thresholdNum <= thresholdDen, "need 0 < tn/td <= 1")
     val spark = newDf.sparkSession
     val (tn, td) = (thresholdNum.toLong, thresholdDen.toLong)
@@ -1456,15 +1525,17 @@ object Dedup {
 
     // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
     val p = verified.localCheckpoint(eager = true)
-    inParallel(Seq(
-      () => writeIndexBatch(newRanked.select(col("doc_id"), col("sz"),
-        col("rn"), col("tok")), s"$indexPath/tok", batchId),
-      () => writeIndexBatch(newGr.select(col("doc_id"), col("hs")),
-        s"$indexPath/sets", batchId)))
-    // atomic visibility: a batch's postings and its hash sets fold in
-    // together — a torn fold can no longer surface collisions whose
-    // verification sets are missing
-    commitVisibleBatch(indexPath, batchId)
+    withIndexWriter(indexPath) {
+      inParallel(Seq(
+        () => writeIndexBatch(newRanked.select(col("doc_id"), col("sz"),
+          col("rn"), col("tok")), s"$indexPath/tok", batchId),
+        () => writeIndexBatch(newGr.select(col("doc_id"), col("hs")),
+          s"$indexPath/sets", batchId)))
+      // atomic visibility: a batch's postings and its hash sets fold in
+      // together — a torn fold can no longer surface collisions whose
+      // verification sets are missing
+      commitVisibleBatch(indexPath, batchId)
+    }
     newRanked.unpersist(false): Unit
     newGr.unpersist(false): Unit
     p
@@ -1976,7 +2047,8 @@ object Dedup {
       batchId: String,
       threshold: Double = 0.9,
       maxCluster: Int = 10000,
-      candidateSink: Option[String] = None): DataFrame = {
+      candidateSink: Option[String] = None): DataFrame = withIndexWriter(indexPath) {
+    // full-span writer lock — the minhashLshIncremental rationale
     val spark = newDf.sparkSession
     val centroids = spark.read.parquet(s"$indexPath/centroids")
     val oldVecs = spark.read.parquet(resolveIndexDir(s"$indexPath/vectors"))
@@ -2563,7 +2635,8 @@ object Dedup {
       indexPath: String,
       batchId: String,
       spanLen: Int = 20,
-      faithful: Boolean = false): DataFrame = {
+      faithful: Boolean = false): DataFrame = withIndexWriter(indexPath) {
+    // full-span writer lock — the minhashLshIncremental rationale
     val spark = newDf.sparkSession
     val tokd = newDf.select(col(id).cast("long").as("doc_id"),
       wsTokens(col(text)).as("__toks"),

@@ -196,11 +196,13 @@ object Dsir {
   def buildDsirIndex(target: DataFrame, pool: DataFrame, id: String,
       text: String, indexPath: String, buckets: Int = 8192): Unit = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    writeDsirBatch(Some(target), pool, id, text, indexPath, "base", buckets,
-      wholeIndex = true)
-    // (re)start the batch-visibility manifest: from here on a pool append's
-    // raw+stats partials become readable atomically, at commitVisibleBatch
-    Dedup.resetVisibleBatches(indexPath)
+    Dedup.withIndexWriter(indexPath) { // rebuild + manifest restart: one writer turn
+      writeDsirBatch(Some(target), pool, id, text, indexPath, "base", buckets,
+        wholeIndex = true)
+      // (re)start the batch-visibility manifest: from here on a pool append's
+      // raw+stats partials become readable atomically, at commitVisibleBatch
+      Dedup.resetVisibleBatches(indexPath)
+    }
   }
 
   /** Fold a NEW pool batch into the raw side — every table is an additive
@@ -209,7 +211,7 @@ object Dsir {
     * exemplar stays frozen: DSIR's question is "does the NEW data look like
     * the trusted corpus", not "does the trusted corpus drift". */
   def appendDsirIndex(newPool: DataFrame, id: String, text: String,
-      indexPath: String, batchId: String): Unit = {
+      indexPath: String, batchId: String): Unit = Dedup.withIndexWriter(indexPath) {
     val buckets = readDsirBuckets(newPool.sparkSession, indexPath)
     writeDsirBatch(None, newPool, id, text, indexPath, batchId, buckets,
       wholeIndex = false)
@@ -288,17 +290,19 @@ object Dsir {
     val spark = pool.sparkSession
     import spark.implicits._
     val stats = Seq((tOcc, rOcc, buckets)).toDF("t_occ", "r_occ", "buckets")
-    Dedup.inParallel(
-      tCounts.map(c => () => Dedup.writeIndexBatch(c, s"$indexPath/target",
-        batchId, wholeIndex)).toSeq ++ Seq(
-      () => Dedup.writeIndexBatch(rCounts, s"$indexPath/raw", batchId,
-        wholeIndex),
-      () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
-        wholeIndex)))
-    // atomic visibility: a pool batch's raw counts and its stats partial
-    // appear together — no window where doc counts and occurrence totals
-    // disagree
-    if (!wholeIndex) Dedup.commitVisibleBatch(indexPath, batchId)
+    Dedup.withIndexWriter(indexPath) {
+      Dedup.inParallel(
+        tCounts.map(c => () => Dedup.writeIndexBatch(c, s"$indexPath/target",
+          batchId, wholeIndex)).toSeq ++ Seq(
+        () => Dedup.writeIndexBatch(rCounts, s"$indexPath/raw", batchId,
+          wholeIndex),
+        () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
+          wholeIndex)))
+      // atomic visibility: a pool batch's raw counts and its stats partial
+      // appear together — no window where doc counts and occurrence totals
+      // disagree
+      if (!wholeIndex) Dedup.commitVisibleBatch(indexPath, batchId)
+    }
     rCounts.unpersist(false): Unit
     tCounts.foreach(_.unpersist(false): Unit)
   }

@@ -73,13 +73,15 @@ object LexicalRetrieval {
   def buildBm25Index(docs: DataFrame, id: String, text: String,
       indexPath: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    writeBm25Batch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
-    // a rebuild is a NEW index generation: markers from the previous one
-    // must not suppress future deletes or hide current docs at serve time
-    Dedup.clearDir(s"$indexPath/tombstones")
-    // (re)start the batch-visibility manifest: from here on an append's
-    // tables become readable atomically, at its commitVisibleBatch
-    Dedup.resetVisibleBatches(indexPath)
+    Dedup.withIndexWriter(indexPath) { // rebuild + manifest restart: one writer turn
+      writeBm25Batch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+      // a rebuild is a NEW index generation: markers from the previous one
+      // must not suppress future deletes or hide current docs at serve time
+      Dedup.clearDir(s"$indexPath/tombstones")
+      // (re)start the batch-visibility manifest: from here on an append's
+      // tables become readable atomically, at its commitVisibleBatch
+      Dedup.resetVisibleBatches(indexPath)
+    }
   }
 
   /** Fold a NEW doc batch into the index — the incremental serving story
@@ -90,7 +92,7 @@ object LexicalRetrieval {
     * contract): a doc re-ingested through a second batch would double-count
     * itself in df/n_docs/sum_dl. */
   def appendBm25Index(newDocs: DataFrame, id: String, text: String,
-      indexPath: String, batchId: String): Unit = {
+      indexPath: String, batchId: String): Unit = Dedup.withIndexWriter(indexPath) {
     val buckets = readBuckets(newDocs.sparkSession, indexPath)
     writeBm25Batch(newDocs, id, text, indexPath, batchId, buckets,
       wholeIndex = false)
@@ -141,7 +143,11 @@ object LexicalRetrieval {
     * maintenance-class scan over postings + doclens), so the caller deletes
     * by id alone — no payload needed. */
   def deleteFromBm25Index(keys: DataFrame, id: String, indexPath: String,
-      batchId: String): Unit = {
+      batchId: String): Unit = Dedup.withIndexWriter(indexPath) {
+    // the lock spans the READS too: the decrements are computed by jobs
+    // over the resolved layout's files, which a concurrent compaction's
+    // post-flip cleanup would delete mid-read (writer-vs-writer — plain
+    // serve reads stay lock-free under the quiet-reader contract)
     val spark = keys.sparkSession
     val buckets = readBuckets(spark, indexPath)
     val ids = keys.select(col(id).cast("long").as("doc_id")).distinct()
@@ -157,15 +163,17 @@ object LexicalRetrieval {
     val negDf = Dedup.readVisibleTable(spark, indexPath, "postings")
       .join(fresh.select("doc_id"), Seq("doc_id"), "leftsemi")
       .groupBy("term_id").agg((-count(lit(1))).as("df"))
-    Dedup.inParallel(Seq(
-      () => Dedup.writeIndexBatch(negDf, s"$indexPath/termdf", batchId),
-      () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
-      () => Dedup.writeIndexBatch(fresh.select("doc_id"),
-        s"$indexPath/tombstones", batchId)))
-    // atomic visibility: the markers and BOTH negative partials appear
-    // together or not at all — a torn delete can no longer hide docs while
-    // scoring against pre-deletion statistics
-    Dedup.commitVisibleBatch(indexPath, batchId)
+    Dedup.withIndexWriter(indexPath) {
+      Dedup.inParallel(Seq(
+        () => Dedup.writeIndexBatch(negDf, s"$indexPath/termdf", batchId),
+        () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
+        () => Dedup.writeIndexBatch(fresh.select("doc_id"),
+          s"$indexPath/tombstones", batchId)))
+      // atomic visibility: the markers and BOTH negative partials appear
+      // together or not at all — a torn delete can no longer hide docs while
+      // scoring against pre-deletion statistics
+      Dedup.commitVisibleBatch(indexPath, batchId)
+    }
     fresh.unpersist(false): Unit
   }
 
@@ -178,7 +186,8 @@ object LexicalRetrieval {
     * landing mid-purge survives the sweep and keeps anti-joining until the
     * next purge; a crash between rewrites leaves serving correct (surviving
     * tombstones still anti-join) and a retry completes. */
-  def purgeBm25Index(spark: SparkSession, indexPath: String): Unit = {
+  def purgeBm25Index(spark: SparkSession, indexPath: String): Unit =
+      Dedup.withIndexWriter(indexPath) {
     val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
     import scala.jdk.CollectionConverters._
     val dirsAtPlan: List[java.nio.file.Path] =
@@ -546,21 +555,23 @@ object LexicalRetrieval {
       .persist()
     postings.count(): Unit // staged: feeds the postings write AND termdf
     val termdf = postings.groupBy("term_id").agg(count(lit(1)).as("df"))
-    Dedup.inParallel(Seq(
-      () => Dedup.writeIndexBatch(postings, s"$indexPath/postings", batchId,
-        wholeIndex, partitionCols = Seq("tb")),
-      () => Dedup.writeIndexBatch(termdf, s"$indexPath/termdf", batchId,
-        wholeIndex),
-      () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
-        wholeIndex),
-      () => Dedup.writeIndexBatch(tokd.select("doc_id", "dl"),
-        s"$indexPath/doclens", batchId, wholeIndex)))
+    Dedup.withIndexWriter(indexPath) {
+      Dedup.inParallel(Seq(
+        () => Dedup.writeIndexBatch(postings, s"$indexPath/postings", batchId,
+          wholeIndex, partitionCols = Seq("tb")),
+        () => Dedup.writeIndexBatch(termdf, s"$indexPath/termdf", batchId,
+          wholeIndex),
+        () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
+          wholeIndex),
+        () => Dedup.writeIndexBatch(tokd.select("doc_id", "dl"),
+          s"$indexPath/doclens", batchId, wholeIndex)))
+      // the COMMIT of a multi-table append: all four tables' partitions are
+      // on disk — one atomic manifest rewrite makes the batch visible in all
+      // of them at once (a crash before this line leaves it invisible; the
+      // same-id retry overwrites the partitions and commits)
+      if (!wholeIndex) Dedup.commitVisibleBatch(indexPath, batchId)
+    }
     postings.unpersist(false): Unit
     tokd.unpersist(false): Unit
-    // the COMMIT of a multi-table append: all four tables' partitions are
-    // on disk — one atomic manifest rewrite makes the batch visible in all
-    // of them at once (a crash before this line leaves it invisible; the
-    // same-id retry overwrites the partitions and commits)
-    if (!wholeIndex) Dedup.commitVisibleBatch(indexPath, batchId)
   }
 }

@@ -188,10 +188,12 @@ object LmPerplexity {
   def buildLmIndex(docs: DataFrame, id: String, text: String,
       indexPath: String, buckets: Int = 64): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    writeLmBatch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
-    // (re)start the batch-visibility manifest: from here on an append's or
-    // unlearn's five tables become readable atomically, at commitVisibleBatch
-    Dedup.resetVisibleBatches(indexPath)
+    Dedup.withIndexWriter(indexPath) { // rebuild + manifest restart: one writer turn
+      writeLmBatch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+      // (re)start the batch-visibility manifest: from here on an append's or
+      // unlearn's five tables become readable atomically, at commitVisibleBatch
+      Dedup.resetVisibleBatches(indexPath)
+    }
   }
 
   /** Fold a NEW doc batch into the LM — every table is an additive count,
@@ -199,7 +201,7 @@ object LmPerplexity {
     * [[LexicalRetrieval.appendBm25Index]] contract: docs must be new; a
     * re-ingested doc would double-count itself). */
   def appendLmIndex(newDocs: DataFrame, id: String, text: String,
-      indexPath: String, batchId: String): Unit = {
+      indexPath: String, batchId: String): Unit = Dedup.withIndexWriter(indexPath) {
     val buckets = readBuckets(newDocs.sparkSession, indexPath)
     writeLmBatch(newDocs, id, text, indexPath, batchId, buckets,
       wholeIndex = false)
@@ -254,7 +256,11 @@ object LmPerplexity {
     * ids are EXCLUDED via the membership/tombstone tables, so a
     * double-delete (any batch id) cannot double-decrement. */
   def deleteFromLmIndex(docs: DataFrame, id: String, text: String,
-      indexPath: String, batchId: String): Unit = {
+      indexPath: String, batchId: String): Unit = Dedup.withIndexWriter(indexPath) {
+    // full-span lock (reads included): the decrements are computed by jobs
+    // over the resolved layout's files, which a concurrent compaction's
+    // cleanup would delete mid-read — the LexicalRetrieval.deleteFromBm25Index
+    // rationale
     val spark = docs.sparkSession
     val buckets = readBuckets(spark, indexPath)
     val member = Dedup.readVisibleTable(spark, indexPath, "docs")
@@ -286,19 +292,21 @@ object LmPerplexity {
       .persist()
     negBg.count(): Unit
     val negContexts = negBg.groupBy("ctx_id").agg(sum(col("c")).as("c"))
-    Dedup.inParallel(Seq(
-      () => Dedup.writeIndexBatch(
-        negBg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
-        s"$indexPath/bigrams", batchId, partitionCols = Seq("bb")),
-      () => Dedup.writeIndexBatch(negContexts, s"$indexPath/contexts", batchId),
-      () => Dedup.writeIndexBatch(negUnigrams, s"$indexPath/unigrams", batchId),
-      () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
-      () => Dedup.writeIndexBatch(tk.select(col("doc_id")),
-        s"$indexPath/tombstones", batchId)))
-    // atomic visibility: markers and ALL four negative count partials
-    // appear together — a torn unlearn can no longer hide docs while the
-    // model still scores with their counts
-    Dedup.commitVisibleBatch(indexPath, batchId)
+    Dedup.withIndexWriter(indexPath) {
+      Dedup.inParallel(Seq(
+        () => Dedup.writeIndexBatch(
+          negBg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+          s"$indexPath/bigrams", batchId, partitionCols = Seq("bb")),
+        () => Dedup.writeIndexBatch(negContexts, s"$indexPath/contexts", batchId),
+        () => Dedup.writeIndexBatch(negUnigrams, s"$indexPath/unigrams", batchId),
+        () => Dedup.writeIndexBatch(negStats, s"$indexPath/stats", batchId),
+        () => Dedup.writeIndexBatch(tk.select(col("doc_id")),
+          s"$indexPath/tombstones", batchId)))
+      // atomic visibility: markers and ALL four negative count partials
+      // appear together — a torn unlearn can no longer hide docs while the
+      // model still scores with their counts
+      Dedup.commitVisibleBatch(indexPath, batchId)
+    }
     negBg.unpersist(false): Unit
     tk.unpersist(false): Unit
   }
@@ -310,7 +318,8 @@ object LmPerplexity {
     * mid-purge survives the sweep; a crash between rewrites leaves serving
     * correct because the negative partials keep folding). A re-delete of a
     * purged id is a no-op through the membership check. */
-  def purgeLmIndex(spark: SparkSession, indexPath: String): Unit = {
+  def purgeLmIndex(spark: SparkSession, indexPath: String): Unit =
+      Dedup.withIndexWriter(indexPath) {
     val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
     import scala.jdk.CollectionConverters._
     val dirsAtPlan: List[java.nio.file.Path] =
@@ -435,20 +444,22 @@ object LmPerplexity {
       .persist() // feeds the bigram write AND the context second-level agg
     bg.count(): Unit
     val contexts = bg.groupBy("ctx_id").agg(sum(col("c")).as("c"))
-    Dedup.inParallel(Seq(
-      () => Dedup.writeIndexBatch(
-        bg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
-        s"$indexPath/bigrams", batchId, wholeIndex, partitionCols = Seq("bb")),
-      () => Dedup.writeIndexBatch(contexts, s"$indexPath/contexts", batchId,
-        wholeIndex),
-      () => Dedup.writeIndexBatch(unigrams, s"$indexPath/unigrams", batchId,
-        wholeIndex),
-      () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
-        wholeIndex),
-      () => Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/docs",
-        batchId, wholeIndex)))
-    if (wholeIndex) Dedup.clearDir(s"$indexPath/tombstones")
-    else Dedup.commitVisibleBatch(indexPath, batchId) // all five tables landed
+    Dedup.withIndexWriter(indexPath) {
+      Dedup.inParallel(Seq(
+        () => Dedup.writeIndexBatch(
+          bg.withColumn("bb", pmod(col("bg_id"), lit(buckets.toLong))),
+          s"$indexPath/bigrams", batchId, wholeIndex, partitionCols = Seq("bb")),
+        () => Dedup.writeIndexBatch(contexts, s"$indexPath/contexts", batchId,
+          wholeIndex),
+        () => Dedup.writeIndexBatch(unigrams, s"$indexPath/unigrams", batchId,
+          wholeIndex),
+        () => Dedup.writeIndexBatch(stats, s"$indexPath/stats", batchId,
+          wholeIndex),
+        () => Dedup.writeIndexBatch(tk.select(col("doc_id")), s"$indexPath/docs",
+          batchId, wholeIndex)))
+      if (wholeIndex) Dedup.clearDir(s"$indexPath/tombstones")
+      else Dedup.commitVisibleBatch(indexPath, batchId) // all five tables landed
+    }
     bg.unpersist(false): Unit
     tk.unpersist(false): Unit
   }

@@ -523,7 +523,9 @@ object TextAnalysis {
     *
     * @return (doc_id, n_paras, n_removed, clean_text) for the batch */
   def dedupParagraphsIncremental(newDf: DataFrame, id: String, text: String,
-      indexPath: String, batchId: String): DataFrame = {
+      indexPath: String, batchId: String): DataFrame =
+      graft.dedup.Dedup.withIndexWriter(indexPath) {
+    // full-span writer lock — the Dedup.minhashLshIncremental rationale
     import graft.dedup.Dedup
     val spark = newDf.sparkSession
     val parad = newDf.select(col(id).cast("long").as("doc_id"),

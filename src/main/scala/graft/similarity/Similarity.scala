@@ -402,9 +402,11 @@ object Similarity {
   }
 
   /** Broadcast cap for the rerank join's id→vector side, env-overridable.
-    * Defensive parse: an operator typo must fail loudly, not as an opaque
-    * class-initialization error. */
-  private[graft] val VecBroadcastMaxBytes: Long =
+    * Defensive parse, and LAZY like `Dedup.CodebookLiteralMaxBytes`: an
+    * operator typo must fail loudly at first use with a message naming the
+    * env var — an eager val would surface it as an opaque
+    * ExceptionInInitializerError taking down all of Similarity. */
+  private[graft] lazy val VecBroadcastMaxBytes: Long =
     sys.env.get("SPARK_GRAFT_VEC_BROADCAST_MAX_BYTES") match {
       case Some(s) => s.trim.toLongOption.getOrElse(throw new IllegalArgumentException(
         s"SPARK_GRAFT_VEC_BROADCAST_MAX_BYTES must be a plain byte count, got '$s'"))
@@ -510,7 +512,12 @@ object Similarity {
       nProbe: Int = 2,
       maxCell: Int = 10000,
       candidateSink: Option[String] = None,
-      nProbeTop: Int = 2): DataFrame = {
+      nProbeTop: Int = 2): DataFrame =
+      graft.dedup.Dedup.withIndexWriter(indexPath) {
+      graft.dedup.Dedup.withIndexWriter(graphPath) {
+    // full-span locks, ANN index → graph order (the knnGraphAppend rule):
+    // the self-join reads the resolved vectors files a concurrent index
+    // compaction's cleanup would delete mid-job
     import graft.dedup.Dedup
     val edges = selfJoinTopK(spark, indexPath, k, nProbe, maxCell,
       candidateSink, labels = None, nProbeTop = nProbeTop)
@@ -527,7 +534,7 @@ object Similarity {
     // edges become readable atomically, at commitVisibleBatch
     Dedup.resetVisibleBatches(graphPath)
     p
-  }
+  } }
 
   /** INCREMENTAL graph maintenance: fold a new vector batch in and update
     * exactly the anchors whose neighborhoods can have changed.
@@ -560,7 +567,13 @@ object Similarity {
       nProbe: Int = 2,
       maxCell: Int = 10000,
       candidateSink: Option[String] = None,
-      nProbeTop: Int = 2): DataFrame = {
+      nProbeTop: Int = 2): DataFrame =
+      graft.dedup.Dedup.withIndexWriter(indexPath) {
+      graft.dedup.Dedup.withIndexWriter(graphPath) {
+    // full-span writer locks on BOTH families (reads included): candidate
+    // generation reads the resolved vectors/probes/edges files, which a
+    // concurrent compaction's cleanup would delete mid-job; acquisition
+    // order is ANN index → graph everywhere (no cycle)
     import graft.dedup.Dedup
     require(gen >= 1, s"append generations start at 1, got $gen")
     val spark = newDf.sparkSession
@@ -626,18 +639,23 @@ object Similarity {
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
 
     val p = updated.localCheckpoint(eager = true)
-    Dedup.inParallel(Seq(
-      () => Dedup.writeIndexBatch(newAssigned, s"$indexPath/vectors", batchId),
-      () => Dedup.writeIndexBatch(newProbes, s"$graphPath/probes", batchId),
-      () => Dedup.writeIndexBatch(p.withColumn("gen", lit(gen)),
-        s"$graphPath/edges", batchId)))
-    // atomic visibility of the GRAPH tables (probes + edges appear
-    // together); the vector fold-in belongs to the ANN index family and
-    // keeps its own replay discipline
-    Dedup.commitVisibleBatch(graphPath, batchId)
+    // two families written in one batch → both writer locks, FIXED ORDER
+    // (ANN index, then graph — the only cross-family writer; every other
+    // op locks a single family, so the ordering can't cycle)
+    Dedup.withIndexWriter(indexPath) { Dedup.withIndexWriter(graphPath) {
+      Dedup.inParallel(Seq(
+        () => Dedup.writeIndexBatch(newAssigned, s"$indexPath/vectors", batchId),
+        () => Dedup.writeIndexBatch(newProbes, s"$graphPath/probes", batchId),
+        () => Dedup.writeIndexBatch(p.withColumn("gen", lit(gen)),
+          s"$graphPath/edges", batchId)))
+      // atomic visibility of the GRAPH tables (probes + edges appear
+      // together); the vector fold-in belongs to the ANN index family and
+      // keeps its own replay discipline
+      Dedup.commitVisibleBatch(graphPath, batchId)
+    } }
     newAssigned.unpersist(false): Unit
     p
-  }
+  } }
 
   /** The resolved graph: each anchor's max-gen edge rows (an append
     * supersedes, never merges with, an anchor's older rows).
@@ -1239,16 +1257,18 @@ object Similarity {
     // probed cells' directories via dynamic partition pruning — at scale a
     // nProbe/nCells probe reads nProbe/nCells of the FILES, not just of the
     // rows (plan-gated in SimilaritySpec)
-    writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", "base",
-      wholeIndex = true, partitionCols = Seq("cell"))
-    writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
-    // rebuild = new generation: stale tombstones would hide current vectors
-    // at serve time and suppress legitimate future deletes (found via the
-    // BM25 twin — q192's describe read a prior bench run's markers)
-    graft.dedup.Dedup.clearDir(s"$indexPath/tombstones")
-    // (re)start the batch-visibility manifest: an append's codes and
-    // reorder vectors become readable atomically, at commitVisibleBatch
-    graft.dedup.Dedup.resetVisibleBatches(indexPath)
+    graft.dedup.Dedup.withIndexWriter(indexPath) { // rebuild: one writer turn
+      writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", "base",
+        wholeIndex = true, partitionCols = Seq("cell"))
+      writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
+      // rebuild = new generation: stale tombstones would hide current vectors
+      // at serve time and suppress legitimate future deletes (found via the
+      // BM25 twin — q192's describe read a prior bench run's markers)
+      graft.dedup.Dedup.clearDir(s"$indexPath/tombstones")
+      // (re)start the batch-visibility manifest: an append's codes and
+      // reorder vectors become readable atomically, at commitVisibleBatch
+      graft.dedup.Dedup.resetVisibleBatches(indexPath)
+    }
   }
 
   // one copy of the replay-idempotence machinery: Dedup.writeIndexBatch is
@@ -1284,13 +1304,15 @@ object Similarity {
     val dim = guardedDim(cn, "appendIvfadcIndex")
     require(dim == model.dim,
       s"appendIvfadcIndex: batch dim $dim != index dim ${model.dim}")
-    writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", batchId,
-      partitionCols = Seq("cell"))
-    writeBatched(c0, s"$indexPath/vectors", batchId)
-    // atomic visibility: codes and reorder vectors appear together — a torn
-    // append can no longer surface candidates whose exact vectors are
-    // missing (the rerank join would silently drop them, degrading top-k)
-    graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
+    graft.dedup.Dedup.withIndexWriter(indexPath) {
+      writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", batchId,
+        partitionCols = Seq("cell"))
+      writeBatched(c0, s"$indexPath/vectors", batchId)
+      // atomic visibility: codes and reorder vectors appear together — a torn
+      // append can no longer surface candidates whose exact vectors are
+      // missing (the rerank join would silently drop them, degrading top-k)
+      graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
+    }
   }
 
   /** Compact the per-batch codes/vectors partitions into one `batch=base`
@@ -1318,7 +1340,7 @@ object Similarity {
     * tombstoned id stays hidden until a purge clears the marker — the
     * documented semantic (erasure outranks resurrection). */
   def deleteFromIvfadcIndex(keys: DataFrame, id: String, indexPath: String,
-      batchId: String): Unit = {
+      batchId: String): Unit = graft.dedup.Dedup.withIndexWriter(indexPath) {
     writeBatched(keys.select(col(id).as("nbr_id")).distinct(),
       s"$indexPath/tombstones", batchId)
     graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
@@ -1338,7 +1360,8 @@ object Similarity {
     * between the two compactions leaves serving correct — the surviving
     * tombstones still anti-join — and a retry completes the purge. */
   def purgeIvfadcIndex(
-      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+      graft.dedup.Dedup.withIndexWriter(indexPath) {
     // snapshot the tombstone batch dirs BEFORE anything reads them and clear
     // only that list at the end: a deleteFromIvfadcIndex landing mid-purge
     // writes a new batch=<id> dir that must survive the sweep (its ids keep

@@ -49,9 +49,15 @@ import graft.operators.Bloom
   * the zonemap generation doubles as both the COMMIT RECORD and the shard-
   * id ALLOCATOR, so a crashed append leaves either invisible orphans or a
   * partial generation the retry overwrites on the same ids — never a shard
-  * a reader would wrongly prune. Single writer, quiet readers during
-  * maintenance (the documented no-Delta substitution contract); superseded
-  * versions are GC'd by the next rewrite's commit.
+  * a reader would wrongly prune. Point reads intersect bloom admission
+  * with the zonemap COMMIT RECORD, so a crashed append's orphans are
+  * invisible on every read path. Writers (write/append/appendBatch/
+  * compact) are SERIALIZED by the index writer lock
+  * ([[graft.dedup.Dedup.withIndexWriter]]) — an append can no longer
+  * write into a version a concurrent rewrite is flipping away from;
+  * readers stay lock-free (quiet-reader during maintenance, the
+  * documented no-Delta substitution contract); superseded versions are
+  * GC'd by the next rewrite's commit.
   *
   * Layout: `<path>/CURRENT` (version pointer; absent ⇒ pre-versioning flat
   * layout at `<path>/` itself), `<path>/v<N>/data/__shard=*` (parquet
@@ -135,7 +141,12 @@ object ZoneMap {
   def write(df: DataFrame, key: String, path: String, shards: Int,
       statsCols: Seq[String] = Nil,
       bloomCol: Option[String] = None,
-      bloomK: Int = 5, bloomM: Long = 1L << 20): Unit = {
+      bloomK: Int = 5, bloomM: Long = 1L << 20): Unit =
+      graft.dedup.Dedup.withIndexWriter(path) {
+    // writer serialization (the index-family rule): an append resolving v<N>
+    // while a rewrite flips to v<N+1> and GCs v<N> would write rows into a
+    // deleted dir — enforce the documented single-writer contract instead
+    // of trusting it
     require(shards >= 1 && shards < StreamBase,
       s"shards must be in [1, $StreamBase), got $shards")
     val spark = df.sparkSession
@@ -197,7 +208,8 @@ object ZoneMap {
     * shards overlap the old key ranges, so range reads now touch old+new
     * shards for the same window — the documented drift that [[compact]]
     * repairs by re-sharding the whole table back to disjoint ranges. */
-  def append(df: DataFrame, path: String, shards: Int): Unit = {
+  def append(df: DataFrame, path: String, shards: Int): Unit =
+      graft.dedup.Dedup.withIndexWriter(path) {
     require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = df.sparkSession
     val root = tableRoot(path)
@@ -251,7 +263,8 @@ object ZoneMap {
     * fixed for a checkpoint's lifetime — changing it re-bases the id
     * arithmetic under ids the old generations already own. */
   def appendBatch(df: DataFrame, path: String, shardsPerBatch: Int,
-      batchId: Long): Unit = {
+      batchId: Long): Unit =
+      graft.dedup.Dedup.withIndexWriter(path) {
     require(shardsPerBatch >= 1, s"shardsPerBatch must be >= 1, got $shardsPerBatch")
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val offsetL = StreamBase.toLong + batchId * shardsPerBatch
@@ -299,7 +312,9 @@ object ZoneMap {
     * staged version and commits by [[write]]'s pointer CAS — the source
     * files are never touched in place (no lineage cut needed; the old
     * version is GC'd only after the new one is fully committed). */
-  def compact(spark: SparkSession, path: String, shards: Int): Unit = {
+  def compact(spark: SparkSession, path: String, shards: Int): Unit =
+      graft.dedup.Dedup.withIndexWriter(path) {
+    // the full read happens under the lock; the inner write() re-enters it
     val root = tableRoot(path)
     val meta = readMeta(spark, root)
     val all = spark.read.parquet(s"$root/data").drop("__shard")
@@ -354,7 +369,17 @@ object ZoneMap {
     val bloomCol = meta.bloomCol.getOrElse(throw new IllegalArgumentException(
       s"zone-mapped table at '$path' has no bloom column configured — " +
         "write it with bloomCol = Some(...) to serve point lookups"))
-    val total = spark.read.parquet(s"$root/zonemap").count().toInt
+    // the zonemap is the COMMIT RECORD (appends write data → bloom →
+    // zonemap): a crashed append can leave data+bloom rows for shards the
+    // zonemap never committed, so bloom admission alone would serve the
+    // uncommitted phantom rows readRanges correctly prunes. Survivors must
+    // be bloom-admitted AND zonemap-committed. (Shard-count rows — the
+    // collect is driver-bounded by construction, and the frame is already
+    // read for the total.)
+    val committedRows = spark.read.parquet(s"$root/zonemap")
+      .select(col("__shard")).collect()
+    val total = committedRows.length
+    val committed = committedRows.map(_.getInt(0)).toSet
     val positions = spark.range(1).select(
         array((1 to meta.bloomK).map(i =>
           Bloom.bitPos(lit(value), i, meta.bloomM)): _*).as("ps"))
@@ -364,6 +389,7 @@ object ZoneMap {
       .groupBy(col("__shard")).agg(countDistinct(col("pos")).as("n"))
       .filter(col("n") === positions.size)
       .select(col("__shard")).collect().map(_.getInt(0)).toSeq
+      .filter(committed)
     val pruned = spark.read.parquet(s"$root/data")
       .filter(col("__shard").isInCollection(survivors)) // partition pruning
       .filter(col(bloomCol) === lit(value))              // residual

@@ -249,7 +249,10 @@ class DedupSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("fam_").toString
     def names(p: String): Set[String] = {
       val ls = java.nio.file.Files.list(java.nio.file.Paths.get(p))
-      try ls.iterator().asScala.map(_.getFileName.toString).toSet
+      // the writer-serialization lock file is a permanent (underscore-
+      // hidden) resident of every index root — not part of the layout
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filterNot(_ == "_writer.lock").toSet
       finally ls.close()
     }
     Dedup.writeIndexBatch((1L to 10L).toDF("doc_id"), s"$idx/a", "b1")

@@ -405,6 +405,61 @@ class LexicalRetrievalSpec extends SparkSpec {
       "the fresh generation's delete must decrement the statistics")
   }
 
+  test("writer serialization: appends and deletes racing compactions are never lost") {
+    // Pre-lock failure mode: a delete (or append) resolving the layout
+    // mid-compaction writes its partials into the OLD version dir; the
+    // family flip + cleanup then orphans and deletes those bytes while the
+    // batch id stays visible — the index permanently over-counts
+    // n_docs/sum_dl. With Dedup.withIndexWriter serializing writers, every
+    // committed batch's effect must survive any interleaving.
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = Files.createTempDirectory("bm25_lock_").toString
+    val idx = s"$root/idx"
+    val rebuilt = s"$root/rebuilt"
+    LexicalRetrieval.buildBm25Index(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx, buckets = 8)
+    val appended = Seq(
+      (101L, "fresh alpha spark"), (102L, "fresh beta hash"), (103L, "fresh gamma"))
+    val deleted = Seq(1L, 2L, 6L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(3)
+    def worker(body: => Unit): Unit =
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        try body catch { case t: Throwable => failures.add(t): Unit }
+      }}): Unit
+    worker(appended.zipWithIndex.foreach { case (d, i) =>
+      LexicalRetrieval.appendBm25Index(Seq(d).toDF("doc_id", "text"),
+        "doc_id", "text", idx, s"app$i") })
+    worker(deleted.zipWithIndex.foreach { case (id, i) =>
+      LexicalRetrieval.deleteFromBm25Index(Seq(id).toDF("doc_id"),
+        "doc_id", idx, s"del$i") })
+    worker((0 until 5).foreach(_ =>
+      LexicalRetrieval.compactBm25Index(spark, idx)))
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "storm must finish")
+    assert(failures.isEmpty, s"no writer may fail under the lock: ${failures.peek()}")
+    LexicalRetrieval.purgeBm25Index(spark, idx)
+    // every committed op survived ⇔ the index equals a serial rebuild on
+    // (corpus ∪ appended) − deleted, bit-for-bit (same integer counts)
+    val survivors = (corpus ++ appended).filterNot(d => deleted.contains(d._1))
+    LexicalRetrieval.buildBm25Index(survivors.toDF("doc_id", "text"),
+      "doc_id", "text", rebuilt, buckets = 8)
+    val n = LexicalRetrieval.describeBm25Index(spark, idx)
+      .select("n_docs").collect().head.getLong(0)
+    assert(n == survivors.size.toLong,
+      s"n_docs must count exactly the survivors: got $n, want ${survivors.size}")
+    val queries = Seq((1L, Seq("spark", "hash")), (2L, Seq("fresh")))
+      .toDF("query_id", "terms")
+    def serve(p: String) = LexicalRetrieval.bm25TopKIndexed(spark, p, queries)
+      .collect().map(_.toSeq).toSet
+    assert(serve(idx) == serve(rebuilt),
+      "racing writers must leave the index identical to a serial rebuild")
+  }
+
   test("double-delete across batch ids cannot double-decrement the statistics") {
     import spark.implicits._
     val root = Files.createTempDirectory("bm25_spec_").toString

@@ -46,6 +46,39 @@ class ZoneMapSpec extends SparkSpec {
     assert(readMiss <= 2, s"a missing key reads at most false-positive shards: $readMiss")
   }
 
+  test("a crashed append (data+bloom landed, zonemap commit missing) stays invisible to point reads") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("zm_crash_").toString
+    val df = (1L to 100L).map(i => (i, i)).toDF("k", "u")
+    ZoneMap.write(df, "k", root, shards = 4, bloomCol = Some("u"))
+    // append rows carrying a fresh point-lookup value, then SIMULATE the
+    // crash window: data → bloom are on disk, the zonemap generation (the
+    // commit record) never landed
+    ZoneMap.append((101L to 120L).map(i => (i, 5000L)).toDF("k", "u"), root, shards = 2)
+    val zm = java.nio.file.Paths.get(root, "v1", "zonemap", "batch=a4")
+    assert(java.nio.file.Files.exists(zm), "test setup: append generation name")
+    val walk = java.nio.file.Files.walk(zm)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walk.close()
+    // the uncommitted shards' bloom bits admit u=5000, but survivors must
+    // intersect the zonemap COMMIT RECORD — a point read serving them would
+    // disagree with the (zonemap-pruned) range read on the same table
+    val (pt, read, total) = ZoneMap.readPoint(spark, root, 5000L)
+    assert(pt.count() == 0L,
+      "point reads must not serve rows of an uncommitted append")
+    assert(total == 4 && read == 0, s"no committed shard admits 5000: $read/$total")
+    val (rg, _, _) = ZoneMap.readRange(spark, root, "k", 101L, 120L)
+    assert(rg.count() == 0L, "range reads agree: the append never committed")
+    // committed rows still serve on both paths
+    assert(ZoneMap.readPoint(spark, root, 42L)._1.count() == 1L)
+    assert(ZoneMap.readRange(spark, root, "k", 1L, 100L)._1.count() == 100L)
+    // and the RETRY (same data re-appended) commits and serves
+    ZoneMap.append((101L to 120L).map(i => (i, 5000L)).toDF("k", "u"), root, shards = 2)
+    assert(ZoneMap.readPoint(spark, root, 5000L)._1.count() == 20L,
+      "the retried append must serve once its zonemap generation lands")
+  }
+
   test("multi-column range stats prune on the correlated column too") {
     import spark.implicits._
     val root = Files.createTempDirectory("zm_multi_").toString
