@@ -564,13 +564,17 @@ final class FeatureStore(spark: SparkSession, root: String,
   }
 
   /** The snapshot's recorded column set — None for metas from before the
-    * cols line (legacy: the caller falls back to one parquet resolve). */
+    * cols line, or any unreadable meta (the [[readVersionMeta]] untrusted-
+    * layout policy: degrade to the parquet-resolve fallback, never crash
+    * the refresh). */
   private def readVersionCols(vd: Path): Option[Set[String]] = {
     val p = vd.resolve("_meta")
     if (!Files.exists(p)) None
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      .linesIterator.find(_.startsWith("cols="))
-      .map(_.drop(5).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+    else scala.util.Try {
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.find(_.startsWith("cols="))
+        .map(_.drop(5).split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+    }.toOption.flatten
   }
 
   /** Bucket count of a committed version, cached per (group, version) —

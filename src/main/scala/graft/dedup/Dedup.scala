@@ -299,15 +299,19 @@ object Dedup {
     * layout columns after `batch` (the IVFADC codes table partitions by
     * `cell` for probe-time pruning). */
   private[graft] def writeIndexBatch(sig: DataFrame, indexPath: String, batchId: String,
-      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = withIndexWriter(indexPath) {
+      wholeIndex: Boolean = false, partitionCols: Seq[String] = Nil): Unit = {
+    // validate BEFORE the lock: withIndexWriter creates the index root, and
+    // a rejected first write must not leave a lock-file-only marker dir
+    // that Files.exists-gated readers (readTombstones) mistake for a table
+    require(batchId.matches("[A-Za-z0-9_.-]+"),
+      s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
+    withIndexWriter(indexPath) {
     // the layout is resolved INSIDE the writer lock: a compaction can no
     // longer flip the pointer between this resolve and the write, which
     // would strand the batch's bytes in a version dir the compaction's
     // cleanup then deletes (single-table indexes lock their own root here;
     // multi-table sequences hold the family-level lock around the whole
     // write+commit — reentrant, so this inner lock is free)
-    require(batchId.matches("[A-Za-z0-9_.-]+"),
-      s"batchId '$batchId' must be path-safe ([A-Za-z0-9_.-]+)")
     val stamped = sig.withColumn("batch", lit(batchId))
     // CLUSTER on the layout's partition columns before partitionBy: without
     // it every upstream task writes a file into every partition dir —
@@ -326,6 +330,7 @@ object Dedup {
       .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
       .mode("overwrite")
       .parquet(resolveIndexDir(indexPath))
+    }
   }
 
   /** Read the signature index without the layout's partition column. */
@@ -766,14 +771,19 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      candidateSink: Option[String] = None): DataFrame = withIndexWriter(indexPath) {
-    // full-span writer lock: candidate generation reads the resolved index
-    // files, which a concurrent compaction's cleanup would delete mid-job
-    // (the containmentIncremental rationale; result checkpointed before return)
+      candidateSink: Option[String] = None): DataFrame = {
     val spark = newDf.sparkSession
-    val oldSig = readIndex(spark, indexPath, excludeBatch = Some(batchId))
+    // stage the batch-local signatures OUTSIDE the lock — they read nothing
+    // from the index, and a second writer's whole turn should not wait on
+    // this batch's heaviest index-independent compute
     val newSig = minhashSignatures(newDf, id, text, shingleK, numHashes, bands).persist()
     newSig.count(): Unit
+    withIndexWriter(indexPath) {
+    // full-span writer lock from here: candidate generation reads the
+    // resolved index files, which a concurrent compaction's cleanup would
+    // delete mid-job (the containmentIncremental rationale; result
+    // checkpointed before return)
+    val oldSig = readIndex(spark, indexPath, excludeBatch = Some(batchId))
 
     val all = oldSig.withColumn("is_new", lit(false))
       .unionByName(newSig.withColumn("is_new", lit(true)))
@@ -797,6 +807,7 @@ object Dedup {
     writeIndexBatch(newSig, indexPath, batchId)
     newSig.unpersist(false): Unit
     p
+    }
   }
 
   /** Bootstrap a 64-bit signature index (perceptual image hashes,
@@ -1525,17 +1536,16 @@ object Dedup {
 
     // lineage cut BEFORE the fold-in (the minhashLshIncremental rationale)
     val p = verified.localCheckpoint(eager = true)
-    withIndexWriter(indexPath) {
-      inParallel(Seq(
-        () => writeIndexBatch(newRanked.select(col("doc_id"), col("sz"),
-          col("rn"), col("tok")), s"$indexPath/tok", batchId),
-        () => writeIndexBatch(newGr.select(col("doc_id"), col("hs")),
-          s"$indexPath/sets", batchId)))
-      // atomic visibility: a batch's postings and its hash sets fold in
-      // together — a torn fold can no longer surface collisions whose
-      // verification sets are missing
-      commitVisibleBatch(indexPath, batchId)
-    }
+    inParallel(Seq(
+      () => writeIndexBatch(newRanked.select(col("doc_id"), col("sz"),
+        col("rn"), col("tok")), s"$indexPath/tok", batchId),
+      () => writeIndexBatch(newGr.select(col("doc_id"), col("hs")),
+        s"$indexPath/sets", batchId)))
+    // atomic visibility: a batch's postings and its hash sets fold in
+    // together — a torn fold can no longer surface collisions whose
+    // verification sets are missing (the whole function holds the family
+    // writer lock)
+    commitVisibleBatch(indexPath, batchId)
     newRanked.unpersist(false): Unit
     newGr.unpersist(false): Unit
     p
@@ -1945,6 +1955,13 @@ object Dedup {
       math.max(nClusters, math.min(n / math.max(1, targetCell) + 1, kCap).toInt)
     } else nClusters
 
+    // writer lock over the whole rebuild: the centroid/topcentroid
+    // overwrites would otherwise race a locked semanticDedupIncremental's
+    // centroid read (files deleted mid-job, or a batch assigned against
+    // geometry this rebuild is retiring and folded into the new vectors
+    // table). The fit rides inside — a rebuild is index maintenance, and
+    // its branches interleave fitting with the table writes.
+    withIndexWriter(indexPath) {
     if (k > twoLevelCutover) {
       val q = fitTwoLevelCentroids(
         fitSet.select(col("v").cast("array<double>").as("v")), k, seed, fitMaxIter)
@@ -1976,6 +1993,7 @@ object Dedup {
       writeIndexBatch(
         model.transform(keyed).select(col("doc_id"), col("prediction").as("cell"), col("v")),
         s"$indexPath/vectors", batchId, wholeIndex = true)
+    }
     }
   }
 

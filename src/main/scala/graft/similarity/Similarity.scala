@@ -639,20 +639,16 @@ object Similarity {
       .select(col("query_id"), col("nbr_rank"), col("nbr_id"), col("cosine"))
 
     val p = updated.localCheckpoint(eager = true)
-    // two families written in one batch → both writer locks, FIXED ORDER
-    // (ANN index, then graph — the only cross-family writer; every other
-    // op locks a single family, so the ordering can't cycle)
-    Dedup.withIndexWriter(indexPath) { Dedup.withIndexWriter(graphPath) {
-      Dedup.inParallel(Seq(
-        () => Dedup.writeIndexBatch(newAssigned, s"$indexPath/vectors", batchId),
-        () => Dedup.writeIndexBatch(newProbes, s"$graphPath/probes", batchId),
-        () => Dedup.writeIndexBatch(p.withColumn("gen", lit(gen)),
-          s"$graphPath/edges", batchId)))
-      // atomic visibility of the GRAPH tables (probes + edges appear
-      // together); the vector fold-in belongs to the ANN index family and
-      // keeps its own replay discipline
-      Dedup.commitVisibleBatch(graphPath, batchId)
-    } }
+    Dedup.inParallel(Seq(
+      () => Dedup.writeIndexBatch(newAssigned, s"$indexPath/vectors", batchId),
+      () => Dedup.writeIndexBatch(newProbes, s"$graphPath/probes", batchId),
+      () => Dedup.writeIndexBatch(p.withColumn("gen", lit(gen)),
+        s"$graphPath/edges", batchId)))
+    // atomic visibility of the GRAPH tables (probes + edges appear
+    // together); the vector fold-in belongs to the ANN index family and
+    // keeps its own replay discipline (both family writer locks are held
+    // by the whole function)
+    Dedup.commitVisibleBatch(graphPath, batchId)
     newAssigned.unpersist(false): Unit
     p
   } }
@@ -1239,25 +1235,31 @@ object Similarity {
     val cn = c0.withColumn("nv", l2normCol(col("cv")))
     val dim = guardedDim(cn, "buildIvfadcIndex")
     require(dim >= m, s"vector dim $dim must be >= m=$m")
+    // the fit reads only the input corpus — stage it OUTSIDE the lock so a
+    // rebuild doesn't serialize its heaviest (index-independent) compute
     val model = fitIvfadcModel(cn, dim, nCells, m, codebookSize, seed,
       fitSampleFraction, fitMaxIter, coarseLiteralMaxBytes)
     val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
-    model.coarse.zipWithIndex.map { case (cen, i) => (i, cen) }
-      .toDF("cell", "centroid")
-      .write.mode("overwrite").parquet(s"$indexPath/coarse")
-    model.codebooks.zipWithIndex
-      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (cen, c) => (j, c, cen) } }
-      .toDF("sub", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$indexPath/pqcodebooks")
-    // codes + vectors live in batch=<id> partitions (the dedup-index
-    // layout): the base build statically clears every partition, later
-    // [[appendIvfadcIndex]] batches overwrite only their own — replay-safe
-    // codes land DIRECTORY-PARTITIONED BY CELL (the 100 TB layout the class
-    // doc promises): the stage-1 cell equi-join then prunes the scan to the
-    // probed cells' directories via dynamic partition pruning — at scale a
-    // nProbe/nCells probe reads nProbe/nCells of the FILES, not just of the
-    // rows (plan-gated in SimilaritySpec)
+    // EVERY index-table write — codebooks included — happens inside one
+    // writer turn: the codebook overwrites would otherwise race a locked
+    // append's loadIvfadcModel (files deleted mid-read, or a batch encoded
+    // against geometry the rebuild is retiring)
     graft.dedup.Dedup.withIndexWriter(indexPath) { // rebuild: one writer turn
+      model.coarse.zipWithIndex.map { case (cen, i) => (i, cen) }
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$indexPath/coarse")
+      model.codebooks.zipWithIndex
+        .flatMap { case (cb, j) => cb.zipWithIndex.map { case (cen, c) => (j, c, cen) } }
+        .toDF("sub", "code", "centroid")
+        .write.mode("overwrite").parquet(s"$indexPath/pqcodebooks")
+      // codes + vectors live in batch=<id> partitions (the dedup-index
+      // layout): the base build statically clears every partition, later
+      // [[appendIvfadcIndex]] batches overwrite only their own — replay-safe
+      // codes land DIRECTORY-PARTITIONED BY CELL (the 100 TB layout the class
+      // doc promises): the stage-1 cell equi-join then prunes the scan to the
+      // probed cells' directories via dynamic partition pruning — at scale a
+      // nProbe/nCells probe reads nProbe/nCells of the FILES, not just of the
+      // rows (plan-gated in SimilaritySpec)
       writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", "base",
         wholeIndex = true, partitionCols = Seq("cell"))
       writeBatched(c0, s"$indexPath/vectors", "base", wholeIndex = true)
@@ -1295,7 +1297,12 @@ object Similarity {
       vec: String,
       indexPath: String,
       batchId: String,
-      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): Unit = {
+      coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes): Unit =
+      graft.dedup.Dedup.withIndexWriter(indexPath) {
+    // full-span lock, model load INCLUDED: a rebuild committing new
+    // codebooks between an unlocked load and the write would fold codes
+    // encoded against retired geometry into the rebuilt index — corrupt
+    // ADC distances at serve time
     val spark = newDf.sparkSession
     val model = loadIvfadcModel(spark, indexPath)
     val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
@@ -1304,15 +1311,13 @@ object Similarity {
     val dim = guardedDim(cn, "appendIvfadcIndex")
     require(dim == model.dim,
       s"appendIvfadcIndex: batch dim $dim != index dim ${model.dim}")
-    graft.dedup.Dedup.withIndexWriter(indexPath) {
-      writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", batchId,
-        partitionCols = Seq("cell"))
-      writeBatched(c0, s"$indexPath/vectors", batchId)
-      // atomic visibility: codes and reorder vectors appear together — a torn
-      // append can no longer surface candidates whose exact vectors are
-      // missing (the rerank join would silently drop them, degrading top-k)
-      graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
-    }
+    writeBatched(encodeIvfadc(cn, model, ops), s"$indexPath/codes", batchId,
+      partitionCols = Seq("cell"))
+    writeBatched(c0, s"$indexPath/vectors", batchId)
+    // atomic visibility: codes and reorder vectors appear together — a torn
+    // append can no longer surface candidates whose exact vectors are
+    // missing (the rerank join would silently drop them, degrading top-k)
+    graft.dedup.Dedup.commitVisibleBatch(indexPath, batchId)
   }
 
   /** Compact the per-batch codes/vectors partitions into one `batch=base`
