@@ -106,17 +106,22 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Shuffle WIDTH scales with input volume, not core count: AQE starts
-      // every exchange at initialPartitionNum and coalesces DOWN by
-      // advisory size, so the high initial width costs nothing at small sf
-      // and keeps per-partition volume bounded as sf grows — how a
-      // production cluster job is sized. Measured NEUTRAL on the sf10
-      // decade on this box (q208 974 s fixed-32 vs 1007 s at 512 — those
-      // queries are CPU-bound, and the real sf10 lever was the rerank
-      // broadcast gate, Similarity.sizeGatedVecs); kept because a fixed 32
-      // is the wrong default the first time a shuffle exceeds memory.
+      // Shuffle WIDTH scales with INPUT VOLUME, not core count — and that
+      // cuts both ways. A flat 512 protects giant shuffles but is NOT free
+      // at small sf: "AQE coalesces it away" failed empirically — the
+      // containment/streaming families DOUBLED at sf0.1 (q212 8.5 → 21 s,
+      // q213 9.7 → 18.5 s, suite +20%) because persist/localCheckpoint
+      // materializations and per-micro-batch stages launch at the initial
+      // width before any coalescing can amortize it. So the default is
+      // DERIVED from the corpus: one initial partition per ~16 MB of
+      // on-disk parquet (compressed bytes explode in flight), floored at
+      // the core count and capped at 4096 — sf0.1 lands at the floor (the
+      // round-9 behavior, measured fastest), sf10 grows past it, and the
+      // width keeps scaling exactly when shuffles can actually exceed
+      // memory. Env-overridable for explicit experiments.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          GraftWidth.volumeScaled(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // corpus timestamps are naive-µs parquet — see Tables class doc
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

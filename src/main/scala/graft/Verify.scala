@@ -15,10 +15,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // volume-scaled shuffle width via AQE coalesce (see Bench.scala:
-      // the high initial width is free at small sf and load-bearing at sf10)
+      // volume-scaled shuffle width via AQE coalesce — derived from the
+      // corpus bytes, floored at the core count (see Bench.scala: a flat
+      // 512 measurably DOUBLED the containment/streaming families at
+      // sf0.1; the width grows only when the volume does)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", "512"))
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS",
+          GraftWidth.volumeScaled(sfDir, cpus.toInt).toString))
       .config("spark.sql.session.timeZone", "UTC")
       // corpus timestamps are naive-µs parquet — see Tables class doc
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
