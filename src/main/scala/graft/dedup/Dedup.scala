@@ -604,22 +604,17 @@ object Dedup {
       }.toSet
       writeVisibleFile(familyPath, (current -- captured) ++ markers)
     }
-    // release superseded layouts (post-flip; single-writer-quiet-reader):
-    // old version dirs, or a flat table's batch=* dirs, plus any legacy
-    // per-table pointer (the family pointer owns resolution from here on)
-    staged.foreach { case (name, _, _, oldDir, _, finalDir) =>
-      val flat = Paths.get(familyPath, name).toString
-      if (oldDir != flat && oldDir != finalDir.toString) clearDir(oldDir)
-      else if (oldDir == flat) {
-        val ls = Files.list(Paths.get(flat))
-        val batchDirs = try {
-          import scala.jdk.CollectionConverters._
-          ls.iterator().asScala
-            .filter(_.getFileName.toString.startsWith("batch=")).toList
-        } finally ls.close()
-        batchDirs.foreach(p => clearDir(p.toString))
-      }
-      Files.deleteIfExists(Paths.get(flat, "CURRENT")): Unit
+    // retention sweep per table (post-flip): keep each table's
+    // immediately superseded layout for in-flight lock-free readers,
+    // VACUUM everything older ([[sweepSupersededVersions]]); retire any
+    // legacy per-table pointer (the family pointer owns resolution from
+    // here on — deleting the pointer FILE strands no reader, they hold
+    // resolved dir paths, which retention preserves one cycle)
+    val committed = next.stripPrefix("_v").toLong
+    staged.foreach { case (name, _, _, _, _, _) =>
+      val flat = Paths.get(familyPath, name)
+      sweepSupersededVersions(flat, committed)
+      Files.deleteIfExists(flat.resolve("CURRENT")): Unit
     }
   }
 
@@ -670,6 +665,55 @@ object Dedup {
     finally pool.shutdown()
   }
 
+  /** VERSION RETENTION for lock-free readers: after committing version N,
+    * keep N−1 (the immediately superseded layout) and VACUUM everything
+    * older — `_v<k>` dirs with k < N−1, plus the pre-versioning flat
+    * `batch=*` dirs once N ≥ 2. Writers serialize on [[withIndexWriter]],
+    * but READERS deliberately take no lock; deleting the superseded
+    * version at commit time made a reader that resolved it mid-scan fail
+    * on vanished files. Keep-one bounds that window to a full compaction
+    * CYCLE (the Delta/Iceberg VACUUM-after-retention contract): only a
+    * reader still scanning after TWO compactions of the same index can
+    * observe deleted files. Disk cost: one extra copy of one index,
+    * reclaimed at the next compaction. */
+  private def sweepSupersededVersions(root: java.nio.file.Path,
+      committed: Long): Unit = {
+    import java.nio.file.Files
+    if (!Files.exists(root)) return
+    val ls = Files.list(root)
+    val entries = try ls.iterator().asScala.toList finally ls.close()
+    entries.foreach { p =>
+      val n = p.getFileName.toString
+      val staleVersion = n.startsWith("_v") &&
+        n.drop(2).forall(_.isDigit) && n.drop(2).nonEmpty &&
+        n.drop(2).toLong < committed - 1
+      val staleFlat = committed >= 2 && n.startsWith("batch=")
+      if (staleVersion || staleFlat) clearDir(p.toString)
+    }
+  }
+
+  /** Drop every SUPERSEDED layout of one index table NOW, keeping only the
+    * current version — the explicit final step of a GDPR erase under
+    * version retention: a purge's rewrite physically erases the SERVING
+    * layout immediately, but the retained previous version (kept one cycle
+    * for lock-free readers) still holds the erased rows' bytes until the
+    * next maintenance cycle or this call. The
+    * [[graft.core.FeatureStore.gcOnline]] precedent: erasure timeliness is
+    * an explicit operator decision, because sweeping early re-opens the
+    * reader window retention exists to close. Works on a flat, CURRENT-
+    * pointer, or FAMILY-pointer table path; for a multi-table family,
+    * call it per table. */
+  def vacuumIndex(indexPath: String): Unit = withIndexWriter(indexPath) {
+    val cur = resolveIndexDir(indexPath)
+    if (cur != indexPath) {
+      val committed = java.nio.file.Paths.get(cur)
+        .getFileName.toString.stripPrefix("_v").toLong
+      // keepFrom = committed ⇒ delete _v<k> for k < committed and the
+      // pre-versioning flat batch dirs (they are ≥ one generation old)
+      sweepSupersededVersions(java.nio.file.Paths.get(indexPath), committed + 1)
+    }
+  }
+
   private[graft] def compactBatchedDir(spark: SparkSession, indexPath: String,
       transform: DataFrame => DataFrame = identity,
       extraPartitionCols: Seq[String] = Nil): Unit = withIndexWriter(indexPath) {
@@ -706,20 +750,10 @@ object Dedup {
         .forEach(f => Files.delete(f))
       finally walk.close()
     }
-    // release the superseded layout: the old version dir, or (first
-    // compaction) the flat batch=* dirs at the root
-    val stale: Seq[java.nio.file.Path] =
-      if (oldDir == indexPath) {
-        val ls = Files.list(root)
-        try ls.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("batch="))
-        finally ls.close()
-      } else Seq(Paths.get(oldDir))
-    stale.foreach { p =>
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
+    // retention sweep: keep the immediately superseded layout for
+    // in-flight lock-free readers, VACUUM everything older
+    // ([[sweepSupersededVersions]])
+    sweepSupersededVersions(root, next)
   }
 
   /** Build (overwrite) a minhash signature index WITHOUT running any dedup —

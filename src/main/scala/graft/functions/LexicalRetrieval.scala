@@ -185,7 +185,14 @@ object LexicalRetrieval {
     * marker-dir snapshot is taken BEFORE anything reads them, so a delete
     * landing mid-purge survives the sweep and keeps anti-joining until the
     * next purge; a crash between rewrites leaves serving correct (surviving
-    * tombstones still anti-join) and a retry completes. */
+    * tombstones still anti-join) and a retry completes.
+    *
+    * VERSION RETENTION caveat: the purge's rewrite erases the SERVING
+    * layout immediately, but the superseded version (kept one cycle for
+    * lock-free readers) still holds the erased bytes until the next
+    * compaction — for a complete physical erase NOW, follow with
+    * [[graft.dedup.Dedup.vacuumIndex]] on each table (the
+    * FeatureStore `deleteRecords → compactOffline → gcOnline` pattern). */
   def purgeBm25Index(spark: SparkSession, indexPath: String): Unit =
       Dedup.withIndexWriter(indexPath) {
     val root = java.nio.file.Paths.get(s"$indexPath/tombstones")

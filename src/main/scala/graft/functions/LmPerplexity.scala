@@ -317,7 +317,10 @@ object LmPerplexity {
     * contract (marker snapshot taken before any read; a delete landing
     * mid-purge survives the sweep; a crash between rewrites leaves serving
     * correct because the negative partials keep folding). A re-delete of a
-    * purged id is a no-op through the membership check. */
+    * purged id is a no-op through the membership check. Version retention:
+    * the superseded version holds the unlearned bytes one more cycle —
+    * [[graft.dedup.Dedup.vacuumIndex]] per table for an immediate full
+    * erase (the purgeBm25Index caveat). */
   def purgeLmIndex(spark: SparkSession, indexPath: String): Unit =
       Dedup.withIndexWriter(indexPath) {
     val root = java.nio.file.Paths.get(s"$indexPath/tombstones")

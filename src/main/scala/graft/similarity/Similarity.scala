@@ -1363,7 +1363,10 @@ object Similarity {
     * folded into the rewrite (one pass, the [[compactIvfadcIndex]]
     * version-swap machinery), then clear the folded tombstones. A crash
     * between the two compactions leaves serving correct — the surviving
-    * tombstones still anti-join — and a retry completes the purge. */
+    * tombstones still anti-join — and a retry completes the purge.
+    * Version retention: the superseded version holds the erased vectors
+    * one more cycle — [[graft.dedup.Dedup.vacuumIndex]] per table for an
+    * immediate full erase (the purgeBm25Index caveat). */
   def purgeIvfadcIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
       graft.dedup.Dedup.withIndexWriter(indexPath) {

@@ -186,12 +186,16 @@ object ZoneMap {
       expected = expected.map(_.toString), next = next.toString,
       stage = Some(staging -> finalDir))
     finally deleteDir(staging) // loser cleans its own staging
-    // GC superseded versions + any pre-versioning flat layout (post-flip;
-    // quiet-reader contract — best-effort, a crash here leaves orphans the
-    // next rewrite's GC collects)
-    (1L until next).foreach(v => deleteDir(Paths.get(path, s"v$v")))
-    Seq("data", "zonemap", "bloom", "meta").foreach(d =>
-      deleteDir(Paths.get(path, d)))
+    // retention GC (the Dedup.sweepSupersededVersions contract): keep the
+    // immediately superseded version for in-flight lock-free readers,
+    // VACUUM everything older — v<next−1> survives one rewrite cycle; the
+    // pre-versioning flat layout counts as the generation before v1 and is
+    // swept once next ≥ 2. Best-effort: a crash here leaves orphans the
+    // next rewrite's GC collects.
+    (1L until next - 1).foreach(v => deleteDir(Paths.get(path, s"v$v")))
+    if (next >= 2)
+      Seq("data", "zonemap", "bloom", "meta").foreach(d =>
+        deleteDir(Paths.get(path, d)))
   }
 
   /** Append a new batch: the batch is range-sharded AMONG ITSELF into

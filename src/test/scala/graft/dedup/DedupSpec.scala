@@ -212,14 +212,18 @@ class DedupSpec extends SparkSpec {
       "orphan _v dir from a crashed compaction must not corrupt flat reads")
 
     Dedup.compactMinhashIndex(spark, idx) // retry: overwrites the orphan
-    // layout: versioned dir + pointer, old flat batch dirs gone
+    // layout: versioned dir + pointer; the flat batch dirs SURVIVE one
+    // cycle (version retention — a lock-free reader that resolved the flat
+    // layout mid-scan must not lose its files) and are VACUUMed by the
+    // next compaction
     val files = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
     val names = try {
       import scala.jdk.CollectionConverters._
       files.iterator().asScala.map(_.getFileName.toString).toSet
     } finally files.close()
     assert(names.contains("CURRENT") && names.contains("_v1"), s"layout after compaction: $names")
-    assert(!names.exists(_.startsWith("batch=")), s"stale flat partitions survive: $names")
+    assert(names.exists(_.startsWith("batch=")),
+      s"retention must keep the superseded flat layout one cycle: $names")
     // row count preserved; reads resolve through the pointer
     assert(spark.read.parquet(idx + "/_v1").count() == before)
 
@@ -232,15 +236,27 @@ class DedupSpec extends SparkSpec {
     assert(got3.contains((7L, 12L)) && got3.contains((8L, 12L)),
       "compacted index lost batch-2 signatures")
 
-    // second compaction bumps the version and removes the superseded dir
+    // second compaction bumps the version; retention keeps _v1 one cycle
+    // and vacuums the two-generations-old flat dirs; the THIRD compaction
+    // finally sweeps _v1
     Dedup.compactMinhashIndex(spark, idx)
-    val files2 = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
-    val names2 = try {
-      import scala.jdk.CollectionConverters._
-      files2.iterator().asScala.map(_.getFileName.toString).toSet
-    } finally files2.close()
-    assert(names2.contains("_v2") && !names2.contains("_v1"), s"second compaction layout: $names2")
+    def rootNames(): Set[String] = {
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(idx))
+      try {
+        import scala.jdk.CollectionConverters._
+        f.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally f.close()
+    }
+    val names2 = rootNames()
+    assert(names2.contains("_v2") && names2.contains("_v1") &&
+      !names2.exists(_.startsWith("batch=")),
+      s"second compaction layout (keep one superseded version): $names2")
     assert(spark.read.parquet(idx + "/_v2").count() == before + 1) // + doc 12
+    Dedup.compactMinhashIndex(spark, idx)
+    val names3 = rootNames()
+    assert(names3.contains("_v3") && names3.contains("_v2") && !names3.contains("_v1"),
+      s"third compaction must vacuum _v1: $names3")
+    assert(spark.read.parquet(idx + "/_v3").count() == before + 1)
   }
 
   test("compactFamily: one FAMILY CAS commits every table's version together") {
@@ -261,12 +277,13 @@ class DedupSpec extends SparkSpec {
     val id = (df: org.apache.spark.sql.DataFrame) => df
     Dedup.compactFamily(spark, idx, Seq(("a", id, Nil), ("b", id, Nil)))
     // ONE family pointer; every table at the SAME version; per-table
-    // pointers retired; flat batch dirs gone
+    // pointers retired; the flat batch dirs survive ONE cycle (version
+    // retention for lock-free readers) and vacuum at the next compaction
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "FAMILY")))
     assert(names(s"$idx/a").contains("_v1") && names(s"$idx/b").contains("_v1"))
     assert(!names(s"$idx/a").contains("CURRENT"))
-    assert(!names(s"$idx/a").exists(_.startsWith("batch=")),
-      s"stale flat partitions survive: ${names(s"$idx/a")}")
+    assert(names(s"$idx/a").exists(_.startsWith("batch=")),
+      s"retention must keep the superseded flat layout one cycle: ${names(s"$idx/a")}")
     // reads resolve both tables through the one pointer
     assert(Dedup.resolveIndexDir(s"$idx/a") == s"$idx/a/_v1")
     assert(Dedup.resolveIndexDir(s"$idx/b") == s"$idx/b/_v1")
@@ -279,10 +296,16 @@ class DedupSpec extends SparkSpec {
     // appends after the family commit land INSIDE the current version
     Dedup.writeIndexBatch((16L to 18L).toDF("doc_id"), s"$idx/a", "b3")
     assert(spark.read.parquet(s"$idx/a/_v1").count() == 18)
-    // second family compaction advances BOTH tables and GCs _v1
+    // second family compaction advances BOTH tables; retention keeps _v1
+    // one cycle and vacuums the flat dirs; the third sweeps _v1
     Dedup.compactFamily(spark, idx, Seq(("a", id, Nil), ("b", id, Nil)))
-    assert(names(s"$idx/a") == Set("_v2") && names(s"$idx/b") == Set("_v2"),
-      s"superseded version must be GC'd: ${names(s"$idx/a")} / ${names(s"$idx/b")}")
+    assert(names(s"$idx/a") == Set("_v1", "_v2") && names(s"$idx/b") == Set("_v1", "_v2"),
+      s"keep one superseded version, vacuum the flat dirs: " +
+        s"${names(s"$idx/a")} / ${names(s"$idx/b")}")
+    assert(spark.read.parquet(Dedup.resolveIndexDir(s"$idx/a")).count() == 18)
+    Dedup.compactFamily(spark, idx, Seq(("a", id, Nil), ("b", id, Nil)))
+    assert(names(s"$idx/a") == Set("_v2", "_v3") && names(s"$idx/b") == Set("_v2", "_v3"),
+      s"the next compaction must vacuum _v1: ${names(s"$idx/a")} / ${names(s"$idx/b")}")
     assert(spark.read.parquet(Dedup.resolveIndexDir(s"$idx/a")).count() == 18)
   }
 

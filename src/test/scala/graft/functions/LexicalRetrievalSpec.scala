@@ -381,6 +381,27 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(lens.filter(col("doc_id").isin(3L, 5L)).isEmpty)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$idx/tombstones")), "markers cleared")
+    // version retention keeps the pre-purge layout one cycle (lock-free
+    // readers); an explicit vacuum completes the physical erase NOW —
+    // after it, no superseded layout (and no erased byte) remains on disk
+    val tables = Seq("postings", "doclens", "termdf", "stats")
+    def layouts(t: String): Set[String] = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(s"$idx/$t"))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("_v") || n.startsWith("batch=")).toSet
+      } finally ls.close()
+    }
+    assert(tables.exists(t => layouts(t).size > 1),
+      "retention must keep the superseded layout until vacuum")
+    tables.foreach(t => Dedup.vacuumIndex(s"$idx/$t"))
+    tables.foreach { t =>
+      val l = layouts(t)
+      assert(l.size == 1 && l.head.startsWith("_v"),
+        s"vacuum must leave only the current version of $t: $l")
+    }
+    assert(serve(idx) == expected, "serving unchanged by the vacuum")
   }
 
   test("a whole rebuild clears the previous generation's tombstones") {

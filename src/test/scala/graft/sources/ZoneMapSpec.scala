@@ -201,21 +201,33 @@ class ZoneMapSpec extends SparkSpec {
       s"single-key layout cannot prune the second dimension: z=$zread vs single=$sread")
   }
 
-  test("rewrites are CAS-versioned: one v<N> dir survives, reads resolve the pointer") {
+  test("rewrites are CAS-versioned with keep-one retention; reads resolve the pointer") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val root = Files.createTempDirectory("zm_ver_").toString
+    def vdirs(): Seq[String] = {
+      val ls = Files.list(java.nio.file.Paths.get(root))
+      try ls.iterator().asScala
+        .map(_.getFileName.toString).filter(_.matches("v\\d+")).toSeq.sorted
+      finally ls.close()
+    }
     ZoneMap.write((1L to 100L).toDF("k"), "k", root, shards = 2)
     assert(Files.exists(java.nio.file.Paths.get(root, "CURRENT")),
       "write must commit through the CURRENT pointer")
     ZoneMap.append((101L to 200L).toDF("k"), root, shards = 2)
     ZoneMap.compact(spark, root, shards = 4)
-    val vdirs = Files.list(java.nio.file.Paths.get(root)).iterator().asScala
-      .map(_.getFileName.toString).filter(_.matches("v\\d+")).toSeq.sorted
-    assert(vdirs == Seq("v2"), s"superseded versions must be GC'd, got $vdirs")
+    // retention: the immediately superseded version survives one rewrite
+    // cycle (a lock-free reader that resolved v1 mid-scan keeps its files)
+    assert(vdirs() == Seq("v1", "v2"),
+      s"keep exactly one superseded version, got ${vdirs()}")
     val (out, _, total) = ZoneMap.readRange(spark, root, "k", 1L, 200L)
     assert(out.count() == 200L && total == 4,
       "post-compaction reads resolve through the pointer to the new version")
+    // the next rewrite vacuums v1 and keeps v2
+    ZoneMap.compact(spark, root, shards = 4)
+    assert(vdirs() == Seq("v2", "v3"),
+      s"the next rewrite must vacuum v1, got ${vdirs()}")
+    assert(ZoneMap.readRange(spark, root, "k", 1L, 200L)._1.count() == 200L)
   }
 
   test("map is an optimization, not a correctness dependence: boundary rows survive") {
