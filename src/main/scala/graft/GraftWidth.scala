@@ -32,6 +32,11 @@ object GraftWidth {
           finally walk.close()
         }
       } catch { case scala.util.control.NonFatal(_) => 0L }
-    math.max(cpus.toLong, math.min(4096L, bytes / BytesPerInitialPartition)).toInt
+    fromBytes(bytes, cpus)
   }
+
+  /** The clamp itself, byte-count form — what the spec exercises directly
+    * (a 64 GB corpus is not a reasonable test fixture). */
+  private[graft] def fromBytes(bytes: Long, cpus: Int): Int =
+    math.max(cpus.toLong, math.min(4096L, bytes / BytesPerInitialPartition)).toInt
 }

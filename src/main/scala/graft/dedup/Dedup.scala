@@ -365,19 +365,35 @@ object Dedup {
   }
 
   private[graft] def resolveIndexDir(indexPath: String): String = {
-    val p = java.nio.file.Paths.get(indexPath)
     // FAMILY-versioned table: `<family>/FAMILY` names the version EVERY
     // table of a multi-table family serves at — one pointer, one commit
     // ([[compactFamily]]), so readers can never observe the family's
     // tables at mixed versions. Tables a given compaction does not fold
     // (marker dirs like tombstones) have no version dir and fall through
     // to their flat layout.
-    val fam = Option(p.getParent).map(_.resolve("FAMILY"))
-      .filter(java.nio.file.Files.exists(_))
-    fam.map { f =>
-      p.resolve(new String(java.nio.file.Files.readAllBytes(f),
-        java.nio.charset.StandardCharsets.UTF_8).trim)
-    }.filter(java.nio.file.Files.exists(_)) match {
+    val p = java.nio.file.Paths.get(indexPath)
+    resolveIndexDirPinned(indexPath,
+      Option(p.getParent).flatMap(par => readFamilyPointer(par.toString)))
+  }
+
+  private[graft] def readFamilyPointer(familyPath: String): Option[String] = {
+    val f = java.nio.file.Paths.get(familyPath, "FAMILY")
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim)
+  }
+
+  /** [[resolveIndexDir]] with the family version PINNED by the caller —
+    * the snapshot-read primitive: a multi-table read resolves every table
+    * at the same generation it captured once, instead of re-reading the
+    * pointer per table (a compaction committing between two of a serve's
+    * table reads would otherwise hand it mixed generations; version
+    * retention keeps the pinned generation's files alive one cycle, so
+    * the pinned read COMPLETES instead of failing). */
+  private[graft] def resolveIndexDirPinned(indexPath: String,
+      famVersion: Option[String]): String = {
+    val p = java.nio.file.Paths.get(indexPath)
+    famVersion.map(p.resolve).filter(java.nio.file.Files.exists(_)) match {
       case Some(d) => d.toString
       case None =>
         val cur = p.resolve("CURRENT")
@@ -386,6 +402,35 @@ object Dedup {
             java.nio.charset.StandardCharsets.UTF_8).trim).toString
         else indexPath
     }
+  }
+
+  /** One ATOMIC capture of a family's read state: the VISIBLE batch ids
+    * and the FAMILY version, taken once at the start of a multi-table
+    * read ([[readVisibleTable]]'s `snapshot` parameter). Read order is
+    * load-bearing — VISIBLE first, FAMILY second: both writer orders
+    * (append = tables → VISIBLE; compaction = FAMILY CAS → VISIBLE
+    * retire) then yield a consistent view for any interleaving (an
+    * uncommitted append stays invisible; a mid-compaction reader lands on
+    * the NEW generation whose base already folds the retired ids — the
+    * extra manifest ids filter as no-ops). Capturing FAMILY first could
+    * instead pair the OLD generation with the RETIRED manifest and
+    * silently drop the folded batches' rows.
+    *
+    * RESIDUAL WINDOW (documented, not closed): marker tables (tombstone
+    * dirs) are flat and mutated in place by purge's marker sweep, so a
+    * serve pinned at generation N that evaluates its tombstone listing
+    * AFTER a purge completed can miss pending-delete markers the pinned
+    * generation still needs — a transient pre-purge view without its
+    * pending deletions, bounded by one serve's plan window. Closing it
+    * requires versioning the marker tables under the same snapshot;
+    * today's contract is the narrower one: generation + manifest are
+    * atomic, marker sweeps are purge-rare and race only in-flight plans. */
+  private[graft] final case class FamilySnapshot(visible: Option[Set[String]],
+      version: Option[String])
+
+  private[graft] def familySnapshot(familyPath: String): FamilySnapshot = {
+    val vis = visibleBatches(familyPath) // FIRST — see scaladoc
+    FamilySnapshot(vis, readFamilyPointer(familyPath))
   }
 
   /** Batch-visibility manifest of a multi-table family: `<family>/VISIBLE`
@@ -496,9 +541,17 @@ object Dedup {
     * is a static partition predicate — invisible batches' files are pruned
     * from the listing, never scanned. */
   private[graft] def readVisibleTable(spark: SparkSession, familyPath: String,
-      table: String, excludeBatch: Option[String] = None): DataFrame = {
-    val df = spark.read.parquet(resolveIndexDir(s"$familyPath/$table"))
-    val vis = visibleBatches(familyPath) match {
+      table: String, excludeBatch: Option[String] = None,
+      snapshot: Option[FamilySnapshot] = None): DataFrame = {
+    // `snapshot`: pass ONE [[familySnapshot]] across all of a multi-table
+    // read's calls so every table resolves at the same generation under
+    // the same manifest (without it, each call re-captures — fine for a
+    // single-table read or any read under the writer lock, racy for a
+    // lock-free multi-table serve overlapping a commit)
+    val snap = snapshot.getOrElse(familySnapshot(familyPath))
+    val df = spark.read.parquet(
+      resolveIndexDirPinned(s"$familyPath/$table", snap.version))
+    val vis = snap.visible match {
       case Some(ids) => df.filter(col("batch").isInCollection("base" +: ids.toSeq))
       case None => df
     }
@@ -553,7 +606,21 @@ object Dedup {
         Some(new String(Files.readAllBytes(famPtr),
           java.nio.charset.StandardCharsets.UTF_8).trim)
       else None
-    val next = s"_v${expected.map(_.stripPrefix("_v").toLong).getOrElse(0L) + 1}"
+    // the next version must clear BOTH counters: the family's own, and any
+    // legacy per-table `_v<K>` dirs from the pre-FAMILY scheme. Deriving it
+    // from the family counter alone had two failure modes: (a) the first
+    // family commit of a legacy index could derive _v1 while a table was
+    // SERVING from its own _v1 — casSwap's promotion then destroyed the
+    // serving layout in place (no retention cycle at all); (b) legacy dirs
+    // numbered >= the family counter were never swept, so a GDPR purge +
+    // vacuum left pre-purge bytes on disk indefinitely. Starting past the
+    // max of every counter makes legacy dirs ordinary old versions: kept
+    // one cycle, then vacuumed like everything else.
+    val maxLegacy = tables.map { case (name, _, _) =>
+      maxVersionIn(Paths.get(familyPath, name))
+    }.foldLeft(0L)(math.max)
+    val next = s"_v${math.max(
+      expected.map(_.stripPrefix("_v").toLong).getOrElse(0L), maxLegacy) + 1}"
     // fold only VISIBLE batches (when the family keeps a manifest): a torn
     // append's half-landed partitions are physically dropped by the fold —
     // the compaction doubles as the self-heal for crashed appends
@@ -677,19 +744,46 @@ object Dedup {
     * observe deleted files. Disk cost: one extra copy of one index,
     * reclaimed at the next compaction. */
   private def sweepSupersededVersions(root: java.nio.file.Path,
-      committed: Long): Unit = {
+      committed: Long): Unit =
+    sweepSuperseded(root, committed, dedupVersionOf, _.startsWith("batch="))
+
+  /** Version number of a `_v<K>` dir name (the dedup-index scheme). */
+  private def dedupVersionOf(n: String): Option[Long] =
+    if (n.startsWith("_v") && n.drop(2).nonEmpty && n.drop(2).forall(_.isDigit))
+      Some(n.drop(2).toLong)
+    else None
+
+  /** The retention rule, layout-agnostic (shared with
+    * [[graft.sources.ZoneMap]], whose versions are `v<N>` and whose
+    * pre-versioning layout is named dirs instead of `batch=*`): delete
+    * every version older than `committed − 1`, and the flat legacy layout
+    * once `committed ≥ 2` (it is then at least two generations old). ONE
+    * implementation — a future change to the retention rule must not
+    * silently diverge between the index and table-format layouts. */
+  private[graft] def sweepSuperseded(root: java.nio.file.Path, committed: Long,
+      versionOf: String => Option[Long], isFlatLegacy: String => Boolean): Unit = {
     import java.nio.file.Files
     if (!Files.exists(root)) return
     val ls = Files.list(root)
     val entries = try ls.iterator().asScala.toList finally ls.close()
     entries.foreach { p =>
       val n = p.getFileName.toString
-      val staleVersion = n.startsWith("_v") &&
-        n.drop(2).forall(_.isDigit) && n.drop(2).nonEmpty &&
-        n.drop(2).toLong < committed - 1
-      val staleFlat = committed >= 2 && n.startsWith("batch=")
+      val staleVersion = versionOf(n).exists(_ < committed - 1)
+      val staleFlat = committed >= 2 && isFlatLegacy(n)
       if (staleVersion || staleFlat) clearDir(p.toString)
     }
+  }
+
+  /** Highest `_v<K>` version dir present under `root` (0 when none) — the
+    * legacy-counter probe [[compactFamily]] clears when deriving the next
+    * family version. */
+  private def maxVersionIn(root: java.nio.file.Path): Long = {
+    import java.nio.file.Files
+    if (!Files.exists(root)) return 0L
+    val ls = Files.list(root)
+    try ls.iterator().asScala
+      .flatMap(p => dedupVersionOf(p.getFileName.toString)).foldLeft(0L)(math.max)
+    finally ls.close()
   }
 
   /** Drop every SUPERSEDED layout of one index table NOW, keeping only the
@@ -703,14 +797,29 @@ object Dedup {
     * reader window retention exists to close. Works on a flat, CURRENT-
     * pointer, or FAMILY-pointer table path; for a multi-table family,
     * call it per table. */
-  def vacuumIndex(indexPath: String): Unit = withIndexWriter(indexPath) {
-    val cur = resolveIndexDir(indexPath)
-    if (cur != indexPath) {
-      val committed = java.nio.file.Paths.get(cur)
-        .getFileName.toString.stripPrefix("_v").toLong
-      // keepFrom = committed ⇒ delete _v<k> for k < committed and the
-      // pre-versioning flat batch dirs (they are ≥ one generation old)
-      sweepSupersededVersions(java.nio.file.Paths.get(indexPath), committed + 1)
+  def vacuumIndex(indexPath: String): Unit = {
+    // a FAMILY-governed table must vacuum under the FAMILY lock (the
+    // family→table acquisition order everywhere): locking only the table
+    // would let a concurrent compactFamily advance the pointer between
+    // this resolve and the sweep — the vacuum would silently keep the
+    // version it was asked to remove
+    val parent = Option(java.nio.file.Paths.get(indexPath).getParent)
+      .filter(p => java.nio.file.Files.exists(p.resolve("FAMILY")))
+    def body(): Unit = withIndexWriter(indexPath) {
+      val cur = resolveIndexDir(indexPath)
+      if (cur != indexPath) {
+        dedupVersionOf(java.nio.file.Paths.get(cur).getFileName.toString)
+          .foreach { committed =>
+            // keepFrom = committed ⇒ delete _v<k> for k < committed and the
+            // pre-versioning flat batch dirs (they are ≥ one generation old)
+            sweepSupersededVersions(
+              java.nio.file.Paths.get(indexPath), committed + 1)
+          }
+      }
+    }
+    parent match {
+      case Some(fam) => withIndexWriter(fam.toString)(body())
+      case None => body()
     }
   }
 

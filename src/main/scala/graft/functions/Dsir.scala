@@ -239,14 +239,17 @@ object Dsir {
     * the same integers wherever they are stored). */
   def importanceIndexed(spark: SparkSession, indexPath: String,
       docs: DataFrame, id: String, text: String): DataFrame = {
-    val buckets = readDsirBuckets(spark, indexPath)
-    val totals = Dedup.readVisibleTable(spark, indexPath, "stats")
+    // ONE family snapshot for the whole serve (the bm25TopKIndexed
+    // discipline): stats, target, and raw resolve at the same generation
+    val snap = Some(Dedup.familySnapshot(indexPath))
+    val buckets = readDsirBuckets(spark, indexPath, snap)
+    val totals = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .agg(coalesce(sum(col("t_occ")), lit(0L)).as("t"),
         coalesce(sum(col("r_occ")), lit(0L)).as("r"))
       .first()
-    val cT = Dedup.readVisibleTable(spark, indexPath, "target")
+    val cT = Dedup.readVisibleTable(spark, indexPath, "target", snapshot = snap)
       .groupBy("fb").agg(sum(col("c")).as("c_t")).filter(col("c_t") > 0)
-    val cR = Dedup.readVisibleTable(spark, indexPath, "raw")
+    val cR = Dedup.readVisibleTable(spark, indexPath, "raw", snapshot = snap)
       .groupBy("fb").agg(sum(col("c")).as("c_r")).filter(col("c_r") > 0)
     val pTokd = tokd(docs, id, text).persist()
     pTokd.count(): Unit // feeds the feature explode AND the zero-feat join
@@ -260,8 +263,9 @@ object Dsir {
     result
   }
 
-  private def readDsirBuckets(spark: SparkSession, indexPath: String): Int = {
-    val rows = Dedup.readVisibleTable(spark, indexPath, "stats")
+  private def readDsirBuckets(spark: SparkSession, indexPath: String,
+      snap: Option[Dedup.FamilySnapshot] = None): Int = {
+    val rows = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .select("buckets").distinct().collect()
     require(rows.length == 1,
       s"DSIR index at $indexPath has ${rows.length} distinct bucket counts")

@@ -221,12 +221,12 @@ object LexicalRetrieval {
     }
   }
 
-  private def readTombstones(spark: SparkSession,
-      indexPath: String): Option[DataFrame] = {
+  private def readTombstones(spark: SparkSession, indexPath: String,
+      snap: Option[Dedup.FamilySnapshot] = None): Option[DataFrame] = {
     val p = s"$indexPath/tombstones"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(Dedup.readVisibleTable(spark, indexPath, "tombstones")
-      .select("doc_id").distinct())
+    else Some(Dedup.readVisibleTable(spark, indexPath, "tombstones",
+      snapshot = snap).select("doc_id").distinct())
   }
 
   /** Serve a BATCH of queries fit-free from the persisted index.
@@ -263,7 +263,13 @@ object LexicalRetrieval {
       maxDfPpm: Long = 1000000L): DataFrame = {
     require(maxDfPpm >= 0L && maxDfPpm <= 1000000L,
       s"maxDfPpm must be in [0, 1e6], got $maxDfPpm")
-    val buckets = readBuckets(spark, indexPath)
+    // ONE family snapshot for the whole serve: all four tables (and the
+    // tombstone anti-join) resolve at the same generation under the same
+    // manifest — a compaction committing mid-serve can no longer hand this
+    // read postings of one generation and term-df of another (version
+    // retention keeps the pinned generation's files alive)
+    val snap = Some(Dedup.familySnapshot(indexPath))
+    val buckets = readBuckets(spark, indexPath, snap)
     val qt = queries
       .select(col(id).as("query_id"), explode(col(terms)).as("term"))
       .select(col("query_id"), portableHash60(lower(col("term"))).as("term_id"))
@@ -279,20 +285,20 @@ object LexicalRetrieval {
           lit(0L).as("doc_id"), lit(0L).as("dl"), lit(0.0).as("score"))
         .limit(0)
     }
-    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings")
+    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings", snapshot = snap)
       .filter(col("tb").isin(tbs: _*))
       .join(broadcast(qt), Seq("term_id"))
     // pending erasures leave the scan hidden until purge (id-only narrow
     // rows — broadcast-sized; the negative df/stats partials those deletes
     // wrote fold into the same sums as every other batch, so the scores of
     // SURVIVING docs reflect the post-deletion corpus exactly)
-    val post = readTombstones(spark, indexPath)
+    val post = readTombstones(spark, indexPath, snap)
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val qtIds = qt.select("term_id").distinct()
-    val dfAgg = Dedup.readVisibleTable(spark, indexPath, "termdf")
+    val dfAgg = Dedup.readVisibleTable(spark, indexPath, "termdf", snapshot = snap)
       .join(broadcast(qtIds), Seq("term_id"), "leftsemi")
       .groupBy("term_id").agg(sum(col("df")).as("df"))
-    val consts = Dedup.readVisibleTable(spark, indexPath, "stats")
+    val consts = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     // stop-term cut happens on the TINY df frame, and the inner join below
     // then drops the cut terms' posting rows at the broadcast probe — the
@@ -363,12 +369,13 @@ object LexicalRetrieval {
       phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.size >= 2 && phrase.size <= 8,
       "phraseTopK: 2..8 terms (each term is one narrow self-join arm)")
-    val buckets = readBuckets(spark, indexPath)
+    val snap = Some(Dedup.familySnapshot(indexPath)) // one generation per serve
+    val buckets = readBuckets(spark, indexPath, snap)
     val ids = phrase.map(t => driverHash60(t.toLowerCase))
     val tbs = ids.map(h => h % buckets).distinct
-    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings")
+    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings", snapshot = snap)
       .filter(col("tb").isin(tbs: _*))
-    val post = readTombstones(spark, indexPath)
+    val post = readTombstones(spark, indexPath, snap)
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val frames = phrase.indices.map { i =>
       val f = post.filter(col("term_id") === lit(ids(i)))
@@ -424,12 +431,13 @@ object LexicalRetrieval {
     require(window >= 1, s"window must be >= 1, got $window")
     require(termA.toLowerCase != termB.toLowerCase,
       "proximityTopK: distinct terms (same-term distance is trivially 0)")
-    val buckets = readBuckets(spark, indexPath)
+    val snap = Some(Dedup.familySnapshot(indexPath)) // one generation per serve
+    val buckets = readBuckets(spark, indexPath, snap)
     val ids = Seq(termA, termB).map(t => driverHash60(t.toLowerCase))
     val tbs = ids.map(_ % buckets).distinct
-    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings")
+    val post0 = Dedup.readVisibleTable(spark, indexPath, "postings", snapshot = snap)
       .filter(col("tb").isin(tbs: _*))
-    val post = readTombstones(spark, indexPath)
+    val post = readTombstones(spark, indexPath, snap)
       .fold(post0)(t => post0.join(broadcast(t), Seq("doc_id"), "left_anti"))
     val a = post.filter(col("term_id") === lit(ids(0)))
       .select(col("doc_id"), col("dl"), col("positions").as("__pa"))
@@ -500,16 +508,17 @@ object LexicalRetrieval {
     * are already netted out, and the numbers describe the LOGICAL corpus the
     * serve path scores against, not the physical bytes). */
   def describeBm25Index(spark: SparkSession, indexPath: String): DataFrame = {
-    val stats = Dedup.readVisibleTable(spark, indexPath, "stats")
+    val snap = Some(Dedup.familySnapshot(indexPath)) // one generation per read
+    val stats = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val termdf = Dedup.readVisibleTable(spark, indexPath, "termdf")
+    val termdf = Dedup.readVisibleTable(spark, indexPath, "termdf", snapshot = snap)
       .groupBy("term_id").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
       .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"))
-    val pendingTombstones = readTombstones(spark, indexPath)
+    val pendingTombstones = readTombstones(spark, indexPath, snap)
       .map(_.count()).getOrElse(0L)
     stats.crossJoin(termdf)
-      .withColumn("tb_buckets", lit(readBuckets(spark, indexPath).toLong))
+      .withColumn("tb_buckets", lit(readBuckets(spark, indexPath, snap).toLong))
       .withColumn("pending_tombstones", lit(pendingTombstones))
       .select("n_docs", "sum_dl", "n_terms", "n_postings", "tb_buckets",
         "pending_tombstones")
@@ -526,8 +535,9 @@ object LexicalRetrieval {
   /** The bucket count the postings layout was built with — pinned in the
     * stats rows; every batch must agree (probe pruning reads only the
     * computed buckets, so a mixed layout would silently drop postings). */
-  private def readBuckets(spark: SparkSession, indexPath: String): Int = {
-    val rows = Dedup.readVisibleTable(spark, indexPath, "stats")
+  private def readBuckets(spark: SparkSession, indexPath: String,
+      snap: Option[Dedup.FamilySnapshot] = None): Int = {
+    val rows = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .select("tb_buckets").distinct().collect()
     require(rows.length == 1,
       s"bm25 index at $indexPath has ${rows.length} distinct bucket counts")

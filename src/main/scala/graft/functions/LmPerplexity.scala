@@ -379,7 +379,11 @@ object LmPerplexity {
   private[graft] def perplexityIndexedStaged(spark: SparkSession,
       indexPath: String, docs: DataFrame, id: String,
       text: String): (DataFrame, () => Unit) = {
-    val buckets = readBuckets(spark, indexPath)
+    // ONE family snapshot for the whole serve: all four count tables
+    // resolve at the same generation under the same manifest (the
+    // bm25TopKIndexed discipline)
+    val snap = Some(Dedup.familySnapshot(indexPath))
+    val buckets = readBuckets(spark, indexPath, snap)
     val scTokd = tokd(docs, id, text).persist()
     scTokd.count(): Unit
     val scBg = bigramRows(scTokd).persist()
@@ -389,12 +393,12 @@ object LmPerplexity {
     val bgC =
       if (bbs.isEmpty)
         spark.emptyDataFrame.select(lit(0L).as("bg_id"), lit(0L).as("c_bg")).limit(0)
-      else Dedup.readVisibleTable(spark, indexPath, "bigrams")
+      else Dedup.readVisibleTable(spark, indexPath, "bigrams", snapshot = snap)
         .filter(col("bb").isin(bbs: _*))
         .groupBy("bg_id").agg(sum(col("c")).as("c_bg"))
-    val ctxC = Dedup.readVisibleTable(spark, indexPath, "contexts")
+    val ctxC = Dedup.readVisibleTable(spark, indexPath, "contexts", snapshot = snap)
       .groupBy("ctx_id").agg(sum(col("c")).as("c_ctx"))
-    val v = Dedup.readVisibleTable(spark, indexPath, "unigrams")
+    val v = Dedup.readVisibleTable(spark, indexPath, "unigrams", snapshot = snap)
       .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("v"))
       .first().getLong(0)
@@ -408,21 +412,23 @@ object LmPerplexity {
   /** One-row index introspection: the logical model the serve path scores
     * against (partials netted). */
   def describeLmIndex(spark: SparkSession, indexPath: String): DataFrame = {
-    val stats = Dedup.readVisibleTable(spark, indexPath, "stats")
+    val snap = Some(Dedup.familySnapshot(indexPath)) // one generation per read
+    val stats = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
-    val voc = Dedup.readVisibleTable(spark, indexPath, "unigrams")
+    val voc = Dedup.readVisibleTable(spark, indexPath, "unigrams", snapshot = snap)
       .groupBy("tok_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("vocab"))
-    val bgt = Dedup.readVisibleTable(spark, indexPath, "bigrams")
+    val bgt = Dedup.readVisibleTable(spark, indexPath, "bigrams", snapshot = snap)
       .groupBy("bg_id").agg(sum(col("c")).as("c")).filter(col("c") > 0)
       .agg(count(lit(1)).as("bigram_types"))
     stats.crossJoin(voc).crossJoin(bgt)
-      .withColumn("bb_buckets", lit(readBuckets(spark, indexPath).toLong))
+      .withColumn("bb_buckets", lit(readBuckets(spark, indexPath, snap).toLong))
       .select("n_docs", "n_bigrams", "vocab", "bigram_types", "bb_buckets")
   }
 
-  private def readBuckets(spark: SparkSession, indexPath: String): Int = {
-    val rows = Dedup.readVisibleTable(spark, indexPath, "stats")
+  private def readBuckets(spark: SparkSession, indexPath: String,
+      snap: Option[Dedup.FamilySnapshot] = None): Int = {
+    val rows = Dedup.readVisibleTable(spark, indexPath, "stats", snapshot = snap)
       .select("bb_buckets").distinct().collect()
     require(rows.length == 1,
       s"LM index at $indexPath has ${rows.length} distinct bucket counts")

@@ -1352,11 +1352,12 @@ object Similarity {
   }
 
   private def readTombstones(
-      spark: org.apache.spark.sql.SparkSession, indexPath: String): Option[DataFrame] = {
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      snap: Option[graft.dedup.Dedup.FamilySnapshot] = None): Option[DataFrame] = {
     val p = s"$indexPath/tombstones"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(graft.dedup.Dedup.readVisibleTable(spark, indexPath, "tombstones")
-      .select("nbr_id").distinct())
+    else Some(graft.dedup.Dedup.readVisibleTable(spark, indexPath, "tombstones",
+      snapshot = snap).select("nbr_id").distinct())
   }
 
   /** Physical purge: compact codes + vectors WITH the tombstone anti-join
@@ -1466,14 +1467,20 @@ object Similarity {
       coarseLiteralMaxBytes: Long = graft.dedup.Dedup.CodebookLiteralMaxBytes,
       allowed: Option[DataFrame] = None): DataFrame = {
     require(shortlist >= k, "need shortlist >= k")
+    // ONE family snapshot for the whole serve: codes, reorder vectors and
+    // tombstones resolve at the same generation under the same manifest
+    // (the bm25TopKIndexed discipline; the codebooks are rebuild-only
+    // overwrite-in-place tables outside the versioned set)
+    val snap = Some(graft.dedup.Dedup.familySnapshot(indexPath))
     val model = preloadedModel.getOrElse(loadIvfadcModel(spark, indexPath))
     val ops = new CoarseOps(model, spark, coarseLiteralMaxBytes)
-    val enc1 = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "codes")
+    val enc1 = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "codes",
+        snapshot = snap)
       .select(col("nbr_id"), col("cell").cast("int").as("cell"), col("pqc"))
     // pending tombstones hide deleted vectors from stage 1 (id-only
     // broadcast anti-join); candidates therefore never contain them, so the
     // rerank join needs no second filter
-    val enc0 = readTombstones(spark, indexPath)
+    val enc0 = readTombstones(spark, indexPath, snap)
       .fold(enc1)(t => enc1.join(broadcast(t), Seq("nbr_id"), "left_anti"))
     // metadata filter applies at stage 1 too (see `allowed`)
     val enc = allowed.fold(enc0)(a =>
@@ -1482,7 +1489,8 @@ object Similarity {
     val cand0 = ivfadcCandidates(enc, q0, model, ops, nProbe, shortlist,
       excludeSelf, adcBroadcastMaxBytes)
     val candidates = sinkCandidates(cand0, candidateSink)
-    val stored = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "vectors")
+    val stored = graft.dedup.Dedup.readVisibleTable(spark, indexPath, "vectors",
+        snapshot = snap)
       .select(col("nbr_id"), col("cv"))
     rankCandidates(candidates, stored, q0, k)
   }

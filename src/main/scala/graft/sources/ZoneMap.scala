@@ -186,17 +186,37 @@ object ZoneMap {
       expected = expected.map(_.toString), next = next.toString,
       stage = Some(staging -> finalDir))
     finally deleteDir(staging) // loser cleans its own staging
-    // retention GC (the Dedup.sweepSupersededVersions contract): keep the
-    // immediately superseded version for in-flight lock-free readers,
-    // VACUUM everything older — v<next−1> survives one rewrite cycle; the
-    // pre-versioning flat layout counts as the generation before v1 and is
-    // swept once next ≥ 2. Best-effort: a crash here leaves orphans the
-    // next rewrite's GC collects.
-    (1L until next - 1).foreach(v => deleteDir(Paths.get(path, s"v$v")))
-    if (next >= 2)
-      Seq("data", "zonemap", "bloom", "meta").foreach(d =>
-        deleteDir(Paths.get(path, d)))
+    // retention GC (the ONE shared rule, graft.dedup.Dedup.sweepSuperseded):
+    // keep the immediately superseded version for in-flight lock-free
+    // readers, VACUUM everything older — v<next−1> survives one rewrite
+    // cycle; the pre-versioning flat layout counts as the generation before
+    // v1 and is swept once next ≥ 2. Best-effort: a crash here leaves
+    // orphans the next rewrite's GC (or [[vacuum]]) collects.
+    graft.dedup.Dedup.sweepSuperseded(Paths.get(path), next,
+      zmVersionOf, FlatLegacyNames)
   }
+
+  private val FlatLegacyNames: String => Boolean =
+    Set("data", "zonemap", "bloom", "meta")
+
+  /** Version number of a `v<N>` dir name (this table format's scheme). */
+  private def zmVersionOf(n: String): Option[Long] =
+    if (n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit))
+      Some(n.tail.toLong)
+    else None
+
+  /** Drop every SUPERSEDED version of a zone-mapped table NOW, keeping
+    * only the current one — the table-format face of
+    * [[graft.dedup.Dedup.vacuumIndex]], and the explicit final step of a
+    * GDPR erase: a rewrite with the purged frame erases the SERVING
+    * version immediately, but retention keeps the previous version (and
+    * its erased bytes) one more cycle unless this is called. */
+  def vacuum(path: String): Unit =
+    graft.dedup.Dedup.withIndexWriter(path) {
+      currentVersion(path).foreach(cur =>
+        graft.dedup.Dedup.sweepSuperseded(Paths.get(path), cur + 1,
+          zmVersionOf, FlatLegacyNames))
+    }
 
   /** Append a new batch: the batch is range-sharded AMONG ITSELF into
     * `shards` NEW shard ids (offset past the existing maximum — existing

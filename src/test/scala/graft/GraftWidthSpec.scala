@@ -20,10 +20,11 @@ class GraftWidthSpec extends AnyFunSuite {
     (0 until 5).foreach(i =>
       java.nio.file.Files.write(dir.resolve(s"t$i.bin"), new Array[Byte](16 << 20)))
     assert(GraftWidth.volumeScaled(dir.toString, 4) == 5)
-    // the cap: a synthetic huge byte count can't exceed 4096 — exercised
-    // through the formula directly (writing 64 GB of files in a spec is
-    // not reasonable), so assert the clamp arithmetic on its pieces
-    assert(math.max(4L, math.min(4096L, Long.MaxValue / GraftWidth.BytesPerInitialPartition)) == 4096L)
+    // the cap branch, exercised through the SHIPPED clamp (a 64 GB fixture
+    // is unreasonable; the byte-count form is the same code path)
+    assert(GraftWidth.fromBytes(Long.MaxValue, 4) == 4096)
+    assert(GraftWidth.fromBytes(100L * GraftWidth.BytesPerInitialPartition, 4) == 100)
+    assert(GraftWidth.fromBytes(0L, 32) == 32)
   }
 
   test("a missing corpus dir degrades to the floor, never throws") {

@@ -259,6 +259,27 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(idx + "/_v3").count() == before + 1)
   }
 
+  test("a lock-free reader survives a compaction of the layout it resolved (version retention)") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("retain_").toString + "/sig"
+    Dedup.buildMinhashIndex(docsDf, "doc_id", "text", idx)
+    Dedup.compactMinhashIndex(spark, idx) // reader will resolve _v1
+    // a reader resolves the CURRENT layout and plans over its files...
+    val resolved = Dedup.resolveIndexDir(idx)
+    val reader = spark.read.parquet(resolved)
+    val expect = reader.count()
+    // ...then a compaction commits _v2 mid-scan. Pre-retention the commit
+    // deleted _v1 and this reader's next action failed on vanished files;
+    // retention keeps _v1 one cycle, so the read completes unchanged.
+    Dedup.compactMinhashIndex(spark, idx)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(resolved)),
+      "the resolved layout must survive one compaction cycle")
+    assert(reader.count() == expect,
+      "a reader that resolved the superseded version completes its scan")
+    assert(spark.read.parquet(Dedup.resolveIndexDir(idx)).count() == expect,
+      "new readers resolve the compacted version")
+  }
+
   test("compactFamily: one FAMILY CAS commits every table's version together") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
