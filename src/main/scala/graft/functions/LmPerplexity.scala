@@ -190,6 +190,11 @@ object LmPerplexity {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     Dedup.withIndexWriter(indexPath) { // rebuild + manifest restart: one writer turn
       writeLmBatch(docs, id, text, indexPath, "base", buckets, wholeIndex = true)
+      // a rebuild is a NEW generation: stale markers from the previous one
+      // would make deleteFromLmIndex's already-deleted check silently skip
+      // legitimate unlearns of re-ingested docs (the buildBm25Index twin —
+      // this path previously missed the clear)
+      Dedup.clearDir(s"$indexPath/tombstones")
       // (re)start the batch-visibility manifest: from here on an append's or
       // unlearn's five tables become readable atomically, at commitVisibleBatch
       Dedup.resetVisibleBatches(indexPath)
@@ -234,9 +239,13 @@ object LmPerplexity {
             sum(col("n_docs")).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
           .select("n_docs", "n_bigrams", "bb_buckets"), Nil),
       ("docs",
-        (df: DataFrame) => eraseDocs(df.select("doc_id").distinct()), Nil)),
-      // pending unlearn markers survive a plain compaction until purge
-      preserveVisibilityOf = Seq("tombstones"))
+        (df: DataFrame) => eraseDocs(df.select("doc_id").distinct()), Nil),
+      // the marker table folds WITH the counts: identity under a plain
+      // compaction (pending unlearn markers survive into the new
+      // generation's base), the purge's anti-join under a purge (markers
+      // retire in the same CAS that nets out their counts) — every
+      // generation carries its own marker view
+      ("tombstones", eraseDocs, Nil)))
   }
 
   /** UNLEARN documents from the LM — the [[LexicalRetrieval.deleteFromBm25Index]]
@@ -311,51 +320,32 @@ object LmPerplexity {
     tk.unpersist(false): Unit
   }
 
-  /** Physical erasure: fold the pending negative partials into the count
-    * tables, drop unlearned docs from the membership table, clear the
-    * tombstone markers — the [[LexicalRetrieval.purgeBm25Index]] crash
-    * contract (marker snapshot taken before any read; a delete landing
-    * mid-purge survives the sweep; a crash between rewrites leaves serving
-    * correct because the negative partials keep folding). A re-delete of a
+  /** Physical erasure: ONE family commit folds the pending negative
+    * partials into the count tables, drops unlearned docs from the
+    * membership table, and retires the folded tombstone markers — all
+    * under the same CAS ([[LexicalRetrieval.purgeBm25Index]] contract).
+    * Writers serialize on the family lock, so no unlearn lands mid-purge;
+    * a crash before the CAS changes nothing (the negative partials keep
+    * folding at serve time) and a retry completes. A re-delete of a
     * purged id is a no-op through the membership check. Version retention:
-    * the superseded version holds the unlearned bytes one more cycle —
-    * [[graft.dedup.Dedup.vacuumIndex]] per table for an immediate full
-    * erase (the purgeBm25Index caveat). */
+    * the superseded version holds the unlearned bytes (and its own marker
+    * view) one more cycle — [[graft.dedup.Dedup.vacuumIndex]] per table
+    * for an immediate full erase (the purgeBm25Index caveat). */
   def purgeLmIndex(spark: SparkSession, indexPath: String): Unit =
       Dedup.withIndexWriter(indexPath) {
-    val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
-    import scala.jdk.CollectionConverters._
-    val dirsAtPlan: List[java.nio.file.Path] =
-      if (!java.nio.file.Files.exists(root)) Nil
-      else {
-        val ls = java.nio.file.Files.list(root)
-        try ls.iterator().asScala.toList finally ls.close()
-      }
     readTombstones(spark, indexPath) match {
       case Some(t0) =>
         val t = broadcast(t0)
         compactLmIndex(spark, indexPath,
           eraseDocs = _.join(t, Seq("doc_id"), "left_anti"))
-        dirsAtPlan.foreach { d =>
-          val walk = java.nio.file.Files.walk(d)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally walk.close()
-        }
-        val ls2 = java.nio.file.Files.list(root)
-        val empty = try !ls2.iterator().hasNext finally ls2.close()
-        if (empty) java.nio.file.Files.delete(root)
       case None => compactLmIndex(spark, indexPath)
     }
   }
 
   private def readTombstones(spark: SparkSession, indexPath: String,
-      excludeBatch: Option[String] = None): Option[DataFrame] = {
-    val p = s"$indexPath/tombstones"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(Dedup.readVisibleTable(spark, indexPath, "tombstones", excludeBatch)
-      .select("doc_id").distinct())
-  }
+      excludeBatch: Option[String] = None): Option[DataFrame] =
+    Dedup.readMarkerTable(spark, indexPath, "tombstones", excludeBatch)
+      .map(_.select("doc_id").distinct())
 
   /** Score `docs` FIT-FREE against the persisted LM. The request batch's
     * distinct bigram hash buckets are collected (≤ `buckets` values — a

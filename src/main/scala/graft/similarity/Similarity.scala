@@ -1328,11 +1328,22 @@ object Similarity {
     * [[graft.dedup.Dedup.compactMinhashIndex]] maintenance pattern. */
   def compactIvfadcIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
+    compactIvfadcTables(spark, indexPath, erase = identity)
+
+  /** One family commit for codes + vectors + tombstones. The marker table
+    * folds WITH the data tables (identity under a plain compaction —
+    * pending markers survive into the new generation's base; the purge's
+    * anti-join under a purge — markers retire in the SAME CAS that erases
+    * their rows), so every generation carries its own marker view and a
+    * serve pinned at the superseded generation keeps its pending deletes
+    * for the full retention cycle. */
+  private def compactIvfadcTables(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      erase: DataFrame => DataFrame): Unit =
     graft.dedup.Dedup.compactFamily(spark, indexPath, Seq(
-      ("codes", (df: DataFrame) => df, Seq("cell")),
-      ("vectors", (df: DataFrame) => df, Nil)),
-      // pending deletion markers survive a plain compaction until purge
-      preserveVisibilityOf = Seq("tombstones"))
+      ("codes", erase, Seq("cell")),
+      ("vectors", erase, Nil),
+      ("tombstones", erase, Nil)))
 
   /** Tombstone vectors OUT of a persisted IVFADC index — the erasure path
     * for ANN serving ([[graft.core.FeatureStore.deleteRecords]]'s semantic
@@ -1353,61 +1364,29 @@ object Similarity {
 
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
-      snap: Option[graft.dedup.Dedup.FamilySnapshot] = None): Option[DataFrame] = {
-    val p = s"$indexPath/tombstones"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
-    else Some(graft.dedup.Dedup.readVisibleTable(spark, indexPath, "tombstones",
-      snapshot = snap).select("nbr_id").distinct())
-  }
+      snap: Option[graft.dedup.Dedup.FamilySnapshot] = None): Option[DataFrame] =
+    graft.dedup.Dedup.readMarkerTable(spark, indexPath, "tombstones",
+      snapshot = snap).map(_.select("nbr_id").distinct())
 
-  /** Physical purge: compact codes + vectors WITH the tombstone anti-join
-    * folded into the rewrite (one pass, the [[compactIvfadcIndex]]
-    * version-swap machinery), then clear the folded tombstones. A crash
-    * between the two compactions leaves serving correct — the surviving
-    * tombstones still anti-join — and a retry completes the purge.
-    * Version retention: the superseded version holds the erased vectors
-    * one more cycle — [[graft.dedup.Dedup.vacuumIndex]] per table for an
-    * immediate full erase (the purgeBm25Index caveat). */
+  /** Physical purge: ONE family commit that anti-joins the pending
+    * tombstones out of codes, vectors AND the tombstone table itself (a
+    * marker retires in the same CAS that erases its rows — a reader can
+    * never see purged data with pending markers or vice versa). Writers
+    * serialize on the family lock, so no delete can land mid-purge; a
+    * crash before the CAS changes nothing (surviving tombstones still
+    * anti-join at serve time) and a retry completes the purge.
+    * Version retention: the superseded generation holds the erased vectors
+    * AND its marker view one more cycle, so a serve that pinned it keeps
+    * excluding the deleted ids — [[graft.dedup.Dedup.vacuumIndex]] per
+    * table for an immediate full erase (the purgeBm25Index caveat). */
   def purgeIvfadcIndex(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Unit =
       graft.dedup.Dedup.withIndexWriter(indexPath) {
-    // snapshot the tombstone batch dirs BEFORE anything reads them and clear
-    // only that list at the end: a deleteFromIvfadcIndex landing mid-purge
-    // writes a new batch=<id> dir that must survive the sweep (its ids keep
-    // anti-joining at serve time until the next purge) — a blanket
-    // walk-delete would destroy the marker while its codes survive the
-    // already-planned compaction, silently resurrecting the vector. The
-    // snapshot precedes readTombstones' file listing, so a marker in the
-    // race window is at worst folded AND retained (re-applied harmlessly),
-    // never deleted unfolded.
-    val root = java.nio.file.Paths.get(s"$indexPath/tombstones")
-    import scala.jdk.CollectionConverters._
-    val dirsAtPlan: List[java.nio.file.Path] =
-      if (!java.nio.file.Files.exists(root)) Nil
-      else {
-        val ls = java.nio.file.Files.list(root)
-        try ls.iterator().asScala.toList finally ls.close()
-      }
     readTombstones(spark, indexPath) match {
       case Some(t0) =>
         val t = broadcast(t0)
-        graft.dedup.Dedup.compactFamily(spark, indexPath, Seq(
-          ("codes",
-            (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"),
-            Seq("cell")),
-          ("vectors",
-            (df: DataFrame) => df.join(t, Seq("nbr_id"), "left_anti"), Nil)),
-          // a delete landing mid-purge keeps its marker visible
-          preserveVisibilityOf = Seq("tombstones"))
-        dirsAtPlan.foreach { d =>
-          val walk = java.nio.file.Files.walk(d)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.delete(f))
-          finally walk.close()
-        }
-        val ls2 = java.nio.file.Files.list(root)
-        val empty = try !ls2.iterator().hasNext finally ls2.close()
-        if (empty) java.nio.file.Files.delete(root)
+        compactIvfadcTables(spark, indexPath,
+          erase = _.join(t, Seq("nbr_id"), "left_anti"))
       case None => compactIvfadcIndex(spark, indexPath)
     }
   }

@@ -379,8 +379,11 @@ class LexicalRetrievalSpec extends SparkSpec {
     assert(posts.filter(col("doc_id").isin(3L, 5L)).isEmpty)
     val lens = spark.read.parquet(Dedup.resolveIndexDir(s"$idx/doclens"))
     assert(lens.filter(col("doc_id").isin(3L, 5L)).isEmpty)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$idx/tombstones")), "markers cleared")
+    // markers retired from the serving generation (the dir itself persists:
+    // it is a versioned family table now — the superseded generation keeps
+    // its marker view one retention cycle for pinned readers)
+    assert(Dedup.readMarkerTable(spark, idx, "tombstones").isEmpty,
+      "purge must retire every pending marker from the serving generation")
     // version retention keeps the pre-purge layout one cycle (lock-free
     // readers); an explicit vacuum completes the physical erase NOW —
     // after it, no superseded layout (and no erased byte) remains on disk

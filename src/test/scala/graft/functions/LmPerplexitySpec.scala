@@ -149,8 +149,8 @@ class LmPerplexitySpec extends SparkSpec {
     // purge: physical fold, markers cleared, scores unchanged; a re-delete
     // of a purged id stays a no-op through the membership table
     LmPerplexity.purgeLmIndex(spark, idx)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/tombstones")),
-      "purge must clear the tombstone markers")
+    assert(graft.dedup.Dedup.readMarkerTable(spark, idx, "tombstones").isEmpty,
+      "purge must retire every pending marker from the serving generation")
     LmPerplexity.deleteFromLmIndex(docs.filter(col("doc_id") % 4 === 0),
       "doc_id", "text", idx, "e4")
     val purged = LmPerplexity.perplexityIndexed(spark, idx, score, "doc_id", "text")

@@ -302,8 +302,8 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(graft.dedup.Dedup.resolveIndexDir(s"$idx/vectors"))
       .filter($"nbr_id" % 5 === 2).count() == 0, "purge must erase vectors")
     assert(codes.count() == kept.count(), "purge must keep every survivor")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/tombstones")),
-      "purge must clear folded tombstones")
+    assert(graft.dedup.Dedup.readMarkerTable(spark, idx, "tombstones").isEmpty,
+      "purge must retire every pending marker from the serving generation")
     assert(served() == brute, "purged index must serve identically")
 
     // a tombstoned id re-appended BEFORE purge stays hidden...
