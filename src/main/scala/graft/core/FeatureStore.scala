@@ -160,17 +160,28 @@ final class FeatureStore(spark: SparkSession, root: String,
     // scans, exactly what a 100 TB ingest wants); the UN-observed `typed`
     // goes to refreshOnline because an Observation binds to one action
     val obs = org.apache.spark.sql.Observation(s"ingest_${groupName}_$seq")
-    typed.observe(obs,
-        count(lit(1)).as("rows"),
-        count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
-        count(when(col(g.eventTimeCol).isNull, 1)).as("null_event_times"))
-      .write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+    phaseTimings.remove(groupName): Unit
+    timedPhase(groupName, "offline_append") {
+      typed.observe(obs,
+          count(lit(1)).as("rows"),
+          count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
+          count(when(col(g.eventTimeCol).isNull, 1)).as("null_event_times"),
+          // rides the same append job (zero extra scans) so the BOOTSTRAP
+          // commit can size its bucket count without a second persist+count
+          // pass over the store — see fullRefresh (VERDICT r10 item 2: the
+          // per-commit fixed tax behind the q59 regression)
+          approx_count_distinct(col(g.keyCol)).as("distinct_keys"))
+        .write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+    }
     val o = obs.get
     metrics.put(groupName, IngestMetrics(o("rows").asInstanceOf[Long],
       o("null_keys").asInstanceOf[Long], o("null_event_times").asInstanceOf[Long]))
-    recordSeqCommit(groupName, seq)
+    timedPhase(groupName, "seq_marker")(recordSeqCommit(groupName, seq))
 
-    refreshOnline(g, Some(typed))
+    // seq 0 ⇒ this batch IS the whole offline history: the refresh can
+    // size its buckets from the append job's observed key count
+    refreshOnline(g, Some(typed),
+      firstIngestKeys = if (seq == 0L) Some(o("distinct_keys").asInstanceOf[Long]) else None)
     seq
   }
 
@@ -242,6 +253,26 @@ final class FeatureStore(spark: SparkSession, root: String,
   def lastIngestMetrics(groupName: String): Option[IngestMetrics] =
     Option(metrics.get(groupName))
 
+  // per-commit phase timings (observability for the fixed per-ingest tax:
+  // which term — append, sizing, snapshot write, KV, CAS — a slow commit
+  // spent its time in). Driver-side nanoTime pairs, zero Spark overhead.
+  private val phaseTimings =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[(String, Double)]]()
+
+  private def timedPhase[A](groupName: String, phase: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val a = f
+    phaseTimings.merge(groupName, Vector(phase -> (System.nanoTime() - t0) / 1e9),
+      (old, one) => old ++ one)
+    a
+  }
+
+  /** Driver-side wall-clock breakdown of the MOST RECENT [[ingest]] (or
+    * [[refreshOnline]]) for the group, in call order — the per-commit tax
+    * decomposed by term. Empty before any commit on this instance. */
+  def lastCommitPhases(groupName: String): Seq[(String, Double)] =
+    Option(phaseTimings.get(groupName)).getOrElse(Vector.empty)
+
   /** Conform a frame to the DECLARED schema + ingest seq (absent columns →
     * typed null): after addFeature the previous snapshot lacks the new
     * column and must not silently drop it from the incoming batch. */
@@ -264,7 +295,8 @@ final class FeatureStore(spark: SparkSession, root: String,
     * the schema evolved since the snapshot (addFeature); the batch has
     * null keys; or the store outgrew its bucket count (the rebucketing
     * commit — see `targetKeysPerBucket`). */
-  def refreshOnline(g: FeatureGroup, batch: Option[DataFrame]): Unit = {
+  def refreshOnline(g: FeatureGroup, batch: Option[DataFrame],
+      firstIngestKeys: Option[Long] = None): Unit = {
     val baseVersion = currentVersion(g.name) // the version this refresh derives from
     val incremental = (baseVersion, batch) match {
       case (Some(v), Some(b)) =>
@@ -316,12 +348,23 @@ final class FeatureStore(spark: SparkSession, root: String,
           .flatMap(v => readVersionMeta(versionDirOf(g.name, v)))
           .map { case (_, counts) =>
             FeatureStore.bucketCountFor(counts.values.sum, targetKeysPerBucket) }
-        fullRefresh(g, batch, baseVersion, buckets)
+        fullRefresh(g, batch, baseVersion, buckets, firstIngestKeys)
     }
   }
 
   private def fullRefresh(g: FeatureGroup, batch: Option[DataFrame],
-      baseVersion: Option[Long], bucketsOpt: Option[Long]): Unit = {
+      baseVersion: Option[Long], bucketsOpt: Option[Long],
+      firstIngestKeys: Option[Long] = None): Unit = {
+    // the FIRST ingest of a group (seq 0, no committed snapshot): the batch
+    // IS the whole offline history, so derive the snapshot from the batch
+    // frame directly — no parquet re-read of the history that was just
+    // appended — and size buckets from the append job's observed
+    // approx-distinct key count instead of a second persist+count pass
+    // (two whole-store passes cut from the per-commit fixed tax the q59
+    // driver tail exposed; the power-of-two bucket envelope absorbs the
+    // ±few-% approximation error)
+    val bootstrap = firstIngestKeys.filter(_ =>
+      baseVersion.isEmpty && currentSnapshot(g.name).isEmpty && batch.isDefined)
     val base = (currentSnapshot(g.name), batch) match {
       case (Some(snap), Some(b)) =>
         conformToDeclared(g, snap).unionByName(conformToDeclared(g, b))
@@ -329,16 +372,20 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     val latest0 = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol,
       Seq(EngineColumns.IngestSeq))
-    bucketsOpt match {
+    bucketsOpt.orElse(bootstrap.map(k =>
+      FeatureStore.bucketCountFor(k, targetKeysPerBucket))) match {
       case Some(b) => commitOnlineSnapshot(g, latest0, baseVersion, b)
       case None =>
-        // bootstrap: size the bucket count from the actual key count (one
-        // spill-safe persist + count; full refreshes are rare and this
-        // saves the otherwise-certain O(store) rebucket on the next commit)
+        // non-ingest bootstrap (explicit rebuild, legacy snapshot): size
+        // the bucket count from the actual key count (one spill-safe
+        // persist + count; these refreshes are rare and this saves the
+        // otherwise-certain O(store) rebucket on the next commit)
         val p = latest0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try commitOnlineSnapshot(g, p, baseVersion,
-          FeatureStore.bucketCountFor(p.count(), targetKeysPerBucket))
-        finally p.unpersist(false): Unit
+        try {
+          val keys = timedPhase(g.name, "bootstrap_sizing_count")(p.count())
+          commitOnlineSnapshot(g, p, baseVersion,
+            FeatureStore.bucketCountFor(keys, targetKeysPerBucket))
+        } finally p.unpersist(false): Unit
     }
   }
 
@@ -365,18 +412,28 @@ final class FeatureStore(spark: SparkSession, root: String,
     // writes into every bucket dir (tasks × buckets tiny files per snapshot
     // — measured 1.7× on the ingest e2e queries); clustered, the write is
     // one file per bucket, which is also what the pruned point-read wants
-    latest
-      .withColumn(EngineColumns.KeyBucket,
-        pmod(crc32(col(g.keyCol).cast("string")), lit(buckets)))
-      .repartition(buckets.toInt, col(EngineColumns.KeyBucket))
-      .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
-    val counts = bucketCounts(dir)
-    writeServingKv(g, dir, buckets) // serving tier rides the same staged commit
+    timedPhase(g.name, "snapshot_write") {
+      latest
+        .withColumn(EngineColumns.KeyBucket,
+          pmod(crc32(col(g.keyCol).cast("string")), lit(buckets)))
+        .repartition(buckets.toInt, col(EngineColumns.KeyBucket))
+        .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
+    }
+    // bucket-count stats and the serving-KV render both re-read the staged
+    // parquet and are independent — run them CONCURRENTLY (one fixed Spark
+    // job latency instead of two; part of the per-commit tax cut behind
+    // the q59 driver-tail regression)
+    var counts: Map[Long, Long] = Map.empty
+    graft.dedup.Dedup.inParallel(Seq(
+      () => counts = timedPhase(g.name, "bucket_counts")(bucketCounts(dir)),
+      () => timedPhase(g.name, "serving_kv")( // rides the same staged commit
+        writeServingKv(g, dir, buckets))))
     writeVersionMeta(dir, buckets, counts,
       g.featureNames :+ EngineColumns.IngestSeq)
-    try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
+    try timedPhase(g.name, "pointer_cas")(OptimisticPointer.casSwap(
+      onlineDir(g.name), "LATEST",
       expected = baseVersion.map(_.toString), next = next.toString,
-      stage = Some(dir -> finalDir))
+      stage = Some(dir -> finalDir)))
     finally if (Files.exists(dir)) { // loser cleans its own staging
       val walk = Files.walk(dir)
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
@@ -403,20 +460,32 @@ final class FeatureStore(spark: SparkSession, root: String,
     val baseDir = versionDirOf(g.name, baseVersion)
     val finalDir = versionDirOf(g.name, next)
     val dir = OptimisticPointer.stagingFor(finalDir)
-    newRows
-      .withColumn(EngineColumns.KeyBucket,
-        pmod(crc32(col(g.keyCol).cast("string")), lit(buckets)))
-      .repartition(math.max(touched.size, 1), col(EngineColumns.KeyBucket))
-      .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
-    val newCounts = bucketCounts(dir)
-    // staging holds ONLY the touched buckets here; width to match
-    writeServingKv(g, dir, buckets, Some(math.max(touched.size, 1)))
-    linkUntouched(baseDir, dir, touched)
+    timedPhase(g.name, "snapshot_write") {
+      newRows
+        .withColumn(EngineColumns.KeyBucket,
+          pmod(crc32(col(g.keyCol).cast("string")), lit(buckets)))
+        .repartition(math.max(touched.size, 1), col(EngineColumns.KeyBucket))
+        .write.mode("overwrite").partitionBy(EngineColumns.KeyBucket).parquet(dir.toString)
+    }
+    // bucket stats and the KV render both re-read the staged parquet
+    // (touched buckets only at this point) and are independent — run them
+    // concurrently (the commitOnlineSnapshot rationale). The carry-forward
+    // links still happen strictly AFTER both: either job listing a carried
+    // bucket mid-link would double-count it (stats) or double-render it
+    // (KV over a file the link then collides with).
+    var newCounts: Map[Long, Long] = Map.empty
+    graft.dedup.Dedup.inParallel(Seq(
+      () => newCounts = timedPhase(g.name, "bucket_counts")(bucketCounts(dir)),
+      // staging holds ONLY the touched buckets here; width to match
+      () => timedPhase(g.name, "serving_kv")(
+        writeServingKv(g, dir, buckets, Some(math.max(touched.size, 1))))))
+    timedPhase(g.name, "link_untouched")(linkUntouched(baseDir, dir, touched))
     writeVersionMeta(dir, buckets, (baseCounts -- touched) ++ newCounts,
       g.featureNames :+ EngineColumns.IngestSeq)
-    try OptimisticPointer.casSwap(onlineDir(g.name), "LATEST",
+    try timedPhase(g.name, "pointer_cas")(OptimisticPointer.casSwap(
+      onlineDir(g.name), "LATEST",
       expected = Some(baseVersion.toString), next = next.toString,
-      stage = Some(dir -> finalDir))
+      stage = Some(dir -> finalDir)))
     finally if (Files.exists(dir)) { // loser cleans its own staging
       val walk = Files.walk(dir)
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
