@@ -15,15 +15,14 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   * the winner's version — the compare-and-swap every table format
   * arbitrates writers with.
   *
-  * The check and the move run as one critical section: a JVM-wide monitor
-  * per pointer path (same-process writers), plus an exclusive
-  * [[java.nio.channels.FileChannel]] lock on a sibling `.lock` file
-  * (cross-process writers on a local/NFS filesystem). On an object store
-  * this maps to a conditional put / ETag check — the seam is this one
-  * function. */
+  * The check and the move run as one critical section through the
+  * [[Coordination]] seam (default: a JVM-wide monitor per pointer path
+  * for same-process writers, plus an exclusive
+  * [[java.nio.channels.FileChannel]] lock on a sibling `.lock` file for
+  * cross-process writers on a local/NFS filesystem). On an object store
+  * this maps to a conditional put / ETag check — swap the backend with
+  * [[Coordination.use]]; no call site changes. */
 object OptimisticPointer {
-
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomically: verify `pointer` currently reads `expected` (None =
     * absent), optionally promote STAGED version directories to their final
@@ -53,40 +52,9 @@ object OptimisticPointer {
     * invisible and replaced on retry). */
   def casSwap(dir: Path, pointerName: String, expected: Option[String],
       next: String, stage: Option[(Path, Path)] = None,
-      stages: Seq[(Path, Path)] = Nil): Unit = {
-    Files.createDirectories(dir)
-    val pointer = dir.resolve(pointerName)
-    val monitor = monitors.computeIfAbsent(
-      pointer.toAbsolutePath.toString, _ => new Object)
-    monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(
-        dir.resolve(pointerName + ".lock"),
-        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
-      try {
-        val lock = ch.lock()
-        try {
-          val actual =
-            if (Files.exists(pointer))
-              Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
-            else None
-          if (actual != expected)
-            throw new java.util.ConcurrentModificationException(
-              s"$pointer moved from ${expected.getOrElse("<absent>")} to " +
-                s"${actual.getOrElse("<absent>")} — another writer committed " +
-                "first; this rewrite derived from a superseded version. " +
-                "Re-run against the current version.")
-          (stage.toSeq ++ stages).foreach { case (src, dst) =>
-            deleteRecursively(dst) // crashed-attempt debris only (see above)
-            Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
-          }
-          val tmp = dir.resolve(pointerName + ".tmp")
-          Files.write(tmp, next.getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
-            StandardCopyOption.REPLACE_EXISTING)
-        } finally lock.release()
-      } finally ch.close()
-    }
-  }
+      stages: Seq[(Path, Path)] = Nil): Unit =
+    Coordination.current.casSwap(dir, pointerName, expected, next,
+      stage.toSeq ++ stages)
 
   /** A collision-free staging sibling for `finalDir` — the underscore
     * prefix keeps it hidden from Spark's path discovery and outside every
@@ -94,12 +62,4 @@ object OptimisticPointer {
   def stagingFor(finalDir: Path): Path =
     finalDir.resolveSibling(
       s"_staging_${finalDir.getFileName}_${java.util.UUID.randomUUID().toString.take(8)}")
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
-      finally walk.close()
-    }
 }

@@ -506,25 +506,13 @@ object Dedup {
       .linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
   }
 
-  // manifest updates are read-modify-write: serialize them (same-process
-  // monitor per path + cross-process file lock — the OptimisticPointer
-  // discipline) so a delete committing mid-compaction can never be lost
-  private val visibleLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def withVisibleLock[A](familyPath: String)(body: => A): A = {
-    val root = java.nio.file.Paths.get(familyPath)
-    java.nio.file.Files.createDirectories(root)
-    val monitor = visibleLocks.computeIfAbsent(
-      root.toAbsolutePath.toString, _ => new Object)
-    monitor.synchronized {
-      val ch = java.nio.channels.FileChannel.open(root.resolve("VISIBLE.lock"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try { val l = ch.lock(); try body finally l.release() }
-      finally ch.close()
-    }
-  }
+  // manifest updates are read-modify-write: serialize them through the
+  // [[graft.core.Coordination]] seam (default: same-process monitor per
+  // path + cross-process file lock) so a delete committing mid-compaction
+  // can never be lost
+  private def withVisibleLock[A](familyPath: String)(body: => A): A =
+    graft.core.Coordination.current.withWriterLock(
+      java.nio.file.Paths.get(familyPath), "VISIBLE.lock")(body)
 
   /** Serialize the WRITERS of one persisted index root — append/delete
     * batches and compactions. Without this, an append that resolved the
@@ -537,40 +525,13 @@ object Dedup {
     * op may nest table-level writes under its family-level lock) plus a
     * cross-process file lock (`_writer.lock`, underscore-hidden from
     * Spark's listings). Readers never take it — reads stay lock-free
-    * (quiet-reader as before); on a multi-driver cluster deployment the
-    * file lock's seam is a catalog lease, exactly like [[graft.core.OptimisticPointer]]. */
-  private val writerMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
-
-  private[graft] def withIndexWriter[A](indexPath: String)(body: => A): A = {
-    val root = java.nio.file.Paths.get(indexPath)
-    java.nio.file.Files.createDirectories(root)
-    // key the monitor on the REAL path: two spellings of one dir must share
-    // one monitor (a second in-JVM FileChannel.lock on the same file would
-    // throw OverlappingFileLockException instead of blocking), and
-    // normalize alone does not resolve SYMLINKS — two symlinked spellings
-    // of one index root would map to distinct monitors and hit exactly
-    // that exception (VERDICT r10 advice). toRealPath works here because
-    // createDirectories just ensured the dir exists; fall back to
-    // normalize only if the dir vanishes in the race window.
-    val realKey =
-      try root.toRealPath().toString
-      catch { case _: java.io.IOException => root.toAbsolutePath.normalize.toString }
-    val lk = writerMonitors.computeIfAbsent(
-      realKey,
-      _ => new java.util.concurrent.locks.ReentrantLock)
-    lk.lock()
-    try {
-      if (lk.getHoldCount > 1) body // outer frame already holds the file lock
-      else {
-        val ch = java.nio.channels.FileChannel.open(root.resolve("_writer.lock"),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE)
-        try { val l = ch.lock(); try body finally l.release() }
-        finally ch.close()
-      }
-    } finally lk.unlock()
-  }
+    * (quiet-reader as before). Acquisition goes through the
+    * [[graft.core.Coordination]] seam: on a multi-driver cluster the
+    * backend is a catalog lease, swapped in with `Coordination.use`
+    * without touching this call site. */
+  private[graft] def withIndexWriter[A](indexPath: String)(body: => A): A =
+    graft.core.Coordination.current.withWriterLock(
+      java.nio.file.Paths.get(indexPath), "_writer.lock")(body)
 
   private def writeVisibleFile(familyPath: String, ids: Set[String]): Unit = {
     val root = java.nio.file.Paths.get(familyPath)
