@@ -1285,6 +1285,61 @@ object QuerySuite {
         s"FROM ann_topk('$idx', '$qPath', 5, 16) ORDER BY query_id, nbr_rank")
     }),
 
+    // ---- SQL-TEXT DML faces (round 11 — the write side of the SQL
+    //      surface; reads had TVFs since q232). q236 is the MERGE-shaped
+    //      statement: a CDC parquet batch (op='D' deletes, else upserts)
+    //      applied to a live store through feature_store_merge — q111's
+    //      CdcMerge semantics wired to ingest/deleteRecordsFrame, so the
+    //      q111 oracle verifies the STORE's post-merge snapshot verbatim ----
+    "q236_fs_merge_sql" -> ((s, dir) => {
+      val sd = tmpDir("q236_store_")
+      val fs = new FeatureStore(s, sd)
+      fs.createGroup(FeatureGroup("merge_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("vc", FType.Integral))))
+      val ev = Tables.events(s, dir).selectExpr("user_id", "event_id", "ts",
+        "CAST(round(value * 100) AS BIGINT) AS vc", "event_type")
+      val cut = lit("2024-01-16").cast(TimestampType)
+      fs.ingest("merge_fg", ev.filter(col("ts") < cut).drop("event_type"))
+      val chPath = aux(dir, "q236_changes")
+      ev.filter(col("ts") >= cut)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .drop("event_type")
+        .write.mode("overwrite").parquet(chPath)
+      s.sql("SELECT * FROM feature_store_merge(" +
+        s"'$sd', 'merge_fg', '$chPath', 'op', 'event_id')").collect(): Unit
+      fs.online("merge_fg").select("user_id", "event_id", "ts", "vc")
+        .orderBy("user_id")
+    }),
+
+    // ---- q237: the DELETE-shaped GDPR statement — an explicit key list
+    //      (WHERE key IN ...) through feature_store_delete; the oracle is
+    //      q10's latest-per-key with the deleted keys filtered out, so a
+    //      key the statement failed to remove (or over-removed) hashes
+    //      visible ----
+    "q237_fs_delete_sql" -> ((s, dir) => {
+      val sd = tmpDir("q237_store_")
+      val fs = new FeatureStore(s, sd)
+      fs.createGroup(FeatureGroup("del_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional))))
+      fs.ingest("del_fg", Tables.events(s, dir))
+      // the statement's key list: every user_id ≡ 0 (mod 7) — explicit and
+      // driver-sized, the DELETE-statement contract
+      val doomed = Tables.events(s, dir).select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(7)) === 0)
+        .orderBy("user_id").collect().map(_.get(0)).mkString(",")
+      s.sql(s"SELECT * FROM feature_store_delete('$sd', 'del_fg', '$doomed')")
+        .collect(): Unit
+      fs.online("del_fg").select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -6722,6 +6777,40 @@ object QuerySuite {
         |  FROM q CROSS JOIN c)
         |SELECT query_id, CAST(nbr_rank AS BIGINT) AS nbr_rank, nbr_id, round(cosine, 6) AS cosine
         |FROM scored WHERE nbr_rank <= 5 ORDER BY query_id, nbr_rank""".stripMargin,
+
+    // the MERGE-shaped SQL statement leaves the store's online snapshot
+    // exactly where q111's CdcMerge leaves its frame — same oracle text
+    // (base = pre-cut latest per key, net change per key from the post-cut
+    // batch, 'error' rows delete), verifying the statement END TO END
+    // through the store's own serving face
+    "q236_fs_merge_sql" ->
+      """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+        |                   CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |b AS (SELECT user_id, event_id, ts, vc FROM (
+        |    SELECT user_id, event_id, ts, vc,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts < TIMESTAMP '2024-01-16') WHERE rn = 1),
+        |n AS (SELECT user_id, event_id, ts, vc,
+        |             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op FROM (
+        |    SELECT user_id, event_id, ts, vc, event_type,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM ev WHERE ts >= TIMESTAMP '2024-01-16') WHERE rn = 1)
+        |SELECT coalesce(n.user_id, b.user_id) AS user_id,
+        |       CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE b.event_id END AS event_id,
+        |       CASE WHEN n.user_id IS NOT NULL THEN n.ts ELSE b.ts END AS ts,
+        |       CASE WHEN n.user_id IS NOT NULL THEN n.vc ELSE b.vc END AS vc
+        |FROM b FULL JOIN n ON b.user_id = n.user_id
+        |WHERE n.op IS NULL OR n.op <> 'D'
+        |ORDER BY user_id""".stripMargin,
+
+    // the DELETE-shaped SQL statement = q10's latest-per-key minus the
+    // statement's key list
+    "q237_fs_delete_sql" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 AND user_id % 7 <> 0 ORDER BY user_id""".stripMargin,
 
     "q230_ivfadc_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -777,6 +777,20 @@ final class FeatureStore(spark: SparkSession, root: String,
     deleteKeyFrame(groupName, keyDf, smallKeySet = true)
   }
 
+  /** [[deleteRecords]] for a CLUSTER-SIZED key frame (first column = keys,
+    * any type): the keys never visit the driver — the tombstone write and
+    * every anti-join stay set-oriented, the [[expireStale]] sweep path
+    * opened to callers (a CDC batch's delete set, a predicate-derived
+    * erase list). Null keys are dropped (a null key is never addressable). */
+  def deleteRecordsFrame(groupName: String, keys: DataFrame): Long = {
+    val kc = keys.columns.headOption.getOrElse(
+      throw new IllegalArgumentException("deleteRecordsFrame: no key column"))
+    deleteKeyFrame(groupName,
+      keys.select(col(kc).cast(org.apache.spark.sql.types.StringType).as("key"))
+        .na.drop().distinct(),
+      smallKeySet = false)
+  }
+
   /** Cluster-side core of [[deleteRecords]]: `keyDf` is a one-column
     * (`key` string) frame that NEVER visits the driver — the sweep path
     * ([[expireStale]]) passes a predicate-derived frame that can be

@@ -757,7 +757,16 @@ object Dedup {
     * time. Spark schedules concurrent actions fine (FIFO within the pool);
     * exceptions propagate to the caller. */
   private[graft] def inParallel(tasks: Seq[() => Unit]): Unit = {
-    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    // DEGRADE TO SEQUENTIAL under the analyzer's catalog monitor: a SQL
+    // statement face (feature_store_merge) executes lifecycle ops INSIDE
+    // analysis, where Spark holds the SessionCatalog lock — a worker
+    // thread building a Dataset then needs that same lock for its own
+    // analysis and the join deadlocks (observed: commitIncremental's
+    // bucketCounts parked under ResolveFunctions). Parallelism here is a
+    // latency optimization, never a semantic; sequential is always correct.
+    val underCatalogLock = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => Thread.holdsLock(s.sessionState.catalog))
+    if (tasks.size <= 1 || underCatalogLock) { tasks.foreach(_()); return }
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -788,23 +797,50 @@ object Dedup {
       Some(n.drop(2).toLong)
     else None
 
+  /** RETENTION POLICY: how many superseded generations each versioned
+    * layout keeps for in-flight lock-free readers before the commit-time
+    * sweep reclaims them. 1 (the default) bounds a reader's window to one
+    * full compaction cycle — the Delta/Iceberg VACUUM-after-retention
+    * contract; raise it when long-running readers (multi-hour training
+    * jobs over a pinned snapshot) must survive several maintenance cycles.
+    * Seeds from `GRAFT_RETENTION_CYCLES` (defensively parsed — an
+    * unparseable value falls back to the default, it must not fail every
+    * commit), overridable at runtime with [[setRetentionCycles]].
+    * The EXPLICIT vacuums ([[vacuumIndex]], [[vacuumFamily]],
+    * [[graft.sources.ZoneMap.vacuum]]) always sweep to keep-0 — erasure
+    * timeliness is the operator's call, not the policy's. */
+  @volatile private var retentionCyclesVar: Int =
+    sys.env.get("GRAFT_RETENTION_CYCLES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(1)
+
+  def retentionCycles: Int = retentionCyclesVar
+
+  def setRetentionCycles(n: Int): Unit = {
+    require(n >= 1, s"retention must keep >= 1 superseded generation, got $n")
+    retentionCyclesVar = n
+  }
+
   /** The retention rule, layout-agnostic (shared with
     * [[graft.sources.ZoneMap]], whose versions are `v<N>` and whose
     * pre-versioning layout is named dirs instead of `batch=*`): delete
-    * every version older than `committed − 1`, and the flat legacy layout
-    * once `committed ≥ 2` (it is then at least two generations old). ONE
-    * implementation — a future change to the retention rule must not
-    * silently diverge between the index and table-format layouts. */
+    * every version older than `committed − keep`, and the flat legacy
+    * layout once `committed ≥ 1 + keep` (it is then more than `keep`
+    * generations old). `keep` defaults to the configured
+    * [[retentionCycles]]; explicit vacuums pass 0. ONE implementation — a
+    * future change to the retention rule must not silently diverge
+    * between the index and table-format layouts. */
   private[graft] def sweepSuperseded(root: java.nio.file.Path, committed: Long,
-      versionOf: String => Option[Long], isFlatLegacy: String => Boolean): Unit = {
+      versionOf: String => Option[Long], isFlatLegacy: String => Boolean,
+      keep: Int = retentionCycles): Unit = {
     import java.nio.file.Files
     if (!Files.exists(root)) return
     val ls = Files.list(root)
     val entries = try ls.iterator().asScala.toList finally ls.close()
     entries.foreach { p =>
       val n = p.getFileName.toString
-      val staleVersion = versionOf(n).exists(_ < committed - 1)
-      val staleFlat = committed >= 2 && isFlatLegacy(n)
+      val staleVersion = versionOf(n).exists(_ < committed - keep)
+      val staleFlat = committed >= 1 + keep && isFlatLegacy(n)
       if (staleVersion || staleFlat) clearDir(p.toString)
     }
   }
@@ -845,16 +881,36 @@ object Dedup {
       if (cur != indexPath) {
         dedupVersionOf(java.nio.file.Paths.get(cur).getFileName.toString)
           .foreach { committed =>
-            // keepFrom = committed ⇒ delete _v<k> for k < committed and the
-            // pre-versioning flat batch dirs (they are ≥ one generation old)
-            sweepSupersededVersions(
-              java.nio.file.Paths.get(indexPath), committed + 1)
+            // keep = 0: delete every _v<k> with k < committed and the
+            // pre-versioning flat batch dirs — an explicit vacuum always
+            // sweeps to the current generation, whatever retentionCycles is
+            sweepSuperseded(java.nio.file.Paths.get(indexPath), committed,
+              dedupVersionOf, _.startsWith("batch="), keep = 0)
           }
       }
     }
     parent match {
       case Some(fam) => withIndexWriter(fam.toString)(body())
       case None => body()
+    }
+  }
+
+  /** Vacuum EVERY table of a multi-table family NOW — the one-call final
+    * step of the family-level erasure SLA (purge → vacuumFamily ⇒ the
+    * deleted rows' bytes are gone from disk, including the retained
+    * superseded generations and any crashed compaction's staging debris).
+    * Takes the family lock for the whole sweep, so a concurrent
+    * compaction cannot advance pointers between a table's resolve and its
+    * sweep (the [[vacuumIndex]] rationale, family-wide). */
+  def vacuumFamily(familyPath: String): Unit = withIndexWriter(familyPath) {
+    val root = java.nio.file.Paths.get(familyPath)
+    val ls = java.nio.file.Files.list(root)
+    val dirs = try ls.iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).toList finally ls.close()
+    dirs.foreach { d =>
+      if (d.getFileName.toString.startsWith("_staging_"))
+        clearDir(d.toString) // crashed-loser debris
+      else vacuumIndex(d.toString)
     }
   }
 

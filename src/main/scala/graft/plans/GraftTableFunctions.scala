@@ -132,9 +132,90 @@ object GraftTableFunctions {
         .queryExecution.analyzed
     })
 
+  /** `feature_store_merge(storeDir, group, changesPath, opCol[, tiebreakCol])`
+    * — the MERGE-INTO-shaped SQL WRITE face of the feature store (the last
+    * asymmetry in the SQL surface: reads had TVFs, writes were Scala-only).
+    * The parquet at `changesPath` is a CDC batch: rows whose `opCol` reads
+    * `'D'` are deletions, everything else upserts — the q111 CdcMerge
+    * semantics wired to [[graft.core.FeatureStore.ingest]] /
+    * [[graft.core.FeatureStore.deleteRecordsFrame]]. The batch first
+    * collapses to ONE NET change per key (latest by the group's event-time
+    * column, then `tiebreakCol` when given — sequential-apply semantics
+    * without sequential execution), then net upserts commit as one ingest
+    * and net deletions as one tombstone sequence AFTER it (within one
+    * batch, deletion outranks an upsert it nets against — per-key netting
+    * means a key is one or the other). Key and event-time columns come
+    * from the group's declared schema; the group must exist.
+    *
+    * STATEMENT SEMANTICS: like every graft TVF the plan builds at ANALYSIS
+    * time, which for a write face means the statement EXECUTES when
+    * analyzed — `spark.sql(...)` applies the merge and returns the one-row
+    * summary (n_upserted, n_deleted, ingest_seq, delete_seq; -1 = that
+    * side was empty). */
+  private[plans] val featureStoreMergeDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_merge"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_merge"),
+    (args: Seq[Expression]) => {
+      require(args.length == 4 || args.length == 5,
+        s"feature_store_merge expects (storeDir, group, changesPath, opCol[, tiebreakCol]), got ${args.length} arguments")
+      val store = litStr(args(0), "feature_store_merge storeDir")
+      val group = litStr(args(1), "feature_store_merge group")
+      val path = litStr(args(2), "feature_store_merge changesPath")
+      val opCol = litStr(args(3), "feature_store_merge opCol")
+      val tiebreak = if (args.length == 5) Seq(litStr(args(4), "tiebreakCol")) else Nil
+      val s = session
+      import s.implicits._
+      val fs = new graft.core.FeatureStore(s, store)
+      val g = fs.describeGroup(group)
+      val changes = s.read.parquet(path)
+      require(changes.columns.contains(opCol),
+        s"feature_store_merge: changes at $path carry no '$opCol' column")
+      val net = graft.operators.LatestPerKey.viaMaxBy(
+        changes, Seq(g.keyCol), g.eventTimeCol, tiebreak).persist()
+      try {
+        val nUp = net.filter(col(opCol) =!= "D").count()
+        val ingestSeq =
+          if (nUp == 0L) -1L
+          else fs.ingest(group, net.filter(col(opCol) =!= "D").drop(opCol))
+        val deletes = net.filter(col(opCol) === "D").select(col(g.keyCol))
+        val nDel = deletes.count()
+        val deleteSeq =
+          if (nDel == 0L) -1L else fs.deleteRecordsFrame(group, deletes)
+        Seq((nUp, nDel, ingestSeq, deleteSeq))
+          .toDF("n_upserted", "n_deleted", "ingest_seq", "delete_seq")
+          .queryExecution.analyzed
+      } finally net.unpersist(false): Unit
+    })
+
+  /** `feature_store_delete(storeDir, group, keysCsv)` — the DELETE-shaped
+    * GDPR face: `keysCsv` is the statement's explicit key list
+    * (`'17,23,99'` ≙ `DELETE ... WHERE key IN (17, 23, 99)`), applied via
+    * [[graft.core.FeatureStore.deleteRecords]] — online removal at once,
+    * offline tombstone, physical erase at the next compaction (the
+    * documented GDPR pipeline). Statement semantics: executes when
+    * analyzed; returns (n_keys, delete_seq). */
+  private[plans] val featureStoreDeleteDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_delete"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_delete"),
+    (args: Seq[Expression]) => {
+      require(args.length == 3,
+        s"feature_store_delete expects (storeDir, group, keysCsv), got ${args.length} arguments")
+      val store = litStr(args(0), "feature_store_delete storeDir")
+      val group = litStr(args(1), "feature_store_delete group")
+      val keys = litStr(args(2), "feature_store_delete keysCsv")
+        .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, "feature_store_delete: empty key list")
+      val s = session
+      import s.implicits._
+      val fs = new graft.core.FeatureStore(s, store)
+      val seq = fs.deleteRecords(group, keys)
+      Seq((keys.size.toLong, seq)).toDF("n_keys", "delete_seq")
+        .queryExecution.analyzed
+    })
+
   private[plans] val all: Seq[TvfDescriptor] =
     Seq(bm25TopKDescriptor, dedupExactMarksDescriptor, lmPplDescriptor,
-      annTopKDescriptor)
+      annTopKDescriptor, featureStoreMergeDescriptor, featureStoreDeleteDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL)
     * — mirrors [[GraftExtensions.register]]. */

@@ -214,8 +214,10 @@ object ZoneMap {
   def vacuum(path: String): Unit =
     graft.dedup.Dedup.withIndexWriter(path) {
       currentVersion(path).foreach(cur =>
-        graft.dedup.Dedup.sweepSuperseded(Paths.get(path), cur + 1,
-          zmVersionOf, FlatLegacyNames))
+        // keep = 0: an explicit vacuum sweeps to the current generation,
+        // whatever the configured retentionCycles policy keeps at commits
+        graft.dedup.Dedup.sweepSuperseded(Paths.get(path), cur,
+          zmVersionOf, FlatLegacyNames, keep = 0))
     }
 
   /** Append a new batch: the batch is range-sharded AMONG ITSELF into

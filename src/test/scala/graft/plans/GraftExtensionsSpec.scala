@@ -118,6 +118,62 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("SQL DML faces: feature_store_merge applies CDC upserts + deletes; feature_store_delete erases; bad arguments fail loudly") {
+    import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val sd = java.nio.file.Files.createTempDirectory("dml_store_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(FeatureGroup("g", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("v", FType.Integral))))
+    fs.ingest("g", Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (2L, ts("2024-01-01 00:00:00"), 20L),
+      (3L, ts("2024-01-01 00:00:00"), 30L)).toDF("k", "t", "v"))
+
+    // CDC batch: k=1 updated twice (later t wins), k=2 deleted, k=4 inserted
+    val chPath = java.nio.file.Files.createTempDirectory("dml_ch_")
+      .resolve("ch").toString
+    Seq(
+      (1L, ts("2024-01-02 00:00:00"), 11L, "U"),
+      (1L, ts("2024-01-03 00:00:00"), 12L, "U"),
+      (2L, ts("2024-01-02 00:00:00"), 0L, "D"),
+      (4L, ts("2024-01-02 00:00:00"), 40L, "U"))
+      .toDF("k", "t", "v", "op").write.parquet(chPath)
+    val summary = spark.sql(
+      s"SELECT * FROM feature_store_merge('$sd', 'g', '$chPath', 'op')")
+      .collect().head
+    assert(summary.getLong(0) == 2L && summary.getLong(1) == 1L,
+      s"2 net upserts + 1 delete, got $summary")
+    val afterMerge = fs.online("g").select("k", "v").as[(Long, Long)]
+      .collect().toMap
+    assert(afterMerge == Map(1L -> 12L, 3L -> 30L, 4L -> 40L),
+      s"merge must net per key, upsert, and delete: $afterMerge")
+
+    // DELETE-shaped statement: explicit key list
+    val del = spark.sql(
+      s"SELECT * FROM feature_store_delete('$sd', 'g', '1, 4')").collect().head
+    assert(del.getLong(0) == 2L)
+    val afterDelete = fs.online("g").select("k", "v").as[(Long, Long)]
+      .collect().toMap
+    assert(afterDelete == Map(3L -> 30L), s"delete must erase 1 and 4: $afterDelete")
+
+    // argument contract: missing op column, empty key list, non-literal args
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM feature_store_merge('$sd', 'g', '$chPath', 'nope')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM feature_store_delete('$sd', 'g', ' , ')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM feature_store_delete('$sd', 'g', k)").collect()
+    }
+    // and the statement that failed must not have changed the store
+    assert(fs.online("g").count() == 1L)
+  }
+
   test("zorder2 and hash_split_bucket are callable from SQL and agree with the Column API") {
     import graft.functions.GraftFunctions
     import spark.implicits._
