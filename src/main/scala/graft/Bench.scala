@@ -160,6 +160,16 @@ object Bench {
     // cpython probes still bracket the whole window, so a run where even
     // the minima are weather-inflated remains machine-identifiable.
     val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    // label the artifact with the source SHA it measured (VERDICT r10 nit:
+    // two same-protocol runs of different trees were ambiguous anchors for
+    // the 2x gate). Driver-side file reads only — works without a git exe.
+    val gitSha: String = try {
+      val head = Files.readString(Paths.get(".git/HEAD")).trim
+      if (head.startsWith("ref: ")) {
+        val ref = Paths.get(".git").resolve(head.stripPrefix("ref: "))
+        if (Files.exists(ref)) Files.readString(ref).trim.take(12) else "unknown"
+      } else head.take(12)
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
     var failed = Seq.empty[String]
     def render(results: Seq[(String, Double)], passesDone: Int,
         probeAfter: Double = -1.0, serving: Option[String] = None): String = {
@@ -174,7 +184,7 @@ object Bench {
       // probe_before/probe_after: CPython host-speed probe (see cpythonProbe)
       // — clean ≈ 2.0-2.1; a pair well above that marks the whole run as
       // throttle-inflated, a clean pair certifies the totals
-      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"per-query min over $passesDone/$passes passes","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter$servingJson,"artifact":"$outFile"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","protocol":"per-query min over $passesDone/$passes passes","sha":"$gitSha","queries":$qs,"failed":$failedJson,"sf":"$sfDir","probe_before":$probeBefore,"probe_after":$probeAfter$servingJson,"artifact":"$outFile"}"""
     }
 
     // noop sink, not count(): count() lets Catalyst prune unused projections,
