@@ -2676,7 +2676,14 @@ object QuerySuite {
       val q = StreamingPerplexityGate.start(stream, "doc_id", "text", idx,
         kept, tmpDir("q199_ckpt_"), maxLogPpl = QppGateThreshold)
       q.awaitTermination()
-      s.read.parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
+      // explicit schema: a gate may legitimately admit ZERO docs (the
+      // fixed threshold against a shifted corpus — sf10's 100× vocabulary
+      // raises every smoothed logppl), and an empty sink must read as an
+      // empty frame, not a schema-inference error (the gate's documented
+      // read contract)
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG, batch STRING")
+        .parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
     // ---- CCNet HEAD/MIDDLE/TAIL: the whole corpus ranked by perplexity

@@ -25,7 +25,16 @@ import graft.functions.LmPerplexity
   * the state, persisted and immutable). */
 object StreamingPerplexityGate {
 
-  /** @param maxLogPpl admit docs with `logppl <= maxLogPpl`; docs with no
+  /** READ CONTRACT for `keptPath`: a gate may legitimately admit ZERO
+    * docs (an absolute threshold against a shifted corpus — a 100×
+    * vocabulary raises every smoothed logppl), in which case the sink
+    * holds no parquet footer to infer a schema from. Readers pass the doc
+    * schema explicitly (`spark.read.schema(...).parquet(keptPath)`) —
+    * they own it, the gate is a filter. The alternative (seeding an empty
+    * unpartitioned file) would collide with the `batch=` partition layout
+    * of later non-empty batches.
+    *
+    * @param maxLogPpl admit docs with `logppl <= maxLogPpl`; docs with no
     *   bigram (fewer than 2 tokens) are REJECTED — the model cannot assess
     *   them, and an unassessable doc passing a quality gate is the unsafe
     *   default (mirrored by the oracle).

@@ -222,4 +222,28 @@ class LmPerplexitySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got == expect, s"gate admitted $got, batch scoring says $expect")
   }
+
+  test("streaming gate that admits ZERO docs leaves a sink the documented explicit-schema read returns empty") {
+    // the sf10 finding: an absolute threshold against a shifted corpus can
+    // legitimately reject everything; the kept sink then has no parquet
+    // footer and a schema-INFERRING read fails — the gate's read contract
+    // is an explicit schema, under which the empty sink is an empty frame
+    val dir = tmp("lmgate0_src_")
+    val train = (1L to 50L)
+      .map(i => (i, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val idx = tmp("lmidx0_")
+    LmPerplexity.buildLmIndex(train, "doc_id", "text", idx)
+    Seq((201L, "ga bu zo meu"), (202L, "tiny"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val kept = tmp("lmgate0_kept_") + "/out"
+    val q = graft.streaming.StreamingPerplexityGate.start(
+      spark.readStream.schema("doc_id LONG, text STRING").parquet(dir),
+      "doc_id", "text", idx, kept, tmp("lmgate0_ckpt_"),
+      maxLogPpl = -1.0) // below any smoothed logppl: nothing admits
+    q.awaitTermination()
+    val got = spark.read.schema("doc_id LONG, text STRING, batch STRING")
+      .parquet(kept).count()
+    assert(got == 0L, s"reject-all gate must read as an empty frame, got $got rows")
+  }
 }
