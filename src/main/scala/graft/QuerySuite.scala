@@ -920,7 +920,13 @@ object QuerySuite {
         tmpDir("q72_ckpt_"), threshold = 0.5,
         candidateSink = Some(aux(dir, "q72_candidates")))
       q.awaitTermination()
-      val keptIds = s.read.parquet(kept).select(col("doc_id"))
+      // gate-sink read contract: explicit schema — a gate may legitimately
+      // keep ZERO rows, and an empty sink must read as an empty frame, not
+      // a schema-inference error (the q199-at-sf10 finding, applied to the
+      // class; same at every gate reader below)
+      val keptIds = s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG, batch STRING")
+        .parquet(kept).select(col("doc_id"))
         .withColumn("__kept", lit(true))
       docs.filter(pmod(col("doc_id"), lit(2)) === 1).select(col("doc_id"))
         .join(keptIds, Seq("doc_id"), "left")
@@ -954,7 +960,9 @@ object QuerySuite {
         tmpDir("q152_ckpt_"), threshold = 0.9,
         candidateSink = Some(aux(dir, "q152_candidates")))
       q.awaitTermination()
-      val keptIds = s.read.parquet(kept).select(col("vec_id"))
+      val keptIds = s.read
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT, batch STRING")
+        .parquet(kept).select(col("vec_id"))
         .withColumn("__kept", lit(true))
       emb.filter(pmod(col("vec_id"), lit(2)) === 1).select(col("vec_id"))
         .join(keptIds, Seq("vec_id"), "left")
@@ -2777,7 +2785,9 @@ object QuerySuite {
       val q = StreamingDsirGate.start(stream, "doc_id", "text", idx,
         kept, tmpDir("q206_ckpt_"), minLogratio = cutoff)
       q.awaitTermination()
-      s.read.parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, " +
+          "n_chars LONG, batch STRING")
+        .parquet(kept).select("doc_id", "lang", "source").orderBy("doc_id")
     }),
 
     // ---- UNICODE TEXT NORMALIZATION (ingest preprocessing): the corpus is
@@ -3464,8 +3474,15 @@ object QuerySuite {
       val streamedIds = docs
         .filter(col("bucket") < 80 && pmod(col("doc_id"), lit(2)) === 1)
         .select("doc_id")
-      val verdicts = s.read.parquet(verd).select(col("doc_id"), col("quarantined"))
-      val keptIds = s.read.parquet(kept).select(col("doc_id"))
+      // subset explicit schemas (extra file columns are ignored): both
+      // sinks may legitimately be empty — reject-all gate / all-duplicate
+      // batch
+      val verdicts = s.read
+        .schema("doc_id LONG, quarantined BOOLEAN, batch STRING")
+        .parquet(verd).select(col("doc_id"), col("quarantined"))
+      val keptIds = s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG, batch STRING")
+        .parquet(kept).select(col("doc_id"))
         .withColumn("__kept", lit(true))
       streamedIds
         .join(verdicts, Seq("doc_id"), "left")
@@ -3599,7 +3616,9 @@ object QuerySuite {
       val q = StreamingDecontamGate.start(stream, "doc_id", "text", idx, kept,
         verdicts, tmpDir("q179_ckpt_"), maxRatio = 0.9)
       q.awaitTermination()
-      s.read.parquet(verdicts)
+      s.read.schema("doc_id LONG, n_grams LONG, n_seen LONG, ratio DOUBLE, " +
+          "quarantined BOOLEAN, batch STRING")
+        .parquet(verdicts)
         .select("doc_id", "n_grams", "n_seen", "ratio", "quarantined")
         .orderBy("doc_id")
     }),
@@ -3649,7 +3668,9 @@ object QuerySuite {
         tmpDir("q170_ckpt_"),
         candidateSink = Some(aux(dir, "q170_candidates")))
       q.awaitTermination()
-      val keptIds = s.read.parquet(kept).select(col("doc_id"))
+      val keptIds = s.read.schema("doc_id LONG, text STRING, lang STRING, " +
+          "source STRING, n_chars LONG, batch STRING")
+        .parquet(kept).select(col("doc_id"))
         .withColumn("__kept", lit(true))
       docs.filter(pmod(col("doc_id"), lit(2)) === 1).select(col("doc_id"))
         .join(keptIds, Seq("doc_id"), "left")
