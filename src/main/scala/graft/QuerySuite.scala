@@ -1348,6 +1348,56 @@ object QuerySuite {
       fs.online("del_fg").select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
+    // ---- q238: the COMPACT maintenance statement (round 12 — the SQL
+    //      GDPR pipeline's middle step): delete a key set through
+    //      feature_store_delete, then feature_store_compact rewrites the
+    //      offline history folding the tombstones in; the query returns
+    //      the POST-COMPACTION history through the store's own offline
+    //      face, so a key the rewrite failed to erase (or over-erased)
+    //      hashes visible against the events-minus-keys oracle ----
+    "q238_fs_compact_sql" -> ((s, dir) => {
+      val sd = tmpDir("q238_store_")
+      val fs = new FeatureStore(s, sd)
+      fs.createGroup(FeatureGroup("cmp_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional))))
+      fs.ingest("cmp_fg", Tables.events(s, dir))
+      val doomed = Tables.events(s, dir).select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(7)) === 0)
+        .orderBy("user_id").collect().map(_.get(0)).mkString(",")
+      s.sql(s"SELECT * FROM feature_store_delete('$sd', 'cmp_fg', '$doomed')")
+        .collect(): Unit
+      s.sql(s"SELECT * FROM feature_store_compact('$sd', 'cmp_fg')")
+        .collect(): Unit
+      fs.offline("cmp_fg").select(latestCols.map(col): _*).orderBy("event_id")
+    }),
+
+    // ---- q239: the VACUUM maintenance statement — two ingests create a
+    //      superseded online snapshot, feature_store_vacuum(keep=1) drops
+    //      it; the query returns the LATEST snapshot afterwards, so a
+    //      vacuum that dropped (or corrupted) the current version hashes
+    //      visible against the q10-shaped latest-per-key oracle ----
+    "q239_fs_vacuum_sql" -> ((s, dir) => {
+      val sd = tmpDir("q239_store_")
+      val fs = new FeatureStore(s, sd)
+      fs.createGroup(FeatureGroup("vac_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional))))
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast(TimestampType)
+      fs.ingest("vac_fg", ev.filter(col("ts") < cut))
+      fs.ingest("vac_fg", ev.filter(col("ts") >= cut))
+      s.sql(s"SELECT * FROM feature_store_vacuum('$sd', 'vac_fg', 1)")
+        .collect(): Unit
+      fs.online("vac_fg").select(latestCols.map(col): _*).orderBy("user_id")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -6839,6 +6889,17 @@ object QuerySuite {
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t
         |WHERE rn = 1 AND user_id % 7 <> 0 ORDER BY user_id""".stripMargin,
+
+    // the COMPACT statement rewrites offline history folding tombstones in
+    // — the post-compaction history is events minus the deleted key set,
+    // every row (history, not latest-per-key)
+    "q238_fs_compact_sql" ->
+      """SELECT user_id, event_id, ts, event_type, value FROM events
+        |WHERE user_id % 7 <> 0 ORDER BY event_id""".stripMargin,
+
+    // the VACUUM statement drops superseded online snapshots and must leave
+    // LATEST untouched — the latest-per-key oracle over the full corpus
+    "q239_fs_vacuum_sql" -> latestOracle,
 
     "q230_ivfadc_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

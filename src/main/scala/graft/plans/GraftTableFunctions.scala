@@ -15,12 +15,16 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   SELECT * FROM dedup_exact_marks('/data/docs.parquet', 'doc_id', 'text')
   *   SELECT * FROM lm_ppl('/idx/lm', '/data/docs.parquet', 'doc_id', 'text')
   *
-  * Each builder runs at ANALYSIS time: it resolves its literal arguments,
-  * constructs exactly the Column-API plan (the same code path — SQL and
-  * Scala cannot drift; GraftExtensionsSpec asserts ≡, and q232–q234 oracle
-  * the SQL forms against the Column-API queries' DuckDB oracles), and
-  * returns its analyzed LogicalPlan for the outer query to splice. Tuning
-  * arguments must be literals, exactly like Spark's own `range(0, 10)` TVF.
+  * Each READ builder runs at ANALYSIS time: it resolves its literal
+  * arguments, constructs exactly the Column-API plan (the same code path —
+  * SQL and Scala cannot drift; GraftExtensionsSpec asserts ≡, and q232–q234
+  * oracle the SQL forms against the Column-API queries' DuckDB oracles),
+  * and returns its analyzed LogicalPlan for the outer query to splice. The
+  * WRITE/MAINTENANCE faces (feature_store_merge / _delete / _compact /
+  * _vacuum, index_vacuum) instead return [[FeatureStoreCommands]] nodes
+  * whose side effects run at EXECUTION time — see that file for the
+  * EXPLAIN / failed-analysis contract. Tuning arguments must be literals,
+  * exactly like Spark's own `range(0, 10)` TVF.
   *
   * Note on `lm_ppl`: [[graft.functions.LmPerplexity.perplexityIndexed]]
   * materializes its result (the staged probe plan collects the request
@@ -147,44 +151,23 @@ object GraftTableFunctions {
     * means a key is one or the other). Key and event-time columns come
     * from the group's declared schema; the group must exist.
     *
-    * STATEMENT SEMANTICS: like every graft TVF the plan builds at ANALYSIS
-    * time, which for a write face means the statement EXECUTES when
-    * analyzed — `spark.sql(...)` applies the merge and returns the one-row
-    * summary (n_upserted, n_deleted, ingest_seq, delete_seq; -1 = that
-    * side was empty). */
+    * EXECUTION-TIME semantics (round 12): the builder only parses its
+    * literal arguments and returns a [[FeatureStoreMergeCommand]] — the
+    * merge runs when Spark executes the command (eager on `spark.sql`,
+    * like INSERT), never on EXPLAIN or a failed outer analysis. Summary
+    * row: (n_upserted, n_deleted, ingest_seq, delete_seq; -1 = empty). */
   private[plans] val featureStoreMergeDescriptor: TvfDescriptor = (
     FunctionIdentifier("feature_store_merge"),
     new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_merge"),
     (args: Seq[Expression]) => {
       require(args.length == 4 || args.length == 5,
         s"feature_store_merge expects (storeDir, group, changesPath, opCol[, tiebreakCol]), got ${args.length} arguments")
-      val store = litStr(args(0), "feature_store_merge storeDir")
-      val group = litStr(args(1), "feature_store_merge group")
-      val path = litStr(args(2), "feature_store_merge changesPath")
-      val opCol = litStr(args(3), "feature_store_merge opCol")
-      val tiebreak = if (args.length == 5) Seq(litStr(args(4), "tiebreakCol")) else Nil
-      val s = session
-      import s.implicits._
-      val fs = new graft.core.FeatureStore(s, store)
-      val g = fs.describeGroup(group)
-      val changes = s.read.parquet(path)
-      require(changes.columns.contains(opCol),
-        s"feature_store_merge: changes at $path carry no '$opCol' column")
-      val net = graft.operators.LatestPerKey.viaMaxBy(
-        changes, Seq(g.keyCol), g.eventTimeCol, tiebreak).persist()
-      try {
-        val nUp = net.filter(col(opCol) =!= "D").count()
-        val ingestSeq =
-          if (nUp == 0L) -1L
-          else fs.ingest(group, net.filter(col(opCol) =!= "D").drop(opCol))
-        val deletes = net.filter(col(opCol) === "D").select(col(g.keyCol))
-        val nDel = deletes.count()
-        val deleteSeq =
-          if (nDel == 0L) -1L else fs.deleteRecordsFrame(group, deletes)
-        Seq((nUp, nDel, ingestSeq, deleteSeq))
-          .toDF("n_upserted", "n_deleted", "ingest_seq", "delete_seq")
-          .queryExecution.analyzed
-      } finally net.unpersist(false): Unit
+      FeatureStoreMergeCommand(
+        storeDir = litStr(args(0), "feature_store_merge storeDir"),
+        group = litStr(args(1), "feature_store_merge group"),
+        changesPath = litStr(args(2), "feature_store_merge changesPath"),
+        opCol = litStr(args(3), "feature_store_merge opCol"),
+        tiebreak = if (args.length == 5) Seq(litStr(args(4), "tiebreakCol")) else Nil)
     })
 
   /** `feature_store_delete(storeDir, group, keysCsv)` — the DELETE-shaped
@@ -192,30 +175,77 @@ object GraftTableFunctions {
     * (`'17,23,99'` ≙ `DELETE ... WHERE key IN (17, 23, 99)`), applied via
     * [[graft.core.FeatureStore.deleteRecords]] — online removal at once,
     * offline tombstone, physical erase at the next compaction (the
-    * documented GDPR pipeline). Statement semantics: executes when
-    * analyzed; returns (n_keys, delete_seq). */
+    * documented GDPR pipeline). Execution-time command semantics
+    * ([[FeatureStoreDeleteCommand]]); returns (n_keys, delete_seq). */
   private[plans] val featureStoreDeleteDescriptor: TvfDescriptor = (
     FunctionIdentifier("feature_store_delete"),
     new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_delete"),
     (args: Seq[Expression]) => {
       require(args.length == 3,
         s"feature_store_delete expects (storeDir, group, keysCsv), got ${args.length} arguments")
-      val store = litStr(args(0), "feature_store_delete storeDir")
-      val group = litStr(args(1), "feature_store_delete group")
       val keys = litStr(args(2), "feature_store_delete keysCsv")
         .split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
       require(keys.nonEmpty, "feature_store_delete: empty key list")
-      val s = session
-      import s.implicits._
-      val fs = new graft.core.FeatureStore(s, store)
-      val seq = fs.deleteRecords(group, keys)
-      Seq((keys.size.toLong, seq)).toDF("n_keys", "delete_seq")
-        .queryExecution.analyzed
+      FeatureStoreDeleteCommand(
+        storeDir = litStr(args(0), "feature_store_delete storeDir"),
+        group = litStr(args(1), "feature_store_delete group"),
+        keys = keys)
+    })
+
+  /** `feature_store_compact(storeDir, group)` — statement face of offline
+    * compaction ([[FeatureStoreCompactCommand]] →
+    * [[graft.core.FeatureStore.compactOffline]]): folds tombstones into a
+    * rewritten history version (the physical GDPR erase) and GCs superseded
+    * versions. Returns (n_files). */
+  private[plans] val featureStoreCompactDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_compact"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_compact"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"feature_store_compact expects (storeDir, group), got ${args.length} arguments")
+      FeatureStoreCompactCommand(
+        storeDir = litStr(args(0), "feature_store_compact storeDir"),
+        group = litStr(args(1), "feature_store_compact group"))
+    })
+
+  /** `feature_store_vacuum(storeDir, group[, keep])` — statement face of
+    * online snapshot retention ([[FeatureStoreVacuumCommand]] →
+    * [[graft.core.FeatureStore.gcOnline]]); keep defaults to 2, never drops
+    * LATEST. Returns (n_dropped, n_kept). */
+  private[plans] val featureStoreVacuumDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_vacuum"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_vacuum"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        s"feature_store_vacuum expects (storeDir, group[, keep]), got ${args.length} arguments")
+      val keep = if (args.length == 3) litInt(args(2), "feature_store_vacuum keep") else 2
+      require(keep >= 1, s"feature_store_vacuum keep must be >= 1, got $keep")
+      FeatureStoreVacuumCommand(
+        storeDir = litStr(args(0), "feature_store_vacuum storeDir"),
+        group = litStr(args(1), "feature_store_vacuum group"),
+        keep = keep)
+    })
+
+  /** `index_vacuum(familyPath)` — statement face of
+    * [[graft.dedup.Dedup.vacuumFamily]] ([[IndexVacuumCommand]]): drops
+    * superseded index generations below the family retention floor — the
+    * byte-level erasure SLA's final step, now reachable from SQL so the
+    * documented GDPR pipeline (delete → compact → vacuum) runs entirely as
+    * statements. Returns (family, vacuumed). */
+  private[plans] val indexVacuumDescriptor: TvfDescriptor = (
+    FunctionIdentifier("index_vacuum"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "index_vacuum"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1,
+        s"index_vacuum expects (familyPath), got ${args.length} arguments")
+      IndexVacuumCommand(litStr(args(0), "index_vacuum familyPath"))
     })
 
   private[plans] val all: Seq[TvfDescriptor] =
     Seq(bm25TopKDescriptor, dedupExactMarksDescriptor, lmPplDescriptor,
-      annTopKDescriptor, featureStoreMergeDescriptor, featureStoreDeleteDescriptor)
+      annTopKDescriptor, featureStoreMergeDescriptor, featureStoreDeleteDescriptor,
+      featureStoreCompactDescriptor, featureStoreVacuumDescriptor,
+      indexVacuumDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL)
     * — mirrors [[GraftExtensions.register]]. */

@@ -174,6 +174,118 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(fs.online("g").count() == 1L)
   }
 
+  test("DML statements execute at EXECUTION time: EXPLAIN and a failed outer analysis leave the store untouched; NULL op upserts") {
+    import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val sd = java.nio.file.Files.createTempDirectory("dml_exec_store_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(FeatureGroup("g", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("v", FType.Integral))))
+    fs.ingest("g", Seq((1L, ts("2024-01-01 00:00:00"), 10L)).toDF("k", "t", "v"))
+    val chPath = java.nio.file.Files.createTempDirectory("dml_exec_ch_")
+      .resolve("ch").toString
+    Seq(
+      (2L, ts("2024-01-02 00:00:00"), 20L, "U"),
+      (3L, ts("2024-01-02 00:00:00"), 30L, null.asInstanceOf[String]), // NULL op ⇒ upsert, not vanish
+      (1L, ts("2024-01-02 00:00:00"), 0L, "D"))
+      .toDF("k", "t", "v", "op").write.parquet(chPath)
+    val mergeSql = s"SELECT * FROM feature_store_merge('$sd', 'g', '$chPath', 'op')"
+    def state(): (Seq[Long], Map[Long, Long]) =
+      (fs.onlineVersions("g"),
+        fs.online("g").select("k", "v").as[(Long, Long)].collect().toMap)
+    val before = state()
+
+    // EXPLAIN plans the command but must not run it (ExplainCommand
+    // re-plans its child with command execution SKIPped)
+    val plan = spark.sql(s"EXPLAIN EXTENDED $mergeSql").as[String].head()
+    assert(plan.contains("FeatureStoreMergeCommand"), s"plan was:\n$plan")
+    assert(state() == before, "EXPLAIN must not commit the merge")
+
+    // an outer query that fails ANALYSIS after the TVF resolves must not
+    // commit either — the round-11 verdict's footgun
+    intercept[Exception] {
+      spark.sql(s"SELECT bogus_col FROM feature_store_merge('$sd', 'g', '$chPath', 'op')")
+    }
+    assert(state() == before, "a failed outer analysis must not commit the merge")
+    spark.sql(s"EXPLAIN SELECT * FROM feature_store_delete('$sd', 'g', '1')").collect()
+    spark.sql(s"EXPLAIN SELECT * FROM feature_store_compact('$sd', 'g')").collect()
+    assert(state() == before, "EXPLAIN must not compact/delete")
+
+    // executing the statement commits it — and the NULL-op row UPSERTS
+    // (null-safe comparison; previously it silently vanished)
+    val sum = spark.sql(mergeSql).collect().head
+    assert(sum.getLong(0) == 2L && sum.getLong(1) == 1L, s"got $sum")
+    assert(state()._2 == Map(2L -> 20L, 3L -> 30L),
+      "NULL-op row must upsert; 'D' row must delete")
+  }
+
+  test("SQL maintenance statements: compact folds tombstones, vacuum drops superseded snapshots, index_vacuum erases below the floor") {
+    import graft.core.{FType, FeatureDef, FeatureGroup, FeatureStore}
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val sd = java.nio.file.Files.createTempDirectory("mnt_store_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(FeatureGroup("g", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("v", FType.Integral),
+      FeatureDef("s", FType.FString))))
+    val sentinel = "GDPR_SENTINEL_7c4f1e"
+    (1 to 4).foreach { i =>
+      fs.ingest("g", Seq((i.toLong, ts(s"2024-01-0$i 00:00:00"), i * 10L,
+        if (i == 2) sentinel else s"plain$i")).toDF("k", "t", "v", "s"))
+    }
+    spark.sql(s"SELECT * FROM feature_store_delete('$sd', 'g', '2')").collect()
+
+    // the documented GDPR pipeline, entirely from SQL: delete → compact → vacuum
+    val nFiles = spark.sql(s"SELECT * FROM feature_store_compact('$sd', 'g')")
+      .collect().head.getLong(0)
+    assert(nFiles > 0L)
+    // post-compaction the deleted key is PHYSICALLY absent from history
+    assert(fs.offline("g").filter($"k" === 2L).count() == 0L)
+    assert(fs.online("g").select("k").as[Long].collect().toSet == Set(1L, 3L, 4L))
+
+    val vac = spark.sql(s"SELECT * FROM feature_store_vacuum('$sd', 'g', 1)")
+      .collect().head
+    assert(vac.getLong(0) >= 1L, s"4 ingests + a delete must leave versions to drop: $vac")
+    assert(fs.online("g").count() == 3L, "vacuum never drops LATEST")
+
+    // BYTE-LEVEL absence through the statement path alone: after
+    // delete → compact → vacuum, NO file under the store still holds the
+    // erased record's sentinel bytes (parquet history, online snapshots,
+    // serving KV — everything)
+    {
+      import java.nio.file.{Files => JFiles, Paths}
+      val walk = JFiles.walk(Paths.get(sd))
+      val holders = try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.filter(JFiles.isRegularFile(_)).filter { f =>
+          new String(JFiles.readAllBytes(f),
+            java.nio.charset.StandardCharsets.ISO_8859_1).contains(sentinel)
+        }.toList
+      } finally walk.close()
+      assert(holders.isEmpty,
+        s"erased bytes survive the SQL GDPR pipeline in: $holders")
+    }
+
+    // index_vacuum: statement face over a persisted BM25 family
+    import graft.functions.LexicalRetrieval
+    val docs = Seq((1L, "spark window hash"), (2L, "hash join scan"))
+      .toDF("doc_id", "text")
+    val fam = java.nio.file.Files.createTempDirectory("mnt_fam_").toString
+    LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", fam)
+    LexicalRetrieval.deleteFromBm25Index(Seq(2L).toDF("doc_id"), "doc_id", fam, "d1")
+    LexicalRetrieval.compactBm25Index(spark, fam)
+    val iv = spark.sql(s"SELECT * FROM index_vacuum('$fam')").collect().head
+    assert(iv.getString(0) == fam && iv.getBoolean(1))
+    val hits = spark.sql(s"SELECT * FROM bm25_topk('$fam', 'hash', 5)")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L), s"post-vacuum serve must still exclude the erased doc: $hits")
+  }
+
   test("zorder2 and hash_split_bucket are callable from SQL and agree with the Column API") {
     import graft.functions.GraftFunctions
     import spark.implicits._
