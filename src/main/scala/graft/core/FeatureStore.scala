@@ -578,10 +578,37 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Any parquet DATA file under `dir`, honoring Spark's hidden-path
+    * convention: `_`/`.`-prefixed entries are skipped unless the name
+    * carries `=` (partition dirs like `_key_bucket=3` are data). Skipping
+    * is load-bearing, not cosmetic: the stats and serving-KV jobs run
+    * CONCURRENTLY per commit, and a plain Files.walk descending into
+    * `_serving` while the KV job create/renames `bucket=*.kv.attempt-*`
+    * files there threw UncheckedIOException(NoSuchFileException) —
+    * transiently failing the commit (round-12 ADVICE). Never descending
+    * into hidden subtrees removes the race; visitFileFailed tolerates a
+    * same-dir rename as belt-and-braces. */
   private def hasParquet(dir: Path): Boolean = {
-    val walk = Files.walk(dir)
-    try walk.anyMatch(p => p.toString.endsWith(".parquet"))
-    finally walk.close()
+    var found = false
+    Files.walkFileTree(dir, new java.nio.file.SimpleFileVisitor[Path] {
+      private def hidden(p: Path): Boolean = {
+        val n = p.getFileName.toString
+        (n.startsWith("_") || n.startsWith(".")) && !n.contains("=")
+      }
+      override def preVisitDirectory(d: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult =
+        if (d != dir && hidden(d)) java.nio.file.FileVisitResult.SKIP_SUBTREE
+        else java.nio.file.FileVisitResult.CONTINUE
+      override def visitFile(f: Path,
+          attrs: java.nio.file.attribute.BasicFileAttributes): java.nio.file.FileVisitResult =
+        if (f.toString.endsWith(".parquet") && !hidden(f)) {
+          found = true; java.nio.file.FileVisitResult.TERMINATE
+        } else java.nio.file.FileVisitResult.CONTINUE
+      override def visitFileFailed(f: Path,
+          e: java.io.IOException): java.nio.file.FileVisitResult =
+        java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk ≠ error here
+    }): Unit
+    found
   }
 
   /** Per-bucket key counts of a staged snapshot — reads only the partition

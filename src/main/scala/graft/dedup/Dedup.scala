@@ -688,6 +688,22 @@ object Dedup {
         }
       }
     })
+    // MIGRATION BACKFILL (round-12 ADVICE): a table FIRST versioned by this
+    // commit (prevMax 0) in a family whose counter is already past 0 gets
+    // an EMPTY dir at the SUPERSEDED generation too — without it, a serve
+    // pinned at `expected` races this flip into the vacuumed-pin detector
+    // (_vN absent, no flat batch dirs, _v{N+1} present ⇒ misclassified as
+    // vacuumed and failed loudly) when the right answer is "no markers at
+    // generation N". Only when NO flat batch dirs exist: with flat dirs
+    // present they ARE the pinned generation's data and the fallback must
+    // keep resolving to them, not to a fresh empty dir.
+    expected.foreach { exp =>
+      staged.foreach { case (name, _, _, _, _, _) =>
+        val tableDir = Paths.get(familyPath, name)
+        if (prevMaxByTable.getOrElse(name, 0L) == 0L && !hasFlatBatchDirs(tableDir))
+          Files.createDirectories(tableDir.resolve(exp)): Unit
+      }
+    }
     try graft.core.OptimisticPointer.casSwap(root, "FAMILY", expected, next,
       stages = staged.map(s => s._5 -> s._6))
     finally staged.foreach(s => clearDir(s._5.toString)) // loser cleans staging
@@ -877,6 +893,19 @@ object Dedup {
     val parent = Option(java.nio.file.Paths.get(indexPath).getParent)
       .filter(p => java.nio.file.Files.exists(p.resolve("FAMILY")))
     def body(): Unit = withIndexWriter(indexPath) {
+      // crashed-compaction staging debris lives INSIDE the table dir
+      // (`_staging__vN_*`) where the `_v<k>`/`batch=*` sweep never matched
+      // it (round-12 ADVICE: purged-generation bytes survived the erasure
+      // SLA's final step). The writer lock excludes a live compaction, so
+      // any staging dir present here is debris by definition.
+      val ixp = java.nio.file.Paths.get(indexPath)
+      if (java.nio.file.Files.isDirectory(ixp)) {
+        val ls = java.nio.file.Files.list(ixp)
+        val stale = try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("_staging_")).toList
+          finally ls.close()
+        stale.foreach(p => clearDir(p.toString))
+      }
       val cur = resolveIndexDir(indexPath)
       if (cur != indexPath) {
         dedupVersionOf(java.nio.file.Paths.get(cur).getFileName.toString)

@@ -138,6 +138,45 @@ class MarkerSnapshotSpec extends SparkSpec {
     assert(Dedup.resolveIndexDirPinned(bare.toString, Some("_v3")) == bare.toString)
   }
 
+  test("marker-table migration: a pinned serve racing the first compaction that versions an empty marker table reads 'no markers', not a vacuum failure") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"spark shuffle alpha w$i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("marker_migrate_").toString
+    LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 4)
+    LexicalRetrieval.compactBm25Index(spark, idx)
+    val fam = Dedup.readFamilyPointer(idx).get // _vN
+
+    // simulate a family compacted BEFORE marker tables were versioned: the
+    // tombstones table has no generation dir and no flat batch dirs (no
+    // pending deletes — the common case of the round-12 ADVICE misfire)
+    val tomb = java.nio.file.Paths.get(idx, "tombstones")
+    val walk = java.nio.file.Files.walk(tomb)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+
+    // a serve pins the family at _vN, then the next compaction (the one
+    // that first versions the marker table) commits _v{N+1}
+    val snap = Dedup.familySnapshot(idx)
+    assert(snap.version.contains(fam))
+    LexicalRetrieval.compactBm25Index(spark, idx)
+    assert(Dedup.readFamilyPointer(idx).exists(_ != fam), "sanity: new generation")
+
+    // pre-fix: IllegalStateException("vacuumed"); post-fix: the migration
+    // backfill leaves an EMPTY _vN so the pinned read resolves to
+    // "no markers at generation N"
+    assert(Dedup.readMarkerTable(spark, idx, "tombstones",
+        snapshot = Some(snap)).isEmpty,
+      "a legitimately-absent marker generation must read as empty, not vacuumed")
+    // and the backfilled dir exists at the superseded generation
+    assert(java.nio.file.Files.isDirectory(tomb.resolve(fam)))
+    // serving through the new generation is unaffected
+    val hits = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("spark"))).toDF("query_id", "terms"), k = 3)
+    assert(hits.count() == 3)
+  }
+
   test("LM rebuild clears the previous generation's unlearn markers (delete of a re-ingested doc must decrement)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"alpha beta gamma w$i delta"))

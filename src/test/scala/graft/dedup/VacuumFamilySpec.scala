@@ -82,6 +82,31 @@ class VacuumFamilySpec extends SparkSpec {
     assert(after == before, "serving unchanged by the vacuum")
   }
 
+  test("vacuumFamily reclaims crashed-compaction staging debris INSIDE table dirs (the erasure SLA covers _staging_ bytes)") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("vacfam_staging_").toString
+    LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 4)
+    // a compaction that crashed pre-flip leaves its staging dir inside the
+    // TABLE dir — named neither `_v<k>` nor `batch=*`, so the version sweep
+    // never matched it and purged-generation bytes survived (round-12
+    // ADVICE). Plant debris in a table dir AND at the family root.
+    val tableDebris = Paths.get(idx, "doclens", "_staging__v9_deadbeef")
+    val rootDebris = Paths.get(idx, "_staging__v9_cafe")
+    Files.createDirectories(tableDebris)
+    Files.write(tableDebris.resolve("leak.parquet"), "doomedbytes".getBytes)
+    Files.createDirectories(rootDebris)
+    Dedup.vacuumFamily(idx)
+    assert(!Files.exists(tableDebris),
+      "vacuumFamily must clear staging debris inside table dirs")
+    assert(!Files.exists(rootDebris),
+      "vacuumFamily must clear staging debris at the family root")
+    // the family still serves
+    val hits = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("alpha"))).toDF("query_id", "terms"), k = 2)
+    assert(hits.count() == 2)
+  }
+
   test("retentionCycles = 2 keeps two superseded generations at commit time; explicit vacuum still sweeps to keep-0") {
     import spark.implicits._
     val docs = (1L to 10L).map(i => (i, s"alpha beta w$i")).toDF("doc_id", "text")
