@@ -27,14 +27,25 @@ object Privacy {
     * releases strictly more data at the same k than global recoding — the
     * big level-0 groups keep full precision.
     *
-    * Scale shape: per level, one aggregate over the (narrow, string-cast)
-    * quasi columns, a semi-join of the projection against the ≥k group
-    * table (group tables are ≤ distinct-combination rows — AQE broadcasts
-    * them while they fit), and an id-only anti-join to form the residual.
-    * Levels are few by construction (a ladder deeper than 3–4 has
-    * generalized away its utility), so the chained lineage stays shallow.
-    * The guarantee is exact, not probabilistic: group counts are plain
-    * integer aggregates.
+    * Scale shape (round 12 — one pass, not one pass PER level): the rows
+    * shuffle ONCE, into a count of every distinct JOINT tuple (all levels'
+    * quasi values side by side — at most distinct-level-0-tuple rows, and
+    * the aggregation is map-side partial). The residual cascade then runs
+    * entirely on that combo frame: level i's residual group size is a
+    * windowed sum of combo counts over the level-i tuple, masked to combos
+    * not released earlier — integer-exact and equal by construction to the
+    * re-grouped residual counts of the level-at-a-time formulation (a
+    * row's membership in level i's residual depends only on its joint
+    * tuple). One join keyed on the joint tuple maps each input row to its
+    * released level (AQE broadcasts the combo frame while it fits). The
+    * per-level agg + semi-join + anti-join chain this replaces planned ~76
+    * exchanges at 4 levels; this plans one full-data shuffle, L tiny
+    * window exchanges, and the map-back join. The guarantee stays exact:
+    * group counts are plain integer aggregates.
+    *
+    * Null semantics (unchanged): a tuple containing NULL at level i never
+    * releases at that level — the old equality semi-join could not match
+    * it; the cascade keeps that contract explicitly.
     *
     * @param levels each level maps the SAME quasi column names (same
     *   order) to progressively coarser value expressions; values are cast
@@ -53,27 +64,48 @@ object Privacy {
     val names = levels.head.map(_._1)
     require(levels.forall(_.map(_._1) == names),
       "every level must generalize the same quasi columns in the same order")
+    val L = levels.size
+    def qn(i: Int, j: Int) = s"__q_${i}_$j"
+    val qCols = (0 until L).flatMap(i => names.indices.map(j => qn(i, j)))
 
-    var rem = df
-    var released = Vector.empty[DataFrame]
-    levels.zipWithIndex.foreach { case (lvl, i) =>
-      val proj = rem.select(
-        col(id) +: lvl.map { case (n, c) => c.cast("string").as(n) }: _*)
-      val okGroups = proj.groupBy(names.map(col): _*)
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") >= k)
-        .drop("__n")
-      // the using-columns semi join fronts the join keys — re-project to
-      // the declared (id, quasi..., gen_level) order
-      val kept = proj.join(okGroups, names, "left_semi")
-        .withColumn("gen_level", lit(i))
-        .select(col(id) +: names.map(col) :+ col("gen_level"): _*)
-      released :+= kept
-      rem = rem.join(kept.select(col(id)), Seq(id), "left_anti")
+    // every level's tuple, side by side, string-cast once per row
+    val proj = df.select(col(id) +: levels.zipWithIndex.flatMap {
+      case (lvl, i) => lvl.zipWithIndex.map {
+        case ((_, c), j) => c.cast("string").as(qn(i, j))
+      }
+    }: _*)
+
+    // ONE shuffle of the data: the joint-tuple histogram
+    val combo = proj.groupBy(qCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+
+    // residual cascade over the combo frame: tiny window per level
+    import org.apache.spark.sql.expressions.Window
+    var cur = combo
+    var releasedEarlier: Column = lit(false)
+    (0 until L).foreach { i =>
+      val lvlCols = names.indices.map(j => col(qn(i, j)))
+      val resid = sum(when(!releasedEarlier, col("__cnt")).otherwise(lit(0L)))
+        .over(Window.partitionBy(lvlCols: _*))
+      val allNonNull = lvlCols.map(_.isNotNull).reduce(_ && _)
+      cur = cur.withColumn(s"__rel_$i",
+        !releasedEarlier && allNonNull && resid >= k)
+      releasedEarlier = releasedEarlier || col(s"__rel_$i")
     }
-    val suppressed = rem.select(
-      (col(id) +: names.map(n => lit("*").as(n))) :+
-        lit(levels.size).as("gen_level"): _*)
-    (released :+ suppressed).reduce(_.unionByName(_))
+    val genLevel = (0 until L).foldRight(lit(L)) {
+      case (i, els) => when(col(s"__rel_$i"), lit(i)).otherwise(els)
+    }
+    val gen = cur.select(qCols.map(c => col(c).as(s"__g_$c")) :+
+      genLevel.as("gen_level"): _*)
+
+    // map each row back to its combo's verdict (combos are distinct — no
+    // fan-out); null-safe keys so NULL tuples reach their suppressed row
+    val joinKey = qCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val quasiOut = names.zipWithIndex.map { case (n, j) =>
+      (0 until L).foldRight(lit("*")) {
+        case (i, els) => when(col("gen_level") === i, col(qn(i, j))).otherwise(els)
+      }.as(n)
+    }
+    proj.join(gen, joinKey)
+      .select(col(id) +: quasiOut :+ col("gen_level"): _*)
   }
 }

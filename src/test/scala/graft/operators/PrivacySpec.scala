@@ -48,6 +48,23 @@ class PrivacySpec extends SparkSpec {
       s"the exact-age trio stays precise, the singletons generalize: $out")
   }
 
+  test("NULL quasi tuples never release — they cascade to suppression (the old semi-join contract, kept explicit)") {
+    import spark.implicits._
+    // 3 NULL-zip rows would form a >= k group, but NULL never matches an
+    // equality release; 3 good rows release at level 0
+    val df = Seq(
+      (1L, Option("A"), "30"), (2L, Option("A"), "30"), (3L, Option("A"), "30"),
+      (4L, None, "30"), (5L, None, "30"), (6L, None, "30"))
+      .toDF("id", "zip", "age")
+    val out = Privacy.kAnonymize(df, "id", k = 3, levels = ladder)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)), r.getInt(3))).toMap
+    assert(out.size == 6, "totality holds with NULL tuples")
+    assert((1L to 3L).forall(i => out(i) == (("A", "30"), 0)))
+    // level 1 generalizes age away but zip stays NULL -> still no release
+    assert((4L to 6L).forall(i => out(i) == (("*", "*"), 2)),
+      s"NULL-zip rows must suppress, not release: $out")
+  }
+
   test("mismatched level column names fail loudly; k < 2 rejected") {
     val df = people((1L, "A", "30"))
     intercept[IllegalArgumentException] {
