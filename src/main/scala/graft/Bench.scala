@@ -98,7 +98,73 @@ object Bench {
     }
   }
 
+  /** PER-QUERY REGRESSION GATE (VERDICT r11 item 7): compare two bench
+    * artifacts and print every query whose current time exceeds
+    * `flag` × its baseline time, largest ratio first — plus queries only
+    * in one artifact (a vanished query is a silent failure, a new one has
+    * no baseline). Replaces the per-round manual BASELINE.md archaeology:
+    * `runMain graft.Bench --against BENCH_r11.json [--flag 1.3]` runs the
+    * suite then gates its fresh artifact; add `--compare cur.json` to gate
+    * two existing artifacts without running anything. Informational only
+    * (minima protocol + host weather mean a flag is where adjudication
+    * STARTS, not a CI failure): exit code stays 0. */
+  private[graft] def compareArtifacts(curFile: String, baseFile: String,
+      flag: Double): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def load(f: String): (Map[String, Double], String) = {
+      val raw = JsonMethods.parse(Files.readString(Paths.get(f)))
+      // accept both the bench's own artifact ({"queries":{...}}) and the
+      // driver's wrapper ({"parsed": <artifact>, "tail": "<truncated>"})
+      val j = (raw \ "queries") match {
+        case JNothing | JNull => raw \ "parsed"
+        case _ => raw
+      }
+      val qs = (j \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (name, JDouble(v)) => name -> v
+          case (name, JInt(v)) => name -> v.toDouble
+          case (name, JDecimal(v)) => name -> v.toDouble
+        }.toMap
+        case _ => sys.error(s"$f carries no per-query map (a driver wrapper " +
+          "with a truncated tail? gate against the in-tree bench_out.json)")
+      }
+      val sha = (j \ "sha") match { case JString(s) => s; case _ => "unknown" }
+      (qs, sha)
+    }
+    val (cur, curSha) = load(curFile)
+    val (base, baseSha) = load(baseFile)
+    val shared = cur.keySet intersect base.keySet
+    val flagged = shared.toSeq
+      .map(q => (q, base(q), cur(q), cur(q) / math.max(base(q), 1e-9)))
+      .filter(_._4 > flag)
+      .sortBy(-_._4)
+    flagged.foreach { case (q, b, c, r) =>
+      println(f"[compare] REGRESSION $q%-32s base=$b%8.2f s  cur=$c%8.2f s  ${r}%.2fx")
+    }
+    (base.keySet -- cur.keySet).toSeq.sorted.foreach(q =>
+      println(s"[compare] MISSING    $q (in baseline, not in current run)"))
+    (cur.keySet -- base.keySet).toSeq.sorted.foreach(q =>
+      println(s"[compare] NEW        $q (no baseline)"))
+    val curTotal = shared.toSeq.map(cur).sum
+    val baseTotal = shared.toSeq.map(base).sum
+    println(f"[compare] ${flagged.size} queries over ${flag}%.2fx vs $baseFile " +
+      f"(base sha $baseSha, cur sha $curSha); shared-suite total " +
+      f"$baseTotal%.1f -> $curTotal%.1f s (${curTotal / math.max(baseTotal, 1e-9)}%.2fx)")
+  }
+
   def main(args: Array[String]): Unit = {
+    def argOf(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val against = argOf("--against")
+    val flag = argOf("--flag").map(_.toDouble).getOrElse(1.3)
+    argOf("--compare") match {
+      case Some(cur) => // offline gate of two existing artifacts
+        compareArtifacts(cur, against.getOrElse(
+          sys.error("--compare needs --against <baseline.json>")), flag)
+        return
+      case None => ()
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -237,6 +303,7 @@ object Bench {
     val finalJson = render(results, passesDone, probeAfter, Some(serving))
     Files.writeString(Paths.get(outFile), finalJson)
     println(finalJson)
+    against.foreach(base => compareArtifacts(outFile, base, flag))
     spark.stop()
   }
 }
