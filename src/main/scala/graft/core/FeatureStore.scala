@@ -112,9 +112,51 @@ final class FeatureStore(spark: SparkSession, root: String,
     val m = readManifest(groupName)
     require(!m.group.features.exists(_.name == f.name),
       s"feature ${f.name} already declared on $groupName")
+    // a feature added to a group WITH history is only real from the next
+    // ingest seq on — for a brand-new name that is a no-op (old files lack
+    // the column, parquet fills nulls), but for a RE-ADD after dropFeature
+    // the old bytes still exist and must read as null (FeatureDef.since)
+    val stamped = f.copy(since = if (m.nextSeq > 0L) m.nextSeq else 0L)
     // FeatureGroup's constructor re-validates the name charset
-    writeManifest(m.group.copy(features = m.group.features :+ f), m.nextSeq, m.lastBatchId)
+    writeManifest(m.group.copy(features = m.group.features :+ stamped),
+      m.nextSeq, m.lastBatchId)
   }
+
+  /** Schema EVOLUTION: DROP COLUMN — metadata-only, like [[addFeature]]
+    * (at 100 TB, rewriting history to remove a column is not an option).
+    * Offline reads project the declared schema, so the column vanishes
+    * from every read path at once; the online snapshot and serving KV
+    * re-render without it at the next commit (the schema mismatch forces
+    * a full refresh), while [[getRecord]] paths over the pre-drop
+    * snapshot render DECLARED features only. The bytes are physically
+    * erased at the next [[compactOffline]] (which rewrites through the
+    * declared-schema read). A later [[addFeature]] of the same name gets
+    * FRESH NULLS for pre-re-add history, not the orphaned bytes
+    * (FeatureDef.since masking). The key and event-time columns are not
+    * droppable. */
+  def dropFeature(groupName: String, featureName: String): Unit = {
+    val m = readManifest(groupName)
+    val g = m.group
+    require(g.features.exists(_.name == featureName),
+      s"no such feature $featureName on $groupName")
+    require(featureName != g.keyCol && featureName != g.eventTimeCol,
+      s"cannot drop the group's key/event-time column: $featureName")
+    writeManifest(g.copy(features = g.features.filterNot(_.name == featureName)),
+      m.nextSeq, m.lastBatchId)
+  }
+
+  /** Null out each feature's stored values where the row predates the
+    * feature's `since` seq — the RE-ADD read mask (see [[FeatureDef]]).
+    * Identity for never-evolved groups. Requires `_ingest_seq` in `df`. */
+  private def maskSince(g: FeatureGroup, df: DataFrame): DataFrame =
+    if (g.features.forall(_.since == 0L)) df
+    else df.select(df.columns.toSeq.map { c =>
+      g.features.find(f => f.name == c && f.since > 0L) match {
+        case Some(f) =>
+          when(col(EngineColumns.IngestSeq) >= f.since, col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
 
   def dropGroup(name: String): Unit = {
     val dir = groupDir(name)
@@ -746,7 +788,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       g.features.map(f => StructField(f.name, f.ftype.spark)) :+
         StructField(EngineColumns.IngestSeq, LongType) :+
         StructField(EngineColumns.IngestDate, DateType))
-    val raw = spark.read.schema(st).parquet(offlineDir(name))
+    val raw = maskSince(g, spark.read.schema(st).parquet(offlineDir(name)))
     // tombstone filter ([[deleteRecords]]): hide a deleted key's history up
     // to its deletion sequence — later re-ingests (seq > deleted_seq)
     // legitimately resurface the key. Tombstones are tiny (explicit delete
@@ -878,12 +920,19 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   /** Online latest-per-key view (reference: get_record point lookups,
     * real_time_inference.py:16-19). */
-  def online(name: String): DataFrame =
-    currentSnapshot(name).getOrElse {
-      val g = describeGroup(name)
-      LatestPerKey.viaMaxBy(offline(name), Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
-        .drop(EngineColumns.IngestDate)
+  def online(name: String): DataFrame = {
+    val g = describeGroup(name)
+    currentSnapshot(name) match {
+      // conform + mask: a snapshot committed before a dropFeature /
+      // addFeature still carries the OLD schema until the next commit
+      // re-renders it — reads must show the DECLARED view immediately
+      case Some(snap) => maskSince(g, conformToDeclared(g, snap))
+      case None => // offline() is already declared-schema + masked
+        LatestPerKey.viaMaxBy(offline(name), Seq(g.keyCol), g.eventTimeCol,
+            Seq(EngineColumns.IngestSeq))
+          .drop(EngineColumns.IngestDate)
     }
+  }
 
   /** TIME TRAVEL over serving states: every [[refreshOnline]] writes a new
     * immutable `online/v<N>/` and flips the LATEST pointer, so each previous
@@ -1013,9 +1062,16 @@ final class FeatureStore(spark: SparkSession, root: String,
             versionBuckets(groupName, v) match {
               case Some(buckets) =>
                 val bucket = FeatureStore.keyBucketOf(skey, buckets)
-                servingKvScan(g, v, bucket, Set(skey)).map(_(skey)) match {
+                // the KV layout's wire rows were rendered with the schema
+                // AT COMMIT TIME — after a dropFeature/addFeature they are
+                // stale until the next commit re-renders; serve evolved
+                // groups through the row path (renderWireRow masks/projects
+                // the declared view) until then
+                val kvTrusted = snapshotSchemaMatches(g, v)
+                (if (kvTrusted) servingKvScan(g, v, bucket, Set(skey)).map(_(skey))
+                 else None) match {
                   case Some(res) => res // authoritative: KV layout rides the commit
-                  case None => // no/unreadable KV layout: bucket-pruned job path
+                  case None => // no/stale/unreadable KV layout: bucket-pruned job path
                     // read VERSION v's dir, not a re-resolved LATEST: the
                     // bucket was hashed with v's modulus, and a rebucketing
                     // commit landing between the version read and this scan
@@ -1043,12 +1099,21 @@ final class FeatureStore(spark: SparkSession, root: String,
     * string; ISO-8601 Zulu timestamps). A snapshot written before
     * addFeature has no field for the new column yet — serve null (the
     * caller's default applies, P4). */
-  private def renderWireRow(g: FeatureGroup, r: Row): Map[String, String] =
+  private def renderWireRow(g: FeatureGroup, r: Row): Map[String, String] = {
+    // the row's ingest seq, for the re-add mask (FeatureDef.since); a row
+    // without the column (shouldn't happen on snapshot rows) masks nothing
+    val rowSeq: Long =
+      if (r.schema != null && r.schema.fieldNames.contains(EngineColumns.IngestSeq)
+          && !r.isNullAt(r.fieldIndex(EngineColumns.IngestSeq)))
+        r.getLong(r.fieldIndex(EngineColumns.IngestSeq))
+      else Long.MaxValue
     g.features.map { f =>
-      val raw = if (r.schema != null && r.schema.fieldNames.contains(f.name))
+      val raw = if (r.schema != null && r.schema.fieldNames.contains(f.name)
+          && rowSeq >= f.since)
         r.get(r.fieldIndex(f.name)) else null
       f.name -> FeatureStore.renderWireValue(raw)
     }.toMap
+  }
 
   /** Write the serving-tier KV layout under the (staged) snapshot dir: one
     * `_serving/bucket=<b>.kv` per NON-EMPTY key bucket, entries SORTED by
@@ -1217,12 +1282,15 @@ final class FeatureStore(spark: SparkSession, root: String,
             versionBuckets(groupName, v) match {
               case Some(buckets) =>
                 val byBucket = skeys.groupBy(FeatureStore.keyBucketOf(_, buckets))
-                val scanned = byBucket.map { case (b, ks) =>
-                  servingKvScan(g, v, b, ks.toSet)
-                }
+                // post-evolution the KV wire rows are stale renders — row
+                // path until the next commit (see getRecord)
+                val scanned =
+                  if (snapshotSchemaMatches(g, v))
+                    byBucket.map { case (b, ks) => servingKvScan(g, v, b, ks.toSet) }
+                  else Iterable(Option.empty[Map[String, Option[Map[String, String]]]])
                 if (scanned.forall(_.isDefined))
                   scanned.flatMap(_.get).toMap
-                else // no/unreadable KV layout: one pruned job — against
+                else // no/stale/unreadable KV layout: one pruned job — against
                   // VERSION v's dir (its modulus hashed the buckets; see
                   // getRecord's fallback for the rebucketing race)
                   jobPath(spark.read.parquet(versionDirOf(groupName, v).toString)
@@ -1495,7 +1563,10 @@ final class FeatureStore(spark: SparkSession, root: String,
   private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L): Unit = {
     def q(s: String) = "\"" + s + "\""
     val feats = g.features
-      .map(f => s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}}""")
+      .map { f =>
+        val since = if (f.since > 0L) s""","since":${f.since}""" else ""
+        s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}$since}"""
+      }
       .mkString("[", ",", "]")
     val json =
       s"""{"name":${q(g.name)},"keyCol":${q(g.keyCol)},"eventTimeCol":${q(g.eventTimeCol)},
@@ -1515,8 +1586,12 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     def num(k: String, default: Long): Long =
       ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(default)
-    val featRe = "\\{\"name\":\"([^\"]*)\",\"type\":\"([^\"]*)\"\\}".r
-    val feats = featRe.findAllMatchIn(json).map(m => FeatureDef(m.group(1), FType.fromName(m.group(2)))).toSeq
+    // `since` is optional — manifests written before the drop/re-add
+    // evolution story (round 12) carry only name+type
+    val featRe = "\\{\"name\":\"([^\"]*)\",\"type\":\"([^\"]*)\"(?:,\"since\":(\\d+))?\\}".r
+    val feats = featRe.findAllMatchIn(json).map(m =>
+      FeatureDef(m.group(1), FType.fromName(m.group(2)),
+        Option(m.group(3)).map(_.toLong).getOrElse(0L))).toSeq
     Manifest(FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats),
       num("nextSeq", 0L), num("lastBatchId", -1L))
   }

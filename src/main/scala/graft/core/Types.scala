@@ -32,7 +32,15 @@ object FType {
   }
 }
 
-final case class FeatureDef(name: String, ftype: FType)
+/** @param since first `_ingest_seq` at which this feature's stored values
+  *   are REAL (0 = since the group's creation). Set by
+  *   [[FeatureStore.addFeature]] when a feature is declared on a group
+  *   that already has history: a RE-ADDED column must read as null for
+  *   rows written before the re-add even though the old bytes still sit
+  *   in parquet (drop was metadata-only) — every read path masks
+  *   `_ingest_seq < since` to null until compaction physically erases
+  *   the bytes. */
+final case class FeatureDef(name: String, ftype: FType, since: Long = 0L)
 
 /** Per-batch ingest observability (collected via `Dataset.observe` — the
   * metrics ride the offline-append job itself, no extra scan): row count

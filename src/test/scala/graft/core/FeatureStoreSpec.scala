@@ -481,6 +481,57 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.offline("tx").columns.contains("score") && fs.offline("tx").count() == 3)
   }
 
+  test("dropFeature: metadata-only drop, every read face projects the declared view at once, re-add gets fresh nulls") {
+    import org.apache.spark.sql.functions.col
+    val sd = Files.createTempDirectory("fs_drop_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "secret_a"),
+                          (2L, "2024-01-01 11:00:00", 20.0, "secret_b")))
+
+    // contract: key/event-time cannot drop; unknown features fail loudly
+    intercept[IllegalArgumentException](fs.dropFeature("tx", "customer_id"))
+    intercept[IllegalArgumentException](fs.dropFeature("tx", "event_time"))
+    intercept[IllegalArgumentException](fs.dropFeature("tx", "nope"))
+
+    fs.dropFeature("tx", "note")
+    assert(!fs.describeGroup("tx").featureNames.contains("note"))
+    // history reads: the column is gone IMMEDIATELY (declared-schema read),
+    // even though the bytes still sit in the pre-drop parquet
+    assert(!fs.offline("tx").columns.contains("note"))
+    // online serve: the pre-drop snapshot still carries the column —
+    // the read face must project it away without waiting for a commit
+    assert(!fs.online("tx").columns.contains("note"))
+    assert(!fs.getRecord("tx", 1L).get.contains("note"),
+      "point lookup serves declared features only")
+
+    // RE-ADD with fresh nulls: the old 'secret_a'/'secret_b' bytes exist in
+    // parquet, but a re-declared column must not resurrect them
+    fs.addFeature("tx", FeatureDef("note", FType.FString))
+    assert(fs.offline("tx").filter(col("note").isNotNull).count() == 0,
+      "pre-re-add history reads NULL, not the orphaned bytes")
+    assert(fs.online("tx").filter(col("note").isNotNull).count() == 0)
+    assert(fs.getRecord("tx", 1L).get("note") == null,
+      "serving must not resurrect the dropped bytes")
+
+    // a post-re-add ingest carries real values; older keys stay null
+    fs.ingest("tx", batch((2L, "2024-01-02 11:00:00", 21.0, "fresh")))
+    assert(fs.getRecord("tx", 2L).get("note") == "fresh")
+    assert(fs.getRecord("tx", 1L).get("note") == null)
+    val onl = fs.online("tx").collect()
+      .map(r => r.getAs[Long]("customer_id") -> Option(r.getAs[String]("note"))).toMap
+    assert(onl(2L).contains("fresh") && onl(1L).isEmpty)
+
+    // compaction physically erases the dropped-era bytes: post-compaction
+    // files hold NULL where the mask used to apply (the GDPR column story)
+    fs.compactOffline("tx")
+    assert(fs.offline("tx").filter(col("note").isNotNull).count() == 1)
+    // the manifest round-trips `since` — a fresh store handle agrees
+    val fs2 = new FeatureStore(spark, sd)
+    assert(fs2.getRecord("tx", 1L).get("note") == null)
+    assert(fs2.getRecord("tx", 2L).get("note") == "fresh")
+  }
+
   test("onlineAt time travel: every refresh is an immutable readable version; gc keeps newest") {
     val fs = newStore()
     fs.createGroup(group)
