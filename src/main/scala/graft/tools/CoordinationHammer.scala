@@ -41,6 +41,15 @@ object CoordinationHammer {
     val id = args(1)
     val iters = args(2).toInt
     val co = Coordination.current
+    // start barrier: workers spin until the spawner drops `GO`, so the
+    // JVMs actually CONTEND instead of running one after another (a child
+    // JVM takes ~0.5 s to boot; without the barrier an in-process worker
+    // finishes before the children start and the soak proves nothing)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (!Files.exists(root.resolve("GO"))) {
+      require(System.nanoTime() < deadline, "GO barrier never dropped")
+      Thread.sleep(10)
+    }
     val wins = new StringBuilder
     var i = 0
     while (i < iters) {
