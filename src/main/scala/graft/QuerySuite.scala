@@ -1398,6 +1398,34 @@ object QuerySuite {
       fs.online("vac_fg").select(latestCols.map(col): _*).orderBy("user_id")
     }),
 
+    // ---- q240: RENAME COLUMN, era-exact (round 12 — the evolution
+    //      story's read contract under the cross-engine gate): history
+    //      ingested under 'value' is renamed to 'score' mid-stream, a
+    //      second batch ingests under the NEW name, and the offline read
+    //      must serve BOTH eras under 'score' — a row resolved to the
+    //      wrong era (null where the old column held data, or vice versa)
+    //      hashes visible against the straight aliased-projection oracle ----
+    "q240_fs_rename" -> ((s, dir) => {
+      val sd = tmpDir("q240_store_")
+      val fs = new FeatureStore(s, sd)
+      fs.createGroup(FeatureGroup("ren_fg", "user_id", "ts", Seq(
+        FeatureDef("user_id", FType.Integral),
+        FeatureDef("event_id", FType.Integral),
+        FeatureDef("ts", FType.FTimestamp),
+        FeatureDef("event_type", FType.FString),
+        FeatureDef("value", FType.Fractional))))
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast(TimestampType)
+      fs.ingest("ren_fg", ev.filter(col("ts") < cut))
+      fs.renameFeature("ren_fg", "value", "score")
+      fs.ingest("ren_fg",
+        ev.filter(col("ts") >= cut).withColumnRenamed("value", "score"))
+      fs.offline("ren_fg")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("score"))
+        .orderBy("event_id")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -6900,6 +6928,13 @@ object QuerySuite {
     // the VACUUM statement drops superseded online snapshots and must leave
     // LATEST untouched — the latest-per-key oracle over the full corpus
     "q239_fs_vacuum_sql" -> latestOracle,
+
+    // RENAME is era-exact: both eras (pre-rename 'value', post-rename
+    // 'score') must serve under the new name — the oracle is the plain
+    // aliased projection of the whole corpus
+    "q240_fs_rename" ->
+      """SELECT user_id, event_id, ts, event_type, value AS score
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q230_ivfadc_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -145,6 +145,75 @@ final class FeatureStore(spark: SparkSession, root: String,
       m.nextSeq, m.lastBatchId)
   }
 
+  /** Schema EVOLUTION: RENAME COLUMN — metadata-only like the other two
+    * (no 100 TB rewrite). The rename is stamped with the next ingest seq
+    * and recorded in [[FeatureDef.renames]]; every read path resolves a
+    * row's ERA to the name that held the value when the row was written
+    * ([[eraColumn]]), so pre-rename history serves under the NEW name
+    * immediately. New ingests must carry the new name (the declared-schema
+    * validation). A rewrite (compaction, online full refresh) materializes
+    * the history under the new name; the adaptive era rule then reads the
+    * current column wherever the alias column no longer exists, so reads
+    * stay correct before, during, and after the rewrite with no manifest
+    * mutation. Era-exactness also means a rename TO a name whose orphaned
+    * bytes linger from an earlier [[dropFeature]] cannot resurrect them —
+    * rows of the alias era read the alias column, never the orphan. The
+    * key and event-time columns are not renameable (their names anchor
+    * bucketing, tombstones, and the manifest contract). */
+  def renameFeature(groupName: String, from: String, to: String): Unit = {
+    val m = readManifest(groupName)
+    val g = m.group
+    require(g.features.exists(_.name == from), s"no such feature $from on $groupName")
+    require(!g.features.exists(_.name == to),
+      s"feature $to already declared on $groupName")
+    require(from != g.keyCol && from != g.eventTimeCol,
+      s"cannot rename the group's key/event-time column: $from")
+    val renamed = g.features.map {
+      case f if f.name == from =>
+        f.copy(name = to, renames = (from, m.nextSeq) +: f.renames)
+      case f => f
+    }
+    // FeatureGroup's constructor re-validates the new name's charset
+    writeManifest(g.copy(features = renamed), m.nextSeq, m.lastBatchId)
+  }
+
+  /** The era-resolved SOURCE expression of feature `f` over a layout whose
+    * columns are `avail` (requires `_ingest_seq` in the frame): rows at or
+    * past the newest rename's seq read the current column; older rows read
+    * the alias that held the value in their era — unless that alias is
+    * absent from the layout, which means a rewrite already materialized
+    * the era under the current name (the adaptive rule in
+    * [[renameFeature]]'s doc). Plain column (or typed null) when the
+    * feature was never renamed. */
+  private def eraColumn(f: FeatureDef, avail: Set[String]): org.apache.spark.sql.Column = {
+    def colOrNull(n: String): org.apache.spark.sql.Column =
+      if (avail.contains(n)) col(n).cast(f.ftype.spark)
+      else lit(null).cast(f.ftype.spark)
+    val cur = colOrNull(f.name)
+    if (f.renames.isEmpty) cur
+    else {
+      // era i's value lives under its own name — or, when a rewrite
+      // already materialized it, under the first NEWER name in the chain
+      // that the layout still carries (a rewrite renders to the name
+      // current AT REWRITE TIME, which may be an intermediate alias, not
+      // necessarily today's). Schema-level first-present pick, NOT a
+      // runtime coalesce: a legit null under the era name must not fall
+      // through to a newer name's orphaned bytes.
+      def eraExpr(i: Int): org.apache.spark.sql.Column =
+        ((i to 0 by -1).map(j => f.renames(j)._1) :+ f.name)
+          .find(avail.contains) match {
+          case Some(n) => col(n).cast(f.ftype.spark)
+          case None => lit(null).cast(f.ftype.spark)
+        }
+      val seqC = col(EngineColumns.IngestSeq)
+      var e = when(seqC >= f.renames.head._2, cur)
+      f.renames.init.zipWithIndex.foreach { case (_, i) =>
+        e = e.when(seqC >= f.renames(i + 1)._2, eraExpr(i))
+      }
+      e.otherwise(eraExpr(f.renames.size - 1))
+    }
+  }
+
   /** Null out each feature's stored values where the row predates the
     * feature's `since` seq — the RE-ADD read mask (see [[FeatureDef]]).
     * Identity for never-evolved groups. Requires `_ingest_seq` in `df`. */
@@ -318,11 +387,11 @@ final class FeatureStore(spark: SparkSession, root: String,
   /** Conform a frame to the DECLARED schema + ingest seq (absent columns →
     * typed null): after addFeature the previous snapshot lacks the new
     * column and must not silently drop it from the incoming batch. */
-  private def conformToDeclared(g: FeatureGroup, df: DataFrame): DataFrame =
-    df.select(g.features.map { f =>
-      (if (df.columns.contains(f.name)) col(f.name).cast(f.ftype.spark)
-       else lit(null).cast(f.ftype.spark)).as(f.name)
-    } :+ col(EngineColumns.IngestSeq): _*)
+  private def conformToDeclared(g: FeatureGroup, df: DataFrame): DataFrame = {
+    val avail = df.columns.toSet
+    df.select(g.features.map(f => eraColumn(f, avail).as(f.name))
+      :+ col(EngineColumns.IngestSeq): _*)
+  }
 
   /** Recompute the online snapshot. With `batch` given and a previous
     * snapshot whose bucket meta and schema allow it, the refresh is
@@ -784,11 +853,30 @@ final class FeatureStore(spark: SparkSession, root: String,
     * pins column order/types against file-level drift. */
   def offline(name: String): DataFrame = {
     val g = describeGroup(name)
-    val st = StructType(
-      g.features.map(f => StructField(f.name, f.ftype.spark)) :+
-        StructField(EngineColumns.IngestSeq, LongType) :+
-        StructField(EngineColumns.IngestDate, DateType))
-    val raw = maskSince(g, spark.read.schema(st).parquet(offlineDir(name)))
+    val raw0 =
+      if (g.features.forall(_.renames.isEmpty)) {
+        // fast path (never-renamed groups): one explicit declared schema,
+        // no footer merging
+        val st = StructType(
+          g.features.map(f => StructField(f.name, f.ftype.spark)) :+
+            StructField(EngineColumns.IngestSeq, LongType) :+
+            StructField(EngineColumns.IngestDate, DateType))
+        spark.read.schema(st).parquet(offlineDir(name))
+      } else {
+        // renamed groups: merge footers so alias-era columns surface, then
+        // era-resolve each feature to its declared name ([[eraColumn]];
+        // post-compaction layouts lose the alias columns and the adaptive
+        // rule reads the materialized current column). mergeSchema's
+        // footer pass is parallel and only paid until the next compaction
+        // clears the aliases from the files.
+        val merged = spark.read.option("mergeSchema", "true")
+          .parquet(offlineDir(name))
+        val avail = merged.columns.toSet
+        merged.select(g.features.map(f => eraColumn(f, avail).as(f.name))
+          :+ col(EngineColumns.IngestSeq).cast(LongType).as(EngineColumns.IngestSeq)
+          :+ col(EngineColumns.IngestDate).cast(DateType).as(EngineColumns.IngestDate): _*)
+      }
+    val raw = maskSince(g, raw0)
     // tombstone filter ([[deleteRecords]]): hide a deleted key's history up
     // to its deletion sequence — later re-ingests (seq > deleted_seq)
     // legitimately resurface the key. Tombstones are tiny (explicit delete
@@ -1107,10 +1195,25 @@ final class FeatureStore(spark: SparkSession, root: String,
           && !r.isNullAt(r.fieldIndex(EngineColumns.IngestSeq)))
         r.getLong(r.fieldIndex(EngineColumns.IngestSeq))
       else Long.MaxValue
+    val fields: Set[String] =
+      if (r.schema != null) r.schema.fieldNames.toSet else Set.empty
     g.features.map { f =>
-      val raw = if (r.schema != null && r.schema.fieldNames.contains(f.name)
-          && rowSeq >= f.since)
-        r.get(r.fieldIndex(f.name)) else null
+      // era resolution, driver-side mirror of [[eraColumn]]: the name that
+      // held this feature when the row was written, or — when a rewrite
+      // materialized the era — the first NEWER name in the chain this row
+      // layout carries (a rewrite renders to the name current at rewrite
+      // time, possibly an intermediate alias)
+      val srcName =
+        if (f.renames.isEmpty || rowSeq >= f.renames.head._2) f.name
+        else {
+          val i = f.renames.indices.find(j =>
+            rowSeq >= f.renames.lift(j + 1).map(_._2).getOrElse(0L))
+            .getOrElse(f.renames.size - 1)
+          ((i to 0 by -1).map(j => f.renames(j)._1) :+ f.name)
+            .find(fields.contains).getOrElse(f.name)
+        }
+      val raw = if (fields.contains(srcName) && rowSeq >= f.since)
+        r.get(r.fieldIndex(srcName)) else null
       f.name -> FeatureStore.renderWireValue(raw)
     }.toMap
   }
@@ -1565,7 +1668,12 @@ final class FeatureStore(spark: SparkSession, root: String,
     val feats = g.features
       .map { f =>
         val since = if (f.since > 0L) s""","since":${f.since}""" else ""
-        s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}$since}"""
+        // renames newest-first as "name:seq|name:seq" — names are charset-
+        // restricted, so the flat encoding round-trips without escaping
+        val was =
+          if (f.renames.isEmpty) ""
+          else s""","was":${q(f.renames.map { case (n, s) => s"$n:$s" }.mkString("|"))}"""
+        s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}$since$was}"""
       }
       .mkString("[", ",", "]")
     val json =
@@ -1586,12 +1694,17 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     def num(k: String, default: Long): Long =
       ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(default)
-    // `since` is optional — manifests written before the drop/re-add
-    // evolution story (round 12) carry only name+type
-    val featRe = "\\{\"name\":\"([^\"]*)\",\"type\":\"([^\"]*)\"(?:,\"since\":(\\d+))?\\}".r
-    val feats = featRe.findAllMatchIn(json).map(m =>
+    // `since` and `was` are optional — manifests written before the
+    // drop/re-add/rename evolution story (round 12) carry only name+type
+    val featRe = ("\\{\"name\":\"([^\"]*)\",\"type\":\"([^\"]*)\"" +
+      "(?:,\"since\":(\\d+))?(?:,\"was\":\"([^\"]*)\")?\\}").r
+    val feats = featRe.findAllMatchIn(json).map { m =>
+      val renames = Option(m.group(4)).filter(_.nonEmpty).map(_.split("\\|").toSeq
+        .map { e => val Array(n, s) = e.split(":", 2); (n, s.toLong) })
+        .getOrElse(Nil)
       FeatureDef(m.group(1), FType.fromName(m.group(2)),
-        Option(m.group(3)).map(_.toLong).getOrElse(0L))).toSeq
+        Option(m.group(3)).map(_.toLong).getOrElse(0L), renames)
+    }.toSeq
     Manifest(FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats),
       num("nextSeq", 0L), num("lastBatchId", -1L))
   }

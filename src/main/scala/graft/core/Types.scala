@@ -39,8 +39,19 @@ object FType {
   *   rows written before the re-add even though the old bytes still sit
   *   in parquet (drop was metadata-only) — every read path masks
   *   `_ingest_seq < since` to null until compaction physically erases
-  *   the bytes. */
-final case class FeatureDef(name: String, ftype: FType, since: Long = 0L)
+  *   the bytes.
+  * @param renames this feature's prior names, NEWEST FIRST, each with the
+  *   `_ingest_seq` at which the rename took effect — `(n, s)` means "rows
+  *   with `_ingest_seq < s` stored this feature under column `n`" (down to
+  *   the previous entry's seq, or 0 for the oldest). Set by
+  *   [[FeatureStore.renameFeature]] (also metadata-only): readers resolve
+  *   each row's ERA to the column that held the value when the row was
+  *   written, with an adaptive fallback — an alias column absent from a
+  *   layout means a rewrite (compaction / full refresh) already
+  *   materialized that era under the CURRENT name, so the current column
+  *   is authoritative there. */
+final case class FeatureDef(name: String, ftype: FType, since: Long = 0L,
+    renames: Seq[(String, Long)] = Nil)
 
 /** Per-batch ingest observability (collected via `Dataset.observe` — the
   * metrics ride the offline-append job itself, no extra scan): row count

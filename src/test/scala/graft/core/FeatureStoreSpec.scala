@@ -532,6 +532,78 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs2.getRecord("tx", 2L).get("note") == "fresh")
   }
 
+  test("renameFeature: era-exact reads across renames, serving, ingest under the new name, compaction, orphan-byte immunity") {
+    import org.apache.spark.sql.functions.col
+    val sd = Files.createTempDirectory("fs_rename_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "old_note_1"),
+                          (2L, "2024-01-01 11:00:00", 20.0, "old_note_2")))
+
+    // contract: key/event-time not renameable, target must be fresh
+    intercept[IllegalArgumentException](fs.renameFeature("tx", "customer_id", "cid"))
+    intercept[IllegalArgumentException](fs.renameFeature("tx", "note", "amount"))
+    intercept[IllegalArgumentException](fs.renameFeature("tx", "nope", "x"))
+
+    fs.renameFeature("tx", "note", "comment")
+    assert(fs.describeGroup("tx").featureNames.contains("comment")
+      && !fs.describeGroup("tx").featureNames.contains("note"))
+    // pre-rename HISTORY serves under the new name immediately
+    val hist = fs.offline("tx").select("customer_id", "comment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist == Map(1L -> "old_note_1", 2L -> "old_note_2"),
+      s"pre-rename history must surface under the new name: $hist")
+    assert(fs.getRecord("tx", 1L).get("comment") == "old_note_1",
+      "point lookup era-resolves the pre-rename snapshot")
+    assert(!fs.getRecord("tx", 1L).get.contains("note"))
+
+    // new ingests carry the new name; the old name is rejected loudly
+    intercept[IllegalArgumentException](
+      fs.ingest("tx", batch((3L, "2024-01-02 10:00:00", 30.0, "x"))))
+    import spark.implicits._
+    fs.ingest("tx", Seq((3L, "2024-01-02 10:00:00", 30.0, "new_c"))
+      .toDF("customer_id", "event_time", "amount", "comment")
+      .selectExpr("customer_id", "to_timestamp(event_time) AS event_time",
+        "amount", "comment"))
+    assert(fs.getRecord("tx", 3L).get("comment") == "new_c")
+    assert(fs.getRecord("tx", 1L).get("comment") == "old_note_1",
+      "post-refresh snapshot must keep the era-resolved old values")
+
+    // rename CHAIN: comment -> remark; all eras still read
+    fs.renameFeature("tx", "comment", "remark")
+    val all = fs.offline("tx").select("customer_id", "remark").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all == Map(1L -> "old_note_1", 2L -> "old_note_2", 3L -> "new_c"),
+      s"two-deep rename chain must read every era: $all")
+
+    // compaction materializes the history under the current name; the
+    // adaptive era rule keeps reads correct on the rewritten files
+    fs.compactOffline("tx")
+    val compacted = fs.offline("tx").select("customer_id", "remark").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(compacted == all, "post-compaction reads unchanged")
+    assert(!fs.offline("tx").columns.contains("note"))
+    // manifest round-trip: a fresh handle agrees
+    val fs2 = new FeatureStore(spark, sd)
+    assert(fs2.getRecord("tx", 1L).get("remark") == "old_note_1")
+
+    // ORPHAN-BYTE immunity: drop 'remark' (bytes remain... compacted away
+    // above, so plant fresh orphans), then rename amount to 'remark' —
+    // the old remark bytes must NOT resurface under the renamed feature
+    fs.ingest("tx", Seq((4L, "2024-01-03 10:00:00", 40.0, "orphan_tbd"))
+      .toDF("customer_id", "event_time", "amount", "remark")
+      .selectExpr("customer_id", "to_timestamp(event_time) AS event_time",
+        "amount", "remark"))
+    fs.dropFeature("tx", "remark") // orphan 'remark' bytes now in history
+    fs.renameFeature("tx", "amount", "remark")
+    val asRemark = fs.offline("tx").select("customer_id", "remark").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)))
+      .toMap
+    assert(asRemark == Map(1L -> Some(10.0), 2L -> Some(20.0),
+      3L -> Some(30.0), 4L -> Some(40.0)),
+      s"renamed 'remark' must read the amount lineage, never the orphaned strings: $asRemark")
+  }
+
   test("onlineAt time travel: every refresh is an immutable readable version; gc keeps newest") {
     val fs = newStore()
     fs.createGroup(group)
