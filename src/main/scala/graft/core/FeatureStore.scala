@@ -177,6 +177,68 @@ final class FeatureStore(spark: SparkSession, root: String,
     writeManifest(g.copy(features = renamed), m.nextSeq, m.lastBatchId)
   }
 
+  /** Schema EVOLUTION: WIDEN a feature's type (Integral→Fractional,
+    * Integral→FString, Fractional→FString). The one evolution that
+    * REWRITES history: Spark's parquet reader upcasts int→long and
+    * long→decimal natively but NOT long→double/string (probed on 4.1), so
+    * the widened type must be materialized into the files. The sequence
+    * is crash-safe at every step:
+    *
+    *  1. metadata flip — the new type plus a SELF-ALIAS rename entry,
+    *     which routes reads through the era/merge path where the old
+    *     files' column is CAST on read (reads are correct immediately,
+    *     before any rewrite);
+    *  2. one [[compactOffline]] under its CAS commit materializes the
+    *     type into v<N+1> (cost class: a compaction — at 100 TB schedule
+    *     it like one);
+    *  3. every rename alias is cleared (the rewrite materialized all
+    *     eras under current names), returning reads to the
+    *     explicit-schema fast path;
+    *  4. the online snapshot rebuilds in the new type.
+    *
+    * A crash between any two steps leaves a readable store, and re-running
+    * `widenFeature` with the same arguments completes the remaining steps
+    * (same-type re-runs are accepted for exactly that recovery). Widening
+    * is EXCLUSIVE maintenance under the store's single-writer contract —
+    * an ingest racing step 2 could land old-typed... no: post-flip
+    * ingests cast to the new declared type; they land new-typed and fold
+    * in. The key and event-time columns are not widenable (the key's
+    * string rendering anchors bucket hashing and KV entries). */
+  def widenFeature(groupName: String, featureName: String, to: FType): Unit = {
+    val m = readManifest(groupName)
+    val g = m.group
+    val f = g.features.find(_.name == featureName).getOrElse(
+      throw new IllegalArgumentException(s"no such feature $featureName on $groupName"))
+    require(featureName != g.keyCol && featureName != g.eventTimeCol,
+      s"cannot widen the group's key/event-time column: $featureName")
+    require(f.ftype == to || FeatureStore.isWidening(f.ftype, to),
+      s"not a widening: ${FType.name(f.ftype)} -> ${FType.name(to)} " +
+        "(allowed: Integral->Fractional, Integral->FString, Fractional->FString)")
+    if (f.ftype != to) {
+      val flipped = g.features.map {
+        case ff if ff.name == featureName =>
+          ff.copy(ftype = to, renames = (featureName, m.nextSeq) +: ff.renames)
+        case ff => ff
+      }
+      writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId)
+    }
+    if (m.nextSeq > 0L) { // a group with history: materialize + clear aliases
+      compactOffline(groupName): Unit
+      val m2 = readManifest(groupName)
+      writeManifest(m2.group.copy(
+          features = m2.group.features.map(_.copy(renames = Nil))),
+        m2.nextSeq, m2.lastBatchId)
+      refreshOnline(m2.group.copy(
+        features = m2.group.features.map(_.copy(renames = Nil))), None)
+    } else if (f.ftype != to) {
+      // no history yet — the flip alone suffices, drop the self-alias
+      val m2 = readManifest(groupName)
+      writeManifest(m2.group.copy(
+          features = m2.group.features.map(_.copy(renames = Nil))),
+        m2.nextSeq, m2.lastBatchId)
+    }
+  }
+
   /** The era-resolved SOURCE expression of feature `f` over a layout whose
     * columns are `avail` (requires `_ingest_seq` in the frame): rows at or
     * past the newest rename's seq read the current column; older rows read
@@ -1214,7 +1276,17 @@ final class FeatureStore(spark: SparkSession, root: String,
         }
       val raw = if (fields.contains(srcName) && rowSeq >= f.since)
         r.get(r.fieldIndex(srcName)) else null
-      f.name -> FeatureStore.renderWireValue(raw)
+      // a snapshot committed before a widenFeature still stores the old
+      // numeric type until the rebuild — coerce so the wire rendering is
+      // the declared type's from day zero ("10.0", not "10")
+      val coerced = (raw, f.ftype) match {
+        case (l: java.lang.Long, FType.Fractional) =>
+          java.lang.Double.valueOf(l.doubleValue())
+        case (i: java.lang.Integer, FType.Fractional) =>
+          java.lang.Double.valueOf(i.doubleValue())
+        case _ => raw
+      }
+      f.name -> FeatureStore.renderWireValue(coerced)
     }.toMap
   }
 
@@ -1498,7 +1570,14 @@ final class FeatureStore(spark: SparkSession, root: String,
     *
     * @return number of parquet data files after compaction
     */
-  def compactOffline(groupName: String): Long = {
+  def compactOffline(groupName: String): Long = compactOfflineWith(groupName, identity)
+
+  /** [[compactOffline]] with a transform applied to the declared-schema
+    * read before the rewrite — the hook [[widenFeature]] uses to
+    * materialize the widened type (its cast must ride the SAME rewrite
+    * that the crash-safe CAS commit protects). */
+  private def compactOfflineWith(groupName: String,
+      transform: DataFrame => DataFrame): Long = {
     require(groupExists(groupName), s"no such feature group: $groupName")
     // capture (value, presence) in ONE read: the commit below is a
     // compare-and-swap against exactly this observation
@@ -1522,7 +1601,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         val ls = Files.list(tombstoneDir(groupName))
         try ls.iterator().asScala.toList finally ls.close()
       } else Nil
-    offline(groupName) // declared-schema read: compaction also materializes post-evolution columns
+    transform(offline(groupName)) // declared-schema read: compaction also materializes post-evolution columns
       .repartition(col(EngineColumns.IngestDate))
       .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
       .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
@@ -1867,6 +1946,15 @@ object FeatureStore {
   /** The stringly wire rendering (shared by the cache path, the KV writer,
     * and the legacy job path — one definition, so they can never drift):
     * null → null, timestamps → ISO-8601 Zulu, everything else → toString. */
+  /** The legal [[FeatureStore.widenFeature]] directions — information-
+    * preserving casts only (a narrow would silently destroy data). */
+  private[core] def isWidening(from: FType, to: FType): Boolean = (from, to) match {
+    case (FType.Integral, FType.Fractional) => true
+    case (FType.Integral, FType.FString) => true
+    case (FType.Fractional, FType.FString) => true
+    case _ => false
+  }
+
   private[core] def renderWireValue(raw: Any): String = raw match {
     case null                  => null
     case t: java.sql.Timestamp => java.time.format.DateTimeFormatter

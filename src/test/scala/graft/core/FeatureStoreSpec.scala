@@ -604,6 +604,53 @@ class FeatureStoreSpec extends SparkSpec {
       s"renamed 'remark' must read the amount lineage, never the orphaned strings: $asRemark")
   }
 
+  test("widenFeature: Integral->Fractional materializes through one rewrite; reads correct before, during, and after; narrows rejected") {
+    import org.apache.spark.sql.functions.col
+    val sd = Files.createTempDirectory("fs_widen_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(FeatureGroup("w", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("n", FType.Integral))))
+    import spark.implicits._
+    def b(rows: (Long, String, Long)*) = rows.toDF("k", "t", "n")
+      .selectExpr("k", "to_timestamp(t) AS t", "n")
+    fs.ingest("w", b((1L, "2024-01-01 10:00:00", 10L), (2L, "2024-01-01 11:00:00", 20L)))
+
+    // contract: narrows and key/event-time widens fail loudly
+    intercept[IllegalArgumentException](fs.widenFeature("w", "k", FType.Fractional))
+    intercept[IllegalArgumentException](fs.widenFeature("w", "t", FType.FString))
+
+    fs.widenFeature("w", "n", FType.Fractional)
+    // history reads in the new type, values preserved
+    val hist = fs.offline("w").select("k", "n").as[(Long, Double)].collect().toMap
+    assert(hist == Map(1L -> 10.0, 2L -> 20.0), s"widened history: $hist")
+    assert(fs.offline("w").schema("n").dataType
+      == org.apache.spark.sql.types.DoubleType)
+    // the rewrite materialized the type INTO the files (fast path reads it)
+    assert(fs.describeGroup("w").features.forall(_.renames.isEmpty),
+      "aliases cleared after the materializing rewrite")
+    // serving in the new type immediately (snapshot was rebuilt)
+    assert(fs.getRecord("w", 1L).get("n") == "10.0", s"got ${fs.getRecord("w", 1L)}")
+
+    // post-widen ingests carry doubles; a narrow back is rejected
+    fs.ingest("w", b((3L, "2024-01-02 10:00:00", 30L))) // long input casts to declared double
+    assert(fs.getRecord("w", 3L).get("n") == "30.0")
+    intercept[IllegalArgumentException](fs.widenFeature("w", "n", FType.Integral))
+
+    // idempotent recovery: re-running the same widen completes cleanly
+    fs.widenFeature("w", "n", FType.Fractional)
+    assert(fs.offline("w").select("n").as[Double].collect().sorted.toSeq
+      == Seq(10.0, 20.0, 30.0))
+
+    // Integral -> FString on a fresh handle (manifest round-trip en route)
+    val fs2 = new FeatureStore(spark, sd)
+    fs2.widenFeature("w", "n", FType.FString)
+    assert(fs2.offline("w").select("n").as[String].collect().sorted.toSeq
+      == Seq("10.0", "20.0", "30.0"))
+    assert(fs2.getRecord("w", 2L).get("n") == "20.0")
+  }
+
   test("onlineAt time travel: every refresh is an immutable readable version; gc keeps newest") {
     val fs = newStore()
     fs.createGroup(group)
