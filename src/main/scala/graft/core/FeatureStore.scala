@@ -298,6 +298,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     servingCache.remove(name): Unit
     bucketCountCache.remove(name): Unit // a recreated group may re-reach v1
+    schemaMatchCache.keySet.removeIf(_._1 == name): Unit // same re-reach hazard
   }
 
   // ---- ingest (reference: update_feature_store.py — per-row put_record; ours is set-oriented) ----
@@ -740,14 +741,29 @@ final class FeatureStore(spark: SparkSession, root: String,
     * partition listing + footer read of a full-version parquet resolve
     * just to check the schema); snapshots from before the cols line fall
     * back to that parquet read once, and their next commit records it. */
+  /** Verdict cache for the per-LOOKUP schema gate on the serving-KV path
+    * (getRecord/batchGetRecords): a version's column set is immutable, but
+    * the DECLARED side changes on metadata-only evolution, so the key
+    * carries the declared fingerprint — a dropFeature/renameFeature flips
+    * the verdict at the next lookup without any invalidation hook. */
+  private val schemaMatchCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), java.lang.Boolean]()
+
   private def snapshotSchemaMatches(g: FeatureGroup, v: Long): Boolean = {
     val declared = (g.featureNames :+ EngineColumns.IngestSeq).toSet
-    readVersionCols(versionDirOf(g.name, v)) match {
-      case Some(cols) => cols == declared
-      case None =>
-        val cols = spark.read.parquet(versionDirOf(g.name, v).toString)
-          .columns.toSet - EngineColumns.KeyBucket
-        cols == declared
+    val key = (g.name, v, g.featureNames.mkString(","))
+    val cached = schemaMatchCache.get(key)
+    if (cached != null) cached.booleanValue()
+    else {
+      val verdict = readVersionCols(versionDirOf(g.name, v)) match {
+        case Some(cols) => cols == declared
+        case None =>
+          val cols = spark.read.parquet(versionDirOf(g.name, v).toString)
+            .columns.toSet - EngineColumns.KeyBucket
+          cols == declared
+      }
+      schemaMatchCache.put(key, java.lang.Boolean.valueOf(verdict))
+      verdict
     }
   }
 
@@ -1250,32 +1266,37 @@ final class FeatureStore(spark: SparkSession, root: String,
     * addFeature has no field for the new column yet — serve null (the
     * caller's default applies, P4). */
   private def renderWireRow(g: FeatureGroup, r: Row): Map[String, String] = {
+    // HOT PATH (cache-hit getRecord budget is tens of µs): field lookups
+    // go through StructType.fieldIndex — the schema's cached name→index
+    // map — never a per-call fieldNames.toSet allocation or array scan.
+    // The exception path only fires for fields absent from the row, i.e.
+    // the rare evolution window between a metadata commit and the next
+    // snapshot rebuild.
+    val schema = r.schema
+    def idxOf(n: String): Option[Int] =
+      if (schema == null) None
+      else try Some(schema.fieldIndex(n))
+      catch { case _: IllegalArgumentException => None }
     // the row's ingest seq, for the re-add mask (FeatureDef.since); a row
     // without the column (shouldn't happen on snapshot rows) masks nothing
-    val rowSeq: Long =
-      if (r.schema != null && r.schema.fieldNames.contains(EngineColumns.IngestSeq)
-          && !r.isNullAt(r.fieldIndex(EngineColumns.IngestSeq)))
-        r.getLong(r.fieldIndex(EngineColumns.IngestSeq))
-      else Long.MaxValue
-    val fields: Set[String] =
-      if (r.schema != null) r.schema.fieldNames.toSet else Set.empty
+    val rowSeq: Long = idxOf(EngineColumns.IngestSeq)
+      .filterNot(r.isNullAt).map(r.getLong).getOrElse(Long.MaxValue)
     g.features.map { f =>
       // era resolution, driver-side mirror of [[eraColumn]]: the name that
       // held this feature when the row was written, or — when a rewrite
       // materialized the era — the first NEWER name in the chain this row
       // layout carries (a rewrite renders to the name current at rewrite
       // time, possibly an intermediate alias)
-      val srcName =
-        if (f.renames.isEmpty || rowSeq >= f.renames.head._2) f.name
+      val srcIdx: Option[Int] =
+        if (f.renames.isEmpty || rowSeq >= f.renames.head._2) idxOf(f.name)
         else {
           val i = f.renames.indices.find(j =>
             rowSeq >= f.renames.lift(j + 1).map(_._2).getOrElse(0L))
             .getOrElse(f.renames.size - 1)
           ((i to 0 by -1).map(j => f.renames(j)._1) :+ f.name)
-            .find(fields.contains).getOrElse(f.name)
+            .iterator.map(idxOf).collectFirst { case Some(ix) => ix }
         }
-      val raw = if (fields.contains(srcName) && rowSeq >= f.since)
-        r.get(r.fieldIndex(srcName)) else null
+      val raw = if (rowSeq >= f.since) srcIdx.map(r.get).orNull else null
       // a snapshot committed before a widenFeature still stores the old
       // numeric type until the rebuild — coerce so the wire rendering is
       // the declared type's from day zero ("10.0", not "10")
