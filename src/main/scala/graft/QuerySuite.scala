@@ -1426,6 +1426,38 @@ object QuerySuite {
         .orderBy("event_id")
     }),
 
+    // ---- q241: the WHOLE store lifecycle from SQL STATEMENTS alone
+    //      (round 12 capstone — DDL + DML + evolution are all statement
+    //      faces now): CREATE the group, MERGE the pre-cut corpus as a
+    //      CDC batch, RENAME value→score mid-stream, MERGE the post-cut
+    //      batch under the new name; the serving face must equal the
+    //      latest-per-key oracle with both eras under 'score' ----
+    "q241_fs_sql_lifecycle" -> ((s, dir) => {
+      val sd = tmpDir("q241_store_")
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-16").cast(TimestampType)
+      val chA = aux(dir, "q241_chA")
+      val chB = aux(dir, "q241_chB")
+      ev.filter(col("ts") < cut).withColumn("op", lit("U"))
+        .write.mode("overwrite").parquet(chA)
+      ev.filter(col("ts") >= cut).withColumnRenamed("value", "score")
+        .withColumn("op", lit("U"))
+        .write.mode("overwrite").parquet(chB)
+      s.sql(s"SELECT * FROM feature_store_create('$sd', 'life_fg', 'user_id', 'ts', " +
+        "'user_id:integral,event_id:integral,ts:timestamp," +
+        "event_type:string,value:fractional')").collect(): Unit
+      s.sql(s"SELECT * FROM feature_store_merge('$sd', 'life_fg', '$chA', 'op', 'event_id')")
+        .collect(): Unit
+      s.sql(s"SELECT * FROM feature_store_rename_feature('$sd', 'life_fg', 'value', 'score')")
+        .collect(): Unit
+      s.sql(s"SELECT * FROM feature_store_merge('$sd', 'life_fg', '$chB', 'op', 'event_id')")
+        .collect(): Unit
+      new FeatureStore(s, sd).online("life_fg")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"), col("score"))
+        .orderBy("user_id")
+    }),
+
     // ---- DELETION from the persisted IVFADC index (erasure for ANN
     //      serving): vec_ids ≡ 3 (mod 10) are tombstoned after the base
     //      build; serving anti-joins the tombstones out of the stage-1
@@ -6935,6 +6967,15 @@ object QuerySuite {
     "q240_fs_rename" ->
       """SELECT user_id, event_id, ts, event_type, value AS score
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the pure-SQL lifecycle ends at the same serving state as q10's
+    // latest-per-key, with the renamed column under its new name
+    "q241_fs_sql_lifecycle" ->
+      """SELECT user_id, event_id, ts, event_type, value AS score FROM (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q230_ivfadc_filtered" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -146,6 +146,88 @@ case class FeatureStoreVacuumCommand(
   }
 }
 
+/** `feature_store_create(storeDir, group, keyCol, eventTimeCol, schemaSpec)`
+  * — the CREATE-FEATURE-GROUP statement (the reference's
+  * `create-feature-group` CLI call, setup.sh:78-89, as SQL DDL).
+  * `schemaSpec` is `'name:type,name:type,...'` with types
+  * Integral|Fractional|String|Timestamp (case-insensitive); the key and
+  * event-time columns must appear in it. Returns (created, n_features). */
+case class FeatureStoreCreateGroupCommand(
+    storeDir: String,
+    group: String,
+    keyCol: String,
+    eventTimeCol: String,
+    schemaSpec: String) extends LeafRunnableCommand {
+  import FeatureStoreCommands._
+
+  override val output: Seq[Attribute] = Seq(boolAttr("created"), longAttr("n_features"))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val feats = schemaSpec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { e =>
+      e.split(":", 2) match {
+        case Array(n, t) => graft.core.FeatureDef(n.trim,
+          graft.core.FType.fromName(t.trim.toLowerCase.capitalize))
+        case _ => throw new IllegalArgumentException(
+          s"feature_store_create: bad schema entry '$e' (want name:type)")
+      }
+    }.toSeq
+    val fs = new graft.core.FeatureStore(spark, storeDir)
+    fs.createGroup(graft.core.FeatureGroup(group, keyCol, eventTimeCol, feats))
+    Seq(Row(true, feats.size.toLong))
+  }
+}
+
+/** `feature_store_drop_group(storeDir, group)` — DROP-TABLE-shaped:
+  * removes the group's manifest, history, snapshots and serving caches
+  * ([[graft.core.FeatureStore.dropGroup]]). Returns (dropped). */
+case class FeatureStoreDropGroupCommand(
+    storeDir: String,
+    group: String) extends LeafRunnableCommand {
+  import FeatureStoreCommands._
+
+  override val output: Seq[Attribute] = Seq(boolAttr("dropped"))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fs = new graft.core.FeatureStore(spark, storeDir)
+    val existed = fs.groupExists(group)
+    fs.dropGroup(group)
+    Seq(Row(existed))
+  }
+}
+
+/** `feature_store_add_feature(storeDir, group, name, type)` /
+  * `feature_store_drop_feature(storeDir, group, name)` /
+  * `feature_store_rename_feature(storeDir, group, from, to)` /
+  * `feature_store_widen_feature(storeDir, group, name, type)` — the
+  * schema-evolution statements, one thin command each over the
+  * [[graft.core.FeatureStore]] evolution API (add/drop/rename are
+  * metadata-only; widen rewrites — see `widenFeature`'s staged contract).
+  * Each returns the group's (n_features) after the change. */
+case class FeatureStoreEvolveCommand(
+    storeDir: String,
+    group: String,
+    op: String, // add | drop | rename | widen
+    arg1: String,
+    arg2: String) extends LeafRunnableCommand {
+  import FeatureStoreCommands._
+
+  override val output: Seq[Attribute] = Seq(longAttr("n_features"))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val fs = new graft.core.FeatureStore(spark, storeDir)
+    op match {
+      case "add" => fs.addFeature(group, graft.core.FeatureDef(arg1,
+        graft.core.FType.fromName(arg2.trim.toLowerCase.capitalize)))
+      case "drop" => fs.dropFeature(group, arg1)
+      case "rename" => fs.renameFeature(group, arg1, arg2)
+      case "widen" => fs.widenFeature(group, arg1,
+        graft.core.FType.fromName(arg2.trim.toLowerCase.capitalize))
+      case other => throw new IllegalStateException(s"unknown evolution op $other")
+    }
+    Seq(Row(fs.describeGroup(group).features.size.toLong))
+  }
+}
+
 /** `index_vacuum(familyPath)` — statement face of
   * [[graft.dedup.Dedup.vacuumFamily]]: drops every superseded index
   * generation below the family's retention floor (the byte-level erasure

@@ -241,11 +241,85 @@ object GraftTableFunctions {
       IndexVacuumCommand(litStr(args(0), "index_vacuum familyPath"))
     })
 
+  /** `feature_store_create(storeDir, group, keyCol, eventTimeCol,
+    * 'name:type,...')` — CREATE-FEATURE-GROUP DDL
+    * ([[FeatureStoreCreateGroupCommand]]). */
+  private[plans] val featureStoreCreateDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_create"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_create"),
+    (args: Seq[Expression]) => {
+      require(args.length == 5,
+        s"feature_store_create expects (storeDir, group, keyCol, eventTimeCol, schemaSpec), got ${args.length} arguments")
+      FeatureStoreCreateGroupCommand(
+        litStr(args(0), "storeDir"), litStr(args(1), "group"),
+        litStr(args(2), "keyCol"), litStr(args(3), "eventTimeCol"),
+        litStr(args(4), "schemaSpec"))
+    })
+
+  /** `feature_store_drop_group(storeDir, group)` — DROP-TABLE-shaped DDL
+    * ([[FeatureStoreDropGroupCommand]]). */
+  private[plans] val featureStoreDropGroupDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_drop_group"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_drop_group"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"feature_store_drop_group expects (storeDir, group), got ${args.length} arguments")
+      FeatureStoreDropGroupCommand(litStr(args(0), "storeDir"), litStr(args(1), "group"))
+    })
+
+  /** The four schema-evolution statements — thin [[FeatureStoreEvolveCommand]]
+    * faces over add/drop/rename/widen (see `FeatureStore`'s evolution API
+    * for each one's exact read contract). */
+  private def evolveDescriptor(fn: String, op: String, twoArgs: Boolean): TvfDescriptor = (
+    FunctionIdentifier(fn),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, fn),
+    (args: Seq[Expression]) => {
+      val n = if (twoArgs) 4 else 3
+      require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+      FeatureStoreEvolveCommand(
+        litStr(args(0), "storeDir"), litStr(args(1), "group"), op,
+        litStr(args(2), s"$fn arg"),
+        if (twoArgs) litStr(args(3), s"$fn arg") else "")
+    })
+
+  private[plans] val featureStoreAddFeatureDescriptor: TvfDescriptor =
+    evolveDescriptor("feature_store_add_feature", "add", twoArgs = true)
+  private[plans] val featureStoreDropFeatureDescriptor: TvfDescriptor =
+    evolveDescriptor("feature_store_drop_feature", "drop", twoArgs = false)
+  private[plans] val featureStoreRenameFeatureDescriptor: TvfDescriptor =
+    evolveDescriptor("feature_store_rename_feature", "rename", twoArgs = true)
+  private[plans] val featureStoreWidenFeatureDescriptor: TvfDescriptor =
+    evolveDescriptor("feature_store_widen_feature", "widen", twoArgs = true)
+
+  /** `feature_store_describe(storeDir, group)` — metadata READ face
+    * (analysis-time plan like every read TVF; side-effect free): one row
+    * per declared feature — (feature, ftype, is_key, is_event_time,
+    * since). */
+  private[plans] val featureStoreDescribeDescriptor: TvfDescriptor = (
+    FunctionIdentifier("feature_store_describe"),
+    new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_describe"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2,
+        s"feature_store_describe expects (storeDir, group), got ${args.length} arguments")
+      val store = litStr(args(0), "storeDir")
+      val group = litStr(args(1), "group")
+      val s = session
+      import s.implicits._
+      val g = new graft.core.FeatureStore(s, store).describeGroup(group)
+      g.features.map(f => (f.name, graft.core.FType.name(f.ftype),
+          f.name == g.keyCol, f.name == g.eventTimeCol, f.since))
+        .toDF("feature", "ftype", "is_key", "is_event_time", "since")
+        .queryExecution.analyzed
+    })
+
   private[plans] val all: Seq[TvfDescriptor] =
     Seq(bm25TopKDescriptor, dedupExactMarksDescriptor, lmPplDescriptor,
       annTopKDescriptor, featureStoreMergeDescriptor, featureStoreDeleteDescriptor,
       featureStoreCompactDescriptor, featureStoreVacuumDescriptor,
-      indexVacuumDescriptor)
+      indexVacuumDescriptor, featureStoreCreateDescriptor,
+      featureStoreDropGroupDescriptor, featureStoreAddFeatureDescriptor,
+      featureStoreDropFeatureDescriptor, featureStoreRenameFeatureDescriptor,
+      featureStoreWidenFeatureDescriptor, featureStoreDescribeDescriptor)
 
   /** Programmatic alternative when the session already exists (tests, REPL)
     * — mirrors [[GraftExtensions.register]]. */

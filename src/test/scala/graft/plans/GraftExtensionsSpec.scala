@@ -286,6 +286,58 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(hits == Set(1L), s"post-vacuum serve must still exclude the erased doc: $hits")
   }
 
+  test("DDL + evolution statements: the whole group lifecycle from SQL text; EXPLAIN stays side-effect free") {
+    import graft.core.FeatureStore
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val sd = java.nio.file.Files.createTempDirectory("ddl_store_").toString
+    val fs = new FeatureStore(spark, sd)
+
+    // EXPLAIN of DDL must not create
+    spark.sql(s"EXPLAIN SELECT * FROM feature_store_create('$sd', 'g', 'k', 't', 'k:integral,t:timestamp,v:integral')")
+      .collect()
+    assert(!fs.groupExists("g"), "EXPLAIN must not create the group")
+
+    val created = spark.sql(
+      s"SELECT * FROM feature_store_create('$sd', 'g', 'k', 't', 'k:integral,t:timestamp,v:integral')")
+      .collect().head
+    assert(created.getBoolean(0) && created.getLong(1) == 3L && fs.groupExists("g"))
+    // bad schema entries and duplicate creates fail loudly
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM feature_store_create('$sd', 'g2', 'k', 't', 'k integral')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM feature_store_create('$sd', 'g', 'k', 't', 'k:integral,t:timestamp')").collect()
+    }
+
+    fs.ingest("g", Seq((1L, ts("2024-01-01 00:00:00"), 10L)).toDF("k", "t", "v"))
+
+    // evolution from SQL: add, widen, rename, drop — with describe between
+    assert(spark.sql(s"SELECT * FROM feature_store_add_feature('$sd', 'g', 'w', 'string')")
+      .collect().head.getLong(0) == 4L)
+    assert(spark.sql(s"SELECT * FROM feature_store_widen_feature('$sd', 'g', 'v', 'fractional')")
+      .collect().head.getLong(0) == 4L)
+    assert(fs.getRecord("g", 1L).get("v") == "10.0", "widen statement materialized")
+    assert(spark.sql(s"SELECT * FROM feature_store_rename_feature('$sd', 'g', 'v', 'val')")
+      .collect().head.getLong(0) == 4L)
+    assert(fs.getRecord("g", 1L).get("val") == "10.0", "rename statement era-resolves")
+    assert(spark.sql(s"SELECT * FROM feature_store_drop_feature('$sd', 'g', 'w')")
+      .collect().head.getLong(0) == 3L)
+
+    // describe is a READ face: declared view, key/event-time flags
+    val desc = spark.sql(s"SELECT * FROM feature_store_describe('$sd', 'g') ORDER BY feature")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
+    assert(desc == Seq(("k", "Integral", true), ("t", "Timestamp", false),
+      ("val", "Fractional", false)), s"describe read: $desc")
+
+    // drop_group tears down; a second drop reports not-found
+    assert(spark.sql(s"SELECT * FROM feature_store_drop_group('$sd', 'g')")
+      .collect().head.getBoolean(0))
+    assert(!fs.groupExists("g"))
+    assert(!spark.sql(s"SELECT * FROM feature_store_drop_group('$sd', 'g')")
+      .collect().head.getBoolean(0))
+  }
+
   test("zorder2 and hash_split_bucket are callable from SQL and agree with the Column API") {
     import graft.functions.GraftFunctions
     import spark.implicits._
