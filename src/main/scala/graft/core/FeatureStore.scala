@@ -198,12 +198,14 @@ final class FeatureStore(spark: SparkSession, root: String,
     *
     * A crash between any two steps leaves a readable store, and re-running
     * `widenFeature` with the same arguments completes the remaining steps
-    * (same-type re-runs are accepted for exactly that recovery). Widening
-    * is EXCLUSIVE maintenance under the store's single-writer contract —
-    * an ingest racing step 2 could land old-typed... no: post-flip
-    * ingests cast to the new declared type; they land new-typed and fold
-    * in. The key and event-time columns are not widenable (the key's
-    * string rendering anchors bucket hashing and KV entries). */
+    * (same-type re-runs are accepted for exactly that recovery). A widen
+    * left pending by a crash BLOCKS ingest until the re-run materializes
+    * it ([[ingest]]'s self-alias guard): an ingest landing between the
+    * flip and the rewrite would put new-typed files next to old-typed
+    * ones under one column name — unreadable by any parquet schema merge
+    * — so the store fails fast with the recovery step named instead of
+    * wedging. The key and event-time columns are not widenable (the
+    * key's string rendering anchors bucket hashing and KV entries). */
   def widenFeature(groupName: String, featureName: String, to: FType): Unit = {
     val m = readManifest(groupName)
     val g = m.group
@@ -230,8 +232,11 @@ final class FeatureStore(spark: SparkSession, root: String,
         m2.nextSeq, m2.lastBatchId)
       refreshOnline(m2.group.copy(
         features = m2.group.features.map(_.copy(renames = Nil))), None)
-    } else if (f.ftype != to) {
-      // no history yet — the flip alone suffices, drop the self-alias
+    } else {
+      // no history yet — the flip alone suffices; drop every alias (no
+      // files exist, so aliases are dead weight). UNCONDITIONAL so a
+      // same-type re-run clears a crash-stranded self-alias too (the
+      // documented recovery; round-12 review finding).
       val m2 = readManifest(groupName)
       writeManifest(m2.group.copy(
           features = m2.group.features.map(_.copy(renames = Nil))),
@@ -322,6 +327,18 @@ final class FeatureStore(spark: SparkSession, root: String,
     val m = readManifest(groupName)
     val (g, seq) = (m.group, m.nextSeq)
     if (batchId.exists(_ <= m.lastBatchId)) return -1L
+    // a PENDING widen (the self-alias a crashed widenFeature left between
+    // its metadata flip and its materializing rewrite) must complete
+    // before new data lands: an ingest here would write new-typed files
+    // next to old-typed ones under ONE column name, which no parquet
+    // schema merge can read back — fail fast with the recovery step
+    // instead of wedging the store (round-12 review finding)
+    val pendingWiden = g.features.find(f => f.renames.headOption.exists(_._1 == f.name))
+    require(pendingWiden.isEmpty,
+      s"feature group $groupName has an unfinished widenFeature on " +
+        s"'${pendingWiden.get.name}' — re-run widenFeature(\"$groupName\", " +
+        s"\"${pendingWiden.get.name}\", ${FType.name(pendingWiden.get.ftype)}) " +
+        "to materialize it before ingesting")
     val missing = g.featureNames.filterNot(df.columns.contains)
     require(missing.isEmpty, s"ingest batch missing declared features: $missing")
 
@@ -503,7 +520,12 @@ final class FeatureStore(spark: SparkSession, root: String,
           } else {
             val touched = touchedRows.map(_.get(0).asInstanceOf[Number].longValue).toSet
             if (touched.isEmpty) { servingCache.remove(g.name): Unit; return } // empty batch
-            val snapTouched = conformToDeclared(g, snapshotBuckets(g, v, touched))
+            // belt over the fingerprint gate: carried-forward rows from a
+            // correctly-matching version are already materialized-clean,
+            // but masking is identity there and closes any residual
+            // re-add window at the cost of one projection
+            val snapTouched = maskSince(g,
+              conformToDeclared(g, snapshotBuckets(g, v, touched)))
             val latestTouched = LatestPerKey.viaMaxBy(
               snapTouched.unionByName(bb.drop(EngineColumns.KeyBucket)),
               Seq(g.keyCol), g.eventTimeCol, Seq(EngineColumns.IngestSeq))
@@ -541,8 +563,14 @@ final class FeatureStore(spark: SparkSession, root: String,
       baseVersion.isEmpty && currentSnapshot(g.name).isEmpty && batch.isDefined)
     val base = (currentSnapshot(g.name), batch) match {
       case (Some(snap), Some(b)) =>
-        conformToDeclared(g, snap).unionByName(conformToDeclared(g, b))
-      case (_, _) => conformToDeclared(g, offline(g.name))
+        // maskSince on the snapshot side: a full refresh crossing a
+        // drop/re-add boundary must NOT carry the orphaned pre-drop values
+        // into the rewritten snapshot (conformToDeclared era-resolves
+        // names but cannot see `since`; identity for never-evolved
+        // groups — round-12 review finding)
+        maskSince(g, conformToDeclared(g, snap))
+          .unionByName(maskSince(g, conformToDeclared(g, b)))
+      case (_, _) => conformToDeclared(g, offline(g.name)) // offline() masks
     }
     val latest0 = LatestPerKey.viaMaxBy(base, Seq(g.keyCol), g.eventTimeCol,
       Seq(EngineColumns.IngestSeq))
@@ -602,8 +630,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       () => counts = timedPhase(g.name, "bucket_counts")(bucketCounts(dir)),
       () => timedPhase(g.name, "serving_kv")( // rides the same staged commit
         writeServingKv(g, dir, buckets))))
-    writeVersionMeta(dir, buckets, counts,
-      g.featureNames :+ EngineColumns.IngestSeq)
+    writeVersionMeta(dir, buckets, counts, g)
     try timedPhase(g.name, "pointer_cas")(OptimisticPointer.casSwap(
       onlineDir(g.name), "LATEST",
       expected = baseVersion.map(_.toString), next = next.toString,
@@ -615,6 +642,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     servingCache.remove(g.name): Unit // next getRecord rebuilds from v<next>
     bucketCountCache.remove(g.name): Unit
+    schemaMatchCache.keySet.removeIf(_._1 == g.name): Unit // bound per commit
   }
 
   /** Commit v<base+1> by rewriting ONLY the `touched` buckets (`newRows`
@@ -654,8 +682,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       () => timedPhase(g.name, "serving_kv")(
         writeServingKv(g, dir, buckets, Some(math.max(touched.size, 1))))))
     timedPhase(g.name, "link_untouched")(linkUntouched(baseDir, dir, touched))
-    writeVersionMeta(dir, buckets, (baseCounts -- touched) ++ newCounts,
-      g.featureNames :+ EngineColumns.IngestSeq)
+    writeVersionMeta(dir, buckets, (baseCounts -- touched) ++ newCounts, g)
     try timedPhase(g.name, "pointer_cas")(OptimisticPointer.casSwap(
       onlineDir(g.name), "LATEST",
       expected = Some(baseVersion.toString), next = next.toString,
@@ -667,6 +694,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     }
     servingCache.remove(g.name): Unit
     bucketCountCache.remove(g.name): Unit
+    schemaMatchCache.keySet.removeIf(_._1 == g.name): Unit // bound per commit
   }
 
   /** Hard-link every UNTOUCHED bucket's parquet partition dir and
@@ -742,25 +770,46 @@ final class FeatureStore(spark: SparkSession, root: String,
     * just to check the schema); snapshots from before the cols line fall
     * back to that parquet read once, and their next commit records it. */
   /** Verdict cache for the per-LOOKUP schema gate on the serving-KV path
-    * (getRecord/batchGetRecords): a version's column set is immutable, but
-    * the DECLARED side changes on metadata-only evolution, so the key
-    * carries the declared fingerprint — a dropFeature/renameFeature flips
-    * the verdict at the next lookup without any invalidation hook. */
+    * (getRecord/batchGetRecords): a version's recorded state is immutable,
+    * but the DECLARED side changes on metadata-only evolution, so the key
+    * carries the declared fingerprint — a drop/re-add/rename/widen flips
+    * the verdict at the next lookup with no invalidation hook. Entries are
+    * evicted whenever a commit invalidates the group's serving caches and
+    * on [[gcOnline]], so the map is bounded by live (version, epoch)
+    * pairs, not the store's lifetime commit count. */
   private val schemaMatchCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, String), java.lang.Boolean]()
 
+  /** Does version `v`'s layout encode exactly the CURRENT declared view?
+    * True ⇒ its parquet columns, pre-rendered KV wire rows, and carried-
+    * forward buckets are all authoritative (they were committed under this
+    * very fingerprint, and commits materialize masking/era resolution).
+    * False ⇒ some evolution happened since: serve through the row paths
+    * (which mask and era-resolve at read time) and take the FULL refresh
+    * on the next commit. Versions committed before the fingerprint line
+    * compare by name set — which cannot see a same-name re-add or a type
+    * widen — so they are additionally distrusted whenever any feature
+    * carries evolution state the names cannot encode. */
   private def snapshotSchemaMatches(g: FeatureGroup, v: Long): Boolean = {
-    val declared = (g.featureNames :+ EngineColumns.IngestSeq).toSet
-    val key = (g.name, v, g.featureNames.mkString(","))
+    val fp = FeatureStore.declaredFingerprint(g)
+    val key = (g.name, v, fp)
     val cached = schemaMatchCache.get(key)
     if (cached != null) cached.booleanValue()
     else {
-      val verdict = readVersionCols(versionDirOf(g.name, v)) match {
-        case Some(cols) => cols == declared
+      val vd = versionDirOf(g.name, v)
+      val verdict = readVersionFp(vd) match {
+        case Some(storedFp) => storedFp == fp
         case None =>
-          val cols = spark.read.parquet(versionDirOf(g.name, v).toString)
-            .columns.toSet - EngineColumns.KeyBucket
-          cols == declared
+          g.features.forall(f => f.since == 0L && f.renames.isEmpty) && {
+            val declared = (g.featureNames :+ EngineColumns.IngestSeq).toSet
+            readVersionCols(vd) match {
+              case Some(cols) => cols == declared
+              case None =>
+                val cols = spark.read.parquet(vd.toString)
+                  .columns.toSet - EngineColumns.KeyBucket
+                cols == declared
+            }
+          }
       }
       schemaMatchCache.put(key, java.lang.Boolean.valueOf(verdict))
       verdict
@@ -837,15 +886,32 @@ final class FeatureStore(spark: SparkSession, root: String,
   }
 
   private def writeVersionMeta(vd: Path, buckets: Long,
-      counts: Map[Long, Long], cols: Seq[String]): Unit = {
+      counts: Map[Long, Long], g: FeatureGroup): Unit = {
     // cols = the snapshot's data columns at commit time (declared features
     // + ingest seq — names are [A-Za-z0-9_]+, comma-safe): the schema-
     // evolution gate reads THIS line instead of paying a full-version
-    // parquet listing per incremental commit
+    // parquet listing per incremental commit. fp = the FULL declared
+    // fingerprint at commit time (types, since, renames) — column names
+    // alone cannot see a drop+re-add of the same name or a type widen,
+    // which is exactly when the pre-rendered KV layout and the incremental
+    // carry-forward must NOT be trusted (round-12 review finding).
+    val cols = g.featureNames :+ EngineColumns.IngestSeq
     val body = s"buckets=$buckets\n" +
       s"counts=${counts.toSeq.sorted.map { case (b, c) => s"$b:$c" }.mkString(",")}\n" +
-      s"cols=${cols.sorted.mkString(",")}\n"
+      s"cols=${cols.sorted.mkString(",")}\n" +
+      s"fp=${FeatureStore.declaredFingerprint(g)}\n"
     Files.write(vd.resolve("_meta"), body.getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  /** The `fp=` line of a version meta — None for metas from before the
+    * fingerprint (round 12) or any unreadable meta. */
+  private def readVersionFp(vd: Path): Option[String] = {
+    val p = vd.resolve("_meta")
+    if (!Files.exists(p)) None
+    else scala.util.Try {
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.find(_.startsWith("fp=")).map(_.drop(3).trim)
+    }.toOption.flatten
   }
 
   /** The snapshot's recorded column set — None for metas from before the
@@ -1591,14 +1657,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     *
     * @return number of parquet data files after compaction
     */
-  def compactOffline(groupName: String): Long = compactOfflineWith(groupName, identity)
-
-  /** [[compactOffline]] with a transform applied to the declared-schema
-    * read before the rewrite — the hook [[widenFeature]] uses to
-    * materialize the widened type (its cast must ride the SAME rewrite
-    * that the crash-safe CAS commit protects). */
-  private def compactOfflineWith(groupName: String,
-      transform: DataFrame => DataFrame): Long = {
+  def compactOffline(groupName: String): Long = {
     require(groupExists(groupName), s"no such feature group: $groupName")
     // capture (value, presence) in ONE read: the commit below is a
     // compare-and-swap against exactly this observation
@@ -1622,7 +1681,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         val ls = Files.list(tombstoneDir(groupName))
         try ls.iterator().asScala.toList finally ls.close()
       } else Nil
-    transform(offline(groupName)) // declared-schema read: compaction also materializes post-evolution columns
+    offline(groupName) // declared-schema read: compaction also materializes post-evolution columns (incl. the widen cast via eraColumn)
       .repartition(col(EngineColumns.IngestDate))
       .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
       .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
@@ -1967,6 +2026,14 @@ object FeatureStore {
   /** The stringly wire rendering (shared by the cache path, the KV writer,
     * and the legacy job path — one definition, so they can never drift):
     * null → null, timestamps → ISO-8601 Zulu, everything else → toString. */
+  /** FULL declared-schema fingerprint — changes on EVERY evolution,
+    * including the ones column names cannot see (a re-add that only bumps
+    * `since`, a widen that only changes the type). Names/types are
+    * charset-restricted, so the flat encoding is unambiguous. */
+  private[core] def declaredFingerprint(g: FeatureGroup): String =
+    g.features.map(f => s"${f.name}:${FType.name(f.ftype)}:${f.since}:" +
+      f.renames.map { case (n, s) => s"$n@$s" }.mkString("|")).mkString(";")
+
   /** The legal [[FeatureStore.widenFeature]] directions — information-
     * preserving casts only (a narrow would silently destroy data). */
   private[core] def isWidening(from: FType, to: FType): Boolean = (from, to) match {

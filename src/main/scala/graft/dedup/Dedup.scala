@@ -730,8 +730,19 @@ object Dedup {
       val flat = Paths.get(familyPath, name)
       if (prevMaxByTable.getOrElse(name, 0L) >= 1L)
         sweepSupersededVersions(flat, committed)
-      else
-        sweepSuperseded(flat, committed, dedupVersionOf, _ => false)
+      else {
+        // first-versioned table: the migration backfill above may have
+        // created an EMPTY dir at the superseded generation `expected`,
+        // which can sit MORE than retentionCycles below `committed` when
+        // legacy per-table version dirs pushed the counter (the next-
+        // version derivation takes the max of every counter). Widen the
+        // keep so this commit's own sweep cannot delete the dir it just
+        // created for pinned readers (round-12 review finding).
+        val keepFloor = expected.map(e => committed - e.stripPrefix("_v").toLong)
+          .getOrElse(0L).toInt
+        sweepSuperseded(flat, committed, dedupVersionOf, _ => false,
+          keep = math.max(retentionCycles, keepFloor))
+      }
       Files.deleteIfExists(flat.resolve("CURRENT")): Unit
     }
   }

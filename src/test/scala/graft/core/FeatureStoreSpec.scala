@@ -651,6 +651,92 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs2.getRecord("w", 2L).get("n") == "20.0")
   }
 
+  test("serving-KV path honors evolution: drop + re-add of the same name cannot serve the orphaned wire rows (fingerprint gate)") {
+    import org.apache.spark.sql.functions.col
+    val sd = Files.createTempDirectory("fs_kvgate_").toString
+    // cap 1 < row count forces every lookup onto the over-cap KV/job path —
+    // the round-12 review found the drop/re-add contract was only enforced
+    // on the driver-cache path
+    val fs = new FeatureStore(spark, sd, maxServingCacheRows = 1)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "kv_secret_1"),
+                          (2L, "2024-01-01 11:00:00", 20.0, "kv_secret_2")))
+    assert(fs.getRecord("tx", 1L).get("note") == "kv_secret_1",
+      "sanity: the KV path serves the committed wire rows")
+
+    fs.dropFeature("tx", "note")
+    assert(!fs.getRecord("tx", 1L).get.contains("note"),
+      "post-drop the stale KV rendering must not serve the column")
+    fs.addFeature("tx", FeatureDef("note", FType.FString))
+    // the column-NAME set now matches the pre-drop snapshot again — only
+    // the fingerprint (since) can see the re-add
+    assert(fs.getRecord("tx", 1L).get("note") == null,
+      "re-added name must serve fresh null on the KV path, not the orphaned bytes")
+    assert(fs.batchGetRecords("tx", Seq(1L, 2L)).values.flatten
+      .forall(_("note") == null), "batch face agrees")
+
+    // the next commit re-renders: fingerprints align and KV is trusted again
+    fs.ingest("tx", batch((2L, "2024-01-02 11:00:00", 21.0, "fresh_kv")))
+    assert(fs.getRecord("tx", 2L).get("note") == "fresh_kv")
+    assert(fs.getRecord("tx", 1L).get("note") == null,
+      "the re-rendered KV layout materializes the mask, not the orphan")
+  }
+
+  test("a crash-stranded widen blocks ingest with the recovery step named; re-running the widen completes it") {
+    import spark.implicits._
+    val sd = Files.createTempDirectory("fs_widencrash_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(FeatureGroup("w", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("n", FType.Integral))))
+    def b(rows: (Long, String, Long)*) = rows.toDF("k", "t", "n")
+      .selectExpr("k", "to_timestamp(t) AS t", "n")
+    fs.ingest("w", b((1L, "2024-01-01 10:00:00", 10L)))
+
+    // simulate the crash window: the metadata flip landed (new type +
+    // self-alias) but the materializing rewrite never ran — exactly what
+    // widenFeature's step 1 writes
+    val mf = java.nio.file.Paths.get(sd, "w", "manifest.json")
+    val json = new String(Files.readAllBytes(mf))
+    val crashed = json.replace("""{"name":"n","type":"Integral"}""",
+      """{"name":"n","type":"Fractional","was":"n:1"}""")
+    assert(crashed != json, "surgery must hit the manifest entry")
+    Files.write(mf, crashed.getBytes)
+
+    val fs2 = new FeatureStore(spark, sd)
+    // reads stay correct through the pending window (cast-on-read)
+    assert(fs2.offline("w").select("n").as[Double].collect().toSeq == Seq(10.0))
+    // but ingest fails FAST with the recovery step, instead of writing
+    // double-typed files next to long-typed ones (unmergeable forever)
+    val e = intercept[IllegalArgumentException] {
+      fs2.ingest("w", b((2L, "2024-01-02 10:00:00", 20L)))
+    }
+    assert(e.getMessage.contains("widenFeature"), s"recovery must be named: ${e.getMessage}")
+    // the documented recovery: re-run the same widen; then ingest flows
+    fs2.widenFeature("w", "n", FType.Fractional)
+    assert(fs2.describeGroup("w").features.forall(_.renames.isEmpty))
+    fs2.ingest("w", b((2L, "2024-01-02 10:00:00", 20L)))
+    assert(fs2.offline("w").select("n").as[Double].collect().sorted.toSeq
+      == Seq(10.0, 20.0))
+
+    // the no-history variant of the same crash: re-run clears the alias
+    val sd2 = Files.createTempDirectory("fs_widencrash0_").toString
+    val fsn = new FeatureStore(spark, sd2)
+    fsn.createGroup(FeatureGroup("w0", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("n", FType.Integral))))
+    val mf2 = java.nio.file.Paths.get(sd2, "w0", "manifest.json")
+    Files.write(mf2, new String(Files.readAllBytes(mf2)).replace(
+      """{"name":"n","type":"Integral"}""",
+      """{"name":"n","type":"Fractional","was":"n:0"}""").getBytes)
+    val fsn2 = new FeatureStore(spark, sd2)
+    fsn2.widenFeature("w0", "n", FType.Fractional) // same-type re-run = recovery
+    assert(fsn2.describeGroup("w0").features.forall(_.renames.isEmpty),
+      "a same-type re-run on a no-history group must clear the stranded alias")
+  }
+
   test("onlineAt time travel: every refresh is an immutable readable version; gc keeps newest") {
     val fs = newStore()
     fs.createGroup(group)

@@ -177,6 +177,46 @@ class MarkerSnapshotSpec extends SparkSpec {
     assert(hits.count() == 3)
   }
 
+  test("marker-table migration survives a legacy version-counter gap: the backfill outlives this commit's own retention sweep") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"spark shuffle alpha w$i"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("marker_migrate_gap_").toString
+    LexicalRetrieval.buildBm25Index(docs, "doc_id", "text", idx, buckets = 4)
+    LexicalRetrieval.compactBm25Index(spark, idx)
+    val fam = Dedup.readFamilyPointer(idx).get // _vN (small)
+
+    // strand the marker table pre-versioning AND plant a legacy per-table
+    // version dir far above the family counter — the next-version
+    // derivation then jumps (next = maxLegacy + 1), putting the backfilled
+    // generation MORE than retentionCycles below `committed`, where the
+    // plain sweep would delete it in the same commit (round-12 review)
+    val tomb = java.nio.file.Paths.get(idx, "tombstones")
+    val walk = java.nio.file.Files.walk(tomb)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally walk.close()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(idx, "doclens", "_v7"))
+
+    val snap = Dedup.familySnapshot(idx)
+    assert(snap.version.contains(fam))
+    LexicalRetrieval.compactBm25Index(spark, idx)
+    val newFam = Dedup.readFamilyPointer(idx).get
+    assert(newFam.stripPrefix("_v").toLong > 7L,
+      s"sanity: the legacy dir must have pushed the counter past it, got $newFam")
+
+    // the backfilled generation must still exist and the pinned serve must
+    // read "no markers", not trip the vacuumed-pin detector
+    assert(java.nio.file.Files.isDirectory(tomb.resolve(fam)),
+      "the backfill must survive this commit's own sweep despite the counter gap")
+    assert(Dedup.readMarkerTable(spark, idx, "tombstones",
+        snapshot = Some(snap)).isEmpty)
+    val hits = LexicalRetrieval.bm25TopKIndexed(spark, idx,
+      Seq((1L, Seq("spark"))).toDF("query_id", "terms"), k = 3)
+    assert(hits.count() == 3)
+  }
+
   test("LM rebuild clears the previous generation's unlearn markers (delete of a re-ingested doc must decrement)") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, s"alpha beta gamma w$i delta"))
