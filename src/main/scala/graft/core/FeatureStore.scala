@@ -1120,7 +1120,14 @@ final class FeatureStore(spark: SparkSession, root: String,
         val keyDf = spark.read.parquet(tombstoneDir(groupName).toString)
           .filter(col("deleted_seq") === seq).select(col("key"))
         val hinted = if (smallKeySet) broadcast(keyDf) else keyDf
-        baseVersion.flatMap(v => readVersionMeta(versionDirOf(groupName, v))) match {
+        // the incremental path carries RAW base-version rows forward, so it
+        // must not run across an evolution boundary (same fingerprint gate
+        // as refreshOnline): a delete landing between a drop/re-add/rename/
+        // widen and the next commit would otherwise stamp the current
+        // fingerprint onto a version whose files and KV rendering still
+        // hold the pre-evolution view (round-12 review follow-up)
+        baseVersion.flatMap(v => readVersionMeta(versionDirOf(groupName, v)))
+            .filter(_ => snapshotSchemaMatches(g, baseVersion.get)) match {
           case Some((buckets, counts)) =>
             // INCREMENTAL delete: keys live only in their own buckets, so
             // anti-joining the snapshot RESTRICTED to the deleted keys'
@@ -1137,9 +1144,14 @@ final class FeatureStore(spark: SparkSession, root: String,
                 snapTouched.join(hinted,
                   snapTouched(g.keyCol).cast("string") === hinted("key"), "left_anti"))
             }
-          case None => // legacy snapshot without bucket meta: full rewrite
+          case None =>
+            // legacy meta OR evolution since the base version: full rewrite,
+            // CONFORMED + MASKED so the new version's files, fingerprint
+            // stamp, and KV rendering all present the declared view
+            val conformed = maskSince(g, conformToDeclared(g, snap))
             commitOnlineSnapshot(g,
-              snap.join(hinted, snap(g.keyCol).cast("string") === hinted("key"), "left_anti"),
+              conformed.join(hinted,
+                conformed(g.keyCol).cast("string") === hinted("key"), "left_anti"),
               baseVersion, FeatureStore.OnlineKeyBuckets)
         }
       case None =>

@@ -675,6 +675,13 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.batchGetRecords("tx", Seq(1L, 2L)).values.flatten
       .forall(_("note") == null), "batch face agrees")
 
+    // a DELETE landing inside the evolution window must not stamp the
+    // current fingerprint onto a stale-view version: the rewrite conforms
+    // + masks, so the orphan stays invisible afterwards too
+    fs.deleteRecords("tx", Seq(999L)) // absent key — still a snapshot rewrite
+    assert(fs.getRecord("tx", 1L).get("note") == null,
+      "the delete-path rewrite must conform and mask, not launder the orphan")
+
     // the next commit re-renders: fingerprints align and KV is trusted again
     fs.ingest("tx", batch((2L, "2024-01-02 11:00:00", 21.0, "fresh_kv")))
     assert(fs.getRecord("tx", 2L).get("note") == "fresh_kv")
