@@ -252,7 +252,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     * the era under the current name (the adaptive rule in
     * [[renameFeature]]'s doc). Plain column (or typed null) when the
     * feature was never renamed. */
-  private def eraColumn(f: FeatureDef, avail: Set[String]): org.apache.spark.sql.Column = {
+  private[core] def eraColumn(f: FeatureDef, avail: Set[String]): org.apache.spark.sql.Column = {
     def colOrNull(n: String): org.apache.spark.sql.Column =
       if (avail.contains(n)) col(n).cast(f.ftype.spark)
       else lit(null).cast(f.ftype.spark)
@@ -284,7 +284,7 @@ final class FeatureStore(spark: SparkSession, root: String,
   /** Null out each feature's stored values where the row predates the
     * feature's `since` seq — the RE-ADD read mask (see [[FeatureDef]]).
     * Identity for never-evolved groups. Requires `_ingest_seq` in `df`. */
-  private def maskSince(g: FeatureGroup, df: DataFrame): DataFrame =
+  private[core] def maskSince(g: FeatureGroup, df: DataFrame): DataFrame =
     if (g.features.forall(_.since == 0L)) df
     else df.select(df.columns.toSeq.map { c =>
       g.features.find(f => f.name == c && f.since > 0L) match {
@@ -1343,7 +1343,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     * string; ISO-8601 Zulu timestamps). A snapshot written before
     * addFeature has no field for the new column yet — serve null (the
     * caller's default applies, P4). */
-  private def renderWireRow(g: FeatureGroup, r: Row): Map[String, String] = {
+  private[core] def renderWireRow(g: FeatureGroup, r: Row): Map[String, String] = {
     // HOT PATH (cache-hit getRecord budget is tens of µs): field lookups
     // go through StructType.fieldIndex — the schema's cached name→index
     // map — never a per-call fieldNames.toSet allocation or array scan.
