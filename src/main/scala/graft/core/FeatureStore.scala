@@ -110,16 +110,34 @@ final class FeatureStore(spark: SparkSession, root: String,
     * default applies, the reference's missing-feature semantic (P4). */
   def addFeature(groupName: String, f: FeatureDef): Unit = {
     val m = readManifest(groupName)
+    requireNoPendingWiden(m, groupName, s"declare '${f.name}'")
     require(!m.group.features.exists(_.name == f.name),
       s"feature ${f.name} already declared on $groupName")
+    // RE-ADD type-conflict guard: if `f.name` was dropped while history
+    // existed, parquet files may still hold its bytes at the dropped type
+    // (the manifest's `dropped` registry records which). Same type is fine
+    // — `since` masks the orphans to null. A DIFFERENT type would make the
+    // explicit-schema offline read — and [[compactOffline]], the only
+    // erase path, which reads through it — throw on the parquet
+    // long↔double/string conversion, permanently wedging the group; refuse
+    // up front with the erase step named (round-12 review finding).
+    m.dropped.find(_._1 == f.name).foreach { case (_, orphanT) =>
+      require(orphanT == f.ftype,
+        s"cannot re-add '${f.name}' as ${FType.name(f.ftype)}: dropped bytes " +
+          s"of type ${FType.name(orphanT)} may remain in $groupName's offline " +
+          s"history and parquet cannot read them as ${FType.name(f.ftype)} — " +
+          s"run compactOffline(\"$groupName\") to erase them first, then re-add")
+    }
     // a feature added to a group WITH history is only real from the next
     // ingest seq on — for a brand-new name that is a no-op (old files lack
     // the column, parquet fills nulls), but for a RE-ADD after dropFeature
     // the old bytes still exist and must read as null (FeatureDef.since)
     val stamped = f.copy(since = if (m.nextSeq > 0L) m.nextSeq else 0L)
-    // FeatureGroup's constructor re-validates the name charset
+    // FeatureGroup's constructor re-validates the name charset; a
+    // compatible re-add clears the name's dropped entry (the re-declared
+    // column owns the name again, masking handles the old bytes)
     writeManifest(m.group.copy(features = m.group.features :+ stamped),
-      m.nextSeq, m.lastBatchId)
+      m.nextSeq, m.lastBatchId, m.dropped.filterNot(_._1 == f.name), m.widening)
   }
 
   /** Schema EVOLUTION: DROP COLUMN — metadata-only, like [[addFeature]]
@@ -132,17 +150,35 @@ final class FeatureStore(spark: SparkSession, root: String,
     * erased at the next [[compactOffline]] (which rewrites through the
     * declared-schema read). A later [[addFeature]] of the same name gets
     * FRESH NULLS for pre-re-add history, not the orphaned bytes
-    * (FeatureDef.since masking). The key and event-time columns are not
-    * droppable. */
+    * (FeatureDef.since masking) — but only at the SAME type: a re-add at a
+    * different type is refused while orphaned bytes may remain, because
+    * parquet cannot read them under the new declared schema (the manifest's
+    * `dropped` registry tracks this; compact first to erase, then re-add).
+    * The key and event-time columns are not droppable. */
   def dropFeature(groupName: String, featureName: String): Unit = {
     val m = readManifest(groupName)
     val g = m.group
-    require(g.features.exists(_.name == featureName),
-      s"no such feature $featureName on $groupName")
+    requireNoPendingWiden(m, groupName, s"drop '$featureName'")
+    val f = g.features.find(_.name == featureName).getOrElse(
+      throw new IllegalArgumentException(s"no such feature $featureName on $groupName"))
     require(featureName != g.keyCol && featureName != g.eventTimeCol,
       s"cannot drop the group's key/event-time column: $featureName")
+    // a drop on a group WITH history leaves orphaned bytes in parquet under
+    // the feature's current name AND any alias names (files written while
+    // an alias was current, not yet compacted) — all at the drop-time type,
+    // since widen (the only type changer) materializes before clearing its
+    // alias. Record (name, type) for each so a later re-add can refuse a
+    // type parquet cannot read over them ([[addFeature]]'s guard); entries
+    // clear on a compatible re-add or when [[compactOffline]] erases the
+    // bytes.
+    val orphans =
+      if (m.nextSeq > 0L)
+        ((featureName, f.ftype) +: f.renames.map { case (n, _) => (n, f.ftype) })
+          .distinctBy(_._1)
+      else Nil
     writeManifest(g.copy(features = g.features.filterNot(_.name == featureName)),
-      m.nextSeq, m.lastBatchId)
+      m.nextSeq, m.lastBatchId,
+      m.dropped.filterNot(d => orphans.exists(_._1 == d._1)) ++ orphans, m.widening)
   }
 
   /** Schema EVOLUTION: RENAME COLUMN — metadata-only like the other two
@@ -163,6 +199,7 @@ final class FeatureStore(spark: SparkSession, root: String,
   def renameFeature(groupName: String, from: String, to: String): Unit = {
     val m = readManifest(groupName)
     val g = m.group
+    requireNoPendingWiden(m, groupName, s"rename '$from'")
     require(g.features.exists(_.name == from), s"no such feature $from on $groupName")
     require(!g.features.exists(_.name == to),
       s"feature $to already declared on $groupName")
@@ -174,7 +211,8 @@ final class FeatureStore(spark: SparkSession, root: String,
       case f => f
     }
     // FeatureGroup's constructor re-validates the new name's charset
-    writeManifest(g.copy(features = renamed), m.nextSeq, m.lastBatchId)
+    writeManifest(g.copy(features = renamed), m.nextSeq, m.lastBatchId,
+      m.dropped, m.widening)
   }
 
   /** Schema EVOLUTION: WIDEN a feature's type (Integral→Fractional,
@@ -199,13 +237,16 @@ final class FeatureStore(spark: SparkSession, root: String,
     * A crash between any two steps leaves a readable store, and re-running
     * `widenFeature` with the same arguments completes the remaining steps
     * (same-type re-runs are accepted for exactly that recovery). A widen
-    * left pending by a crash BLOCKS ingest until the re-run materializes
-    * it ([[ingest]]'s self-alias guard): an ingest landing between the
-    * flip and the rewrite would put new-typed files next to old-typed
-    * ones under one column name — unreadable by any parquet schema merge
-    * — so the store fails fast with the recovery step named instead of
-    * wedging. The key and event-time columns are not widenable (the
-    * key's string rendering anchors bucket hashing and KV entries). */
+    * left pending by a crash BLOCKS ingest and every other schema mutator
+    * until the re-run materializes it (the manifest's `widening` flag,
+    * armed atomically with the flip — [[requireNoPendingWiden]]): an
+    * ingest landing between the flip and the rewrite would put new-typed
+    * files next to old-typed ones under one column name — unreadable by
+    * any parquet schema merge — so the store fails fast with the recovery
+    * step named instead of wedging; deletes alone stay legal (GDPR never
+    * waits, and they cannot create mixed-type files). The key and
+    * event-time columns are not widenable (the key's string rendering
+    * anchors bucket hashing and KV entries). */
   def widenFeature(groupName: String, featureName: String, to: FType): Unit = {
     val m = readManifest(groupName)
     val g = m.group
@@ -216,33 +257,61 @@ final class FeatureStore(spark: SparkSession, root: String,
     require(f.ftype == to || FeatureStore.isWidening(f.ftype, to),
       s"not a widening: ${FType.name(f.ftype)} -> ${FType.name(to)} " +
         "(allowed: Integral->Fractional, Integral->FString, Fractional->FString)")
+    // while a widen's crash window is open, the only legal widen is the
+    // recovery re-run on the SAME feature (any target type — reads cast
+    // through the era path, so a chained recovery widen stays sound)
+    require(m.widening.forall(_ == featureName),
+      s"feature group $groupName has an unfinished widenFeature on " +
+        s"'${m.widening.getOrElse("")}' — re-run it before widening $featureName")
     if (f.ftype != to) {
       val flipped = g.features.map {
         case ff if ff.name == featureName =>
           ff.copy(ftype = to, renames = (featureName, m.nextSeq) +: ff.renames)
         case ff => ff
       }
-      writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId)
+      // `widening` armed in the SAME atomic manifest swap as the flip:
+      // until the materializing rewrite lands, ingest and every other
+      // schema mutator refuse (see [[requireNoPendingWiden]]) — the
+      // self-alias alone cannot carry that guard, because a rename could
+      // move the feature's name out from under a shape-based check
+      // (round-12 review finding)
+      writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId,
+        m.dropped, widening = Some(featureName))
     }
     if (m.nextSeq > 0L) { // a group with history: materialize + clear aliases
       compactOffline(groupName): Unit
       val m2 = readManifest(groupName)
-      writeManifest(m2.group.copy(
-          features = m2.group.features.map(_.copy(renames = Nil))),
-        m2.nextSeq, m2.lastBatchId)
-      refreshOnline(m2.group.copy(
-        features = m2.group.features.map(_.copy(renames = Nil))), None)
+      val cleared = m2.group.copy(
+        features = m2.group.features.map(_.copy(renames = Nil)))
+      writeManifest(cleared, m2.nextSeq, m2.lastBatchId,
+        m2.dropped, widening = None)
+      refreshOnline(cleared, None)
     } else {
       // no history yet — the flip alone suffices; drop every alias (no
       // files exist, so aliases are dead weight). UNCONDITIONAL so a
-      // same-type re-run clears a crash-stranded self-alias too (the
-      // documented recovery; round-12 review finding).
+      // same-type re-run clears a crash-stranded self-alias + widening
+      // flag too (the documented recovery; round-12 review finding).
       val m2 = readManifest(groupName)
       writeManifest(m2.group.copy(
           features = m2.group.features.map(_.copy(renames = Nil))),
-        m2.nextSeq, m2.lastBatchId)
+        m2.nextSeq, m2.lastBatchId, m2.dropped, widening = None)
     }
   }
+
+  /** Guard shared by the metadata mutators: while a widen's crash window is
+    * open ([[widenFeature]]'s step-1 flip landed, its materializing rewrite
+    * has not — the manifest's `widening` flag) the ONLY legal next step is
+    * re-running that widen. Any other schema mutation could move the
+    * pending feature's identity out from under the recovery contract (the
+    * rename-away-and-back attack from the round-12 review). Deletes stay
+    * legal during the window: tombstones carry no feature columns and the
+    * online rewrite conforms per immutable version, so no mixed-type file
+    * can arise from them — GDPR never waits on a crashed widen. */
+  private def requireNoPendingWiden(m: Manifest, groupName: String,
+      action: String): Unit =
+    require(m.widening.isEmpty,
+      s"cannot $action on $groupName: unfinished widenFeature on " +
+        s"'${m.widening.getOrElse("")}' — re-run it to materialize first")
 
   /** The era-resolved SOURCE expression of feature `f` over a layout whose
     * columns are `avail` (requires `_ingest_seq` in the frame): rows at or
@@ -327,18 +396,24 @@ final class FeatureStore(spark: SparkSession, root: String,
     val m = readManifest(groupName)
     val (g, seq) = (m.group, m.nextSeq)
     if (batchId.exists(_ <= m.lastBatchId)) return -1L
-    // a PENDING widen (the self-alias a crashed widenFeature left between
-    // its metadata flip and its materializing rewrite) must complete
-    // before new data lands: an ingest here would write new-typed files
-    // next to old-typed ones under ONE column name, which no parquet
+    // a PENDING widen (the manifest flag a crashed widenFeature left
+    // between its metadata flip and its materializing rewrite) must
+    // complete before new data lands: an ingest here would write new-typed
+    // files next to old-typed ones under ONE column name, which no parquet
     // schema merge can read back — fail fast with the recovery step
-    // instead of wedging the store (round-12 review finding)
-    val pendingWiden = g.features.find(f => f.renames.headOption.exists(_._1 == f.name))
-    require(pendingWiden.isEmpty,
-      s"feature group $groupName has an unfinished widenFeature on " +
-        s"'${pendingWiden.get.name}' — re-run widenFeature(\"$groupName\", " +
-        s"\"${pendingWiden.get.name}\", ${FType.name(pendingWiden.get.ftype)}) " +
-        "to materialize it before ingesting")
+    // instead of wedging the store. The guard keys on `widening`, not the
+    // self-alias SHAPE: a shape check either misses a rename-away (head
+    // only) or false-positives on a legitimate rename-back (exists) —
+    // round-12 review finding; renames are blocked while the flag is set,
+    // so the recorded name stays the feature's name.
+    require(m.widening.isEmpty, {
+      val w = m.widening.getOrElse("")
+      val t = g.features.find(_.name == w).map(f => FType.name(f.ftype))
+        .getOrElse("<widened type>")
+      s"feature group $groupName has an unfinished widenFeature on '$w' — " +
+        s"re-run widenFeature(\"$groupName\", \"$w\", $t) to materialize it " +
+        "before ingesting"
+    })
     val missing = g.featureNames.filterNot(df.columns.contains)
     require(missing.isEmpty, s"ingest batch missing declared features: $missing")
 
@@ -346,7 +421,8 @@ final class FeatureStore(spark: SparkSession, root: String,
       .withColumn(EngineColumns.IngestSeq, lit(seq))
       .withColumn(EngineColumns.IngestDate, to_date(col(g.eventTimeCol)))
 
-    writeManifest(g, seq + 1, batchId.getOrElse(m.lastBatchId))
+    writeManifest(g, seq + 1, batchId.getOrElse(m.lastBatchId),
+      m.dropped, m.widening)
     // integrity metrics ride the append job (Dataset.observe — zero extra
     // scans, exactly what a 100 TB ingest wants); the UN-observed `typed`
     // goes to refreshOnline because an Observation binds to one action
@@ -1105,7 +1181,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     // seq bumped and persisted FIRST — the ingest crash-safety rule: a
     // crash mid-delete leaves at worst a skipped sequence number, never a
     // reused one
-    writeManifest(g, seq + 1, m.lastBatchId)
+    writeManifest(g, seq + 1, m.lastBatchId, m.dropped, m.widening)
     val marks = keyDf0.select(col("key"),
       lit(seq).cast(LongType).as("deleted_seq"))
     (if (smallKeySet) marks.coalesce(1) else marks)
@@ -1126,8 +1202,9 @@ final class FeatureStore(spark: SparkSession, root: String,
         // widen and the next commit would otherwise stamp the current
         // fingerprint onto a version whose files and KV rendering still
         // hold the pre-evolution view (round-12 review follow-up)
-        baseVersion.flatMap(v => readVersionMeta(versionDirOf(groupName, v)))
-            .filter(_ => snapshotSchemaMatches(g, baseVersion.get)) match {
+        val baseMeta =
+          baseVersion.flatMap(v => readVersionMeta(versionDirOf(groupName, v)))
+        baseMeta.filter(_ => snapshotSchemaMatches(g, baseVersion.get)) match {
           case Some((buckets, counts)) =>
             // INCREMENTAL delete: keys live only in their own buckets, so
             // anti-joining the snapshot RESTRICTED to the deleted keys'
@@ -1149,10 +1226,21 @@ final class FeatureStore(spark: SparkSession, root: String,
             // CONFORMED + MASKED so the new version's files, fingerprint
             // stamp, and KV rendering all present the declared view
             val conformed = maskSince(g, conformToDeclared(g, snap))
+            // bucket count still derives from the base version's recorded
+            // key counts (the refreshOnline None-branch rule): the
+            // fingerprint gate above distrusts the version's LAYOUT, not
+            // its sizing metadata. Falling to the 64-bucket floor here
+            // would rewrite a large store into 64 buckets and force a
+            // second O(store) rebucket at the next ingest (round-12
+            // review finding)
+            val buckets = baseMeta
+              .map { case (_, counts) => FeatureStore.bucketCountFor(
+                counts.values.sum, targetKeysPerBucket) }
+              .getOrElse(FeatureStore.OnlineKeyBuckets)
             commitOnlineSnapshot(g,
               conformed.join(hinted,
                 conformed(g.keyCol).cast("string") === hinted("key"), "left_anti"),
-              baseVersion, FeatureStore.OnlineKeyBuckets)
+              baseVersion, buckets)
         }
       case None =>
         // no snapshot yet: online() derives from the (now filtered) offline
@@ -1243,6 +1331,10 @@ final class FeatureStore(spark: SparkSession, root: String,
       val walk = Files.walk(onlineDir(name).resolve(s"v$v"))
       try walk.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.delete(p))
       finally walk.close()
+      // a collected version's schema verdicts can never be probed again —
+      // evict them so the cache bound really is live (version, fp) pairs
+      // (the doc on [[schemaMatchCache]] promises this eviction)
+      schemaMatchCache.keySet.removeIf(k => k._1 == name && k._2 == v): Unit
     }
   }
 
@@ -1680,6 +1772,13 @@ final class FeatureStore(spark: SparkSession, root: String,
       else None
     }
     val cur = curPointerAtPlan.getOrElse(1L)
+    // dropped-feature registry snapshot: the rewrite below reads the
+    // DECLARED schema, so orphaned bytes recorded at plan time are
+    // physically absent from v<N+1> — those entries clear after the flip.
+    // Entries recorded by a drop landing MID-compaction survive (their
+    // column was still declared when this rewrite read the manifest, so
+    // v<N+1> still carries its bytes until the next compaction).
+    val droppedAtPlan = readManifest(groupName).dropped
     val finalNextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
     val nextDir = OptimisticPointer.stagingFor(finalNextDir)
     // tombstone FILES are snapshotted BEFORE the rewrite and only that list
@@ -1730,6 +1829,17 @@ final class FeatureStore(spark: SparkSession, root: String,
     // and re-applies until the next compaction). A crash between the flip
     // and this delete just leaves already-materialized markers to re-clear.
     tombstoneFilesAtPlan.foreach(p => Files.deleteIfExists(p): Unit)
+    // same folding rule for the dropped-feature registry: the declared-
+    // schema rewrite erased the plan-time orphans' bytes, so their re-add
+    // guard entries clear (a drop landed since plan time keeps its entry —
+    // see droppedAtPlan's capture comment)
+    if (droppedAtPlan.nonEmpty) {
+      val mEnd = readManifest(groupName)
+      val remaining = mEnd.dropped.filterNot(droppedAtPlan.contains)
+      if (remaining.size != mEnd.dropped.size)
+        writeManifest(mEnd.group, mEnd.nextSeq, mEnd.lastBatchId,
+          remaining, mEnd.widening)
+    }
     if (Files.exists(tombstoneDir(groupName))) {
       val ls = Files.list(tombstoneDir(groupName))
       val empty = try !ls.iterator().hasNext finally ls.close()
@@ -1830,11 +1940,21 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   // ---- manifest (hand-rolled flat JSON; no extra deps) ----
 
-  private final case class Manifest(group: FeatureGroup, nextSeq: Long, lastBatchId: Long)
+  private final case class Manifest(group: FeatureGroup, nextSeq: Long, lastBatchId: Long,
+      dropped: Seq[(String, FType)] = Nil, widening: Option[String] = None)
 
   // Flat JSON without an escape-aware parser — sound because FeatureGroup
   // restricts every name to [A-Za-z0-9_]+ (no quotes/backslashes possible).
-  private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L): Unit = {
+  /** @param dropped features dropped from a group WITH history, with the
+    *   type their orphaned bytes still carry in parquet — the re-add
+    *   type-conflict guard ([[addFeature]]) reads this; an entry clears on
+    *   a compatible re-add (or a verified-erased conflicting one).
+    * @param widening name of a feature whose [[widenFeature]] flip landed
+    *   but whose materializing rewrite has not — every OTHER mutator
+    *   refuses while set (the crash-window guard); widenFeature itself
+    *   sets it at the flip and clears it after materializing. */
+  private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L,
+      dropped: Seq[(String, FType)] = Nil, widening: Option[String] = None): Unit = {
     def q(s: String) = "\"" + s + "\""
     val feats = g.features
       .map { f =>
@@ -1847,9 +1967,13 @@ final class FeatureStore(spark: SparkSession, root: String,
         s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}$since$was}"""
       }
       .mkString("[", ",", "]")
+    val droppedJson =
+      if (dropped.isEmpty) ""
+      else s""","dropped":${q(dropped.map { case (n, t) => s"$n:${FType.name(t)}" }.mkString("|"))}"""
+    val wideningJson = widening.map(w => s""","widening":${q(w)}""").getOrElse("")
     val json =
       s"""{"name":${q(g.name)},"keyCol":${q(g.keyCol)},"eventTimeCol":${q(g.eventTimeCol)},
-         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId,"features":$feats}""".stripMargin
+         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId$droppedJson$wideningJson,"features":$feats}""".stripMargin
     val tmp = groupDir(g.name).resolve("manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(g.name), StandardCopyOption.ATOMIC_MOVE,
@@ -1876,8 +2000,13 @@ final class FeatureStore(spark: SparkSession, root: String,
       FeatureDef(m.group(1), FType.fromName(m.group(2)),
         Option(m.group(3)).map(_.toLong).getOrElse(0L), renames)
     }.toSeq
+    def opt(k: String): Option[String] =
+      ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
+    val dropped = opt("dropped").filter(_.nonEmpty).map(_.split("\\|").toSeq
+      .map { e => val Array(n, t) = e.split(":", 2); (n, FType.fromName(t)) })
+      .getOrElse(Nil)
     Manifest(FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats),
-      num("nextSeq", 0L), num("lastBatchId", -1L))
+      num("nextSeq", 0L), num("lastBatchId", -1L), dropped, opt("widening"))
   }
 }
 

@@ -24,6 +24,12 @@ object FType {
     case other        => throw new IllegalArgumentException(
       s"unknown feature type '$other' (expected Integral|Fractional|String|Timestamp)")
   }
+  /** Case-insensitive [[fromName]] — the single home for the SQL statement
+    * faces' lenient type spelling ('integral', 'STRING', ...). Any future
+    * accepted alias lands here once instead of diverging across the
+    * create/add/widen commands (round-12 review). */
+  def fromNameCI(s: String): FType = fromName(s.trim.toLowerCase.capitalize)
+
   def name(t: FType): String = t match {
     case Integral   => "Integral"
     case Fractional => "Fractional"

@@ -166,7 +166,7 @@ case class FeatureStoreCreateGroupCommand(
     val feats = schemaSpec.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { e =>
       e.split(":", 2) match {
         case Array(n, t) => graft.core.FeatureDef(n.trim,
-          graft.core.FType.fromName(t.trim.toLowerCase.capitalize))
+          graft.core.FType.fromNameCI(t))
         case _ => throw new IllegalArgumentException(
           s"feature_store_create: bad schema entry '$e' (want name:type)")
       }
@@ -217,11 +217,11 @@ case class FeatureStoreEvolveCommand(
     val fs = new graft.core.FeatureStore(spark, storeDir)
     op match {
       case "add" => fs.addFeature(group, graft.core.FeatureDef(arg1,
-        graft.core.FType.fromName(arg2.trim.toLowerCase.capitalize)))
+        graft.core.FType.fromNameCI(arg2)))
       case "drop" => fs.dropFeature(group, arg1)
       case "rename" => fs.renameFeature(group, arg1, arg2)
       case "widen" => fs.widenFeature(group, arg1,
-        graft.core.FType.fromName(arg2.trim.toLowerCase.capitalize))
+        graft.core.FType.fromNameCI(arg2))
       case other => throw new IllegalStateException(s"unknown evolution op $other")
     }
     Seq(Row(fs.describeGroup(group).features.size.toLong))

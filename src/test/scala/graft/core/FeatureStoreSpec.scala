@@ -702,12 +702,13 @@ class FeatureStoreSpec extends SparkSpec {
     fs.ingest("w", b((1L, "2024-01-01 10:00:00", 10L)))
 
     // simulate the crash window: the metadata flip landed (new type +
-    // self-alias) but the materializing rewrite never ran — exactly what
-    // widenFeature's step 1 writes
+    // self-alias + the armed `widening` flag) but the materializing
+    // rewrite never ran — exactly what widenFeature's step 1 writes
     val mf = java.nio.file.Paths.get(sd, "w", "manifest.json")
     val json = new String(Files.readAllBytes(mf))
     val crashed = json.replace("""{"name":"n","type":"Integral"}""",
       """{"name":"n","type":"Fractional","was":"n:1"}""")
+      .replace(""""nextSeq":""", """"widening":"n","nextSeq":""")
     assert(crashed != json, "surgery must hit the manifest entry")
     Files.write(mf, crashed.getBytes)
 
@@ -737,11 +738,115 @@ class FeatureStoreSpec extends SparkSpec {
     val mf2 = java.nio.file.Paths.get(sd2, "w0", "manifest.json")
     Files.write(mf2, new String(Files.readAllBytes(mf2)).replace(
       """{"name":"n","type":"Integral"}""",
-      """{"name":"n","type":"Fractional","was":"n:0"}""").getBytes)
+      """{"name":"n","type":"Fractional","was":"n:0"}""")
+      .replace(""""nextSeq":""", """"widening":"n","nextSeq":""").getBytes)
     val fsn2 = new FeatureStore(spark, sd2)
     fsn2.widenFeature("w0", "n", FType.Fractional) // same-type re-run = recovery
     assert(fsn2.describeGroup("w0").features.forall(_.renames.isEmpty),
       "a same-type re-run on a no-history group must clear the stranded alias")
+  }
+
+  test("a pending widen blocks every other schema mutator — the rename-away-and-back attack cannot disarm the ingest guard") {
+    import spark.implicits._
+    val sd = Files.createTempDirectory("fs_widenlock_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(FeatureGroup("w", "k", "t", Seq(
+      FeatureDef("k", FType.Integral),
+      FeatureDef("t", FType.FTimestamp),
+      FeatureDef("n", FType.Integral),
+      FeatureDef("other", FType.FString))))
+    def b(rows: (Long, String, Long, String)*) = rows.toDF("k", "t", "n", "other")
+      .selectExpr("k", "to_timestamp(t) AS t", "n", "other")
+    fs.ingest("w", b((1L, "2024-01-01 10:00:00", 10L, "x")))
+
+    // open the crash window exactly as widenFeature's step 1 writes it
+    val mf = java.nio.file.Paths.get(sd, "w", "manifest.json")
+    Files.write(mf, new String(Files.readAllBytes(mf)).replace(
+      """{"name":"n","type":"Integral"}""",
+      """{"name":"n","type":"Fractional","was":"n:1"}""")
+      .replace(""""nextSeq":""", """"widening":"n","nextSeq":""").getBytes)
+
+    val fs2 = new FeatureStore(spark, sd)
+    // the review's attack: rename the pending feature away (which would
+    // disarm any self-alias-shape guard), then back — every step must
+    // refuse while the widening flag is armed
+    val r = intercept[IllegalArgumentException](fs2.renameFeature("w", "n", "m"))
+    assert(r.getMessage.contains("unfinished widenFeature"), r.getMessage)
+    val d = intercept[IllegalArgumentException](fs2.dropFeature("w", "other"))
+    assert(d.getMessage.contains("unfinished widenFeature"), d.getMessage)
+    val a = intercept[IllegalArgumentException](
+      fs2.addFeature("w", FeatureDef("fresh", FType.Fractional)))
+    assert(a.getMessage.contains("unfinished widenFeature"), a.getMessage)
+    val w = intercept[IllegalArgumentException](
+      fs2.widenFeature("w", "other", FType.FString))
+    assert(w.getMessage.contains("unfinished widenFeature"), w.getMessage)
+    // deletes alone stay legal in the window: GDPR never waits on a
+    // crashed widen, and a tombstone carries no feature columns
+    fs2.deleteRecords("w", Seq(999L))
+
+    // the documented recovery re-opens everything
+    fs2.widenFeature("w", "n", FType.Fractional)
+    fs2.renameFeature("w", "n", "m")
+    fs2.ingest("w", b((2L, "2024-01-02 10:00:00", 20L, "y"))
+      .withColumnRenamed("n", "m"))
+    assert(fs2.offline("w").select("m").as[Double].collect().sorted.toSeq
+      == Seq(10.0, 20.0))
+  }
+
+  test("drop + re-add at a DIFFERENT type is refused while orphaned bytes remain; compaction erases and unblocks") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "orphan_note")))
+    fs.dropFeature("tx", "note") // FString bytes now orphaned in history
+
+    // a different-type re-add would make the explicit-schema offline read
+    // (and compactOffline, the only erase path) throw on the parquet type
+    // conversion — the guard refuses up front with the recovery named
+    val e = intercept[IllegalArgumentException](
+      fs.addFeature("tx", FeatureDef("note", FType.Integral)))
+    assert(e.getMessage.contains("compactOffline"), e.getMessage)
+
+    // same-type re-add stays legal (since-masking covers the orphans) and
+    // clears the registry entry; drop again to re-record it
+    fs.addFeature("tx", FeatureDef("note", FType.FString))
+    assert(fs.online("tx").collect().head.getAs[String]("note") == null)
+    fs.dropFeature("tx", "note")
+
+    // compaction physically erases the orphan bytes → the re-add unblocks
+    fs.compactOffline("tx")
+    fs.addFeature("tx", FeatureDef("note", FType.Integral))
+    fs.ingest("tx", batch((2L, "2024-01-02 10:00:00", 20.0, "7"))) // casts "7" → 7L
+    val recs = fs.online("tx").collect()
+      .map(r => r.getAs[Long]("customer_id") -> r.get(r.fieldIndex("note"))).toMap
+    assert(recs(1L) == null, "pre-re-add history reads fresh null")
+    assert(recs(2L) == 7L, "post-re-add rows carry the new Integral type")
+    // the offline explicit-schema fast path must read cleanly too
+    assert(fs.offline("tx").count() == 2)
+  }
+
+  test("a delete landing after an evolution keeps the base version's bucket count (no 64-bucket floor rewrite)") {
+    val sd = Files.createTempDirectory("fs_delbuckets_").toString
+    // targetKeysPerBucket=1 so 100 keys size to 128 buckets (floor is 64)
+    val fs = new FeatureStore(spark, sd, targetKeysPerBucket = 1L)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L to 100L).map(i =>
+      (i, "2024-01-01 10:00:00", i.toDouble, s"n$i")): _*))
+    def bucketsOf(v: Long): Long = {
+      val meta = new String(Files.readAllBytes(
+        java.nio.file.Paths.get(sd, "tx", "online", s"v$v", "_meta")))
+      meta.linesIterator.find(_.startsWith("buckets=")).get.drop(8).trim.toLong
+    }
+    assert(bucketsOf(1L) == 128L, "sanity: the ingest sized above the floor")
+
+    // evolution flips the fingerprint → the next delete takes the full-
+    // rewrite fallback; it must re-derive buckets from the base version's
+    // meta, not fall to the 64 floor (which would rewrite a large store
+    // into 64 buckets and force a second O(store) rebucket on next ingest)
+    fs.dropFeature("tx", "note")
+    fs.deleteRecords("tx", Seq(50L))
+    assert(bucketsOf(2L) == 128L,
+      "the post-evolution delete rewrite must keep the derived bucket count")
+    assert(fs.getRecord("tx", 50L).isEmpty && fs.getRecord("tx", 49L).nonEmpty)
   }
 
   test("onlineAt time travel: every refresh is an immutable readable version; gc keeps newest") {
