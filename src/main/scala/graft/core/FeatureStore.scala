@@ -91,11 +91,25 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   def groupExists(name: String): Boolean = Files.exists(manifestPath(name))
 
-  def createGroup(g: FeatureGroup): Unit = {
-    require(!groupExists(g.name), s"feature group ${g.name} already exists")
-    Files.createDirectories(groupDir(g.name))
-    writeManifest(g, nextSeq = 0L)
-  }
+  /** Serialize the manifest's read-modify-write commits through the
+    * [[Coordination]] seam — the same discipline the index families
+    * follow. Two concurrent ingests must never both claim one
+    * `_ingest_seq` (the deterministic last-writer tie-break depends on
+    * uniqueness), and two schema mutations must never interleave their
+    * read→validate→write. Sections are kept NARROW: the lock never spans
+    * a Spark job, so a widen's multi-second materialization blocks other
+    * writers via the `widening` flag, not via lock hold time, and READERS
+    * never take it (reads resolve through immutable versions + the atomic
+    * manifest swap). */
+  private def withManifestLock[A](groupName: String)(body: => A): A =
+    Coordination.current.withWriterLock(groupDir(groupName), "manifest.lock")(body)
+
+  def createGroup(g: FeatureGroup): Unit =
+    withManifestLock(g.name) {
+      require(!groupExists(g.name), s"feature group ${g.name} already exists")
+      Files.createDirectories(groupDir(g.name))
+      writeManifest(g, nextSeq = 0L)
+    }
 
   def describeGroup(name: String): FeatureGroup = readManifest(name).group
 
@@ -108,7 +122,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     * column at the next [[refreshOnline]] (it conforms every frame to the
     * declared schema); [[getRecord]] serves null until then — the caller's
     * default applies, the reference's missing-feature semantic (P4). */
-  def addFeature(groupName: String, f: FeatureDef): Unit = {
+  def addFeature(groupName: String, f: FeatureDef): Unit = withManifestLock(groupName) {
     val m = readManifest(groupName)
     requireNoPendingWiden(m, groupName, s"declare '${f.name}'")
     require(!m.group.features.exists(_.name == f.name),
@@ -155,7 +169,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     * parquet cannot read them under the new declared schema (the manifest's
     * `dropped` registry tracks this; compact first to erase, then re-add).
     * The key and event-time columns are not droppable. */
-  def dropFeature(groupName: String, featureName: String): Unit = {
+  def dropFeature(groupName: String, featureName: String): Unit = withManifestLock(groupName) {
     val m = readManifest(groupName)
     val g = m.group
     requireNoPendingWiden(m, groupName, s"drop '$featureName'")
@@ -196,7 +210,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     * rows of the alias era read the alias column, never the orphan. The
     * key and event-time columns are not renameable (their names anchor
     * bucketing, tombstones, and the manifest contract). */
-  def renameFeature(groupName: String, from: String, to: String): Unit = {
+  def renameFeature(groupName: String, from: String, to: String): Unit = withManifestLock(groupName) {
     val m = readManifest(groupName)
     val g = m.group
     requireNoPendingWiden(m, groupName, s"rename '$from'")
@@ -248,53 +262,63 @@ final class FeatureStore(spark: SparkSession, root: String,
     * event-time columns are not widenable (the key's string rendering
     * anchors bucket hashing and KV entries). */
   def widenFeature(groupName: String, featureName: String, to: FType): Unit = {
-    val m = readManifest(groupName)
-    val g = m.group
-    val f = g.features.find(_.name == featureName).getOrElse(
-      throw new IllegalArgumentException(s"no such feature $featureName on $groupName"))
-    require(featureName != g.keyCol && featureName != g.eventTimeCol,
-      s"cannot widen the group's key/event-time column: $featureName")
-    require(f.ftype == to || FeatureStore.isWidening(f.ftype, to),
-      s"not a widening: ${FType.name(f.ftype)} -> ${FType.name(to)} " +
-        "(allowed: Integral->Fractional, Integral->FString, Fractional->FString)")
-    // while a widen's crash window is open, the only legal widen is the
-    // recovery re-run on the SAME feature (any target type — reads cast
-    // through the era path, so a chained recovery widen stays sound)
-    require(m.widening.forall(_ == featureName),
-      s"feature group $groupName has an unfinished widenFeature on " +
-        s"'${m.widening.getOrElse("")}' — re-run it before widening $featureName")
-    if (f.ftype != to) {
-      val flipped = g.features.map {
-        case ff if ff.name == featureName =>
-          ff.copy(ftype = to, renames = (featureName, m.nextSeq) +: ff.renames)
-        case ff => ff
+    // FLIP section (one arbitrated RMW — the lock is NOT held across the
+    // materializing compaction below; the `widening` flag carries the
+    // cross-step guard instead)
+    val hadHistory = withManifestLock(groupName) {
+      val m = readManifest(groupName)
+      val g = m.group
+      val f = g.features.find(_.name == featureName).getOrElse(
+        throw new IllegalArgumentException(s"no such feature $featureName on $groupName"))
+      require(featureName != g.keyCol && featureName != g.eventTimeCol,
+        s"cannot widen the group's key/event-time column: $featureName")
+      require(f.ftype == to || FeatureStore.isWidening(f.ftype, to),
+        s"not a widening: ${FType.name(f.ftype)} -> ${FType.name(to)} " +
+          "(allowed: Integral->Fractional, Integral->FString, Fractional->FString)")
+      // while a widen's crash window is open, the only legal widen is the
+      // recovery re-run on the SAME feature (any target type — reads cast
+      // through the era path, so a chained recovery widen stays sound)
+      require(m.widening.forall(_ == featureName),
+        s"feature group $groupName has an unfinished widenFeature on " +
+          s"'${m.widening.getOrElse("")}' — re-run it before widening $featureName")
+      if (f.ftype != to) {
+        val flipped = g.features.map {
+          case ff if ff.name == featureName =>
+            ff.copy(ftype = to, renames = (featureName, m.nextSeq) +: ff.renames)
+          case ff => ff
+        }
+        // `widening` armed in the SAME atomic manifest swap as the flip:
+        // until the materializing rewrite lands, ingest and every other
+        // schema mutator refuse (see [[requireNoPendingWiden]]) — the
+        // self-alias alone cannot carry that guard, because a rename could
+        // move the feature's name out from under a shape-based check
+        // (round-12 review finding)
+        writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId,
+          m.dropped, widening = Some(featureName))
       }
-      // `widening` armed in the SAME atomic manifest swap as the flip:
-      // until the materializing rewrite lands, ingest and every other
-      // schema mutator refuse (see [[requireNoPendingWiden]]) — the
-      // self-alias alone cannot carry that guard, because a rename could
-      // move the feature's name out from under a shape-based check
-      // (round-12 review finding)
-      writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId,
-        m.dropped, widening = Some(featureName))
+      m.nextSeq > 0L
     }
-    if (m.nextSeq > 0L) { // a group with history: materialize + clear aliases
+    if (hadHistory) { // a group with history: materialize + clear aliases
       compactOffline(groupName): Unit
-      val m2 = readManifest(groupName)
-      val cleared = m2.group.copy(
-        features = m2.group.features.map(_.copy(renames = Nil)))
-      writeManifest(cleared, m2.nextSeq, m2.lastBatchId,
-        m2.dropped, widening = None)
+      val cleared = withManifestLock(groupName) {
+        val m2 = readManifest(groupName)
+        val c = m2.group.copy(
+          features = m2.group.features.map(_.copy(renames = Nil)))
+        writeManifest(c, m2.nextSeq, m2.lastBatchId, m2.dropped, widening = None)
+        c
+      }
       refreshOnline(cleared, None)
     } else {
       // no history yet — the flip alone suffices; drop every alias (no
       // files exist, so aliases are dead weight). UNCONDITIONAL so a
       // same-type re-run clears a crash-stranded self-alias + widening
       // flag too (the documented recovery; round-12 review finding).
-      val m2 = readManifest(groupName)
-      writeManifest(m2.group.copy(
-          features = m2.group.features.map(_.copy(renames = Nil))),
-        m2.nextSeq, m2.lastBatchId, m2.dropped, widening = None)
+      withManifestLock(groupName) {
+        val m2 = readManifest(groupName)
+        writeManifest(m2.group.copy(
+            features = m2.group.features.map(_.copy(renames = Nil))),
+          m2.nextSeq, m2.lastBatchId, m2.dropped, widening = None)
+      }
     }
   }
 
@@ -387,58 +411,82 @@ final class FeatureStore(spark: SparkSession, root: String,
     * (which would break the deterministic last-writer tie-break). A crash
     * between the manifest bump and the append just skips a sequence number.
     *
+    * Concurrency: the seq claim is one arbitrated manifest RMW and the
+    * append job is serialized per group ([[Coordination]] writer locks —
+    * see [[withManifestLock]]), so concurrent ingests can never duplicate
+    * a seq or clobber each other's committer staging; their ONLINE commits
+    * still race through the snapshot CAS, where the loser fails loudly and
+    * its appended history rows surface at the group's next commit.
+    *
     * @param batchId streaming replay guard: when given (foreachBatch batch id),
     *                an id at or below the last recorded one is a replay and is
     *                skipped (returns -1) — otherwise foreachBatch retries would
     *                append duplicate rows to offline history.
     */
   def ingest(groupName: String, df: DataFrame, batchId: Option[Long] = None): Long = {
-    val m = readManifest(groupName)
-    val (g, seq) = (m.group, m.nextSeq)
-    if (batchId.exists(_ <= m.lastBatchId)) return -1L
-    // a PENDING widen (the manifest flag a crashed widenFeature left
-    // between its metadata flip and its materializing rewrite) must
-    // complete before new data lands: an ingest here would write new-typed
-    // files next to old-typed ones under ONE column name, which no parquet
-    // schema merge can read back — fail fast with the recovery step
-    // instead of wedging the store. The guard keys on `widening`, not the
-    // self-alias SHAPE: a shape check either misses a rename-away (head
-    // only) or false-positives on a legitimate rename-back (exists) —
-    // round-12 review finding; renames are blocked while the flag is set,
-    // so the recorded name stays the feature's name.
-    require(m.widening.isEmpty, {
-      val w = m.widening.getOrElse("")
-      val t = g.features.find(_.name == w).map(f => FType.name(f.ftype))
-        .getOrElse("<widened type>")
-      s"feature group $groupName has an unfinished widenFeature on '$w' — " +
-        s"re-run widenFeature(\"$groupName\", \"$w\", $t) to materialize it " +
-        "before ingesting"
-    })
-    val missing = g.featureNames.filterNot(df.columns.contains)
-    require(missing.isEmpty, s"ingest batch missing declared features: $missing")
+    // seq claim = one arbitrated manifest RMW: two concurrent ingests must
+    // never both read nextSeq=N and stamp duplicate `_ingest_seq` values
+    // (which would silently break the deterministic last-writer tie-break
+    // — far worse than the loud CAS loss their online commits race into)
+    val claimed = withManifestLock(groupName) {
+      val m = readManifest(groupName)
+      if (batchId.exists(_ <= m.lastBatchId)) None
+      else {
+        // a PENDING widen (the manifest flag a crashed widenFeature left
+        // between its metadata flip and its materializing rewrite) must
+        // complete before new data lands: an ingest here would write
+        // new-typed files next to old-typed ones under ONE column name,
+        // which no parquet schema merge can read back — fail fast with the
+        // recovery step instead of wedging the store. The guard keys on
+        // `widening`, not the self-alias SHAPE: a shape check either
+        // misses a rename-away (head only) or false-positives on a
+        // legitimate rename-back (exists) — round-12 review finding;
+        // renames are blocked while the flag is set, so the recorded name
+        // stays the feature's name.
+        require(m.widening.isEmpty, {
+          val w = m.widening.getOrElse("")
+          val t = m.group.features.find(_.name == w).map(f => FType.name(f.ftype))
+            .getOrElse("<widened type>")
+          s"feature group $groupName has an unfinished widenFeature on '$w' — " +
+            s"re-run widenFeature(\"$groupName\", \"$w\", $t) to materialize it " +
+            "before ingesting"
+        })
+        val missing = m.group.featureNames.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"ingest batch missing declared features: $missing")
+        writeManifest(m.group, m.nextSeq + 1, batchId.getOrElse(m.lastBatchId),
+          m.dropped, m.widening)
+        Some((m.group, m.nextSeq))
+      }
+    }
+    val (g, seq) = claimed.getOrElse(return -1L)
 
     val typed = df.select(g.features.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
       .withColumn(EngineColumns.IngestSeq, lit(seq))
       .withColumn(EngineColumns.IngestDate, to_date(col(g.eventTimeCol)))
 
-    writeManifest(g, seq + 1, batchId.getOrElse(m.lastBatchId),
-      m.dropped, m.widening)
     // integrity metrics ride the append job (Dataset.observe — zero extra
     // scans, exactly what a 100 TB ingest wants); the UN-observed `typed`
     // goes to refreshOnline because an Observation binds to one action
     val obs = org.apache.spark.sql.Observation(s"ingest_${groupName}_$seq")
     phaseTimings.remove(groupName): Unit
     timedPhase(groupName, "offline_append") {
-      typed.observe(obs,
-          count(lit(1)).as("rows"),
-          count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
-          count(when(col(g.eventTimeCol).isNull, 1)).as("null_event_times"),
-          // rides the same append job (zero extra scans) so the BOOTSTRAP
-          // commit can size its bucket count without a second persist+count
-          // pass over the store — see fullRefresh (VERDICT r10 item 2: the
-          // per-commit fixed tax behind the q59 regression)
-          approx_count_distinct(col(g.keyCol)).as("distinct_keys"))
-        .write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+      // appends to ONE directory share the committer's `_temporary`
+      // staging — two concurrent append jobs there can delete each
+      // other's in-flight task output (silent row loss). One lock acquire
+      // per BATCH serializes just the append job; version commits still
+      // arbitrate through their own CAS (losers loud, as spec'd).
+      Coordination.current.withWriterLock(offlineRoot(groupName), "append.lock") {
+        typed.observe(obs,
+            count(lit(1)).as("rows"),
+            count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
+            count(when(col(g.eventTimeCol).isNull, 1)).as("null_event_times"),
+            // rides the same append job (zero extra scans) so the BOOTSTRAP
+            // commit can size its bucket count without a second persist+count
+            // pass over the store — see fullRefresh (VERDICT r10 item 2: the
+            // per-commit fixed tax behind the q59 regression)
+            approx_count_distinct(col(g.keyCol)).as("distinct_keys"))
+          .write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+      }
     }
     val o = obs.get
     metrics.put(groupName, IngestMetrics(o("rows").asInstanceOf[Long],
@@ -1176,12 +1224,15 @@ final class FeatureStore(spark: SparkSession, root: String,
     * (`smallKeySet`) get the broadcast hint and single-file tombstones. */
   private def deleteKeyFrame(groupName: String, keyDf0: DataFrame,
       smallKeySet: Boolean): Long = {
-    val m = readManifest(groupName)
-    val (g, seq) = (m.group, m.nextSeq)
     // seq bumped and persisted FIRST — the ingest crash-safety rule: a
     // crash mid-delete leaves at worst a skipped sequence number, never a
-    // reused one
-    writeManifest(g, seq + 1, m.lastBatchId, m.dropped, m.widening)
+    // reused one; the bump is the same arbitrated RMW ingest uses, so a
+    // delete racing an ingest can never claim the same seq
+    val (g, seq) = withManifestLock(groupName) {
+      val m = readManifest(groupName)
+      writeManifest(m.group, m.nextSeq + 1, m.lastBatchId, m.dropped, m.widening)
+      (m.group, m.nextSeq)
+    }
     val marks = keyDf0.select(col("key"),
       lit(seq).cast(LongType).as("deleted_seq"))
     (if (smallKeySet) marks.coalesce(1) else marks)
@@ -1833,7 +1884,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     // schema rewrite erased the plan-time orphans' bytes, so their re-add
     // guard entries clear (a drop landed since plan time keeps its entry —
     // see droppedAtPlan's capture comment)
-    if (droppedAtPlan.nonEmpty) {
+    if (droppedAtPlan.nonEmpty) withManifestLock(groupName) {
       val mEnd = readManifest(groupName)
       val remaining = mEnd.dropped.filterNot(droppedAtPlan.contains)
       if (remaining.size != mEnd.dropped.size)

@@ -5,8 +5,10 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
 
 /** Optimistic-concurrency commit for version-pointer files (the offline
   * store's `CURRENT`, the online snapshot's `LATEST`, every compacted
-  * index's `CURRENT`). The repo's stores are single-writer by DESIGN, but
-  * "two operators ran maintenance at once" is the most realistic
+  * index's `CURRENT`). The repo's stores are operated single-writer by
+  * DESIGN (manifest/seq RMWs additionally arbitrate through Coordination
+  * writer locks — `FeatureStore.withManifestLock`), but "two operators ran
+  * maintenance at once" is the most realistic
   * operational accident — without a check, the loser's pointer move would
   * silently supersede the winner's committed version (their rewrite never
   * saw the winner's rows). Here a commit states the version it DERIVED

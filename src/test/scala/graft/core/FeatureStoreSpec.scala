@@ -824,6 +824,35 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs.offline("tx").count() == 2)
   }
 
+  test("concurrent ingest storm: every batch claims a unique _ingest_seq and no offline rows are lost") {
+    val fs = newStore()
+    fs.createGroup(group)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val losers = new java.util.concurrent.atomic.AtomicInteger
+    try {
+      val tasks = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try { fs.ingest("tx", batch((100L + i, "2024-01-02 10:00:00", i.toDouble, s"c$i"))): Unit }
+            catch { // online CAS loser — loud by contract, rows still appended
+              case _: java.util.ConcurrentModificationException =>
+                losers.incrementAndGet(): Unit
+            }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // the arbitrated seq claim + serialized append guarantee: all 16
+    // batches landed in offline history, each under its own seq —
+    // regardless of how many online snapshot CAS races were lost (their
+    // rows surface at the group's next commit)
+    val seqs = fs.offline("tx").select(EngineColumns.IngestSeq)
+      .collect().map(_.getLong(0)).toSeq
+    assert(seqs.length == 16, s"offline must hold every batch's row, got ${seqs.length}")
+    assert(seqs.distinct.length == 16, s"duplicate _ingest_seq claimed: ${seqs.sorted}")
+    info(s"online CAS losers (loud by contract): ${losers.get()}")
+  }
+
   test("a delete landing after an evolution keeps the base version's bucket count (no 64-bucket floor rewrite)") {
     val sd = Files.createTempDirectory("fs_delbuckets_").toString
     // targetKeysPerBucket=1 so 100 keys size to 128 buckets (floor is 64)
