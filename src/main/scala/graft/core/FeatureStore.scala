@@ -113,6 +113,16 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   def describeGroup(name: String): FeatureGroup = readManifest(name).group
 
+  /** Evolution state surfaced to operators (the SQL describe face): the
+    * dropped-orphan registry — names whose bytes may remain in history at
+    * the recorded type until the next [[compactOffline]], each blocking a
+    * different-type re-add — and any pending widen awaiting its recovery
+    * re-run. */
+  def evolutionState(name: String): (Seq[(String, FType)], Option[String]) = {
+    val m = readManifest(name)
+    (m.dropped, m.widening)
+  }
+
   /** Schema EVOLUTION: declare a new feature on an existing group. A
     * metadata-only commit — one atomic manifest swap, no data rewritten
     * (the Delta/Iceberg `ADD COLUMN` semantic; at 100 TB rewriting history

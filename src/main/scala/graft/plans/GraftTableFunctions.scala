@@ -294,7 +294,12 @@ object GraftTableFunctions {
   /** `feature_store_describe(storeDir, group)` — metadata READ face
     * (analysis-time plan like every read TVF; side-effect free): one row
     * per declared feature — (feature, ftype, is_key, is_event_time,
-    * since). */
+    * since, state) — plus one row per DROPPED feature whose orphaned
+    * bytes may still sit in history (state `dropped_pending_compaction`,
+    * since = -1): the operator-visible face of the re-add type-conflict
+    * registry, so a refused `feature_store_add_feature` can be diagnosed
+    * from SQL. A declared feature mid-widen-recovery shows state
+    * `widening_pending`. */
   private[plans] val featureStoreDescribeDescriptor: TvfDescriptor = (
     FunctionIdentifier("feature_store_describe"),
     new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_describe"),
@@ -305,10 +310,16 @@ object GraftTableFunctions {
       val group = litStr(args(1), "group")
       val s = session
       import s.implicits._
-      val g = new graft.core.FeatureStore(s, store).describeGroup(group)
-      g.features.map(f => (f.name, graft.core.FType.name(f.ftype),
-          f.name == g.keyCol, f.name == g.eventTimeCol, f.since))
-        .toDF("feature", "ftype", "is_key", "is_event_time", "since")
+      val fs = new graft.core.FeatureStore(s, store)
+      val g = fs.describeGroup(group)
+      val (dropped, widening) = fs.evolutionState(group)
+      val declared = g.features.map(f => (f.name, graft.core.FType.name(f.ftype),
+        f.name == g.keyCol, f.name == g.eventTimeCol, f.since,
+        if (widening.contains(f.name)) "widening_pending" else "declared"))
+      val orphans = dropped.map { case (n, t) =>
+        (n, graft.core.FType.name(t), false, false, -1L, "dropped_pending_compaction") }
+      (declared ++ orphans)
+        .toDF("feature", "ftype", "is_key", "is_event_time", "since", "state")
         .queryExecution.analyzed
     })
 

@@ -324,11 +324,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM feature_store_drop_feature('$sd', 'g', 'w')")
       .collect().head.getLong(0) == 3L)
 
-    // describe is a READ face: declared view, key/event-time flags
+    // describe is a READ face: declared view, key/event-time flags, PLUS
+    // the dropped-orphan registry ('w' was dropped with history — its
+    // bytes linger until compaction, so its re-add guard row shows)
     val desc = spark.sql(s"SELECT * FROM feature_store_describe('$sd', 'g') ORDER BY feature")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSeq
-    assert(desc == Seq(("k", "Integral", true), ("t", "Timestamp", false),
-      ("val", "Fractional", false)), s"describe read: $desc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getString(5))).toSeq
+    assert(desc == Seq(("k", "Integral", true, "declared"),
+      ("t", "Timestamp", false, "declared"),
+      ("val", "Fractional", false, "declared"),
+      ("w", "String", false, "dropped_pending_compaction")), s"describe read: $desc")
+    // a different-type re-add is refused FROM SQL with the recovery named;
+    // compaction erases the orphans, clears the registry row, and unblocks
+    val refuse = intercept[Exception] {
+      spark.sql(s"SELECT * FROM feature_store_add_feature('$sd', 'g', 'w', 'integral')").collect()
+    }
+    assert(refuse.getMessage.contains("compactOffline"), refuse.getMessage)
+    spark.sql(s"SELECT * FROM feature_store_compact('$sd', 'g')").collect()
+    assert(spark.sql(s"SELECT * FROM feature_store_describe('$sd', 'g')")
+      .where("state = 'dropped_pending_compaction'").count() == 0L,
+      "compaction must clear the registry face")
+    assert(spark.sql(s"SELECT * FROM feature_store_add_feature('$sd', 'g', 'w', 'integral')")
+      .collect().head.getLong(0) == 4L, "post-compaction different-type re-add flows")
 
     // drop_group tears down; a second drop reports not-found
     assert(spark.sql(s"SELECT * FROM feature_store_drop_group('$sd', 'g')")
