@@ -101,11 +101,21 @@ final class FeatureStore(spark: SparkSession, root: String,
     * writers via the `widening` flag, not via lock hold time, and READERS
     * never take it (reads resolve through immutable versions + the atomic
     * manifest swap). */
-  private def withManifestLock[A](groupName: String)(body: => A): A =
+  private def withManifestLock[A](groupName: String, mustExist: Boolean = true)(
+      body: => A): A = {
+    // the charset check here is load-bearing, not cosmetic: the lock
+    // acquisition CREATES its root directory, so an unvalidated name
+    // (worse: a traversal like "../x") would materialize directories as a
+    // side effect BEFORE any existence error fires (round-12 review)
+    require(groupName.matches("[A-Za-z0-9_]+"),
+      s"illegal feature group name: '$groupName'")
+    require(!mustExist || groupExists(groupName),
+      s"no such feature group: $groupName")
     Coordination.current.withWriterLock(groupDir(groupName), "manifest.lock")(body)
+  }
 
   def createGroup(g: FeatureGroup): Unit =
-    withManifestLock(g.name) {
+    withManifestLock(g.name, mustExist = false) {
       require(!groupExists(g.name), s"feature group ${g.name} already exists")
       Files.createDirectories(groupDir(g.name))
       writeManifest(g, nextSeq = 0L)
@@ -113,14 +123,16 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   def describeGroup(name: String): FeatureGroup = readManifest(name).group
 
-  /** Evolution state surfaced to operators (the SQL describe face): the
-    * dropped-orphan registry — names whose bytes may remain in history at
-    * the recorded type until the next [[compactOffline]], each blocking a
-    * different-type re-add — and any pending widen awaiting its recovery
-    * re-run. */
-  def evolutionState(name: String): (Seq[(String, FType)], Option[String]) = {
+  /** Evolution state surfaced to operators (the SQL describe face), from
+    * ONE manifest read so the declared view and the registry can never
+    * disagree: the declared group, the LINGERING-column registry — names
+    * whose bytes may remain in offline files at the recorded type without
+    * a declared owner (from drops and from renames' alias eras), each
+    * blocking a conflicting-type claim until [[compactOffline]] erases
+    * them — and any pending widen awaiting its recovery re-run. */
+  def evolutionState(name: String): (FeatureGroup, Seq[(String, FType)], Option[String]) = {
     val m = readManifest(name)
-    (m.dropped, m.widening)
+    (m.group, m.lingering.map(e => (e._1, e._2)), m.widening)
   }
 
   /** Schema EVOLUTION: declare a new feature on an existing group. A
@@ -137,32 +149,41 @@ final class FeatureStore(spark: SparkSession, root: String,
     requireNoPendingWiden(m, groupName, s"declare '${f.name}'")
     require(!m.group.features.exists(_.name == f.name),
       s"feature ${f.name} already declared on $groupName")
-    // RE-ADD type-conflict guard: if `f.name` was dropped while history
-    // existed, parquet files may still hold its bytes at the dropped type
-    // (the manifest's `dropped` registry records which). Same type is fine
-    // — `since` masks the orphans to null. A DIFFERENT type would make the
-    // explicit-schema offline read — and [[compactOffline]], the only
-    // erase path, which reads through it — throw on the parquet
-    // long↔double/string conversion, permanently wedging the group; refuse
-    // up front with the erase step named (round-12 review finding).
-    m.dropped.find(_._1 == f.name).foreach { case (_, orphanT) =>
-      require(orphanT == f.ftype,
-        s"cannot re-add '${f.name}' as ${FType.name(f.ftype)}: dropped bytes " +
-          s"of type ${FType.name(orphanT)} may remain in $groupName's offline " +
-          s"history and parquet cannot read them as ${FType.name(f.ftype)} — " +
-          s"run compactOffline(\"$groupName\") to erase them first, then re-add")
-    }
+    requireNoLingeringConflict(m, groupName, f.name, f.ftype)
     // a feature added to a group WITH history is only real from the next
     // ingest seq on — for a brand-new name that is a no-op (old files lack
     // the column, parquet fills nulls), but for a RE-ADD after dropFeature
     // the old bytes still exist and must read as null (FeatureDef.since)
     val stamped = f.copy(since = if (m.nextSeq > 0L) m.nextSeq else 0L)
     // FeatureGroup's constructor re-validates the name charset; a
-    // compatible re-add clears the name's dropped entry (the re-declared
-    // column owns the name again, masking handles the old bytes)
+    // compatible (same-type) re-claim clears the name's lingering entry —
+    // the re-declared column owns the name again, masking handles the old
+    // bytes, and any later drop/rename-away re-records it
     writeManifest(m.group.copy(features = m.group.features :+ stamped),
-      m.nextSeq, m.lastBatchId, m.dropped.filterNot(_._1 == f.name), m.widening)
+      m.nextSeq, m.lastBatchId, m.lingering.filterNot(_._1 == f.name), m.widening)
   }
+
+  /** Guard for every operation that CLAIMS a column name (re-add, rename
+    * target): refuse when offline files may still hold bytes under `name`
+    * at a type parquet cannot read as `t` — the registry's recorded type.
+    * A conflicting claim would make the offline read (and
+    * [[compactOffline]], the only erase path, which reads through it)
+    * throw on the long↔double/string conversion, permanently wedging the
+    * group; refuse up front with the erase step named. Same-type claims
+    * pass — `since` masking / era-exact reads keep the old bytes invisible
+    * (round-12 review findings: the original guard covered only re-adds
+    * of DROPPED names; rename targets and renames' alias eras wedge the
+    * same way). */
+  private def requireNoLingeringConflict(m: Manifest, groupName: String,
+      name: String, t: FType): Unit =
+    m.lingering.find(_._1 == name).foreach { case (_, orphanT, _) =>
+      require(orphanT == t,
+        s"cannot declare '$name' as ${FType.name(t)}: bytes of type " +
+          s"${FType.name(orphanT)} may remain under that column in " +
+          s"$groupName's offline history and parquet cannot read them as " +
+          s"${FType.name(t)} — run compactOffline(\"$groupName\") to erase " +
+          "them first, then re-declare")
+    }
 
   /** Schema EVOLUTION: DROP COLUMN — metadata-only, like [[addFeature]]
     * (at 100 TB, rewriting history to remove a column is not an option).
@@ -174,10 +195,10 @@ final class FeatureStore(spark: SparkSession, root: String,
     * erased at the next [[compactOffline]] (which rewrites through the
     * declared-schema read). A later [[addFeature]] of the same name gets
     * FRESH NULLS for pre-re-add history, not the orphaned bytes
-    * (FeatureDef.since masking) — but only at the SAME type: a re-add at a
-    * different type is refused while orphaned bytes may remain, because
+    * (FeatureDef.since masking) — but only at the SAME type: a re-claim at
+    * a different type is refused while orphaned bytes may remain, because
     * parquet cannot read them under the new declared schema (the manifest's
-    * `dropped` registry tracks this; compact first to erase, then re-add).
+    * LINGERING registry tracks this; compact first to erase, then re-add).
     * The key and event-time columns are not droppable. */
   def dropFeature(groupName: String, featureName: String): Unit = withManifestLock(groupName) {
     val m = readManifest(groupName)
@@ -191,18 +212,20 @@ final class FeatureStore(spark: SparkSession, root: String,
     // the feature's current name AND any alias names (files written while
     // an alias was current, not yet compacted) — all at the drop-time type,
     // since widen (the only type changer) materializes before clearing its
-    // alias. Record (name, type) for each so a later re-add can refuse a
-    // type parquet cannot read over them ([[addFeature]]'s guard); entries
-    // clear on a compatible re-add or when [[compactOffline]] erases the
-    // bytes.
+    // alias. Record a lingering entry for each, stamped with THIS write's
+    // epoch (entry IDENTITY for compaction's fold — a re-record after the
+    // compaction's plan capture carries a later epoch, so a compaction
+    // that never read those bytes cannot clear it); entries clear on a
+    // compatible re-claim or when [[compactOffline]] erases the bytes.
     val orphans =
       if (m.nextSeq > 0L)
-        ((featureName, f.ftype) +: f.renames.map { case (n, _) => (n, f.ftype) })
+        ((featureName, f.ftype, m.epoch + 1) +:
+          f.renames.map { case (n, _) => (n, f.ftype, m.epoch + 1) })
           .distinctBy(_._1)
       else Nil
     writeManifest(g.copy(features = g.features.filterNot(_.name == featureName)),
       m.nextSeq, m.lastBatchId,
-      m.dropped.filterNot(d => orphans.exists(_._1 == d._1)) ++ orphans, m.widening)
+      m.lingering.filterNot(d => orphans.exists(_._1 == d._1)) ++ orphans, m.widening)
   }
 
   /** Schema EVOLUTION: RENAME COLUMN — metadata-only like the other two
@@ -217,26 +240,41 @@ final class FeatureStore(spark: SparkSession, root: String,
     * stay correct before, during, and after the rewrite with no manifest
     * mutation. Era-exactness also means a rename TO a name whose orphaned
     * bytes linger from an earlier [[dropFeature]] cannot resurrect them —
-    * rows of the alias era read the alias column, never the orphan. The
-    * key and event-time columns are not renameable (their names anchor
-    * bucketing, tombstones, and the manifest contract). */
+    * rows of the alias era read the alias column, never the orphan — but
+    * the TYPE of those orphans still constrains the claim: the next ingest
+    * would write `to`-named bytes at this feature's type next to them, so
+    * a conflicting-type claim is refused ([[requireNoLingeringConflict]]).
+    * Symmetrically, the rename leaves `from`-named bytes lingering in
+    * un-compacted files and records them in the registry. The key and
+    * event-time columns are not renameable (their names anchor bucketing,
+    * tombstones, and the manifest contract). */
   def renameFeature(groupName: String, from: String, to: String): Unit = withManifestLock(groupName) {
     val m = readManifest(groupName)
     val g = m.group
     requireNoPendingWiden(m, groupName, s"rename '$from'")
-    require(g.features.exists(_.name == from), s"no such feature $from on $groupName")
+    val f = g.features.find(_.name == from).getOrElse(
+      throw new IllegalArgumentException(s"no such feature $from on $groupName"))
     require(!g.features.exists(_.name == to),
       s"feature $to already declared on $groupName")
     require(from != g.keyCol && from != g.eventTimeCol,
       s"cannot rename the group's key/event-time column: $from")
+    requireNoLingeringConflict(m, groupName, to, f.ftype)
     val renamed = g.features.map {
-      case f if f.name == from =>
-        f.copy(name = to, renames = (from, m.nextSeq) +: f.renames)
-      case f => f
+      case ff if ff.name == from =>
+        ff.copy(name = to, renames = (from, m.nextSeq) +: ff.renames)
+      case ff => ff
     }
+    // registry bookkeeping mirrors [[dropFeature]]'s: with history, the
+    // alias-era bytes under `from` linger until compaction (stamped with
+    // this write's epoch); the claim of `to` clears any same-type entry
+    val lingering0 = m.lingering.filterNot(_._1 == to)
+    val lingering =
+      if (m.nextSeq > 0L)
+        lingering0.filterNot(_._1 == from) :+ ((from, f.ftype, m.epoch + 1))
+      else lingering0
     // FeatureGroup's constructor re-validates the new name's charset
     writeManifest(g.copy(features = renamed), m.nextSeq, m.lastBatchId,
-      m.dropped, m.widening)
+      lingering, m.widening)
   }
 
   /** Schema EVOLUTION: WIDEN a feature's type (Integral→Fractional,
@@ -304,7 +342,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         // move the feature's name out from under a shape-based check
         // (round-12 review finding)
         writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId,
-          m.dropped, widening = Some(featureName))
+          m.lingering, widening = Some(featureName))
       }
       m.nextSeq > 0L
     }
@@ -314,7 +352,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         val m2 = readManifest(groupName)
         val c = m2.group.copy(
           features = m2.group.features.map(_.copy(renames = Nil)))
-        writeManifest(c, m2.nextSeq, m2.lastBatchId, m2.dropped, widening = None)
+        writeManifest(c, m2.nextSeq, m2.lastBatchId, m2.lingering, widening = None)
         c
       }
       refreshOnline(cleared, None)
@@ -327,7 +365,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         val m2 = readManifest(groupName)
         writeManifest(m2.group.copy(
             features = m2.group.features.map(_.copy(renames = Nil))),
-          m2.nextSeq, m2.lastBatchId, m2.dropped, widening = None)
+          m2.nextSeq, m2.lastBatchId, m2.lingering, widening = None)
       }
     }
   }
@@ -464,7 +502,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         val missing = m.group.featureNames.filterNot(df.columns.contains)
         require(missing.isEmpty, s"ingest batch missing declared features: $missing")
         writeManifest(m.group, m.nextSeq + 1, batchId.getOrElse(m.lastBatchId),
-          m.dropped, m.widening)
+          m.lingering, m.widening)
         Some((m.group, m.nextSeq))
       }
     }
@@ -485,7 +523,21 @@ final class FeatureStore(spark: SparkSession, root: String,
       // other's in-flight task output (silent row loss). One lock acquire
       // per BATCH serializes just the append job; version commits still
       // arbitrate through their own CAS (losers loud, as spec'd).
+      // compactOffline holds this same lock across its rewrite+CAS, so an
+      // append never lands in a version dir the post-flip GC deletes.
       Coordination.current.withWriterLock(offlineRoot(groupName), "append.lock") {
+        // VALIDATE-AT-APPEND: the seq claim admitted this batch under the
+        // manifest it read; if a schema evolution landed between the claim
+        // and this append — e.g. while it waited behind a compaction
+        // holding this lock (a widen's materialization) — the typed
+        // frame's casts are stale and could write unmergeable bytes into
+        // the new layout. Fail loudly with the claimed seq skipped (the
+        // crash rule already tolerates skipped seqs) instead.
+        val now = readManifest(groupName)
+        require(now.widening.isEmpty && FeatureStore.declaredFingerprint(now.group)
+            == FeatureStore.declaredFingerprint(g),
+          s"feature group $groupName evolved while ingest seq=$seq was in " +
+            "flight — the batch was NOT appended (seq skipped); re-run the ingest")
         typed.observe(obs,
             count(lit(1)).as("rows"),
             count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
@@ -1240,13 +1292,18 @@ final class FeatureStore(spark: SparkSession, root: String,
     // delete racing an ingest can never claim the same seq
     val (g, seq) = withManifestLock(groupName) {
       val m = readManifest(groupName)
-      writeManifest(m.group, m.nextSeq + 1, m.lastBatchId, m.dropped, m.widening)
+      writeManifest(m.group, m.nextSeq + 1, m.lastBatchId, m.lingering, m.widening)
       (m.group, m.nextSeq)
     }
     val marks = keyDf0.select(col("key"),
       lit(seq).cast(LongType).as("deleted_seq"))
-    (if (smallKeySet) marks.coalesce(1) else marks)
-      .write.mode("append").parquet(tombstoneDir(groupName).toString)
+    // same serialized-append rule as ingest's offline append: concurrent
+    // marker writes to one directory share the committer's `_temporary`
+    // staging (silent marker loss = silent resurrection)
+    Coordination.current.withWriterLock(groupDir(groupName), "tombstones.lock") {
+      (if (smallKeySet) marks.coalesce(1) else marks)
+        .write.mode("append").parquet(tombstoneDir(groupName).toString)
+    }
     val baseVersion = currentVersion(groupName)
     currentSnapshot(groupName) match {
       case Some(snap) =>
@@ -1824,49 +1881,63 @@ final class FeatureStore(spark: SparkSession, root: String,
     */
   def compactOffline(groupName: String): Long = {
     require(groupExists(groupName), s"no such feature group: $groupName")
-    // capture (value, presence) in ONE read: the commit below is a
-    // compare-and-swap against exactly this observation
-    val curPointerAtPlan: Option[Long] = {
-      val p = offlineRoot(groupName).resolve("CURRENT")
-      if (Files.exists(p))
-        Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-      else None
-    }
-    val cur = curPointerAtPlan.getOrElse(1L)
-    // dropped-feature registry snapshot: the rewrite below reads the
-    // DECLARED schema, so orphaned bytes recorded at plan time are
-    // physically absent from v<N+1> — those entries clear after the flip.
-    // Entries recorded by a drop landing MID-compaction survive (their
-    // column was still declared when this rewrite read the manifest, so
-    // v<N+1> still carries its bytes until the next compaction).
-    val droppedAtPlan = readManifest(groupName).dropped
-    val finalNextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
-    val nextDir = OptimisticPointer.stagingFor(finalNextDir)
-    // tombstone FILES are snapshotted BEFORE the rewrite and only that list
-    // is deleted after the flip: a deleteRecords landing mid-compaction
-    // writes a new marker file that survives the sweep (its rows re-apply
-    // against v<N+1> until the next compaction), instead of being destroyed
-    // without ever materializing — which would silently resurrect the key.
-    val tombstoneFilesAtPlan: List[Path] =
-      if (Files.exists(tombstoneDir(groupName))) {
-        import scala.jdk.CollectionConverters._
-        val ls = Files.list(tombstoneDir(groupName))
-        try ls.iterator().asScala.toList finally ls.close()
-      } else Nil
-    offline(groupName) // declared-schema read: compaction also materializes post-evolution columns (incl. the widen cast via eraColumn)
-      .repartition(col(EngineColumns.IngestDate))
-      .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
-      .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
-    // commit: one compare-and-swap pointer move — a concurrent compaction
-    // that already advanced CURRENT makes this one fail loudly instead of
-    // silently superseding a version whose rows it never read
-    try OptimisticPointer.casSwap(offlineRoot(groupName), "CURRENT",
-      expected = curPointerAtPlan.map(_.toString), next = (cur + 1).toString,
-      stage = Some(nextDir -> finalNextDir))
-    finally if (Files.exists(nextDir)) { // loser cleans its own staging
-      val walk = Files.walk(nextDir)
-      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
-      finally walk.close()
+    // the whole plan→rewrite→CAS span holds the group's APPEND lock: an
+    // in-flight ingest's append either lands before the rewrite's read
+    // (its rows materialize into v<N+1>) or waits and then resolves the
+    // NEW version dir — without this, an append admitted before the
+    // compaction could land its files in a version dir the post-flip GC
+    // deletes (silent row loss) or, across a widen, put old-typed files
+    // inside the new-typed layout (round-12 review finding). The hold
+    // spans a Spark job by design: compaction is maintenance, appends
+    // queue behind it exactly as they do behind each other.
+    val (cur, finalNextDir, lingeringAtPlan, tombstoneFilesAtPlan) =
+        Coordination.current.withWriterLock(offlineRoot(groupName), "append.lock") {
+      // capture (value, presence) in ONE read: the commit below is a
+      // compare-and-swap against exactly this observation
+      val curPointerAtPlan: Option[Long] = {
+        val p = offlineRoot(groupName).resolve("CURRENT")
+        if (Files.exists(p))
+          Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+        else None
+      }
+      val cur = curPointerAtPlan.getOrElse(1L)
+      // lingering-column registry snapshot: the rewrite below reads the
+      // DECLARED schema, so orphaned bytes recorded at plan time are
+      // physically absent from v<N+1> — those entries clear after the
+      // flip. Entries recorded MID-compaction survive (their column was
+      // still declared when this rewrite read the manifest, so v<N+1>
+      // still carries its bytes until the next compaction); the entry seq
+      // makes even an identical-looking re-record distinguishable.
+      val lingeringAtPlan = readManifest(groupName).lingering
+      val finalNextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
+      val nextDir = OptimisticPointer.stagingFor(finalNextDir)
+      // tombstone FILES are snapshotted BEFORE the rewrite and only that list
+      // is deleted after the flip: a deleteRecords landing mid-compaction
+      // writes a new marker file that survives the sweep (its rows re-apply
+      // against v<N+1> until the next compaction), instead of being destroyed
+      // without ever materializing — which would silently resurrect the key.
+      val tombstoneFilesAtPlan: List[Path] =
+        if (Files.exists(tombstoneDir(groupName))) {
+          import scala.jdk.CollectionConverters._
+          val ls = Files.list(tombstoneDir(groupName))
+          try ls.iterator().asScala.toList finally ls.close()
+        } else Nil
+      offline(groupName) // declared-schema read: compaction also materializes post-evolution columns (incl. the widen cast via eraColumn)
+        .repartition(col(EngineColumns.IngestDate))
+        .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
+        .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
+      // commit: one compare-and-swap pointer move — a concurrent compaction
+      // that already advanced CURRENT makes this one fail loudly instead of
+      // silently superseding a version whose rows it never read
+      try OptimisticPointer.casSwap(offlineRoot(groupName), "CURRENT",
+        expected = curPointerAtPlan.map(_.toString), next = (cur + 1).toString,
+        stage = Some(nextDir -> finalNextDir))
+      finally if (Files.exists(nextDir)) { // loser cleans its own staging
+        val walk = Files.walk(nextDir)
+        try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+        finally walk.close()
+      }
+      (cur, finalNextDir, lingeringAtPlan, tombstoneFilesAtPlan)
     }
     // GC superseded versions (best-effort: a crash here just leaves orphans
     // for the next compaction to collect)
@@ -1890,14 +1961,16 @@ final class FeatureStore(spark: SparkSession, root: String,
     // and re-applies until the next compaction). A crash between the flip
     // and this delete just leaves already-materialized markers to re-clear.
     tombstoneFilesAtPlan.foreach(p => Files.deleteIfExists(p): Unit)
-    // same folding rule for the dropped-feature registry: the declared-
-    // schema rewrite erased the plan-time orphans' bytes, so their re-add
-    // guard entries clear (a drop landed since plan time keeps its entry —
-    // see droppedAtPlan's capture comment)
-    if (droppedAtPlan.nonEmpty) withManifestLock(groupName) {
+    // same folding rule for the lingering-column registry: the declared-
+    // schema rewrite erased the plan-time orphans' bytes, so their claim-
+    // guard entries clear. Identity is the FULL triple incl. the recording
+    // seq: an entry re-recorded since plan time (even with the same name
+    // and type, after new bytes landed) carries a later seq and survives —
+    // see lingeringAtPlan's capture comment.
+    if (lingeringAtPlan.nonEmpty) withManifestLock(groupName) {
       val mEnd = readManifest(groupName)
-      val remaining = mEnd.dropped.filterNot(droppedAtPlan.contains)
-      if (remaining.size != mEnd.dropped.size)
+      val remaining = mEnd.lingering.filterNot(lingeringAtPlan.contains)
+      if (remaining.size != mEnd.lingering.size)
         writeManifest(mEnd.group, mEnd.nextSeq, mEnd.lastBatchId,
           remaining, mEnd.widening)
     }
@@ -2001,21 +2074,33 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   // ---- manifest (hand-rolled flat JSON; no extra deps) ----
 
+  /** @param epoch total manifest writes for this group (monotone under
+    *   the manifest lock; [[writeManifest]] self-increments it). Lingering
+    *   entries stamp the epoch of the write that recorded them — their
+    *   IDENTITY for compaction's fold, strict even when two records of
+    *   one name happen at the same ingest seq. */
   private final case class Manifest(group: FeatureGroup, nextSeq: Long, lastBatchId: Long,
-      dropped: Seq[(String, FType)] = Nil, widening: Option[String] = None)
+      lingering: Seq[(String, FType, Long)] = Nil, widening: Option[String] = None,
+      epoch: Long = 0L)
 
   // Flat JSON without an escape-aware parser — sound because FeatureGroup
   // restricts every name to [A-Za-z0-9_]+ (no quotes/backslashes possible).
-  /** @param dropped features dropped from a group WITH history, with the
-    *   type their orphaned bytes still carry in parquet — the re-add
-    *   type-conflict guard ([[addFeature]]) reads this; an entry clears on
-    *   a compatible re-add (or a verified-erased conflicting one).
+  /** @param lingering column names whose bytes may remain in offline files
+    *   without a declared owner — recorded by [[dropFeature]] (the feature
+    *   + its aliases) and [[renameFeature]] (the vacated name) on groups
+    *   WITH history, each with the type those bytes carry and the manifest
+    *   EPOCH that recorded the entry. [[requireNoLingeringConflict]]
+    *   refuses conflicting-type claims against it; an entry clears on a
+    *   same-type re-claim or when [[compactOffline]] erases the bytes
+    *   (matched by the full triple — the epoch is the entry's IDENTITY,
+    *   so any re-record after the compaction's plan capture survives the
+    *   fold, even one value-identical to a cleared entry).
     * @param widening name of a feature whose [[widenFeature]] flip landed
     *   but whose materializing rewrite has not — every OTHER mutator
     *   refuses while set (the crash-window guard); widenFeature itself
     *   sets it at the flip and clears it after materializing. */
   private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L,
-      dropped: Seq[(String, FType)] = Nil, widening: Option[String] = None): Unit = {
+      lingering: Seq[(String, FType, Long)] = Nil, widening: Option[String] = None): Unit = {
     def q(s: String) = "\"" + s + "\""
     val feats = g.features
       .map { f =>
@@ -2028,13 +2113,24 @@ final class FeatureStore(spark: SparkSession, root: String,
         s"""{"name":${q(f.name)},"type":${q(FType.name(f.ftype))}$since$was}"""
       }
       .mkString("[", ",", "]")
-    val droppedJson =
-      if (dropped.isEmpty) ""
-      else s""","dropped":${q(dropped.map { case (n, t) => s"$n:${FType.name(t)}" }.mkString("|"))}"""
+    val lingeringJson =
+      if (lingering.isEmpty) ""
+      else s""","lingering":${q(lingering.map { case (n, t, s) =>
+        s"$n:${FType.name(t)}:$s" }.mkString("|"))}"""
     val wideningJson = widening.map(w => s""","widening":${q(w)}""").getOrElse("")
+    // epoch self-increments on every write (all writes hold the manifest
+    // lock, so read-increment here is race-free) — the strict-monotone
+    // stamp lingering entries use as identity
+    val nextEpoch =
+      if (Files.exists(manifestPath(g.name)))
+        "\"epoch\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(new String(Files.readAllBytes(manifestPath(g.name)),
+            StandardCharsets.UTF_8))
+          .map(_.group(1).toLong + 1).getOrElse(1L)
+      else 0L
     val json =
       s"""{"name":${q(g.name)},"keyCol":${q(g.keyCol)},"eventTimeCol":${q(g.eventTimeCol)},
-         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId$droppedJson$wideningJson,"features":$feats}""".stripMargin
+         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId,"epoch":$nextEpoch$lingeringJson$wideningJson,"features":$feats}""".stripMargin
     val tmp = groupDir(g.name).resolve("manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(g.name), StandardCopyOption.ATOMIC_MOVE,
@@ -2063,11 +2159,18 @@ final class FeatureStore(spark: SparkSession, root: String,
     }.toSeq
     def opt(k: String): Option[String] =
       ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
-    val dropped = opt("dropped").filter(_.nonEmpty).map(_.split("\\|").toSeq
-      .map { e => val Array(n, t) = e.split(":", 2); (n, FType.fromName(t)) })
+    val lingering = opt("lingering").filter(_.nonEmpty).map(_.split("\\|").toSeq
+      .map { e =>
+        e.split(":", 3) match {
+          case Array(n, t, s) => (n, FType.fromName(t), s.toLong)
+          case Array(n, t)    => (n, FType.fromName(t), 0L) // pre-seq encoding
+          case _ => sys.error(s"manifest lingering entry malformed: $e")
+        }
+      })
       .getOrElse(Nil)
     Manifest(FeatureGroup(field("name"), field("keyCol"), field("eventTimeCol"), feats),
-      num("nextSeq", 0L), num("lastBatchId", -1L), dropped, opt("widening"))
+      num("nextSeq", 0L), num("lastBatchId", -1L), lingering, opt("widening"),
+      num("epoch", 0L))
   }
 }
 

@@ -28,7 +28,8 @@ object FType {
     * faces' lenient type spelling ('integral', 'STRING', ...). Any future
     * accepted alias lands here once instead of diverging across the
     * create/add/widen commands (round-12 review). */
-  def fromNameCI(s: String): FType = fromName(s.trim.toLowerCase.capitalize)
+  def fromNameCI(s: String): FType = // Locale.ROOT: 'I' must not dot under tr-TR
+    fromName(s.trim.toLowerCase(java.util.Locale.ROOT).capitalize)
 
   def name(t: FType): String = t match {
     case Integral   => "Integral"

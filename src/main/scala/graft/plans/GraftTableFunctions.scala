@@ -294,12 +294,15 @@ object GraftTableFunctions {
   /** `feature_store_describe(storeDir, group)` — metadata READ face
     * (analysis-time plan like every read TVF; side-effect free): one row
     * per declared feature — (feature, ftype, is_key, is_event_time,
-    * since, state) — plus one row per DROPPED feature whose orphaned
-    * bytes may still sit in history (state `dropped_pending_compaction`,
-    * since = -1): the operator-visible face of the re-add type-conflict
-    * registry, so a refused `feature_store_add_feature` can be diagnosed
+    * since, state) — plus one row per LINGERING column name whose
+    * orphaned bytes may still sit in history after a drop or rename
+    * (state `lingering_pending_compaction`, since = -1): the
+    * operator-visible face of the claim type-conflict registry, so a
+    * refused `feature_store_add_feature`/`_rename_feature` is diagnosable
     * from SQL. A declared feature mid-widen-recovery shows state
-    * `widening_pending`. */
+    * `widening_pending`. All rows derive from ONE manifest read (a
+    * concurrent mutation cannot make the declared view and the registry
+    * disagree within one result). */
   private[plans] val featureStoreDescribeDescriptor: TvfDescriptor = (
     FunctionIdentifier("feature_store_describe"),
     new ExpressionInfo(GraftTableFunctions.getClass.getName, null, "feature_store_describe"),
@@ -310,14 +313,13 @@ object GraftTableFunctions {
       val group = litStr(args(1), "group")
       val s = session
       import s.implicits._
-      val fs = new graft.core.FeatureStore(s, store)
-      val g = fs.describeGroup(group)
-      val (dropped, widening) = fs.evolutionState(group)
+      val (g, lingering, widening) =
+        new graft.core.FeatureStore(s, store).evolutionState(group)
       val declared = g.features.map(f => (f.name, graft.core.FType.name(f.ftype),
         f.name == g.keyCol, f.name == g.eventTimeCol, f.since,
         if (widening.contains(f.name)) "widening_pending" else "declared"))
-      val orphans = dropped.map { case (n, t) =>
-        (n, graft.core.FType.name(t), false, false, -1L, "dropped_pending_compaction") }
+      val orphans = lingering.map { case (n, t) =>
+        (n, graft.core.FType.name(t), false, false, -1L, "lingering_pending_compaction") }
       (declared ++ orphans)
         .toDF("feature", "ftype", "is_key", "is_event_time", "since", "state")
         .queryExecution.analyzed

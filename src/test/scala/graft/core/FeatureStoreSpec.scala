@@ -588,13 +588,22 @@ class FeatureStoreSpec extends SparkSpec {
     assert(fs2.getRecord("tx", 1L).get("remark") == "old_note_1")
 
     // ORPHAN-BYTE immunity: drop 'remark' (bytes remain... compacted away
-    // above, so plant fresh orphans), then rename amount to 'remark' —
-    // the old remark bytes must NOT resurface under the renamed feature
+    // above, so plant fresh orphans), then try to claim 'remark' for the
+    // Fractional 'amount'. While String orphans linger the claim is
+    // REFUSED — the next ingest would write double bytes next to string
+    // bytes under ONE column name, unmergeable forever (round-12 review:
+    // rename targets wedge exactly like re-adds). Compaction erases the
+    // orphans and unblocks the claim; era-exact reads then serve the
+    // amount lineage under the new name.
     fs.ingest("tx", Seq((4L, "2024-01-03 10:00:00", 40.0, "orphan_tbd"))
       .toDF("customer_id", "event_time", "amount", "remark")
       .selectExpr("customer_id", "to_timestamp(event_time) AS event_time",
         "amount", "remark"))
-    fs.dropFeature("tx", "remark") // orphan 'remark' bytes now in history
+    fs.dropFeature("tx", "remark") // orphan 'remark' String bytes in history
+    val refused = intercept[IllegalArgumentException](
+      fs.renameFeature("tx", "amount", "remark"))
+    assert(refused.getMessage.contains("compactOffline"), refused.getMessage)
+    fs.compactOffline("tx")
     fs.renameFeature("tx", "amount", "remark")
     val asRemark = fs.offline("tx").select("customer_id", "remark").collect()
       .map(r => r.getLong(0) -> Option(r.get(1)))
@@ -822,6 +831,32 @@ class FeatureStoreSpec extends SparkSpec {
     assert(recs(2L) == 7L, "post-re-add rows carry the new Integral type")
     // the offline explicit-schema fast path must read cleanly too
     assert(fs.offline("tx").count() == 2)
+  }
+
+  test("claiming a rename-vacated name at a conflicting type is refused until compaction") {
+    val fs = newStore()
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 10.0, "n1")))
+    // the rename vacates 'note' — its String bytes stay in history files;
+    // re-claiming the name at Integral would make the next ingest write
+    // long bytes next to them under one column (unmergeable forever), so
+    // the claim is refused with the erase step named (round-12 review:
+    // the original guard saw only DROPPED names, not rename-vacated ones)
+    fs.renameFeature("tx", "note", "comment")
+    val e1 = intercept[IllegalArgumentException](
+      fs.addFeature("tx", FeatureDef("note", FType.Integral)))
+    assert(e1.getMessage.contains("compactOffline"), e1.getMessage)
+    // a SAME-type claim is legal — era-exact reads keep the old bytes with
+    // their owning feature, since-masking keeps them out of the new one
+    fs.addFeature("tx", FeatureDef("note", FType.FString))
+    assert(fs.online("tx").collect().head.getAs[String]("note") == null)
+    fs.dropFeature("tx", "note")
+    // compaction erases the vacated bytes: the conflicting claim unblocks
+    fs.compactOffline("tx")
+    fs.addFeature("tx", FeatureDef("note", FType.Integral))
+    assert(fs.offline("tx").count() == 1)
+    assert(fs.getRecord("tx", 1L).get("comment") == "n1",
+      "the renamed owner still serves its lineage")
   }
 
   test("concurrent ingest storm: every batch claims a unique _ingest_seq and no offline rows are lost") {

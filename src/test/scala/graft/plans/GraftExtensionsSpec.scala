@@ -325,15 +325,17 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getLong(0) == 3L)
 
     // describe is a READ face: declared view, key/event-time flags, PLUS
-    // the dropped-orphan registry ('w' was dropped with history — its
-    // bytes linger until compaction, so its re-add guard row shows)
+    // the lingering-column registry ('w' was dropped with history and the
+    // rename vacated 'v' — both names' bytes linger until compaction, so
+    // their claim-guard rows show)
     val desc = spark.sql(s"SELECT * FROM feature_store_describe('$sd', 'g') ORDER BY feature")
       .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
         r.getString(5))).toSeq
     assert(desc == Seq(("k", "Integral", true, "declared"),
       ("t", "Timestamp", false, "declared"),
+      ("v", "Fractional", false, "lingering_pending_compaction"),
       ("val", "Fractional", false, "declared"),
-      ("w", "String", false, "dropped_pending_compaction")), s"describe read: $desc")
+      ("w", "String", false, "lingering_pending_compaction")), s"describe read: $desc")
     // a different-type re-add is refused FROM SQL with the recovery named;
     // compaction erases the orphans, clears the registry row, and unblocks
     val refuse = intercept[Exception] {
@@ -342,7 +344,7 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(refuse.getMessage.contains("compactOffline"), refuse.getMessage)
     spark.sql(s"SELECT * FROM feature_store_compact('$sd', 'g')").collect()
     assert(spark.sql(s"SELECT * FROM feature_store_describe('$sd', 'g')")
-      .where("state = 'dropped_pending_compaction'").count() == 0L,
+      .where("state = 'lingering_pending_compaction'").count() == 0L,
       "compaction must clear the registry face")
     assert(spark.sql(s"SELECT * FROM feature_store_add_feature('$sd', 'g', 'w', 'integral')")
       .collect().head.getLong(0) == 4L, "post-compaction different-type re-add flows")
