@@ -70,7 +70,14 @@ final class FeatureStore(spark: SparkSession, root: String,
     targetKeysPerBucket: Long = FeatureStore.DefaultTargetKeysPerBucket,
     clock: () => java.time.Instant = () => java.time.Instant.now()) {
 
-  private def groupDir(name: String): Path = Paths.get(root, name)
+  // charset check at the PATH chokepoint: every group-addressed path —
+  // read or write — goes through here, so an unvalidated name (or a
+  // traversal like "../x" from the SQL faces' string args) can never
+  // resolve outside the store root
+  private def groupDir(name: String): Path = {
+    require(name.matches("[A-Za-z0-9_]+"), s"illegal feature group name: '$name'")
+    Paths.get(root, name)
+  }
   private def manifestPath(name: String): Path = groupDir(name).resolve("manifest.json")
   /** The offline store is VERSIONED (`offline/v<N>/` + `CURRENT` pointer),
     * so compaction can commit by one atomic pointer move instead of the
@@ -103,12 +110,10 @@ final class FeatureStore(spark: SparkSession, root: String,
     * manifest swap). */
   private def withManifestLock[A](groupName: String, mustExist: Boolean = true)(
       body: => A): A = {
-    // the charset check here is load-bearing, not cosmetic: the lock
-    // acquisition CREATES its root directory, so an unvalidated name
-    // (worse: a traversal like "../x") would materialize directories as a
-    // side effect BEFORE any existence error fires (round-12 review)
-    require(groupName.matches("[A-Za-z0-9_]+"),
-      s"illegal feature group name: '$groupName'")
+    // existence precedes acquisition: the lock CREATES its root directory,
+    // so probing a typo'd group through a mutator must error before it
+    // materializes a phantom group dir (round-12 review; the name charset
+    // itself is validated at [[groupDir]], the path chokepoint)
     require(!mustExist || groupExists(groupName),
       s"no such feature group: $groupName")
     Coordination.current.withWriterLock(groupDir(groupName), "manifest.lock")(body)
