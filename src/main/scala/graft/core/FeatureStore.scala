@@ -165,7 +165,8 @@ final class FeatureStore(spark: SparkSession, root: String,
     // the re-declared column owns the name again, masking handles the old
     // bytes, and any later drop/rename-away re-records it
     writeManifest(m.group.copy(features = m.group.features :+ stamped),
-      m.nextSeq, m.lastBatchId, m.lingering.filterNot(_._1 == f.name), m.widening)
+      m.nextSeq, m.lastBatchId, m.lingering.filterNot(_._1 == f.name), m.widening,
+      m.epoch + 1)
   }
 
   /** Guard for every operation that CLAIMS a column name (re-add, rename
@@ -222,15 +223,23 @@ final class FeatureStore(spark: SparkSession, root: String,
     // compaction's plan capture carries a later epoch, so a compaction
     // that never read those bytes cannot clear it); entries clear on a
     // compatible re-claim or when [[compactOffline]] erases the bytes.
+    // an alias name can have been RE-CLAIMED by a later same-type add —
+    // it has a declared owner again, so it gets no entry (the registry's
+    // invariant is "no declared owner"; an entry here would also make the
+    // describe face list one name as both declared and lingering)
+    val declaredAfter = g.features.iterator
+      .filterNot(_.name == featureName).map(_.name).toSet
     val orphans =
       if (m.nextSeq > 0L)
         ((featureName, f.ftype, m.epoch + 1) +:
           f.renames.map { case (n, _) => (n, f.ftype, m.epoch + 1) })
           .distinctBy(_._1)
+          .filterNot(o => declaredAfter(o._1))
       else Nil
     writeManifest(g.copy(features = g.features.filterNot(_.name == featureName)),
       m.nextSeq, m.lastBatchId,
-      m.lingering.filterNot(d => orphans.exists(_._1 == d._1)) ++ orphans, m.widening)
+      m.lingering.filterNot(d => orphans.exists(_._1 == d._1)) ++ orphans, m.widening,
+      m.epoch + 1)
   }
 
   /** Schema EVOLUTION: RENAME COLUMN — metadata-only like the other two
@@ -279,7 +288,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       else lingering0
     // FeatureGroup's constructor re-validates the new name's charset
     writeManifest(g.copy(features = renamed), m.nextSeq, m.lastBatchId,
-      lingering, m.widening)
+      lingering, m.widening, m.epoch + 1)
   }
 
   /** Schema EVOLUTION: WIDEN a feature's type (Integral→Fractional,
@@ -347,7 +356,7 @@ final class FeatureStore(spark: SparkSession, root: String,
         // move the feature's name out from under a shape-based check
         // (round-12 review finding)
         writeManifest(g.copy(features = flipped), m.nextSeq, m.lastBatchId,
-          m.lingering, widening = Some(featureName))
+          m.lingering, widening = Some(featureName), epoch = m.epoch + 1)
       }
       m.nextSeq > 0L
     }
@@ -357,7 +366,8 @@ final class FeatureStore(spark: SparkSession, root: String,
         val m2 = readManifest(groupName)
         val c = m2.group.copy(
           features = m2.group.features.map(_.copy(renames = Nil)))
-        writeManifest(c, m2.nextSeq, m2.lastBatchId, m2.lingering, widening = None)
+        writeManifest(c, m2.nextSeq, m2.lastBatchId, m2.lingering,
+          widening = None, epoch = m2.epoch + 1)
         c
       }
       refreshOnline(cleared, None)
@@ -370,7 +380,8 @@ final class FeatureStore(spark: SparkSession, root: String,
         val m2 = readManifest(groupName)
         writeManifest(m2.group.copy(
             features = m2.group.features.map(_.copy(renames = Nil))),
-          m2.nextSeq, m2.lastBatchId, m2.lingering, widening = None)
+          m2.nextSeq, m2.lastBatchId, m2.lingering, widening = None,
+          epoch = m2.epoch + 1)
       }
     }
   }
@@ -507,11 +518,11 @@ final class FeatureStore(spark: SparkSession, root: String,
         val missing = m.group.featureNames.filterNot(df.columns.contains)
         require(missing.isEmpty, s"ingest batch missing declared features: $missing")
         writeManifest(m.group, m.nextSeq + 1, batchId.getOrElse(m.lastBatchId),
-          m.lingering, m.widening)
-        Some((m.group, m.nextSeq))
+          m.lingering, m.widening, m.epoch + 1)
+        Some((m.group, m.nextSeq, m.lastBatchId))
       }
     }
-    val (g, seq) = claimed.getOrElse(return -1L)
+    val (g, seq, priorBatchId) = claimed.getOrElse(return -1L)
 
     val typed = df.select(g.features.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
       .withColumn(EngineColumns.IngestSeq, lit(seq))
@@ -539,10 +550,28 @@ final class FeatureStore(spark: SparkSession, root: String,
         // the new layout. Fail loudly with the claimed seq skipped (the
         // crash rule already tolerates skipped seqs) instead.
         val now = readManifest(groupName)
-        require(now.widening.isEmpty && FeatureStore.declaredFingerprint(now.group)
-            == FeatureStore.declaredFingerprint(g),
-          s"feature group $groupName evolved while ingest seq=$seq was in " +
-            "flight — the batch was NOT appended (seq skipped); re-run the ingest")
+        val stale = now.widening.nonEmpty ||
+          FeatureStore.declaredFingerprint(now.group) != FeatureStore.declaredFingerprint(g)
+        if (stale) {
+          // UN-CLAIM the streaming batch id before failing: the claim
+          // already persisted it, so without this rollback a foreachBatch
+          // RETRY of the very same micro-batch would be classified as a
+          // replay and silently dropped — permanent row loss in exactly
+          // the evolution race this guard exists for. (Lock order is
+          // append→manifest here; nothing holds manifest while waiting on
+          // append — ingest releases it before this block — so no cycle.)
+          batchId.foreach { b =>
+            withManifestLock(groupName) {
+              val mm = readManifest(groupName)
+              if (mm.lastBatchId == b)
+                writeManifest(mm.group, mm.nextSeq, priorBatchId,
+                  mm.lingering, mm.widening, mm.epoch + 1)
+            }
+          }
+          throw new IllegalStateException(
+            s"feature group $groupName evolved while ingest seq=$seq was in " +
+              "flight — the batch was NOT appended (seq skipped); re-run the ingest")
+        }
         typed.observe(obs,
             count(lit(1)).as("rows"),
             count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
@@ -1297,7 +1326,8 @@ final class FeatureStore(spark: SparkSession, root: String,
     // delete racing an ingest can never claim the same seq
     val (g, seq) = withManifestLock(groupName) {
       val m = readManifest(groupName)
-      writeManifest(m.group, m.nextSeq + 1, m.lastBatchId, m.lingering, m.widening)
+      writeManifest(m.group, m.nextSeq + 1, m.lastBatchId, m.lingering,
+        m.widening, m.epoch + 1)
       (m.group, m.nextSeq)
     }
     val marks = keyDf0.select(col("key"),
@@ -1899,20 +1929,19 @@ final class FeatureStore(spark: SparkSession, root: String,
         Coordination.current.withWriterLock(offlineRoot(groupName), "append.lock") {
       // capture (value, presence) in ONE read: the commit below is a
       // compare-and-swap against exactly this observation
-      val curPointerAtPlan: Option[Long] = {
-        val p = offlineRoot(groupName).resolve("CURRENT")
-        if (Files.exists(p))
-          Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-        else None
-      }
+      val curPointerAtPlan: Option[Long] =
+        Coordination.readPointerFile(offlineRoot(groupName).resolve("CURRENT"))
+          .map(_.toLong)
       val cur = curPointerAtPlan.getOrElse(1L)
       // lingering-column registry snapshot: the rewrite below reads the
-      // DECLARED schema, so orphaned bytes recorded at plan time are
+      // DECLARED schema, so bytes of entries recorded at plan time are
       // physically absent from v<N+1> — those entries clear after the
-      // flip. Entries recorded MID-compaction survive (their column was
-      // still declared when this rewrite read the manifest, so v<N+1>
-      // still carries its bytes until the next compaction); the entry seq
-      // makes even an identical-looking re-record distinguishable.
+      // flip. Any entry recorded AFTER this capture survives the fold
+      // (later epoch — even an identical-looking re-record), which is
+      // deliberately CONSERVATIVE: a drop landing between this read and
+      // the rewrite's own manifest read keeps its entry although the
+      // rewrite already erased its bytes; the stale guard just refuses a
+      // conflicting claim until the next compaction clears it.
       val lingeringAtPlan = readManifest(groupName).lingering
       val finalNextDir = offlineRoot(groupName).resolve(s"v${cur + 1}")
       val nextDir = OptimisticPointer.stagingFor(finalNextDir)
@@ -1921,11 +1950,18 @@ final class FeatureStore(spark: SparkSession, root: String,
       // writes a new marker file that survives the sweep (its rows re-apply
       // against v<N+1> until the next compaction), instead of being destroyed
       // without ever materializing — which would silently resurrect the key.
+      // FILES only: a deleteRecords marker write may be in flight (it
+      // serializes against other marker writes, not against compaction),
+      // and capturing its committer's `_temporary` DIRECTORY here would
+      // make the post-flip sweep throw on a non-empty dir — failing the
+      // compaction after CURRENT already moved — or destroy the live
+      // job's staging (round-12 review)
       val tombstoneFilesAtPlan: List[Path] =
         if (Files.exists(tombstoneDir(groupName))) {
           import scala.jdk.CollectionConverters._
           val ls = Files.list(tombstoneDir(groupName))
-          try ls.iterator().asScala.toList finally ls.close()
+          try ls.iterator().asScala.filterNot(Files.isDirectory(_)).toList
+          finally ls.close()
         } else Nil
       offline(groupName) // declared-schema read: compaction also materializes post-evolution columns (incl. the widen cast via eraColumn)
         .repartition(col(EngineColumns.IngestDate))
@@ -1977,7 +2013,7 @@ final class FeatureStore(spark: SparkSession, root: String,
       val remaining = mEnd.lingering.filterNot(lingeringAtPlan.contains)
       if (remaining.size != mEnd.lingering.size)
         writeManifest(mEnd.group, mEnd.nextSeq, mEnd.lastBatchId,
-          remaining, mEnd.widening)
+          remaining, mEnd.widening, mEnd.epoch + 1)
     }
     if (Files.exists(tombstoneDir(groupName))) {
       val ls = Files.list(tombstoneDir(groupName))
@@ -2079,11 +2115,11 @@ final class FeatureStore(spark: SparkSession, root: String,
 
   // ---- manifest (hand-rolled flat JSON; no extra deps) ----
 
-  /** @param epoch total manifest writes for this group (monotone under
-    *   the manifest lock; [[writeManifest]] self-increments it). Lingering
-    *   entries stamp the epoch of the write that recorded them — their
-    *   IDENTITY for compaction's fold, strict even when two records of
-    *   one name happen at the same ingest seq. */
+  /** @param epoch total manifest writes for this group — monotone because
+    *   every writer passes `m.epoch + 1` from the Manifest it read under
+    *   the manifest lock. Lingering entries stamp the epoch of the write
+    *   that recorded them — their IDENTITY for compaction's fold, strict
+    *   even when two records of one name happen at the same ingest seq. */
   private final case class Manifest(group: FeatureGroup, nextSeq: Long, lastBatchId: Long,
       lingering: Seq[(String, FType, Long)] = Nil, widening: Option[String] = None,
       epoch: Long = 0L)
@@ -2105,7 +2141,8 @@ final class FeatureStore(spark: SparkSession, root: String,
     *   refuses while set (the crash-window guard); widenFeature itself
     *   sets it at the flip and clears it after materializing. */
   private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L,
-      lingering: Seq[(String, FType, Long)] = Nil, widening: Option[String] = None): Unit = {
+      lingering: Seq[(String, FType, Long)] = Nil, widening: Option[String] = None,
+      epoch: Long = 0L): Unit = {
     def q(s: String) = "\"" + s + "\""
     val feats = g.features
       .map { f =>
@@ -2123,19 +2160,14 @@ final class FeatureStore(spark: SparkSession, root: String,
       else s""","lingering":${q(lingering.map { case (n, t, s) =>
         s"$n:${FType.name(t)}:$s" }.mkString("|"))}"""
     val wideningJson = widening.map(w => s""","widening":${q(w)}""").getOrElse("")
-    // epoch self-increments on every write (all writes hold the manifest
-    // lock, so read-increment here is race-free) — the strict-monotone
-    // stamp lingering entries use as identity
-    val nextEpoch =
-      if (Files.exists(manifestPath(g.name)))
-        "\"epoch\"\\s*:\\s*(\\d+)".r
-          .findFirstMatchIn(new String(Files.readAllBytes(manifestPath(g.name)),
-            StandardCharsets.UTF_8))
-          .map(_.group(1).toLong + 1).getOrElse(1L)
-      else 0L
+    // `epoch` is caller-supplied as m.epoch + 1 from the Manifest the
+    // caller read under the manifest lock — ONE computation of "the epoch
+    // this write gets", shared with the lingering-entry stamps recorded in
+    // the same write (a second file-read-and-parse here could drift from
+    // them; round-12 review)
     val json =
       s"""{"name":${q(g.name)},"keyCol":${q(g.keyCol)},"eventTimeCol":${q(g.eventTimeCol)},
-         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId,"epoch":$nextEpoch$lingeringJson$wideningJson,"features":$feats}""".stripMargin
+         |"nextSeq":$nextSeq,"lastBatchId":$lastBatchId,"epoch":$epoch$lingeringJson$wideningJson,"features":$feats}""".stripMargin
     val tmp = groupDir(g.name).resolve("manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(g.name), StandardCopyOption.ATOMIC_MOVE,

@@ -888,6 +888,45 @@ class FeatureStoreSpec extends SparkSpec {
     info(s"online CAS losers (loud by contract): ${losers.get()}")
   }
 
+  test("validate-at-append: an evolution landing mid-ingest fails the batch loudly and un-claims its streaming batch id") {
+    val sd = Files.createTempDirectory("fs_vaa_").toString
+    val fs = new FeatureStore(spark, sd)
+    fs.createGroup(group)
+    fs.ingest("tx", batch((1L, "2024-01-01 10:00:00", 1.0, "a")), batchId = Some(1L))
+    val mf = java.nio.file.Paths.get(sd, "tx", "manifest.json")
+    def manifestNum(k: String) = ("\"" + k + "\":(-?\\d+)").r
+      .findFirstMatchIn(new String(Files.readAllBytes(mf))).get.group(1).toLong
+    @volatile var err: Throwable = null
+    // hold the APPEND lock so the next ingest's claim lands but its append
+    // job waits behind us — the deterministic stand-in for "the append
+    // queued behind a compaction while an evolution committed"
+    val appendRoot = java.nio.file.Paths.get(sd, "tx", "offline")
+    LocalFsCoordination.withWriterLock(appendRoot, "append.lock") {
+      val t = new Thread(() => {
+        try { fs.ingest("tx", batch((2L, "2024-01-02 10:00:00", 2.0, "b")),
+          batchId = Some(2L)): Unit }
+        catch { case e: Throwable => err = e }
+      })
+      t.start()
+      val deadline = System.currentTimeMillis + 30000
+      while (manifestNum("lastBatchId") != 2L && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(manifestNum("lastBatchId") == 2L, "the claim must land while the append waits")
+      fs.dropFeature("tx", "note") // the evolution the stale batch must not survive
+    }
+    var waited = 0
+    while (err == null && waited < 30000) { Thread.sleep(20); waited += 20 }
+    assert(err != null && err.getMessage.contains("evolved while ingest"),
+      s"stale append must fail loudly, got: $err")
+    // the batch id was UN-claimed, so foreachBatch's retry of the same
+    // micro-batch is NOT a replay — it lands under the evolved schema
+    // (without the rollback the retry would be silently dropped: row loss)
+    assert(manifestNum("lastBatchId") == 1L, "failed batch id must be un-claimed")
+    fs.ingest("tx", batch((2L, "2024-01-02 10:00:00", 2.0, "b")), batchId = Some(2L))
+    assert(fs.offline("tx").count() == 2,
+      "the retried micro-batch's rows must be present exactly once")
+  }
+
   test("a delete landing after an evolution keeps the base version's bucket count (no 64-bucket floor rewrite)") {
     val sd = Files.createTempDirectory("fs_delbuckets_").toString
     // targetKeysPerBucket=1 so 100 keys size to 128 buckets (floor is 64)
