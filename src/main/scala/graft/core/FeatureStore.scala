@@ -123,7 +123,7 @@ final class FeatureStore(spark: SparkSession, root: String,
     withManifestLock(g.name, mustExist = false) {
       require(!groupExists(g.name), s"feature group ${g.name} already exists")
       Files.createDirectories(groupDir(g.name))
-      writeManifest(g, nextSeq = 0L)
+      writeManifest(g, nextSeq = 0L, epoch = 0L)
     }
 
   def describeGroup(name: String): FeatureGroup = readManifest(name).group
@@ -485,7 +485,14 @@ final class FeatureStore(spark: SparkSession, root: String,
     * @param batchId streaming replay guard: when given (foreachBatch batch id),
     *                an id at or below the last recorded one is a replay and is
     *                skipped (returns -1) — otherwise foreachBatch retries would
-    *                append duplicate rows to offline history.
+    *                append duplicate rows to offline history. The id is
+    *                recorded AFTER the append commits, so a crash (or a
+    *                stale-schema rejection) before the rows are durable
+    *                leaves the batch unclaimed and the stream's retry lands
+    *                it — at-least-once: only a crash in the narrow window
+    *                between the append's commit and the record can duplicate
+    *                the batch's offline rows (fresh seq; argmax serving is
+    *                unaffected), never lose them.
     */
   def ingest(groupName: String, df: DataFrame, batchId: Option[Long] = None): Long = {
     // seq claim = one arbitrated manifest RMW: two concurrent ingests must
@@ -517,12 +524,21 @@ final class FeatureStore(spark: SparkSession, root: String,
         })
         val missing = m.group.featureNames.filterNot(df.columns.contains)
         require(missing.isEmpty, s"ingest batch missing declared features: $missing")
-        writeManifest(m.group, m.nextSeq + 1, batchId.getOrElse(m.lastBatchId),
+        // NOTE the claim does NOT advance lastBatchId — that records only
+        // after the append COMMITS (below). Recording it here would make
+        // any failure between claim and append (a crash, a stale-schema
+        // rejection) read as a replay on the stream's retry and silently
+        // drop the micro-batch: permanent row loss. The post-append record
+        // means a crash inside the window can instead DUPLICATE the
+        // batch's offline rows under a fresh seq on retry — at-least-once,
+        // the argmax serve unaffected — which is the recoverable side of
+        // that trade (round-12 review).
+        writeManifest(m.group, m.nextSeq + 1, m.lastBatchId,
           m.lingering, m.widening, m.epoch + 1)
-        Some((m.group, m.nextSeq, m.lastBatchId))
+        Some((m.group, m.nextSeq))
       }
     }
-    val (g, seq, priorBatchId) = claimed.getOrElse(return -1L)
+    val (g, seq) = claimed.getOrElse(return -1L)
 
     val typed = df.select(g.features.map(f => col(f.name).cast(f.ftype.spark).as(f.name)): _*)
       .withColumn(EngineColumns.IngestSeq, lit(seq))
@@ -549,29 +565,14 @@ final class FeatureStore(spark: SparkSession, root: String,
         // frame's casts are stale and could write unmergeable bytes into
         // the new layout. Fail loudly with the claimed seq skipped (the
         // crash rule already tolerates skipped seqs) instead.
+        // A failure here needs no rollback: the batch id records only
+        // after the append commits, so the stream's retry of this same
+        // micro-batch is not a replay and lands under the evolved schema.
         val now = readManifest(groupName)
-        val stale = now.widening.nonEmpty ||
-          FeatureStore.declaredFingerprint(now.group) != FeatureStore.declaredFingerprint(g)
-        if (stale) {
-          // UN-CLAIM the streaming batch id before failing: the claim
-          // already persisted it, so without this rollback a foreachBatch
-          // RETRY of the very same micro-batch would be classified as a
-          // replay and silently dropped — permanent row loss in exactly
-          // the evolution race this guard exists for. (Lock order is
-          // append→manifest here; nothing holds manifest while waiting on
-          // append — ingest releases it before this block — so no cycle.)
-          batchId.foreach { b =>
-            withManifestLock(groupName) {
-              val mm = readManifest(groupName)
-              if (mm.lastBatchId == b)
-                writeManifest(mm.group, mm.nextSeq, priorBatchId,
-                  mm.lingering, mm.widening, mm.epoch + 1)
-            }
-          }
-          throw new IllegalStateException(
-            s"feature group $groupName evolved while ingest seq=$seq was in " +
-              "flight — the batch was NOT appended (seq skipped); re-run the ingest")
-        }
+        require(now.widening.isEmpty && FeatureStore.declaredFingerprint(now.group)
+            == FeatureStore.declaredFingerprint(g),
+          s"feature group $groupName evolved while ingest seq=$seq was in " +
+            "flight — the batch was NOT appended (seq skipped); re-run the ingest")
         typed.observe(obs,
             count(lit(1)).as("rows"),
             count(when(col(g.keyCol).isNull, 1)).as("null_keys"),
@@ -582,6 +583,16 @@ final class FeatureStore(spark: SparkSession, root: String,
             // per-commit fixed tax behind the q59 regression)
             approx_count_distinct(col(g.keyCol)).as("distinct_keys"))
           .write.mode("append").partitionBy(EngineColumns.IngestDate).parquet(offlineDir(groupName))
+      }
+    }
+    // the batch id becomes a replay-skippable fact only now that its rows
+    // are DURABLY in offline history (see the claim's NOTE)
+    batchId.foreach { b =>
+      withManifestLock(groupName) {
+        val mm = readManifest(groupName)
+        if (mm.lastBatchId < b)
+          writeManifest(mm.group, mm.nextSeq, b, mm.lingering, mm.widening,
+            mm.epoch + 1)
       }
     }
     val o = obs.get
@@ -1336,6 +1347,12 @@ final class FeatureStore(spark: SparkSession, root: String,
     // marker writes to one directory share the committer's `_temporary`
     // staging (silent marker loss = silent resurrection)
     Coordination.current.withWriterLock(groupDir(groupName), "tombstones.lock") {
+      // holding the only marker-write lock, any `_temporary` present is a
+      // CRASHED writer's staging debris — clear it here, because the
+      // compaction sweep deliberately skips directories (it must not
+      // destroy a LIVE writer's staging) and would otherwise never
+      // collect it (round-12 review)
+      Coordination.deleteRecursively(tombstoneDir(groupName).resolve("_temporary"))
       (if (smallKeySet) marks.coalesce(1) else marks)
         .write.mode("append").parquet(tombstoneDir(groupName).toString)
     }
@@ -2005,9 +2022,9 @@ final class FeatureStore(spark: SparkSession, root: String,
     // same folding rule for the lingering-column registry: the declared-
     // schema rewrite erased the plan-time orphans' bytes, so their claim-
     // guard entries clear. Identity is the FULL triple incl. the recording
-    // seq: an entry re-recorded since plan time (even with the same name
-    // and type, after new bytes landed) carries a later seq and survives —
-    // see lingeringAtPlan's capture comment.
+    // EPOCH: an entry re-recorded since plan time (even one value-identical
+    // in name and type) carries a later epoch and survives — see
+    // lingeringAtPlan's capture comment.
     if (lingeringAtPlan.nonEmpty) withManifestLock(groupName) {
       val mEnd = readManifest(groupName)
       val remaining = mEnd.lingering.filterNot(lingeringAtPlan.contains)
@@ -2142,7 +2159,9 @@ final class FeatureStore(spark: SparkSession, root: String,
     *   sets it at the flip and clears it after materializing. */
   private def writeManifest(g: FeatureGroup, nextSeq: Long, lastBatchId: Long = -1L,
       lingering: Seq[(String, FType, Long)] = Nil, widening: Option[String] = None,
-      epoch: Long = 0L): Unit = {
+      // REQUIRED, no default: a caller that forgot it would silently
+      // rewind the monotone epoch and break lingering-entry identity
+      epoch: Long): Unit = {
     def q(s: String) = "\"" + s + "\""
     val feats = g.features
       .map { f =>

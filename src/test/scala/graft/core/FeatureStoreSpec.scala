@@ -908,20 +908,23 @@ class FeatureStoreSpec extends SparkSpec {
         catch { case e: Throwable => err = e }
       })
       t.start()
+      // the claim is visible as the seq bump; the batch id deliberately is
+      // NOT recorded yet (it records only after the append commits)
       val deadline = System.currentTimeMillis + 30000
-      while (manifestNum("lastBatchId") != 2L && System.currentTimeMillis < deadline)
+      while (manifestNum("nextSeq") != 2L && System.currentTimeMillis < deadline)
         Thread.sleep(20)
-      assert(manifestNum("lastBatchId") == 2L, "the claim must land while the append waits")
+      assert(manifestNum("nextSeq") == 2L, "the claim must land while the append waits")
       fs.dropFeature("tx", "note") // the evolution the stale batch must not survive
     }
     var waited = 0
     while (err == null && waited < 30000) { Thread.sleep(20); waited += 20 }
     assert(err != null && err.getMessage.contains("evolved while ingest"),
       s"stale append must fail loudly, got: $err")
-    // the batch id was UN-claimed, so foreachBatch's retry of the same
-    // micro-batch is NOT a replay — it lands under the evolved schema
-    // (without the rollback the retry would be silently dropped: row loss)
-    assert(manifestNum("lastBatchId") == 1L, "failed batch id must be un-claimed")
+    // the batch id was never claimed (it records post-append), so
+    // foreachBatch's retry of the same micro-batch is NOT a replay — it
+    // lands under the evolved schema; with claim-time recording the retry
+    // would be silently dropped (permanent row loss)
+    assert(manifestNum("lastBatchId") == 1L, "failed batch id must stay unrecorded")
     fs.ingest("tx", batch((2L, "2024-01-02 10:00:00", 2.0, "b")), batchId = Some(2L))
     assert(fs.offline("tx").count() == 2,
       "the retried micro-batch's rows must be present exactly once")
