@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.functions.{CosineSimilarity, SortedIntersectSize}
+import graft.functions.{CosineSimilarity, HashedShingles, SortedIntersectSize}
 
 /** Deduplication suite for LLM training-data pipelines (extension surface,
   * BASELINE.json north star). Five methods, all shaped for 100 TB:
@@ -213,9 +213,10 @@ object Dedup {
     df.select(col(id).as("doc_id"), wsTokens(col(text)).as("__toks"))
       .select(col("doc_id"),
         // sorted+distinct: the contract SortedIntersectSize needs; sorting
-        // is paid once per document, the merge walk saves once per pair
-        array_sort(array_distinct(transform(wordShinglesFromTokens(col("__toks"), shingleK),
-          s => xxhash64Seeded(31L, s)))).as("hs"))
+        // is paid once per document, the merge walk saves once per pair.
+        // Fused single-pass shingle hashing (HashedShingles, bit-identical)
+        HashedShingles.hashedWordShingles(col("__toks"), shingleK,
+          HashedShingles.KindXx64, 31L, distinct = true, sorted = true).as("hs"))
       .withColumn("sig", minhashSignatureFromHashes(col("hs"), numHashes))
       .select(col("doc_id"), col("hs"),
         lshBandKeys(col("sig"), bands, numHashes / bands).as("band_keys"))
@@ -1307,12 +1308,11 @@ object Dedup {
     // long arrays — no string set ever shuffles or persists. Ids-only through
     // the bucket expansion + dedup (same rationale as minhashLsh).
     val grams = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
-      // __lt materialized first: charNgrams substrings its input once per
-      // gram, and no-CSE would re-lowercase the whole document per gram
       .select(col("doc_id"),
-        // sorted+distinct: SortedIntersectSize contract (see minhash build)
-        array_sort(array_distinct(transform(charNgrams(col("__lt"), n),
-          g => xxhash64Seeded(17L, g)))).as("hs"))
+        // sorted+distinct: SortedIntersectSize contract (see minhash build);
+        // fused single-pass hashing (HashedShingles, bit-identical)
+        HashedShingles.hashedCharNgrams(col("__lt"), n,
+          HashedShingles.KindXx64, 17L, distinct = true, sorted = true).as("hs"))
       .persist()
     grams.count(): Unit
 
@@ -1409,13 +1409,16 @@ object Dedup {
     // residual recall risk is ~n²/2⁶¹ per corpus — below any realistic
     // noise floor (and mirrored identically by the oracle, which replays
     // the same 60-bit ids).
+    // fused single-pass ngram hashing (HashedShingles, bit-identical to the
+    // transform/array_distinct/array_sort composition it replaced — r12-opt:
+    // the substring-array materialization was the pipeline's largest fixed
+    // stage, 2.4 s of the 3.4 s token pass at sf0.1)
     val gr = df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
-      .select(col("doc_id"), charNgrams(col("__lt"), n).as("g"))
       .select(col("doc_id"),
-        array_distinct(transform(col("g"),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("toks"),
-        array_sort(array_distinct(transform(col("g"),
-          g => xxhash64Seeded(17L, g)))).as("hs"))
+        HashedShingles.hashedCharNgrams(col("__lt"), n,
+          HashedShingles.KindMd5Prefix60, 0L, distinct = true, sorted = false).as("toks"),
+        HashedShingles.hashedCharNgrams(col("__lt"), n,
+          HashedShingles.KindXx64, 17L, distinct = true, sorted = true).as("hs"))
       .persist()
     gr.count(): Unit
     val sets = gr.select(col("doc_id"), col("hs"))
@@ -1579,13 +1582,15 @@ object Dedup {
       k: Int): DataFrame =
     df.select(col(id).as("doc_id"), lower(col(text)).as("__lt"))
       .filter(length(trim(col("__lt"))) > 0)
+      // fused single-pass shingle hashing (HashedShingles): equal to the old
+      // distinct-strings-then-hash form because distinct∘hash∘distinct ≡
+      // distinct∘hash element-for-element (first-occurrence order both ways)
+      .select(col("doc_id"), wsTokens(col("__lt")).as("__toks"))
       .select(col("doc_id"),
-        array_distinct(wordShingles(col("__lt"), k)).as("sh"))
-      .select(col("doc_id"),
-        array_distinct(transform(col("sh"),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))).as("toks"),
-        array_sort(array_distinct(transform(col("sh"),
-          g => xxhash64Seeded(17L, g)))).as("hs"))
+        HashedShingles.hashedWordShingles(col("__toks"), k,
+          HashedShingles.KindMd5Prefix60, 0L, distinct = true, sorted = false).as("toks"),
+        HashedShingles.hashedWordShingles(col("__toks"), k,
+          HashedShingles.KindXx64, 17L, distinct = true, sorted = true).as("hs"))
 
   /** Broadcast cap for the (tok, df) order-key table of the prefix-filter
     * family, env-overridable (the [[graft.similarity.Similarity]]
@@ -2424,8 +2429,8 @@ object Dedup {
     def grams(df: DataFrame, side: Int) =
       df.select(col(id).as("doc_id"), lit(side).as("side"), lower(col(text)).as("__lt"))
         .select(col("doc_id"), col("side"),
-          array_distinct(transform(charNgrams(col("__lt"), n),
-            g => xxhash64Seeded(17L, g))).as("hs"))
+          HashedShingles.hashedCharNgrams(col("__lt"), n,
+            HashedShingles.KindXx64, 17L, distinct = true, sorted = false).as("hs"))
     val tagged = grams(left, 0).unionByName(grams(right, 1)).persist()
     tagged.count(): Unit
 
@@ -2559,8 +2564,8 @@ object Dedup {
     * (doc_id, gh) with gh = seeded 64-bit xxhash of the lowercased gram. */
   private def docGrams(df: DataFrame, id: String, text: String, n: Int) =
     df.select(col(id).as("doc_id"),
-      explode(array_distinct(transform(charNgrams(lower(col(text)), n),
-        g => xxhash64Seeded(17L, g)))).as("gh"))
+      explode(HashedShingles.hashedCharNgrams(lower(col(text)), n,
+        HashedShingles.KindXx64, 17L, distinct = true, sorted = false)).as("gh"))
 
   /** The probe body shared by [[contaminationRatio]] and
     * [[contaminationRatioIndexed]]: right-side grams against a given

@@ -208,7 +208,8 @@ object GraftFunctions {
     * times would recompute the whole n-gram hashing k times (O(n²·w) per doc
     * — observed minutes per 500 docs). */
   def winnowingHashes(text: Column, n: Int): Column =
-    transform(charNgrams(lower(text), n), g => xxhash64Seeded(11L, g))
+    HashedShingles.hashedCharNgrams(lower(text), n,
+      HashedShingles.KindXx64, 11L, distinct = false, sorted = false)
 
   /** Sliding-window min over a MATERIALIZED hash-array column (`least` over w
     * O(1) element_at lookups), sorted distinct — the winnowing fingerprint
@@ -233,7 +234,8 @@ object GraftFunctions {
     * fingerprint never leaves Spark. Materialize before
     * [[winnowingFromHashes]] (same no-CSE rationale). */
   def winnowingHashesPortable(text: Column, n: Int): Column =
-    transform(charNgrams(text, n), portableHash60(_))
+    HashedShingles.hashedCharNgrams(text, n,
+      HashedShingles.KindMd5Prefix60, 0L, distinct = false, sorted = false)
 
   /** ENGINE-PORTABLE 60-bit hash of any string — first 15 hex chars of md5
     * as a long (the [[hashSplitBucket]] / [[winnowingHashesPortable]] rule,
