@@ -58,25 +58,13 @@ object Dsir {
     * token frame: knd 0 = unigram at `pos`, knd 1 = bigram starting at
     * `pos`. `(pos, knd)` is unique within a doc — the deterministic fold
     * order. A doc with no token contributes no rows. */
-  private[graft] def featureRows(tokdStaged: DataFrame, buckets: Int): DataFrame = {
-    def bucketed(h: Column): Column = pmod(h, lit(buckets.toLong))
-    val uni = transform(
-      sequence(lit(0), size(col("toks")) - 1),
-      i => struct(i.cast("int").as("pos"), lit(0).as("knd"),
-        bucketed(portableHash60(element_at(col("toks"), i + 1))).as("fb")))
-    val bi = when(size(col("toks")) < 2, array().cast(FeatRowType))
-      .otherwise(transform(
-        sequence(lit(0), size(col("toks")) - 2),
-        i => struct(i.cast("int").as("pos"), lit(1).as("knd"),
-          bucketed(portableHash60(concat(
-            element_at(col("toks"), i + 1), lit("\u0001"),
-            element_at(col("toks"), i + 2)))).as("fb"))))
+  private[graft] def featureRows(tokdStaged: DataFrame, buckets: Int): DataFrame =
+    // fused single-pass feature hashing (PortableHashRows, bit-identical to
+    // the uni ++ bi transform/portableHash60 composition it replaced)
     tokdStaged.select(col("doc_id"),
-      explode(when(size(col("toks")) === 0, array().cast(FeatRowType))
-        .otherwise(concat(uni, bi))).as("f"))
+      explode(PortableHashRows.dsirFeatureRows(col("toks"), buckets)).as("f"))
       .select(col("doc_id"), col("f.pos").as("pos"),
         col("f.knd").as("knd"), col("f.fb").as("fb"))
-  }
 
   /** Per-doc importance scores over the pool: `(doc_id, n_feats, logratio)`
     * with `logratio` the ROUNDED average log importance ratio (NULL for a

@@ -243,7 +243,7 @@ object GraftFunctions {
     * can cross an oracle boundary. 60 bits keeps the value positive and the
     * collision rate (~n²/2⁶¹ per corpus) below any realistic noise floor. */
   def portableHash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    PortableHashRows.md5Prefix60(s) // fused conv∘substring∘md5, bit-identical
 
   /** Order-sensitive whole-document fingerprint: left-fold hash chaining
     * (ANSI-safe: xxhash64 of (acc, token-hash) instead of overflow arithmetic). */

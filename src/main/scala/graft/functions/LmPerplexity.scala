@@ -60,17 +60,10 @@ object LmPerplexity {
   /** Exploded bigram rows `(doc_id, pos, bg_id, ctx_id)` from a STAGED
     * token frame — a doc with fewer than 2 tokens contributes no rows. */
   private[graft] def bigramRows(tokdStaged: DataFrame): DataFrame =
+    // fused single-pass bigram hashing (PortableHashRows, bit-identical to
+    // the transform/concat/portableHash60 composition it replaced)
     tokdStaged.select(col("doc_id"),
-      explode(when(size(col("toks")) < 2, array().cast(BgRowType))
-        .otherwise(transform(
-          sequence(lit(0), size(col("toks")) - 2),
-          i => struct(
-            i.cast("int").as("pos"),
-            portableHash60(concat(
-              element_at(col("toks"), i + 1), lit("\u0001"),
-              element_at(col("toks"), i + 2))).as("bg_id"),
-            portableHash60(element_at(col("toks"), i + 1)).as("ctx_id")))))
-        .as("bg"))
+      explode(PortableHashRows.lmBigramRows(col("toks"))).as("bg"))
       .select(col("doc_id"), col("bg.pos").as("pos"),
         col("bg.bg_id").as("bg_id"), col("bg.ctx_id").as("ctx_id"))
 
