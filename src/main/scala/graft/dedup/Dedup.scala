@@ -323,19 +323,16 @@ object Dedup {
     // per-task skew is bounded by construction. The same fix as the online
     // snapshot's repartition-before-partitionBy (FeatureStore).
     //
-    // r12-opt: REBALANCE instead of a width-pinned repartition (guide §6
-    // "coalesce on write"), and rebalance the UNPARTITIONED tables too.
-    // repartition() always plans `spark.sql.shuffle.partitions` write
-    // tasks, and an un-clustered table writes straight from its parent's
-    // width — 32 parquet writer open/commit cycles for a 1-row stats
-    // table (measured: the write stages carried 0.3-0.5 s of task time
-    // per task at sf0.1, dominating every index lifecycle). REBALANCE
-    // sizes the write stage by AQE's advisory partition bytes: tiny
-    // tables become ONE writer task, corpus-scaled tables grow with their
-    // actual bytes, and keyed rebalance keeps the one-file-per-partition
-    // clustering AND splits skewed partition values.
-    (if (partitionCols.isEmpty) stamped.hint("rebalance")
-     else stamped.hint("rebalance", partitionCols.map(col): _*))
+    // r12-opt adjudication: REBALANCE-before-write (guide §6) was tried
+    // here and in compactFamily — it cut write-stage TASK time ~3x (the
+    // 32-task writer open/commit cycles collapse to advisory-sized
+    // stages) but measured NEUTRAL at 32 cores and a 5-15% REGRESSION at
+    // 8 cores on q180/q202/q227 (isolated minima, both trees): the added
+    // shuffle + AQE barrier per write costs more wall than the writer
+    // inits it saves, and coalescing a CPU-bound parquet encode to one
+    // task serializes it. Reverted to the clustered repartition.
+    (if (partitionCols.isEmpty) stamped
+     else stamped.repartition(partitionCols.map(col): _*))
       .write
       .partitionBy("batch" +: partitionCols: _*)
       // whole-index rebuild clears every partition; per-batch append clears
@@ -693,10 +690,9 @@ object Dedup {
             .withColumn("batch", lit("base"))
           // cluster on the layout's partition columns — the writeIndexBatch
           // rationale: unclustered, a compaction re-explodes the file count
-          // it exists to shrink (tasks × buckets small files). r12-opt:
-          // REBALANCE for the same write-stage sizing as writeIndexBatch
-          (if (extraCols.isEmpty) folded.hint("rebalance")
-           else folded.hint("rebalance", extraCols.map(col): _*))
+          // it exists to shrink (tasks × buckets small files)
+          (if (extraCols.isEmpty) folded
+           else folded.repartition(extraCols.map(col): _*))
             .write.partitionBy("batch" +: extraCols: _*).mode("overwrite")
             .parquet(stagingDir.toString)
         }
