@@ -136,13 +136,21 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen,
       "need iters >= 1 and 0 < dampNum/dampDen < 1")
-    val (edgesDeg, deg) = prGraph(edges)
+    val (edgesDeg, deg, nNodes) = prGraph(edges)
+    val bcastX = scoreBroadcastable(nNodes)
     var x = deg.select(col("src").as("node"), lit(scale).as("x"))
-    for (_ <- 1 to iters) x = prStep(edgesDeg, x, dampNum, dampDen, scale)
+    for (_ <- 1 to iters) x = prStep(edgesDeg, x, dampNum, dampDen, scale, bcastX)
     val out = x.localCheckpoint(true)
     GraftBridge.releaseCheckpoint(edgesDeg)
     out
   }
+
+  /** The |V|-row score frame rides every iteration's join: broadcast it
+    * while it fits (r12-opt — a sort-merge join re-shuffled the STATIC
+    * edge list every iteration), shuffle join beyond (the 100 TB case,
+    * same plan the code always had). ~24 bytes/row in the built relation. */
+  private def scoreBroadcastable(nNodes: Long,
+      maxBytes: Long = 256L << 20): Boolean = 24L * nNodes <= maxBytes
 
   /** Result of [[pagerankIntConverged]]. `scores` is the final iterate xᵏ,
     * `prevScores` the one before it (xᵏ⁻¹ — kept so a verifier can replay
@@ -186,19 +194,45 @@ object Graph {
       reliableDir: Option[String] = Staging.DefaultReliableDir): PageRankResult = {
     require(maxIters >= 1 && dampNum > 0 && dampNum < dampDen,
       "need maxIters >= 1 and 0 < dampNum/dampDen < 1")
-    // both probes (vs xᵏ and vs xᵏ⁻¹) in ONE job — iteration wall time here
-    // is job-count-bound, not data-bound (|V|-row staged frames)
-    def deltas(next: DataFrame, a: DataFrame, b: DataFrame): (Long, Long) = {
-      val base = next.join(a.select(col("node"), col("x").as("__xa")), "node")
-      val joined =
-        if (b != null) base.join(b.select(col("node"), col("x").as("__xb")), "node")
-        else base.withColumn("__xb", col("x"))
-      val r = joined.agg(
+    // both probes (vs xᵏ and vs xᵏ⁻¹) ride the staged iterate itself
+    // (r12-opt): the step attaches __xa/__xb (the two reference scores,
+    // broadcast-joined while |V| fits) BEFORE staging, so the probe is one
+    // agg over already-materialized local blocks — no per-iteration probe
+    // joins. Iteration wall time here is job-count-bound, not data-bound.
+    def deltas(staged: DataFrame): (Long, Long) = {
+      val r = staged.agg(
         count(when(col("x") =!= col("__xa"), 1)).as("da"),
         count(when(col("x") =!= col("__xb"), 1)).as("db")).head
       (r.getLong(0), r.getLong(1))
     }
-    val (edgesDeg, deg) = prGraph(edges, reliableDir)
+    val (edgesDeg, deg, nNodes) = prGraph(edges, reliableDir)
+    val bcastX = scoreBroadcastable(nNodes)
+    def gate(d: DataFrame): DataFrame = if (bcastX) broadcast(d) else d
+    // step + attach the probe references: inner joins are complete (every
+    // node has in-degree >= 1 in the symmetrized graph, so the node sets of
+    // consecutive iterates are identical — the original deltas() contract)
+    // an iterate's staged frame already carries x^{k-1} as its own __xa, so
+    // both references usually attach through ONE broadcast join; only the
+    // first iteration and a midpoint restart (whose frame is not a power
+    // iterate and carries no __xa) fall back to a second join / self-ref
+    def stepWithRefs(xStaged: DataFrame, prev: DataFrame): DataFrame = {
+      val next = prStep(edgesDeg, xStaged.select("node", "x"),
+        dampNum, dampDen, scale, bcastX)
+      if (xStaged.columns.contains("__xa"))
+        next.join(gate(xStaged.select(col("node"), col("x").as("__xa"),
+          col("__xa").as("__xb"))), "node")
+      else {
+        val withA = next.join(
+          gate(xStaged.select(col("node"), col("x").as("__xa"))), "node")
+        if (prev != null)
+          withA.join(gate(prev.select(col("node"), col("x").as("__xb"))), "node")
+        else withA.withColumn("__xb", col("x"))
+      }
+    }
+    // loop variables hold the STAGED frames (the checkpoint leaves
+    // releaseCheckpoint acts on); a step's staged frame carries the probe
+    // columns, so downstream consumers read scores through scoresOf
+    def scoresOf(staged: DataFrame): DataFrame = staged.select("node", "x")
     var prev: DataFrame = null
     var x = Staging.stage(
       deg.select(col("src").as("node"), lit(scale).as("x")), reliableDir)
@@ -208,12 +242,13 @@ object Graph {
     var breaksLeft = cycleBreaks
     var lastWasMid = false
     while (!converged && !cycled && it < maxIters) {
-      val next = Staging.stage(
-        prStep(edgesDeg, x, dampNum, dampDen, scale), reliableDir)
+      val staged = Staging.stage(
+        stepWithRefs(x, if (prev == null) null else scoresOf(prev)),
+        reliableDir)
       it += 1
-      val (dx, dp) = deltas(next, x, prev)
+      val (dx, dp) = deltas(staged)
       val rotateTo: DataFrame =
-        if (dx == 0) { converged = true; next }
+        if (dx == 0) { converged = true; staged }
         else if (prev != null && dp == 0) {
           if (breaksLeft > 0) {
             // period-2 floor cycle: the two frames straddle the true fixed
@@ -222,14 +257,15 @@ object Graph {
             // then pins, the certification is a GENUINE delta == 0 — the
             // breaker only changes where the walk restarts, never the test.
             breaksLeft -= 1
-            val mid = Staging.stage(next
-              .join(x.select(col("node"), col("x").as("__xp")), "node")
+            val mid = Staging.stage(scoresOf(staged)
+              .join(gate(scoresOf(x).select(col("node"), col("x").as("__xp"))), "node")
               .select(col("node"), expr("(x + __xp) div 2").as("x")), reliableDir)
-            GraftBridge.releaseCheckpoint(next)
+            GraftBridge.releaseCheckpoint(staged)
             mid
-          } else { cycled = true; next }
-        } else next
-      lastWasMid = !converged && !cycled && !(rotateTo eq next)
+          } else { cycled = true; staged }
+        } else staged
+      lastWasMid = !converged && !cycled &&
+        !(rotateTo eq staged) // a midpoint restart, not a power iterate
       if (prev != null) GraftBridge.releaseCheckpoint(prev)
       prev = x
       x = rotateTo
@@ -239,23 +275,25 @@ object Graph {
       // frame is an averaging artifact, never a power-iterate, so returning
       // it would break the documented invariant step(prevScores) == scores.
       // One more genuine step restores it (and may even certify).
-      val next = Staging.stage(
-        prStep(edgesDeg, x, dampNum, dampDen, scale), reliableDir)
+      val staged = Staging.stage(stepWithRefs(x, null), reliableDir)
       it += 1
-      val (dx, _) = deltas(next, x, null)
+      val (dx, _) = deltas(staged)
       if (dx == 0) converged = true
       if (prev != null) GraftBridge.releaseCheckpoint(prev)
       prev = x
-      x = next
+      x = staged
     }
     GraftBridge.releaseCheckpoint(edgesDeg)
-    PageRankResult(x, prev, it, converged, cycled)
+    PageRankResult(scoresOf(x), if (prev == null) null else scoresOf(prev),
+      it, converged, cycled)
   }
 
   /** Symmetrized, deduped, degree-annotated edge list (staged — reused every
-    * iteration) plus the degree table. */
+    * iteration) plus the degree table and the node count (one aggregation
+    * over the already-staged edge blocks — sizes the per-iteration score
+    * broadcast, never an extra scan of the input). */
   private def prGraph(edges: DataFrame,
-      reliableDir: Option[String] = Staging.DefaultReliableDir): (DataFrame, DataFrame) = {
+      reliableDir: Option[String] = Staging.DefaultReliableDir): (DataFrame, DataFrame, Long) = {
     val Array(ca, cb) = edges.columns
     val und = edges
       .select(least(col(ca), col(cb)).cast("long").as("a"),
@@ -264,18 +302,22 @@ object Graph {
     val dir = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
     val deg = dir.groupBy("src").agg(count(lit(1)).as("deg"))
-    (Staging.stage(dir.join(deg, "src"), reliableDir), deg)
+    val edgesDeg = Staging.stage(dir.join(deg, "src"), reliableDir)
+    val nNodes = edgesDeg.select(countDistinct(col("src"))).head.getLong(0)
+    (edgesDeg, deg, nNodes)
   }
 
   /** One exact-integer power-iteration step (see [[pagerankInt]] formula). */
   private def prStep(edgesDeg: DataFrame, x: DataFrame,
-      dampNum: Long, dampDen: Long, scale: Long): DataFrame =
+      dampNum: Long, dampDen: Long, scale: Long, bcastX: Boolean): DataFrame = {
+    val xs = x.select(col("node").as("src"), col("x"))
     edgesDeg
-      .join(x.withColumnRenamed("node", "src"), "src")
+      .join(if (bcastX) broadcast(xs) else xs, "src")
       .select(col("dst"), expr("x div deg").as("contrib"))
       .groupBy("dst")
       .agg(sum("contrib").as("s"))
       .select(col("dst").as("node"),
         (lit(scale - scale * dampNum / dampDen) +
           expr(s"($dampNum * s) div $dampDen")).as("x"))
+  }
 }
