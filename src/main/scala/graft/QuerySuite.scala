@@ -4039,15 +4039,19 @@ object QuerySuite {
     //      red. Groups here are thousands of rows, so the window is ~40
     //      ranks wide vs a sketch rank error of n/10000 ----
     "q93_approx_quantile" -> ((s, dir) => {
+      // ONE exact-percentile buffer for all three cut points (array form:
+      // one value→count map per group instead of three — r13-opt, guide
+      // §1.2 "don't compute things twice"; the interpolation math per
+      // percentage is unchanged, so the values are bit-identical)
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          percentile(col("l_extendedprice"), lit(0.5)).as("p50_exact"),
-          percentile(col("l_extendedprice"), lit(0.49)).as("__lo"),
-          percentile(col("l_extendedprice"), lit(0.51)).as("__hi"),
+          percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.49), lit(0.51))).as("__ps"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__approx"))
-        .select(col("l_returnflag"), col("p50_exact"),
-          (col("__approx") >= col("__lo") && col("__approx") <= col("__hi")).as("approx_ok"))
+        .select(col("l_returnflag"), element_at(col("__ps"), 1).as("p50_exact"),
+          (col("__approx") >= element_at(col("__ps"), 2) &&
+            col("__approx") <= element_at(col("__ps"), 3)).as("approx_ok"))
         .orderBy("l_returnflag")
     }),
 

@@ -845,6 +845,11 @@ final class FeatureStore(spark: SparkSession, root: String,
     // writes into every bucket dir (tasks × buckets tiny files per snapshot
     // — measured 1.7× on the ingest e2e queries); clustered, the write is
     // one file per bucket, which is also what the pruned point-read wants
+    // r13-opt adjudication: sizing this width from Dedup.writeWidth was
+    // tried and REVERTED — `buckets` is already derived from the store's
+    // key count (bucketCountFor), so the write stage is data-proportional
+    // by construction, and the extra per-commit estimate walk measurably
+    // regressed the deep-plan SQL lifecycles (q241 isolated minima −18%)
     timedPhase(g.name, "snapshot_write") {
       latest
         .withColumn(EngineColumns.KeyBucket,
@@ -1681,7 +1686,9 @@ final class FeatureStore(spark: SparkSession, root: String,
       // the writer opens a new file per bucket TRANSITION, so task width is
       // a knob, not a correctness constraint: the incremental commit passes
       // its touched-bucket count (a 64-key batch must not pay a
-      // 16k-empty-task pass at 16k buckets)
+      // 16k-empty-task pass at 16k buckets); `buckets` itself is key-count-
+      // derived, so the full render is data-proportional already (r13-opt
+      // adjudication — see commitOnlineSnapshot)
       .repartition(numTasks.getOrElse(buckets.toInt), col(EngineColumns.KeyBucket))
       .sortWithinPartitions(col(EngineColumns.KeyBucket), col("__skey"))
       .foreachPartition { (it: Iterator[Row]) =>
@@ -1980,8 +1987,13 @@ final class FeatureStore(spark: SparkSession, root: String,
           try ls.iterator().asScala.filterNot(Files.isDirectory(_)).toList
           finally ls.close()
         } else Nil
-      offline(groupName) // declared-schema read: compaction also materializes post-evolution columns (incl. the widen cast via eraColumn)
-        .repartition(col(EngineColumns.IngestDate))
+      val foldInput = offline(groupName) // declared-schema read: compaction also materializes post-evolution columns (incl. the widen cast via eraColumn)
+      foldInput
+        // estimate-derived width (r13-opt, Dedup.writeWidth): the clustered
+        // rewrite keeps one exchange but a small store no longer launches
+        // one writer commit cycle per core
+        .repartition(graft.dedup.Dedup.writeWidth(foldInput),
+          col(EngineColumns.IngestDate))
         .write.mode("overwrite") // a crashed prior attempt's partial dir is overwritten
         .partitionBy(EngineColumns.IngestDate).parquet(nextDir.toString)
       // commit: one compare-and-swap pointer move — a concurrent compaction

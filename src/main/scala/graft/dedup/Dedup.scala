@@ -42,12 +42,13 @@ object Dedup {
     * referencing `array_sort(ids)` inside the lambda would re-sort per
     * element. */
   private def pairsFromBuckets(buckets: DataFrame, minMatch: Int = 1): DataFrame = {
+    // r13-opt: the nested transform+flatten+explode chain is now ONE
+    // streaming generator ([[graft.functions.SortedPairs]]) — same pairs,
+    // same order, no O(|bucket|²) intermediate arrays (bit-identity pinned
+    // in SortedPairsSpec)
     val expanded = buckets
       .select(array_sort(col("ids")).as("s"))
-      .select(explode(flatten(transform(col("s"), (a, i) =>
-        transform(slice(col("s"), i + lit(2), size(col("s"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(graft.functions.SortedPairs(col("s")).as(Seq("id_a", "id_b")))
     // minMatch > 1: require the pair to co-occur in >= minMatch buckets —
     // standard candidate pruning. True near-dups share MANY low-df buckets
     // (a jaccard-0.5 pair of n-element sets shares ~n/3), while the long
@@ -331,8 +332,12 @@ object Dedup {
     // shuffle + AQE barrier per write costs more wall than the writer
     // inits it saves, and coalescing a CPU-bound parquet encode to one
     // task serializes it. Reverted to the clustered repartition.
-    (if (partitionCols.isEmpty) stamped
-     else stamped.repartition(partitionCols.map(col): _*))
+    //
+    // r13-opt: the clustered repartition now carries an EXPLICIT width
+    // derived from the optimizer's size estimate ([[sizedForWrite]]) —
+    // same single exchange, no AQE replan, but a stats-table write no
+    // longer launches one parquet writer commit cycle per core.
+    sizedForWrite(stamped, partitionCols)
       .write
       .partitionBy("batch" +: partitionCols: _*)
       // whole-index rebuild clears every partition; per-batch append clears
@@ -340,6 +345,59 @@ object Dedup {
       .option("partitionOverwriteMode", if (wholeIndex) "static" else "dynamic")
       .mode("overwrite")
       .parquet(resolveIndexDir(indexPath))
+    }
+  }
+
+  /** Write-stage width for an index-table write, derived from the
+    * optimizer's size estimate AT WRITE TIME — guide §6 coalesce-on-write
+    * without REBALANCE's extra shuffle + AQE barrier (the r12 adjudication
+    * above). One writer task per `graft.write.targetPartitionBytes`
+    * (default 128 MB — the guide's output-file sizing band), clamped to
+    * [1, max(defaultParallelism, shuffle.partitions)]: a 1-row stats table
+    * writes with ONE task instead of one per core, while a corpus-sized
+    * table keeps full width. Estimates only ever err LARGE here (filter
+    * selectivity defaults keep child size; parquet scans report true file
+    * bytes), which errs toward MORE parallelism — the safe side.
+    *
+    * Stats come from the ANALYZED plan, not the optimized one: forcing
+    * `optimizedPlan` here ran the whole optimizer a SECOND time per write
+    * (the write command re-optimizes its child), which measurably regressed
+    * the deep-plan FeatureStore lifecycles (q236/q241 isolated minima
+    * −16/−25%). The size visitor walks any logical plan; the analyzed
+    * estimate only differs by pre-pushdown shape, i.e. errs larger. */
+  private[graft] def writeWidth(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val target = math.max(1L, spark.conf.getOption("graft.write.targetPartitionBytes")
+      .map(_.trim.toLong).getOrElse(128L << 20))
+    val cap = math.max(math.max(1, spark.sparkContext.defaultParallelism),
+      spark.sessionState.conf.numShufflePartitions)
+    val est = df.queryExecution.analyzed.stats.sizeInBytes
+    ((est + target - 1) / target).max(1).min(cap).toInt
+  }
+
+  /** Cluster + size a frame for a `partitionBy` index write.
+    *
+    *  - partition-column writes keep their clustering exchange (the
+    *    tasks × buckets small-file rationale above) but at the
+    *    estimate-derived [[writeWidth]] instead of the session default;
+    *  - flat writes are left on their upstream partitioning — EXCEPT when
+    *    the estimate says the whole table is tiny
+    *    (`graft.write.smallTableBytes`, default 16 MB: stats rows, term-df
+    *    tables, doc-id lists), where a one-task repartition trades a
+    *    provably-tiny exchange for core-count-minus-one writer commit
+    *    cycles. A heavy map-side producer (signature hashing) stays wide:
+    *    its estimate rides the scan's real file bytes past the gate, and
+    *    repartition — unlike coalesce — never serializes upstream compute
+    *    anyway. */
+  private[graft] def sizedForWrite(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    if (partitionCols.nonEmpty) df.repartition(writeWidth(df), partitionCols.map(col): _*)
+    else {
+      val small = math.max(0L, df.sparkSession.conf
+        .getOption("graft.write.smallTableBytes").map(_.trim.toLong)
+        .getOrElse(16L << 20))
+      if (df.queryExecution.analyzed.stats.sizeInBytes <= small)
+        df.repartition(1)
+      else df
     }
   }
 
@@ -690,9 +748,9 @@ object Dedup {
             .withColumn("batch", lit("base"))
           // cluster on the layout's partition columns — the writeIndexBatch
           // rationale: unclustered, a compaction re-explodes the file count
-          // it exists to shrink (tasks × buckets small files)
-          (if (extraCols.isEmpty) folded
-           else folded.repartition(extraCols.map(col): _*))
+          // it exists to shrink (tasks × buckets small files); width sized
+          // from the fold's estimate (r13-opt, see sizedForWrite)
+          sizedForWrite(folded, extraCols)
             .write.partitionBy("batch" +: extraCols: _*).mode("overwrite")
             .parquet(stagingDir.toString)
         }
@@ -1217,12 +1275,9 @@ object Dedup {
   private def taggedPairsFromBuckets(buckets: DataFrame): DataFrame =
     buckets
       .select(array_sort(col("ids")).as("s"))
-      .select(explode(flatten(transform(col("s"), (a, i) =>
-        transform(slice(col("s"), i + lit(2), size(col("s"))),
-          b => struct(
-            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
-            a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.new_a"), col("p.new_b"))
+      .select(graft.functions.SortedPairs(col("s")).as(Seq("__a", "__b")))
+      .select(col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
+        col("__a.is_new").as("new_a"), col("__b.is_new").as("new_b"))
       .filter(col("new_a") || col("new_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
@@ -1475,13 +1530,11 @@ object Dedup {
     // position bound — and that bound must clear the required overlap.
     val candidates = buckets
       .select(array_sort(col("ids")).as("s"))
-      .select(explode(flatten(transform(col("s"), (a, i) =>
-        transform(slice(col("s"), i + lit(2), size(col("s"))),
-          b => struct(
-            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
-            a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b"),
-            a.getField("rn").as("rn_a"), b.getField("rn").as("rn_b")))))).as("p"))
-      .select(col("p.*"))
+      .select(graft.functions.SortedPairs(col("s")).as(Seq("__a", "__b")))
+      .select(
+        col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
+        col("__a.sz").as("sz_a"), col("__b.sz").as("sz_b"),
+        col("__a.rn").as("rn_a"), col("__b.rn").as("rn_b"))
       // length filter: J ≥ tn/td ⇒ td·min ≥ tn·max
       .filter(td * least(col("sz_a"), col("sz_b")) >=
         tn * greatest(col("sz_a"), col("sz_b")))
@@ -1674,13 +1727,17 @@ object Dedup {
         size(col("all_ids")) <= maxPostings) // skew guard (recall knob)
 
     buckets
-      .select(explode(flatten(transform(col("pref_ids"), b =>
-        transform(col("all_ids"), a => struct(
-          a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
-          a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b"),
-          a.getField("rn").as("rn_a"), b.getField("rn").as("rn_b"),
-          a.getField("is_new").as("new_a"), b.getField("is_new").as("new_b")))))).as("p"))
-      .select(col("p.*"))
+      // r13-opt: streaming cross-pair generator (prefix member × posting
+      // list) instead of the nested transform+flatten+explode chain — same
+      // pairs in the same outer-major order, no O(pref·postings)
+      // intermediate arrays (bit-identity pinned in SortedPairsSpec)
+      .select(graft.functions.CrossPairs(col("pref_ids"), col("all_ids"))
+        .as(Seq("__b", "__a")))
+      .select(
+        col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
+        col("__a.sz").as("sz_a"), col("__b.sz").as("sz_b"),
+        col("__a.rn").as("rn_a"), col("__b.rn").as("rn_b"),
+        col("__a.is_new").as("new_a"), col("__b.is_new").as("new_b"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(if (requireNew) col("new_a") || col("new_b") else lit(true))
       // length filter: the container must be at least the required overlap
@@ -2451,15 +2508,13 @@ object Dedup {
 
     val out = buckets
       .select(array_sort(col("ids")).as("s"))
-      .select(explode(flatten(transform(col("s"), (a, i) =>
-        transform(slice(col("s"), i + lit(2), size(col("s"))),
-          b => struct(
-            a.getField("doc_id").as("id_a"), b.getField("doc_id").as("id_b"),
-            a.getField("side").as("side_a"), b.getField("side").as("side_b")))))).as("p"))
-      .filter(col("p.side_a") =!= col("p.side_b"))
+      .select(graft.functions.SortedPairs(col("s")).as(Seq("__a", "__b")))
+      .select(col("__a.doc_id").as("id_a"), col("__b.doc_id").as("id_b"),
+        col("__a.side").as("side_a"), col("__b.side").as("side_b"))
+      .filter(col("side_a") =!= col("side_b"))
       .select(
-        when(col("p.side_a") === 0, col("p.id_a")).otherwise(col("p.id_b")).as("train_id"),
-        when(col("p.side_a") === 0, col("p.id_b")).otherwise(col("p.id_a")).as("test_id"))
+        when(col("side_a") === 0, col("id_a")).otherwise(col("id_b")).as("train_id"),
+        when(col("side_a") === 0, col("id_b")).otherwise(col("id_a")).as("test_id"))
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared")) // one bucket == one shared distinct gram
       .filter(col("n_shared") >= minShared)

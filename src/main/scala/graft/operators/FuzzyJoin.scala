@@ -54,10 +54,7 @@ object FuzzyJoin {
     // shared variants, then exact verification — only on surviving pairs
     buckets
       .select(array_sort(col("ids")).as("ss"))
-      .select(explode(flatten(transform(col("ss"), (a, i) =>
-        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-          b => struct(a.as("name_a"), b.as("name_b")))))).as("p"))
-      .select(col("p.name_a"), col("p.name_b"))
+      .select(graft.functions.SortedPairs(col("ss")).as(Seq("name_a", "name_b")))
       .filter(col("name_a") =!= col("name_b"))
       .groupBy(md5(col("name_a")).as("__ha"), md5(col("name_b")).as("__hb"))
       .agg(first(col("name_a")).as("name_a"), first(col("name_b")).as("name_b"))

@@ -853,13 +853,7 @@ object Similarity {
     val c0 = corpus.select(col(id).as("nbr_id"), col(vec).as("cv"))
     val q0 = queries.select(col(id).as("query_id"), col(vec).as("qv"))
 
-    // L2-normalize (zero vectors stay zero — they score worst everywhere)
-    def l2norm(v: Column): Column = {
-      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x))
-      when(n > 0, transform(v, x => x.cast("double") / n))
-        .otherwise(transform(v, x => x.cast("double") * 0.0))
-    }
-    val cn = c0.withColumn("nv", l2norm(col("cv")))
+    val cn = c0.withColumn("nv", l2normCol(col("cv")))
     val dim = cn.select(size(col("nv"))).limit(1).collect().headOption
       .map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
@@ -921,7 +915,7 @@ object Similarity {
 
     // per-query ADC tables: m × codebookSize exact sub-distances, carried as
     // an array-of-arrays into the broadcast — stage 1 reads NO vectors
-    val qn = withSubs(q0.withColumn("nv", l2norm(col("qv"))))
+    val qn = withSubs(q0.withColumn("nv", l2normCol(col("qv"))))
     val adc = qn.select(col("query_id"), array((0 until m).map { j =>
       array(codebooks(j).map(cen => sqDist(col(s"__s$j"), cen)): _*)
     }: _*).as("adc"))
@@ -1034,12 +1028,11 @@ object Similarity {
     def m: Int = codebooks.size
   }
 
-  /** L2-normalize (zero vectors stay zero — they score worst everywhere). */
-  private def l2normCol(v: Column): Column = {
-    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x))
-    when(n > 0, transform(v, x => x.cast("double") / n))
-      .otherwise(transform(v, x => x.cast("double") * 0.0))
-  }
+  /** L2-normalize (zero vectors stay zero — they score worst everywhere).
+    * Fused single-pass native expression (r13-opt): the HOF composition it
+    * replaces re-evaluated the norm aggregate per element — O(d²) per row.
+    * Bit-identity against the composed form is pinned in L2NormalizeSpec. */
+  private def l2normCol(v: Column): Column = graft.functions.L2Normalize(v)
 
   /** Reject empty corpora and null / null-element / ragged vectors — all
     * of which would misquantize silently downstream. Returns the corpus
