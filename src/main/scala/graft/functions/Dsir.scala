@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import GraftFunctions.{portableHash60, wsTokens}
+import GraftFunctions.{portableHash60, wsTokensFused}
 import PortableMath.lnPosLong
 
 /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023): score
@@ -50,7 +50,7 @@ object Dsir {
 
   private def tokd(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).cast("long").as("doc_id"),
-      wsTokens(lower(col(text))).as("toks"))
+      wsTokensFused(lower(col(text))).as("toks")) // fused tokenizer: A/B-adjudicated win on this pass (r13-opt)
 
   private val FeatRowType = "array<struct<pos:int,knd:int,fb:bigint>>"
 

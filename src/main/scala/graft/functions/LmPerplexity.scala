@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
-import GraftFunctions.{portableHash60, wsTokens}
+import GraftFunctions.{portableHash60, wsTokensFused}
 import PortableMath.lnPosLong
 
 /** N-gram language-model perplexity filtering — the CCNet signal (Wenzek et
@@ -53,7 +53,7 @@ object LmPerplexity {
     * never a re-evaluated tokenization (the no-CSE trap). */
   private def tokd(docs: DataFrame, id: String, text: String): DataFrame =
     docs.select(col(id).cast("long").as("doc_id"),
-      wsTokens(lower(col(text))).as("toks"))
+      wsTokensFused(lower(col(text))).as("toks")) // fused tokenizer: A/B-adjudicated win on this pass (r13-opt)
 
   private val BgRowType = "array<struct<pos:int,bg_id:bigint,ctx_id:bigint>>"
 
